@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft._
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level API over the graft Catalyst expressions — the user-facing
+  * scalar-function surface (SURVEY.md §2.8). Mirrors the naming of the
+  * reference's distance kernels; everything returns codegen-friendly Columns.
+  */
+package object functions {
+  import GraftBridge.{column, expression}
+
+  def vec_dot(a: Column, b: Column): Column =
+    column(VecDotProduct(expression(a), expression(b)))
+
+  def cosine_distance(a: Column, b: Column): Column =
+    column(VecCosineDistance(expression(a), expression(b)))
+
+  def euclidean_distance(a: Column, b: Column): Column =
+    column(VecEuclideanDistance(expression(a), expression(b)))
+
+  def manhattan_distance(a: Column, b: Column): Column =
+    column(VecManhattanDistance(expression(a), expression(b)))
+
+  def l2_norm(v: Column): Column = column(VecL2Norm(expression(v)))
+
+  def l2_normalize(v: Column): Column = column(VecL2Normalize(expression(v)))
+
+  /** Display-score transform (F5): cosine → ((2−d)/2)·100, euclidean →
+    * max(0, 100−d). Exact formulas from
+    * /root/reference/edge/edge_helper.go:143-148. */
+  def score_from_distance(dist: Column, metric: String): Column = metric match {
+    case "cosine"    => (F.lit(2.0) - dist) / F.lit(2.0) * F.lit(100.0)
+    case "euclidean" => F.greatest(F.lit(0.0), F.lit(100.0) - dist)
+    case other       => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** Distance column for a configured metric name. */
+  def distance(a: Column, b: Column, metric: String): Column = metric match {
+    case "cosine"    => cosine_distance(a, b)
+    case "euclidean" => euclidean_distance(a, b)
+    case "manhattan" => manhattan_distance(a, b)
+    case "dot"       => -vec_dot(a, b) // higher dot = closer; negate so lower = better
+    case other       => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+}

@@ -1,0 +1,220 @@
+// Catalyst extension glue lives inside the org.apache.spark.sql package tree
+// because the interfaces it implements (AbstractDataType, CodegenFallback,
+// ExpressionUtils) are private[sql] in Spark 4 — the standard pattern for
+// Spark extension libraries. User-facing API is in graft.functions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** private[sql] bridge: Column ⇄ Expression for graft's public API. */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Catalyst expressions for vector similarity — the scalar-function surface of
+  * the reference engine (SURVEY.md §2.8, formulas at
+  * /root/reference/pkg/distance/native_impl.go:24-53).
+  *
+  * Design notes (Spark-first, not a port):
+  *   - Inputs are `ArrayType(FloatType)` columns (vectors are float32 in the
+  *     reference; parquet `list<float>` maps to the same type).
+  *   - Accumulation is in `double` — each float is widened exactly, and the
+  *     loop is sequential, so results are bit-reproducible across engines and
+  *     partitionings (no shuffle-order dependence: these are row-local).
+  *   - Full whole-stage codegen (`doGenCode`): the generated Java loop is the
+  *     idiomatic Spark analog of the reference's SIMD kernels — HotSpot
+  *     auto-vectorizes it. This is the 100 TB hot path: distance is evaluated
+  *     once per row per query inside a `TakeOrderedAndProject` scan, so it
+  *     must stay inside WholeStageCodegen with zero boxing.
+  */
+abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Scalar kernel over the two float arrays. */
+  protected def compute(a: ArrayData, b: ArrayData): Double
+
+  protected def requireSameDim(n: Int, m: Int): Unit =
+    if (n != m) throw new IllegalArgumentException(s"vector dimension mismatch: $n vs $m")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Java loop body: given (arrayA, arrayB, n, resultVar) produce code that
+    * assigns the double result to resultVar. */
+  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |${loopCode(ctx, a, b, n, ev.value.toString)}
+       """.stripMargin
+    })
+  }
+}
+
+/** dot(a, b) = Σ aᵢbᵢ */
+case class VecDotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); requireSameDim(n, b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |}
+       |$result = $acc;
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** cosine_distance(a, b) = |1 − dot/(‖a‖·‖b‖)| — the abs-wrapped form of the
+  * reference (/root/reference/pkg/distance/space.go:93-95). Zero-norm input
+  * yields NaN (division by zero), matching a direct evaluation. */
+case class VecCosineDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_distance"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); requireSameDim(n, b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    s"""
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double x = (double) $a.getFloat($i);
+       |  final double y = (double) $b.getFloat($i);
+       |  $dot += x * y; $na += x * x; $nb += y * y;
+       |}
+       |$result = Math.abs(1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb)));
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** euclidean_distance(a, b) = √Σ(aᵢ−bᵢ)² — true L2
+  * (/root/reference/pkg/distance/native_impl.go:24-31). */
+case class VecEuclideanDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "euclidean_distance"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); requireSameDim(n, b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $acc += d * d;
+       |}
+       |$result = Math.sqrt($acc);
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** manhattan_distance(a, b) = Σ|aᵢ−bᵢ|
+  * (/root/reference/pkg/distance/native_impl.go:33-40). */
+case class VecManhattanDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "manhattan_distance"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); requireSameDim(n, b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
+    acc
+  }
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
+       |}
+       |$result = $acc;
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** l2_norm(v) = √Σvᵢ² */
+case class VecL2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "l2_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc"); val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double x = (double) $a.getFloat($i);
+         |  $acc += x * x;
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** l2_normalize(v): v / ‖v‖ as float32, with the reference's zero-norm → zero
+  * vector behavior (/root/reference/edge/vectorstore.go:173-189). Applied to
+  * stored + query vectors when the collection distance is cosine. Interpreted
+  * eval only (ingest-side, not the per-row scoring hot path). */
+case class VecL2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def prettyName: String = "l2_normalize"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // float32 norm accumulation to mirror the reference's float32 math
+    var acc = 0.0f; var i = 0
+    while (i < n) { val x = a.getFloat(i); acc += x * x; i += 1 }
+    val norm = math.sqrt(acc.toDouble).toFloat
+    val out = new Array[Float](n)
+    if (norm != 0.0f) { i = 0; while (i < n) { out(i) = a.getFloat(i) / norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
