@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr
+import graft.functions.{distance, score_from_distance}
+
+/** Top-K similarity search request — the engine's version of the reference's
+  * edge `SearchRequest` (/root/reference/idl/proto/v4/edge.proto:115-126):
+  * query vector, topK, offset, metric, composite filter, min-score threshold.
+  *
+  * Deliberate divergences from observed reference bugs (SURVEY.md §7):
+  *  - offset rows ARE dropped (T3 ⚠: reference fetches limit+offset but never
+  *    skips);
+  *  - `minScore` IS applied (T4 ⚠: declared but dead in the reference);
+  *  - best-K polarity: smallest distance first (§2.6 ⚠ heap-polarity bug).
+  *
+  * Determinism contract: distances are rounded to `roundDp` decimals and ties
+  * broken by the id column, so the result set is stable across engines,
+  * partition counts and retries — required both for the DuckDB oracle gate
+  * and for reproducible pipelines at scale.
+  */
+case class SearchRequest(
+    queryVector: Array[Float],
+    topK: Int,
+    metric: String = "cosine",
+    filter: Option[FilterExpr] = None,
+    offset: Int = 0,
+    minScore: Option[Double] = None,
+    idCol: String = "id",
+    vectorCol: String = "vector",
+    roundDp: Int = 6) {
+  require(topK > 0, "topK must be positive")
+  require(offset >= 0, "offset must be non-negative")
+}
+
+/** Flat (exact) vector scan + filtered variants (SURVEY.md §2.1 S1-S3, §2.3 J1).
+  *
+  * Spark shape: one codegen'd distance expression per row, then
+  * `ORDER BY dist LIMIT k` → Catalyst's TakeOrderedAndProject (bounded
+  * per-partition heap + driver merge — the §2.6 T1/T2 top-K operator, scaling
+  * with partitions instead of the reference's fixed 16 shards). Filters go
+  * through `where` BEFORE scoring so Parquet row-group pruning and column
+  * pruning see them (§4 predicate pushdown — replaces the bitmap index).
+  */
+object VectorSearch {
+
+  /** Score all (optionally filtered) rows, keep best `topK` after `offset`.
+    * Output: all non-vector columns + `dist` + `score`, best-first. */
+  def search(df: DataFrame, req: SearchRequest): DataFrame = {
+    val base = req.filter.map(f => df.where(f.toColumn)).getOrElse(df)
+    // score derives from the RAW distance, not the rounded one: rounding
+    // twice (dist to 6dp, then a linear transform of it to 4dp) parks the
+    // score exactly on .5 rounding boundaries, where engines disagree.
+    val raw = distance(col(req.vectorCol), lit(req.queryVector), req.metric)
+    val scored = base
+      .withColumn("dist", round(raw, req.roundDp))
+      .withColumn("score", round(score_from_distance(raw, scoreMetric(req.metric)), 4))
+      .drop(req.vectorCol)
+    val thresholded = req.minScore.map(t => scored.where(col("score") >= t)).getOrElse(scored)
+    val sorted = thresholded.orderBy(col("dist").asc, col(req.idCol).asc)
+    if (req.offset > 0) sorted.offset(req.offset).limit(req.topK) else sorted.limit(req.topK)
+  }
+
+  /** Hybrid search (J1): over-fetch `overFetch`×topK by pure similarity, then
+    * semi-join the candidate ids that survive the metadata filter, then final
+    * top-K. Implements the documented INTENT of the reference
+    * (/root/reference/core/core.go:760-839 over-fetches ×3 then intersects —
+    * its final loop drops the intersection, a recorded bug we don't copy).
+    * The ANN side is ≤ overFetch·topK rows, so Catalyst broadcasts it;
+    * the filter side stays a pushed-down scan — no big-table shuffle. */
+  def hybridSearch(df: DataFrame, req: SearchRequest, filter: FilterExpr, overFetch: Int = 3): DataFrame = {
+    val ann = search(df, req.copy(filter = None, topK = req.topK * overFetch, offset = 0))
+    val candidates = df.where(filter.toColumn).select(col(req.idCol))
+    ann.join(candidates, Seq(req.idCol), "left_semi")
+      .orderBy(col("dist").asc, col(req.idCol).asc)
+      .limit(req.topK)
+  }
+
+  /** euclidean/manhattan/dot share the euclidean display transform;
+    * cosine has its own (edge/edge_helper.go:143-148). */
+  private def scoreMetric(metric: String): String =
+    if (metric == "cosine") "cosine" else "euclidean"
+}
+
+/** Multi-vector weighted search (SURVEY.md §2.4 A1, experimental CFLAT engine,
+  * /root/reference/experimental/multi_vector_vertex.go:111-124): one record
+  * holds several named vectors; the query scores an included subset, each
+  * weighted by ratio/100, ratios summing to 100
+  * (experimental/experimental_analyzer.go:143-154).
+  */
+object MultiVectorSearch {
+  /** One queried field: vector column name, query vector, weight ratio. */
+  case class FieldQuery(vectorCol: String, queryVector: Array[Float], ratio: Double, include: Boolean = true)
+
+  def search(
+      df: DataFrame,
+      fields: Seq[FieldQuery],
+      topK: Int,
+      metric: String = "cosine",
+      idCol: String = "id",
+      roundDp: Int = 6): DataFrame = {
+    val included = fields.filter(_.include)
+    require(included.nonEmpty, "at least one field must be included")
+    val ratioSum = included.map(_.ratio).sum
+    require(math.abs(ratioSum - 100.0) < 1e-9,
+      s"included ratios must sum to 100, got $ratioSum") // experimental_analyzer.go:143-154
+    val weighted: Column = included.map { f =>
+      val d = distance(col(f.vectorCol), lit(f.queryVector), metric)
+      score_from_distance(d, if (metric == "cosine") "cosine" else "euclidean") * lit(f.ratio / 100.0)
+    }.reduce(_ + _)
+    df.select(col(idCol), round(weighted, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc) // higher-is-better polarity (multi_priority_queue.go:27-30)
+      .limit(topK)
+  }
+}
