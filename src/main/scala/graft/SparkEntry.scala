@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorSearchQueries.queries ++
-      FilterSearchQueries.queries
+      FilterSearchQueries.queries ++
+      QuantizedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     VectorSearchQueries.oracles ++
-      FilterSearchQueries.oracles
+      FilterSearchQueries.oracles ++
+      QuantizedQueries.oracles
 }

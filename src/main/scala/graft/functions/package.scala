@@ -25,6 +25,14 @@ package object functions {
 
   def l2_norm(v: Column): Column = column(VecL2Norm(expression(v)))
 
+  /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
+  def quantize(v: Column, format: String): Column =
+    column(QuantizeVector(expression(v), format))
+
+  /** Decode a quantized vector column back to float32. */
+  def dequantize(v: Column, format: String): Column =
+    column(DequantizeVector(expression(v), format))
+
   def l2_normalize(v: Column): Column = column(VecL2Normalize(expression(v)))
 
   /** Display-score transform (F5): cosine → ((2−d)/2)·100, euclidean →

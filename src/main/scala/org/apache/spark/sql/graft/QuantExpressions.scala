@@ -1,0 +1,124 @@
+// Same private[sql]-visibility rationale as VectorExpressions.scala.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions.QuantKernels
+
+/** Vector quantization (SURVEY.md §2.8 F6-F8): encode-on-write column
+  * transforms + decode expressions. Storage mapping (§1.4): f16/bf16 →
+  * `ArrayType(ShortType)`, f8 → `BinaryType` (1 byte/dim — the size the
+  * reference's `LowerSize` miscounts as 2·dim, edge/f8_quantization.go:57-59).
+  *
+  * At 100 TB the quantized column is what's persisted (2-4× smaller scans);
+  * decode runs inside whole-stage codegen during scoring, so a quantized
+  * search is scan-bound, not decode-bound.
+  */
+object QuantFormats {
+  val all = Seq("f16", "bf16", "f8")
+  def storageType(format: String): DataType = format match {
+    case "f16" | "bf16" => ArrayType(ShortType, containsNull = false)
+    case "f8"           => BinaryType
+    case other          => throw new IllegalArgumentException(s"unknown quantization: $other")
+  }
+}
+
+case class QuantizeVector(child: Expression, format: String) extends UnaryExpression {
+  require(QuantFormats.all.contains(format), s"unknown quantization: $format")
+  override def prettyName: String = s"quantize_$format"
+  override def dataType: DataType = QuantFormats.storageType(format)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    format match {
+      case "f16" =>
+        val out = new Array[Short](n); var i = 0
+        while (i < n) { out(i) = QuantKernels.floatToF16(a.getFloat(i)); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(out)
+      case "bf16" =>
+        val out = new Array[Short](n); var i = 0
+        while (i < n) { out(i) = QuantKernels.floatToBf16(a.getFloat(i)); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(out)
+      case "f8" =>
+        val out = new Array[Byte](n); var i = 0
+        while (i < n) { out(i) = QuantKernels.floatToF8(a.getFloat(i)); i += 1 }
+        out
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[QuantKernels].getName
+    val (elemJava, kernel) = format match {
+      case "f16"  => ("short", s"$k.floatToF16")
+      case "bf16" => ("short", s"$k.floatToBf16")
+      case "f8"   => ("byte", s"$k.floatToF8")
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val wrap =
+        if (format == "f8") s"${ev.value} = $out;"
+        else s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"
+      s"""
+         |final int $n = $a.numElements();
+         |final $elemJava[] $out = new $elemJava[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $kernel($a.getFloat($i));
+         |}
+         |$wrap
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class DequantizeVector(child: Expression, format: String) extends UnaryExpression {
+  require(QuantFormats.all.contains(format), s"unknown quantization: $format")
+  override def prettyName: String = s"dequantize_$format"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    format match {
+      case "f8" =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        val out = new Array[Float](bytes.length); var i = 0
+        while (i < bytes.length) { out(i) = QuantKernels.f8ToFloat(bytes(i)); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(out)
+      case f =>
+        val a = v.asInstanceOf[ArrayData]
+        val n = a.numElements()
+        val out = new Array[Float](n); var i = 0
+        val dec: Short => Float =
+          if (f == "f16") QuantKernels.f16ToFloat else QuantKernels.bf16ToFloat
+        while (i < n) { out(i) = dec(a.getShort(i)); i += 1 }
+        UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[QuantKernels].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val (len, get, kernel) = format match {
+        case "f16"  => (s"$a.numElements()", (j: String) => s"$a.getShort($j)", s"$k.f16ToFloat")
+        case "bf16" => (s"$a.numElements()", (j: String) => s"$a.getShort($j)", s"$k.bf16ToFloat")
+        case "f8"   => (s"$a.length", (j: String) => s"$a[$j]", s"$k.f8ToFloat")
+      }
+      s"""
+         |final int $n = $len;
+         |final float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $kernel(${get(i)});
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.functions.QuantKernels._
+
+/** Quantization contracts: exact representability, round-trip idempotence,
+  * RNE rounding, and the loss-bound gate mirroring the reference's
+  * pkg/compresshelper/compresshelper_test.go:39-110 (cosine display score of
+  * the quantized round-trip within a fixed drift of the float32 score). */
+class QuantizationSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def randVec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+
+  test("f16: exactly-representable values round-trip bit-exact") {
+    for (v <- Seq(0.0f, 1.0f, -1.0f, 0.5f, 1.5f, 0.0009765625f /*2^-10*/, 65504.0f /*max f16*/ ))
+      assert(f16ToFloat(floatToF16(v)) === v, s"f16 $v")
+  }
+
+  test("bf16: exactly-representable values round-trip bit-exact") {
+    for (v <- Seq(0.0f, 1.0f, -2.5f, 0.125f, math.pow(2, 126).toFloat))
+      assert(bf16ToFloat(floatToBf16(v)) === v, s"bf16 $v")
+  }
+
+  test("f8 (1-5-2): exactly-representable values round-trip bit-exact") {
+    for (v <- Seq(0.0f, 1.0f, -1.0f, 0.25f, 1.5f, 1.75f, -2.0f, 57344.0f /*max f8 = 1.75*2^15*/ ))
+      assert(f8ToFloat(floatToF8(v)) === v, s"f8 $v")
+  }
+
+  test("round-trip is idempotent (decode∘encode a fixed point)") {
+    for (_ <- 1 to 2000) {
+      val v = (rnd.nextFloat() * 2 - 1) * math.pow(2, rnd.nextInt(20) - 10).toFloat
+      val f16 = f16ToFloat(floatToF16(v))
+      assert(f16ToFloat(floatToF16(f16)) === f16)
+      val bf = bf16ToFloat(floatToBf16(v))
+      assert(bf16ToFloat(floatToBf16(bf)) === bf)
+      val f8 = f8ToFloat(floatToF8(v))
+      assert(f8ToFloat(floatToF8(f8)) === f8)
+    }
+  }
+
+  test("round-to-nearest-even at the tie point") {
+    // 1 + 2^-11 is exactly between f16(1.0) and f16(1 + 2^-10): ties to even → 1.0
+    assert(f16ToFloat(floatToF16(1.0f + math.pow(2, -11).toFloat)) === 1.0f)
+    // 1 + 3*2^-11 ties between 1+2^-10 and 1+2^-9 → even mantissa → 1+2^-9
+    assert(f16ToFloat(floatToF16(1.0f + 3 * math.pow(2, -11).toFloat)) === 1.0f + math.pow(2, -9).toFloat)
+    // f8: 1 + 2^-3 is between f8(1.0) and f8(1.25): ties to even → 1.0
+    assert(f8ToFloat(floatToF8(1.0f + 0.125f)) === 1.0f)
+  }
+
+  test("overflow → ±inf, NaN preserved, subnormals decode") {
+    assert(f16ToFloat(floatToF16(1e9f)).isPosInfinity)
+    assert(f8ToFloat(floatToF8(-1e9f)).isNegInfinity)
+    assert(f16ToFloat(floatToF16(Float.NaN)).isNaN)
+    assert(bf16ToFloat(floatToBf16(Float.NaN)).isNaN)
+    assert(f8ToFloat(floatToF8(Float.NaN)).isNaN)
+    val sub = math.pow(2, -20).toFloat // f16 subnormal range
+    assert(math.abs(f16ToFloat(floatToF16(sub)) - sub) / sub < 0.001)
+  }
+
+  /** Reference loss gate: cosine display score drift of quantized round-trip
+    * vs float32, random 128-d pairs (compresshelper_test.go uses 1M iters and
+    * a 1-point bound for its f16; we use seeded 2k pairs per format and
+    * honest bounds for the true formats: f8 keeps only 2 mantissa bits). */
+  test("cosine score drift bounds: f16 ≤ 0.05, bf16 ≤ 0.5, f8 ≤ 5.0 points") {
+    def score(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val d = math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+      (2 - d) / 2 * 100
+    }
+    var maxF16 = 0.0; var maxBf16 = 0.0; var maxF8 = 0.0
+    for (_ <- 1 to 2000) {
+      val a = randVec(128); val b = randVec(128)
+      val s0 = score(a, b)
+      maxF16 = maxF16 max math.abs(s0 - score(a.map(x => f16ToFloat(floatToF16(x))), b.map(x => f16ToFloat(floatToF16(x)))))
+      maxBf16 = maxBf16 max math.abs(s0 - score(a.map(x => bf16ToFloat(floatToBf16(x))), b.map(x => bf16ToFloat(floatToBf16(x)))))
+      maxF8 = maxF8 max math.abs(s0 - score(a.map(x => f8ToFloat(floatToF8(x))), b.map(x => f8ToFloat(floatToF8(x)))))
+    }
+    info(f"max score drift: f16=$maxF16%.4f bf16=$maxBf16%.4f f8=$maxF8%.4f")
+    assert(maxF16 <= 0.05, s"f16 drift $maxF16")
+    assert(maxBf16 <= 0.5, s"bf16 drift $maxBf16")
+    assert(maxF8 <= 5.0, s"f8 drift $maxF8")
+  }
+
+  test("quantize/dequantize expressions: codegen path + self-match through a scan") {
+    import spark.implicits._
+    val vecs = (0L to 49L).map(i => (i, randVec(16))).toDF("id", "v")
+    for (fmt <- Seq("f16", "bf16", "f8")) {
+      val rt = vecs.select(col("id"), dequantize(quantize(col("v"), fmt), fmt).as("r"), col("v"))
+        .as[(Long, Array[Float], Array[Float])].collect()
+      rt.foreach { case (_, r, v) =>
+        assert(r.length === v.length)
+        // round-trip of a round-trip is identical (fixed point), checked via kernels
+        val again = fmt match {
+          case "f16"  => r.map(x => f16ToFloat(floatToF16(x)))
+          case "bf16" => r.map(x => bf16ToFloat(floatToBf16(x)))
+          case "f8"   => r.map(x => f8ToFloat(floatToF8(x)))
+        }
+        assert(again.toSeq === r.toSeq)
+      }
+    }
+  }
+
+  test("quantized flat scans: self-match ranks first with dist 0") {
+    for (name <- Seq("flat_scan_f16", "flat_scan_bf16", "flat_scan_f8")) {
+      val top = SparkEntry.queries(name)(spark, sfDir).head()
+      assert(top.getAs[Long]("vec_id") === 0L, name)
+      assert(top.getAs[Double]("dist") === 0.0, name)
+    }
+  }
+}
