@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorSearchQueries.queries ++
       FilterSearchQueries.queries ++
-      QuantizedQueries.queries
+      QuantizedQueries.queries ++
+      PersistenceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     VectorSearchQueries.oracles ++
       FilterSearchQueries.oracles ++
-      QuantizedQueries.oracles
+      QuantizedQueries.oracles ++
+      PersistenceQueries.oracles
 }

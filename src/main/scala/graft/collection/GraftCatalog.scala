@@ -1,0 +1,251 @@
+package graft.collection
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.FilterExpr
+import graft.functions.{dequantize, l2_normalize, quantize, QuantKernels}
+import graft.operators.{SearchRequest, VectorSearch, Mutations}
+
+/** Collection DDL + lifecycle (SURVEY.md §2.11): create / drop / get / load /
+  * release / flush / insert / delete / search, with the reference's explicit
+  * memory-residency state machine (edge/edge_state_manager.go — operations on
+  * unloaded collections fail) mapped to Spark catalog bookkeeping +
+  * cache()/unpersist().
+  *
+  * Storage layout per collection (§1.4 MinIO-bucket mapping):
+  * `<root>/<name>/meta.json` + `<root>/<name>/v<N>/data.parquet`.
+  * `versioning=true` keeps old snapshot dirs (S10 → time travel + vacuum);
+  * otherwise flush prunes superseded versions. Meta is written LAST so a
+  * partially-created collection is never visible (edge.go:179-185 rollback).
+  *
+  * Scale: a snapshot is plain partitioned parquet — loads are parallel scans,
+  * flushes are distributed writes; nothing round-trips through the driver.
+  */
+class GraftCatalog(spark: SparkSession, root: String) {
+  import CollectionMeta.VectorCol
+
+  /** User-facing vector column name on ingest/search results. */
+  val UserVectorCol = "vector"
+
+  private val loaded = mutable.Map.empty[String, DataFrame]
+
+  private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def colDir(name: String) = new Path(s"$root/$name")
+  private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
+  private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
+
+  // ---- DDL ----
+
+  def exists(name: String): Boolean = fs.exists(metaPath(name))
+
+  def createCollection(meta: CollectionMeta): Unit = {
+    require(!exists(meta.name), s"collection ${meta.name} already exists")
+    require(meta.primaryKey.isDefined, s"collection ${meta.name} requires a primary key field")
+    fs.mkdirs(colDir(meta.name))
+    writeMeta(meta.copy(currentVersion = 0)) // meta last; v0 = empty collection
+  }
+
+  def dropCollection(name: String): Unit = {
+    loaded.remove(name).foreach(_.unpersist())
+    fs.delete(colDir(name), true)
+  }
+
+  def getMeta(name: String): CollectionMeta = {
+    require(exists(name), s"collection $name does not exist")
+    val in = fs.open(metaPath(name))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    CollectionMeta.fromJson(s)
+  }
+
+  private def writeMeta(meta: CollectionMeta): Unit = {
+    val out = fs.create(metaPath(meta.name), true)
+    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---- residency state machine ----
+
+  def isLoaded(name: String): Boolean = loaded.contains(name)
+
+  /** Load the latest snapshot into memory (S8 + Load RPC). */
+  def loadCollection(name: String): DataFrame = {
+    val meta = getMeta(name)
+    val df =
+      if (meta.currentVersion == 0)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
+      else spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    loaded(name) = cached
+    cached
+  }
+
+  /** Release from memory (Release RPC → unpersist). */
+  def releaseCollection(name: String): Unit =
+    loaded.remove(name).foreach(_.unpersist())
+
+  /** The reference's ErrCollectionNotLoad behavior (edge/constants.go:30,
+    * authorization check edge/edge_helper.go:75-83). */
+  private def loadedOrThrow(name: String): DataFrame =
+    loaded.getOrElse(name,
+      throw new IllegalStateException(s"collection $name is not loaded in memory"))
+
+  // ---- ingest / mutation ----
+
+  /** Validated upsert of user rows (vector in `vector`, metadata columns by
+    * declared name). Analyzer semantics from edge/edge_analyzer.go:28-99
+    * (FIXTURES.md §7), enforced as single-pass distributed expressions. */
+  def insert(name: String, rows: DataFrame): Unit = {
+    val meta = getMeta(name)
+    val validated = GraftCatalog.validateAndEncode(rows, meta, UserVectorCol)
+    val pk = meta.primaryKey.get.name
+    val merged = Mutations.upsert(loadedOrThrow(name), validated, pk)
+    loaded(name) = merged.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Delete rows matching a conjunctive filter (P5). */
+  def delete(name: String, filter: FilterExpr): Unit = {
+    val remaining = Mutations.deleteWhere(loadedOrThrow(name), filter)
+    loaded(name) = remaining.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Persist the in-memory state as a new snapshot version (S7 Flush). */
+  def flush(name: String): Int = {
+    val meta = getMeta(name)
+    val df = loadedOrThrow(name)
+    val v = meta.currentVersion + 1
+    df.write.mode("overwrite").parquet(versionDir(name, v).toString)
+    writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
+    if (!meta.versioning && meta.currentVersion > 0)
+      fs.delete(versionDir(name, meta.currentVersion), true)
+    v
+  }
+
+  /** Read an older snapshot (S10 versioning / time travel). */
+  def timeTravel(name: String, version: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.versioning, s"collection $name has versioning disabled")
+    spark.read.parquet(versionDir(name, version).toString)
+  }
+
+  /** Read the latest on-disk snapshot directly (no residency). */
+  def snapshot(name: String): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+  }
+
+  // ---- query ----
+
+  /** Top-K search over the loaded collection. Query vector goes through the
+    * same prep as stored vectors (normalize when cosine, quantize round-trip
+    * when quantized — edge/f16_quantization.go Similarity semantics). */
+  def search(
+      name: String,
+      queryVector: Array[Float],
+      topK: Int,
+      filter: Option[FilterExpr] = None,
+      offset: Int = 0,
+      minScore: Option[Double] = None): DataFrame = {
+    val meta = getMeta(name)
+    val df = loadedOrThrow(name)
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val decoded: Column = meta.quantization match {
+      case "none" => col(VectorCol)
+      case q      => dequantize(col(VectorCol), q)
+    }
+    val searchable = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+    VectorSearch.search(searchable,
+        SearchRequest(qv, topK, metric = meta.distance, filter = filter, offset = offset,
+          minScore = minScore, idCol = meta.primaryKey.get.name,
+          vectorCol = GraftCatalog.SearchVecCol))
+      .drop(VectorCol)
+  }
+
+  def count(name: String): Long = loadedOrThrow(name).count()
+}
+
+object GraftCatalog {
+  private val SearchVecCol = "__searchvec"
+  import CollectionMeta.VectorCol
+
+  /** Mirror of the stored-vector prep for a driver-side query vector:
+    * float32 normalize (cosine), then quantize→dequantize round-trip. */
+  def prepareQueryVector(qv: Array[Float], meta: CollectionMeta): Array[Float] = {
+    val normalized = if (meta.distance == "cosine") l2NormalizeF32(qv) else qv
+    meta.quantization match {
+      case "none" => normalized
+      case "f16"  => normalized.map(x => QuantKernels.f16ToFloat(QuantKernels.floatToF16(x)))
+      case "bf16" => normalized.map(x => QuantKernels.bf16ToFloat(QuantKernels.floatToBf16(x)))
+      case "f8"   => normalized.map(x => QuantKernels.f8ToFloat(QuantKernels.floatToF8(x)))
+    }
+  }
+
+  /** Scala mirror of VecL2Normalize (float32 accumulation, zero-norm → zero). */
+  def l2NormalizeF32(a: Array[Float]): Array[Float] = {
+    var acc = 0.0f
+    a.foreach(x => acc += x * x)
+    val norm = math.sqrt(acc.toDouble).toFloat
+    if (norm == 0.0f) new Array[Float](a.length) else a.map(_ / norm)
+  }
+
+  /** Ingest analyzer (edge/edge_analyzer.go:28-99): enforce declared schema,
+    * fill typed defaults for missing nullable columns, reject missing
+    * non-nullable ones, coerce integral floats, require non-null string pk,
+    * check vector dimension, normalize (cosine) and quantize. All checks are
+    * per-row expressions (`raise_error`) — one distributed pass, no
+    * driver-side validation loop. */
+  def validateAndEncode(rows: DataFrame, meta: CollectionMeta, userVectorCol: String): DataFrame = {
+    require(rows.columns.contains(userVectorCol), s"missing vector column '$userVectorCol'")
+    val inputCols = rows.columns.toSet
+
+    val metaCols: Seq[Column] = meta.fields.map { f =>
+      if (!inputCols.contains(f.name)) {
+        if (f.enableNull) lit(f.defaultValue).cast(f.dataType).as(f.name)
+        else throw new IllegalArgumentException(
+          s"index: ${f.name} is null, but index design not allowed null value")
+      } else {
+        val in = rows.schema(f.name).dataType
+        val raw = col(f.name)
+        val typed: Column = (f.fieldType, in) match {
+          case ("integer", org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+                           _: org.apache.spark.sql.types.DecimalType) =>
+            // 5.0 accepted as 5; 5.5 rejected (edge_analyzer.go:63-67)
+            when(raw =!= floor(raw), raise_error(concat(
+              lit(s"index: ${f.name} expects an integer, got non-integral value "), raw.cast("string"))))
+              .otherwise(raw).cast(f.dataType)
+          case _ => raw.cast(f.dataType)
+        }
+        val checked =
+          if (f.enableNull) typed
+          else when(raw.isNull, raise_error(lit(
+            s"index: ${f.name} is null, but index design not allowed null value"))).otherwise(typed)
+        val pkChecked =
+          if (f.primaryKey)
+            when(checked.isNull || length(checked) === 0,
+              raise_error(lit(s"primary key ${f.name} must be a non-null string"))).otherwise(checked)
+          else checked
+        pkChecked.as(f.name)
+      }
+    }
+
+    val rawVec0 = col(userVectorCol)
+    val rawVec = when(rawVec0.isNull,
+      raise_error(lit("vector must not be null"))).otherwise(rawVec0)
+    val dimChecked = when(size(rawVec) =!= meta.dim, raise_error(concat(
+        lit(s"vector dimension mismatch: expected ${meta.dim}, got "), size(rawVec).cast("string"))))
+      .otherwise(rawVec)
+    val floatVec = dimChecked.cast("array<float>")
+    val prepped = if (meta.distance == "cosine") l2_normalize(floatVec) else floatVec
+    val encoded = meta.quantization match {
+      case "none" => prepped
+      case q      => quantize(prepped, q)
+    }
+    rows.select(metaCols :+ encoded.as(VectorCol): _*)
+  }
+}
