@@ -1,0 +1,112 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Scale design: every method is a bounded number of shuffles keyed by
+  * content (hash/band/block keys), never an all-pairs cross join —
+  * the only quadratic step (exact Jaccard verification) runs on LSH/block
+  * candidates, whose size is controlled by the banding parameters.
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash-groupBy: per distinct `textCol`, the
+    * surviving id (min) and the duplicate count. One shuffle on the text
+    * hash; map-side partial aggregation halves traffic. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the min-id representative. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Exact Jaccard similarity of distinct 3-word-shingle sets between two
+    * shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(array_distinct(a)) + size(array_distinct(b)) - inter)
+  }
+
+  /** 3-word shingles of a text column (whitespace tokens); short texts fall
+    * back to the whole text as a single shingle. */
+  def shingles(textColName: String): Column = expr(
+    s"""CASE WHEN size(split($textColName, ' ')) >= 3
+       |THEN transform(sequence(0, size(split($textColName, ' ')) - 3),
+       |     i -> concat_ws(' ', split($textColName, ' ')[i],
+       |                         split($textColName, ' ')[i+1],
+       |                         split($textColName, ' ')[i+2]))
+       |ELSE array($textColName) END""".stripMargin)
+
+  /** Pairwise n-gram Jaccard within blocking keys (e.g. same lang+source):
+    * the classic blocked-comparison shape — cross product only inside each
+    * block, which AQE keeps balanced; block choice bounds the quadratic
+    * term. Emits pairs with jaccard ≥ threshold. */
+  def blockedJaccardPairs(
+      df: DataFrame, idCol: String, textColName: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val withSh = df.select(
+      (col(idCol) +: blockCols.map(col)) :+ shingles(textColName).as("__sh"): _*)
+    val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("__sh").as("sh_a"): _*)
+    val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__sh").as("sh_b"): _*)
+    val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) && (a("id_a") < b("id_b"))
+    a.join(b, joinCond)
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}
+
+/** MinHash + LSH near-duplicate detection: shingle → k min-hashes → band →
+  * bucket-join → exact-Jaccard verify. Hash family is
+  * `int64(first 15 hex digits of md5(j || '|' || shingle))` — deterministic,
+  * engine-independent (the DuckDB oracle reproduces it bit-for-bit), and
+  * uniform enough for MinHash's collision-probability guarantee. */
+object MinHashLSH {
+
+  private def sigExpr(textColName: String, j: Int): Column = {
+    val sh = s"CASE WHEN size(split($textColName, ' ')) >= 3 THEN " +
+      s"transform(sequence(0, size(split($textColName, ' ')) - 3), " +
+      s"i -> concat_ws(' ', split($textColName, ' ')[i], split($textColName, ' ')[i+1], split($textColName, ' ')[i+2])) " +
+      s"ELSE array($textColName) END"
+    expr(s"array_min(transform($sh, s -> cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
+  }
+
+  /** Add `sig_0 .. sig_{k-1}` min-hash signature columns. Row-local: one
+    * codegen'd pass, no shuffle. */
+  def withSignatures(df: DataFrame, textColName: String, k: Int): DataFrame =
+    (0 until k).foldLeft(df)((d, j) => d.withColumn(s"sig_$j", sigExpr(textColName, j)))
+
+  /** Candidate pairs: ids sharing at least one LSH band
+    * (k/bandSize bands of `bandSize` signature values). One explode + one
+    * equi-join shuffle on the band key. */
+  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, "k must be divisible by bandSize")
+    val bandKeys = (0 until k / bandSize).map { b =>
+      val parts = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}").cast("string"))
+      concat_ws(":", lit(b.toString) +: parts: _*)
+    }
+    val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
+    val l = exploded.select(col(idCol).as("id_a"), col("band"))
+    val r = exploded.select(col(idCol).as("id_b"), col("band"))
+    l.join(r, Seq("band")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full pipeline: LSH candidates verified by exact shingle Jaccard. */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textColName: String,
+      k: Int = 8, bandSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sigs = withSignatures(df, textColName, k)
+    val cands = candidatePairs(sigs, idCol, k, bandSize)
+    val sh = df.select(col(idCol), Dedup.shingles(textColName).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

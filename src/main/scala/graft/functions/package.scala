@@ -25,6 +25,13 @@ package object functions {
 
   def l2_norm(v: Column): Column = column(VecL2Norm(expression(v)))
 
+  /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  /** FNV-1a-style shard routing (reference pkg/sharding — F11): stable
+    * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
+  def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))
+
   /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
   def quantize(v: Column, format: String): Column =
     column(QuantizeVector(expression(v), format))

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All are
+  * single-pass row-local Column expressions (no shuffle, codegen-friendly,
+  * pushdown-transparent) — the shape that scales linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: word pieces + standalone punctuation
+    * (`\w+|[^\w\s]`) — a cheap proxy for tokenizer cost estimation. */
+  def subwordCount(textColName: String): Column =
+    expr(s"size(regexp_extract_all($textColName, '\\\\w+|[^\\\\w\\\\s]', 0))")
+
+  /** Alphabetic-character ratio ∈ [0,1]. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / length(text)
+
+  /** Stopword-hit ratio over whitespace tokens. */
+  def stopwordRatio(textColName: String, stopwords: Seq[String]): Column = {
+    val list = stopwords.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split($textColName, ' '), t -> t IN ($list)))").cast("double") /
+      size(split(col(textColName), " "))
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Composite quality score ∈ [0,1]: alpha-ratio, stopword presence and a
+    * mean-token-length band — the length/punct/stopword heuristic family used
+    * by C4/Gopher-style corpus filters. */
+  def qualityScore(textColName: String): Column = {
+    val t = col(textColName)
+    val meanTokLen = length(t).cast("double") / size(split(t, " "))
+    val lenBand = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.0)
+    alphaRatio(t) * 0.5 + stopwordRatio(textColName, defaultStopwords) * 0.3 + lenBand * 0.2
+  }
+
+  /** Content fingerprint: md5 of the utf-8 text (hex string). */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+}
+
+/** Marker-word language ID — the n-gram-profile heuristic reduced to word
+  * unigrams (character n-gram profiles are pointless on TESTDATA's shared-
+  * charset synthetic text; real deployments swap in per-language profile
+  * assets). Deterministic argmax with fixed tie order, 'unknown' on zero
+  * evidence. */
+object LangId {
+  /** Profile order is the tie-break order. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  def hitCount(textColName: String, markers: Seq[String]): Column = {
+    val list = markers.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split($textColName, ' '), t -> t IN ($list)))")
+  }
+
+  /** Predicted language column. */
+  def predict(textColName: String): Column = {
+    val hits = profiles.map { case (lang, markers) => lang -> hitCount(textColName, markers) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(best === 0, lit("unknown"))) { case (acc, (lang, h)) =>
+      acc.when(h === best, lit(lang))
+    }
+  }
+}
