@@ -35,9 +35,16 @@ object Ann {
   }
 
   /** All pairs with cosine similarity ≥ threshold — exact near-duplicate
-    * detection over embeddings. Quadratic: correct at audit scale; use
-    * [[signLshPairs]] when the corpus doesn't fit a broadcast. */
-  def cosineSimPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    * detection over embeddings. Quadratic BY CONSTRUCTION (an O(n²)
+    * theta-join), so it refuses to run past `maxRows`: at corpus scale use
+    * [[signLshPairs]] (bucketed equi-join) instead. The count() guard is one
+    * cheap scan — negligible next to the join it gates. */
+  def cosineSimPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                     maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineSimPairs is O(n²) and refuses n=$n > maxRows=$maxRows rows; " +
+        "use signLshPairs for corpus-scale near-dup detection")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -33,6 +33,12 @@ class GraftCatalog(spark: SparkSession, root: String) {
   val UserVectorCol = "vector"
 
   private val loaded = mutable.Map.empty[String, DataFrame]
+  private val mutationCount = mutable.Map.empty[String, Int]
+
+  /** Every k-th mutation truncates lineage with an eager localCheckpoint:
+    * without it, N inserts stack N anti-join/union plans and any cache
+    * eviction re-executes the whole chain — the round-1 scale-killer. */
+  private val LineageCutEvery = 8
 
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def colDir(name: String) = new Path(s"$root/$name")
@@ -52,6 +58,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
 
   def dropCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
+    mutationCount.remove(name)
     fs.delete(colDir(name), true)
   }
 
@@ -84,8 +91,10 @@ class GraftCatalog(spark: SparkSession, root: String) {
   }
 
   /** Release from memory (Release RPC → unpersist). */
-  def releaseCollection(name: String): Unit =
+  def releaseCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
+    mutationCount.remove(name)
+  }
 
   /** The reference's ErrCollectionNotLoad behavior (edge/constants.go:30,
     * authorization check edge/edge_helper.go:75-83). */
@@ -102,14 +111,26 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val meta = getMeta(name)
     val validated = GraftCatalog.validateAndEncode(rows, meta, UserVectorCol)
     val pk = meta.primaryKey.get.name
-    val merged = Mutations.upsert(loadedOrThrow(name), validated, pk)
-    loaded(name) = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    rebind(name, Mutations.upsert(loadedOrThrow(name), validated, pk))
   }
 
   /** Delete rows matching a conjunctive filter (P5). */
-  def delete(name: String, filter: FilterExpr): Unit = {
-    val remaining = Mutations.deleteWhere(loadedOrThrow(name), filter)
-    loaded(name) = remaining.persist(StorageLevel.MEMORY_AND_DISK)
+  def delete(name: String, filter: FilterExpr): Unit =
+    rebind(name, Mutations.deleteWhere(loadedOrThrow(name), filter))
+
+  /** Swap the resident DataFrame: persist (or checkpoint) the new state
+    * FIRST, then unpersist the replaced one — the round-1 path leaked the
+    * old cached copy on every mutation (executor-memory leak) and let
+    * lineage grow unboundedly. Plan depth is now ≤ [[LineageCutEvery]]. */
+  private def rebind(name: String, next: DataFrame): Unit = {
+    val prev = loaded.get(name)
+    val n = mutationCount.getOrElse(name, 0) + 1
+    mutationCount(name) = n
+    val bound =
+      if (n % LineageCutEvery == 0) next.localCheckpoint(true) // eager; truncates lineage
+      else next.persist(StorageLevel.MEMORY_AND_DISK)
+    loaded(name) = bound
+    prev.foreach(_.unpersist(false))
   }
 
   /** Persist the in-memory state as a new snapshot version (S7 Flush). */
@@ -121,7 +142,27 @@ class GraftCatalog(spark: SparkSession, root: String) {
     writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
     if (!meta.versioning && meta.currentVersion > 0)
       fs.delete(versionDir(name, meta.currentVersion), true)
+    // Re-anchor residency on the written snapshot: lineage collapses to a
+    // parquet scan and the pre-flush cached copy is released.
+    val prev = loaded.get(name)
+    loaded(name) = spark.read.parquet(versionDir(name, v).toString)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prev.foreach(_.unpersist(false))
+    mutationCount(name) = 0
     v
+  }
+
+  /** Collection count/byte-size info (A2 — edge/edge.go:283-284, snapshot
+    * sizes core/vectorindex/hnsw.go:476-490): rows of the resident state (or
+    * latest snapshot when unloaded) + on-disk bytes of the current version. */
+  def info(name: String): GraftCatalog.CollectionInfo = {
+    val meta = getMeta(name)
+    val rows = loaded.get(name).map(_.count()).getOrElse(
+      if (meta.currentVersion == 0) 0L else snapshot(name).count())
+    val bytes =
+      if (meta.currentVersion == 0) 0L
+      else fs.getContentSummary(versionDir(name, meta.currentVersion)).getLength
+    GraftCatalog.CollectionInfo(name, rows, bytes, meta.currentVersion, isLoaded(name))
   }
 
   /** Read an older snapshot (S10 versioning / time travel). */
@@ -171,6 +212,10 @@ class GraftCatalog(spark: SparkSession, root: String) {
 }
 
 object GraftCatalog {
+  /** Info RPC payload (A2): row count + snapshot bytes + residency. */
+  case class CollectionInfo(name: String, rows: Long, sizeBytes: Long,
+                            version: Int, loaded: Boolean)
+
   private val SearchVecCol = "__searchvec"
   import CollectionMeta.VectorCol
 

@@ -44,10 +44,15 @@ package object functions {
 
   /** Display-score transform (F5): cosine → ((2−d)/2)·100, euclidean →
     * max(0, 100−d). Exact formulas from
-    * /root/reference/edge/edge_helper.go:143-148. */
+    * /root/reference/edge/edge_helper.go:143-148.
+    * `dot` is our extension (the reference has no dot metric, so it also has
+    * no display formula): dist = −dot, and we define
+    * score = 50·(1 − dist/(1+|dist|)) ∈ (0,100) — monotone in the dot
+    * product, keeps the 0-100 display contract, 50 = orthogonal. */
   def score_from_distance(dist: Column, metric: String): Column = metric match {
     case "cosine"    => (F.lit(2.0) - dist) / F.lit(2.0) * F.lit(100.0)
     case "euclidean" => F.greatest(F.lit(0.0), F.lit(100.0) - dist)
+    case "dot"       => F.lit(50.0) - F.lit(50.0) * dist / (F.lit(1.0) + F.abs(dist))
     case other       => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 

@@ -78,10 +78,28 @@ object VectorSearch {
       .limit(req.topK)
   }
 
-  /** euclidean/manhattan/dot share the euclidean display transform;
-    * cosine has its own (edge/edge_helper.go:143-148). */
-  private def scoreMetric(metric: String): String =
-    if (metric == "cosine") "cosine" else "euclidean"
+  /** euclidean/manhattan share the euclidean display transform; cosine and
+    * dot have their own (edge/edge_helper.go:143-148; dot is our extension —
+    * the euclidean formula on a negated dot would exceed 100). */
+  private def scoreMetric(metric: String): String = metric match {
+    case "cosine" | "dot" => metric
+    case _                => "euclidean"
+  }
+}
+
+/** CompareDist RPC (SURVEY.md §2.8 F9, /root/reference/core/core.go:841-867):
+  * standalone distance + display score between two literal vectors — the
+  * distance expression evaluated on a one-row relation, no table involved. */
+object CompareDist {
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            a: Array[Float], b: Array[Float], metric: String = "cosine"): DataFrame = {
+    require(a.length == b.length, s"dimension mismatch: ${a.length} vs ${b.length}")
+    val d = distance(lit(a), lit(b), metric)
+    spark.range(1).select(
+      round(d, 6).as("dist"),
+      round(score_from_distance(d,
+        if (metric == "manhattan") "euclidean" else metric), 4).as("score"))
+  }
 }
 
 /** Multi-vector weighted search (SURVEY.md §2.4 A1, experimental CFLAT engine,
@@ -110,8 +128,13 @@ object MultiVectorSearch {
       val d = distance(col(f.vectorCol), lit(f.queryVector), metric)
       score_from_distance(d, if (metric == "cosine") "cosine" else "euclidean") * lit(f.ratio / 100.0)
     }.reduce(_ + _)
-    df.select(col(idCol), round(weighted, 4).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc) // higher-is-better polarity (multi_priority_queue.go:27-30)
+    // Rank on an 8-dp rounding of the raw weighted score (finer than the
+    // 4-dp display score, coarse enough to absorb summation-order ulps), so
+    // rows whose display scores tie at 4 dp still order by true score —
+    // engine-independently — before the id tiebreak.
+    df.select(col(idCol), round(weighted, 4).as("score"), round(weighted, 8).as("__rank"))
+      .orderBy(col("__rank").desc, col(idCol).asc) // higher-is-better polarity (multi_priority_queue.go:27-30)
       .limit(topK)
+      .select(col(idCol), col("score"))
   }
 }

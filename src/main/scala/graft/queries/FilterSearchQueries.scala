@@ -166,7 +166,9 @@ object FilterSearchQueries {
          |  ROUND(((2 - ${cosSql("mv.v0", "q0.qv")}) / 2 * 100) * 0.6
          |      + ((2 - ${cosSql("mv.v1", "q1.qv")}) / 2 * 100) * 0.4, 4) AS score
          |FROM mv, q0, q1
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+         |ORDER BY ROUND(((2 - ${cosSql("mv.v0", "q0.qv")}) / 2 * 100) * 0.6
+         |      + ((2 - ${cosSql("mv.v1", "q1.qv")}) / 2 * 100) * 0.4, 8) DESC, vec_id
+         |LIMIT 10""".stripMargin,
     "upsert_merge" ->
       """WITH updates AS (
         |  SELECT vec_id, embedding, label + 100 AS label FROM embeddings WHERE vec_id < 50),

@@ -52,6 +52,14 @@ object VectorSearchQueries {
           round(max(l2_norm(col("embedding"))), 6).as("max_norm"))
         .orderBy(col("label"))
     }),
+    // F9: CompareDist RPC — distance+score of two literal vectors
+    // (/root/reference/core/core.go:841-867); no table in the plan.
+    "compare_dist" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val va = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val vb = e.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.CompareDist(s, va, vb, "cosine")
+    }),
     // F5: display-score transform on top of the cosine scan
     "score_display_cosine" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -85,6 +93,11 @@ object VectorSearchQueries {
         |ROUND(AVG(SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
         |ROUND(MAX(SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "compare_dist" ->
+      s"""SELECT ROUND($cosineDistSql, 6) AS dist,
+         |  ROUND((2 - $cosineDistSql) / 2 * 100, 4) AS score
+         |FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e,
+         |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) q""".stripMargin,
     "score_display_cosine" ->
       s"""SELECT e.vec_id, ROUND((2 - $cosineDistSql) / 2 * 100, 4) AS score
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q

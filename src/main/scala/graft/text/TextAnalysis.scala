@@ -25,12 +25,17 @@ object TextAnalysis {
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / length(text)
 
-  /** Stopword-hit ratio over whitespace tokens. */
-  def stopwordRatio(textColName: String, stopwords: Seq[String]): Column = {
-    val list = stopwords.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(split($textColName, ' '), t -> t IN ($list)))").cast("double") /
+  /** Stopword-hit ratio over whitespace tokens. Built from Column
+    * combinators (typedlit + array_contains), not interpolated SQL text, so
+    * stopwords containing quotes or SQL metacharacters are plain data. */
+  def stopwordRatio(textColName: String, stopwords: Seq[String]): Column =
+    hitCount(col(textColName), stopwords).cast("double") /
       size(split(col(textColName), " "))
-  }
+
+  /** Count of whitespace tokens that appear in `words` (injection-safe:
+    * the word list travels as an array literal, never as SQL text). */
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(split(text, " "), t => array_contains(typedlit(words), t)))
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
@@ -62,10 +67,8 @@ object LangId {
     "fr" -> Seq("le", "les", "des", "est", "une"),
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
-  def hitCount(textColName: String, markers: Seq[String]): Column = {
-    val list = markers.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(split($textColName, ' '), t -> t IN ($list)))")
-  }
+  def hitCount(textColName: String, markers: Seq[String]): Column =
+    TextAnalysis.hitCount(col(textColName), markers)
 
   /** Predicted language column. */
   def predict(textColName: String): Column = {

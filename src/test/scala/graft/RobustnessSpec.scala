@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr._
+import graft.ann.Ann
+import graft.collection._
+import graft.operators.{CompareDist, SearchRequest, VectorSearch}
+import graft.text.TextAnalysis
+
+/** Round-2 hardening: injection-shaped bugs, O(n²) guards, score-contract
+  * fixes and the catalog mutation-leak fix (VERDICT.md "What's wrong"). */
+class RobustnessSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("stopwordRatio survives quote-containing stopwords (no SQL-text injection)") {
+    import spark.implicits._
+    val df = Seq("it's a fine day", "no hits here").toDF("text")
+    val out = df.select(
+      TextAnalysis.stopwordRatio("text", Seq("it's", "a", "day's")).as("r")).collect()
+    assert(out(0).getDouble(0) === 0.5) // it's + a of 4 tokens
+    assert(out(1).getDouble(0) === 0.0)
+    // hitCount too (LangId path)
+    val hits = df.select(TextAnalysis.hitCount(col("text"), Seq("it's")).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(hits === Seq(1, 0))
+  }
+
+  test("cosineSimPairs refuses corpora larger than maxRows (O(n²) guard)") {
+    val ex = intercept[IllegalArgumentException] {
+      Ann.cosineSimPairs(emb, "vec_id", "embedding", 0.5, maxRows = 10).collect()
+    }
+    assert(ex.getMessage.contains("O(n²)"))
+    // under the bound it still runs
+    val small = Ann.cosineSimPairs(emb.limit(20), "vec_id", "embedding", -1.0, maxRows = 50)
+    assert(small.count() === 20L * 19 / 2)
+  }
+
+  test("dot-metric display score stays in (0,100) and is monotone in the dot product") {
+    val rows = VectorSearch.search(emb,
+        SearchRequest(emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray,
+          topK = 50, metric = "dot", idCol = "vec_id", vectorCol = "embedding"))
+      .select("dist", "score").collect()
+    assert(rows.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) < 100.0))
+    // sorted by dist asc = dot desc => scores must be non-increasing
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("CompareDist: identical vectors -> dist 0 score 100 (cosine)") {
+    val v = Array(0.1f, 0.2f, 0.3f)
+    val r = CompareDist(spark, v, v, "cosine").head()
+    assert(r.getAs[Double]("dist") === 0.0)
+    assert(r.getAs[Double]("score") === 100.0)
+    val e = CompareDist(spark, Array(0f, 3f), Array(4f, 0f), "euclidean").head()
+    assert(e.getAs[Double]("dist") === 5.0)
+    assert(e.getAs[Double]("score") === 95.0)
+  }
+
+  test("catalog mutations keep plan depth and cached copies bounded (round-1 leak fix)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stress").toString
+    val cat = new GraftCatalog(spark, root)
+    cat.createCollection(CollectionMeta("stress", dim = 4, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true))))
+    cat.loadCollection("stress")
+    (1 to 24).foreach { i =>
+      cat.insert("stress", Seq((s"k$i", Seq(i.toFloat, 0f, 0f, 0f))).toDF("id", "vector"))
+    }
+    assert(cat.count("stress") === 24)
+    // lineage must have been cut: plan depth stays O(LineageCutEvery), not O(24)
+    val planLines = cat.search("stress", Array(0f, 0f, 0f, 0f), topK = 1)
+      .queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(planLines < 150, s"plan depth grew unbounded: $planLines lines")
+    // only a handful of persisted RDDs may remain (current state + stragglers
+    // awaiting async ContextCleaner), not one per mutation
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted < 12, s"cache leak: $persisted persisted RDDs after 24 mutations")
+    // flush re-anchors on the snapshot: plan collapses to a parquet scan
+    cat.flush("stress")
+    val afterFlush = cat.search("stress", Array(0f, 0f, 0f, 0f), topK = 1)
+      .queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(afterFlush < 40, s"post-flush plan not re-anchored: $afterFlush lines")
+    assert(cat.info("stress").sizeBytes > 0)
+    assert(cat.info("stress").rows === 24)
+    cat.dropCollection("stress")
+  }
+}
