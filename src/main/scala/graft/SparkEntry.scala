@@ -20,7 +20,8 @@ object SparkEntry {
     VectorSearchQueries.queries ++
       FilterSearchQueries.queries ++
       QuantizedQueries.queries ++
-      PersistenceQueries.queries
+      PersistenceQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     VectorSearchQueries.oracles ++
       FilterSearchQueries.oracles ++
       QuantizedQueries.oracles ++
-      PersistenceQueries.oracles
+      PersistenceQueries.oracles ++
+      PipelineQueries.oracles
 }

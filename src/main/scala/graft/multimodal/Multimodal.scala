@@ -35,7 +35,8 @@ object Multimodal {
     * fake is a folded byte histogram — deterministic, locality-preserving
     * for byte-similar payloads, and cheap — so the plumbing and everything
     * downstream is fully testable without codecs. */
-  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16,
+                      normalize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -45,17 +46,20 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        Row(id, fakeDecode(bytes, dim))
+        Row(id, fakeDecode(bytes, dim, normalize))
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB decode: folded byte histogram, L2-normalized float32. */
-  private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** STUB decode: folded byte histogram, optionally L2-normalized float32
+    * (`normalize=false` keeps raw integer counts — exactly reproducible by
+    * any engine, which is what the oracle-checked query uses). */
+  private def fakeDecode(bytes: Array[Byte], dim: Int, normalize: Boolean): Array[Float] = {
     val hist = new Array[Float](dim)
     var i = 0
     while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1.0f; i += 1 }
+    if (!normalize) return hist
     var acc = 0.0f
     hist.foreach(x => acc += x * x)
     val norm = math.sqrt(acc.toDouble).toFloat

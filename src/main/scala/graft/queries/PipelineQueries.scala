@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.functions.simhash64
+import graft.multimodal.Multimodal
+import graft.text.{LangId, TextAnalysis}
+
+/** The LLM-training-data-pipeline operators over the `documents` /
+  * `embeddings` TESTDATA tables: dedup (exact, blocked-Jaccard,
+  * MinHash+LSH), fingerprinting (SimHash, md5), text quality + language ID,
+  * ANN (brute-force top-k, sign-LSH pairs) and multimodal feature plumbing.
+  *
+  * Duplicate fixtures: the TESTDATA corpus has no exact duplicates by
+  * construction, so the dedup queries union `documents` with a deterministic
+  * "re-crawl" slice (same/near-same text under shifted doc_ids) — built
+  * identically in the oracle SQL, so the dedup logic is exercised on real
+  * duplicate groups.
+  *
+  * Oracle notes: the MinHash family `int64(first 15 hex digits of
+  * md5(j|shingle))` and SimHash's FNV-1a are replicated bit-for-bit in
+  * DuckDB (hex→int via list_reduce; FNV via HUGEINT mod-2^64 arithmetic), so
+  * even the hash-driven pipelines get full rows+schema+hash checks.
+  */
+object PipelineQueries {
+  import Tables.tbl
+
+  private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
+
+  /** documents ∪ exact re-crawl of every 3rd doc (ids shifted +10000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+    d.unionByName(d.where(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  /** documents ∪ near-duplicate re-crawl of every 5th doc: last word
+    * dropped, ids shifted +10000 — a one-shingle perturbation. */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+    val toks = split(col("text"), " ")
+    d.unionByName(d.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " ")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content — one shuffle, map-side combine.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
+        .select("keep_id", "n_copies").orderBy("keep_id")),
+    // Exact dedup applied: survivors (min-id per content) via semi-join.
+    "dedup_drop_exact" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(dupCorpus(s, dir), "doc_id", "text")
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")),
+    // MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands → bucket join →
+    // exact-Jaccard verify. The only corpus-wide shuffles are the band
+    // equi-join and the two candidate hydration joins.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      MinHashLSH.nearDuplicates(nearCorpus(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    // Blocked n-gram Jaccard: all-pairs only WITHIN (lang, source) blocks.
+    "dedup_blocked_jaccard" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(nearCorpus(s, dir), "doc_id", "text",
+          Seq("lang", "source"), 0.5)
+        .orderBy("id_a", "id_b")),
+    // SimHash64 fingerprints (codegen'd expression, row-local).
+    "simhash_fingerprints" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("fingerprint"))
+        .orderBy("doc_id")),
+    // Quality metrics: token counts, alpha/stopword ratios, composite
+    // score, md5 content fingerprint — all single-pass row-local.
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount("text").as("n_subwords"),
+        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextAnalysis.stopwordRatio("text", TextAnalysis.defaultStopwords), 6)
+          .as("stopword_ratio"),
+        round(TextAnalysis.qualityScore("text"), 6).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // Language-ID confusion matrix: predicted (marker-argmax) vs labeled.
+    "langid_confusion" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), LangId.predict("text").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")),
+    // Exact ANN baseline: 3 query vectors broadcast over one corpus scan,
+    // per-query bounded window rank.
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.bruteForceTopK(e, qs, k = 5, "vec_id", "embedding", "qid", "qvec", "cosine")
+    }),
+    // Sign-LSH near-neighbor pairs: 2 hyperplanes → 4 buckets → equi-join +
+    // exact verify (the corpus-scale alternative to all-pairs).
+    "ann_lsh_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planes = (0 to 1).map(i =>
+        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
+    }),
+    // Multimodal plumbing: opaque binary payload + metadata, batched
+    // per-partition feature extraction (unnormalized histogram variant so
+    // the stub decode is engine-exact; see Multimodal.fakeDecode).
+    "multimodal_features" -> ((s, dir) => {
+      val pm = Multimodal.payloadMeta(Multimodal.withPayload(docs(s, dir), "text"))
+      val feats = Multimodal.extractFeatures(pm, "doc_id", "payload", dim = 8, normalize = false)
+      val fCols = (0 until 8).map(i => element_at(col("features"), i + 1).cast("long").as(s"f$i"))
+      pm.select("doc_id", "n_bytes", "head_byte").join(feats, "doc_id")
+        .select(col("doc_id") +: col("n_bytes") +: col("head_byte") +: fCols: _*)
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- DuckDB oracle fragments ----
+
+  /** int64(first 15 hex digits of md5(`j` || '|' || `s`)) — matches Spark's
+    * conv(substr(md5(..),1,15),16,10) exactly (60 bits, no overflow). */
+  private def h15(j: String, s: String): String =
+    s"""list_reduce(list_transform(string_split_regex(substr(md5(concat(CAST($j AS VARCHAR), '|', $s)), 1, 15), ''),
+       | c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (acc, v) -> acc * 16 + v)""".stripMargin
+
+  /** 3-word shingles of column `t` (whole text if < 3 tokens). */
+  private def shingleSql(t: String): String =
+    s"""CASE WHEN len(string_split($t, ' ')) >= 3 THEN
+       | list_transform(range(0, len(string_split($t, ' ')) - 2),
+       |  i -> concat_ws(' ', string_split($t, ' ')[i+1], string_split($t, ' ')[i+2], string_split($t, ' ')[i+3]))
+       |ELSE [$t] END""".stripMargin
+
+  private def jaccardSql(a: String, b: String): String =
+    s"""ROUND(len(list_distinct(list_intersect($a, $b))) * 1.0 /
+       | (len(list_distinct($a)) + len(list_distinct($b))
+       |  - len(list_distinct(list_intersect($a, $b)))), 6)""".stripMargin
+
+  private val dupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, lang, source FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
+  private val nearCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' '),
+      |    lang, source
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** FNV-1a 64 of the UTF-8 bytes of `t`, in HUGEINT mod-2^64 arithmetic. */
+  private val fnvSql =
+    """list_reduce(
+      | list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |  list_transform(range(0, octet_length(CAST(t AS BLOB))),
+      |   i -> CAST((strpos('0123456789ABCDEF', substr(hex(CAST(t AS BLOB)), 2*i+1, 1)) - 1) * 16
+      |           + (strpos('0123456789ABCDEF', substr(hex(CAST(t AS BLOB)), 2*i+2, 1)) - 1) AS HUGEINT))),
+      | (acc, b) -> (xor(acc, b) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langHits: Seq[(String, String)] = LangId.profiles.map { case (lang, markers) =>
+    val list = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+    lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t)))"
+  }
+
+  private val cosSimSql =
+    """list_inner_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) /
+      | (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |  * sqrt(list_inner_product(b2.embedding::DOUBLE[], b2.embedding::DOUBLE[])))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $dupCorpusSql
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_drop_exact" ->
+      s"""WITH $dupCorpusSql,
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text)
+         |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+         |FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $nearCorpusSql,
+         |sh AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus),
+         |sig AS (SELECT doc_id, shingles,
+         |  list_transform(range(0, 8), j -> list_min(list_transform(shingles, s -> ${h15("j", "s")}))) AS sigs
+         |  FROM sh),
+         |band AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, 4), b -> concat_ws(':', CAST(b AS VARCHAR),
+         |    CAST(sigs[2*b+1] AS VARCHAR), CAST(sigs[2*b+2] AS VARCHAR)))) AS band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b USING (band) WHERE a.doc_id < b.doc_id),
+         |verify AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shingles", "sb.shingles")} AS jaccard
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_blocked_jaccard" ->
+      s"""WITH $nearCorpusSql,
+         |sh AS (SELECT doc_id, lang, source, ${shingleSql("text")} AS shingles FROM corpus),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${jaccardSql("a.shingles", "b.shingles")} AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "simhash_fingerprints" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |fnv AS (SELECT doc_id, $fnvSql AS h FROM tok),
+         |votes AS (SELECT doc_id, bits.b,
+         |    COUNT(*) FILTER (WHERE (h >> bits.b) & 1 = 1) AS ones, COUNT(*) AS n
+         |  FROM fnv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+         |  GROUP BY doc_id, bits.b),
+         |sim AS (SELECT doc_id,
+         |    SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS v
+         |  FROM votes GROUP BY doc_id)
+         |SELECT doc_id, CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+         |  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS BIGINT) AS fingerprint
+         |FROM sim ORDER BY doc_id""".stripMargin,
+    "text_quality" -> {
+      val alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)"
+      val stop = s"len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE" +
+        " / len(string_split(text, ' '))"
+      val lenBand = "CASE WHEN length(text)::DOUBLE / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0" +
+        " THEN 1.0 ELSE 0.0 END"
+      s"""SELECT doc_id,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subwords,
+         |  ROUND($alpha, 6) AS alpha_ratio,
+         |  ROUND($stop, 6) AS stopword_ratio,
+         |  ROUND(($alpha) * 0.5 + ($stop) * 0.3 + ($lenBand) * 0.2, 6) AS quality,
+         |  md5(text) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "langid_confusion" -> {
+      val hitCols = langHits.map { case (l, sql) => s"$sql AS h_$l" }.mkString(", ")
+      val best = "GREATEST(" + langHits.map(h => s"h_${h._1}").mkString(", ") + ")"
+      val cases = langHits.map { case (l, _) => s"WHEN h_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH h AS (SELECT lang, $hitCols FROM documents)
+         |SELECT lang,
+         |  CASE WHEN $best = 0 THEN 'unknown' $cases END AS predicted,
+         |  COUNT(*) AS n
+         |FROM h GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+    "ann_brute_topk" -> {
+      val cos = """ABS(1 - (list_inner_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) /
+                  | (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  |  * sqrt(list_inner_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])))))""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+         |s AS (SELECT q.qid, e.vec_id, ROUND($cos, 6) AS dist FROM embeddings e, q),
+         |r AS (SELECT qid, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM s)
+         |SELECT qid, vec_id, dist, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    "ann_lsh_pairs" ->
+      s"""WITH p0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |p1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+         |b AS (SELECT e.vec_id, e.embedding,
+         |  concat(
+         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
+         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings e, p0, p1)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ROUND($cosSimSql, 6) AS sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ROUND($cosSimSql, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_features" -> {
+      val byteAt = (i: String) =>
+        s"""(strpos('0123456789ABCDEF', substr(hex(CAST(text AS BLOB)), $i + 1, 1)) - 1) * 16
+           | + (strpos('0123456789ABCDEF', substr(hex(CAST(text AS BLOB)), $i + 2, 1)) - 1)""".stripMargin
+      val fCols = (0 until 8)
+        .map(i => s"CAST(len(list_filter(bs, c -> c % 8 = $i)) AS BIGINT) AS f$i").mkString(",\n  ")
+      s"""WITH bytes AS (SELECT doc_id,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  list_transform(range(0, octet_length(CAST(text AS BLOB))), i -> ${byteAt("2*i")}) AS bs
+         |  FROM documents)
+         |SELECT doc_id, n_bytes, CAST(bs[1] AS BIGINT) AS head_byte,
+         |  $fCols
+         |FROM bytes ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+
+/** ANN module semantics: brute-force top-k, sign-LSH pairs, IVF assign +
+  * probe — unit layer under the oracle-checked PipelineQueries. */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("bruteForceTopK: each query's own row ranks first at dist 0; k respected") {
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Ann.bruteForceTopK(emb, qs, k = 4, "vec_id", "embedding", "qid", "qvec")
+    val rows = out.collect()
+    assert(rows.length === 12)
+    (0 until 3).foreach { q =>
+      val first = rows.filter(_.getAs[Long]("qid") == q.toLong).minBy(_.getAs[Int]("rn"))
+      assert(first.getAs[Long]("vec_id") === q.toLong)
+      assert(first.getAs[Double]("dist") === 0.0)
+    }
+  }
+
+  test("signBucket: identical vectors share a bucket, negated vectors do not") {
+    val planes = Seq(Array(1.0f, 0.0f), Array(0.5f, 0.5f))
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)), (3L, Seq(-1.0f, -2.0f))
+    ).toDF("id", "v")
+    val b = df.select(col("id"), Ann.signBucket(col("v"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L))
+  }
+
+  test("signLshPairs finds same-bucket near-identical pairs with exact sim verify") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.01f, 0.0f)), // near-dup
+      (3L, Seq(-1.0f, 0.0f, 0.0f))                                // opposite
+    ).toDF("id", "v")
+    val planes = Seq(Array(1.0f, 0.0f, 0.0f))
+    val pairs = Ann.signLshPairs(df, "id", "v", planes, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("ivfAssign picks the nearest centroid with deterministic tiebreak") {
+    val centroids = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)))
+    val df = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(9.0f, 9.0f))).toDF("id", "v")
+    val cells = Ann.ivfAssign(df, "id", "v", centroids)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+    assert(cells(1L) === 0L)
+    assert(cells(2L) === 1L)
+  }
+
+  test("ivfSearch with nprobe = all cells equals the exact scan top-k") {
+    val centroids = (0 until 4).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 7).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val q = emb.where(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val ivfAll = Ann.ivfSearch(assigned, "vec_id", "embedding", centroids, q,
+        nprobe = 4, k = 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = emb.select(col("vec_id"),
+        round(graft.functions.euclidean_distance(col("embedding"), lit(q)), 6).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivfAll === exact)
+  }
+
+  test("ivfSearch with nprobe < cells keeps high recall vs exact (pruned scan)") {
+    val centroids = (0 until 8).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
+    val q = emb.where(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val ivf = Ann.ivfSearch(assigned, "vec_id", "embedding", centroids, q, nprobe = 4, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = emb.select(col("vec_id"),
+        round(graft.functions.euclidean_distance(col("embedding"), lit(q)), 6).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for nprobe=4/8 on random data")
+    assigned.unpersist()
+  }
+}

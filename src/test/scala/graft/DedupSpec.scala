@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, MinHashLSH}
+
+/** Dedup module semantics (exact, blocked Jaccard, MinHash+LSH) on small
+  * synthetic fixtures — the reference-style unit layer under the
+  * oracle-checked queries in PipelineQueries. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "the quick brown fox jumps", "en", "a"),
+    (2L, "the quick brown fox jumps", "en", "b"), // exact dup of 1
+    (3L, "the quick brown fox leaps", "en", "a"), // near dup of 1 (one word)
+    (4L, "completely different text here now", "en", "a"),
+    (5L, "short", "en", "a")
+  ).toDF("id", "text", "lang", "src")
+
+  test("exactGroups: one group per distinct text, min id kept, copies counted") {
+    val g = Dedup.exactGroups(df, "id", "text").collect()
+    assert(g.length === 4)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("dropExactDuplicates keeps exactly the min-id representative per text") {
+    val ids = Dedup.dropExactDuplicates(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccard: known shingle-set overlap; short text falls back to whole text") {
+    val sh = df.select(col("id"), Dedup.shingles("text").as("sh"))
+    // id=5 'short' has < 3 tokens -> single whole-text shingle
+    val s5 = sh.where(col("id") === 5).head().getSeq[String](1)
+    assert(s5 === Seq("short"))
+    // 1 vs 3: shingles {tqb,qbf,bfj/bfl} -> inter 2 of 4 distinct -> 0.5
+    val j = df.as("a").where(col("id") === 1)
+      .crossJoin(df.as("b").where(col("id") === 3))
+      .select(Dedup.jaccard(Dedup.shingles("a.text"), Dedup.shingles("b.text")).as("j"))
+      .head().getDouble(0)
+    assert(j === 0.5)
+  }
+
+  test("blockedJaccardPairs never compares across blocks") {
+    // 1 and 2 are identical but in different src blocks -> not a pair
+    val pairs = Dedup.blockedJaccardPairs(df, "id", "text", Seq("lang", "src"), 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // same block, jaccard 0.5
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val sigs = MinHashLSH.withSignatures(df.where(col("id") <= 2), "text", 8)
+      .select((0 until 8).map(j => col(s"sig_$j")): _*).collect()
+    assert(sigs(0).toSeq === sigs(1).toSeq)
+  }
+
+  test("nearDuplicates finds exact and one-word-off pairs, not unrelated docs") {
+    val pairs = MinHashLSH.nearDuplicates(df, "id", "text", k = 8, bandSize = 2, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> all bands collide, jaccard 1.0
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated never verified in
+    val j12 = MinHashLSH.nearDuplicates(df, "id", "text", threshold = 0.4)
+      .where(col("id_a") === 1 && col("id_b") === 2).head().getAs[Double]("jaccard")
+    assert(j12 === 1.0)
+  }
+}

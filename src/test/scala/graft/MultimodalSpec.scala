@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: binary payload column, typed metadata, batched
+  * per-partition feature extraction (stub decoder — the Spark-side shape is
+  * what's under test; see Multimodal.scala). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq((1L, "abc"), (2L, ""), (3L, "aaaa")).toDF("doc_id", "text")
+
+  test("payload metadata: byte length and first byte") {
+    val pm = Multimodal.payloadMeta(Multimodal.withPayload(df, "text"))
+      .select("doc_id", "n_bytes", "head_byte").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(pm(1L) === ((3L, 97L)))  // 'a' = 0x61
+    assert(pm(3L) === ((4L, 97L)))
+    assert(pm(2L)._1 === 0L)
+  }
+
+  test("unnormalized features are the exact byte histogram (sums to n_bytes)") {
+    val pm = Multimodal.withPayload(df, "text")
+    val f = Multimodal.extractFeatures(pm, "doc_id", "payload", dim = 4, normalize = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(1L).sum === 3.0f)
+    assert(f(3L).sum === 4.0f)
+    // 'a'=97, 97%4=1 -> all mass in bin 1 for "aaaa"
+    assert(f(3L)(1) === 4.0f)
+  }
+
+  test("normalized features have unit L2 norm; empty payload stays zero") {
+    val pm = Multimodal.withPayload(df, "text")
+    val f = Multimodal.extractFeatures(pm, "doc_id", "payload", dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val n1 = math.sqrt(f(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-6)
+    assert(f(2L).forall(_ == 0.0f))
+  }
+
+  test("feature output feeds the vector operators downstream (search over features)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id", "payload", dim = 16)
+    val q = feats.where(col("doc_id") === 0).head().getSeq[Float](1).toArray
+    val top = graft.operators.VectorSearch.search(feats,
+      graft.operators.SearchRequest(q, topK = 3, metric = "cosine",
+        idCol = "doc_id", vectorCol = "features")).collect()
+    assert(top.head.getAs[Long]("doc_id") === 0L) // self-match first
+    assert(top.head.getAs[Double]("dist") === 0.0)
+  }
+}

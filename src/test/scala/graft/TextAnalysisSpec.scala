@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.simhash64
+import graft.text.{LangId, TextAnalysis}
+
+/** Text-analysis module semantics: token counts, ratios, quality, language
+  * ID, SimHash — unit layer under the oracle-checked PipelineQueries. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts on known strings") {
+    val df = Seq("hello world, foo!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.subwordCount("text").as("s")).head()
+    assert(r.getInt(0) === 3)          // hello / world, / foo!
+    assert(r.getInt(1) === 5)          // hello world , foo !
+  }
+
+  test("alphaRatio counts only ascii letters") {
+    val r = Seq("ab12").toDF("text")
+      .select(TextAnalysis.alphaRatio(col("text"))).head().getDouble(0)
+    assert(r === 0.5)
+  }
+
+  test("qualityScore stays within [0,1] on the documents table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mm = docs.select(
+      min(TextAnalysis.qualityScore("text")).as("lo"),
+      max(TextAnalysis.qualityScore("text")).as("hi")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("langid: marker-laden strings resolve to their language, zero evidence to unknown") {
+    val df = Seq(
+      ("the a and of to something", "en"),
+      ("der die und das ist hier", "de"),
+      ("el la que los una cosa", "es"),
+      ("le les des est une chose", "fr"),
+      ("的 是 在 了 和 什么", "zh"),
+      ("zzz qqq xxx", "unknown")
+    ).toDF("text", "expected")
+    val rows = df.select(col("expected"), LangId.predict("text").as("got")).collect()
+    rows.foreach(r => assert(r.getString(1) === r.getString(0), s"for expected=${r.getString(0)}"))
+  }
+
+  test("simhash64: identical token arrays agree; near texts are hamming-closer than far ones") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "entirely unrelated words appear inside this completely different sentence")
+    ).toDF("id", "text")
+    val fp = df.select(col("id"), simhash64(split(col("text"), " ")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+    val again = df.where(col("id") === 1)
+      .select(simhash64(split(col("text"), " "))).head().getLong(0)
+    assert(again === fp(1L))
+  }
+
+  test("fingerprint is the md5 hex of the utf-8 text") {
+    val got = Seq("abc").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
+    assert(got === "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
