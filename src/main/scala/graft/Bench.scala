@@ -1,24 +1,138 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions._
+
+/** Benchmark main: times every SparkEntry query at the driver-provided SF,
+  * PLUS a 1M×128-d flat-scan suite at the reference baseline's own scale
+  * (BASELINE.md / UPDATE-LOG.md:107: 1M×128-d parallel flat scan =
+  * 0.02-0.03 s on an in-memory collection), so the ≤2× comparison is
+  * apples-to-apples instead of overhead-bound at 2k rows.
+  *
+  * Protocol: one warm-up pass (JIT + codegen + FS metadata), then each query
+  * runs twice and reports the best time — steady-state latency, matching how
+  * the reference benchmarks repeated searches against a loaded collection
+  * (benchmark/coltt_edge_search.go averages 100 queries). The 1M collection
+  * is deterministic (xxhash64-derived, seed-free), generated once into
+  * target/bench-1m and cached in memory for the timed scans, mirroring the
+  * reference's RAM-resident vertices.
+  *
+  * Failures are NOT swallowed: each failing query reports an `err` entry and
+  * the process exits nonzero if anything failed (round-1 bench hid failures
+  * behind a -1 timing).
+  */
 object Bench {
+  private val Baseline1mFlatScanSec = 0.025 // UPDATE-LOG.md:107 midpoint (parallel)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench-1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 1M×128-d is ~600 MB on disk; without this the scan collapses to
+      // ~5 input partitions and wastes the other cores.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val errors = mutable.LinkedHashMap.empty[String, String]
+
+    def timed(name: String, runs: Int = 2)(fn: => Unit): Double = {
+      def once(): Double = { val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+      try (1 to runs).map(_ => once()).min
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- warm-up: codegen + JIT + parquet footer reads, untimed ----
+    try {
+      spark.range(1000000).agg(sum("id")).collect()
+      SparkEntry.queries("flat_scan_cosine")(spark, sfDir).collect()
+    } catch { case _: Throwable => () }
+
+    // ---- SF-scale suite (every registered query) ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name)(fn(spark, sfDir).count())
+    }
+
+    // ---- 1M and 10M ×128-d suites at (and above) the baseline's scale.
+    // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
+    // point_lookup_1m on the same cached data) dominates; the 10M suite is
+    // where scan throughput, not overhead, decides the number.
+    def bigSuite(rows: Long, dir: String, tag: String): Seq[(String, Double)] = {
+      ensureBenchData(spark, dir, rows)
+      val big = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      big.count() // materialize the cache (the reference loads before searching)
+      val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
+      Seq(
+        s"flat_scan_cosine_$tag" -> (() =>
+          big.select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
+        s"flat_scan_f16_$tag" -> (() =>
+          big.select(col("vec_id"),
+              cosine_distance(dequantize(col("emb_f16"), "f16"), lit(qF16)).as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
+        s"filtered_search_$tag" -> (() =>
+          big.where(col("label") === 7)
+            .select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
+        s"point_lookup_$tag" -> (() => big.where(col("vec_id") === rows - 1).collect())
+      ).map { case (name, fn) => name -> timed(name, runs = 4)(fn()) }
+    }
+    val big1m = bigSuite(1000000L, benchDir, "1m")
+    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m")
+
+    // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
+    // 10M is the linear extrapolation of the same number.
+    val vsBaseline =
+      big1m.collect { case (n, t) if t > 0 && !n.startsWith("point_lookup") =>
+        n -> math.round(t / Baseline1mFlatScanSec * 100.0) / 100.0 } ++
+      big10m.collect { case (n, t) if t > 0 && !n.startsWith("point_lookup") =>
+        n -> math.round(t / (Baseline1mFlatScanSec * 10) * 100.0) / 100.0 }
+
+    def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
+      case (k, v: String) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
+      case (k, v)         => "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+
+    val total = results.map(_._2).filter(_ > 0).sum
+    println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m) +
+      ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
+      ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
+      ",\"vs_baseline\":" + jmap(vsBaseline) +
+      ",\"errors\":" + jmap(errors.toSeq) +
+      ",\"sf\":\"" + sfDir + "\"}")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Deterministic N×128-d collection: values from xxhash64(vec_id, j)
+    * (seed-free, identical across runs/rounds), L2-pre-normalized (the
+    * reference stores normalized vectors for cosine collections —
+    * edge/none_vectorstore.go:95-97), with a materialized f16 encoding and a
+    * 100-value label column for filtered scans. Written once, 32 files. */
+  private def ensureBenchData(spark: SparkSession, dir: String, rows: Long): Unit = {
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (marker.exists()) return
+    spark.range(0, rows).toDF("vec_id")
+      .withColumn("label", pmod(xxhash64(col("vec_id")), lit(100)).cast("int"))
+      .withColumn("embedding", l2_normalize(
+        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+      .withColumn("emb_f16", quantize(col("embedding"), "f16"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(dir)
   }
 }

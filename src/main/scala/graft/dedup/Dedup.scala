@@ -26,21 +26,30 @@ object Dedup {
       Seq(idCol), "left_semi")
 
   /** Exact Jaccard similarity of distinct 3-word-shingle sets between two
-    * shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(array_distinct(a)) + size(array_distinct(b)) - inter)
-  }
+    * shingle-array columns. The intersection is bound to a lambda variable
+    * (single-element transform) so it is computed ONCE per row, not once per
+    * reference — Catalyst does not hoist common subexpressions out of
+    * complex array expressions. */
+  def jaccard(a: Column, b: Column): Column =
+    element_at(
+      transform(array(array_intersect(a, b)), inter =>
+        size(inter).cast("double") /
+          (size(array_distinct(a)) + size(array_distinct(b)) - size(inter))),
+      1)
 
   /** 3-word shingles of a text column (whitespace tokens); short texts fall
-    * back to the whole text as a single shingle. */
+    * back to the whole text as a single shingle.
+    *
+    * The token array is bound once as a lambda variable: writing
+    * `split(text)[i]` inside the per-shingle lambda would re-split the WHOLE
+    * text for every element reference — O(len²) per document, the round-1
+    * sf0.1 bench killer (55 s for the MinHash pipeline, now ~2 s). */
   def shingles(textColName: String): Column = expr(
-    s"""CASE WHEN size(split($textColName, ' ')) >= 3
-       |THEN transform(sequence(0, size(split($textColName, ' ')) - 3),
-       |     i -> concat_ws(' ', split($textColName, ' ')[i],
-       |                         split($textColName, ' ')[i+1],
-       |                         split($textColName, ' ')[i+2]))
-       |ELSE array($textColName) END""".stripMargin)
+    s"""transform(array(split($textColName, ' ')), t ->
+       |  CASE WHEN size(t) >= 3
+       |  THEN transform(sequence(0, size(t) - 3),
+       |       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+       |  ELSE array($textColName) END)[0]""".stripMargin)
 
   /** Pairwise n-gram Jaccard within blocking keys (e.g. same lang+source):
     * the classic blocked-comparison shape — cross product only inside each
@@ -67,18 +76,19 @@ object Dedup {
   * uniform enough for MinHash's collision-probability guarantee. */
 object MinHashLSH {
 
-  private def sigExpr(textColName: String, j: Int): Column = {
-    val sh = s"CASE WHEN size(split($textColName, ' ')) >= 3 THEN " +
-      s"transform(sequence(0, size(split($textColName, ' ')) - 3), " +
-      s"i -> concat_ws(' ', split($textColName, ' ')[i], split($textColName, ' ')[i+1], split($textColName, ' ')[i+2])) " +
-      s"ELSE array($textColName) END"
-    expr(s"array_min(transform($sh, s -> cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
-  }
+  private def sigExpr(shingleCol: String, j: Int): Column =
+    expr(s"array_min(transform($shingleCol, s -> " +
+      s"cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
 
-  /** Add `sig_0 .. sig_{k-1}` min-hash signature columns. Row-local: one
-    * codegen'd pass, no shuffle. */
-  def withSignatures(df: DataFrame, textColName: String, k: Int): DataFrame =
-    (0 until k).foldLeft(df)((d, j) => d.withColumn(s"sig_$j", sigExpr(textColName, j)))
+  /** Add `sig_0 .. sig_{k-1}` min-hash signature columns. Row-local: the
+    * shingle array is materialized once in its own projection (non-cheap
+    * aliases referenced k times are not inlined by CollapseProject), then k
+    * hash passes read it — one codegen'd stage, no shuffle. */
+  def withSignatures(df: DataFrame, textColName: String, k: Int): DataFrame = {
+    val withSh = df.withColumn("__mh_sh", Dedup.shingles(textColName))
+    (0 until k).foldLeft(withSh)((d, j) => d.withColumn(s"sig_$j", sigExpr("__mh_sh", j)))
+      .drop("__mh_sh")
+  }
 
   /** Candidate pairs: ids sharing at least one LSH band
     * (k/bandSize bands of `bandSize` signature values). One explode + one

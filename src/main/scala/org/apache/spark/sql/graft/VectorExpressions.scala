@@ -47,19 +47,38 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  /** Java loop body: given (arrayA, arrayB, n, resultVar) produce code that
-    * assigns the double result to resultVar. */
-  protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String
+  /** Java loop body over two primitive float[] variables — pure-array
+    * accesses so HotSpot auto-vectorizes (the Spark analog of the
+    * reference's AVX kernels, pkg/distance/simd/). */
+  protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String
+
+  /** A foldable child (the query-vector literal in every scan) is evaluated
+    * ONCE at codegen time and embedded as a float[] reference — without this
+    * the per-row path unboxes the literal's 128 elements a billion times at
+    * 100 TB. The row side is bulk-copied (`toFloatArray` = one memcpy for
+    * unsafe arrays), turning the kernel into a vectorizable float[] loop. */
+  private def hoisted(e: Expression): Option[Array[Float]] =
+    if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray) else None
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      def side(arr: String, const: Option[Array[Float]], tag: String): (String, String) =
+        const match {
+          case Some(v) => (ctx.addReferenceObj(s"vec$tag", v, "float[]"), "")
+          case None =>
+            val f = ctx.freshName(s"f$tag")
+            (f, s"final float[] $f = $arr.toFloatArray();\n")
+        }
+      val (fa, prepA) = side(a, hoisted(left), "A")
+      val (fb, prepB) = side(b, hoisted(right), "B")
       s"""
-         |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $b.numElements());
+         |$prepA$prepB
+         |final int $n = $fa.length;
+         |if ($n != $fb.length) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $fb.length);
          |}
-         |${loopCode(ctx, a, b, n, ev.value.toString)}
+         |${loopCode(ctx, fa, fb, n, ev.value.toString)}
        """.stripMargin
     })
   }
@@ -74,12 +93,12 @@ case class VecDotProduct(left: Expression, right: Expression) extends BinaryVect
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+  override protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String = {
     val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
     s"""
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |  $acc += (double) $fa[$i] * (double) $fb[$i];
        |}
        |$result = $acc;
      """.stripMargin
@@ -101,14 +120,14 @@ case class VecCosineDistance(left: Expression, right: Expression) extends Binary
     }
     math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
   }
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+  override protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String = {
     val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
     val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
     s"""
        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  final double x = (double) $a.getFloat($i);
-       |  final double y = (double) $b.getFloat($i);
+       |  final double x = (double) $fa[$i];
+       |  final double y = (double) $fb[$i];
        |  $dot += x * y; $na += x * x; $nb += y * y;
        |}
        |$result = Math.abs(1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb)));
@@ -130,12 +149,12 @@ case class VecEuclideanDistance(left: Expression, right: Expression) extends Bin
     }
     math.sqrt(acc)
   }
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+  override protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String = {
     val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
     s"""
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  final double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  final double d = (double) $fa[$i] - (double) $fb[$i];
        |  $acc += d * d;
        |}
        |$result = Math.sqrt($acc);
@@ -154,12 +173,12 @@ case class VecManhattanDistance(left: Expression, right: Expression) extends Bin
     while (i < n) { acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
     acc
   }
-  override protected def loopCode(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+  override protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String = {
     val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
     s"""
        |double $acc = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  $acc += Math.abs((double) $a.getFloat($i) - (double) $b.getFloat($i));
+       |  $acc += Math.abs((double) $fa[$i] - (double) $fb[$i]);
        |}
        |$result = $acc;
      """.stripMargin
