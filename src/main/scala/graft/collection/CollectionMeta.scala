@@ -6,20 +6,34 @@ import org.json4s.jackson.Serialization
 
 /** Declared metadata column of a collection — the engine's `Index` descriptor
   * (/root/reference/idl/proto/v4/edge.proto:44-49): name, type, nullability,
-  * primary-key flag. `fieldType` ∈ {string, integer, float, boolean}
-  * (edge v4's four value types, SURVEY.md §1.2-1.3). */
+  * primary-key flag. `fieldType` ∈ {string, integer, float, boolean} (edge
+  * v4's four value types, SURVEY.md §1.2-1.3) plus `vector` — the
+  * experimental engine's Vector index type
+  * (/root/reference/idl/proto/v3/experimental.proto:52-58, records at
+  * experimental/constants.go:28-31): a named float32 vector column, several
+  * of which make a multi-vector (CFLAT) collection. `dim` overrides the
+  * collection dim for that field (None → collection dim). */
 case class IndexField(
     name: String,
     fieldType: String,
     enableNull: Boolean = false,
-    primaryKey: Boolean = false) {
+    primaryKey: Boolean = false,
+    dim: Option[Int] = None) {
   require(IndexField.types.contains(fieldType), s"unknown field type: $fieldType")
+  require(fieldType == "vector" || dim.isEmpty, "dim is only valid on vector fields")
+  if (fieldType == "vector") {
+    require(!enableNull, s"vector field $name cannot be nullable")
+    require(!primaryKey, s"vector field $name cannot be the primary key")
+  }
+
+  def isVector: Boolean = fieldType == "vector"
 
   def dataType: DataType = fieldType match {
     case "string"  => StringType
     case "integer" => LongType
     case "float"   => DoubleType
     case "boolean" => BooleanType
+    case "vector"  => ArrayType(FloatType, containsNull = false)
   }
 
   /** Typed default for nullable columns (edge_analyzer.go:86-99). */
@@ -28,18 +42,26 @@ case class IndexField(
     case "integer" => 0L
     case "float"   => 0.0
     case "boolean" => false
+    case "vector"  => throw new IllegalStateException("vector fields have no default")
   }
 }
 
 object IndexField {
-  val types = Set("string", "integer", "float", "boolean")
+  val types = Set("string", "integer", "float", "boolean", "vector")
 }
 
 /** Collection configuration — mirrors the reference's collection `Metadata`
   * {dim, distance, quantization, index schema, versioning}
   * (/root/reference/edge/edge_metadata.go:22-35, proto v4 edge.proto:29-36).
   * Persisted as a JSON sidecar next to the parquet snapshot (§1.4 mapping of
-  * the MinIO `<col>.meta.json` object). */
+  * the MinIO `<col>.meta.json` object).
+  *
+  * Two shapes:
+  *  - single-vector (edge v4): no `vector`-typed fields; the vector lives in
+  *    the implicit internal `__vector` column.
+  *  - multi-vector (experimental CFLAT): one or more `vector`-typed fields,
+  *    each a named vector column; searched via weighted multi-vector queries.
+  */
 case class CollectionMeta(
     name: String,
     dim: Int,
@@ -59,16 +81,30 @@ case class CollectionMeta(
 
   def primaryKey: Option[IndexField] = fields.find(_.primaryKey)
 
-  /** The full storage schema: metadata columns + the vector column (float32
-    * when unquantized; short-array/binary when quantized — §1.4). */
+  /** Declared named vector columns (empty → single-vector collection). */
+  def vectorFields: Seq[IndexField] = fields.filter(_.isVector)
+
+  def isMultiVector: Boolean = vectorFields.nonEmpty
+
+  /** Per-field dimension (field override, else collection dim). */
+  def dimOf(f: IndexField): Int = f.dim.getOrElse(dim)
+
+  /** Storage type of one (possibly quantized) vector column (§1.4). */
+  def vectorStorageType: DataType = quantization match {
+    case "none"         => ArrayType(FloatType, containsNull = false)
+    case "f16" | "bf16" => ArrayType(ShortType, containsNull = false)
+    case "f8"           => BinaryType
+  }
+
+  /** The full storage schema: declared columns in order; single-vector
+    * collections append the implicit `__vector` column. */
   def structType: StructType = {
-    val metaFields = fields.map(f => StructField(f.name, f.dataType, nullable = f.enableNull))
-    val vecType: DataType = quantization match {
-      case "none"         => ArrayType(FloatType, containsNull = false)
-      case "f16" | "bf16" => ArrayType(ShortType, containsNull = false)
-      case "f8"           => BinaryType
+    val declared = fields.map { f =>
+      if (f.isVector) StructField(f.name, vectorStorageType, nullable = false)
+      else StructField(f.name, f.dataType, nullable = f.enableNull)
     }
-    StructType(metaFields :+ StructField(CollectionMeta.VectorCol, vecType, nullable = false))
+    if (isMultiVector) StructType(declared)
+    else StructType(declared :+ StructField(CollectionMeta.VectorCol, vectorStorageType, nullable = false))
   }
 
   def toJson: String = {

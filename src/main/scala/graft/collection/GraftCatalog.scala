@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.FilterExpr
 import graft.functions.{dequantize, l2_normalize, quantize, QuantKernels}
-import graft.operators.{SearchRequest, VectorSearch, Mutations}
+import graft.operators.{MultiVectorSearch, Mutations, SearchRequest, VectorSearch}
 
 /** Collection DDL + lifecycle (SURVEY.md §2.11): create / drop / get / load /
   * release / flush / insert / delete / search, with the reference's explicit
@@ -104,8 +104,10 @@ class GraftCatalog(spark: SparkSession, root: String) {
 
   // ---- ingest / mutation ----
 
-  /** Validated upsert of user rows (vector in `vector`, metadata columns by
-    * declared name). Analyzer semantics from edge/edge_analyzer.go:28-99
+  /** Validated upsert of user rows (single-vector collections: vector in
+    * `vector`; multi-vector: one column per declared vector field; metadata
+    * columns by declared name). Analyzer semantics from
+    * edge/edge_analyzer.go:28-99 + experimental/experimental_analyzer.go
     * (FIXTURES.md §7), enforced as single-pass distributed expressions. */
   def insert(name: String, rows: DataFrame): Unit = {
     val meta = getMeta(name)
@@ -192,6 +194,8 @@ class GraftCatalog(spark: SparkSession, root: String) {
       offset: Int = 0,
       minScore: Option[Double] = None): DataFrame = {
     val meta = getMeta(name)
+    require(!meta.isMultiVector,
+      s"collection $name is multi-vector; use searchMulti")
     val df = loadedOrThrow(name)
     require(queryVector.length == meta.dim,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
@@ -209,6 +213,41 @@ class GraftCatalog(spark: SparkSession, root: String) {
   }
 
   def count(name: String): Long = loadedOrThrow(name).count()
+
+  /** Weighted multi-vector search over a CFLAT-style collection
+    * (experimental/multi_vector_vertex.go:85-137): each queried field names a
+    * declared vector column; included ratios must sum to 100 (validated in
+    * MultiVectorSearch, experimental_analyzer.go:143-154). Query vectors get
+    * the same prep as stored ones; quantized columns are decoded into the
+    * scoring expression. */
+  def searchMulti(
+      name: String,
+      fields: Seq[MultiVectorSearch.FieldQuery],
+      topK: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector, s"collection $name is single-vector; use search")
+    val df = loadedOrThrow(name)
+    val declared = meta.vectorFields.map(f => f.name -> f).toMap
+    val prepared = fields.map { fq =>
+      val vf = declared.getOrElse(fq.vectorCol,
+        throw new IllegalArgumentException(
+          s"${fq.vectorCol} is not a declared vector field of $name"))
+      require(fq.queryVector.length == meta.dimOf(vf),
+        s"vector dimension mismatch on ${vf.name}: expected ${meta.dimOf(vf)}, got ${fq.queryVector.length}")
+      fq.copy(queryVector = GraftCatalog.prepareQueryVector(fq.queryVector, meta))
+    }
+    val (searchable, routed) = meta.quantization match {
+      case "none" => (df, prepared)
+      case q =>
+        val decodedCols = meta.vectorFields.map(f => s"__sv_${f.name}")
+        val withDecoded = meta.vectorFields.zip(decodedCols).foldLeft(df) {
+          case (d, (f, out)) => d.withColumn(out, dequantize(col(f.name), q))
+        }
+        (withDecoded, prepared.map(fq => fq.copy(vectorCol = s"__sv_${fq.vectorCol}")))
+    }
+    MultiVectorSearch.search(searchable, routed, topK,
+      metric = meta.distance, idCol = meta.primaryKey.get.name)
+  }
 }
 
 object GraftCatalog {
@@ -246,11 +285,32 @@ object GraftCatalog {
     * per-row expressions (`raise_error`) — one distributed pass, no
     * driver-side validation loop. */
   def validateAndEncode(rows: DataFrame, meta: CollectionMeta, userVectorCol: String): DataFrame = {
-    require(rows.columns.contains(userVectorCol), s"missing vector column '$userVectorCol'")
+    if (!meta.isMultiVector)
+      require(rows.columns.contains(userVectorCol), s"missing vector column '$userVectorCol'")
     val inputCols = rows.columns.toSet
 
+    /** Shared vector prep: null/dim checks, float32 cast, cosine normalize,
+      * quantize — applied to the implicit single vector and to every
+      * declared vector field alike. */
+    def encodeVector(raw0: Column, dim: Int, label: String): Column = {
+      val raw = when(raw0.isNull,
+        raise_error(lit(s"$label must not be null"))).otherwise(raw0)
+      val dimChecked = when(size(raw) =!= dim, raise_error(concat(
+          lit(s"$label dimension mismatch: expected $dim, got "), size(raw).cast("string"))))
+        .otherwise(raw)
+      val floatVec = dimChecked.cast("array<float>")
+      val prepped = if (meta.distance == "cosine") l2_normalize(floatVec) else floatVec
+      meta.quantization match {
+        case "none" => prepped
+        case q      => quantize(prepped, q)
+      }
+    }
+
     val metaCols: Seq[Column] = meta.fields.map { f =>
-      if (!inputCols.contains(f.name)) {
+      if (f.isVector) {
+        require(inputCols.contains(f.name), s"missing vector column '${f.name}'")
+        encodeVector(col(f.name), meta.dimOf(f), s"vector ${f.name}").as(f.name)
+      } else if (!inputCols.contains(f.name)) {
         if (f.enableNull) lit(f.defaultValue).cast(f.dataType).as(f.name)
         else throw new IllegalArgumentException(
           s"index: ${f.name} is null, but index design not allowed null value")
@@ -279,18 +339,8 @@ object GraftCatalog {
       }
     }
 
-    val rawVec0 = col(userVectorCol)
-    val rawVec = when(rawVec0.isNull,
-      raise_error(lit("vector must not be null"))).otherwise(rawVec0)
-    val dimChecked = when(size(rawVec) =!= meta.dim, raise_error(concat(
-        lit(s"vector dimension mismatch: expected ${meta.dim}, got "), size(rawVec).cast("string"))))
-      .otherwise(rawVec)
-    val floatVec = dimChecked.cast("array<float>")
-    val prepped = if (meta.distance == "cosine") l2_normalize(floatVec) else floatVec
-    val encoded = meta.quantization match {
-      case "none" => prepped
-      case q      => quantize(prepped, q)
-    }
-    rows.select(metaCols :+ encoded.as(VectorCol): _*)
+    if (meta.isMultiVector) rows.select(metaCols: _*)
+    else rows.select(
+      metaCols :+ encodeVector(col(userVectorCol), meta.dim, "vector").as(VectorCol): _*)
   }
 }

@@ -36,6 +36,31 @@ object PersistenceQueries {
       cat.loadCollection("snap")
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("snap", qv, topK = 10)
+    }),
+    // Multi-vector (CFLAT) collection through the full API: two named
+    // vector fields, validated ingest, snapshot round trip, weighted search
+    // (SURVEY.md §2.4 A1; experimental/multi_vector_vertex.go:85-137).
+    "snapshot_roundtrip_mv" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-snap-mv").toString)
+      cat.createCollection(CollectionMeta("mv", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector"))))
+      cat.loadCollection("mv")
+      val rows = e.select(col("vec_id"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+        .select(col("vec_id").cast("string").as("id"), col("v0"), col("v1"))
+      cat.insert("mv", rows)
+      cat.flush("mv")
+      cat.releaseCollection("mv")
+      cat.loadCollection("mv")
+      def qv(id: Long) = e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchMulti("mv", Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
     })
   )
 
@@ -46,6 +71,18 @@ object PersistenceQueries {
         |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
         |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM embeddings e, q
-        |ORDER BY dist, id LIMIT 10""".stripMargin
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    "snapshot_roundtrip_mv" -> {
+      val w = """GREATEST(0, 100 - list_distance(mv.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(mv.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |mv AS (SELECT e1.vec_id, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1)
+         |SELECT CAST(mv.vec_id AS VARCHAR) AS id, ROUND($w, 4) AS score
+         |FROM mv, q0, q1
+         |ORDER BY ROUND($w, 8) DESC, id
+         |LIMIT 10""".stripMargin
+    }
   )
 }
