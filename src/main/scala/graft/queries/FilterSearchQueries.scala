@@ -96,6 +96,22 @@ object FilterSearchQueries {
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_id"))
         .orderBy("label")
     }),
+    // §1.2 core v3 compat: schema-less string-coerced map metadata with the
+    // _id shim; conjunctive map-EQ filter (P4) + numeric-coerced comparison
+    // ("5" >= 5 parses — pkg/inverted/bitmap_index.go:99-356 parity).
+    "core_map_filter_search" -> ((s, dir) => {
+      import graft.core.CoreMeta
+      val e = emb(s, dir)
+      val base = e.withColumn("grp", (col("vec_id") % 7).cast("string"))
+      val m = CoreMeta.withMeta(base, col("vec_id"), Seq("label", "grp"))
+      m.where(CoreMeta.pureFilter(col("meta"), Map("grp" -> "3")) &&
+          CoreMeta.compare(col("meta"), "label", Gte, "5"))
+        .select(
+          element_at(col("meta"), CoreMeta.IdKey).as("id"),
+          round(graft.functions.cosine_distance(col("embedding"), lit(qvec(e, 0))), 6).as("dist"))
+        .orderBy(col("dist").asc, col("id").asc)
+        .limit(10)
+    }),
     // A2: collection count/size stats
     "count_stats" -> ((s, dir) =>
       emb(s, dir).agg(
@@ -182,6 +198,14 @@ object FilterSearchQueries {
         |SELECT label, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_id
         |FROM d WHERE NOT (label = 5 AND size = 3)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "core_map_filter_search" ->
+      s"""WITH $qCte,
+         |m AS (SELECT CAST(vec_id AS VARCHAR) AS id, label,
+         |             CAST(vec_id % 7 AS VARCHAR) AS grp, embedding
+         |      FROM embeddings)
+         |SELECT m.id, ROUND(${cosSql("m.embedding", "q.qv")}, 6) AS dist
+         |FROM m, q WHERE m.grp = '3' AND m.label >= 5
+         |ORDER BY dist, id LIMIT 10""".stripMargin,
     "count_stats" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT label) AS n_labels,
         |MIN(vec_id) AS min_id, MAX(vec_id) AS max_id FROM embeddings""".stripMargin,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr._
+import graft.core.CoreMeta
+
+/** Core-v3 schema-less metadata compat: _id shim, string coercion, and the
+  * numeric-coercion comparison flag — including the documented divergence
+  * between lexicographic and parse-compare semantics. */
+class CoreMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = CoreMeta.withMeta(
+    Seq((1L, 5L, "x"), (2L, 10L, "y"), (3L, 9L, "it's")).toDF("id", "n", "s"),
+    col("id"), Seq("n", "s"))
+
+  test("withMeta coerces values to strings and injects _id") {
+    val m = df.where(col("id") === 2)
+      .select(element_at(col("meta"), "_id"), element_at(col("meta"), "n"),
+        element_at(col("meta"), "s")).head()
+    assert(m.getString(0) === "2")
+    assert(m.getString(1) === "10")
+  }
+
+  test("pureFilter is conjunctive equality over map entries (P4)") {
+    val ids = df.where(CoreMeta.pureFilter(col("meta"), Map("n" -> "10", "s" -> "y")))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(2L))
+    // empty filter matches everything
+    assert(df.where(CoreMeta.pureFilter(col("meta"), Map.empty)).count() === 3)
+  }
+
+  test("numeric coercion ON: \"10\" > \"9\" numerically (reference parse-compare parity)") {
+    val ids = df.where(CoreMeta.compare(col("meta"), "n", Gt, "9"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(2L)) // only 10 > 9; "5" and "9" are not
+  }
+
+  test("numeric coercion OFF: \"10\" < \"9\" lexicographically (documented divergence)") {
+    val ids = df.where(CoreMeta.compare(col("meta"), "n", Lt, "9", numericCoercion = false))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L)) // "10" < "9" and "5" < "9" as strings
+  }
+
+  test("non-numeric values fall back to string compare even with coercion on") {
+    val ids = df.where(CoreMeta.compare(col("meta"), "s", Eq, "it's"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(3L)) // quote in value is data, not SQL
+    val gt = df.where(CoreMeta.compare(col("meta"), "s", Gt, "x"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gt === Seq(2L)) // "y" > "x" lexicographic
+  }
+
+  test("missing keys never match (absent key = empty posting list)") {
+    assert(df.where(CoreMeta.compare(col("meta"), "absent", Gte, "0")).count() === 0)
+  }
+}
