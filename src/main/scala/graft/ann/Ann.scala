@@ -91,14 +91,20 @@ object Ann {
     * only rows assigned to those cells, exact top-k inside. At scale the
     * assignment is precomputed+partitioned by cell → probed cells are a
     * partition-pruned scan. */
+  /** The `nprobe` centroid ids nearest the query (driver-side: centroid
+    * lists are tiny and the result drives partition pruning). */
+  def probeCells(centroids: Seq[(Long, Array[Float])], queryVec: Array[Float],
+                 nprobe: Int, metric: String = "euclidean"): Seq[Long] =
+    centroids
+      .map { case (cid, cvec) => (cid, distLocal(cvec, queryVec, metric)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+
   def ivfSearch(
       assigned: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Array[Float])], queryVec: Array[Float],
       nprobe: Int, k: Int, metric: String = "euclidean"): DataFrame = {
-    val probed = centroids
-      .map { case (cid, cvec) => (cid, distLocal(cvec, queryVec, metric)) }
-      .sortBy { case (cid, d) => (d, cid) }
-      .take(nprobe).map(_._1)
+    val probed = probeCells(centroids, queryVec, nprobe, metric)
     assigned.where(col("cell").isin(probed: _*))
       .select(col(idCol), col("cell"),
         round(distance(col(vecCol), lit(queryVec), metric), 6).as("dist"))

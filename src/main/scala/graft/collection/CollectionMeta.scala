@@ -69,8 +69,10 @@ case class CollectionMeta(
     quantization: String = "none",
     fields: Seq[IndexField] = Seq.empty,
     versioning: Boolean = false,
-    currentVersion: Int = 0) {
+    currentVersion: Int = 0,
+    ivfCells: Option[Int] = None) {
   require(dim > 0, "dim must be positive")
+  require(ivfCells.forall(_ > 0), "ivfCells must be positive")
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
   require(Set("none", "f16", "bf16", "f8").contains(quantization), s"unknown quantization: $quantization")
   require(fields.count(_.primaryKey) <= 1, "at most one primary key")

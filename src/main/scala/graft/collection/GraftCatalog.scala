@@ -44,6 +44,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
   private def colDir(name: String) = new Path(s"$root/$name")
   private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
   private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
+  private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
 
   // ---- DDL ----
 
@@ -84,7 +85,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val df =
       if (meta.currentVersion == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
-      else spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+      else dropCellCol(spark.read.parquet(versionDir(name, meta.currentVersion).toString))
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = cached
     cached
@@ -101,6 +102,9 @@ class GraftCatalog(spark: SparkSession, root: String) {
   private def loadedOrThrow(name: String): DataFrame =
     loaded.getOrElse(name,
       throw new IllegalStateException(s"collection $name is not loaded in memory"))
+
+  private def dropCellCol(df: DataFrame): DataFrame =
+    if (df.columns.contains(GraftCatalog.CellCol)) df.drop(GraftCatalog.CellCol) else df
 
   // ---- ingest / mutation ----
 
@@ -140,14 +144,46 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val meta = getMeta(name)
     val df = loadedOrThrow(name)
     val v = meta.currentVersion + 1
-    df.write.mode("overwrite").parquet(versionDir(name, v).toString)
+    meta.ivfCells match {
+      case Some(k) if !meta.isMultiVector =>
+        // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
+        // §2.1 S4 / §7): assign each row to its nearest seed centroid and
+        // write the snapshot PARTITIONED BY CELL, so probed searches become
+        // directory-pruned scans — at 100 TB only nprobe/k of the files are
+        // even opened. Centroids are the k pk-smallest rows (deterministic);
+        // they live in a tiny sidecar read once per search.
+        val pk = meta.primaryKey.get.name
+        val decoded = meta.quantization match {
+          case "none" => col(VectorCol)
+          case q      => dequantize(col(VectorCol), q)
+        }
+        val centroids = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+          .orderBy(col(pk).asc).limit(k)
+          .select(GraftCatalog.SearchVecCol).collect()
+          .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
+        val assigned = graft.ann.Ann.ivfAssign(
+            df.withColumn(GraftCatalog.SearchVecCol, decoded),
+            pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
+          .withColumnRenamed("cell", GraftCatalog.CellCol)
+          .drop(GraftCatalog.SearchVecCol)
+        assigned.write.partitionBy(GraftCatalog.CellCol)
+          .mode("overwrite").parquet(versionDir(name, v).toString)
+        import spark.implicits._
+        centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(centroidDir(name, v).toString)
+      case _ =>
+        df.write.mode("overwrite").parquet(versionDir(name, v).toString)
+    }
     writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
-    if (!meta.versioning && meta.currentVersion > 0)
+    if (!meta.versioning && meta.currentVersion > 0) {
       fs.delete(versionDir(name, meta.currentVersion), true)
+      fs.delete(centroidDir(name, meta.currentVersion), true)
+    }
     // Re-anchor residency on the written snapshot: lineage collapses to a
-    // parquet scan and the pre-flush cached copy is released.
+    // parquet scan and the pre-flush cached copy is released. The IVF cell
+    // partition column is layout, not data — dropped from the resident view.
     val prev = loaded.get(name)
-    loaded(name) = spark.read.parquet(versionDir(name, v).toString)
+    loaded(name) = dropCellCol(spark.read.parquet(versionDir(name, v).toString))
       .persist(StorageLevel.MEMORY_AND_DISK)
     prev.foreach(_.unpersist(false))
     mutationCount(name) = 0
@@ -214,6 +250,51 @@ class GraftCatalog(spark: SparkSession, root: String) {
 
   def count(name: String): Long = loadedOrThrow(name).count()
 
+  /** IVF (cell-probed) search over the PARTITIONED ON-DISK snapshot of an
+    * `ivfCells` collection: the `nprobe` centroids nearest the query select
+    * cells, and the `__cell` predicate prunes whole partition directories
+    * before any file is opened — the batch-scale stand-in for the
+    * reference's HNSW index scan (S4), trading bounded recall for a scan
+    * that touches nprobe/k of the data. Exact search over the loaded
+    * collection ([[search]]) remains the recall-1.0 path. */
+  def searchIvf(name: String, queryVector: Array[Float], topK: Int, nprobe: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+      .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val decoded = meta.quantization match {
+      case "none" => snap
+      case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+    graft.ann.Ann.ivfSearch(decoded, meta.primaryKey.get.name, vecCol,
+      centroids, qv, nprobe, topK, meta.distance)
+  }
+
+  /** Files the probed cells actually read, from the PHYSICAL scan's
+    * selected partitions — `inputFiles` would list the whole relation; only
+    * the planned `FileSourceScanExec` reflects partition-directory pruning.
+    * The spec asserts this shrinks with nprobe. */
+  def ivfProbedFiles(name: String, queryVector: Array[Float], nprobe: Int): Array[String] = {
+    val meta = getMeta(name)
+    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance)
+    val df = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+      .where(col(GraftCatalog.CellCol).isin(probed: _*))
+    df.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+      .toArray
+  }
+
   /** Weighted multi-vector search over a CFLAT-style collection
     * (experimental/multi_vector_vertex.go:85-137): each queried field names a
     * declared vector column; included ratios must sum to 100 (validated in
@@ -256,6 +337,9 @@ object GraftCatalog {
                             version: Int, loaded: Boolean)
 
   private val SearchVecCol = "__searchvec"
+
+  /** IVF cell partition column in on-disk snapshots. */
+  val CellCol = "__cell"
   import CollectionMeta.VectorCol
 
   /** Mirror of the stored-vector prep for a driver-side query vector:

@@ -108,6 +108,17 @@ object PipelineQueries {
         e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
       Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
     }),
+    // IVF cell-probed search: deterministic centroids (first 8 rows),
+    // broadcast argmin assignment, probe the 3 nearest cells, exact top-k
+    // inside — the partition-prunable scale path for S4.
+    "ivf_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = (0 until 8).map(i =>
+        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
+      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
+    }),
     // Multimodal plumbing: opaque binary payload + metadata, batched
     // per-partition feature extraction (unnormalized histogram variant so
     // the stub decode is engine-exact; see Multimodal.fakeDecode).
@@ -273,6 +284,21 @@ object PipelineQueries {
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ROUND($cosSimSql, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "ivf_search" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |SELECT e.vec_id, CAST(a.cid AS BIGINT) AS cell,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
+        |WHERE a.cid IN (SELECT cid FROM probe)
+        |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
     "multimodal_features" -> {
       val byteAt = (i: String) =>
         s"""(strpos('0123456789ABCDEF', substr(hex(CAST(text AS BLOB)), $i + 1, 1)) - 1) * 16

@@ -64,6 +64,7 @@ class RobustnessSpec extends SparkSpec {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-stress").toString
     val cat = new GraftCatalog(spark, root)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     cat.createCollection(CollectionMeta("stress", dim = 4, distance = "euclidean",
       fields = Seq(IndexField("id", "string", primaryKey = true))))
     cat.loadCollection("stress")
@@ -75,10 +76,11 @@ class RobustnessSpec extends SparkSpec {
     val planLines = cat.search("stress", Array(0f, 0f, 0f, 0f), topK = 1)
       .queryExecution.analyzed.numberedTreeString.linesIterator.size
     assert(planLines < 150, s"plan depth grew unbounded: $planLines lines")
-    // only a handful of persisted RDDs may remain (current state + stragglers
-    // awaiting async ContextCleaner), not one per mutation
-    val persisted = spark.sparkContext.getPersistentRDDs.size
-    assert(persisted < 12, s"cache leak: $persisted persisted RDDs after 24 mutations")
+    // only a handful of NEW persisted RDDs may remain (current state +
+    // stragglers awaiting async ContextCleaner), not one per mutation;
+    // delta-based because other suites share the session's cache
+    val persisted = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    assert(persisted < 12, s"cache leak: $persisted new persisted RDDs after 24 mutations")
     // flush re-anchors on the snapshot: plan collapses to a parquet scan
     cat.flush("stress")
     val afterFlush = cat.search("stress", Array(0f, 0f, 0f, 0f), topK = 1)
