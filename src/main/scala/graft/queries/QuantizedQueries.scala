@@ -10,10 +10,15 @@ import graft.functions._
   * is computed on the dequantized values, mirroring
   * /root/reference/edge/f16_quantization.go:35-53.
   *
-  * No DuckDB oracle (bit-level float formats aren't SQL-expressible) → the
-  * driver records rows-only checks; the strong assertions live in
-  * QuantizationSpec (round-trip exactness, self-match, loss bounds mirroring
-  * pkg/compresshelper/compresshelper_test.go).
+  * Oracle: the bit-level round trip dequantize(quantize(x)) is replicated
+  * NUMERICALLY in DuckDB — for a float32-exact double, rounding |x| to the
+  * format's mantissa step (2^(clamped_exponent − mbits)) with round-half-to-
+  * even IS the bit algorithm: the division by a power of two is exact in
+  * doubles, so floor/ties/evenness decisions match the kernel bit-for-bit
+  * (verified against QuantKernels over random + subnormal + tie inputs).
+  * Formats: f16 = (10 mantissa bits, min exp −14), bf16 = (7, −126),
+  * f8 1-5-2 = (2, −14). This upgrades the three scans from rows-only checks
+  * to full rows+schema+hash oracle rows.
   *
   * In a real collection the quantized column is materialized at ingest
   * (2-4× smaller parquet + scan); here it's computed on the fly because
@@ -40,6 +45,37 @@ object QuantizedQueries {
     "flat_scan_f8" -> ((s, dir) => scan(s, dir, "f8"))
   )
 
-  /** Not SQL-expressible — intentionally empty. */
-  val oracles: Map[String, String] = Map.empty
+  /** dequantize(quantize(x)) as arithmetic on a float32-exact double:
+    * round |x|/2^(max(e,emin)−mbits) half-to-even, scale back. The
+    * exponent from log2 is correction-stepped to be exact at powers of 2. */
+  private def qqSql(x: String, mbits: Int, emin: Int): String = {
+    val ax = s"abs($x)"
+    val e0 = s"CAST(floor(log2($ax)) AS BIGINT)"
+    val e = s"""(CASE WHEN $ax < power(2.0, $e0) THEN $e0 - 1
+               | WHEN $ax >= power(2.0, $e0 + 1) THEN $e0 + 1 ELSE $e0 END)""".stripMargin
+    val step = s"power(2.0, greatest($e, $emin) - $mbits)"
+    val r = s"($ax / $step)"
+    val fl = s"floor($r)"
+    val rne = s"""(CASE WHEN $r - $fl > 0.5 THEN $fl + 1
+                 | WHEN $r - $fl < 0.5 THEN $fl
+                 | ELSE $fl + CAST(CAST($fl AS BIGINT) % 2 AS DOUBLE) END)""".stripMargin
+    s"(CASE WHEN $x = 0 THEN 0.0 ELSE sign($x) * $rne * $step END)"
+  }
+
+  private def oracleScan(mbits: Int, emin: Int): String = {
+    val qq = qqSql("x", mbits, emin)
+    s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> $qq) AS qv
+       |           FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> $qq) AS ev
+       |      FROM embeddings)
+       |SELECT s.vec_id, ROUND(ABS(1 - (list_inner_product(s.ev, q.qv) /
+       |  (SQRT(list_inner_product(s.ev, s.ev)) * SQRT(list_inner_product(q.qv, q.qv))))), 6) AS dist
+       |FROM s, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "flat_scan_f16" -> oracleScan(mbits = 10, emin = -14),
+    "flat_scan_bf16" -> oracleScan(mbits = 7, emin = -126),
+    "flat_scan_f8" -> oracleScan(mbits = 2, emin = -14)
+  )
 }
