@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Mutations
+
+/** Change watch stream (SURVEY.md §2.1 S11 / §2.9): the Spark analog of the
+  * reference's diskv watch channel (/root/reference/diskv/watch.go — a queue
+  * of put/delete events) combined with its JetStream last-writer-wins
+  * replication design (README "Summary" §2-4; subjects at
+  * /root/reference/config/config.go:75-86, never consumed in the tree — we
+  * implement the documented intent).
+  *
+  * Model: an append-only log directory of change files, each row
+  * `(op ∈ {put, del}, <pk>, <payload…>, <version>)`, consumed by Structured
+  * Streaming and folded into collection state by per-key LWW.
+  *
+  * Convergence design: the fold keeps, per key, the max-version row of
+  * `state ∪ batch` — an associative, commutative, idempotent merge, so the
+  * final state is independent of how changes are batched or ordered (the
+  * multi-leader guarantee the reference's README claims). Deletes stay in
+  * the state as TOMBSTONES so a late-arriving lower-version put cannot
+  * resurrect a deleted key; [[view]] hides them.
+  *
+  * Scale: each fold is one `max_by` aggregation shuffle on the pk — the
+  * same single-shuffle shape as batch [[Mutations.latestByKey]]; state
+  * never round-trips through the driver.
+  */
+object ChangeFeed {
+  val OpCol = "op"
+  val OpPut = "put"
+  val OpDel = "del"
+
+  /** Streaming source over the append-log directory. */
+  def readLog(spark: SparkSession, logDir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(logDir)
+
+  /** One LWW fold step: per-key max-version row of state ∪ batch
+    * (tombstones included). */
+  def fold(state: DataFrame, batch: DataFrame, pk: String, versionCol: String): DataFrame =
+    Mutations.latestByKey(state.unionByName(batch), pk, versionCol)
+
+  /** User-facing view of the folded state: tombstones hidden. */
+  def view(state: DataFrame): DataFrame = state.where(col(OpCol) =!= OpDel).drop(OpCol)
+
+  /** Batch reference semantics: LWW over the whole log at once — the spec
+    * asserts the streamed fold converges to exactly this. */
+  def batchApply(log: DataFrame, pk: String, versionCol: String): DataFrame =
+    view(Mutations.latestByKey(log, pk, versionCol))
+
+  /** Consume the log with Structured Streaming, folding each micro-batch
+    * into state and pushing the updated view to `onUpdate`.
+    * `Trigger.AvailableNow` drains everything present then stops —
+    * deterministic for tests and for catch-up replays; pass a processing-
+    * time trigger for a long-running watcher. */
+  def run(spark: SparkSession, logDir: String, schema: StructType,
+          pk: String, versionCol: String, checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow())(
+          onUpdate: DataFrame => Unit): StreamingQuery = {
+    var state = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    readLog(spark, logDir, schema).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = fold(state, batch, pk, versionCol).localCheckpoint(true)
+        onUpdate(view(state))
+      }
+      .start()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ChangeFeed
+
+/** S11: streamed LWW fold over an append log converges to the batch
+  * latestByKey result, independent of batching/arrival order, with delete
+  * tombstones blocking resurrection by late lower-version puts. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changes(rows: Seq[(String, String, Long, String)]): DataFrame =
+    rows.toDF("op", "id", "version", "payload")
+
+  // three "arrivals": out-of-order versions, a delete, a late stale put
+  private val batch1 = Seq(
+    ("put", "a", 1L, "a-v1"), ("put", "b", 2L, "b-v2"), ("put", "c", 1L, "c-v1"))
+  private val batch2 = Seq(
+    ("put", "a", 3L, "a-v3"), ("del", "c", 5L, ""), ("put", "d", 1L, "d-v1"))
+  private val batch3 = Seq(
+    ("put", "a", 2L, "a-v2-stale"), // stale: must NOT beat a-v3
+    ("put", "c", 3L, "c-v3-late"))  // stale vs the v5 tombstone: stays deleted
+
+  private def expected = Map("a" -> "a-v3", "b" -> "b-v2", "d" -> "d-v1")
+
+  private def collectView(df: DataFrame): Map[String, String] =
+    df.select("id", "payload").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("streamed fold over the append log equals batch LWW; tombstones hold") {
+    val logDir = Files.createTempDirectory("graft-log").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Seq(batch1, batch2, batch3).foreach(b =>
+      changes(b).write.mode(SaveMode.Append).parquet(logDir))
+
+    val schema = changes(batch1).schema
+    @volatile var last: Map[String, String] = Map.empty
+    val q = ChangeFeed.run(spark, logDir, schema, "id", "version", ckpt) { v =>
+      last = collectView(v)
+    }
+    q.awaitTermination(120000)
+    assert(last === expected)
+
+    // batch reference semantics over the full log
+    val batchResult = collectView(
+      ChangeFeed.batchApply(spark.read.parquet(logDir), "id", "version"))
+    assert(batchResult === expected)
+  }
+
+  test("convergence is arrival-order independent (commutative merge)") {
+    val logDir = Files.createTempDirectory("graft-log2").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    // reversed arrival order
+    Seq(batch3, batch2, batch1).foreach(b =>
+      changes(b).write.mode(SaveMode.Append).parquet(logDir))
+    val schema = changes(batch1).schema
+    @volatile var last: Map[String, String] = Map.empty
+    val q = ChangeFeed.run(spark, logDir, schema, "id", "version", ckpt) { v =>
+      last = collectView(v)
+    }
+    q.awaitTermination(120000)
+    assert(last === expected)
+  }
+
+  test("fold is idempotent: re-applying a batch changes nothing") {
+    val b = changes(batch2)
+    val once = ChangeFeed.fold(changes(batch1), b, "id", "version")
+    val twice = ChangeFeed.fold(once, b, "id", "version")
+    assert(collectView(ChangeFeed.view(once)) === collectView(ChangeFeed.view(twice)))
+  }
+}
