@@ -82,7 +82,7 @@ object Bench {
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"flat_scan_f16_$tag" -> (() =>
           big.select(col("vec_id"),
-              cosine_distance(dequantize(col("emb_f16"), "f16"), lit(qF16)).as("dist"))
+              cosine_distance_quant(col("emb_f16"), lit(qF16), "f16").as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"filtered_search_$tag" -> (() =>
           big.where(col("label") === 7)

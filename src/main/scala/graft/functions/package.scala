@@ -40,6 +40,13 @@ package object functions {
   def dequantize(v: Column, format: String): Column =
     column(DequantizeVector(expression(v), format))
 
+  /** Fused cosine distance over a quantized stored vector and a float32
+    * query: decodes inside the scan loop — bit-identical to
+    * `cosine_distance(dequantize(v), q)` without the per-row intermediate
+    * array (the quantized-scan hot path at scale). */
+  def cosine_distance_quant(quantized: Column, query: Column, format: String): Column =
+    column(VecCosineDistanceQuant(expression(quantized), expression(query), format))
+
   def l2_normalize(v: Column): Column = column(VecL2Normalize(expression(v)))
 
   /** Display-score transform (F5): cosine → ((2−d)/2)·100, euclidean →

@@ -77,6 +77,100 @@ case class QuantizeVector(child: Expression, format: String) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused quantized cosine distance: decodes the stored f16/bf16/f8 vector
+  * INSIDE the accumulation loop instead of materializing an intermediate
+  * float array per row (dequantize → ArrayData → copy is two allocations +
+  * two copies per row on the scan hot path). The query side is a foldable
+  * pre-decoded float[] hoisted at codegen time. Accumulation order is
+  * identical to cosine_distance(dequantize(x), q), so results are
+  * bit-identical to the unfused pipeline (QuantizationSpec pins this). */
+case class VecCosineDistanceQuant(left: Expression, right: Expression, format: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(QuantFormats.all.contains(format), s"unknown quantization: $format")
+  override def prettyName: String = s"cosine_distance_$format"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(QuantFormats.storageType(format), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def decode(s: Short): Float = format match {
+    case "f16"  => QuantKernels.f16ToFloat(s)
+    case "bf16" => QuantKernels.bf16ToFloat(s)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = b.asInstanceOf[ArrayData]
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    if (format == "f8") {
+      val bytes = a.asInstanceOf[Array[Byte]]
+      require(bytes.length == q.numElements(),
+        s"vector dimension mismatch: ${bytes.length} vs ${q.numElements()}")
+      var i = 0
+      while (i < bytes.length) {
+        val x = QuantKernels.f8ToFloat(bytes(i)).toDouble
+        val y = q.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      require(n == q.numElements(),
+        s"vector dimension mismatch: $n vs ${q.numElements()}")
+      var i = 0
+      while (i < n) {
+        val x = decode(arr.getShort(i)).toDouble
+        val y = q.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[QuantKernels].getName
+    val kernel = format match {
+      case "f16" => s"$k.f16ToFloat"; case "bf16" => s"$k.bf16ToFloat"; case "f8" => s"$k.f8ToFloat"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val (sa, prepA, lenA) =
+        if (format == "f8") (a, "", s"$a.length")
+        else {
+          val v = ctx.freshName("sa")
+          (v, s"final short[] $v = $a.toShortArray();\n", s"$v.length")
+        }
+      val fb = if (right.foldable) {
+        Option(right.eval(null)) match {
+          case Some(arr) =>
+            ctx.addReferenceObj("qvecQ", arr.asInstanceOf[ArrayData].toFloatArray, "float[]")
+          case None => null
+        }
+      } else null
+      val (qv, prepB) =
+        if (fb != null) (fb, "")
+        else { val v = ctx.freshName("fq"); (v, s"final float[] $v = $b.toFloatArray();\n") }
+      val get = if (format == "f8") s"$a[$i]" else s"$sa[$i]"
+      s"""
+         |$prepA$prepB
+         |final int $n = $lenA;
+         |if ($n != $qv.length) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $qv.length);
+         |}
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double x = (double) $kernel($get);
+         |  final double y = (double) $qv[$i];
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = Math.abs(1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb)));
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class DequantizeVector(child: Expression, format: String) extends UnaryExpression {
   require(QuantFormats.all.contains(format), s"unknown quantization: $format")
   override def prettyName: String = s"dequantize_$format"

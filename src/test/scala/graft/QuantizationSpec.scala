@@ -111,4 +111,23 @@ class QuantizationSpec extends SparkSpec {
       assert(top.getAs[Double]("dist") === 0.0, name)
     }
   }
+
+  test("fused cosine_distance_quant is bit-identical to decode-then-cosine") {
+    import spark.implicits._
+    val vecs = (0L to 99L).map(i => (i, randVec(24))).toDF("id", "v")
+    val q = randVec(24)
+    for (fmt <- Seq("f16", "bf16", "f8")) {
+      // query side pre-decoded the same way the fused caller would
+      val qDec = fmt match {
+        case "f16"  => q.map(x => f16ToFloat(floatToF16(x)))
+        case "bf16" => q.map(x => bf16ToFloat(floatToBf16(x)))
+        case "f8"   => q.map(x => f8ToFloat(floatToF8(x)))
+      }
+      val both = vecs.select(
+        cosine_distance(dequantize(quantize(col("v"), fmt), fmt), lit(qDec)).as("unfused"),
+        cosine_distance_quant(quantize(col("v"), fmt), lit(qDec), fmt).as("fused")
+      ).as[(Double, Double)].collect()
+      both.foreach { case (u, f) => assert(u === f, fmt) }
+    }
+  }
 }
