@@ -50,6 +50,16 @@ class GraftCatalog(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
 
+  /** All collections under this catalog root (GetCollections RPC —
+    * /root/reference/idl/proto/v3/resource.proto via root_layer). */
+  def listCollections(): Seq[String] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "meta.json")))
+      .map(_.getPath.getName).sorted
+  }
+
   def createCollection(meta: CollectionMeta): Unit = {
     require(!exists(meta.name), s"collection ${meta.name} already exists")
     require(meta.primaryKey.isDefined, s"collection ${meta.name} requires a primary key field")

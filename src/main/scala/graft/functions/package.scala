@@ -32,6 +32,19 @@ package object functions {
     * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
   def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))
 
+  /** F10: commit-id generation (reference edge/id_generator.go +
+    * pkg/snowflake — timestamp|node|sequence uint64). Spark's
+    * monotonically_increasing_id IS the snowflake shape (partition id in
+    * the high bits, per-partition sequence low) minus the wall clock —
+    * unique within a job, NOT stable across runs. */
+  def snowflake_id(): Column = F.monotonically_increasing_id()
+
+  /** Deterministic alternative for pipelines that need replayable ids
+    * (SURVEY.md §2.8 F10 note): 64-bit hash of the primary key — stable
+    * across runs/engines; collision odds ~n²/2⁶⁵ (≈3·10⁻⁸ at 1M rows),
+    * acceptable for commit ids, not for pk replacement. */
+  def stable_id(pk: Column): Column = F.xxhash64(pk)
+
   /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
   def quantize(v: Column, format: String): Column =
     column(QuantizeVector(expression(v), format))

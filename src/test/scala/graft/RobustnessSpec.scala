@@ -60,6 +60,29 @@ class RobustnessSpec extends SparkSpec {
     assert(e.getAs[Double]("score") === 95.0)
   }
 
+  test("id generation: snowflake unique within a job, stable_id replayable (F10)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"pk$i").toDF("pk").repartition(4)
+    val snow = df.select(graft.functions.snowflake_id().as("id")).collect().map(_.getLong(0))
+    assert(snow.distinct.length === snow.length) // unique within the job
+    val s1 = df.select(graft.functions.stable_id(col("pk")).as("id")).collect().map(_.getLong(0))
+    val s2 = df.select(graft.functions.stable_id(col("pk")).as("id")).collect().map(_.getLong(0))
+    assert(s1.sorted.toSeq === s2.sorted.toSeq) // replayable
+    assert(s1.distinct.length === s1.length)
+  }
+
+  test("listCollections enumerates catalog contents (GetCollections RPC)") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-list").toString)
+    assert(cat.listCollections() === Seq.empty)
+    Seq("zeta", "alpha").foreach { n =>
+      cat.createCollection(CollectionMeta(n, dim = 2, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true))))
+    }
+    assert(cat.listCollections() === Seq("alpha", "zeta"))
+    cat.dropCollection("zeta")
+    assert(cat.listCollections() === Seq("alpha"))
+  }
+
   test("catalog mutations keep plan depth and cached copies bounded (round-1 leak fix)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-stress").toString
