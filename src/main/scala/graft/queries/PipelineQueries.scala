@@ -31,6 +31,15 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read nanos as long and convert to a microsecond timestamp
+    * (truncation — sub-microsecond precision is irrelevant at session/window
+    * granularity and DuckDB's ns values truncate identically). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** documents ∪ exact re-crawl of every 3rd doc (ids shifted +10000). */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text", "lang", "source")
@@ -119,6 +128,17 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
     }),
+    // Event-time tumbling-window aggregation over the events table
+    // (§2.9 extension; same plan batch or streaming, one shuffle on
+    // (window, type) with map-side partial aggregation).
+    "events_windowed_agg" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedAgg(events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+    // Gap-based sessionization (session_window): per-user session/event
+    // counts; DuckDB replicates via the lag-island formulation.
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionStats(events(s, dir), "30 minutes")
+        .orderBy("user_id")),
     // Multimodal plumbing: opaque binary payload + metadata, batched
     // per-partition feature extraction (unnormalized histogram variant so
     // the stub decode is engine-exact; see Multimodal.fakeDecode).
@@ -284,6 +304,19 @@ object PipelineQueries {
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ROUND($cosSimSql, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "events_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |m AS (SELECT user_id,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM o)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ivf_search" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
