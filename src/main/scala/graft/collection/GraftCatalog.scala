@@ -213,6 +213,22 @@ class GraftCatalog(spark: SparkSession, root: String) {
     GraftCatalog.CollectionInfo(name, rows, bytes, meta.currentVersion, isLoaded(name))
   }
 
+  /** S10 old-version cleanup (the reference's lifecycle job:
+    * edge/edge_helper.go:97-105, pkg/minio/bucket_handler.go:98-106):
+    * delete snapshot versions older than the newest `keepLast`. Returns the
+    * versions removed. Unversioned collections self-vacuum on flush. */
+  def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val meta = getMeta(name)
+    (1 to meta.currentVersion - keepLast)
+      .filter(v => fs.exists(versionDir(name, v)))
+      .map { v =>
+        fs.delete(versionDir(name, v), true)
+        fs.delete(centroidDir(name, v), true)
+        v
+      }
+  }
+
   /** Read an older snapshot (S10 versioning / time travel). */
   def timeTravel(name: String, version: Int): DataFrame = {
     val meta = getMeta(name)

@@ -83,6 +83,24 @@ class RobustnessSpec extends SparkSpec {
     assert(cat.listCollections() === Seq("alpha"))
   }
 
+  test("vacuum removes old versions, keeps the newest keepLast (S10 cleanup job)") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-vac").toString)
+    cat.createCollection(CollectionMeta("v", dim = 2, distance = "euclidean",
+      versioning = true,
+      fields = Seq(IndexField("id", "string", primaryKey = true))))
+    cat.loadCollection("v")
+    (1 to 3).foreach { i =>
+      cat.insert("v", Seq((s"k$i", Seq(i.toFloat, 0f))).toDF("id", "vector"))
+      cat.flush("v")
+    }
+    assert(cat.timeTravel("v", 1).count() === 1) // all versions present
+    assert(cat.vacuum("v", keepLast = 1) === Seq(1, 2))
+    intercept[Exception] { cat.timeTravel("v", 1).count() } // vacuumed away
+    assert(cat.count("v") === 3)                 // current version intact
+    assert(cat.vacuum("v", keepLast = 1) === Seq.empty) // idempotent
+  }
+
   test("catalog mutations keep plan depth and cached copies bounded (round-1 leak fix)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-stress").toString
