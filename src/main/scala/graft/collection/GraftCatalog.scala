@@ -134,6 +134,26 @@ class GraftCatalog(spark: SparkSession, root: String) {
   def delete(name: String, filter: FilterExpr): Unit =
     rebind(name, Mutations.deleteWhere(loadedOrThrow(name), filter))
 
+  /** WAL replay (S9, the Spark shape of diskv's startup replay —
+    * /root/reference/diskv/db.go:71-120): fold a change log
+    * `(op ∈ {put, del}, <collection columns…>, <version>)` into the loaded
+    * collection in one pass — per-key LWW resolves the winners, puts are
+    * validated+upserted, delete winners anti-joined out. Feeding a
+    * [[graft.streaming.ChangeFeed]] log directory here replays a stream's
+    * history into a collection. */
+  def applyChanges(name: String, changes: DataFrame, versionCol: String,
+                   opCol: String = "op"): Unit = {
+    val meta = getMeta(name)
+    val pk = meta.primaryKey.get.name
+    val latest = Mutations.latestByKey(changes, pk, versionCol)
+    val puts = latest.where(col(opCol) === "put").drop(opCol, versionCol)
+    val delKeys = latest.where(col(opCol) === "del").select(col(pk))
+    val validated = GraftCatalog.validateAndEncode(puts, meta, UserVectorCol)
+    val next = Mutations.deleteByKeys(
+      Mutations.upsert(loadedOrThrow(name), validated, pk), delKeys, pk)
+    rebind(name, next)
+  }
+
   /** Swap the resident DataFrame: persist (or checkpoint) the new state
     * FIRST, then unpersist the replaced one — the round-1 path leaked the
     * old cached copy on every mutation (executor-memory leak) and let

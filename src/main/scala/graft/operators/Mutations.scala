@@ -31,6 +31,12 @@ object Mutations {
   def deleteWhere(df: DataFrame, filter: FilterExpr): DataFrame =
     df.where(!filter.toColumn)
 
+  /** Delete by explicit key set (core Delete RPC path,
+    * /root/reference/core/core.go:537-565): anti-join on the pk — the small
+    * key side broadcasts, the base stays a single scan. */
+  def deleteByKeys(base: DataFrame, keys: DataFrame, pk: String): DataFrame =
+    base.join(keys.select(col(pk)), Seq(pk), "left_anti")
+
   /** Last-writer-wins compaction of a change feed: keep, per key, the row
     * with the highest version/timestamp column — the JetStream LWW
     * replication semantics of the reference's README (SURVEY.md §2.9),

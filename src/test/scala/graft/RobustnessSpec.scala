@@ -83,6 +83,40 @@ class RobustnessSpec extends SparkSpec {
     assert(cat.listCollections() === Seq("alpha"))
   }
 
+  test("shard_hash: deterministic, stable across runs, lands in [0, n) (F11)") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val a = df.select(graft.functions.shard_hash(col("id"), 16).as("s")).collect().map(_.getInt(0))
+    val b = df.select(graft.functions.shard_hash(col("id"), 16).as("s")).collect().map(_.getInt(0))
+    assert(a.toSeq === b.toSeq)                       // ShardVertexAlwaysSame parity
+    assert(a.forall(s => s >= 0 && s < 16))
+    assert(a.distinct.length === 16)                  // all buckets hit at n=500
+  }
+
+  test("applyChanges replays a change log into the collection (S9 WAL replay)") {
+    import spark.implicits._
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-wal").toString)
+    cat.createCollection(CollectionMeta("wal", dim = 2, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true))))
+    cat.loadCollection("wal")
+    cat.insert("wal", Seq(("a", Seq(1f, 0f)), ("b", Seq(2f, 0f))).toDF("id", "vector"))
+    val log = Seq(
+      ("put", "a", Seq(9f, 0f), 2L),  // update a
+      ("put", "a", Seq(5f, 0f), 1L),  // stale, must lose
+      ("del", "b", Seq(0f, 0f), 3L),  // delete b
+      ("put", "c", Seq(3f, 0f), 1L)   // insert c
+    ).toDF("op", "id", "vector", "version")
+    cat.applyChanges("wal", log, versionCol = "version")
+    val state = cat.search("wal", Array(0f, 0f), topK = 10)
+      .collect().map(r => r.getAs[String]("id")).toSet
+    assert(state === Set("a", "c"))
+    // a carries the v2 payload: nearest to (9,0) is a at dist 0
+    val top = cat.search("wal", Array(9f, 0f), topK = 1).head()
+    assert(top.getAs[String]("id") === "a")
+    assert(top.getAs[Double]("dist") === 0.0)
+    cat.dropCollection("wal")
+  }
+
   test("vacuum removes old versions, keeps the newest keepLast (S10 cleanup job)") {
     import spark.implicits._
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-vac").toString)
