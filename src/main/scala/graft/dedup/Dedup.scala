@@ -54,12 +54,22 @@ object Dedup {
   /** Pairwise n-gram Jaccard within blocking keys (e.g. same lang+source):
     * the classic blocked-comparison shape — cross product only inside each
     * block, which AQE keeps balanced; block choice bounds the quadratic
-    * term. Emits pairs with jaccard ≥ threshold. */
+    * term. Blocks larger than `maxBlockSize` are SKIPPED (their members
+    * produce no pairs): inside a block the work is |block|², so one hot key
+    * — an empty-string lang, a megasite source — would otherwise dominate
+    * the whole job at corpus scale. The count pre-pass shuffles on the same
+    * block key the join needs, so it adds no new partitioning. Emits pairs
+    * with jaccard ≥ threshold. */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textColName: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val withSh = df.select(
+      blockCols: Seq[String], threshold: Double,
+      maxBlockSize: Long = 10000L): DataFrame = {
+    val withSh0 = df.select(
       (col(idCol) +: blockCols.map(col)) :+ shingles(textColName).as("__sh"): _*)
+    val okBlocks = withSh0.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBlockSize)
+      .select(blockCols.map(col): _*)
+    val withSh = withSh0.join(okBlocks, blockCols, "left_semi")
     val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("__sh").as("sh_a"): _*)
     val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__sh").as("sh_b"): _*)
     val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) && (a("id_a") < b("id_b"))
@@ -92,16 +102,27 @@ object MinHashLSH {
 
   /** Candidate pairs: ids sharing at least one LSH band
     * (k/bandSize bands of `bandSize` signature values). One explode + one
-    * equi-join shuffle on the band key. */
-  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    * equi-join shuffle on the band key.
+    *
+    * Hot-band guard: a band shared by m documents yields m² candidate pairs
+    * — one mass-duplicated boilerplate string can turn a single bucket
+    * quadratic at corpus scale. Bands with more than `maxBandSize` members
+    * are dropped (their pairs are overwhelmingly caught by the remaining
+    * bands or by exact dedup first; the cap is a documented recall trade).
+    * The count pre-pass shuffles on the band key the join already needs. */
+  def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bandSize: Int,
+                     maxBandSize: Long = 10000L): DataFrame = {
     require(k % bandSize == 0, "k must be divisible by bandSize")
     val bandKeys = (0 until k / bandSize).map { b =>
       val parts = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}").cast("string"))
       concat_ws(":", lit(b.toString) +: parts: _*)
     }
     val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
-    val l = exploded.select(col(idCol).as("id_a"), col("band"))
-    val r = exploded.select(col(idCol).as("id_b"), col("band"))
+    val okBands = exploded.groupBy("band").agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBandSize).select("band")
+    val bounded = exploded.join(okBands, Seq("band"), "left_semi")
+    val l = bounded.select(col(idCol).as("id_a"), col("band"))
+    val r = bounded.select(col(idCol).as("id_b"), col("band"))
     l.join(r, Seq("band")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -109,9 +130,10 @@ object MinHashLSH {
   /** Full pipeline: LSH candidates verified by exact shingle Jaccard. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textColName: String,
-      k: Int = 8, bandSize: Int = 2, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, bandSize: Int = 2, threshold: Double = 0.5,
+      maxBandSize: Long = 10000L): DataFrame = {
     val sigs = withSignatures(df, textColName, k)
-    val cands = candidatePairs(sigs, idCol, k, bandSize)
+    val cands = candidatePairs(sigs, idCol, k, bandSize, maxBandSize)
     val sh = df.select(col(idCol), Dedup.shingles(textColName).as("__sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))

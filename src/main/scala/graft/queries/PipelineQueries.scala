@@ -229,15 +229,20 @@ object PipelineQueries {
          |  unnest(list_transform(range(0, 4), b -> concat_ws(':', CAST(b AS VARCHAR),
          |    CAST(sigs[2*b+1] AS VARCHAR), CAST(sigs[2*b+2] AS VARCHAR)))) AS band
          |  FROM sig),
+         |okband AS (SELECT band FROM band GROUP BY band HAVING COUNT(*) <= 10000),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM band a JOIN band b USING (band) WHERE a.doc_id < b.doc_id),
+         |  FROM band a JOIN band b USING (band)
+         |  WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM okband)),
          |verify AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shingles", "sb.shingles")} AS jaccard
          |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
          |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_blocked_jaccard" ->
       s"""WITH $nearCorpusSql,
-         |sh AS (SELECT doc_id, lang, source, ${shingleSql("text")} AS shingles FROM corpus),
+         |okblock AS (SELECT lang, source FROM corpus
+         |  GROUP BY lang, source HAVING COUNT(*) <= 10000),
+         |sh AS (SELECT doc_id, c.lang, c.source, ${shingleSql("c.text")} AS shingles
+         |  FROM corpus c JOIN okblock USING (lang, source)),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    ${jaccardSql("a.shingles", "b.shingles")} AS jaccard
          |  FROM sh a JOIN sh b

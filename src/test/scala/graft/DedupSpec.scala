@@ -58,6 +58,35 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0).toSeq === sigs(1).toSeq)
   }
 
+  test("hot-band cap: oversized bands are dropped, rest unaffected") {
+    import spark.implicits._
+    // 30 identical docs = one white-hot band family; 2 near-dups elsewhere
+    val hot = (1 to 30).map(i => (100L + i, "mass produced boilerplate text block"))
+    val pair = Seq((1L, "the quick brown fox jumps today"), (2L, "the quick brown fox jumps tonight"))
+    val corpus = (hot ++ pair).toDF("id", "text")
+    val capped = MinHashLSH.nearDuplicates(corpus, "id", "text",
+      k = 8, bandSize = 2, threshold = 0.4, maxBandSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))                        // small band survives
+    assert(!capped.exists { case (a, b) => a > 100L && b > 100L }) // hot band dropped
+    // default cap keeps them (30 < 10000)
+    val uncapped = MinHashLSH.nearDuplicates(corpus, "id", "text", threshold = 0.4)
+      .where(col("id_a") > 100).count()
+    assert(uncapped === 30L * 29 / 2)
+  }
+
+  test("block-size cap: oversized blocks produce no pairs") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => (i.toLong, s"some shared text plus word$i", "en", "hot"))
+    val small = Seq((100L, "the quick brown fox jumps today", "en", "cold"),
+      (101L, "the quick brown fox jumps tonight", "en", "cold"))
+    val corpus = (big ++ small).toDF("id", "text", "lang", "src")
+    val pairs = Dedup.blockedJaccardPairs(corpus, "id", "text", Seq("lang", "src"),
+      threshold = 0.1, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L))) // only the under-cap block compared
+  }
+
   test("nearDuplicates finds exact and one-word-off pairs, not unrelated docs") {
     val pairs = MinHashLSH.nearDuplicates(df, "id", "text", k = 8, bandSize = 2, threshold = 0.4)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
