@@ -70,9 +70,12 @@ case class CollectionMeta(
     fields: Seq[IndexField] = Seq.empty,
     versioning: Boolean = false,
     currentVersion: Int = 0,
-    ivfCells: Option[Int] = None) {
+    ivfCells: Option[Int] = None,
+    schemaless: Option[Boolean] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
+  require(!isSchemaless || fields.isEmpty,
+    "schemaless (core v3) collections declare no fields — metadata is the string-coerced map")
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
   require(Set("none", "f16", "bf16", "f8").contains(quantization), s"unknown quantization: $quantization")
   require(fields.count(_.primaryKey) <= 1, "at most one primary key")
@@ -82,6 +85,19 @@ case class CollectionMeta(
   }
 
   def primaryKey: Option[IndexField] = fields.find(_.primaryKey)
+
+  /** Core-v3 mode (SURVEY.md §1.2): no declared schema; metadata is an
+    * arbitrary string-coerced map and the user id travels as `_id`
+    * (core/core.go:506, pkg/index/bitmap_index.go:48-63). Option-typed for
+    * sidecar-JSON backward compatibility. */
+  def isSchemaless: Boolean = schemaless.contains(true)
+
+  /** The id column: declared pk for typed collections, `_id` for core-mode. */
+  def idColumn: String =
+    primaryKey.map(_.name).getOrElse {
+      require(isSchemaless, s"collection $name requires a primary key field")
+      graft.core.CoreMeta.IdKey
+    }
 
   /** Declared named vector columns (empty → single-vector collection). */
   def vectorFields: Seq[IndexField] = fields.filter(_.isVector)
@@ -99,8 +115,14 @@ case class CollectionMeta(
   }
 
   /** The full storage schema: declared columns in order; single-vector
-    * collections append the implicit `__vector` column. */
+    * collections append the implicit `__vector` column. Core-mode:
+    * `(_id string, meta map<string,string>, __vector)`. */
   def structType: StructType = {
+    if (isSchemaless)
+      return StructType(Seq(
+        StructField(graft.core.CoreMeta.IdKey, StringType, nullable = false),
+        StructField(CollectionMeta.MetaCol, MapType(StringType, StringType), nullable = false),
+        StructField(CollectionMeta.VectorCol, vectorStorageType, nullable = false)))
     val declared = fields.map { f =>
       if (f.isVector) StructField(f.name, vectorStorageType, nullable = false)
       else StructField(f.name, f.dataType, nullable = f.enableNull)
@@ -118,6 +140,9 @@ case class CollectionMeta(
 object CollectionMeta {
   /** Internal vector column name in the stored snapshot. */
   val VectorCol = "__vector"
+
+  /** String-coerced metadata map column in core-mode snapshots. */
+  val MetaCol = "meta"
 
   def fromJson(s: String): CollectionMeta = {
     implicit val fmts: Formats = DefaultFormats

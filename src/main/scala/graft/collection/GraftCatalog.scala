@@ -62,7 +62,8 @@ class GraftCatalog(spark: SparkSession, root: String) {
 
   def createCollection(meta: CollectionMeta): Unit = {
     require(!exists(meta.name), s"collection ${meta.name} already exists")
-    require(meta.primaryKey.isDefined, s"collection ${meta.name} requires a primary key field")
+    require(meta.primaryKey.isDefined || meta.isSchemaless,
+      s"collection ${meta.name} requires a primary key field")
     fs.mkdirs(colDir(meta.name))
     writeMeta(meta.copy(currentVersion = 0)) // meta last; v0 = empty collection
   }
@@ -126,13 +127,21 @@ class GraftCatalog(spark: SparkSession, root: String) {
   def insert(name: String, rows: DataFrame): Unit = {
     val meta = getMeta(name)
     val validated = GraftCatalog.validateAndEncode(rows, meta, UserVectorCol)
-    val pk = meta.primaryKey.get.name
+    val pk = meta.idColumn
     rebind(name, Mutations.upsert(loadedOrThrow(name), validated, pk))
   }
 
-  /** Delete rows matching a conjunctive filter (P5). */
-  def delete(name: String, filter: FilterExpr): Unit =
-    rebind(name, Mutations.deleteWhere(loadedOrThrow(name), filter))
+  /** Delete rows matching a conjunctive filter (P5). Schema-less
+    * collections route the same AST through the coerced-map semantics. */
+  def delete(name: String, filter: FilterExpr): Unit = {
+    val meta = getMeta(name)
+    val next =
+      if (meta.isSchemaless)
+        loadedOrThrow(name).where(!graft.core.CoreMeta.filterColumn(
+          col(CollectionMeta.MetaCol), col(meta.idColumn), filter))
+      else Mutations.deleteWhere(loadedOrThrow(name), filter)
+    rebind(name, next)
+  }
 
   /** WAL replay (S9, the Spark shape of diskv's startup replay —
     * /root/reference/diskv/db.go:71-120): fold a change log
@@ -144,7 +153,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
   def applyChanges(name: String, changes: DataFrame, versionCol: String,
                    opCol: String = "op"): Unit = {
     val meta = getMeta(name)
-    val pk = meta.primaryKey.get.name
+    val pk = meta.idColumn
     val latest = Mutations.latestByKey(changes, pk, versionCol)
     val puts = latest.where(col(opCol) === "put").drop(opCol, versionCol)
     val delKeys = latest.where(col(opCol) === "del").select(col(pk))
@@ -182,7 +191,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
         // directory-pruned scans — at 100 TB only nprobe/k of the files are
         // even opened. Centroids are the k pk-smallest rows (deterministic);
         // they live in a tiny sidecar read once per search.
-        val pk = meta.primaryKey.get.name
+        val pk = meta.idColumn
         val decoded = meta.quantization match {
           case "none" => col(VectorCol)
           case q      => dequantize(col(VectorCol), q)
@@ -286,10 +295,18 @@ class GraftCatalog(spark: SparkSession, root: String) {
       case "none" => col(VectorCol)
       case q      => dequantize(col(VectorCol), q)
     }
-    val searchable = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+    // Schema-less collections evaluate the SAME filter AST through the
+    // string-coerced map (CoreMeta parse-compare semantics) — applied
+    // before scoring, like the typed path's pushed predicate.
+    val (base, pushFilter) =
+      if (meta.isSchemaless)
+        (filter.map(f => df.where(graft.core.CoreMeta.filterColumn(
+          col(CollectionMeta.MetaCol), col(meta.idColumn), f))).getOrElse(df), None)
+      else (df, filter)
+    val searchable = base.withColumn(GraftCatalog.SearchVecCol, decoded)
     VectorSearch.search(searchable,
-        SearchRequest(qv, topK, metric = meta.distance, filter = filter, offset = offset,
-          minScore = minScore, idCol = meta.primaryKey.get.name,
+        SearchRequest(qv, topK, metric = meta.distance, filter = pushFilter, offset = offset,
+          minScore = minScore, idCol = meta.idColumn,
           vectorCol = GraftCatalog.SearchVecCol))
       .drop(VectorCol)
   }
@@ -319,7 +336,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
       case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
     }
     val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
-    graft.ann.Ann.ivfSearch(decoded, meta.primaryKey.get.name, vecCol,
+    graft.ann.Ann.ivfSearch(decoded, meta.idColumn, vecCol,
       centroids, qv, nprobe, topK, meta.distance)
   }
 
@@ -373,7 +390,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
         (withDecoded, prepared.map(fq => fq.copy(vectorCol = s"__sv_${fq.vectorCol}")))
     }
     MultiVectorSearch.search(searchable, routed, topK,
-      metric = meta.distance, idCol = meta.primaryKey.get.name)
+      metric = meta.distance, idCol = meta.idColumn)
   }
 }
 
@@ -417,6 +434,7 @@ object GraftCatalog {
   def validateAndEncode(rows: DataFrame, meta: CollectionMeta, userVectorCol: String): DataFrame = {
     if (!meta.isMultiVector)
       require(rows.columns.contains(userVectorCol), s"missing vector column '$userVectorCol'")
+    if (meta.isSchemaless) return schemalessEncode(rows, meta, userVectorCol)
     val inputCols = rows.columns.toSet
 
     /** Shared vector prep: null/dim checks, float32 cast, cosine normalize,
@@ -472,5 +490,35 @@ object GraftCatalog {
     if (meta.isMultiVector) rows.select(metaCols: _*)
     else rows.select(
       metaCols :+ encodeVector(col(userVectorCol), meta.dim, "vector").as(VectorCol): _*)
+  }
+
+  /** Core-v3 ingest (SURVEY.md §1.2): rows carry `_id`, `vector`, and any
+    * other columns — the extras are string-coerced into the metadata map
+    * (forcedStringTypeChanger, pkg/index/bitmap_index.go:48-63); `_id` must
+    * be a non-null string (core/core.go:506). Vector prep matches the typed
+    * path. */
+  private def schemalessEncode(rows: DataFrame, meta: CollectionMeta,
+                               userVectorCol: String): DataFrame = {
+    val idKey = graft.core.CoreMeta.IdKey
+    require(rows.columns.contains(idKey), s"missing id column '$idKey'")
+    val metaKeys = rows.columns.filterNot(c => c == idKey || c == userVectorCol).toSeq
+    val id0 = col(idKey).cast("string")
+    val id = when(id0.isNull || length(id0) === 0,
+      raise_error(lit(s"$idKey must be a non-null string"))).otherwise(id0)
+    val metaMap =
+      if (metaKeys.isEmpty) map().cast("map<string,string>")
+      else map(metaKeys.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
+    val rawVec = col(userVectorCol)
+    val dimChecked = when(rawVec.isNull, raise_error(lit("vector must not be null")))
+      .otherwise(when(size(rawVec) =!= meta.dim, raise_error(concat(
+        lit(s"vector dimension mismatch: expected ${meta.dim}, got "),
+        size(rawVec).cast("string")))).otherwise(rawVec))
+    val floatVec = dimChecked.cast("array<float>")
+    val prepped = if (meta.distance == "cosine") l2_normalize(floatVec) else floatVec
+    val encoded = meta.quantization match {
+      case "none" => prepped
+      case q      => quantize(prepped, q)
+    }
+    rows.select(id.as(idKey), metaMap.as(CollectionMeta.MetaCol), encoded.as(VectorCol))
   }
 }

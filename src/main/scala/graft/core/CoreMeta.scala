@@ -71,6 +71,19 @@ object CoreMeta {
     }
   }
 
+  /** Compile a composite [[FilterExpr]] tree against schema-less storage:
+    * `_id` comparisons hit the dedicated id column, everything else goes
+    * through the string-coerced map with [[compare]] semantics. This is how
+    * a core-mode collection evaluates the same filter AST the typed (edge)
+    * collections use. */
+  def filterColumn(meta: Column, idCol: Column, f: FilterExpr,
+                   numericCoercion: Boolean = true): Column = f match {
+    case FilterExpr.Single(c, op, v) if c == IdKey => applyOp(idCol, lit(v.toString), op)
+    case FilterExpr.Single(c, op, v) => compare(meta, c, op, v.toString, numericCoercion)
+    case FilterExpr.And(cs) => cs.map(filterColumn(meta, idCol, _, numericCoercion)).reduce(_ && _)
+    case FilterExpr.Or(cs)  => cs.map(filterColumn(meta, idCol, _, numericCoercion)).reduce(_ || _)
+  }
+
   private def applyOp(a: Column, b: Column, op: FilterExpr.Op): Column = {
     import FilterExpr._
     op match {

@@ -37,6 +37,27 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("snap", qv, topK = 10)
     }),
+    // Schema-less (core v3) collection through the full API: arbitrary
+    // metadata string-coerced into a map, _id shim, filter AST routed
+    // through parse-compare semantics (SURVEY.md §1.2).
+    "core_collection_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-core").toString)
+      cat.createCollection(CollectionMeta("core", dim = dim, distance = "euclidean",
+        schemaless = Some(true)))
+      cat.loadCollection("core")
+      cat.insert("core", e.select(
+        col("vec_id").cast("string").as("_id"),
+        col("embedding").as("vector"),
+        col("label")))
+      cat.flush("core"); cat.releaseCollection("core"); cat.loadCollection("core")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.search("core", qv, topK = 10,
+          filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 5)))
+        .select(col("_id"), element_at(col("meta"), "label").as("label"),
+          col("dist"), col("score"))
+    }),
     // Multi-vector (CFLAT) collection through the full API: two named
     // vector fields, validated ingest, snapshot round trip, weighted search
     // (SURVEY.md §2.4 A1; experimental/multi_vector_vertex.go:85-137).
@@ -72,6 +93,13 @@ object PersistenceQueries {
         |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM embeddings e, q
         |ORDER BY dist, id LIMIT 10""".stripMargin,
+    "core_collection_roundtrip" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS _id, CAST(e.label AS VARCHAR) AS label,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM embeddings e, q WHERE e.label >= 5
+        |ORDER BY dist, _id LIMIT 10""".stripMargin,
     "snapshot_roundtrip_mv" -> {
       val w = """GREATEST(0, 100 - list_distance(mv.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
                 | + GREATEST(0, 100 - list_distance(mv.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin

@@ -55,4 +55,35 @@ class CoreMetaSpec extends SparkSpec {
   test("missing keys never match (absent key = empty posting list)") {
     assert(df.where(CoreMeta.compare(col("meta"), "absent", Gte, "0")).count() === 0)
   }
+
+  test("schema-less collection lifecycle: ingest, filtered search, delete, _id filter") {
+    import graft.collection._
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-core-spec").toString)
+    cat.createCollection(CollectionMeta("c", dim = 2, distance = "euclidean",
+      schemaless = Some(true)))
+    cat.loadCollection("c")
+    cat.insert("c", Seq(
+      ("a", Seq(1f, 0f), 5L, "x"), ("b", Seq(2f, 0f), 10L, "y"), ("c", Seq(3f, 0f), 9L, "z")
+    ).toDF("_id", "vector", "n", "tag"))
+    cat.flush("c"); cat.releaseCollection("c"); cat.loadCollection("c")
+    // numeric coercion through the catalog: "10" > "9" numerically
+    val gt9 = cat.search("c", Array(0f, 0f), topK = 10,
+        filter = Some(Single("n", Gt, 9)))
+      .select("_id").collect().map(_.getString(0)).toSeq
+    assert(gt9 === Seq("b"))
+    // _id filter hits the id column
+    val byId = cat.search("c", Array(0f, 0f), topK = 10,
+        filter = Some(Single("_id", Eq, "c"))).select("_id").collect().map(_.getString(0))
+    assert(byId.toSeq === Seq("c"))
+    // delete through the coerced-map path
+    cat.delete("c", Single("tag", Eq, "y"))
+    assert(cat.count("c") === 2)
+    // declared fields on a schemaless collection are rejected
+    intercept[IllegalArgumentException] {
+      CollectionMeta("bad", dim = 2, schemaless = Some(true),
+        fields = Seq(IndexField("id", "string", primaryKey = true)))
+    }
+    cat.dropCollection("c")
+  }
 }
