@@ -74,6 +74,8 @@ object Bench {
       ensureBenchData(spark, dir, rows)
       val big = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
       big.count() // materialize the cache (the reference loads before searching)
+      System.gc() // settle allocation noise from the sf suite / generation
+                  // before timing queries that sit at the dispatch floor
       val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
       Seq(
@@ -89,7 +91,7 @@ object Bench {
             .select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"point_lookup_$tag" -> (() => big.where(col("vec_id") === rows - 1).collect())
-      ).map { case (name, fn) => name -> timed(name, runs = 4)(fn()) }
+      ).map { case (name, fn) => name -> timed(name, runs = 6)(fn()) }
     }
     val big1m = bigSuite(1000000L, benchDir, "1m")
     val big10m = bigSuite(10000000L, benchDir + "-10m", "10m")
