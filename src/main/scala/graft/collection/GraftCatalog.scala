@@ -291,9 +291,12 @@ class GraftCatalog(spark: SparkSession, root: String) {
     require(queryVector.length == meta.dim,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val decoded: Column = meta.quantization match {
-      case "none" => col(VectorCol)
-      case q      => dequantize(col(VectorCol), q)
+    // Quantized collections score through the FUSED kernel: decode happens
+    // inside the distance loop, no per-row intermediate array.
+    val fused: Option[Column] = meta.quantization match {
+      case "none" => None
+      case q      => Some(graft.functions.distance_quant(
+        col(VectorCol), lit(qv), q, meta.distance))
     }
     // Schema-less collections evaluate the SAME filter AST through the
     // string-coerced map (CoreMeta parse-compare semantics) — applied
@@ -303,12 +306,10 @@ class GraftCatalog(spark: SparkSession, root: String) {
         (filter.map(f => df.where(graft.core.CoreMeta.filterColumn(
           col(CollectionMeta.MetaCol), col(meta.idColumn), f))).getOrElse(df), None)
       else (df, filter)
-    val searchable = base.withColumn(GraftCatalog.SearchVecCol, decoded)
-    VectorSearch.search(searchable,
+    VectorSearch.search(base,
         SearchRequest(qv, topK, metric = meta.distance, filter = pushFilter, offset = offset,
           minScore = minScore, idCol = meta.idColumn,
-          vectorCol = GraftCatalog.SearchVecCol))
-      .drop(VectorCol)
+          vectorCol = VectorCol, customDistance = fused))
   }
 
   def count(name: String): Long = loadedOrThrow(name).count()

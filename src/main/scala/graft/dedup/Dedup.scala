@@ -70,9 +70,19 @@ object Dedup {
       .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBlockSize)
       .select(blockCols.map(col): _*)
     val withSh = withSh0.join(okBlocks, blockCols, "left_semi")
-    val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+ col("__sh").as("sh_a"): _*)
-    val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__sh").as("sh_b"): _*)
-    val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) && (a("id_a") < b("id_b"))
+      .withColumn("__nd", size(array_distinct(col("__sh"))))
+    val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+
+      col("__sh").as("sh_a") :+ col("__nd").as("nd_a"): _*)
+    val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+
+      col("__sh").as("sh_b") :+ col("__nd").as("nd_b"): _*)
+    // Size prefilter (set-similarity-join standard): J(A,B) ≤ min/max of the
+    // distinct-set sizes, so pairs whose size ratio is already below the
+    // threshold are pruned BEFORE the expensive intersection — results are
+    // provably unchanged (the bound is implied by jaccard ≥ threshold).
+    val sizeOk = least(a("nd_a"), b("nd_b")).cast("double") >=
+      lit(threshold) * greatest(a("nd_a"), b("nd_b"))
+    val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) &&
+      (a("id_a") < b("id_b")) && sizeOk
     a.join(b, joinCond)
       .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)

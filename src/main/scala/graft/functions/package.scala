@@ -53,12 +53,15 @@ package object functions {
   def dequantize(v: Column, format: String): Column =
     column(DequantizeVector(expression(v), format))
 
-  /** Fused cosine distance over a quantized stored vector and a float32
-    * query: decodes inside the scan loop — bit-identical to
-    * `cosine_distance(dequantize(v), q)` without the per-row intermediate
+  /** Fused distance over a quantized stored vector and a float32 query:
+    * decodes inside the scan loop — bit-identical to
+    * `distance(dequantize(v), q, metric)` without the per-row intermediate
     * array (the quantized-scan hot path at scale). */
+  def distance_quant(quantized: Column, query: Column, format: String, metric: String): Column =
+    column(VecDistanceQuant(expression(quantized), expression(query), format, metric))
+
   def cosine_distance_quant(quantized: Column, query: Column, format: String): Column =
-    column(VecCosineDistanceQuant(expression(quantized), expression(query), format))
+    distance_quant(quantized, query, format, "cosine")
 
   def l2_normalize(v: Column): Column = column(VecL2Normalize(expression(v)))
 

@@ -30,7 +30,11 @@ case class SearchRequest(
     minScore: Option[Double] = None,
     idCol: String = "id",
     vectorCol: String = "vector",
-    roundDp: Int = 6) {
+    roundDp: Int = 6,
+    /** Override of the raw distance expression (e.g. a fused quantized
+      * kernel) — must produce the same value as
+      * `distance(col(vectorCol), lit(queryVector), metric)`. */
+    customDistance: Option[Column] = None) {
   require(topK > 0, "topK must be positive")
   require(offset >= 0, "offset must be non-negative")
 }
@@ -53,7 +57,8 @@ object VectorSearch {
     // score derives from the RAW distance, not the rounded one: rounding
     // twice (dist to 6dp, then a linear transform of it to 4dp) parks the
     // score exactly on .5 rounding boundaries, where engines disagree.
-    val raw = distance(col(req.vectorCol), lit(req.queryVector), req.metric)
+    val raw = req.customDistance.getOrElse(
+      distance(col(req.vectorCol), lit(req.queryVector), req.metric))
     val scored = base
       .withColumn("dist", round(raw, req.roundDp))
       .withColumn("score", round(score_from_distance(raw, scoreMetric(req.metric)), 4))

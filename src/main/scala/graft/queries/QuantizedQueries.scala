@@ -30,11 +30,20 @@ object QuantizedQueries {
   private def scan(s: SparkSession, dir: String, format: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
-    val storedDecoded = dequantize(quantize(col("embedding"), format), format)
-    val queryDecoded = dequantize(quantize(lit(qv), format), format)
+    // query round-tripped driver-side; stored side decoded INSIDE the fused
+    // kernel (bit-identical to cosine_distance(dequantize(…)) — spec-pinned)
+    val qDec = qv.map { x =>
+      import graft.functions.QuantKernels._
+      format match {
+        case "f16"  => f16ToFloat(floatToF16(x))
+        case "bf16" => bf16ToFloat(floatToBf16(x))
+        case "f8"   => f8ToFloat(floatToF8(x))
+      }
+    }
     e.select(
         col("vec_id"),
-        round(cosine_distance(storedDecoded, queryDecoded), 6).as("dist"))
+        round(cosine_distance_quant(quantize(col("embedding"), format), lit(qDec), format), 6)
+          .as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(10)
   }

@@ -77,17 +77,20 @@ case class QuantizeVector(child: Expression, format: String) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Fused quantized cosine distance: decodes the stored f16/bf16/f8 vector
-  * INSIDE the accumulation loop instead of materializing an intermediate
-  * float array per row (dequantize → ArrayData → copy is two allocations +
-  * two copies per row on the scan hot path). The query side is a foldable
+/** Fused quantized distance: decodes the stored f16/bf16/f8 vector INSIDE
+  * the accumulation loop instead of materializing an intermediate float
+  * array per row (dequantize → ArrayData → copy is two allocations + two
+  * copies per row on the scan hot path). The query side is a foldable
   * pre-decoded float[] hoisted at codegen time. Accumulation order is
-  * identical to cosine_distance(dequantize(x), q), so results are
-  * bit-identical to the unfused pipeline (QuantizationSpec pins this). */
-case class VecCosineDistanceQuant(left: Expression, right: Expression, format: String)
+  * identical to distance(dequantize(x), q, metric), so results are
+  * bit-identical to the unfused pipeline (QuantizationSpec pins this).
+  * Metrics: cosine / euclidean / manhattan / dot (dist = −dot). */
+case class VecDistanceQuant(left: Expression, right: Expression,
+                            format: String, metric: String)
     extends BinaryExpression with ExpectsInputTypes {
   require(QuantFormats.all.contains(format), s"unknown quantization: $format")
-  override def prettyName: String = s"cosine_distance_$format"
+  require(VecDistanceQuant.metrics.contains(metric), s"unknown metric: $metric")
+  override def prettyName: String = s"${metric}_distance_$format"
   override def inputTypes: Seq[AbstractDataType] =
     Seq(QuantFormats.storageType(format), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
@@ -100,30 +103,28 @@ case class VecCosineDistanceQuant(left: Expression, right: Expression, format: S
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val q = b.asInstanceOf[ArrayData]
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    if (format == "f8") {
-      val bytes = a.asInstanceOf[Array[Byte]]
-      require(bytes.length == q.numElements(),
-        s"vector dimension mismatch: ${bytes.length} vs ${q.numElements()}")
-      var i = 0
-      while (i < bytes.length) {
-        val x = QuantKernels.f8ToFloat(bytes(i)).toDouble
-        val y = q.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-    } else {
-      val arr = a.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      require(n == q.numElements(),
-        s"vector dimension mismatch: $n vs ${q.numElements()}")
-      var i = 0
-      while (i < n) {
-        val x = decode(arr.getShort(i)).toDouble
-        val y = q.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
+    val n = if (format == "f8") a.asInstanceOf[Array[Byte]].length
+            else a.asInstanceOf[ArrayData].numElements()
+    require(n == q.numElements(), s"vector dimension mismatch: $n vs ${q.numElements()}")
+    def x(i: Int): Double =
+      (if (format == "f8") QuantKernels.f8ToFloat(a.asInstanceOf[Array[Byte]](i))
+       else decode(a.asInstanceOf[ArrayData].getShort(i))).toDouble
+    var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    metric match {
+      case "cosine" =>
+        while (i < n) { val xi = x(i); val y = q.getFloat(i).toDouble
+          acc += xi * y; na += xi * xi; nb += y * y; i += 1 }
+        math.abs(1.0 - acc / (math.sqrt(na) * math.sqrt(nb)))
+      case "euclidean" =>
+        while (i < n) { val d = x(i) - q.getFloat(i).toDouble; acc += d * d; i += 1 }
+        math.sqrt(acc)
+      case "manhattan" =>
+        while (i < n) { acc += math.abs(x(i) - q.getFloat(i).toDouble); i += 1 }
+        acc
+      case "dot" =>
+        while (i < n) { acc += x(i) * q.getFloat(i).toDouble; i += 1 }
+        -acc
     }
-    math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -133,7 +134,7 @@ case class VecCosineDistanceQuant(left: Expression, right: Expression, format: S
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val acc = ctx.freshName("acc"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val (sa, prepA, lenA) =
         if (format == "f8") (a, "", s"$a.length")
         else {
@@ -151,24 +152,51 @@ case class VecCosineDistanceQuant(left: Expression, right: Expression, format: S
         if (fb != null) (fb, "")
         else { val v = ctx.freshName("fq"); (v, s"final float[] $v = $b.toFloatArray();\n") }
       val get = if (format == "f8") s"$a[$i]" else s"$sa[$i]"
+      val loop = metric match {
+        case "cosine" =>
+          s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final double x = (double) $kernel($get);
+             |  final double y = (double) $qv[$i];
+             |  $acc += x * y; $na += x * x; $nb += y * y;
+             |}
+             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
+        case "euclidean" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final double d = (double) $kernel($get) - (double) $qv[$i];
+             |  $acc += d * d;
+             |}
+             |${ev.value} = Math.sqrt($acc);""".stripMargin
+        case "manhattan" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += Math.abs((double) $kernel($get) - (double) $qv[$i]);
+             |}
+             |${ev.value} = $acc;""".stripMargin
+        case "dot" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $kernel($get) * (double) $qv[$i];
+             |}
+             |${ev.value} = -$acc;""".stripMargin
+      }
       s"""
          |$prepA$prepB
          |final int $n = $lenA;
          |if ($n != $qv.length) {
          |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $qv.length);
          |}
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double x = (double) $kernel($get);
-         |  final double y = (double) $qv[$i];
-         |  $dot += x * y; $na += x * x; $nb += y * y;
-         |}
-         |${ev.value} = Math.abs(1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb)));
+         |$loop
        """.stripMargin
     })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object VecDistanceQuant {
+  val metrics = Set("cosine", "euclidean", "manhattan", "dot")
 }
 
 case class DequantizeVector(child: Expression, format: String) extends UnaryExpression {
