@@ -96,6 +96,19 @@ object PipelineQueries {
         round(TextAnalysis.qualityScore("text"), 6).as("quality"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Gopher-style repetition metrics: top-bigram fraction per document.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // JSON property extraction + aggregation over the events stream table —
+    // the semi-structured column shape every ingest pipeline hits.
+    "events_props_agg" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")),
     // Language-ID confusion matrix: predicted (marker-argmax) vs labeled.
     "langid_confusion" -> ((s, dir) =>
       docs(s, dir).select(col("lang"), LangId.predict("text").as("predicted"))
@@ -309,6 +322,20 @@ object PipelineQueries {
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE ROUND($cosSimSql, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(0, len(t) - 1), i -> concat_ws(' ', t[i+1], t[i+2]))
+        |    ELSE [] END) AS b FROM toks),
+        |cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "events_props_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  ROUND(SUM(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value

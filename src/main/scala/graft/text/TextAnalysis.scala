@@ -51,6 +51,26 @@ object TextAnalysis {
 
   /** Content fingerprint: md5 of the utf-8 text (hex string). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Gopher-style repetition metrics: per document, the bigram count and
+    * the fraction held by the most frequent word bigram — high values mark
+    * boilerplate/spam for corpus filtering. Two aggregations keyed by
+    * (id, bigram) then id: linear, map-side combined, no joins. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+                      idCol: String, textColName: String): org.apache.spark.sql.DataFrame = {
+    // token array lambda-bound once (see shingles note in Dedup.scala);
+    // < 2 tokens → no bigrams (sequence(0,-1) would count DOWN, not empty)
+    val bigrams = expr(
+      s"""transform(array(split($textColName, ' ')), t ->
+         |  CASE WHEN size(t) >= 2
+         |  THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))
+         |  ELSE array() END)[0]""".stripMargin)
+    df.select(col(idCol), explode(bigrams).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_bigrams"),
+        round(max(col("__c")).cast("double") / sum("__c"), 6).as("top_bigram_frac"))
+  }
 }
 
 /** Marker-word language ID — the n-gram-profile heuristic reduced to word

@@ -61,6 +61,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === fp(1L))
   }
 
+  test("repetitionStats: repeated bigrams dominate; short texts yield no rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),  // "spam spam" × 4 -> frac 1.0
+      (2L, "all words here are unique"), // every bigram once -> 1/4
+      (3L, "one")                        // no bigrams -> no row
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((4L, 1.0)))
+    assert(out(2L) === ((4L, 0.25)))
+    assert(!out.contains(3L))
+  }
+
   test("fingerprint is the md5 hex of the utf-8 text") {
     val got = Seq("abc").toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
