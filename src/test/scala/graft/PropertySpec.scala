@@ -1,0 +1,92 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr._
+import graft.streaming.ChangeFeed
+
+/** Randomized property tests (seeded, deterministic): the filter-AST
+  * compiler agrees with direct evaluation on arbitrary AND/OR trees, and
+  * the LWW fold is invariant under arbitrary re-batching/permutation —
+  * the reference's own test style (randomized inputs, structural
+  * invariants; hnsw_commit_test.go:104-125). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- FilterExpr compile ≡ direct evaluation ---
+
+  private def randTree(r: Random, depth: Int): FilterExpr = {
+    val ops = Seq(Eq, Neq, Gt, Gte, Lt, Lte)
+    def single = Single(
+      if (r.nextBoolean()) "vec_id" else "label",
+      ops(r.nextInt(ops.length)),
+      r.nextInt(600).toLong)
+    if (depth == 0 || r.nextInt(3) == 0) single
+    else {
+      val kids = Seq.fill(1 + r.nextInt(3))(randTree(r, depth - 1))
+      if (r.nextBoolean()) And(kids) else Or(kids)
+    }
+  }
+
+  private def evalTree(f: FilterExpr, row: Map[String, Long]): Boolean = f match {
+    case Single(c, op, v) =>
+      val a = row(c); val b = v.asInstanceOf[Long]
+      op match {
+        case Eq => a == b; case Neq => a != b; case Gt => a > b
+        case Gte => a >= b; case Lt => a < b; case Lte => a <= b
+      }
+    case And(cs) => cs.forall(evalTree(_, row))
+    case Or(cs)  => cs.exists(evalTree(_, row))
+  }
+
+  test("100 random filter trees: compiled Column matches direct evaluation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label")).cache()
+    val rows = emb.collect()
+      .map(r => Map("vec_id" -> r.getLong(0), "label" -> r.getLong(1)))
+    val r = new Random(42)
+    (1 to 100).foreach { i =>
+      val tree = randTree(r, depth = 3)
+      val sparkIds = emb.where(tree.toColumn)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val directIds = rows.filter(evalTree(tree, _)).map(_("vec_id")).sorted.toSeq
+      assert(sparkIds === directIds, s"tree #$i: $tree")
+    }
+    emb.unpersist()
+  }
+
+  // --- LWW fold: batching/permutation invariance ---
+
+  test("LWW fold result is invariant under arbitrary re-batching and order") {
+    val r = new Random(7)
+    val keys = ('a' to 'j').map(_.toString)
+    val ops = (1 to 120).map { i =>
+      (if (r.nextInt(5) == 0) "del" else "put",
+        keys(r.nextInt(keys.length)), i.toLong, s"p$i") // unique versions
+    }
+    def foldIn(batches: Seq[Seq[(String, String, Long, String)]]): Map[String, (String, Long)] = {
+      val empty = Seq.empty[(String, String, Long, String)]
+        .toDF("op", "id", "version", "payload")
+      val folded = batches.foldLeft(empty) { (state, b) =>
+        ChangeFeed.fold(state, b.toDF("op", "id", "version", "payload"), "id", "version")
+      }
+      folded.collect().map(x =>
+        x.getAs[String]("id") -> ((x.getAs[String]("op"), x.getAs[Long]("version")))).toMap
+    }
+    def randomBatches(seed: Int): Seq[Seq[(String, String, Long, String)]] = {
+      val rr = new Random(seed)
+      val shuffled = rr.shuffle(ops)
+      // split into 1..6 random batches
+      val cuts = Seq.fill(rr.nextInt(5))(rr.nextInt(ops.length)).sorted.distinct
+      (Seq(0) ++ cuts ++ Seq(ops.length)).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b)
+      }.filter(_.nonEmpty).toSeq
+    }
+    val reference = foldIn(Seq(ops))
+    Seq(1, 2, 3).foreach { seed =>
+      assert(foldIn(randomBatches(seed)) === reference, s"seed $seed diverged")
+    }
+  }
+}
