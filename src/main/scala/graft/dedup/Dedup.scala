@@ -69,12 +69,17 @@ object Dedup {
     val okBlocks = withSh0.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBlockSize)
       .select(blockCols.map(col): _*)
+    // Pre-distinct the shingle sets and their sizes ONCE PER ROW: the
+    // pairwise evaluation then needs exactly one set operation (the
+    // intersect) — semantics unchanged (intersect of distinct sets =
+    // distinct intersect; sizes match the generic jaccard's denominators).
     val withSh = withSh0.join(okBlocks, blockCols, "left_semi")
-      .withColumn("__nd", size(array_distinct(col("__sh"))))
+      .withColumn("__shd", array_distinct(col("__sh")))
+      .withColumn("__nd", size(col("__shd")))
     val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+
-      col("__sh").as("sh_a") :+ col("__nd").as("nd_a"): _*)
+      col("__shd").as("shd_a") :+ col("__nd").as("nd_a"): _*)
     val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+
-      col("__sh").as("sh_b") :+ col("__nd").as("nd_b"): _*)
+      col("__shd").as("shd_b") :+ col("__nd").as("nd_b"): _*)
     // Size prefilter (set-similarity-join standard): J(A,B) ≤ min/max of the
     // distinct-set sizes, so pairs whose size ratio is already below the
     // threshold are pruned BEFORE the expensive intersection — results are
@@ -84,9 +89,18 @@ object Dedup {
     val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) &&
       (a("id_a") < b("id_b")) && sizeOk
     a.join(b, joinCond)
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccardPreDistinct(col("shd_a"), col("shd_b"), col("nd_a"), col("nd_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Jaccard over PRE-DISTINCT sets with precomputed sizes: one intersect
+    * per pair, lambda-bound so it evaluates once. */
+  private[dedup] def jaccardPreDistinct(da: Column, db: Column, na: Column, nb: Column): Column =
+    element_at(
+      transform(array(size(array_intersect(da, db))), inter =>
+        round(inter.cast("double") / (na + nb - inter), 6)),
+      1)
 }
 
 /** MinHash + LSH near-duplicate detection: shingle → k min-hashes → band →
@@ -144,11 +158,16 @@ object MinHashLSH {
       maxBandSize: Long = 10000L): DataFrame = {
     val sigs = withSignatures(df, textColName, k)
     val cands = candidatePairs(sigs, idCol, k, bandSize, maxBandSize)
+    // hydrate candidates with pre-distinct shingle sets: one intersect per
+    // verified pair (see jaccardPreDistinct)
     val sh = df.select(col(idCol), Dedup.shingles(textColName).as("__sh"))
+      .select(col(idCol), array_distinct(col("__sh")).as("__shd"))
+      .withColumn("__nd", size(col("__shd")))
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .join(sh.select(col(idCol).as("id_a"), col("__shd").as("shd_a"), col("__nd").as("nd_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shd").as("shd_b"), col("__nd").as("nd_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardPreDistinct(col("shd_a"), col("shd_b"), col("nd_a"), col("nd_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }
