@@ -144,7 +144,7 @@ case class VecDistanceQuant(left: Expression, right: Expression,
       val fb = if (right.foldable) {
         Option(right.eval(null)) match {
           case Some(arr) =>
-            ctx.addReferenceObj("qvecQ", arr.asInstanceOf[ArrayData].toFloatArray, "float[]")
+            ctx.addReferenceObj("qvecQ", arr.asInstanceOf[ArrayData].toFloatArray(), "float[]")
           case None => null
         }
       } else null

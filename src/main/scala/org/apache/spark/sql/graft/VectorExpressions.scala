@@ -58,7 +58,7 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
     * 100 TB. The row side is bulk-copied (`toFloatArray` = one memcpy for
     * unsafe arrays), turning the kernel into a vectorizable float[] loop. */
   private def hoisted(e: Expression): Option[Array[Float]] =
-    if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray) else None
+    if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray()) else None
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
