@@ -75,16 +75,61 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF cell assignment: nearest centroid per row (centroids broadcast,
-    * one scan, windowed argmin). Output: df columns + `cell`. */
+  /** IVF cell assignment: nearest centroid per row via the single-loop
+    * [[graft.functions.arg_min_distance]] kernel (rounded-distance argmin,
+    * lowest cid on ties — semantics pinned against the per-centroid
+    * `array_min(array(struct(round(dist),cid)…))` formulation, which this
+    * replaces because it falls out of codegen past a few dozen centroids).
+    * Output: df columns + `cell`. */
   def ivfAssign(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Long, Array[Float])], metric: String = "euclidean"): DataFrame = {
-    val cellDist: Seq[Column] = centroids.map { case (cid, cvec) =>
-      struct(round(distance(col(vecCol), lit(cvec), metric), 6).as("d"), lit(cid).as("cid"))
+      centroids: Seq[(Long, Array[Float])], metric: String = "euclidean"): DataFrame =
+    df.withColumn("cell", arg_min_distance(col(vecCol), centroids, metric))
+
+  /** Distributed k-means (Lloyd) centroid training for the IVF layout,
+    * seeded from the k pk-smallest rows (deterministic). Each iteration is
+    * one assignment scan (the argmin kernel) + one (cell, dim) partial
+    * aggregation — shuffle traffic is partitions × k × dim, independent of
+    * row count, so 2-3 iterations are cheap even at corpus scale. Empty
+    * cells keep their previous centroid. Cosine centroids are re-normalized
+    * (spherical k-means; stored vectors live on the unit sphere).
+    *
+    * Centroid VALUES depend on float summation order (partitioning), so
+    * training is not bit-deterministic across cluster layouts — consumers
+    * persist the trained codebook (the catalog's sidecar) rather than
+    * re-deriving it. */
+  def trainCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      metric: String = "euclidean", iterations: Int = 2): Seq[(Long, Array[Float])] = {
+    val seed = df.orderBy(col(idCol).asc).limit(k)
+      .select(vecCol).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
+    if (seed.isEmpty) return seed
+    (0 until iterations).foldLeft(seed) { (cents, _) =>
+      val sums = ivfAssign(df.select(col(vecCol)), idCol, vecCol, cents, metric)
+        .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Long]("cell"))
+      cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case None => (cid, old) // empty cell: keep previous centroid
+          case Some(rows) =>
+            val mean = new Array[Float](old.length)
+            rows.foreach { r =>
+              mean(r.getAs[Int]("pos")) =
+                (r.getAs[Double]("s") / r.getAs[Long]("n")).toFloat
+            }
+            (cid, if (metric == "cosine") normalizeLocal(mean) else mean)
+        }
+      }
     }
-    // array_min over (dist, cid) structs = argmin with deterministic cid tiebreak
-    df.withColumn("cell", array_min(array(cellDist: _*)).getField("cid"))
+  }
+
+  private def normalizeLocal(a: Array[Float]): Array[Float] = {
+    var acc = 0.0; a.foreach(x => acc += x.toDouble * x.toDouble)
+    val norm = math.sqrt(acc)
+    if (norm == 0.0) a else a.map(x => (x / norm).toFloat)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to the query, scan

@@ -79,6 +79,8 @@ case class CollectionMeta(
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
   require(Set("none", "f16", "bf16", "f8").contains(quantization), s"unknown quantization: $quantization")
   require(fields.count(_.primaryKey) <= 1, "at most one primary key")
+  require(ivfCells.isEmpty || !fields.exists(_.isVector),
+    "ivfCells is not supported on multi-vector collections (flush would not build the IVF layout)")
   fields.find(f => f.primaryKey && f.fieldType != "string").foreach { f =>
     // pk must be a string (edge_analyzer.go:46-52)
     throw new IllegalArgumentException(s"primary key ${f.name} must be of type string")

@@ -45,6 +45,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
   private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
   private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
   private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
+  private def claimPath(name: String, v: Int) = new Path(s"$root/$name/v$v.claim")
 
   // ---- DDL ----
 
@@ -132,13 +133,16 @@ class GraftCatalog(spark: SparkSession, root: String) {
   }
 
   /** Delete rows matching a conjunctive filter (P5). Schema-less
-    * collections route the same AST through the coerced-map semantics. */
+    * collections route the same AST through the coerced-map semantics.
+    * Rows where the predicate is NULL (filtered key absent from the meta
+    * map, NULL in a nullable column) SURVIVE — only strictly-true matches
+    * are deleted, per the index semantics "absent key = no postings". */
   def delete(name: String, filter: FilterExpr): Unit = {
     val meta = getMeta(name)
     val next =
       if (meta.isSchemaless)
-        loadedOrThrow(name).where(!graft.core.CoreMeta.filterColumn(
-          col(CollectionMeta.MetaCol), col(meta.idColumn), filter))
+        loadedOrThrow(name).where(!(graft.core.CoreMeta.filterColumn(
+          col(CollectionMeta.MetaCol), col(meta.idColumn), filter) <=> lit(true)))
       else Mutations.deleteWhere(loadedOrThrow(name), filter)
     rebind(name, next)
   }
@@ -178,52 +182,103 @@ class GraftCatalog(spark: SparkSession, root: String) {
     prev.foreach(_.unpersist(false))
   }
 
-  /** Persist the in-memory state as a new snapshot version (S7 Flush). */
+  /** Persist the in-memory state as a new snapshot version (S7 Flush).
+    *
+    * Concurrent-writer safety: data is staged under a unique temp dir, then
+    * CLAIMED via an atomic directory rename onto `v<N>` — Hadoop `rename`
+    * fails when the destination exists, so of two drivers flushing the same
+    * collection exactly one wins; the loser deletes its staging dir and
+    * throws [[GraftCatalog.ConcurrentFlushException]] without orphaning a
+    * version. The snapshot is also re-read BEFORE the meta swap, so a broken
+    * write can never become the published current version. */
   def flush(name: String): Int = {
     val meta = getMeta(name)
     val df = loadedOrThrow(name)
     val v = meta.currentVersion + 1
+    val staging = new Path(colDir(name),
+      s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    val stagingData = new Path(staging, "data")
+    val stagingCentroids = new Path(staging, "centroids")
+    var wroteCentroids = false
     meta.ivfCells match {
       case Some(k) if !meta.isMultiVector =>
         // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
-        // §2.1 S4 / §7): assign each row to its nearest seed centroid and
+        // §2.1 S4 / §7): assign each row to its nearest centroid and
         // write the snapshot PARTITIONED BY CELL, so probed searches become
         // directory-pruned scans — at 100 TB only nprobe/k of the files are
-        // even opened. Centroids are the k pk-smallest rows (deterministic);
-        // they live in a tiny sidecar read once per search.
+        // even opened. Centroids are k-means-refined from a deterministic
+        // pk-ordered seed (Ann.trainCentroids); they live in a tiny sidecar
+        // read once per search.
         val pk = meta.idColumn
         val decoded = meta.quantization match {
           case "none" => col(VectorCol)
           case q      => dequantize(col(VectorCol), q)
         }
-        val centroids = df.withColumn(GraftCatalog.SearchVecCol, decoded)
-          .orderBy(col(pk).asc).limit(k)
-          .select(GraftCatalog.SearchVecCol).collect()
-          .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
-        val assigned = graft.ann.Ann.ivfAssign(
-            df.withColumn(GraftCatalog.SearchVecCol, decoded),
-            pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
-          .withColumnRenamed("cell", GraftCatalog.CellCol)
-          .drop(GraftCatalog.SearchVecCol)
-        assigned.write.partitionBy(GraftCatalog.CellCol)
-          .mode("overwrite").parquet(versionDir(name, v).toString)
-        import spark.implicits._
-        centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
-          .coalesce(1).write.mode("overwrite").parquet(centroidDir(name, v).toString)
+        val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+        val centroids = graft.ann.Ann.trainCentroids(
+          withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance)
+        if (centroids.isEmpty) {
+          // empty collection: partitionBy would write a schemaless dir that
+          // fails to re-read — fall back to the unpartitioned layout
+          df.write.mode("overwrite").parquet(stagingData.toString)
+        } else {
+          val assigned = graft.ann.Ann.ivfAssign(
+              withVec, pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
+            .withColumnRenamed("cell", GraftCatalog.CellCol)
+            .drop(GraftCatalog.SearchVecCol)
+          assigned.write.partitionBy(GraftCatalog.CellCol)
+            .mode("overwrite").parquet(stagingData.toString)
+          import spark.implicits._
+          centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
+            .coalesce(1).write.mode("overwrite").parquet(stagingCentroids.toString)
+          wroteCentroids = true
+        }
       case _ =>
-        df.write.mode("overwrite").parquet(versionDir(name, v).toString)
+        df.write.mode("overwrite").parquet(stagingData.toString)
     }
+    // Atomic claim of the version slot: exclusive create of `v<N>.claim` —
+    // the filesystem CAS primitive (O_EXCL locally, exclusive create on
+    // HDFS; `rename` is NOT a CAS — onto an existing dir it moves-into).
+    // Re-check the meta version after claiming so a flush that raced an
+    // already-committed one still backs out. A writer that claims and then
+    // hard-crashes leaves the claim behind, blocking further flushes like a
+    // stale lock file — remove `v<N>.claim` manually to recover (all
+    // non-crash failure paths below clean it up).
+    val claim = claimPath(name, v)
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed || getMeta(name).currentVersion >= v) {
+      if (claimed) fs.delete(claim, false)
+      fs.delete(staging, true)
+      throw new GraftCatalog.ConcurrentFlushException(
+        s"collection $name: version $v was claimed by a concurrent flush")
+    }
+    fs.rename(stagingData, versionDir(name, v))
+    if (wroteCentroids) fs.rename(stagingCentroids, centroidDir(name, v))
+    fs.delete(staging, true)
+    // Validate + re-anchor BEFORE publishing: the read inspects footers, so
+    // an unreadable snapshot aborts here with the meta still on the old
+    // version. The IVF cell partition column is layout, not data — dropped
+    // from the resident view.
+    val reread =
+      try dropCellCol(spark.read.parquet(versionDir(name, v).toString))
+      catch { case e: Throwable =>
+        fs.delete(versionDir(name, v), true)
+        fs.delete(centroidDir(name, v), true)
+        fs.delete(claimPath(name, v), false)
+        throw e
+      }
     writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
     if (!meta.versioning && meta.currentVersion > 0) {
       fs.delete(versionDir(name, meta.currentVersion), true)
       fs.delete(centroidDir(name, meta.currentVersion), true)
+      fs.delete(claimPath(name, meta.currentVersion), false)
     }
     // Re-anchor residency on the written snapshot: lineage collapses to a
-    // parquet scan and the pre-flush cached copy is released. The IVF cell
-    // partition column is layout, not data — dropped from the resident view.
+    // parquet scan and the pre-flush cached copy is released.
     val prev = loaded.get(name)
-    loaded(name) = dropCellCol(spark.read.parquet(versionDir(name, v).toString))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    loaded(name) = reread.persist(StorageLevel.MEMORY_AND_DISK)
     prev.foreach(_.unpersist(false))
     mutationCount(name) = 0
     v
@@ -254,6 +309,7 @@ class GraftCatalog(spark: SparkSession, root: String) {
       .map { v =>
         fs.delete(versionDir(name, v), true)
         fs.delete(centroidDir(name, v), true)
+        fs.delete(claimPath(name, v), false)
         v
       }
   }
@@ -327,6 +383,11 @@ class GraftCatalog(spark: SparkSession, root: String) {
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(queryVector.length == meta.dim,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    if (!fs.exists(centroidDir(name, meta.currentVersion))) {
+      // collection was flushed empty → unpartitioned fallback, no sidecar
+      import spark.implicits._
+      return Seq.empty[(String, Long, Double)].toDF(meta.idColumn, "cell", "dist")
+    }
     val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
       .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
@@ -399,6 +460,10 @@ object GraftCatalog {
   /** Info RPC payload (A2): row count + snapshot bytes + residency. */
   case class CollectionInfo(name: String, rows: Long, sizeBytes: Long,
                             version: Int, loaded: Boolean)
+
+  /** Thrown by the flush that loses an atomic version-claim race; the
+    * loser's staging data is already cleaned up when this escapes. */
+  class ConcurrentFlushException(msg: String) extends RuntimeException(msg)
 
   private val SearchVecCol = "__searchvec"
 

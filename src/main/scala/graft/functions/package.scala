@@ -25,6 +25,16 @@ package object functions {
 
   def l2_norm(v: Column): Column = column(VecL2Norm(expression(v)))
 
+  /** IVF assignment kernel: cid of the nearest centroid (rounded-distance
+    * argmin, lowest cid on ties). One constant-size codegen loop over the
+    * embedded codebook — stays in whole-stage codegen at k=4096 where the
+    * per-centroid expression expansion would fall back to interpreted eval. */
+  def arg_min_distance(v: Column, centroids: Seq[(Long, Array[Float])], metric: String): Column = {
+    val sorted = centroids.sortBy(_._1)
+    column(VecArgMinDistance(expression(v),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, metric))
+  }
+
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 

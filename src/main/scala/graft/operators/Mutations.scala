@@ -27,9 +27,14 @@ object Mutations {
     base.join(updates.select(col(pk)), Seq(pk), "left_anti").unionByName(updates)
 
   /** Delete rows matching a (typically conjunctive-EQ) filter
-    * (/root/reference/edge/none_vectorstore.go:105-127); returns survivors. */
+    * (/root/reference/edge/none_vectorstore.go:105-127); returns survivors.
+    *
+    * A row is deleted only when the predicate is STRICTLY TRUE: on rows where
+    * it evaluates to NULL (a nullable column holding NULL, a map missing the
+    * key) `where(!pred)` would silently drop the row too — `<=> true` keeps
+    * it, matching the bitmap index's "absent key = no postings = no match". */
   def deleteWhere(df: DataFrame, filter: FilterExpr): DataFrame =
-    df.where(!filter.toColumn)
+    df.where(!(filter.toColumn <=> lit(true)))
 
   /** Delete by explicit key set (core Delete RPC path,
     * /root/reference/core/core.go:537-565): anti-join on the pk — the small
@@ -40,11 +45,18 @@ object Mutations {
   /** Last-writer-wins compaction of a change feed: keep, per key, the row
     * with the highest version/timestamp column — the JetStream LWW
     * replication semantics of the reference's README (SURVEY.md §2.9),
-    * expressed as max_by aggregation (no window, single shuffle on pk). */
+    * expressed as max_by aggregation (no window, single shuffle on pk).
+    *
+    * Version ties break deterministically on the `op` column when present
+    * ("put" > "del" — an equal-version put/delete pair resolves to the put on
+    * every path, batch or streamed). Rows equal on (version, op) but
+    * differing elsewhere have no defined winner: LWW convergence assumes
+    * versions identify writes; give concurrent writers distinct versions. */
   def latestByKey(changes: DataFrame, pk: String, versionCol: String): DataFrame = {
     val cols = changes.columns.filter(c => c != pk)
+    val ord = struct((versionCol +: Seq("op").filter(cols.contains)).map(col): _*)
     changes.groupBy(col(pk))
-      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col(versionCol)).as("_latest"))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("_latest"))
       .select(col(pk) +: cols.map(c => col(s"_latest.$c").as(c)).toIndexedSeq: _*)
   }
 }

@@ -55,18 +55,31 @@ object ChangeFeed {
     * into state and pushing the updated view to `onUpdate`.
     * `Trigger.AvailableNow` drains everything present then stops —
     * deterministic for tests and for catch-up replays; pass a processing-
-    * time trigger for a long-running watcher. */
+    * time trigger for a long-running watcher.
+    *
+    * Restart semantics: the folded state lives in this process, NOT in the
+    * checkpoint — the checkpoint only tracks which log files were consumed.
+    * Restarting against an existing `checkpointDir` therefore skips the
+    * already-processed files, and the fold must be re-seeded from durable
+    * state via `initialState` (e.g. the last flushed snapshot, or a view
+    * captured by the previous run's `onUpdate`). Omitting it with a fresh
+    * checkpoint dir replays the whole log — the two valid pairings. */
   def run(spark: SparkSession, logDir: String, schema: StructType,
           pk: String, versionCol: String, checkpointDir: String,
-          trigger: Trigger = Trigger.AvailableNow())(
+          trigger: Trigger = Trigger.AvailableNow(),
+          initialState: Option[DataFrame] = None,
+          onState: DataFrame => Unit = _ => ())(
           onUpdate: DataFrame => Unit): StreamingQuery = {
-    var state = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    var state = initialState.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     readLog(spark, logDir, schema).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         state = fold(state, batch, pk, versionCol).localCheckpoint(true)
+        // raw folded state INCLUDING tombstones — persist this (e.g. to
+        // parquet) to seed initialState across restarts
+        onState(state)
         onUpdate(view(state))
       }
       .start()

@@ -46,7 +46,10 @@ object EventStream {
     * updates each touched key's winner and emits it — the per-key state
     * formulation of [[ChangeFeed.fold]]'s relational merge, for consumers
     * that want a continuous update stream rather than folded snapshots.
-    * Deletes remain tombstoned in state (same no-resurrection guarantee). */
+    * Deletes remain tombstoned in state (same no-resurrection guarantee).
+    * Version ties break on op ("put" > "del"), matching
+    * [[graft.operators.Mutations.latestByKey]] so both paths converge to the
+    * same winner; ties equal on (version, op) assume identical payloads. */
   def statefulLww(changes: Dataset[ChangeRow]): Dataset[(String, KeyState)] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.id)
@@ -55,7 +58,7 @@ object EventStream {
         (id: String, rows: Iterator[ChangeRow], state: GroupState[KeyState]) =>
           val candidates = state.getOption.iterator ++
             rows.map(r => KeyState(r.op, r.version, r.payload))
-          val winner = candidates.maxBy(_.version)
+          val winner = candidates.maxBy(s => (s.version, s.op))
           state.update(winner)
           Iterator((id, winner))
       }

@@ -186,6 +186,154 @@ case class VecManhattanDistance(left: Expression, right: Expression) extends Bin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** arg_min_distance(v): id of the nearest centroid from an embedded
+  * (broadcast-sized) codebook — the IVF assignment kernel.
+  *
+  * The naive formulation `array_min(array(struct(round(dist(v,c0),6),cid0), …))`
+  * codegens one inlined distance expression PER CENTROID: fine at k=8, but at
+  * a realistic cell count (k≈√N, 256-4096) the generated method blows past
+  * JIT/codegen limits and Catalyst silently falls back to interpreted eval
+  * over a k-element struct array per row. This expression is ONE loop over a
+  * `float[][]` reference — constant codegen size in k, vectorizable inner
+  * loop, no per-row allocation.
+  *
+  * Semantics are IDENTICAL to the naive form (pinned by AnnSpec): the
+  * comparison is on `round(dist, 6)` (Spark's HALF_UP `BigDecimal` rounding)
+  * with the LOWEST cid winning ties. Rounding is evaluated lazily — only when
+  * a candidate lands within 1e-6 of the current best can rounding change the
+  * outcome (|round6(d) − d| ≤ 5e-7), so the hot path is a plain double
+  * compare and the BigDecimal cost is paid O(1) times per row.
+  *
+  * `cids`/`cents` must be sorted by cid ascending (enforced by the caller)
+  * so "first strictly-smaller wins" == "lowest cid wins ties". */
+case class VecArgMinDistance(child: Expression, cids: Array[Long],
+                             cents: Array[Array[Float]], metric: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cids.length == cents.length && cids.nonEmpty, "empty or mismatched codebook")
+  require(Set("cosine", "euclidean", "manhattan", "dot").contains(metric),
+    s"unknown metric: $metric")
+  override def prettyName: String = "arg_min_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dist(a: Array[Float], c: Array[Float]): Double = metric match {
+    case "euclidean" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    case "manhattan" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += math.abs(a(i).toDouble - c(i).toDouble); i += 1 }
+      acc
+    case "cosine" =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+    case "dot" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i).toDouble; i += 1 }
+      -acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var best = 0
+    var bestR = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      if (cents(c).length != a.length)
+        throw new IllegalArgumentException(
+          s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
+      val d = dist(a, cents(c))
+      if (d < bestR + 1e-6) { // only here can rounding change the ordering
+        val rd = round6(d)
+        if (rd < bestR) { bestR = rd; best = c }
+      }
+      c += 1
+    }
+    cids(best)
+  }
+
+  /** Per-metric inner-loop body: distance of float[] `a` vs centroid row
+    * `cc`, assigned to declared double `d`. Accumulators are fresh-named —
+    * nested Java blocks cannot shadow outer locals. */
+  private def distCode(ctx: CodegenContext, a: String, cc: String, n: String,
+                       i: String, d: String): String = {
+    val acc = ctx.freshName("acc")
+    metric match {
+      case "euclidean" =>
+        s"""double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final double t = (double) $a[$i] - (double) $cc[$i];
+           |  $acc += t * t;
+           |}
+           |$d = Math.sqrt($acc);""".stripMargin
+      case "manhattan" =>
+        s"""double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += Math.abs((double) $a[$i] - (double) $cc[$i]);
+           |}
+           |$d = $acc;""".stripMargin
+      case "cosine" =>
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final double x = (double) $a[$i];
+           |  final double y = (double) $cc[$i];
+           |  $acc += x * y; $na += x * x; $nb += y * y;
+           |}
+           |$d = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
+      case "dot" =>
+        s"""double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a[$i] * (double) $cc[$i];
+           |}
+           |$d = -$acc;""".stripMargin
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val a = ctx.freshName("a"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val rd = ctx.freshName("rd")
+      val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
+      val cc = ctx.freshName("cc")
+      s"""
+         |final float[] $a = $v.toFloatArray();
+         |final int $n = $a.length;
+         |int $best = 0;
+         |double $bestR = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  final float[] $cc = $centsRef[$c];
+         |  if ($cc.length != $n) {
+         |    throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $cc.length);
+         |  }
+         |  double $d;
+         |  {
+         |    ${distCode(ctx, a, cc, n, i, d)}
+         |  }
+         |  if ($d < $bestR + 1e-6) {
+         |    final double $rd = java.math.BigDecimal.valueOf($d)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    if ($rd < $bestR) { $bestR = $rd; $best = $c; }
+         |  }
+         |}
+         |${ev.value} = $cidsRef[$best];
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** l2_norm(v) = √Σvᵢ² */
 case class VecL2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "l2_norm"

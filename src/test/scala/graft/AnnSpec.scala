@@ -69,6 +69,44 @@ class AnnSpec extends SparkSpec {
     assert(ivfAll === exact)
   }
 
+  test("arg_min_distance kernel matches the per-centroid struct-array argmin (all metrics)") {
+    val centroids = (0 until 8).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    Seq("euclidean", "cosine", "manhattan", "dot").foreach { metric =>
+      // the naive formulation the kernel replaces — kept here as the semantic pin
+      val naive = centroids.map { case (cid, cvec) =>
+        struct(round(graft.functions.distance(col("embedding"), lit(cvec), metric), 6).as("d"),
+          lit(cid).as("cid"))
+      }
+      val both = emb.select(col("vec_id"),
+          array_min(array(naive: _*)).getField("cid").as("naive_cell"),
+          graft.functions.arg_min_distance(col("embedding"), centroids, metric).as("kernel_cell"))
+        .where(col("naive_cell") =!= col("kernel_cell"))
+      assert(both.count() === 0L, s"kernel diverges from struct-array argmin on $metric")
+    }
+  }
+
+  test("trainCentroids: Lloyd iterations never increase assignment cost; clustered data improves") {
+    val centers = Seq(Array(0f, 0f, 50f), Array(50f, 0f, 0f), Array(0f, 50f, 0f))
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 40).map(j => (ci * 40L + j, c.map(x => x + (j % 5) - 2f).toSeq))
+    }
+    val df = rows.toDF("id", "v")
+    def cost(cents: Seq[(Long, Array[Float])]): Double = {
+      val byCid = cents.toMap
+      Ann.ivfAssign(df, "id", "v", cents)
+        .select(col("cell"), col("v")).collect().map { r =>
+          val c = byCid(r.getLong(0)); val v = r.getSeq[Float](1)
+          math.sqrt(v.zip(c).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum)
+        }.sum
+    }
+    val seed = df.orderBy(col("id").asc).limit(3)
+      .select("v").collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
+    val trained = Ann.trainCentroids(df, "id", "v", 3, "euclidean", iterations = 2)
+    assert(trained.length === 3)
+    assert(cost(trained) <= cost(seed) + 1e-6)
+  }
+
   test("ivfSearch with nprobe < cells keeps high recall vs exact (pruned scan)") {
     val centroids = (0 until 8).map(i =>
       (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq

@@ -71,4 +71,42 @@ class ChangeFeedSpec extends SparkSpec {
     val twice = ChangeFeed.fold(once, b, "id", "version")
     assert(collectView(ChangeFeed.view(once)) === collectView(ChangeFeed.view(twice)))
   }
+
+  test("equal-version put/del ties resolve to the put, identically in batch and stateful paths") {
+    val tied = changes(Seq(("del", "k", 7L, ""), ("put", "k", 7L, "k-kept")))
+    val batchWinner = ChangeFeed.batchApply(tied, "id", "version")
+    assert(collectView(batchWinner) === Map("k" -> "k-kept"))
+    // stateful formulation converges to the same winner
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val ds = Seq(
+      EventStream.ChangeRow("del", "k", 7L, ""),
+      EventStream.ChangeRow("put", "k", 7L, "k-kept")).toDS()
+    val stateful = EventStream.statefulLww(ds).collect().map(_._2)
+    assert(stateful.last === EventStream.KeyState("put", 7L, "k-kept"))
+  }
+
+  test("restart against an existing checkpoint resumes from persisted state (initialState)") {
+    val logDir = Files.createTempDirectory("graft-log3").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val stateDir = Files.createTempDirectory("graft-state3").toString
+    val schema = changes(batch1).schema
+
+    // run 1 consumes batches 1+2, persisting the raw state each batch
+    Seq(batch1, batch2).foreach(b => changes(b).write.mode(SaveMode.Append).parquet(logDir))
+    val q1 = ChangeFeed.run(spark, logDir, schema, "id", "version", ckpt,
+      onState = st => st.write.mode(SaveMode.Overwrite).parquet(stateDir))(_ => ())
+    q1.awaitTermination(120000)
+
+    // new changes arrive after the stop — c's tombstone (v5) must survive the restart
+    Seq(batch3).foreach(b => changes(b).write.mode(SaveMode.Append).parquet(logDir))
+
+    // run 2: same checkpoint (batches 1+2 are skipped) + persisted state
+    @volatile var last: Map[String, String] = Map.empty
+    val q2 = ChangeFeed.run(spark, logDir, schema, "id", "version", ckpt,
+      initialState = Some(spark.read.parquet(stateDir)),
+      onState = st => st.write.mode(SaveMode.Overwrite).parquet(stateDir))(v => last = collectView(v))
+    q2.awaitTermination(120000)
+    assert(last === expected, "restart with initialState must not lose prior history")
+  }
 }

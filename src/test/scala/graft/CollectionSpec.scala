@@ -67,6 +67,25 @@ class CollectionSpec extends SparkSpec {
     assert(cat.count("c3") === 100 - 10) // type==3 for i%10==3 → 10 victims
   }
 
+  test("delete on a nullable column: NULL rows survive (predicate not strictly true)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("cnull"))
+    cat.loadCollection("cnull")
+    // two rows with size set, one with size NULL (enableNull column, explicit null)
+    val df = Seq(
+      ("a", 1L, Some(5L), true, Seq(1f, 0f, 0f, 0f)),
+      ("b", 2L, Some(1L), true, Seq(0f, 1f, 0f, 0f)),
+      ("c", 3L, None: Option[Long], true, Seq(0f, 0f, 1f, 0f))
+    ).toDF("id", "type", "size", "expand", "vector")
+    cat.insert("cnull", df)
+    cat.delete("cnull", Single("size", FilterExpr.Gte, 2L))
+    val left = cat.search("cnull", Array(1f, 1f, 1f, 1f), 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    // a (size=5) deleted; b (size=1) survives; c (size=NULL) must survive too —
+    // the round-2 where(!pred) dropped NULL rows
+    assert(left === Set("b", "c"))
+  }
+
   test("upsert by pk keeps count stable and replaces metadata") {
     val cat = newCatalog()
     cat.createCollection(meta("c4"))

@@ -79,6 +79,15 @@ class CoreMetaSpec extends SparkSpec {
     // delete through the coerced-map path
     cat.delete("c", Single("tag", Eq, "y"))
     assert(cat.count("c") === 2)
+    // delete on a key ABSENT from every surviving row: the predicate is NULL
+    // there, and NULL-matched rows must SURVIVE (absent key = no postings =
+    // not matched) — the round-2 bug deleted them
+    cat.delete("c", Single("no_such_key", Gte, 0))
+    assert(cat.count("c") === 2, "rows lacking the filtered key must survive a delete")
+    // mixed presence: add a row carrying the key, delete on it — only that row goes
+    cat.insert("c", Seq(("d", Seq(4f, 0f), 1L)).toDF("_id", "vector", "no_such_key"))
+    cat.delete("c", Single("no_such_key", Gte, 0))
+    assert(cat.count("c") === 2, "only the row carrying the key matches the delete")
     // declared fields on a schemaless collection are rejected
     intercept[IllegalArgumentException] {
       CollectionMeta("bad", dim = 2, schemaless = Some(true),
