@@ -21,7 +21,8 @@ object SparkEntry {
       FilterSearchQueries.queries ++
       QuantizedQueries.queries ++
       PersistenceQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      LifecycleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       FilterSearchQueries.oracles ++
       QuantizedQueries.oracles ++
       PersistenceQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      LifecycleQueries.oracles
 }

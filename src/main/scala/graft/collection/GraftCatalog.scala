@@ -109,6 +109,11 @@ class GraftCatalog(spark: SparkSession, root: String) {
     mutationCount.remove(name)
   }
 
+  /** The current RESIDENT state (mutations applied, possibly unflushed) —
+    * unlike [[loadCollection]], which re-anchors on the latest snapshot.
+    * Fails if the collection is not loaded. */
+  def resident(name: String): DataFrame = loadedOrThrow(name)
+
   /** The reference's ErrCollectionNotLoad behavior (edge/constants.go:30,
     * authorization check edge/edge_helper.go:75-83). */
   private def loadedOrThrow(name: String): DataFrame =

@@ -42,6 +42,20 @@ package object functions {
     * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
   def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))
 
+  /** FNV-1a 64 of a string column — the reference's exact hash family
+    * (pkg/sharding/shard.go:34-41); engine-independent, oracle-replicable. */
+  def fnv64(c: Column): Column = column(Fnv64(expression(c)))
+
+  /** Reference-parity shard routing: FNV-1a-64 mod `shards`
+    * (ShardVertexV2, pkg/sharding/shard.go:43-48). `shards` must be a power
+    * of two (the reference uses EDGE_MAP_SHARD_COUNT=16) so the unsigned mod
+    * is a low-bit mask — identical on the signed representation in any
+    * engine. */
+  def fnv_shard(c: Column, shards: Int): Column = {
+    require(shards > 0 && (shards & (shards - 1)) == 0, "shards must be a power of two")
+    fnv64(c).bitwiseAND(F.lit((shards - 1).toLong))
+  }
+
   /** F10: commit-id generation (reference edge/id_generator.go +
     * pkg/snowflake — timestamp|node|sequence uint64). Spark's
     * monotonically_increasing_id IS the snowflake shape (partition id in

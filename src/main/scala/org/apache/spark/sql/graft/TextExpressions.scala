@@ -26,3 +26,23 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** fnv64(s): FNV-1a 64-bit hash of a string's UTF-8 bytes — the reference's
+  * id/shard hash family (/root/reference/pkg/sharding/shard.go:34-48).
+  * Deterministic and engine-independent (the DuckDB oracle reproduces it in
+  * HUGEINT arithmetic), so ids derived from it are replayable. */
+case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "fnv64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.fnv1a64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.fnv1a64($a.getBytes());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
