@@ -51,35 +51,52 @@ object Dedup {
        |       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
        |  ELSE array($textColName) END)[0]""".stripMargin)
 
+  /** Deterministic sub-bucket salt for hot-key splitting: 0 when the
+    * bucket is within `cap`, else FNV-1a(bucketKey|id) (sign-masked) mod
+    * ceil(√m) — engine-independent, so any oracle can replicate it. Seeding
+    * with the bucket key makes each hot band/block bucket its members
+    * DIFFERENTLY, so a doc landing in a thin sub-bucket of one band still
+    * meets companions in the others. */
+  private[dedup] def subBucketSalt(id: Column, bucketKey: Column,
+                                   bucketN: Column, cap: Long): Column =
+    when(bucketN <= cap, lit(0L))
+      .otherwise(pmod(
+        graft.functions.fnv64(concat_ws("|", bucketKey.cast("string"), id.cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)),
+        ceil(sqrt(bucketN)).cast("long")))
+
   /** Pairwise n-gram Jaccard within blocking keys (e.g. same lang+source):
     * the classic blocked-comparison shape — cross product only inside each
     * block, which AQE keeps balanced; block choice bounds the quadratic
-    * term. Blocks larger than `maxBlockSize` are SKIPPED (their members
-    * produce no pairs): inside a block the work is |block|², so one hot key
-    * — an empty-string lang, a megasite source — would otherwise dominate
-    * the whole job at corpus scale. The count pre-pass shuffles on the same
-    * block key the join needs, so it adds no new partitioning. Emits pairs
-    * with jaccard ≥ threshold. */
+    * term. Inside a block the work is |block|², so one hot key — an
+    * empty-string lang, a megasite source — would otherwise dominate the
+    * whole job at corpus scale: blocks over `maxBlockSize` are split into
+    * ceil(√m) deterministic sub-buckets (pairs form within a sub-bucket;
+    * see [[subBucketSalt]]), and blocks past maxBlockSize² are dropped as
+    * the final backstop. The count pre-pass shuffles on the same block key
+    * the join needs, so it adds no new partitioning. Emits pairs with
+    * jaccard ≥ threshold. */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textColName: String,
       blockCols: Seq[String], threshold: Double,
       maxBlockSize: Long = 10000L): DataFrame = {
     val withSh0 = df.select(
       (col(idCol) +: blockCols.map(col)) :+ shingles(textColName).as("__sh"): _*)
-    val okBlocks = withSh0.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBlockSize)
-      .select(blockCols.map(col): _*)
+    val counts = withSh0.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__bn"))
     // Pre-distinct the shingle sets and their sizes ONCE PER ROW: the
     // pairwise evaluation then needs exactly one set operation (the
     // intersect) — semantics unchanged (intersect of distinct sets =
     // distinct intersect; sizes match the generic jaccard's denominators).
-    val withSh = withSh0.join(okBlocks, blockCols, "left_semi")
+    val withSh = withSh0.join(counts, blockCols)
+      .where(col("__bn") <= lit(maxBlockSize) * lit(maxBlockSize))
+      .withColumn("__salt", subBucketSalt(col(idCol),
+        concat_ws("|", blockCols.map(c => col(c).cast("string")): _*), col("__bn"), maxBlockSize))
       .withColumn("__shd", array_distinct(col("__sh")))
       .withColumn("__nd", size(col("__shd")))
-    val a = withSh.select(col(idCol).as("id_a") +: blockCols.map(c => col(c)) :+
-      col("__shd").as("shd_a") :+ col("__nd").as("nd_a"): _*)
-    val b = withSh.select(col(idCol).as("id_b") +: blockCols.map(c => col(c).as(s"${c}_b")) :+
-      col("__shd").as("shd_b") :+ col("__nd").as("nd_b"): _*)
+    val a = withSh.select(col(idCol).as("id_a") +: col("__salt").as("salt_a") +:
+      blockCols.map(c => col(c)) :+ col("__shd").as("shd_a") :+ col("__nd").as("nd_a"): _*)
+    val b = withSh.select(col(idCol).as("id_b") +: col("__salt").as("salt_b") +:
+      blockCols.map(c => col(c).as(s"${c}_b")) :+ col("__shd").as("shd_b") :+ col("__nd").as("nd_b"): _*)
     // Size prefilter (set-similarity-join standard): J(A,B) ≤ min/max of the
     // distinct-set sizes, so pairs whose size ratio is already below the
     // threshold are pruned BEFORE the expensive intersection — results are
@@ -87,7 +104,7 @@ object Dedup {
     val sizeOk = least(a("nd_a"), b("nd_b")).cast("double") >=
       lit(threshold) * greatest(a("nd_a"), b("nd_b"))
     val joinCond = blockCols.map(c => a(c) === b(s"${c}_b")).reduce(_ && _) &&
-      (a("id_a") < b("id_b")) && sizeOk
+      (a("salt_a") === b("salt_b")) && (a("id_a") < b("id_b")) && sizeOk
     a.join(b, joinCond)
       .select(col("id_a"), col("id_b"),
         jaccardPreDistinct(col("shd_a"), col("shd_b"), col("nd_a"), col("nd_b")).as("jaccard"))
@@ -128,12 +145,18 @@ object MinHashLSH {
     * (k/bandSize bands of `bandSize` signature values). One explode + one
     * equi-join shuffle on the band key.
     *
-    * Hot-band guard: a band shared by m documents yields m² candidate pairs
-    * — one mass-duplicated boilerplate string can turn a single bucket
-    * quadratic at corpus scale. Bands with more than `maxBandSize` members
-    * are dropped (their pairs are overwhelmingly caught by the remaining
-    * bands or by exact dedup first; the cap is a documented recall trade).
-    * The count pre-pass shuffles on the band key the join already needs. */
+    * Hot-band salting: a band shared by m documents yields m² candidate
+    * pairs — one mass-duplicated boilerplate string can turn a single
+    * bucket quadratic at corpus scale, and at 100 TB that boilerplate is
+    * exactly what dedup exists to remove, so dropping the band (the round-2
+    * behavior) silently kept every copy. Bands over `maxBandSize` members
+    * are instead split into ceil(√m) deterministic sub-buckets (FNV-1a of
+    * the id — engine-independent) and pairs form only within a sub-bucket:
+    * per-band work drops from m² to m^1.5 while every member still meets
+    * ~√m of its fellow duplicates, which is what duplicate-group detection
+    * needs. Bands past maxBandSize² (whose sub-buckets would again exceed
+    * the cap) are dropped — the final backstop. The count pre-pass shuffles
+    * on the band key the join already needs. */
   def candidatePairs(sigs: DataFrame, idCol: String, k: Int, bandSize: Int,
                      maxBandSize: Long = 10000L): DataFrame = {
     require(k % bandSize == 0, "k must be divisible by bandSize")
@@ -142,12 +165,14 @@ object MinHashLSH {
       concat_ws(":", lit(b.toString) +: parts: _*)
     }
     val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
-    val okBands = exploded.groupBy("band").agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") <= maxBandSize).select("band")
-    val bounded = exploded.join(okBands, Seq("band"), "left_semi")
-    val l = bounded.select(col(idCol).as("id_a"), col("band"))
-    val r = bounded.select(col(idCol).as("id_b"), col("band"))
-    l.join(r, Seq("band")).where(col("id_a") < col("id_b"))
+    val counts = exploded.groupBy("band").agg(count(lit(1)).as("__bn"))
+    val salted = exploded.join(counts, Seq("band"))
+      .where(col("__bn") <= lit(maxBandSize) * lit(maxBandSize))
+      .withColumn("__salt",
+        Dedup.subBucketSalt(col(idCol), col("band"), col("__bn"), maxBandSize))
+    val l = salted.select(col(idCol).as("id_a"), col("band"), col("__salt"))
+    val r = salted.select(col(idCol).as("id_b"), col("band"), col("__salt"))
+    l.join(r, Seq("band", "__salt")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 

@@ -162,6 +162,25 @@ object PipelineQueries {
       pm.select("doc_id", "n_bytes", "head_byte").join(feats, "doc_id")
         .select(col("doc_id") +: col("n_bytes") +: col("head_byte") +: fCols: _*)
         .orderBy("doc_id")
+    }),
+    // REAL image codec path: synthetic PNGs (pixel formula seeded by
+    // doc_id) encoded and decoded through javax.imageio inside the
+    // per-partition decoder seam; the oracle recomputes the pixel stats
+    // analytically from the same formula — PNG is lossless, so a hash match
+    // proves the actual encode→decode→featurize chain is exact.
+    "image_features" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id").where(col("doc_id") < 200)
+      val imgs = Multimodal.withSyntheticImages(d, "doc_id")
+      val feats = Multimodal.extractWith(imgs, "doc_id", "payload",
+        new Multimodal.ImageStatsDecoder)
+      feats.where(col("decode_ok"))
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          round(element_at(col("features"), 3), 6).as("mean_r"),
+          round(element_at(col("features"), 4), 6).as("mean_g"),
+          round(element_at(col("features"), 5), 6).as("mean_b"))
+        .orderBy("doc_id")
     })
   )
 
@@ -377,6 +396,17 @@ object PipelineQueries {
          |SELECT doc_id, n_bytes, CAST(bs[1] AS BIGINT) AS head_byte,
          |  $fCols
          |FROM bytes ORDER BY doc_id""".stripMargin
-    }
+    },
+    "image_features" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+        |  FROM d, range(0, 16) tx(x), range(0, 14) ty(y)
+        |  WHERE tx.x < w AND ty.y < h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  ROUND(AVG((x*7 + y*13 + doc_id) % 256), 6) AS mean_r,
+        |  ROUND(AVG((x*3 + y*5 + 2*doc_id) % 256), 6) AS mean_g,
+        |  ROUND(AVG((x*11 + y + 3*doc_id) % 256), 6) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   )
 }

@@ -58,33 +58,68 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0).toSeq === sigs(1).toSeq)
   }
 
-  test("hot-band cap: oversized bands are dropped, rest unaffected") {
+  test("hot bands are SALTED into sub-buckets: duplicates still found, work bounded") {
     import spark.implicits._
     // 30 identical docs = one white-hot band family; 2 near-dups elsewhere
     val hot = (1 to 30).map(i => (100L + i, "mass produced boilerplate text block"))
     val pair = Seq((1L, "the quick brown fox jumps today"), (2L, "the quick brown fox jumps tonight"))
     val corpus = (hot ++ pair).toDF("id", "text")
-    val capped = MinHashLSH.nearDuplicates(corpus, "id", "text",
+    val salted = MinHashLSH.nearDuplicates(corpus, "id", "text",
       k = 8, bandSize = 2, threshold = 0.4, maxBandSize = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped.contains((1L, 2L)))                        // small band survives
-    assert(!capped.exists { case (a, b) => a > 100L && b > 100L }) // hot band dropped
-    // default cap keeps them (30 < 10000)
+    assert(salted.contains((1L, 2L)))                        // small band unaffected
+    val hotPairs = salted.filter { case (a, b) => a > 100L && b > 100L }
+    // round-2 dropped the band entirely (zero pairs); salting keeps every
+    // copy linked into the duplicate group through its sub-bucket …
+    val covered = hotPairs.flatMap { case (a, b) => Seq(a, b) }
+    assert(covered === hot.map(_._1).toSet, "every hot-band doc must appear in some pair")
+    // … while doing strictly less than the full m² work
+    assert(hotPairs.size < 30 * 29 / 2, "salting must not degenerate to all-pairs")
+    // default cap: 30 < 10000, no salting, full pair set
     val uncapped = MinHashLSH.nearDuplicates(corpus, "id", "text", threshold = 0.4)
       .where(col("id_a") > 100).count()
     assert(uncapped === 30L * 29 / 2)
   }
 
-  test("block-size cap: oversized blocks produce no pairs") {
+  test("bands past maxBandSize² are dropped — the final backstop") {
     import spark.implicits._
-    val big = (1 to 20).map(i => (i.toLong, s"some shared text plus word$i", "en", "hot"))
+    val hot = (1 to 12).map(i => (100L + i, "mass produced boilerplate text block"))
+    val corpus = (hot :+ (1L, "the quick brown fox jumps today")).toDF("id", "text")
+    // cap 3 → backstop at 9 members; 12 > 9 → dropped entirely
+    val pairs = MinHashLSH.nearDuplicates(corpus, "id", "text",
+      k = 8, bandSize = 2, threshold = 0.4, maxBandSize = 3)
+    assert(pairs.count() === 0L)
+  }
+
+  test("10k+-copy boilerplate: salted LSH still links every copy (round-2 dropped them all)") {
+    import spark.implicits._
+    val n = 10050 // just past the default 10000 cap
+    val corpus = (1 to n).map(i => (i.toLong, "mass produced boilerplate text block that repeats"))
+      .toDF("id", "text").repartition(8)
+    val sigs = MinHashLSH.withSignatures(corpus, "text", 8)
+    val cands = MinHashLSH.candidatePairs(sigs, "id", 8, 2) // default cap 10000 < n
+    val covered = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(covered === n.toLong, "every copy must appear in at least one candidate pair")
+    // bounded: ~m^1.5 pairs (within ceil(√m) sub-buckets), far below m²/2
+    val total = cands.count()
+    assert(total < n.toLong * n / 20, s"pair count $total suggests all-pairs degeneration")
+  }
+
+  test("hot blocks are salted in blockedJaccardPairs: big-block dups found, small block intact") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => (i.toLong, "some shared text block repeated verbatim", "en", "hot"))
     val small = Seq((100L, "the quick brown fox jumps today", "en", "cold"),
       (101L, "the quick brown fox jumps tonight", "en", "cold"))
     val corpus = (big ++ small).toDF("id", "text", "lang", "src")
     val pairs = Dedup.blockedJaccardPairs(corpus, "id", "text", Seq("lang", "src"),
       threshold = 0.1, maxBlockSize = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs === Set((100L, 101L))) // only the under-cap block compared
+    assert(pairs.contains((100L, 101L)))
+    val hotPairs = pairs.filter { case (a, b) => a < 100L && b < 100L }
+    assert(hotPairs.flatMap { case (a, b) => Seq(a, b) } === big.map(_._1).toSet,
+      "every hot-block doc must appear in some pair")
+    assert(hotPairs.size < 20 * 19 / 2)
   }
 
   test("nearDuplicates finds exact and one-word-off pairs, not unrelated docs") {

@@ -40,6 +40,47 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).forall(_ == 0.0f))
   }
 
+  test("REAL codec: javax.imageio decodes a generated PNG to exact pixel stats") {
+    // 2×2 image with known pixels via the deterministic generator at id=0:
+    // w=8, h=8, pixel formula — decode must reproduce the formula's means
+    val id = 0L
+    val bytes = Multimodal.syntheticPng(id)
+    val dec = new Multimodal.ImageStatsDecoder
+    dec.init()
+    val f = dec.decode(bytes).get
+    assert(f(0) === 8.0 && f(1) === 8.0) // w = 8 + 0%9, h = 8 + 0%7
+    val px = for (x <- 0 until 8; y <- 0 until 8) yield ((x * 7 + y * 13) % 256).toDouble
+    assert(f(2) === px.sum / 64.0) // mean_r exact (long-accumulated)
+  }
+
+  test("REAL codec: corrupt payloads yield decode_ok=false and zeros, never a crash") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, Array[Byte](1, 2, 3, 4)),          // garbage
+      (3L, Array.emptyByteArray)              // empty
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.extractWith(rows, "doc_id", "payload", new Multimodal.ImageStatsDecoder)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getSeq[Double](1)))).toMap
+    assert(out(1L)._1 === true)
+    assert(out(2L)._1 === false && out(2L)._2.forall(_ == 0.0))
+    assert(out(3L)._1 === false)
+  }
+
+  test("REAL codec: distributed encode→decode round trip over many ids (PNG lossless)") {
+    val ids = spark.range(0, 50).toDF("doc_id")
+    val imgs = Multimodal.withSyntheticImages(ids, "doc_id")
+    val feats = Multimodal.extractWith(imgs, "doc_id", "payload", new Multimodal.ImageStatsDecoder)
+    assert(feats.where(!col("decode_ok")).count() === 0L)
+    val dims = feats.select(col("doc_id"),
+        element_at(col("features"), 1).as("w"), element_at(col("features"), 2).as("h"))
+      .collect()
+    dims.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) === 8.0 + id % 9, s"width mismatch at id=$id")
+      assert(r.getDouble(2) === 8.0 + id % 7, s"height mismatch at id=$id")
+    }
+  }
+
   test("feature output feeds the vector operators downstream (search over features)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(
