@@ -39,6 +39,10 @@ object Bench {
       // 1M×128-d is ~600 MB on disk; without this the scan collapses to
       // ~5 input partitions and wastes the other cores.
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS); session-level, NOT set
+      // inside query constructors (a global side effect from a query would
+      // silently retype later reads in the same session)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -127,8 +131,9 @@ object Bench {
     * edge/none_vectorstore.go:95-97), with a materialized f16 encoding and a
     * 100-value label column for filtered scans. Written once, 32 files. */
   private def ensureBenchData(spark: SparkSession, dir: String, rows: Long): Unit = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (marker.exists()) return
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
     spark.range(0, rows).toDF("vec_id")
       .withColumn("label", pmod(xxhash64(col("vec_id")), lit(100)).cast("int"))
       .withColumn("embedding", l2_normalize(

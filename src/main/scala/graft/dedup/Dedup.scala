@@ -43,13 +43,20 @@ object Dedup {
     * The token array is bound once as a lambda variable: writing
     * `split(text)[i]` inside the per-shingle lambda would re-split the WHOLE
     * text for every element reference — O(len²) per document, the round-1
-    * sf0.1 bench killer (55 s for the MinHash pipeline, now ~2 s). */
-  def shingles(textColName: String): Column = expr(
-    s"""transform(array(split($textColName, ' ')), t ->
-       |  CASE WHEN size(t) >= 3
-       |  THEN transform(sequence(0, size(t) - 3),
-       |       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-       |  ELSE array($textColName) END)[0]""".stripMargin)
+    * sf0.1 bench killer (55 s for the MinHash pipeline, now ~2 s).
+    * Built from Column combinators (`get` is 0-based like SQL `t[i]`), not
+    * interpolated SQL text, so any column expression is safe input. */
+  def shingles(text: Column): Column =
+    element_at(
+      transform(array(split(text, " ")), t =>
+        when(size(t) >= 3,
+          transform(sequence(lit(0), size(t) - 3),
+            i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
+          .otherwise(array(text))),
+      1)
+
+  /** Name-based convenience overload. */
+  def shingles(textColName: String): Column = shingles(col(textColName))
 
   /** Deterministic sub-bucket salt for hot-key splitting: 0 when the
     * bucket is within `cap`, else FNV-1a(bucketKey|id) (sign-masked) mod
@@ -127,9 +134,10 @@ object Dedup {
   * uniform enough for MinHash's collision-probability guarantee. */
 object MinHashLSH {
 
-  private def sigExpr(shingleCol: String, j: Int): Column =
-    expr(s"array_min(transform($shingleCol, s -> " +
-      s"cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
+  private def sigExpr(sh: Column, j: Int): Column =
+    array_min(transform(sh, s =>
+      conv(substring(md5(concat(lit(s"$j|"), s).cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")))
 
   /** Add `sig_0 .. sig_{k-1}` min-hash signature columns. Row-local: the
     * shingle array is materialized once in its own projection (non-cheap
@@ -137,7 +145,7 @@ object MinHashLSH {
     * hash passes read it — one codegen'd stage, no shuffle. */
   def withSignatures(df: DataFrame, textColName: String, k: Int): DataFrame = {
     val withSh = df.withColumn("__mh_sh", Dedup.shingles(textColName))
-    (0 until k).foldLeft(withSh)((d, j) => d.withColumn(s"sig_$j", sigExpr("__mh_sh", j)))
+    (0 until k).foldLeft(withSh)((d, j) => d.withColumn(s"sig_$j", sigExpr(col("__mh_sh"), j)))
       .drop("__mh_sh")
   }
 

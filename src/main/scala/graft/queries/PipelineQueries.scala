@@ -31,12 +31,16 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (truncation — sub-microsecond precision is irrelevant at session/window
-    * granularity and DuckDB's ns values truncate identically). */
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
+    * the session sets `spark.sql.legacy.parquet.nanosAsLong` (done in the
+    * Verify/Bench/test session builders — NOT here: a conf mutation inside
+    * a query constructor would silently retype later same-session reads).
+    * Nanos-as-long convert to a microsecond timestamp by truncation —
+    * sub-microsecond precision is irrelevant at session/window granularity
+    * and DuckDB's ns values truncate identically. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events table")
     tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

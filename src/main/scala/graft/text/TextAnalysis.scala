@@ -18,8 +18,11 @@ object TextAnalysis {
 
   /** BPE-ish subword token count: word pieces + standalone punctuation
     * (`\w+|[^\w\s]`) — a cheap proxy for tokenizer cost estimation. */
-  def subwordCount(textColName: String): Column =
-    expr(s"size(regexp_extract_all($textColName, '\\\\w+|[^\\\\w\\\\s]', 0))")
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Name-based convenience overload. */
+  def subwordCount(textColName: String): Column = subwordCount(col(textColName))
 
   /** Alphabetic-character ratio ∈ [0,1]. */
   def alphaRatio(text: Column): Column =
@@ -60,11 +63,13 @@ object TextAnalysis {
                       idCol: String, textColName: String): org.apache.spark.sql.DataFrame = {
     // token array lambda-bound once (see shingles note in Dedup.scala);
     // < 2 tokens → no bigrams (sequence(0,-1) would count DOWN, not empty)
-    val bigrams = expr(
-      s"""transform(array(split($textColName, ' ')), t ->
-         |  CASE WHEN size(t) >= 2
-         |  THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))
-         |  ELSE array() END)[0]""".stripMargin)
+    val bigrams = element_at(
+      transform(array(split(col(textColName), " ")), t =>
+        when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2),
+            i => concat_ws(" ", get(t, i), get(t, i + 1))))
+          .otherwise(array().cast("array<string>"))),
+      1)
     df.select(col(idCol), explode(bigrams).as("__bg"))
       .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
