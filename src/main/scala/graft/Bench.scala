@@ -82,7 +82,7 @@ object Bench {
                   // before timing queries that sit at the dispatch floor
       val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
-      Seq(
+      val suite = Seq(
         s"flat_scan_cosine_$tag" -> (() =>
           big.select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
@@ -95,7 +95,13 @@ object Bench {
             .select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"point_lookup_$tag" -> (() => big.where(col("vec_id") === rows - 1).collect())
-      ).map { case (name, fn) => name -> timed(name, runs = 6)(fn()) }
+      )
+      // Untimed warm-up of EACH query: the r02 f16_1m mystery was partly
+      // C2 still compiling during timed runs — steady state needs several
+      // iterations of the fissioned kernels, and these scans sit at the
+      // dispatch floor where one compile pause is a 3× outlier.
+      suite.foreach { case (_, fn) => try { fn(); fn() } catch { case _: Throwable => () } }
+      suite.map { case (name, fn) => name -> timed(name, runs = 6)(fn()) }
     }
     val big1m = bigSuite(1000000L, benchDir, "1m")
     val big10m = bigSuite(10000000L, benchDir + "-10m", "10m")

@@ -127,14 +127,23 @@ case class VecDistanceQuant(left: Expression, right: Expression,
     }
   }
 
+  /** Codegen uses LOOP FISSION: decode into a REUSED per-operator float[]
+    * buffer first, then run the metric loop over pure float[] accesses.
+    * A single loop interleaving the branchy decode call with the multi-
+    * accumulator math defeats HotSpot's unrolling/vectorization — measured
+    * 0.23 s vs 0.08 s for the fissioned form on the 1M×128 cached scan
+    * (PLANS.md "f16 fused kernel" entry). Same evaluation order per
+    * element, so results stay bit-identical to the unfused pipeline. */
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = classOf[QuantKernels].getName
     val kernel = format match {
       case "f16" => s"$k.f16ToFloat"; case "bf16" => s"$k.bf16ToFloat"; case "f8" => s"$k.f8ToFloat"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val acc = ctx.freshName("acc"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      // per-operator scratch buffer: one allocation per task, not per row
+      val buf = ctx.addMutableState("float[]", "quantDecodeBuf", v => s"$v = new float[0];")
       val (sa, prepA, lenA) =
         if (format == "f8") (a, "", s"$a.length")
         else {
@@ -151,12 +160,12 @@ case class VecDistanceQuant(left: Expression, right: Expression,
       val (qv, prepB) =
         if (fb != null) (fb, "")
         else { val v = ctx.freshName("fq"); (v, s"final float[] $v = $b.toFloatArray();\n") }
-      val get = if (format == "f8") s"$a[$i]" else s"$sa[$i]"
+      val get = if (format == "f8") s"$a[$j]" else s"$sa[$j]"
       val loop = metric match {
         case "cosine" =>
           s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  final double x = (double) $kernel($get);
+             |  final double x = (double) $buf[$i];
              |  final double y = (double) $qv[$i];
              |  $acc += x * y; $na += x * x; $nb += y * y;
              |}
@@ -164,20 +173,20 @@ case class VecDistanceQuant(left: Expression, right: Expression,
         case "euclidean" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  final double d = (double) $kernel($get) - (double) $qv[$i];
+             |  final double d = (double) $buf[$i] - (double) $qv[$i];
              |  $acc += d * d;
              |}
              |${ev.value} = Math.sqrt($acc);""".stripMargin
         case "manhattan" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  $acc += Math.abs((double) $kernel($get) - (double) $qv[$i]);
+             |  $acc += Math.abs((double) $buf[$i] - (double) $qv[$i]);
              |}
              |${ev.value} = $acc;""".stripMargin
         case "dot" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  $acc += (double) $kernel($get) * (double) $qv[$i];
+             |  $acc += (double) $buf[$i] * (double) $qv[$i];
              |}
              |${ev.value} = -$acc;""".stripMargin
       }
@@ -186,6 +195,10 @@ case class VecDistanceQuant(left: Expression, right: Expression,
          |final int $n = $lenA;
          |if ($n != $qv.length) {
          |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $qv.length);
+         |}
+         |if ($buf.length < $n) $buf = new float[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $buf[$j] = $kernel($get);
          |}
          |$loop
        """.stripMargin
