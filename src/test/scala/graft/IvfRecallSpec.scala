@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ann.Ann
+
+/** IVF at bench scale (VERDICT r02 item 2): k-means-trained 256-cell layout
+  * over a 1M×128-d collection, probed search recall vs the exact scan. This
+  * is the scale point where the argmin kernel's constant-size codegen
+  * matters (k=256 would blow the per-centroid expression form out of
+  * whole-stage codegen).
+  *
+  * Recall is asserted on the CLUSTERED collection — the latent-group
+  * structure real embedding corpora have. On the structureless uniform set
+  * the same index measures recall@10 ≈ 0.42 at nprobe=8 (distance
+  * concentration scatters a query's neighbors across cells; no centroid
+  * placement can recover them) — that is a property of adversarially
+  * uniform data, not of the index, and the exact scan remains the
+  * recall-1.0 path the engine offers for it. */
+class IvfRecallSpec extends SparkSpec {
+
+  private val benchDir = "/root/repo/target/bench-1m-clustered"
+
+  test("k=256 k-means cells, nprobe=8: recall@10 >= 0.9 vs exact scan on the clustered 1M collection") {
+    Bench.ensureClusteredBenchData(spark, benchDir, 1000000L)
+    val big = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ann.trainCentroids(big, "vec_id", "embedding", 256, "cosine", iterations = 2)
+      assert(cents.length === 256)
+      val assigned = Ann.ivfAssign(big, "vec_id", "embedding", cents, "cosine")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // cells must be populated (k-means from a pk-ordered seed must not
+        // collapse onto a few cells)
+        val nCells = assigned.select(countDistinct("cell")).head().getLong(0)
+        assert(nCells >= 200, s"only $nCells of 256 cells populated")
+        val qids = Seq(3L, 77777L, 555555L, 901234L)
+        val recalls = qids.map { qid =>
+          val q = big.where(col("vec_id") === qid).head().getSeq[Float](1).toArray
+          val ivf = Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q,
+              nprobe = 8, k = 10, "cosine")
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val exact = big.select(col("vec_id"),
+              round(graft.functions.cosine_distance(col("embedding"), lit(q)), 6).as("d"))
+            .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (ivf & exact).size.toDouble / exact.size
+        }
+        val mean = recalls.sum / recalls.size
+        info(s"recall@10 per query: ${recalls.mkString(", ")} (mean $mean)")
+        assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 at k=256 nprobe=8 (${recalls.mkString(",")})")
+      } finally assigned.unpersist()
+    } finally big.unpersist()
+  }
+}
