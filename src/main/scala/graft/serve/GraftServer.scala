@@ -1,0 +1,284 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.FilterExpr
+import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
+
+/** Thin JSON-over-HTTP serving layer — the network surface the engine needs
+  * for client-facing parity with the reference, which is a gRPC server
+  * (/root/reference/root_layer/edge-lite/rpc.go:104-108, service EdgeRpc at
+  * idl/proto/v4/edge.proto:9-22). One route per RPC:
+  *
+  * {{{
+  * GET    /ping                              Ping
+  * GET    /collections                       GetCollections
+  * POST   /collections        {meta json}    CreateCollection
+  * GET    /collections/:name                 GetCollection (info)
+  * DELETE /collections/:name                 DeleteCollection
+  * POST   /collections/:name/load            LoadCollection
+  * POST   /collections/:name/release         ReleaseCollection
+  * POST   /collections/:name/flush           Flush
+  * POST   /collections/:name/insert {rows}   Index (upsert changes)
+  * POST   /collections/:name/delete {filter} Index (delete changes)
+  * POST   /collections/:name/search {query}  Search / FilterSearch
+  * }}}
+  *
+  * Built on the JDK's HttpServer + the json4s already on the Spark
+  * classpath — zero extra dependencies. Requests are serialized through a
+  * single-threaded executor (the catalog's residency map is not
+  * thread-safe; a production deployment would shard locks per collection).
+  * The engine's validation/state-machine errors (bad schema, not-loaded —
+  * edge/constants.go:30) map to HTTP 400 with `{"error": msg}`, mirroring
+  * the reference's status-in-response contract.
+  *
+  * This is a serving SHIM for functional parity, not a low-latency ANN
+  * server: every search is a Spark job with the documented ~40-60 ms
+  * dispatch floor (PLANS.md) — fine for batch/analytical clients, not for
+  * the reference's sub-millisecond HNSW point serving (accepted gap,
+  * SURVEY.md §7).
+  */
+/** `runMain graft.serve.Serve [catalogRoot] [port]` — standalone server. */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(sys.env.getOrElse("GRAFT_ROOT", "/tmp/graft-catalog"))
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = new GraftServer(spark, root, port)
+    server.start()
+    println(s"graft serving on 127.0.0.1:${server.boundPort} (catalog root: $root)")
+    Thread.currentThread().join()
+  }
+}
+
+class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
+  private val catalog = new GraftCatalog(spark, root)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = { server.createContext("/", handler _); server.start() }
+  def stop(): Unit = server.stop(0)
+
+  // ---- routing ----
+
+  private def handler(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val (status, json) =
+      try route(method, parts, body)
+      catch {
+        case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                  _: MappingException | _: GraftCatalog.ConcurrentFlushException) =>
+          400 -> err(e)
+        // analyzer raise_error surfaces as a SparkRuntimeException (a
+        // private[spark] type — matched by name) or a SparkException
+        // wrapping the executor-side failure — client errors, not server
+        case e: org.apache.spark.SparkException => 400 -> err(rootCause(e))
+        case e: RuntimeException if e.getClass.getName.startsWith("org.apache.spark.Spark") =>
+          400 -> err(rootCause(e))
+        case e: Throwable => 500 -> err(e)
+      }
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def rootCause(e: Throwable): Throwable = {
+    var c = e
+    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+    c
+  }
+
+  private def err(e: Throwable): String =
+    JsonMethods.compact(JObject("error" ->
+      JString(Option(e.getMessage).getOrElse(e.getClass.getSimpleName).linesIterator.take(1).mkString)))
+
+  private def route(method: String, parts: List[String], body: String): (Int, String) =
+    (method, parts) match {
+      case ("GET", "ping" :: Nil) => ok(JObject("ok" -> JBool(true)))
+      case ("GET", "collections" :: Nil) =>
+        ok(JObject("collections" -> JArray(catalog.listCollections().map(JString(_)).toList)))
+      case ("POST", "collections" :: Nil) =>
+        val meta = parseMeta(JsonMethods.parse(body))
+        catalog.createCollection(meta)
+        ok(JObject("created" -> JString(meta.name)))
+      case ("GET", "collections" :: name :: Nil) => ok(infoJson(name))
+      case ("DELETE", "collections" :: name :: Nil) =>
+        requireExists(name); catalog.dropCollection(name)
+        ok(JObject("dropped" -> JString(name)))
+      case ("POST", "collections" :: name :: "load" :: Nil) =>
+        catalog.loadCollection(name); ok(infoJson(name))
+      case ("POST", "collections" :: name :: "release" :: Nil) =>
+        requireExists(name); catalog.releaseCollection(name)
+        ok(JObject("released" -> JString(name)))
+      case ("POST", "collections" :: name :: "flush" :: Nil) =>
+        ok(JObject("version" -> JInt(catalog.flush(name))))
+      case ("POST", "collections" :: name :: "insert" :: Nil) =>
+        val rows = JsonMethods.parse(body) \ "rows" match {
+          case JArray(rs) => rs.collect { case o: JObject => o }
+          case _ => throw new IllegalArgumentException("body must be {\"rows\": [{...}]}")
+        }
+        require(rows.nonEmpty, "rows must not be empty")
+        catalog.insert(name, jsonRowsToDf(catalog.getMeta(name), rows))
+        ok(JObject("inserted" -> JInt(rows.length)))
+      case ("POST", "collections" :: name :: "delete" :: Nil) =>
+        catalog.delete(name, parseFilter(JsonMethods.parse(body) \ "filter"))
+        ok(JObject("ok" -> JBool(true)))
+      case ("POST", "collections" :: name :: "search" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("search requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val filter = (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
+        val offset = (req \ "offset").toOption.map(num(_).toInt).getOrElse(0)
+        val minScore = (req \ "minScore").toOption.map(num)
+        val out = catalog.search(name, vector, topK, filter, offset, minScore)
+        val rows = out.toJSON.collect()
+        200 -> ("{\"rows\":[" + rows.mkString(",") + "]}")
+      case _ => 404 -> "{\"error\":\"no such route\"}"
+    }
+
+  private def ok(j: JValue): (Int, String) = 200 -> JsonMethods.compact(j)
+
+  private def requireExists(name: String): Unit =
+    require(catalog.exists(name), s"collection $name does not exist")
+
+  private def infoJson(name: String): JValue = {
+    val i = catalog.info(name)
+    JObject("name" -> JString(i.name), "rows" -> JLong(i.rows),
+      "sizeBytes" -> JLong(i.sizeBytes), "version" -> JInt(i.version),
+      "loaded" -> JBool(i.loaded))
+  }
+
+  // ---- JSON ⇄ engine shapes ----
+
+  private def num(j: JValue): Double = j match {
+    case JInt(v) => v.toDouble
+    case JLong(v) => v.toDouble
+    case JDouble(v) => v
+    case JDecimal(v) => v.toDouble
+    case other => throw new IllegalArgumentException(s"expected a number, got $other")
+  }
+
+  /** Collection meta from the create-request JSON (mirrors proto
+    * `Collection`, edge.proto:29-36). */
+  private def parseMeta(j: JValue): CollectionMeta = {
+    implicit val fmts: Formats = DefaultFormats
+    val fields = (j \ "fields") match {
+      case JArray(fs) => fs.map { f =>
+        IndexField(
+          name = (f \ "name").extract[String],
+          fieldType = (f \ "fieldType").extract[String],
+          enableNull = (f \ "enableNull").extractOrElse(false),
+          primaryKey = (f \ "primaryKey").extractOrElse(false),
+          dim = (f \ "dim").extractOpt[Int])
+      }
+      case _ => Nil
+    }
+    CollectionMeta(
+      name = (j \ "name").extract[String],
+      dim = (j \ "dim").extract[Int],
+      distance = (j \ "distance").extractOrElse("cosine"),
+      quantization = (j \ "quantization").extractOrElse("none"),
+      fields = fields,
+      versioning = (j \ "versioning").extractOrElse(false),
+      ivfCells = (j \ "ivfCells").extractOpt[Int],
+      schemaless = (j \ "schemaless").extractOpt[Boolean])
+  }
+
+  /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |
+    * `{"or":[..]}` — the proto FilterExpression tree (edge.proto:139-154). */
+  private def parseFilter(j: JValue): FilterExpr = j \ "and" match {
+    case JArray(cs) => FilterExpr.And(cs.map(parseFilter))
+    case _ => j \ "or" match {
+      case JArray(cs) => FilterExpr.Or(cs.map(parseFilter))
+      case _ =>
+        val colName = j \ "col" match {
+          case JString(c) => c
+          case _ => throw new IllegalArgumentException(
+            "filter must be {col,op,value} or {and:[..]} or {or:[..]}")
+        }
+        val op = j \ "op" match {
+          case JString(o) => o.toLowerCase match {
+            case "eq" => FilterExpr.Eq; case "neq" => FilterExpr.Neq
+            case "gt" => FilterExpr.Gt; case "gte" => FilterExpr.Gte
+            case "lt" => FilterExpr.Lt; case "lte" => FilterExpr.Lte
+            case other => throw new IllegalArgumentException(s"unknown op: $other")
+          }
+          case _ => throw new IllegalArgumentException("filter requires \"op\"")
+        }
+        val value: Any = j \ "value" match {
+          case JString(s) => s
+          case JBool(b) => b
+          case JInt(v) => v.toLong
+          case JLong(v) => v
+          case JDouble(v) => v
+          case JDecimal(v) => v.toDouble
+          case other => throw new IllegalArgumentException(s"unsupported filter value: $other")
+        }
+        FilterExpr.Single(colName, op, value)
+    }
+  }
+
+  /** JSON row objects → a typed DataFrame for the ingest analyzer. Numeric
+    * metadata arrives as DoubleType so the analyzer's integral-check parity
+    * (5.0 accepted as 5, 5.5 rejected — edge_analyzer.go:63-67) applies to
+    * HTTP clients exactly as to library callers. */
+  private def jsonRowsToDf(meta: CollectionMeta, rows: List[JObject]): DataFrame = {
+    val keys: Seq[String] = rows.flatMap(_.obj.map(_._1)).distinct
+    def sqlType(k: String): DataType =
+      if (meta.isSchemaless) {
+        if (k == graft.core.CoreMeta.IdKey) StringType
+        else if (k == "vector") ArrayType(FloatType)
+        else StringType
+      } else meta.fields.find(_.name == k) match {
+        case Some(f) if f.isVector => ArrayType(FloatType)
+        case Some(f) => f.fieldType match {
+          case "string" => StringType
+          case "boolean" => BooleanType
+          case _ => DoubleType // integer/float: analyzer coerces + checks
+        }
+        case None if k == "vector" => ArrayType(FloatType)
+        case None => StringType // schemaless extras / unknown: analyzer rejects or coerces
+      }
+    val schema = StructType(keys.map(k => StructField(k, sqlType(k), nullable = true)))
+    def coerce(v: JValue, t: DataType): Any = (v, t) match {
+      case (JNull | JNothing, _) => null
+      case (JArray(xs), ArrayType(FloatType, _)) => xs.map(num(_).toFloat)
+      case (jv, DoubleType) => num(jv)
+      case (JBool(b), BooleanType) => b
+      case (JString(s), _) => s
+      case (jv, StringType) => JsonMethods.compact(jv) match {
+        case s if s.startsWith("\"") => s.substring(1, s.length - 1)
+        case s => s
+      }
+      case (jv, t2) => throw new IllegalArgumentException(s"cannot coerce $jv to $t2")
+    }
+    val data: java.util.List[Row] = new java.util.ArrayList[Row]()
+    rows.foreach { o =>
+      val m = o.obj.toMap
+      data.add(Row.fromSeq(keys.map(k => coerce(m.getOrElse(k, JNothing), sqlType(k)))))
+    }
+    spark.createDataFrame(data, schema)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.serve.GraftServer
+
+/** The HTTP serving shim end-to-end over a real socket: the reference's
+  * EdgeRpc lifecycle (create → load → insert → search → delete → flush →
+  * release → drop) plus the state-machine and validation error contracts. */
+class GraftServerSpec extends SparkSpec {
+
+  private lazy val server = {
+    val s = new GraftServer(spark, Files.createTempDirectory("graft-serve").toString)
+    s.start()
+    s
+  }
+  private def base = s"http://127.0.0.1:${server.boundPort}"
+
+  private def http(method: String, path: String, body: String = ""): (Int, String) = {
+    val conn = URI.create(base + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body.nonEmpty) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, resp)
+  }
+
+  test("full EdgeRpc lifecycle over HTTP: create, load, insert, search, filter, delete, flush, info") {
+    assert(http("GET", "/ping") === ((200, """{"ok":true}""")))
+
+    val meta = """{"name":"web","dim":3,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"type","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("GET", "/collections")._2.contains("\"web\""))
+
+    assert(http("POST", "/collections/web/load")._1 === 200)
+    val ins = http("POST", "/collections/web/insert",
+      """{"rows":[
+        {"id":"a","type":1,"vector":[1,0,0]},
+        {"id":"b","type":2,"vector":[0,1,0]},
+        {"id":"c","type":5,"vector":[0,0,1]}]}""")
+    assert(ins === ((200, """{"inserted":3}""")))
+
+    val (sc, sr) = http("POST", "/collections/web/search",
+      """{"vector":[1,0.1,0],"topK":2}""")
+    assert(sc === 200)
+    assert(sr.indexOf("\"id\":\"a\"") >= 0, sr)
+    assert(sr.indexOf("\"id\":\"a\"") < sr.indexOf("\"id\":\"b\""), s"nearest first: $sr")
+
+    // composite filter tree routed through the same AST as library callers
+    val (fc, fr) = http("POST", "/collections/web/search",
+      """{"vector":[1,0,0],"topK":10,
+         "filter":{"or":[{"col":"type","op":"gte","value":5},{"col":"id","op":"eq","value":"b"}]}}""")
+    assert(fc === 200)
+    assert(fr.contains("\"id\":\"b\"") && fr.contains("\"id\":\"c\"") && !fr.contains("\"id\":\"a\""), fr)
+
+    assert(http("POST", "/collections/web/delete",
+      """{"filter":{"col":"type","op":"eq","value":2}}""")._1 === 200)
+    val (_, info0) = http("GET", "/collections/web")
+    assert(info0.contains("\"rows\":2"), info0)
+
+    val (_, flushed) = http("POST", "/collections/web/flush")
+    assert(flushed === """{"version":1}""")
+    assert(http("POST", "/collections/web/release")._1 === 200)
+    // snapshot survives release: reload and re-search
+    assert(http("POST", "/collections/web/load")._1 === 200)
+    val (_, again) = http("POST", "/collections/web/search", """{"vector":[0,0,1],"topK":1}""")
+    assert(again.contains("\"id\":\"c\""), again)
+    assert(http("DELETE", "/collections/web")._1 === 200)
+    assert(!http("GET", "/collections")._2.contains("\"web\""))
+  }
+
+  test("error contracts: not-loaded, duplicate create, validation reject, unknown route") {
+    val meta = """{"name":"err1","dim":2,"fields":[{"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    // search before load → the reference's ErrCollectionNotLoad (edge/constants.go:30)
+    val (nc, nb) = http("POST", "/collections/err1/search", """{"vector":[1,0]}""")
+    assert(nc === 400 && nb.contains("not loaded"), s"$nc $nb")
+    // duplicate create
+    val (dc, db) = http("POST", "/collections", meta)
+    assert(dc === 400 && db.contains("already exists"))
+    // per-row validation: wrong dimension rejected with the analyzer message
+    assert(http("POST", "/collections/err1/load")._1 === 200)
+    val (vc, vb) = http("POST", "/collections/err1/insert",
+      """{"rows":[{"id":"x","vector":[1,2,3]}]}""")
+    assert(vc === 400 && vb.contains("dimension mismatch"), s"$vc $vb")
+    // non-integral value for an integer field (edge_analyzer.go:63-67 parity)
+    val meta2 = """{"name":"err2","dim":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"n","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta2)._1 === 200)
+    assert(http("POST", "/collections/err2/load")._1 === 200)
+    val (ic, ib) = http("POST", "/collections/err2/insert",
+      """{"rows":[{"id":"x","n":5.5,"vector":[1,0]}]}""")
+    assert(ic === 400 && ib.contains("integer"), s"$ic $ib")
+    // integral float accepted (5.0 → 5)
+    assert(http("POST", "/collections/err2/insert",
+      """{"rows":[{"id":"x","n":5.0,"vector":[1,0]}]}""")._1 === 200)
+    assert(http("GET", "/nope")._1 === 404)
+  }
+
+  test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
+    val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/corev3/load")._1 === 200)
+    assert(http("POST", "/collections/corev3/insert",
+      """{"rows":[
+        {"_id":"a","n":9,"vector":[1,0]},
+        {"_id":"b","n":10,"vector":[0,1]}]}""")._1 === 200)
+    // numeric coercion: "10" > "9" numerically (parse-compare parity)
+    val (c, b) = http("POST", "/collections/corev3/search",
+      """{"vector":[0,0],"topK":10,"filter":{"col":"n","op":"gt","value":9}}""")
+    assert(c === 200)
+    assert(b.contains("\"_id\":\"b\"") && !b.contains("\"_id\":\"a\""), b)
+  }
+}
