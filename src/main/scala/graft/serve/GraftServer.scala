@@ -153,10 +153,51 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val offset = (req \ "offset").toOption.map(num(_).toInt).getOrElse(0)
         val minScore = (req \ "minScore").toOption.map(num)
         val out = catalog.search(name, vector, topK, filter, offset, minScore)
-        val rows = out.toJSON.collect()
-        200 -> ("{\"rows\":[" + rows.mkString(",") + "]}")
+        rowsJson(out)
+      // experimental CFLAT weighted multi-vector search
+      // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
+      case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val fields = req \ "fields" match {
+          case JArray(fs) => fs.map { f =>
+            graft.operators.MultiVectorSearch.FieldQuery(
+              vectorCol = f \ "vectorCol" match {
+                case JString(s) => s
+                case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
+              },
+              queryVector = f \ "vector" match {
+                case JArray(xs) => xs.map(num(_).toFloat).toArray
+                case _ => throw new IllegalArgumentException("field requires \"vector\": [..]")
+              },
+              ratio = num(f \ "ratio").toInt,
+              include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
+          }
+          case _ => throw new IllegalArgumentException("searchMulti requires \"fields\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        rowsJson(catalog.searchMulti(name, fields, topK))
+      // standalone two-vector distance+score (CompareDist RPC,
+      // core/core.go:841-867)
+      case ("POST", "compare" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        def vec(k: String) = req \ k match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException(s"compare requires \"$k\": [..]")
+        }
+        val metric = (req \ "metric").toOption.collect { case JString(s) => s }.getOrElse("cosine")
+        val (a, b) = (vec("a"), vec("b"))
+        require(a.length == b.length, s"vector dimension mismatch: ${a.length} vs ${b.length}")
+        import org.apache.spark.sql.functions.{lit, round => sround}
+        val out = spark.range(1).select(
+          sround(graft.functions.distance(lit(a), lit(b), metric), 6).as("dist"),
+          sround(graft.functions.score_from_distance(
+            graft.functions.distance(lit(a), lit(b), metric), metric), 4).as("score"))
+        rowsJson(out)
       case _ => 404 -> "{\"error\":\"no such route\"}"
     }
+
+  private def rowsJson(df: DataFrame): (Int, String) =
+    200 -> ("{\"rows\":[" + df.toJSON.collect().mkString(",") + "]}")
 
   private def ok(j: JValue): (Int, String) = 200 -> JsonMethods.compact(j)
 

@@ -107,6 +107,35 @@ class GraftServerSpec extends SparkSpec {
     assert(http("GET", "/nope")._1 === 404)
   }
 
+  test("multi-vector (CFLAT) search and CompareDist over HTTP") {
+    val meta = """{"name":"mv","dim":2,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"v0","fieldType":"vector"},
+      {"name":"v1","fieldType":"vector"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/mv/load")._1 === 200)
+    assert(http("POST", "/collections/mv/insert",
+      """{"rows":[
+        {"id":"a","v0":[1,0],"v1":[0,1]},
+        {"id":"b","v0":[0,1],"v1":[1,0]}]}""")._1 === 200)
+    val (mc, mb) = http("POST", "/collections/mv/searchMulti",
+      """{"topK":2,"fields":[
+        {"vectorCol":"v0","vector":[1,0],"ratio":70},
+        {"vectorCol":"v1","vector":[0,1],"ratio":30}]}""")
+    assert(mc === 200)
+    assert(mb.indexOf("\"id\":\"a\"") >= 0 && mb.indexOf("\"id\":\"a\"") < mb.indexOf("\"id\":\"b\""), mb)
+    // ratios must sum to 100 (experimental_analyzer.go:143-154)
+    val (rc, rb) = http("POST", "/collections/mv/searchMulti",
+      """{"fields":[{"vectorCol":"v0","vector":[1,0],"ratio":50}]}""")
+    assert(rc === 400 && rb.contains("100"), s"$rc $rb")
+
+    // CompareDist: identical vectors → dist 0, cosine score 100
+    val (cc, cb) = http("POST", "/compare", """{"a":[1,2,3],"b":[1,2,3],"metric":"cosine"}""")
+    assert(cc === 200 && cb.contains("\"dist\":0.0") && cb.contains("\"score\":100.0"), s"$cc $cb")
+    val (dc2, db2) = http("POST", "/compare", """{"a":[1,0],"b":[0,1],"metric":"euclidean"}""")
+    assert(dc2 === 200 && db2.contains("\"dist\":1.414214"), db2)
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)
