@@ -45,7 +45,24 @@ public final class QuantKernels {
         return (short) r;
     }
 
+    /** Table-backed decode: a 64K-entry float table (256 KB, L2-resident)
+     * replaces the branchy bit computation in the scan hot loop — the
+     * 2-bytecode accessor inlines under ANY C2 inlining budget, where the
+     * branchy form was observed to nondeterministically miss inlining and run
+     * 3.5x slower for a whole JVM lifetime (PLANS.md, f16 fused kernel). */
+    private static final float[] F16_TABLE = buildF16Table();
+
+    private static float[] buildF16Table() {
+        float[] t = new float[65536];
+        for (int i = 0; i < 65536; i++) t[i] = f16ToFloatCompute((short) i);
+        return t;
+    }
+
     public static float f16ToFloat(short h) {
+        return F16_TABLE[h & 0xffff];
+    }
+
+    static float f16ToFloatCompute(short h) {
         int in = h & 0xffff;
         int sign = (in & 0x8000) << 16;
         int exp = (in & 0x7c00) >>> 10;
@@ -106,7 +123,19 @@ public final class QuantKernels {
         return (byte) r;
     }
 
+    private static final float[] F8_TABLE = buildF8Table();
+
+    private static float[] buildF8Table() {
+        float[] t = new float[256];
+        for (int i = 0; i < 256; i++) t[i] = f8ToFloatCompute((byte) i);
+        return t;
+    }
+
     public static float f8ToFloat(byte b) {
+        return F8_TABLE[b & 0xff];
+    }
+
+    static float f8ToFloatCompute(byte b) {
         int in = b & 0xff;
         int sign = (in & 0x80) << 24;
         int exp = (in & 0x7c) >>> 2;

@@ -1,0 +1,152 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-local IVF serving index — the point-latency answer to the
+  * reference's in-process HNSW (core/vectorindex/hnsw.go:243-278, ~0.87 ms
+  * per 1M-vector search, UPDATE-LOG.md:142). The Spark-first split: the
+  * CLUSTER builds the index (k-means centroids + cell-partitioned snapshot,
+  * `GraftCatalog.flush` with `ivfCells`), and this class loads that batch
+  * artifact into flat primitive arrays for in-process probes — no Spark job,
+  * no ~40-60 ms dispatch floor, sub-millisecond at 1M×128 with nprobe=8
+  * (measured in LocalIvfIndexSpec / BENCH `ivf_local_search_1m`).
+  *
+  * Memory: vectors live as one float[] per cell (4·dim bytes/vector — 512 MB
+  * per 1M×128), ids as parallel arrays. Fits a driver/serving node for the
+  * collection sizes the reference targets (1-10M); beyond that, shard cells
+  * across serving replicas or fall back to the distributed probe
+  * (`GraftCatalog.searchIvf`).
+  *
+  * Exactness contract: inside the probed cells the scan is exact (same
+  * double-accumulation distance as the engine expressions); recall vs the
+  * full exact scan is the IVF nprobe/k trade, identical to the distributed
+  * probe over the same layout.
+  */
+final class LocalIvfIndex private (
+    centroids: Array[(Long, Array[Float])],
+    cellIds: java.util.HashMap[Long, Array[AnyRef]],
+    cellVecs: java.util.HashMap[Long, Array[Float]],
+    val dim: Int,
+    metric: String) extends Serializable {
+
+  def cellCount: Int = cellIds.size()
+  def size: Long = {
+    var n = 0L; cellIds.values.forEach(a => n += a.length); n
+  }
+
+  /** Probe the `nprobe` nearest cells, exact top-k inside — all in-process.
+    * Probed cells scan in parallel on the common pool (one task per cell,
+    * local top-k, merged on the caller) — the in-process analog of the
+    * reference's per-shard goroutine fan-out
+    * (edge/none_vectorstore.go:148-178). */
+  def search(q: Array[Float], topK: Int, nprobe: Int): Seq[(AnyRef, Double)] = {
+    require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
+    val probed = centroids
+      .map { case (cid, cv) => (cid, LocalIvfIndex.dist(cv, 0, q, metric)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+    def scanCell(cid: Long): Array[(AnyRef, Double)] = {
+      val ids = cellIds.get(cid)
+      if (ids == null) return Array.empty
+      val vecs = cellVecs.get(cid)
+      val heap = LocalIvfIndex.newHeap(topK)
+      var i = 0
+      while (i < ids.length) {
+        val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
+        if (heap.size < topK) heap.add((ids(i), d))
+        else if (d < heap.peek()._2) { heap.poll(); heap.add((ids(i), d)) }
+        i += 1
+      }
+      heap.toArray(new Array[(AnyRef, Double)](0))
+    }
+    val perCell: Seq[Array[(AnyRef, Double)]] =
+      if (probed.length <= 1) probed.toSeq.map(scanCell)
+      else {
+        import java.util.concurrent.CompletableFuture
+        probed.toSeq
+          .map(cid => CompletableFuture.supplyAsync(() => scanCell(cid)))
+          .map(_.join())
+      }
+    // merge the per-cell top-k sets
+    val heap = LocalIvfIndex.newHeap(topK)
+    perCell.foreach(_.foreach { e =>
+      if (heap.size < topK) heap.add(e)
+      else if (e._2 < heap.peek()._2) { heap.poll(); heap.add(e) }
+    })
+    val out = new Array[(AnyRef, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out.toSeq
+  }
+}
+
+object LocalIvfIndex {
+
+  /** Bounded max-heap on distance (worst of the best k at the head). */
+  private def newHeap(topK: Int) = new java.util.PriorityQueue[(AnyRef, Double)](
+    math.max(topK, 1),
+    (a: (AnyRef, Double), b: (AnyRef, Double)) => java.lang.Double.compare(b._2, a._2))
+
+  /** Build from an assigned DataFrame (columns: id, vector, cell) + the
+    * trained centroids — streamed to the driver via toLocalIterator, so the
+    * transient footprint is one partition, not the whole collection. */
+  def fromAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Array[Float])], metric: String): LocalIvfIndex = {
+    // `cell` comes back as Int when read from a partitionBy directory —
+    // normalize to long
+    val rows = assigned.select(col(idCol), col(vecCol).cast("array<float>"),
+      col("cell").cast("long"))
+    var dim = -1
+    val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
+    val vecsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofFloat]()
+    val it = rows.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val v = r.getSeq[Float](1)
+      if (dim < 0) dim = v.length
+      val cell = r.getLong(2)
+      var ib = idsB.get(cell)
+      if (ib == null) {
+        ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
+        idsB.put(cell, ib)
+        vecsB.put(cell, new scala.collection.mutable.ArrayBuilder.ofFloat)
+      }
+      ib += r.get(0).asInstanceOf[AnyRef]
+      val vb = vecsB.get(cell)
+      v.foreach(vb += _)
+    }
+    val ids = new java.util.HashMap[Long, Array[AnyRef]]()
+    val vecs = new java.util.HashMap[Long, Array[Float]]()
+    idsB.forEach((k, b) => ids.put(k, b.result()))
+    vecsB.forEach((k, b) => vecs.put(k, b.result()))
+    val sorted = centroids.sortBy(_._1).toArray
+    new LocalIvfIndex(sorted, ids, vecs, dim, metric)
+  }
+
+  /** Exact scalar distance over a flat array slice — double accumulation in
+    * the same order as the engine's codegen kernels. */
+  private[ann] def dist(vecs: Array[Float], off: Int, q: Array[Float], metric: String): Double =
+    metric match {
+      case "euclidean" =>
+        var acc = 0.0; var j = 0
+        while (j < q.length) { val d = vecs(off + j).toDouble - q(j).toDouble; acc += d * d; j += 1 }
+        math.sqrt(acc)
+      case "manhattan" =>
+        var acc = 0.0; var j = 0
+        while (j < q.length) { acc += math.abs(vecs(off + j).toDouble - q(j).toDouble); j += 1 }
+        acc
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+        while (j < q.length) {
+          val x = vecs(off + j).toDouble; val y = q(j).toDouble
+          dot += x * y; na += x * x; nb += y * y; j += 1
+        }
+        math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+      case "dot" =>
+        var acc = 0.0; var j = 0
+        while (j < q.length) { acc += vecs(off + j).toDouble * q(j).toDouble; j += 1 }
+        -acc
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+}

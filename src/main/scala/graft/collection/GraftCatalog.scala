@@ -407,6 +407,28 @@ class GraftCatalog(spark: SparkSession, root: String) {
       centroids, qv, nprobe, topK, meta.distance)
   }
 
+  /** Load the flushed IVF snapshot into a driver-local serving index
+    * (sub-millisecond point probes, no Spark job — the serving-side
+    * counterpart of the batch-built layout; see
+    * [[graft.ann.LocalIvfIndex]]). */
+  def localIvfIndex(name: String): graft.ann.LocalIvfIndex = {
+    val meta = getMeta(name)
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(fs.exists(centroidDir(name, meta.currentVersion)),
+      s"collection $name was flushed empty — nothing to serve")
+    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+      .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val decoded = meta.quantization match {
+      case "none" => snap.withColumn(GraftCatalog.SearchVecCol, col(VectorCol))
+      case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    graft.ann.LocalIvfIndex.fromAssigned(decoded, meta.idColumn,
+      GraftCatalog.SearchVecCol, centroids, meta.distance)
+  }
+
   /** Files the probed cells actually read, from the PHYSICAL scan's
     * selected partitions — `inputFiles` would list the whole relation; only
     * the planned `FileSourceScanExec` reflects partition-directory pruning.

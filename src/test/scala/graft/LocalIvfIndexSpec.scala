@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ann, LocalIvfIndex}
+import graft.collection._
+
+/** Driver-local IVF serving: correctness vs the distributed probe and the
+  * exact scan, catalog round trip, and the point-latency contract the
+  * distributed path cannot meet (no Spark job per query). */
+class LocalIvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("local probe matches the distributed ivfSearch over the same layout") {
+    val cents = (0 until 8).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents, "euclidean")
+    val idx = LocalIvfIndex.fromAssigned(assigned, "vec_id", "embedding", cents, "euclidean")
+    assert(idx.size === emb.count())
+    val q = emb.where(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val local = idx.search(q, topK = 10, nprobe = 4)
+      .map { case (id, d) => (id.asInstanceOf[Long], math.rint(d * 1e6) / 1e6) }
+    val distributed = Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q,
+        nprobe = 4, k = 10, "euclidean")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist"))).toSeq
+    assert(local.map(_._1) === distributed.map(_._1))
+  }
+
+  test("catalog round trip: flush(ivfCells) -> localIvfIndex serves the snapshot") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-lidx").toString)
+    cat.createCollection(CollectionMeta("l", dim = 4, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true)),
+      ivfCells = Some(4)))
+    cat.loadCollection("l")
+    val rows = (0 until 100).map { i =>
+      (s"id-$i", Seq(i.toFloat, (i % 7).toFloat, (i % 13).toFloat, 1f))
+    }
+    cat.insert("l", rows.toDF("id", "vector"))
+    cat.flush("l")
+    val idx = cat.localIvfIndex("l")
+    assert(idx.size === 100L)
+    val hits = idx.search(Array(50f, 1f, 11f, 1f), topK = 3, nprobe = 4)
+    // full probe == exact: nearest must be id-50
+    assert(hits.head._1 === "id-50")
+    val exact = cat.search("l", Array(50f, 1f, 11f, 1f), topK = 3)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(hits.map(_._1.toString) === exact)
+  }
+
+  test("point latency: in-process probe is far below the Spark job dispatch floor") {
+    val cents = (0 until 16).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents, "cosine")
+    val idx = LocalIvfIndex.fromAssigned(assigned, "vec_id", "embedding", cents, "cosine")
+    val q = emb.where(col("vec_id") === 7).head().getSeq[Float](1).toArray
+    (1 to 50).foreach(_ => idx.search(q, 10, 4)) // warm
+    val t0 = System.nanoTime()
+    val n = 200
+    (1 to n).foreach(_ => idx.search(q, 10, 4))
+    val perQueryMs = (System.nanoTime() - t0) / 1e6 / n
+    info(f"local IVF probe: $perQueryMs%.3f ms/query at n=${idx.size} (sf fixture)")
+    assert(perQueryMs < 10.0, f"$perQueryMs%.3f ms/query — local probe must not be job-shaped")
+  }
+}
