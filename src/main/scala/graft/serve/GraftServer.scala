@@ -70,6 +70,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
 
+  /** Lazily-built driver-local serving indexes, keyed by collection —
+    * serve the FLUSHED snapshot, so they invalidate on flush/drop (not on
+    * resident-state mutations, which only a new flush publishes). */
+  private val localIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalIvfIndex]
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
@@ -122,7 +127,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         ok(JObject("created" -> JString(meta.name)))
       case ("GET", "collections" :: name :: Nil) => ok(infoJson(name))
       case ("DELETE", "collections" :: name :: Nil) =>
-        requireExists(name); catalog.dropCollection(name)
+        requireExists(name); catalog.dropCollection(name); localIndexes.remove(name)
         ok(JObject("dropped" -> JString(name)))
       case ("POST", "collections" :: name :: "load" :: Nil) =>
         catalog.loadCollection(name); ok(infoJson(name))
@@ -130,7 +135,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         requireExists(name); catalog.releaseCollection(name)
         ok(JObject("released" -> JString(name)))
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
-        ok(JObject("version" -> JInt(catalog.flush(name))))
+        val v = catalog.flush(name)
+        localIndexes.remove(name) // a new snapshot version supersedes the cache
+        ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "insert" :: Nil) =>
         val rows = JsonMethods.parse(body) \ "rows" match {
           case JArray(rs) => rs.collect { case o: JObject => o }
@@ -154,6 +161,35 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val minScore = (req \ "minScore").toOption.map(num)
         val out = catalog.search(name, vector, topK, filter, offset, minScore)
         rowsJson(out)
+      // IVF probes over the flushed cell-partitioned snapshot: the
+      // distributed directory-pruned scan, and the driver-local in-process
+      // index (the point-latency path; see LocalIvfIndex)
+      case ("POST", "collections" :: name :: "searchIvf" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchIvf requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        rowsJson(catalog.searchIvf(name, vector, topK, nprobe))
+      case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchLocal requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
+        val hits = idx.search(vector, topK, nprobe)
+        200 -> ("{\"rows\":[" + hits.map { case (id, d) =>
+          val idJson = id match {
+            case s: String => JsonMethods.compact(JString(s))
+            case other => other.toString
+          }
+          s"""{"id":$idJson,"dist":${math.rint(d * 1e6) / 1e6}}"""
+        }.mkString(",") + "]}")
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
       case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>

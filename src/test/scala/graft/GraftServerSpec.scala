@@ -136,6 +136,31 @@ class GraftServerSpec extends SparkSpec {
     assert(dc2 === 200 && db2.contains("\"dist\":1.414214"), db2)
   }
 
+  test("IVF probes over HTTP: distributed searchIvf and the driver-local index agree") {
+    val meta = """{"name":"ivfh","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/ivfh/load")._1 === 200)
+    val rows = (0 until 30).map(i => s"""{"id":"d$i","vector":[$i,${i % 5},1]}""").mkString(",")
+    assert(http("POST", "/collections/ivfh/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/ivfh/flush")._2 === """{"version":1}""")
+    val q = """{"vector":[7,2,1],"topK":3,"nprobe":2}"""
+    val (dc, db) = http("POST", "/collections/ivfh/searchIvf", q)
+    assert(dc === 200 && db.contains("\"d7\""), s"$dc $db")
+    val (lc, lb) = http("POST", "/collections/ivfh/searchLocal", q)
+    assert(lc === 200 && lb.contains("\"d7\""), s"$lc $lb")
+    // same ids in the same order from both probe paths
+    val dIds = "\"id\":\"(d\\d+)\"".r.findAllMatchIn(db).map(_.group(1)).toSeq
+    val lIds = "\"id\":\"(d\\d+)\"".r.findAllMatchIn(lb).map(_.group(1)).toSeq
+    assert(dIds === lIds, s"distributed $dIds vs local $lIds")
+    // after a new flush the cached local index is invalidated (serves v2)
+    assert(http("POST", "/collections/ivfh/insert",
+      """{"rows":[{"id":"fresh","vector":[7,2,1]}]}""")._1 === 200)
+    assert(http("POST", "/collections/ivfh/flush")._2 === """{"version":2}""")
+    val (_, after) = http("POST", "/collections/ivfh/searchLocal", q)
+    assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)
