@@ -89,4 +89,40 @@ class PropertySpec extends SparkSpec {
       assert(foldIn(randomBatches(seed)) === reference, s"seed $seed diverged")
     }
   }
+
+  // --- arg_min_distance ≡ struct-array argmin under adversarial near-ties ---
+
+  test("arg_min_distance matches the naive argmin on duplicate and sub-round6-perturbed centroids") {
+    val r = new Random(1234)
+    val dim = 8
+    def vec() = Array.fill(dim)(r.nextFloat() * 2 - 1)
+    val base = vec()
+    // adversarial codebook: exact duplicates (rounded-distance ties → lowest
+    // cid must win), perturbations below and around the 1e-6 rounding window,
+    // and ordinary random centroids
+    val cents: Seq[(Long, Array[Float])] = Seq(
+      0L -> base.map(x => x + 2e-7f),
+      1L -> base.clone(),
+      2L -> base.clone(), // exact tie with 1 → 1 wins
+      3L -> base.map(x => x + 5e-7f),
+      4L -> base.map(x => x - 1e-6f)
+    ) ++ (5L to 20L).map(c => c -> vec())
+    // rows: the tie point itself, near-tie points, and random vectors
+    val rows = (Seq.fill(40)(base.clone()) ++
+      Seq.fill(200)(vec()) ++
+      (1 to 200).map(_ => base.map(x => x + (r.nextFloat() - 0.5f) * 2e-6f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = rows.toDF("id", "v")
+    Seq("euclidean", "cosine", "manhattan", "dot").foreach { metric =>
+      val naive = cents.map { case (cid, cvec) =>
+        struct(round(graft.functions.distance(col("v"), lit(cvec), metric), 6).as("d"),
+          lit(cid).as("cid"))
+      }
+      val diverged = df.select(
+          array_min(array(naive: _*)).getField("cid").as("want"),
+          graft.functions.arg_min_distance(col("v"), cents, metric).as("got"))
+        .where(col("want") =!= col("got"))
+      assert(diverged.count() === 0L, s"kernel diverges from naive argmin on $metric")
+    }
+  }
 }
