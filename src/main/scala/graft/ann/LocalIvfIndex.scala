@@ -54,8 +54,9 @@ final class LocalIvfIndex private (
       var i = 0
       while (i < ids.length) {
         val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
-        if (heap.size < topK) heap.add((ids(i), d))
-        else if (d < heap.peek()._2) { heap.poll(); heap.add((ids(i), d)) }
+        val e = (ids(i), d)
+        if (heap.size < topK) heap.add(e)
+        else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
         i += 1
       }
       heap.toArray(new Array[(AnyRef, Double)](0))
@@ -72,7 +73,7 @@ final class LocalIvfIndex private (
     val heap = LocalIvfIndex.newHeap(topK)
     perCell.foreach(_.foreach { e =>
       if (heap.size < topK) heap.add(e)
-      else if (e._2 < heap.peek()._2) { heap.poll(); heap.add(e) }
+      else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
     })
     val out = new Array[(AnyRef, Double)](heap.size)
     var i = out.length - 1
@@ -83,10 +84,21 @@ final class LocalIvfIndex private (
 
 object LocalIvfIndex {
 
-  /** Bounded max-heap on distance (worst of the best k at the head). */
+  /** (dist, id) ordering — the engine's deterministic tie-break (`orderBy
+    * dist asc, id asc`), with ids compared natively when Comparable. */
+  private def cmp(a: (AnyRef, Double), b: (AnyRef, Double)): Int = {
+    val c = java.lang.Double.compare(a._2, b._2)
+    if (c != 0) c
+    else a._1 match {
+      case x: Comparable[_] => x.asInstanceOf[Comparable[AnyRef]].compareTo(b._1)
+      case _ => 0
+    }
+  }
+
+  /** Bounded max-heap on (dist, id) (worst of the best k at the head). */
   private def newHeap(topK: Int) = new java.util.PriorityQueue[(AnyRef, Double)](
     math.max(topK, 1),
-    (a: (AnyRef, Double), b: (AnyRef, Double)) => java.lang.Double.compare(b._2, a._2))
+    (a: (AnyRef, Double), b: (AnyRef, Double)) => cmp(b, a))
 
   /** Build from an assigned DataFrame (columns: id, vector, cell) + the
     * trained centroids — streamed to the driver via toLocalIterator, so the

@@ -38,6 +38,23 @@ class CombinationSpec extends SparkSpec {
     val exact = cat.search("qivf", q, topK = 10)
       .select("id").collect().map(_.getString(0)).toSeq
     assert(full === exact)
+    // the driver-local serving index decodes the same quantized snapshot
+    val idx = cat.localIvfIndex("qivf")
+    assert(idx.size === 42L)
+    val local = idx.search(q, topK = 10, nprobe = 2).map(_._1.toString)
+    assert(local === exact)
+  }
+
+  test("ivfCells on a multi-vector collection is rejected at meta construction") {
+    // round-2 ADVICE: the combination passed requires but failed at search
+    // with an opaque missing-sidecar error — now rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      CollectionMeta("bad", dim = 2, ivfCells = Some(4),
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector")))
+    }
+    assert(ex.getMessage.contains("multi-vector"))
   }
 
   test("schema-less + quantized (bf16): coerced map metadata over encoded vectors") {
