@@ -51,6 +51,35 @@ object ChangeFeed {
   def batchApply(log: DataFrame, pk: String, versionCol: String): DataFrame =
     view(Mutations.latestByKey(log, pk, versionCol))
 
+  /** Stream the change log INTO a catalog collection: every micro-batch is
+    * folded by [[graft.collection.GraftCatalog.applyChanges]] (validated
+    * upserts + tombstone anti-joins on the RESIDENT state) — the streaming
+    * shape of the reference's diskv watch feeding its in-memory maps
+    * (/root/reference/diskv/watch.go → core/core.go mutation path). The
+    * collection must be loaded; flush when a durable snapshot is wanted.
+    *
+    * ORDERING CONTRACT: the collection stores no version column, so
+    * versions resolve LWW only WITHIN a micro-batch; across batches, later
+    * batches win. This is exactly a single-writer WAL's guarantee (the
+    * reference's diskv appends are strictly ordered) — for out-of-order /
+    * multi-leader logs use [[run]], whose fold keeps versions in state, and
+    * feed its converged view here (or via applyChanges) instead.
+    *
+    * Restart semantics: collection state IS the durable state — restarting
+    * against the same checkpoint resumes from wherever the resident/flushed
+    * collection left off, with no separate state to re-seed. */
+  def runIntoCollection(catalog: graft.collection.GraftCatalog, name: String,
+                        spark: SparkSession, logDir: String, schema: StructType,
+                        versionCol: String, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readLog(spark, logDir, schema).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.applyChanges(name, batch, versionCol)
+      }
+      .start()
+
   /** Consume the log with Structured Streaming, folding each micro-batch
     * into state and pushing the updated view to `onUpdate`.
     * `Trigger.AvailableNow` drains everything present then stops —

@@ -86,6 +86,38 @@ class ChangeFeedSpec extends SparkSpec {
     assert(stateful.last === EventStream.KeyState("put", 7L, "k-kept"))
   }
 
+  test("runIntoCollection: streamed log replay lands in a catalog collection (S11 feeds S9)") {
+    import graft.collection._
+    val logDir = Files.createTempDirectory("graft-log4").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt4").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-feed").toString)
+    cat.createCollection(CollectionMeta("feed", dim = 2, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("payload", "string"))))
+    cat.loadCollection("feed")
+    // change rows need the collection columns: add a vector per put
+    def log(rows: Seq[(String, String, Long, String)]): DataFrame = {
+      import org.apache.spark.sql.functions._
+      changes(rows).withColumn("vector",
+        org.apache.spark.sql.functions.array(lit(1.0f), lit(2.0f)))
+    }
+    // a VERSION-ORDERED (single-writer WAL) log — runIntoCollection's
+    // documented contract; out-of-order logs go through ChangeFeed.run
+    val wal1 = Seq(("put", "a", 1L, "a-v1"), ("put", "b", 1L, "b-v1"))
+    val wal2 = Seq(("put", "a", 2L, "a-v2"), ("del", "b", 2L, ""), ("put", "c", 1L, "c-v1"))
+    Seq(wal1, wal2).foreach(b => log(b).write.mode(SaveMode.Append).parquet(logDir))
+    val schema = log(wal1).schema
+    val q = ChangeFeed.runIntoCollection(cat, "feed", spark, logDir, schema, "version", ckpt)
+    q.awaitTermination(120000)
+    val got = cat.resident("feed").select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a-v2", "c" -> "c-v1"),
+      "collection state must equal the ordered-log replay")
+    // deletes are anti-joined out, not tombstoned, in the collection shape
+    assert(cat.count("feed") === 2)
+  }
+
   test("restart against an existing checkpoint resumes from persisted state (initialState)") {
     val logDir = Files.createTempDirectory("graft-log3").toString
     val ckpt = Files.createTempDirectory("graft-ckpt3").toString
