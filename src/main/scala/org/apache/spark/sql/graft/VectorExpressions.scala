@@ -252,7 +252,10 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
         throw new IllegalArgumentException(
           s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
       val d = dist(a, cents(c))
-      if (d < bestR + 1e-6) { // only here can rounding change the ordering
+      // only inside this window can rounding change the ordering:
+      // |round6(d) − d| ≤ 5e-7 (decimal rounding) + O(ulp(d)) (nearest-
+      // double error) — the ulp term matters past d ≈ 1e9
+      if (d < bestR + 1e-6 + 4.0 * Math.ulp(d)) {
         val rd = round6(d)
         if (rd < bestR) { bestR = rd; best = c }
       }
@@ -322,7 +325,7 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
          |  {
          |    ${distCode(ctx, a, cc, n, i, d)}
          |  }
-         |  if ($d < $bestR + 1e-6) {
+         |  if ($d < $bestR + 1e-6 + 4.0 * Math.ulp($d)) {
          |    final double $rd = java.math.BigDecimal.valueOf($d)
          |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
          |    if ($rd < $bestR) { $bestR = $rd; $best = $c; }

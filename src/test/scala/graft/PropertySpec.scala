@@ -114,15 +114,38 @@ class PropertySpec extends SparkSpec {
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
     val df = rows.toDF("id", "v")
     Seq("euclidean", "cosine", "manhattan", "dot").foreach { metric =>
-      val naive = cents.map { case (cid, cvec) =>
-        struct(round(graft.functions.distance(col("v"), lit(cvec), metric), 6).as("d"),
-          lit(cid).as("cid"))
-      }
-      val diverged = df.select(
-          array_min(array(naive: _*)).getField("cid").as("want"),
-          graft.functions.arg_min_distance(col("v"), cents, metric).as("got"))
-        .where(col("want") =!= col("got"))
-      assert(diverged.count() === 0L, s"kernel diverges from naive argmin on $metric")
+      checkAgainstNaive(df, cents, metric)
     }
+  }
+
+  test("arg_min_distance matches the naive argmin at large magnitudes (ulp-adaptive window)") {
+    val r = new Random(99)
+    val dim = 4
+    // components ~1e9 → euclidean distances ~1e10, where ulp(d) > the fixed
+    // 1e-6 window — the adaptive bound must keep rounding parity
+    def bigVec() = Array.fill(dim)((r.nextFloat() * 2 - 1) * 1e9f)
+    val base = bigVec()
+    val cents: Seq[(Long, Array[Float])] =
+      Seq(0L -> base.clone(), 1L -> base.clone(), 2L -> base.map(x => x + 1f)) ++
+        (3L to 10L).map(c => c -> bigVec())
+    val rows = (Seq.fill(20)(base.clone()) ++ Seq.fill(100)(bigVec()))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = rows.toDF("id", "v")
+    Seq("euclidean", "manhattan", "dot").foreach { metric =>
+      checkAgainstNaive(df, cents, metric)
+    }
+  }
+
+  private def checkAgainstNaive(df: org.apache.spark.sql.DataFrame,
+                                cents: Seq[(Long, Array[Float])], metric: String): Unit = {
+    val naive = cents.map { case (cid, cvec) =>
+      struct(round(graft.functions.distance(col("v"), lit(cvec), metric), 6).as("d"),
+        lit(cid).as("cid"))
+    }
+    val diverged = df.select(
+        array_min(array(naive: _*)).getField("cid").as("want"),
+        graft.functions.arg_min_distance(col("v"), cents, metric).as("got"))
+      .where(col("want") =!= col("got"))
+    assert(diverged.count() === 0L, s"kernel diverges from naive argmin on $metric")
   }
 }
