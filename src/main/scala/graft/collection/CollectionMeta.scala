@@ -71,9 +71,13 @@ case class CollectionMeta(
     versioning: Boolean = false,
     currentVersion: Int = 0,
     ivfCells: Option[Int] = None,
-    schemaless: Option[Boolean] = None) {
+    schemaless: Option[Boolean] = None,
+    ivfTrainIterations: Option[Int] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
+  require(ivfTrainIterations.forall(_ >= 0), "ivfTrainIterations must be >= 0")
+  require(ivfTrainIterations.isEmpty || ivfCells.isDefined,
+    "ivfTrainIterations requires ivfCells")
   require(!isSchemaless || fields.isEmpty,
     "schemaless (core v3) collections declare no fields — metadata is the string-coerced map")
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")

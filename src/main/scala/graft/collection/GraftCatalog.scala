@@ -220,8 +220,12 @@ class GraftCatalog(spark: SparkSession, root: String) {
           case q      => dequantize(col(VectorCol), q)
         }
         val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+        // each Lloyd iteration is one full corpus scan — the default 2 is
+        // the quality/cost balance; 0 = raw pk-ordered seeds (cheapest
+        // flush), more when cluster structure warrants it
         val centroids = graft.ann.Ann.trainCentroids(
-          withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance)
+          withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance,
+          iterations = meta.ivfTrainIterations.getOrElse(2))
         if (centroids.isEmpty) {
           // empty collection: partitionBy would write a schemaless dir that
           // fails to re-read — fall back to the unpartitioned layout
