@@ -42,4 +42,24 @@ public final class TextKernels {
         }
         return out;
     }
+
+    /**
+     * |a ∩ b| of two SORTED, DISTINCT string arrays by a single merge pass
+     * (UTF8String binary order — what Spark's array_sort produces).
+     * Zero allocation per call, unlike array_intersect's per-evaluation
+     * hash set.
+     */
+    public static int sortedIntersectCount(ArrayData a, ArrayData b) {
+        final int na = a.numElements(), nb = b.numElements();
+        int i = 0, j = 0, n = 0;
+        while (i < na && j < nb) {
+            UTF8String x = a.getUTF8String(i);
+            UTF8String y = b.getUTF8String(j);
+            int c = x.compareTo(y);
+            if (c == 0) { n++; i++; j++; }
+            else if (c < 0) i++;
+            else j++;
+        }
+        return n;
+    }
 }

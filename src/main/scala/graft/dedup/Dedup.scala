@@ -98,7 +98,9 @@ object Dedup {
       .where(col("__bn") <= lit(maxBlockSize) * lit(maxBlockSize))
       .withColumn("__salt", subBucketSalt(col(idCol),
         concat_ws("|", blockCols.map(c => col(c).cast("string")): _*), col("__bn"), maxBlockSize))
-      .withColumn("__shd", array_distinct(col("__sh")))
+      // sorted once per ROW so every pairwise verify is a zero-allocation
+      // merge (sorted_intersect_count) instead of a per-pair hash set
+      .withColumn("__shd", array_sort(array_distinct(col("__sh"))))
       .withColumn("__nd", size(col("__shd")))
     val a = withSh.select(col(idCol).as("id_a") +: col("__salt").as("salt_a") +:
       blockCols.map(c => col(c)) :+ col("__shd").as("shd_a") :+ col("__nd").as("nd_a"): _*)
@@ -118,11 +120,12 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Jaccard over PRE-DISTINCT sets with precomputed sizes: one intersect
-    * per pair, lambda-bound so it evaluates once. */
+  /** Jaccard over PRE-SORTED, PRE-DISTINCT sets with precomputed sizes:
+    * one zero-allocation merge-intersect per pair, lambda-bound so it
+    * evaluates once (Catalyst does not CSE across the two references). */
   private[dedup] def jaccardPreDistinct(da: Column, db: Column, na: Column, nb: Column): Column =
     element_at(
-      transform(array(size(array_intersect(da, db))), inter =>
+      transform(array(graft.functions.sorted_intersect_count(da, db)), inter =>
         round(inter.cast("double") / (na + nb - inter), 6)),
       1)
 }
@@ -194,7 +197,7 @@ object MinHashLSH {
     // hydrate candidates with pre-distinct shingle sets: one intersect per
     // verified pair (see jaccardPreDistinct)
     val sh = df.select(col(idCol), Dedup.shingles(textColName).as("__sh"))
-      .select(col(idCol), array_distinct(col("__sh")).as("__shd"))
+      .select(col(idCol), array_sort(array_distinct(col("__sh"))).as("__shd"))
       .withColumn("__nd", size(col("__shd")))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__shd").as("shd_a"), col("__nd").as("nd_a")), Seq("id_a"))

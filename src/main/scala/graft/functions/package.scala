@@ -38,6 +38,11 @@ package object functions {
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 
+  /** |a ∩ b| of two SORTED, DISTINCT string arrays — zero-allocation merge
+    * (the dedup-verify kernel; `array_intersect` hashes per evaluation). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
   /** FNV-1a-style shard routing (reference pkg/sharding — F11): stable
     * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
   def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))

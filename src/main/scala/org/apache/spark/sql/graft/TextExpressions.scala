@@ -27,6 +27,31 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** sorted_intersect_count(a, b): |a ∩ b| for two SORTED, DISTINCT string
+  * arrays via a single merge pass — the verification kernel of the dedup
+  * pipelines. `array_intersect` hashes one side into a fresh OpenHashSet
+  * per evaluation; on an m²-pair blocked-Jaccard verify that allocation
+  * dominates. The merge does zero allocation and compares UTF8String
+  * binary order (what `array_sort` produces for strings). Inputs MUST be
+  * sorted+distinct — callers pre-sort once per row, not per pair. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sorted_intersect_count"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** fnv64(s): FNV-1a 64-bit hash of a string's UTF-8 bytes — the reference's
   * id/shard hash family (/root/reference/pkg/sharding/shard.go:34-48).
   * Deterministic and engine-independent (the DuckDB oracle reproduces it in

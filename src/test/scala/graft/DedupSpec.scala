@@ -44,6 +44,24 @@ class DedupSpec extends SparkSpec {
     assert(j === 0.5)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted-distinct inputs") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),        // partial overlap
+      (Seq("a", "b"), Seq("a", "b")),                  // identical
+      (Seq("a"), Seq("z")),                            // disjoint
+      (Seq.empty[String], Seq("a")),                   // empty side
+      (Seq.empty[String], Seq.empty[String]),          // both empty
+      (Seq("á", "ß", "中"), Seq("ß", "中", "ﬂ"))      // non-ascii binary order
+    ).toDF("a", "b")
+    val rows = cases.select(
+        graft.functions.sorted_intersect_count(
+          array_sort(col("a")), array_sort(col("b"))).as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("hash"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
   test("blockedJaccardPairs never compares across blocks") {
     // 1 and 2 are identical but in different src blocks -> not a pair
     val pairs = Dedup.blockedJaccardPairs(df, "id", "text", Seq("lang", "src"), 0.4)
