@@ -43,6 +43,40 @@ public final class TextKernels {
         return out;
     }
 
+    private static final ThreadLocal<java.security.MessageDigest> MD5 =
+        ThreadLocal.withInitial(() -> {
+            try { return java.security.MessageDigest.getInstance("MD5"); }
+            catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+        });
+
+    /**
+     * MinHash signature: min over shingles of int64(first 15 hex digits of
+     * md5(prefix || shingle)) — bit-identical to Spark's
+     * cast(conv(substr(md5(concat(prefix, s)), 1, 15), 16, 10) as bigint)
+     * (15 hex digits = the top 60 bits = big-endian first 8 bytes >>> 4),
+     * without allocating the concat/hex/substr strings per evaluation.
+     * Null shingles are skipped; empty arrays yield Long.MAX_VALUE (the
+     * callers' shingle arrays are never empty — short texts fall back to a
+     * whole-text shingle).
+     */
+    public static long minhashSig(ArrayData shingles, byte[] prefix) {
+        java.security.MessageDigest md = MD5.get();
+        long min = Long.MAX_VALUE;
+        int n = shingles.numElements();
+        for (int i = 0; i < n; i++) {
+            if (shingles.isNullAt(i)) continue;
+            md.reset();
+            md.update(prefix);
+            md.update(shingles.getUTF8String(i).getBytes());
+            byte[] d = md.digest();
+            long v = ((d[0] & 0xffL) << 56 | (d[1] & 0xffL) << 48 | (d[2] & 0xffL) << 40
+                    | (d[3] & 0xffL) << 32 | (d[4] & 0xffL) << 24 | (d[5] & 0xffL) << 16
+                    | (d[6] & 0xffL) << 8 | (d[7] & 0xffL)) >>> 4;
+            if (v < min) min = v;
+        }
+        return min;
+    }
+
     /**
      * |a ∩ b| of two SORTED, DISTINCT string arrays by a single merge pass
      * (UTF8String binary order — what Spark's array_sort produces).

@@ -138,9 +138,7 @@ object Dedup {
 object MinHashLSH {
 
   private def sigExpr(sh: Column, j: Int): Column =
-    array_min(transform(sh, s =>
-      conv(substring(md5(concat(lit(s"$j|"), s).cast("binary")), 1, 15), 16, 10)
-        .cast("bigint")))
+    graft.functions.minhash_sig(sh, j)
 
   /** Add `sig_0 .. sig_{k-1}` min-hash signature columns. Row-local: the
     * shingle array is materialized once in its own projection (non-cheap

@@ -43,6 +43,12 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  /** One MinHash signature component over a shingle array (md5-family,
+    * seed-prefixed) — the allocation-free form of
+    * `array_min(transform(sh, s -> conv(substr(md5(seed|s),1,15),16,10)))`. */
+  def minhash_sig(shingles: Column, seed: Int): Column =
+    column(MinHashSig(expression(shingles), seed))
+
   /** FNV-1a-style shard routing (reference pkg/sharding — F11): stable
     * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
   def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))

@@ -52,6 +52,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** minhash_sig(shingles, seed): min over the shingle array of the
+  * md5-derived 60-bit hash family `int64(first 15 hex digits of
+  * md5(seed|shingle))` — one MinHash signature component. Semantically
+  * identical to the `array_min(transform(sh, s -> conv(substr(md5(…)))))`
+  * formulation (the DuckDB oracle replicates that form bit-for-bit), but a
+  * direct digest kernel with no per-evaluation string allocation. */
+case class MinHashSig(child: Expression, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "minhash_sig"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val prefix = s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSig(v.asInstanceOf[ArrayData], prefix)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("mhPrefix", prefix, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($a, $p);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** fnv64(s): FNV-1a 64-bit hash of a string's UTF-8 bytes — the reference's
   * id/shard hash family (/root/reference/pkg/sharding/shard.go:34-48).
   * Deterministic and engine-independent (the DuckDB oracle reproduces it in

@@ -44,6 +44,19 @@ class DedupSpec extends SparkSpec {
     assert(j === 0.5)
   }
 
+  test("minhash_sig kernel is bit-identical to the conv(substr(md5)) SQL formulation") {
+    val sh = df.select(col("id"), Dedup.shingles("text").as("sh"))
+    (0 until 4).foreach { j =>
+      val diverged = sh.select(
+          graft.functions.minhash_sig(col("sh"), j).as("kernel"),
+          expr(s"array_min(transform(sh, s -> " +
+            s"cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
+            .as("sql"))
+        .where(col("kernel") =!= col("sql"))
+      assert(diverged.count() === 0L, s"seed $j diverged")
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted-distinct inputs") {
     import spark.implicits._
     val cases = Seq(
