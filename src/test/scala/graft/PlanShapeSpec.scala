@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical properties PLANS.md
+  * documents — filters at the scan, bounded shuffle counts, no stray
+  * cartesian products — pinned so a future refactor cannot silently
+  * reintroduce a shuffle or lose pushdown. Counting is on the pre-execution
+  * plan text: `Exchange hashpartitioning` = a real shuffle (broadcast and
+  * the final orderBy's range partitioning are counted separately). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("flat scans: zero shuffles of the corpus; top-K via TakeOrderedAndProject") {
+    for (q <- Seq("flat_scan_cosine", "flat_scan_euclidean", "flat_scan_f16")) {
+      val p = plan(q)
+      assert(shuffles(p) === 0, s"$q shuffles the corpus:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the bounded top-K:\n$p")
+    }
+  }
+
+  test("filtered search: predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan("filtered_search_single")
+    assert(shuffles(p) === 0)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(p).isDefined,
+      s"filter not pushed to the scan:\n$p")
+  }
+
+  test("hybrid search: candidate set broadcast, never a shuffle join of the corpus") {
+    val p = plan("hybrid_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"hybrid candidates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  test("aggregation queries: one data shuffle with map-side partial aggregation") {
+    // dedup_exact: groupBy(text) — partial + final around exactly one exchange
+    val pd = plan("dedup_exact")
+    assert(shuffles(pd) === 1, s"dedup_exact shuffle count:\n$pd")
+    assert("partial".r.findFirstIn(pd.toLowerCase).isDefined, "no map-side partial agg")
+    // lww_change_feed: the LWW fold is ONE shuffle on the key
+    val pl = plan("lww_change_feed")
+    assert(shuffles(pl) === 1, s"LWW fold must be a single keyed shuffle:\n$pl")
+  }
+
+  test("stable_ids: the distinct-aggregate double shuffle, nothing more") {
+    val p = plan("stable_ids")
+    assert(shuffles(p) <= 2, s"count-distinct needs at most 2 hash exchanges:\n$p")
+  }
+
+  test("no query plans a CartesianProduct") {
+    // the only legitimate unbounded pairing is blocked/banded equi-joins;
+    // a cartesian in any registered query is a scale bug
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if name.startsWith("dedup") || name.startsWith("ann") || name.startsWith("flat")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+}
