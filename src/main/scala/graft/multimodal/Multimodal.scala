@@ -68,6 +68,87 @@ object Multimodal {
     }
   }
 
+  /** Real audio decoder: `javax.sound.sampled` WAV (PCM 16-bit) →
+    * (n_samples, sample_rate, mean |amplitude|, RMS, zero crossings).
+    * Integer/long accumulation where exact; one division/sqrt at the end —
+    * deterministic and engine-reproducible for lossless PCM. */
+  class AudioStatsDecoder extends PayloadDecoder {
+    override def dim: Int = 5
+    override def decode(bytes: Array[Byte]): Option[Array[Double]] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      Option(in).flatMap { ais =>
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val raw = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(raw).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = raw.length / 2
+            var sumAbs = 0L; var sumSq = 0L; var crossings = 0L
+            var prevNonNeg = true; var i = 0
+            while (i < n) {
+              val s = bb.getShort(i * 2).toInt
+              sumAbs += math.abs(s)
+              sumSq += s.toLong * s
+              val nonNeg = s >= 0
+              if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+              prevNonNeg = nonNeg
+              i += 1
+            }
+            if (n == 0) None
+            else Some(Array(n.toDouble, fmt.getSampleRate.toDouble,
+              sumAbs.toDouble / n, math.sqrt(sumSq.toDouble / n), crossings.toDouble))
+          }
+        } catch { case _: java.io.IOException => None }
+        finally ais.close()
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV per id (PCM 16-bit mono, 8 kHz):
+    * n = 400 + id%100 samples, sample(i) = ((i·7919 + id·104729) mod 65536)
+    * − 32768 — integer PCM, losslessly round-tripped, so decoded stats are
+    * exactly the formula's. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 400 + (id % 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort(i * 2, (((i.toLong * 7919 + id * 104729) % 65536) - 32768).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Attach a synthetic WAV payload per row (distributed encode, like
+    * [[withSyntheticImages]]). */
+  def withSyntheticAudio(df: DataFrame, idCol: String,
+                         payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(payloadCol, BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticWav(r.getLong(0))) }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode + featurize through a [[PayloadDecoder]]: one decoder init per
     * partition, fixed-width double vector out, `decode_ok=false` + zeros for
     * undecodable payloads. The distributed shape of a production media

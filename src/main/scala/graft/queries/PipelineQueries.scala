@@ -185,6 +185,23 @@ object PipelineQueries {
           round(element_at(col("features"), 4), 6).as("mean_g"),
           round(element_at(col("features"), 5), 6).as("mean_b"))
         .orderBy("doc_id")
+    }),
+    // REAL audio codec path (javax.sound.sampled WAV/PCM): synthetic
+    // formula-seeded PCM through the actual encode→decode chain; the
+    // oracle recomputes amplitude stats analytically — lossless PCM makes
+    // a hash match prove the codec chain exact, like image_features.
+    "audio_features" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id").where(col("doc_id") < 200)
+      val wavs = Multimodal.withSyntheticAudio(d, "doc_id")
+      val feats = Multimodal.extractWith(wavs, "doc_id", "payload",
+        new Multimodal.AudioStatsDecoder)
+      feats.where(col("decode_ok"))
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_samples"),
+          round(element_at(col("features"), 3), 6).as("mean_abs"),
+          round(element_at(col("features"), 4), 6).as("rms"),
+          element_at(col("features"), 5).cast("long").as("zero_crossings"))
+        .orderBy("doc_id")
     })
   )
 
@@ -411,6 +428,21 @@ object PipelineQueries {
         |  ROUND(AVG((x*7 + y*13 + doc_id) % 256), 6) AS mean_r,
         |  ROUND(AVG((x*3 + y*5 + 2*doc_id) % 256), 6) AS mean_g,
         |  ROUND(AVG((x*11 + y + 3*doc_id) % 256), 6) AS mean_b
-        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "audio_features" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n, t.i AS i,
+        |    ((t.i * 7919 + doc_id * 104729) % 65536) - 32768 AS smp
+        |  FROM d, range(0, 500) t(i) WHERE t.i < n),
+        |w AS (SELECT doc_id, n, i, smp,
+        |    LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  ROUND(AVG(ABS(smp)), 6) AS mean_abs,
+        |  ROUND(SQRT(AVG(CAST(smp * smp AS DOUBLE))), 6) AS rms,
+        |  CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND (smp >= 0) != (prev >= 0)) AS BIGINT)
+        |    AS zero_crossings
+        |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }

@@ -81,6 +81,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL audio codec: WAV PCM round trip reproduces the formula's amplitude stats") {
+    val id = 3L
+    val n = 400 + (id % 100).toInt
+    val dec = new Multimodal.AudioStatsDecoder
+    val f = dec.decode(Multimodal.syntheticWav(id)).get
+    assert(f(0) === n.toDouble && f(1) === 8000.0)
+    val samples = (0 until n).map(i => (((i.toLong * 7919 + id * 104729) % 65536) - 32768).toInt)
+    assert(f(2) === samples.map(s => math.abs(s).toLong).sum.toDouble / n)
+    assert(f(4) === samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toDouble)
+    // corrupt bytes refuse cleanly
+    assert(dec.decode(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
   test("feature output feeds the vector operators downstream (search over features)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(
