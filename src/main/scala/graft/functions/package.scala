@@ -11,6 +11,15 @@ import org.apache.spark.sql.{functions => F}
 package object functions {
   import GraftBridge.{column, expression}
 
+  /** Make the graft kernels callable from plain `spark.sql(...)`:
+    * cosine/euclidean/manhattan distance, vec_dot, l2_norm, l2_normalize,
+    * simhash64, fnv64, sorted_intersect_count — the same codegen'd
+    * Catalyst expressions as this Column API, registered in the session's
+    * function registry (session-scoped, no UDF indirection). */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.registerSqlFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   def vec_dot(a: Column, b: Column): Column =
     column(VecDotProduct(expression(a), expression(b)))
 

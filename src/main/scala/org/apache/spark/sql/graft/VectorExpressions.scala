@@ -15,6 +15,35 @@ import org.apache.spark.sql.types._
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register the graft expression family in a LIVE session's function
+    * registry, making the engine's kernels first-class SQL functions
+    * (`SELECT cosine_distance(embedding, q) …`) — same codegen'd
+    * expressions as the Column API, no UDF wrapping. Reaches the
+    * private[sql] sessionState via this bridge package; callers use
+    * `graft.functions.registerSqlFunctions(spark)`. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.classic.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def reg2(name: String, build: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { exprs =>
+        require(exprs.length == 2, s"$name expects 2 arguments")
+        build(exprs(0), exprs(1))
+      }, "scala_udf")
+    def reg1(name: String, build: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { exprs =>
+        require(exprs.length == 1, s"$name expects 1 argument")
+        build(exprs(0))
+      }, "scala_udf")
+    reg2("cosine_distance", VecCosineDistance(_, _))
+    reg2("euclidean_distance", VecEuclideanDistance(_, _))
+    reg2("manhattan_distance", VecManhattanDistance(_, _))
+    reg2("vec_dot", VecDotProduct(_, _))
+    reg1("l2_norm", VecL2Norm(_))
+    reg1("l2_normalize", VecL2Normalize(_))
+    reg1("simhash64", SimHash64(_))
+    reg1("fnv64", Fnv64(_))
+    reg2("sorted_intersect_count", SortedIntersectCount(_, _))
+  }
 }
 
 /** Catalyst expressions for vector similarity — the scalar-function surface of

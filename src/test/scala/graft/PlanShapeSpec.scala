@@ -8,8 +8,13 @@ package graft
   * the final orderBy's range partitioning are counted separately). */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // earlier suites may have cached the parquet tables (shared session) —
+    // a substituted InMemoryRelation would hide the FileScan/PushedFilters
+    // this suite asserts on
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   private def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
 

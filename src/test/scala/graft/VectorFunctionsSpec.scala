@@ -62,6 +62,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("registerSqlFunctions: the kernels are plain SQL functions, identical to the Column API") {
+    graft.functions.registerSqlFunctions(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_distance(cast(array(1, 0) as array<float>), cast(array(0, 1) as array<float>)) AS cd,
+        |  euclidean_distance(cast(array(3, 0) as array<float>), cast(array(0, 4) as array<float>)) AS ed,
+        |  l2_norm(cast(array(3, 4) as array<float>)) AS n,
+        |  l2_normalize(cast(array(3, 4) as array<float>)) AS nv,
+        |  fnv64('abc') AS h,
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+        |""".stripMargin).head()
+    assert(r.getAs[Double]("cd") === 1.0)
+    assert(r.getAs[Double]("ed") === 5.0)
+    assert(r.getAs[Double]("n") === 5.0)
+    assert(r.getAs[Seq[Float]]("nv") === Seq(0.6f, 0.8f))
+    assert(r.getAs[Long]("h") ===
+      graft.functions.TextKernels.fnv1a64("abc".getBytes("UTF-8")))
+    assert(r.getAs[Int]("ic") === 2)
+    // identical to the Column API (same Expression class underneath)
+    val viaSql = spark.sql(
+      "SELECT cosine_distance(cast(array(1, 2, 3) as array<float>), cast(array(3, 2, 1) as array<float>)) AS d")
+      .head().getDouble(0)
+    val viaCol = Seq((Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("a", "b")
+      .select(cosine_distance(col("a"), col("b"))).head().getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
   test("score_from_distance formulas (edge/edge_helper.go:143-148)") {
     val df = Seq((0.5, 30.0)).toDF("dc", "de")
     val r = df.select(
