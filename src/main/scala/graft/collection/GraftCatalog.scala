@@ -205,7 +205,8 @@ class GraftCatalog(spark: SparkSession, root: String) {
     val stagingData = new Path(staging, "data")
     val stagingCentroids = new Path(staging, "centroids")
     var wroteCentroids = false
-    meta.ivfCells match {
+    // a failed staging write must not orphan the hidden staging dir
+    try meta.ivfCells match {
       case Some(k) if !meta.isMultiVector =>
         // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
         // §2.1 S4 / §7): assign each row to its nearest centroid and
@@ -244,6 +245,9 @@ class GraftCatalog(spark: SparkSession, root: String) {
         }
       case _ =>
         df.write.mode("overwrite").parquet(stagingData.toString)
+    } catch { case e: Throwable =>
+      fs.delete(staging, true)
+      throw e
     }
     // Atomic claim of the version slot: exclusive create of `v<N>.claim` —
     // the filesystem CAS primitive (O_EXCL locally, exclusive create on
