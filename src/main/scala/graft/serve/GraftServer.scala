@@ -92,6 +92,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         case e @ (_: IllegalArgumentException | _: IllegalStateException |
                   _: MappingException | _: GraftCatalog.ConcurrentFlushException) =>
           400 -> err(e)
+        case e: com.fasterxml.jackson.core.JsonProcessingException =>
+          400 -> err(e) // malformed request JSON
         // analyzer raise_error surfaces as a SparkRuntimeException (a
         // private[spark] type — matched by name) or a SparkException
         // wrapping the executor-side failure — client errors, not server

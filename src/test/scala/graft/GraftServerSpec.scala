@@ -105,6 +105,10 @@ class GraftServerSpec extends SparkSpec {
     assert(http("POST", "/collections/err2/insert",
       """{"rows":[{"id":"x","n":5.0,"vector":[1,0]}]}""")._1 === 200)
     assert(http("GET", "/nope")._1 === 404)
+    // malformed JSON bodies are client errors, not 500s
+    val (mc, mb) = http("POST", "/collections", """{"name": "x", dim: !!!""")
+    assert(mc === 400, s"$mc $mb")
+    assert(http("POST", "/collections/err2/search", "not json at all")._1 === 400)
   }
 
   test("multi-vector (CFLAT) search and CompareDist over HTTP") {
