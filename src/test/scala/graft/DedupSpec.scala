@@ -44,6 +44,36 @@ class DedupSpec extends SparkSpec {
     assert(j === 0.5)
   }
 
+  test("prefix-filtered blockedJaccardPairs equals brute force on random corpora (seeded)") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def text() = Seq.fill(2 + r.nextInt(9))(vocab(r.nextInt(vocab.length))).mkString(" ")
+    val rows = (0 until 60).map(i => (i.toLong, text(), if (i % 2 == 0) "x" else "y"))
+    val corpus = rows.toDF("id", "text", "blk")
+    val t = 0.3
+    val got = Dedup.blockedJaccardPairs(corpus, "id", "text", Seq("blk"), t)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // brute force mirror: 3-word shingles (whole text if < 3 tokens),
+    // distinct sets, all pairs within a block
+    def sh(s: String): Set[String] = {
+      val tk = s.split(" ")
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set(s)
+    }
+    val byBlock = rows.groupBy(_._3)
+    val want = byBlock.values.flatMap { docs =>
+      for {
+        a <- docs; b <- docs if a._1 < b._1
+        sa = sh(a._2); sb = sh(b._2)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a._1, b._1, jr)
+    }.toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("minhash_sig kernel is bit-identical to the conv(substr(md5)) SQL formulation") {
     val sh = df.select(col("id"), Dedup.shingles("text").as("sh"))
     (0 until 4).foreach { j =>
