@@ -55,9 +55,13 @@ public final class TextKernels {
      * cast(conv(substr(md5(concat(prefix, s)), 1, 15), 16, 10) as bigint)
      * (15 hex digits = the top 60 bits = big-endian first 8 bytes >>> 4),
      * without allocating the concat/hex/substr strings per evaluation.
-     * Null shingles are skipped; empty arrays yield Long.MAX_VALUE (the
-     * callers' shingle arrays are never empty — short texts fall back to a
-     * whole-text shingle).
+     * Null shingles are skipped. Empty / all-null arrays return
+     * Long.MAX_VALUE — unreachable as a real signature (values are 60-bit),
+     * so the wrapping expression maps it to SQL NULL, matching the
+     * array_min-over-transform formulation (array_min of an empty array is
+     * NULL). The engine's own shingle arrays are never empty (short texts
+     * fall back to a whole-text shingle), but the registered SQL function
+     * sees arbitrary input.
      */
     public static long minhashSig(ArrayData shingles, byte[] prefix) {
         java.security.MessageDigest md = MD5.get();

@@ -84,10 +84,22 @@ final class LocalIvfIndex private (
 
 object LocalIvfIndex {
 
-  /** (dist, id) ordering — the engine's deterministic tie-break (`orderBy
-    * dist asc, id asc`), with ids compared natively when Comparable. */
+  /** Spark's `round(d, 6)` — BigDecimal HALF_UP on the exact binary value,
+    * matching the `round(dist, 6)` the distributed probe orders by. */
+  def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (round6(dist), id) ordering — the SAME total order as the distributed
+    * probe (`Ann.ivfSearch`: orderBy round(dist,6) asc, id asc), so the two
+    * probe paths rank near-ties identically. Fast path: when the raw
+    * distances differ by more than 2e-6 the rounded values are guaranteed to
+    * differ in the same direction (rounding moves each value < 0.5e-6), so
+    * BigDecimal rounding only runs on genuine near-ties. */
   private def cmp(a: (AnyRef, Double), b: (AnyRef, Double)): Int = {
-    val c = java.lang.Double.compare(a._2, b._2)
+    val c =
+      if (math.abs(a._2 - b._2) > 2e-6) java.lang.Double.compare(a._2, b._2)
+      else java.lang.Double.compare(round6(a._2), round6(b._2))
     if (c != 0) c
     else a._1 match {
       case x: Comparable[_] => x.asInstanceOf[Comparable[AnyRef]].compareTo(b._1)

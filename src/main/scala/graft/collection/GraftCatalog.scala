@@ -26,7 +26,8 @@ import graft.operators.{MultiVectorSearch, Mutations, SearchRequest, VectorSearc
   * Scale: a snapshot is plain partitioned parquet — loads are parallel scans,
   * flushes are distributed writes; nothing round-trips through the driver.
   */
-class GraftCatalog(spark: SparkSession, root: String) {
+class GraftCatalog(spark: SparkSession, root: String,
+                   staleClaimMs: Long = GraftCatalog.DefaultStaleClaimMs) {
   import CollectionMeta.VectorCol
 
   /** User-facing vector column name on ingest/search results. */
@@ -46,6 +47,39 @@ class GraftCatalog(spark: SparkSession, root: String) {
   private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
   private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
   private def claimPath(name: String, v: Int) = new Path(s"$root/$name/v$v.claim")
+
+  /** Atomic exclusive create of a version-claim file whose content is
+    * `owner epochMillis`. Hadoop's LocalFileSystem `create(…, false)` is
+    * check-then-create (NOT a CAS) — on a `file:` filesystem this uses NIO
+    * `CREATE_NEW` (a real O_EXCL); on HDFS-like stores the namenode makes
+    * exclusive create atomic already. */
+  private def tryCreateClaim(claim: Path): Boolean = {
+    val content = (s"${ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName} ${System.currentTimeMillis()}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      val f = java.nio.file.Paths.get(claim.toUri.getPath)
+      java.nio.file.Files.createDirectories(f.getParent)
+      try { java.nio.file.Files.write(f, content, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { val os = fs.create(claim, false); os.write(content); os.close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** A claim whose embedded timestamp is older than `staleClaimMs` belongs
+    * to a writer that crashed between claim and publish (every non-crash
+    * path cleans up its claim) — it may be reclaimed. Claims without a
+    * parseable timestamp are never reclaimed automatically. */
+  private def claimIsStale(claim: Path): Boolean =
+    try {
+      val in = fs.open(claim)
+      val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                    finally in.close()
+      val ts = content.trim.split(' ').last.toLong
+      System.currentTimeMillis() - ts > staleClaimMs
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- DDL ----
 
@@ -249,18 +283,20 @@ class GraftCatalog(spark: SparkSession, root: String) {
       fs.delete(staging, true)
       throw e
     }
-    // Atomic claim of the version slot: exclusive create of `v<N>.claim` —
-    // the filesystem CAS primitive (O_EXCL locally, exclusive create on
-    // HDFS; `rename` is NOT a CAS — onto an existing dir it moves-into).
-    // Re-check the meta version after claiming so a flush that raced an
-    // already-committed one still backs out. A writer that claims and then
-    // hard-crashes leaves the claim behind, blocking further flushes like a
-    // stale lock file — remove `v<N>.claim` manually to recover (all
-    // non-crash failure paths below clean it up).
+    // Atomic claim of the version slot: exclusive create of `v<N>.claim`
+    // (a true O_EXCL CAS — see tryCreateClaim; `rename` is NOT a CAS: onto
+    // an existing dir it moves-into). Re-check the meta version after
+    // claiming so a flush that raced an already-committed one still backs
+    // out. A writer that hard-crashes between claim and publish leaves its
+    // claim behind; the embedded owner/timestamp lets a later flush detect
+    // and reclaim it after `staleClaimMs` (two concurrent reclaimers both
+    // delete — idempotent — but only one exclusive re-create can win).
     val claim = claimPath(name, v)
-    val claimed =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    var claimed = tryCreateClaim(claim)
+    if (!claimed && claimIsStale(claim)) {
+      fs.delete(claim, false)
+      claimed = tryCreateClaim(claim)
+    }
     if (!claimed || getMeta(name).currentVersion >= v) {
       if (claimed) fs.delete(claim, false)
       fs.delete(staging, true)
@@ -499,6 +535,11 @@ object GraftCatalog {
   /** Thrown by the flush that loses an atomic version-claim race; the
     * loser's staging data is already cleaned up when this escapes. */
   class ConcurrentFlushException(msg: String) extends RuntimeException(msg)
+
+  /** How old an uncommitted version claim must be before a later flush may
+    * reclaim it as a crashed writer's leftover (30 min — far above any
+    * sane flush duration, far below a human-debugging turnaround). */
+  val DefaultStaleClaimMs: Long = 30L * 60 * 1000
 
   private val SearchVecCol = "__searchvec"
 

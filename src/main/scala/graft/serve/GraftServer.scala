@@ -95,9 +95,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         case e: com.fasterxml.jackson.core.JsonProcessingException =>
           400 -> err(e) // malformed request JSON
         // analyzer raise_error surfaces as a SparkRuntimeException (a
-        // private[spark] type — matched by name) or a SparkException
-        // wrapping the executor-side failure — client errors, not server
-        case e: org.apache.spark.SparkException => 400 -> err(rootCause(e))
+        // private[spark] type — matched by name) directly, or as a
+        // SparkException wrapping the executor-side failure. Only those
+        // validation shapes are client errors; a SparkException whose root
+        // cause is anything else (executor loss, storage IO, OOM) is a
+        // genuine server-side failure → 500.
+        case e: org.apache.spark.SparkException =>
+          val rc = rootCause(e)
+          if (isClientError(rc)) 400 -> err(rc) else 500 -> err(rc)
         case e: RuntimeException if e.getClass.getName.startsWith("org.apache.spark.Spark") =>
           400 -> err(rootCause(e))
         case e: Throwable => 500 -> err(e)
@@ -106,6 +111,15 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length)
     try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  /** Validation/analyzer failure shapes: engine `require`/state-machine
+    * errors and `raise_error` (SparkRuntimeException, matched by name — a
+    * private[spark] type). */
+  private def isClientError(rc: Throwable): Boolean = rc match {
+    case _: IllegalArgumentException | _: IllegalStateException => true
+    case r: RuntimeException => r.getClass.getName.startsWith("org.apache.spark.Spark")
+    case _ => false
   }
 
   private def rootCause(e: Throwable): Throwable = {
@@ -184,13 +198,18 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
         val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
-        val hits = idx.search(vector, topK, nprobe)
+        // The SAME query prep as the distributed probes (normalize when
+        // cosine, quantize round-trip when quantized) — the local index
+        // serves decoded vectors, so an unprepared query would rank
+        // differently on quantized collections.
+        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        val hits = idx.search(qv, topK, nprobe)
         200 -> ("{\"rows\":[" + hits.map { case (id, d) =>
           val idJson = id match {
             case s: String => JsonMethods.compact(JString(s))
             case other => other.toString
           }
-          s"""{"id":$idJson,"dist":${math.rint(d * 1e6) / 1e6}}"""
+          s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
         }.mkString(",") + "]}")
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)

@@ -57,23 +57,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * md5(seed|shingle))` — one MinHash signature component. Semantically
   * identical to the `array_min(transform(sh, s -> conv(substr(md5(…)))))`
   * formulation (the DuckDB oracle replicates that form bit-for-bit), but a
-  * direct digest kernel with no per-evaluation string allocation. */
+  * direct digest kernel with no per-evaluation string allocation. Like
+  * array_min over an empty array, an empty or all-null shingle array yields
+  * NULL (the kernel's Long.MAX_VALUE sentinel is unreachable as a real
+  * 60-bit signature). */
 case class MinHashSig(child: Expression, seed: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "minhash_sig"
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   private lazy val prefix = s"$seed|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  override def nullSafeEval(v: Any): Any =
-    TextKernels.minhashSig(v.asInstanceOf[ArrayData], prefix)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = TextKernels.minhashSig(v.asInstanceOf[ArrayData], prefix)
+    if (sig == Long.MaxValue) null else sig
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("mhPrefix", prefix, "byte[]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.TextKernels.minhashSig($a, $p);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.TextKernels.minhashSig($a, $p);
+      if (${ev.value} == Long.MAX_VALUE) { ${ev.isNull} = true; }""")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

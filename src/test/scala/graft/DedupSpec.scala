@@ -82,9 +82,29 @@ class DedupSpec extends SparkSpec {
           expr(s"array_min(transform(sh, s -> " +
             s"cast(conv(substr(md5(cast(concat('$j|', s) as binary)), 1, 15), 16, 10) as bigint)))")
             .as("sql"))
-        .where(col("kernel") =!= col("sql"))
+        .where(!(col("kernel") <=> col("sql"))) // null-safe: NULL≠value diverges too
       assert(diverged.count() === 0L, s"seed $j diverged")
     }
+  }
+
+  test("minhash_sig is NULL on empty / all-null / null shingle arrays, like array_min") {
+    val cases = spark.sql(
+      """SELECT sh FROM VALUES
+        |  (array('a','b')),
+        |  (cast(array() as array<string>)),
+        |  (array(cast(null as string), cast(null as string))),
+        |  (cast(null as array<string>)) AS t(sh)""".stripMargin)
+    val rows = cases.select(
+        graft.functions.minhash_sig(col("sh"), 0).as("kernel"),
+        expr("array_min(transform(sh, s -> " +
+          "cast(conv(substr(md5(cast(concat('0|', s) as binary)), 1, 15), 16, 10) as bigint)))")
+          .as("sql"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"nullability diverged: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1), s"value diverged: $r")
+    }
+    assert(rows.count(_.isNullAt(0)) === 3) // only the real shingle row hashes
   }
 
   test("sorted_intersect_count equals size(array_intersect) on sorted-distinct inputs") {

@@ -165,6 +165,30 @@ class GraftServerSpec extends SparkSpec {
     assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
   }
 
+  test("QUANTIZED collection: searchLocal applies the same query prep as searchIvf") {
+    // f16-inexact coordinates: without the prepareQueryVector round-trip on
+    // the local path, the two probes score against different query vectors
+    val meta = """{"name":"ivfq","dim":3,"distance":"euclidean","quantization":"f16","ivfCells":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/ivfq/load")._1 === 200)
+    val rows = (0 until 30).map(i =>
+      s"""{"id":"q$i","vector":[${i * 0.1003}, ${(i % 5) * 0.2007}, 1.0001]}""").mkString(",")
+    assert(http("POST", "/collections/ivfq/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/ivfq/flush")._2 === """{"version":1}""")
+    val q = """{"vector":[0.7021,0.4014,1.0001],"topK":5,"nprobe":2}"""
+    val (dc, db) = http("POST", "/collections/ivfq/searchIvf", q)
+    val (lc, lb) = http("POST", "/collections/ivfq/searchLocal", q)
+    assert(dc === 200 && lc === 200, s"$db / $lb")
+    val dIds = "\"id\":\"(q\\d+)\"".r.findAllMatchIn(db).map(_.group(1)).toSeq
+    val lIds = "\"id\":\"(q\\d+)\"".r.findAllMatchIn(lb).map(_.group(1)).toSeq
+    assert(dIds === lIds, s"distributed $dIds vs local $lIds")
+    val num = "\"dist\":([-0-9.Ee]+)".r
+    val dDists = num.findAllMatchIn(db).map(_.group(1).toDouble).toSeq
+    val lDists = num.findAllMatchIn(lb).map(_.group(1).toDouble).toSeq
+    assert(dDists === lDists, s"distributed $dDists vs local $lDists")
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)

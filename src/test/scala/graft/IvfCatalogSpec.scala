@@ -104,6 +104,31 @@ class IvfCatalogSpec extends SparkSpec {
     assert(cat2.getMeta("r").currentVersion === 0)
   }
 
+  test("a STALE claim (crashed writer) is reclaimed; a fresh claim still blocks") {
+    val root = Files.createTempDirectory("graft-ivf-stale").toString
+    val cat2 = new GraftCatalog(spark, root)
+    cat2.createCollection(CollectionMeta("s", dim = 2, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true))))
+    cat2.loadCollection("s")
+    cat2.insert("s", Seq(("a", Seq(1f, 2f))).toDF("id", "vector"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // a claim whose embedded timestamp is ancient = a writer that crashed
+    // between claim and publish → reclaimed, flush succeeds
+    val stale = new org.apache.hadoop.fs.Path(s"$root/s/v1.claim")
+    val os = fs.create(stale, false)
+    os.write("9999@deadhost 1000".getBytes("UTF-8")) // epoch 1970 — long stale
+    os.close()
+    assert(cat2.flush("s") === 1)
+    assert(spark.read.parquet(s"$root/s/v1").count() === 1L)
+    // a FRESH claim (live writer) still blocks the next flush
+    cat2.insert("s", Seq(("b", Seq(3f, 4f))).toDF("id", "vector"))
+    val fresh = fs.create(new org.apache.hadoop.fs.Path(s"$root/s/v2.claim"), false)
+    fresh.write(s"1@livehost ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    fresh.close()
+    intercept[GraftCatalog.ConcurrentFlushException] { cat2.flush("s") }
+    assert(cat2.getMeta("s").currentVersion === 1)
+  }
+
   test("two racing flush threads: exactly one version is published, the loser throws, no orphans") {
     val root = Files.createTempDirectory("graft-ivf-race2").toString
     val catA = new GraftCatalog(spark, root)
