@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
-import graft.dedup.{Dedup, MinHashLSH}
+import graft.dedup.{Dedup, MinHashLSH, SimHashDedup}
 import graft.functions.simhash64
 import graft.multimodal.Multimodal
 import graft.text.{LangId, TextAnalysis}
@@ -87,6 +87,12 @@ object PipelineQueries {
       docs(s, dir)
         .select(col("doc_id"), simhash64(split(col("text"), " ")).as("fingerprint"))
         .orderBy("doc_id")),
+    // SimHash near-dup (the third dedup family): 4×16-bit bands — lossless
+    // candidate generation for hamming ≤ 3 by pigeonhole — band equi-join,
+    // exact bit_count(xor) verify. Same hot-band salt/cap as MinHash LSH.
+    "dedup_simhash" -> ((s, dir) =>
+      SimHashDedup.nearDuplicatePairs(dupCorpus(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     // Quality metrics: token counts, alpha/stopword ratios, composite
     // score, md5 content fingerprint — all single-pass row-local.
     "text_quality" -> ((s, dir) =>
@@ -240,6 +246,20 @@ object PipelineQueries {
       |    lang, source
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** The SimHash64 computation as reusable CTEs over `src(doc_id, text)`:
+    * per-token-occurrence FNV-1a bit votes, sign-aggregated into the
+    * unsigned HUGEINT fingerprint `sim(doc_id, v)`. */
+  private def simhashCtes(src: String): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $src),
+       |fnv AS (SELECT doc_id, $fnvSql AS h FROM tok),
+       |votes AS (SELECT doc_id, bits.b,
+       |    COUNT(*) FILTER (WHERE (h >> bits.b) & 1 = 1) AS ones, COUNT(*) AS n
+       |  FROM fnv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+       |  GROUP BY doc_id, bits.b),
+       |sim AS (SELECT doc_id,
+       |    SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS v
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
   /** FNV-1a 64 of the UTF-8 bytes of `t`, in HUGEINT mod-2^64 arithmetic. */
   private val fnvSql =
     """list_reduce(
@@ -303,18 +323,24 @@ object PipelineQueries {
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "simhash_fingerprints" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |fnv AS (SELECT doc_id, $fnvSql AS h FROM tok),
-         |votes AS (SELECT doc_id, bits.b,
-         |    COUNT(*) FILTER (WHERE (h >> bits.b) & 1 = 1) AS ones, COUNT(*) AS n
-         |  FROM fnv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
-         |  GROUP BY doc_id, bits.b),
-         |sim AS (SELECT doc_id,
-         |    SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS v
-         |  FROM votes GROUP BY doc_id)
+      s"""WITH ${simhashCtes("documents")}
          |SELECT doc_id, CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
          |  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS BIGINT) AS fingerprint
          |FROM sim ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $dupCorpusSql,
+         |${simhashCtes("corpus")},
+         |band AS (SELECT doc_id, bi.b AS b, CAST((v >> (16 * bi.b)) & 65535 AS BIGINT) AS bv
+         |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+         |okband AS (SELECT b, bv FROM band GROUP BY b, bv HAVING COUNT(*) <= 10000),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM band a JOIN band c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+         |  JOIN okband ok ON ok.b = a.b AND ok.bv = a.bv),
+         |ham AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(0, 64), i -> ((sa.v >> i) & 1) != ((sb.v >> i) & 1))) AS INTEGER) AS hamming
+         |  FROM cand JOIN sim sa ON sa.doc_id = cand.id_a JOIN sim sb ON sb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "text_quality" -> {
       val alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)"
       val stop = s"len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE" +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, MinHashLSH}
+import graft.dedup.{Dedup, MinHashLSH, SimHashDedup}
 
 /** Dedup module semantics (exact, blocked Jaccard, MinHash+LSH) on small
   * synthetic fixtures — the reference-style unit layer under the
@@ -105,6 +105,31 @@ class DedupSpec extends SparkSpec {
       if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1), s"value diverged: $r")
     }
     assert(rows.count(_.isNullAt(0)) === 3) // only the real shingle row hashes
+  }
+
+  test("simhash banded pairs EQUAL brute-force hamming pairs (lossless for h ≤ bands−1)") {
+    // 15 groups × {base, exact copy, one-token variant}: copies give
+    // hamming 0 (guaranteed pairs), variants give small-but-varied hamming
+    val docs = for { g <- 0 until 15; v <- 0 until 3 } yield {
+      val toks = (0 until 30).map(j => s"g${g}w${(j * 7 + g) % 11}x$j")
+      val t = v match {
+        case 2 => toks.updated(5, s"mutated$g")
+        case _ => toks
+      }
+      (g * 10 + v, t.mkString(" "))
+    }
+    val d = docs.toDF("id", "text")
+    val got = SimHashDedup.nearDuplicatePairs(d, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val fps = SimHashDedup.withFingerprint(d, "text")
+      .select("id", "__fp").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(want.nonEmpty) // the exact copies guarantee hamming-0 pairs
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
   }
 
   test("sorted_intersect_count equals size(array_intersect) on sorted-distinct inputs") {
