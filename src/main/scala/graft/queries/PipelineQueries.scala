@@ -7,7 +7,7 @@ import graft.ann.Ann
 import graft.dedup.{Dedup, MinHashLSH, SimHashDedup}
 import graft.functions.simhash64
 import graft.multimodal.Multimodal
-import graft.text.{LangId, TextAnalysis}
+import graft.text.{LangId, TextAnalysis, Winnowing}
 
 /** The LLM-training-data-pipeline operators over the `documents` /
   * `embeddings` TESTDATA tables: dedup (exact, blocked-Jaccard,
@@ -93,6 +93,14 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       SimHashDedup.nearDuplicatePairs(dupCorpus(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // Winnowing (MOSS) fingerprints: char-8-gram FNV hashes, window-4
+    // minima, distinct — any ≥11-char shared substring guarantees a shared
+    // fingerprint. Row-local projection; exploded for the full hash check.
+    "winnow_fingerprints" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(Winnowing.fingerprints(col("text"), k = 8, w = 4)).as("fp"))
+        .orderBy("doc_id", "fp")),
     // Quality metrics: token counts, alpha/stopword ratios, composite
     // score, md5 content fingerprint — all single-pass row-local.
     "text_quality" -> ((s, dir) =>
@@ -341,6 +349,21 @@ object PipelineQueries {
          |  FROM cand JOIN sim sa ON sa.doc_id = cand.id_a JOIN sim sb ON sb.doc_id = cand.id_b)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |g AS (SELECT doc_id, CASE WHEN length(text) >= 8
+         |    THEN list_transform(range(0, length(text) - 7), i -> substr(text, i + 1, 8))
+         |    ELSE [text] END AS grams FROM d),
+         |h AS (SELECT doc_id, list_transform(list_transform(grams, t -> $fnvSql), hv ->
+         |    CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+         |      THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT)) AS hs
+         |  FROM g),
+         |w AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+         |    THEN list_transform(range(0, len(hs) - 3),
+         |      j -> list_min(list_transform(range(0, 4), q -> hs[j + q + 1])))
+         |    ELSE [list_min(hs)] END AS wins FROM h)
+         |SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
+         |ORDER BY doc_id, fp""".stripMargin,
     "text_quality" -> {
       val alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)"
       val stop = s"len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE" +

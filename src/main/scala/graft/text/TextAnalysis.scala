@@ -78,6 +78,38 @@ object TextAnalysis {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): hash every character k-gram (rolling-hash
+  * semantics; the FNV-1a of each k-gram is position-independent, which is
+  * all the rolling hash buys), then keep the MINIMUM hash of every window
+  * of `w` consecutive k-grams, deduplicated. The winnowing guarantee: any
+  * shared substring of length ≥ w + k − 1 between two documents yields at
+  * least one shared fingerprint — so overlap detection needs only an
+  * equi-join on fingerprints, never text comparison. Expected density is
+  * 2/(w+1) fingerprints per character: a tunable sketch, not a full index.
+  *
+  * Row-local Column combinators throughout (one codegen'd projection, no
+  * shuffle); every intermediate array is lambda-bound ONCE — Catalyst does
+  * not CSE repeated references inside nested array expressions. */
+object Winnowing {
+
+  /** Distinct window-min fingerprints of `text` as an array<long>.
+    * Texts shorter than `k` fall back to one whole-text fingerprint. */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = when(length(text) >= k,
+        transform(sequence(lit(0), length(text) - k), i => text.substr(i + 1, lit(k))))
+      .otherwise(array(text))
+    element_at(transform(array(grams), g =>
+      element_at(transform(array(transform(g, t => graft.functions.fnv64(t))), hs =>
+        array_distinct(
+          when(size(hs) >= w,
+            transform(sequence(lit(0), size(hs) - w),
+              j => array_min(slice(hs, j + 1, lit(w)))))
+          .otherwise(array(array_min(hs))))), 1)), 1)
+  }
+}
+
 /** Marker-word language ID — the n-gram-profile heuristic reduced to word
   * unigrams (character n-gram profiles are pointless on TESTDATA's shared-
   * charset synthetic text; real deployments swap in per-language profile

@@ -80,4 +80,41 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.fingerprint(col("text"))).head().getString(0)
     assert(got === "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("winnowing: shared ≥ w+k−1 substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    import graft.text.Winnowing
+    val shared = "quite a distinctive phrase indeed" // 33 chars ≥ 11 = w+k−1
+    val df = Seq(
+      (1L, s"first document begins then $shared and trails off here"),
+      (2L, s"XXXX$shared!!!! unrelated remainder zzz"),
+      (3L, "completely different content with no overlap at all whatsoever"),
+      (4L, "tiny") // shorter than k → whole-text fallback
+    ).toDF("id", "text")
+    val fps = df.select(col("id"), Winnowing.fingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "winnowing guarantee violated")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    assert(fps(4L).size === 1) // whole-text fallback fingerprint
+    // determinism + density: distinct mins, ≤ one per window
+    val n1 = df.where(col("id") === 1).select(length(col("text"))).head().getInt(0)
+    assert(fps(1L).size <= n1 - 8 + 1 - 4 + 1)
+    val again = df.where(col("id") === 1)
+      .select(Winnowing.fingerprints(col("text"))).head().getSeq[Long](0).toSet
+    assert(again === fps(1L))
+  }
+
+  test("winnowing: identical texts get identical fingerprint sets, copies detectable by equi-join") {
+    import spark.implicits._
+    import graft.text.Winnowing
+    val base = "the winnowing algorithm selects minimum hashes from sliding windows"
+    val df = Seq((1L, base), (2L, base), (3L, "nothing in common with those two documents"))
+      .toDF("id", "text")
+    val ex = df.select(col("id"), explode(Winnowing.fingerprints(col("text"))).as("fp"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }
