@@ -117,6 +117,27 @@ object PipelineQueries {
     // Gopher-style repetition metrics: top-bigram fraction per document.
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // End-to-end curation pipeline — the composed shape a training-data
+    // run actually executes: score quality → filter → exact-dedup the
+    // survivors → per-language corpus stats. One row-local projection, one
+    // content-hash shuffle (dedup), one agg shuffle; every stage is an
+    // operator with its own oracle row elsewhere in this suite.
+    "pipeline_curation" -> ((s, dir) => {
+      val scored = dupCorpus(s, dir).select(
+        col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.qualityScore("text"), 6).as("quality"))
+      // 0.63 splits the sf corpus ~half/half (range is 0.606-0.669) and no
+      // document sits exactly on the boundary — a real filter stage, not a
+      // pass-through, with no rounding knife-edge
+      val kept = scored.where(col("quality") >= 0.63)
+      Dedup.dropExactDuplicates(kept, "doc_id", "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
     // JSON property extraction + aggregation over the events stream table —
     // the semi-structured column shape every ingest pipeline hits.
     "events_props_agg" -> ((s, dir) =>
@@ -279,6 +300,17 @@ object PipelineQueries {
 
   private val stopList = TextAnalysis.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The TextAnalysis quality-score formula over a `text` column, as DuckDB
+    * SQL fragments (shared by text_quality and pipeline_curation). */
+  private object QualitySql {
+    val alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)"
+    val stop = s"len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE" +
+      " / len(string_split(text, ' '))"
+    val lenBand = "CASE WHEN length(text)::DOUBLE / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0" +
+      " THEN 1.0 ELSE 0.0 END"
+    val quality = s"ROUND(($alpha) * 0.5 + ($stop) * 0.3 + ($lenBand) * 0.2, 6)"
+  }
+
   private def langHits: Seq[(String, String)] = LangId.profiles.map { case (lang, markers) =>
     val list = markers.map(w => s"'$w'").mkString("[", ", ", "]")
     lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t)))"
@@ -365,11 +397,7 @@ object PipelineQueries {
          |SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
          |ORDER BY doc_id, fp""".stripMargin,
     "text_quality" -> {
-      val alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)"
-      val stop = s"len(list_filter(string_split(text, ' '), t -> list_contains($stopList, t)))::DOUBLE" +
-        " / len(string_split(text, ' '))"
-      val lenBand = "CASE WHEN length(text)::DOUBLE / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0" +
-        " THEN 1.0 ELSE 0.0 END"
+      import QualitySql.{alpha, stop, lenBand}
       s"""SELECT doc_id,
          |  len(string_split_regex(text, '\\s+')) AS n_tokens,
          |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subwords,
@@ -379,6 +407,19 @@ object PipelineQueries {
          |  md5(text) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "pipeline_curation" ->
+      s"""WITH $dupCorpusSql,
+         |scored AS (SELECT doc_id, text, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    ${QualitySql.quality} AS quality
+         |  FROM corpus),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.63),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  ROUND(AVG(quality), 6) AS avg_quality
+         |FROM kept WHERE doc_id IN (SELECT doc_id FROM keep)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "langid_confusion" -> {
       val hitCols = langHits.map { case (l, sql) => s"$sql AS h_$l" }.mkString(", ")
       val best = "GREATEST(" + langHits.map(h => s"h_${h._1}").mkString(", ") + ")"
