@@ -123,6 +123,13 @@ object Bench {
       val cents = graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding", 256, "cosine",
         iterations = 2)
       val tTrain = (System.nanoTime() - t0) / 1e9
+      // The 100 TB training path: Lloyd iterations on the deterministic
+      // 1/16 id-hash subsample (~244 points/cell at k=256) — recall parity
+      // asserted in IvfRecallSpec; here the cost is the point.
+      val t1 = System.nanoTime()
+      graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding", 256, "cosine",
+        iterations = 2, sampleMod = Some(16L))
+      val tTrainSampled = (System.nanoTime() - t1) / 1e9
       def assign(): Unit = graft.ann.Ann
         .ivfAssign(bigc, "vec_id", "embedding", cents, "cosine")
         .agg(max("cell")).collect()
@@ -146,6 +153,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9 / qs.length
       } catch { case e: Throwable => errors("ivf_local_search_1m") = e.toString; -1.0 }
       val r = Seq("ivf_train_1m" -> tTrain,
+        "ivf_train_sampled_1m" -> tTrainSampled,
         "ivf_assign_1m" -> tAssign,
         "ivf_local_search_1m" -> localLatency)
       bigc.unpersist()

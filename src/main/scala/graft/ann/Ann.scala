@@ -94,19 +94,35 @@ object Ann {
     * cells keep their previous centroid. Cosine centroids are re-normalized
     * (spherical k-means; stored vectors live on the unit sphere).
     *
+    * `sampleMod`: train the Lloyd iterations on the ~1/mod id-hash
+    * subsample `xxhash64(id) % mod == 0` instead of the full corpus — the
+    * 100 TB path: centroid quality needs a uniform sample with a few
+    * hundred points per cell, not every row, and the subsample is
+    * content-deterministic (no RNG, no partition sensitivity in WHO is
+    * sampled). The final full-corpus assignment stays exact either way.
+    *
     * Centroid VALUES depend on float summation order (partitioning), so
     * training is not bit-deterministic across cluster layouts — consumers
     * persist the trained codebook (the catalog's sidecar) rather than
     * re-deriving it. */
   def trainCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      metric: String = "euclidean", iterations: Int = 2): Seq[(Long, Array[Float])] = {
-    val seed = df.orderBy(col(idCol).asc).limit(k)
+      metric: String = "euclidean", iterations: Int = 2,
+      sampleMod: Option[Long] = None): Seq[(Long, Array[Float])] = {
+    val base = sampleMod match {
+      case Some(m) if m > 1 =>
+        df.where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+      case _ => df
+    }
+    def seedFrom(d: DataFrame) = d.orderBy(col(idCol).asc).limit(k)
       .select(vecCol).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
+    val seed0 = seedFrom(base)
+    // an over-aggressive sampleMod on a small collection must not look empty
+    val seed = if (seed0.isEmpty && sampleMod.isDefined) seedFrom(df) else seed0
     if (seed.isEmpty) return seed
     (0 until iterations).foldLeft(seed) { (cents, _) =>
-      val sums = ivfAssign(df.select(col(vecCol)), idCol, vecCol, cents, metric)
+      val sums = ivfAssign(base.select(col(vecCol)), idCol, vecCol, cents, metric)
         .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect()

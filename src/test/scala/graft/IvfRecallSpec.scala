@@ -54,4 +54,34 @@ class IvfRecallSpec extends SparkSpec {
       } finally assigned.unpersist()
     } finally big.unpersist()
   }
+
+  test("SAMPLED training (1/16 id-hash subsample) keeps recall@10 >= 0.9 — the 100 TB train path") {
+    Bench.ensureClusteredBenchData(spark, benchDir, 1000000L)
+    val big = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ann.trainCentroids(big, "vec_id", "embedding", 256, "cosine",
+        iterations = 2, sampleMod = Some(16L))
+      assert(cents.length === 256)
+      val assigned = Ann.ivfAssign(big, "vec_id", "embedding", cents, "cosine")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val qids = Seq(3L, 77777L, 555555L, 901234L)
+        val recalls = qids.map { qid =>
+          val q = big.where(col("vec_id") === qid).head().getSeq[Float](1).toArray
+          val ivf = Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q,
+              nprobe = 8, k = 10, "cosine")
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val exact = big.select(col("vec_id"),
+              round(graft.functions.cosine_distance(col("embedding"), lit(q)), 6).as("d"))
+            .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (ivf & exact).size.toDouble / exact.size
+        }
+        val mean = recalls.sum / recalls.size
+        info(s"sampled-train recall@10 per query: ${recalls.mkString(", ")} (mean $mean)")
+        assert(mean >= 0.9, s"sampled-train mean recall@10 $mean < 0.9")
+      } finally assigned.unpersist()
+    } finally big.unpersist()
+  }
 }
