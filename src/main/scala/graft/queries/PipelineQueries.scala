@@ -77,6 +77,14 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(nearCorpus(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // Duplicate-cluster formation: connected components (min-label
+    // propagation) over the MinHash near-dup pair graph — pair lists become
+    // per-id cluster representatives, the actual keep/drop decision.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = MinHashLSH.nearDuplicates(nearCorpus(s, dir), "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
     // Blocked n-gram Jaccard: all-pairs only WITHIN (lang, source) blocks.
     "dedup_blocked_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(nearCorpus(s, dir), "doc_id", "text",
@@ -275,6 +283,26 @@ object PipelineQueries {
       |    lang, source
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** The full MinHash+LSH candidate/verify pipeline as reusable CTEs over
+    * the near-dup corpus, ending in `verify(id_a, id_b, jaccard)` (shared
+    * by dedup_minhash_lsh and dedup_clusters). */
+  private lazy val minhashVerifyCtes: String =
+    s"""$nearCorpusSql,
+       |sh AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus),
+       |sig AS (SELECT doc_id, shingles,
+       |  list_transform(range(0, 8), j -> list_min(list_transform(shingles, s -> ${h15("j", "s")}))) AS sigs
+       |  FROM sh),
+       |band AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, 4), b -> concat_ws(':', CAST(b AS VARCHAR),
+       |    CAST(sigs[2*b+1] AS VARCHAR), CAST(sigs[2*b+2] AS VARCHAR)))) AS band
+       |  FROM sig),
+       |okband AS (SELECT band FROM band GROUP BY band HAVING COUNT(*) <= 10000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b USING (band)
+       |  WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM okband)),
+       |verify AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shingles", "sb.shingles")} AS jaccard
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin
+
   /** The SimHash64 computation as reusable CTEs over `src(doc_id, text)`:
     * per-token-occurrence FNV-1a bit votes, sign-aggregated into the
     * unsigned HUGEINT fingerprint `sim(doc_id, v)`. */
@@ -333,23 +361,20 @@ object PipelineQueries {
          |FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $nearCorpusSql,
-         |sh AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus),
-         |sig AS (SELECT doc_id, shingles,
-         |  list_transform(range(0, 8), j -> list_min(list_transform(shingles, s -> ${h15("j", "s")}))) AS sigs
-         |  FROM sh),
-         |band AS (SELECT doc_id,
-         |  unnest(list_transform(range(0, 4), b -> concat_ws(':', CAST(b AS VARCHAR),
-         |    CAST(sigs[2*b+1] AS VARCHAR), CAST(sigs[2*b+2] AS VARCHAR)))) AS band
-         |  FROM sig),
-         |okband AS (SELECT band FROM band GROUP BY band HAVING COUNT(*) <= 10000),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM band a JOIN band b USING (band)
-         |  WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM okband)),
-         |verify AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shingles", "sb.shingles")} AS jaccard
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+      s"""WITH $minhashVerifyCtes
          |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         |pairs AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk AS (
+         |  SELECT src AS id, src AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id
+         |ORDER BY id""".stripMargin,
     "dedup_blocked_jaccard" ->
       s"""WITH $nearCorpusSql,
          |okblock AS (SELECT lang, source FROM corpus

@@ -107,6 +107,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(0)) === 3) // only the real shingle row hashes
   }
 
+  test("duplicateClusters: transitive chains collapse to one min-id cluster per component") {
+    import spark.implicits._
+    // component 1: path 1-2-3-4 (diameter 3, needs propagation, not one hop)
+    // component 2: pair 10-11; ids 2,3 also pair directly (cycle edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropClusterDuplicates keeps the min-id representative and unpaired rows") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropClusterDuplicates(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L)) // 2,3 dropped; 4,5 unpaired survive
+  }
+
+  test("duplicateClusters: empty pair set yields an empty labeling") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(pairs).count() === 0L)
+  }
+
   test("simhash banded pairs EQUAL brute-force hamming pairs (lossless for h ≤ bands−1)") {
     // 15 groups × {base, exact copy, one-token variant}: copies give
     // hamming 0 (guaranteed pairs), variants give small-but-varied hamming
