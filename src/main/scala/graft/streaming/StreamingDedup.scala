@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the ingest-time counterpart of
+  * [[graft.dedup.Dedup.exactGroups]]: an arriving document stream keeps only
+  * the FIRST arrival of each distinct content (batch dedup keeps the min-id
+  * representative; both keep exactly one row per distinct content, so the
+  * surviving CONTENT set is identical — asserted in StreamingDedupSpec).
+  *
+  * State is one 32-byte md5 fingerprint per distinct content, held by the
+  * state store. Unbounded over an unbounded stream — correct for a
+  * finite backfill or keyed retention; for continuous ingest where
+  * re-crawls arrive within a bounded delay, [[dropExactDuplicatesWithinWatermark]]
+  * evicts fingerprints once the watermark passes them, bounding state by
+  * the delay window. Works identically over `read` and `readStream` inputs.
+  */
+object StreamingDedup {
+
+  /** Keep the first arrival of each distinct `textColName` content.
+    * Dedup key is the md5 fingerprint, not the text itself — state-store
+    * entries stay 32 bytes regardless of document size. */
+  def dropExactDuplicates(docs: DataFrame, textColName: String): DataFrame =
+    docs.withColumn("__fp", md5(col(textColName).cast("binary")))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  /** Watermark-bounded variant: duplicates are dropped only while their
+    * fingerprint is within the watermark delay of the stream's event time —
+    * state evicts as the watermark advances (the 100 TB continuous-ingest
+    * shape; a re-crawl later than `delay` is re-admitted, by contract). */
+  def dropExactDuplicatesWithinWatermark(
+      docs: DataFrame, textColName: String,
+      tsCol: String, delay: String): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .withColumn("__fp", md5(col(textColName).cast("binary")))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}
