@@ -28,4 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // Bench caches the 1M + 10M vector collections in memory (~9 GB columnar)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+  // The full suite JITs hundreds of generated classes before the big-scan
+  // suites run; the default 240m code cache runs warm enough that C2 can
+  // start flushing/refusing exactly when the hot scan loops compile —
+  // the bimodal-latency trap (PLANS.md r3/r4).
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

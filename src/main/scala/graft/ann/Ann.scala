@@ -109,11 +109,15 @@ object Ann {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       metric: String = "euclidean", iterations: Int = 2,
       sampleMod: Option[Long] = None): Seq[(Long, Array[Float])] = {
-    val base = sampleMod match {
-      case Some(m) if m > 1 =>
-        df.where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
-      case _ => df
+    // the sampled training set is scanned 1 + iterations times (seed +
+    // each Lloyd pass) — persist it so the full corpus is filtered ONCE,
+    // not once per pass
+    val sampled = sampleMod.collect { case m if m > 1 =>
+      df.where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val base = sampled.getOrElse(df)
+    try {
     def seedFrom(d: DataFrame) = d.orderBy(col(idCol).asc).limit(k)
       .select(vecCol).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
@@ -140,6 +144,7 @@ object Ann {
         }
       }
     }
+    } finally sampled.foreach(_.unpersist(false))
   }
 
   private def normalizeLocal(a: Array[Float]): Array[Float] = {

@@ -55,11 +55,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) <= 2, s"count-distinct needs at most 2 hash exchanges:\n$p")
   }
 
+  test("winnow_fingerprints: row-local projection, zero data shuffles") {
+    val p = plan("winnow_fingerprints")
+    assert(shuffles(p) === 0, s"winnowing is per-row; a shuffle crept in:\n$p")
+  }
+
+  test("dedup_simhash: banded equi-join only — no shuffle beyond band join + distinct + hydration") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash dedup must pair via band equi-joins:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // the only legitimate unbounded pairing is blocked/banded equi-joins;
     // a cartesian in any registered query is a scale bug
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if name.startsWith("dedup") || name.startsWith("ann") || name.startsWith("flat")) {
+         if name.startsWith("dedup") || name.startsWith("ann") ||
+            name.startsWith("flat") || name.startsWith("winnow") ||
+            name.startsWith("pipeline")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
