@@ -177,6 +177,18 @@ object PipelineQueries {
         e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
       Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
     }),
+    // Embedding-cosine near-dup as a full dedup family: sign-LSH bucketed
+    // candidate pairs (never all-pairs) → exact cosine verify → connected
+    // components → per-id cluster representatives. The embedding-space
+    // analog of dedup_clusters.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planes = (0 to 1).map(i =>
+        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val pairs = Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
+        .select("id_a", "id_b")
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
     // IVF cell-probed search: deterministic centroids (first 8 rows),
     // broadcast argmin assignment, probe the 3 nearest cells, exact top-k
     // inside — the partition-prunable scale path for S4.
@@ -349,6 +361,21 @@ object PipelineQueries {
       | (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
       |  * sqrt(list_inner_product(b2.embedding::DOUBLE[], b2.embedding::DOUBLE[])))""".stripMargin
 
+  /** Sign-LSH bucketed near-neighbor pairs over the embeddings table,
+    * ending in `lshpairs(id_a, id_b, sim)` — shared by ann_lsh_pairs and
+    * dedup_embedding. */
+  private lazy val lshPairsCtes: String =
+    s"""p0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |p1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+       |b AS (SELECT e.vec_id, e.embedding,
+       |  concat(
+       |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
+       |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
+       |  FROM embeddings e, p0, p1),
+       |lshpairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ROUND($cosSimSql, 6) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE ROUND($cosSimSql, 6) >= 0.4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $dupCorpusSql
@@ -466,17 +493,19 @@ object PipelineQueries {
          |SELECT qid, vec_id, dist, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     },
     "ann_lsh_pairs" ->
-      s"""WITH p0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
-         |p1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
-         |b AS (SELECT e.vec_id, e.embedding,
-         |  concat(
-         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
-         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
-         |  FROM embeddings e, p0, p1)
-         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ROUND($cosSimSql, 6) AS sim
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE ROUND($cosSimSql, 6) >= 0.4
+      s"""WITH $lshPairsCtes
+         |SELECT id_a, id_b, sim FROM lshpairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+         |  UNION SELECT id_b, id_a FROM lshpairs),
+         |walk AS (
+         |  SELECT src AS id, src AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id
+         |ORDER BY id""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
