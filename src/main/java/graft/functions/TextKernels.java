@@ -82,6 +82,57 @@ public final class TextKernels {
     }
 
     /**
+     * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): FNV-1a over each
+     * char k-gram's UTF-8 bytes, then the DISTINCT minima of every window
+     * of w consecutive gram hashes, returned SORTED (signed order — the
+     * same order Spark's array_min uses on longs). Texts shorter than k
+     * chars yield the whole-text hash. Monotonic-deque window minima:
+     * O(n·k) hashing + O(n) selection, zero per-gram allocation — the
+     * nested-lambda Column formulation allocates a UTF8String per gram and
+     * an array per window.
+     */
+    public static long[] winnow(UTF8String text, int k, int w) {
+        byte[] bytes = text.getBytes();
+        int[] offsets = new int[text.numChars() + 1];
+        int nc = 0;
+        for (int i = 0; i < bytes.length; ) {
+            offsets[nc++] = i;
+            i += UTF8String.numBytesForFirstByte(bytes[i]);
+        }
+        offsets[nc] = bytes.length;
+        if (nc < k) return new long[] { fnv1a64(bytes) };
+        int numGrams = nc - k + 1;
+        long[] hashes = new long[numGrams];
+        for (int g = 0; g < numGrams; g++) {
+            long h = 0xcbf29ce484222325L;
+            int end = offsets[g + k];
+            for (int i = offsets[g]; i < end; i++) {
+                h ^= (bytes[i] & 0xffL);
+                h *= 0x100000001b3L;
+            }
+            hashes[g] = h;
+        }
+        int wEff = Math.min(w, numGrams);
+        int numWins = numGrams - wEff + 1;
+        int[] deque = new int[numGrams]; // indices, hashes increasing
+        int head = 0, tail = 0;          // live range [head, tail)
+        long[] mins = new long[numWins];
+        int m = 0;
+        for (int g = 0; g < numGrams; g++) {
+            while (tail > head && hashes[deque[tail - 1]] >= hashes[g]) tail--;
+            deque[tail++] = g;
+            if (deque[head] <= g - wEff) head++;
+            if (g >= wEff - 1) mins[m++] = hashes[deque[head]];
+        }
+        java.util.Arrays.sort(mins);
+        int out = 0;
+        for (int i = 0; i < mins.length; i++) {
+            if (out == 0 || mins[out - 1] != mins[i]) mins[out++] = mins[i];
+        }
+        return java.util.Arrays.copyOf(mins, out);
+    }
+
+    /**
      * |a ∩ b| of two SORTED, DISTINCT string arrays by a single merge pass
      * (UTF8String binary order — what Spark's array_sort produces).
      * Zero allocation per call, unlike array_intersect's per-evaluation

@@ -160,6 +160,30 @@ object Bench {
       r
     }
 
+    // ---- dedup/text pipeline throughput at 100k docs: the sf suite's
+    // documents table tops out at ~7k rows — corpus-shaped numbers need a
+    // corpus-shaped doc count (10% deterministic near-duplicates). These
+    // are single-pass throughput measurements (runs=1, compute-dominated),
+    // not floor-bound latencies.
+    val docs100k = {
+      val dir = benchDir + "-docs"
+      ensureDocBenchData(spark, dir, 100000L)
+      val d = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      val suite = Seq(
+        "dedup_exact_100k" -> (() =>
+          graft.dedup.Dedup.exactGroups(d, "doc_id", "text").count()),
+        "dedup_minhash_100k" -> (() =>
+          graft.dedup.MinHashLSH.nearDuplicates(d, "doc_id", "text").count()),
+        "dedup_simhash_100k" -> (() =>
+          graft.dedup.SimHashDedup.nearDuplicatePairs(d, "doc_id", "text").count()),
+        "winnow_100k" -> (() =>
+          d.select(explode(graft.text.Winnowing.fingerprints(col("text"), 8, 4))).count()))
+      val r = suite.map { case (name, fn) => name -> timed(name, runs = 1)(fn()) }
+      d.unpersist()
+      r
+    }
+
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
     val vsBaseline =
@@ -175,7 +199,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ docs100k) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +
@@ -199,6 +223,26 @@ object Bench {
       .withColumn("embedding", l2_normalize(
         expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
       .withColumn("emb_f16", quantize(col("embedding"), "f16"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Deterministic N-doc corpus: 50 tokens/doc from a 5k vocab via
+    * xxhash64(doc_id, j); every 10th doc is a near-copy (last token
+    * replaced) of the doc 9 ids earlier — a 10% duplicate rate with fully
+    * deterministic content, for dedup-throughput benchmarks. */
+  private[graft] def ensureDocBenchData(spark: SparkSession, dir: String, rows: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    spark.range(0, rows).toDF("doc_id")
+      .withColumn("base",
+        when(col("doc_id") % 10 === 9, col("doc_id") - 9).otherwise(col("doc_id")))
+      .withColumn("text", expr(
+        """array_join(transform(sequence(0, 49), j ->
+          |  if(j = 49 and base <> doc_id, concat('m', doc_id),
+          |     concat('w', pmod(xxhash64(base, j), 5000)))), ' ')""".stripMargin))
+      .drop("base")
       .repartition(32)
       .write.mode("overwrite").parquet(dir)
   }

@@ -66,6 +66,11 @@ package object functions {
     * (pkg/sharding/shard.go:34-41); engine-independent, oracle-replicable. */
   def fnv64(c: Column): Column = column(Fnv64(expression(c)))
 
+  /** Winnowing (MOSS) fingerprint sketch of a text column: sorted distinct
+    * window-`w` minima of the char-`k`-gram FNV hashes, as array<long>. */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(text), k, w))
+
   /** Reference-parity shard routing: FNV-1a-64 mod `shards`
     * (ShardVertexV2, pkg/sharding/shard.go:43-48). `shards` must be a power
     * of two (the reference uses EDGE_MAP_SHARD_COUNT=16) so the unsigned mod

@@ -93,9 +93,19 @@ object TextAnalysis {
   * not CSE repeated references inside nested array expressions. */
 object Winnowing {
 
-  /** Distinct window-min fingerprints of `text` as an array<long>.
-    * Texts shorter than `k` fall back to one whole-text fingerprint. */
-  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+  /** Distinct window-min fingerprints of `text` as a sorted array<long>.
+    * Texts shorter than `k` fall back to one whole-text fingerprint.
+    * Implemented as the single-pass monotonic-deque kernel
+    * ([[graft.functions.winnow_fingerprints]]); the Column-combinator
+    * formulation below pins its semantics. */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.winnow_fingerprints(text, k, w)
+
+  /** The same sketch from pure Column combinators (first-occurrence order,
+    * not sorted) — the executable specification the kernel is tested
+    * against (TextAnalysisSpec), and the form any SQL engine can replicate
+    * (the DuckDB oracle mirrors it). */
+  private[graft] def fingerprintsCombinator(text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val grams = when(length(text) >= k,
         transform(sequence(lit(0), length(text) - k), i => text.substr(i + 1, lit(k))))

@@ -86,6 +86,31 @@ case class MinHashSig(child: Expression, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** winnow_fingerprints(text, k, w): the winnowing document sketch — SORTED
+  * DISTINCT window-w minima of the FNV-1a hashes of the char k-grams.
+  * Value-identical (as a set) to the nested-lambda Column formulation in
+  * [[graft.text.Winnowing]] (pinned by TextAnalysisSpec), but a single
+  * zero-per-gram-allocation kernel pass per row. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+  override def prettyName: String = "winnow_fingerprints"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKernels.winnow(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextKernels.winnow($a, $k, $w));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** fnv64(s): FNV-1a 64-bit hash of a string's UTF-8 bytes — the reference's
   * id/shard hash family (/root/reference/pkg/sharding/shard.go:34-48).
   * Deterministic and engine-independent (the DuckDB oracle reproduces it in

@@ -104,6 +104,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === fps(1L))
   }
 
+  test("winnow kernel equals the Column-combinator specification (as sets)") {
+    import spark.implicits._
+    import graft.text.Winnowing
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and often",
+      "aaaaaaaaaaaaaaaaaaaaaa",            // all ties — deque tie handling
+      "short",                              // < k -> whole-text fallback
+      "exactly8",                           // == k -> one gram
+      "ninechars",                          // k grams < w -> single window
+      "",                                   // empty text
+      "日本語のテキストと mixed ascii 混在", // multibyte char boundaries
+      "ababababababababababababab"          // periodic — repeated window minima
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+        Winnowing.fingerprints(col("text")).as("kernel"),
+        Winnowing.fingerprintsCombinator(col("text")).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).toSet === r.getSeq[Long](2).toSet,
+        s"id ${r.getLong(0)} diverged")
+      // kernel output is sorted distinct
+      val ks = r.getSeq[Long](1)
+      assert(ks === ks.distinct.sorted, s"id ${r.getLong(0)} not sorted-distinct")
+    }
+  }
+
   test("winnowing: identical texts get identical fingerprint sets, copies detectable by equi-join") {
     import spark.implicits._
     import graft.text.Winnowing
