@@ -200,6 +200,20 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
     }),
+    // As-of join: each event aligned to the newest PRIOR snapshot of its
+    // user (snapshots = every 7th event) — the feature-store alignment
+    // primitive. One key shuffle + window, never a range theta-join.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "ts", "event_type", "value")
+      val snaps = events(s, dir).where(col("event_id") % 7 === 0)
+        .groupBy("user_id", "ts").agg(max("value").as("snap_value"))
+      graft.operators.AsOfJoin.join(ev, snaps, "user_id", "ts")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count("snap_value").as("n_matched"),
+          round(sum("snap_value"), 6).as("sum_snap"))
+        .orderBy("event_type")
+    }),
     // Event-time tumbling-window aggregation over the events table
     // (§2.9 extension; same plan batch or streaming, one shuffle on
     // (window, type) with map-side partial aggregation).
@@ -520,6 +534,18 @@ object PipelineQueries {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_asof_join" ->
+      """WITH evus AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS tsu
+        |  FROM events),
+        |snaps AS (SELECT user_id, tsu, MAX(value) AS snap_value
+        |  FROM evus WHERE event_id % 7 = 0 GROUP BY user_id, tsu)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(snap_value) AS n_matched,
+        |  ROUND(SUM(snap_value), 6) AS sum_snap
+        |FROM evus e ASOF LEFT JOIN snaps
+        |  ON e.user_id = snaps.user_id AND e.tsu >= snaps.tsu
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value

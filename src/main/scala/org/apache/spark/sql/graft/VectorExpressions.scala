@@ -43,6 +43,17 @@ object GraftBridge {
     reg1("simhash64", SimHash64(_))
     reg1("fnv64", Fnv64(_))
     reg2("sorted_intersect_count", SortedIntersectCount(_, _))
+    // winnow_fingerprints(text, k, w): k/w must be integer literals (they
+    // parameterize the generated kernel)
+    reg.createOrReplaceTempFunction("winnow_fingerprints", { exprs =>
+      require(exprs.length == 3, "winnow_fingerprints expects (text, k, w)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints: $what must be an integer literal, got $other")
+      }
+      WinnowFingerprints(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+    }, "scala_udf")
   }
 }
 

@@ -90,4 +90,27 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(latest.map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((1L, "c"), (2L, "x")))
   }
+
+  test("AsOfJoin: latest prior snapshot per key, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 5L, "e1"),   // after snap@3 -> s3
+      (1L, 10L, "e2"),  // ON snap@10 -> s10 (inclusive)
+      (1L, 11L, "e3"),  // after snap@10 -> s10
+      (1L, 2L, "e0"),   // before any snap -> null
+      (2L, 100L, "f1")  // key with no snaps at all -> null
+    ).toDF("k", "ts", "ev")
+    val right = Seq((1L, 3L, "s3"), (1L, 10L, "s10"), (3L, 1L, "zz"))
+      .toDF("k", "ts", "snap")
+    val out = AsOfJoin.join(left, right, "k", "ts")
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getAs[String]("ev"), Option(r.getAs[String]("snap"))))
+    assert(out.toSeq === Seq(
+      ("e0", None), ("e1", Some("s3")), ("e2", Some("s10")), ("e3", Some("s10")),
+      ("f1", None)))
+    // column collision between sides is rejected, not silently resolved
+    intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, right.withColumnRenamed("snap", "ev"), "k", "ts")
+    }
+  }
 }

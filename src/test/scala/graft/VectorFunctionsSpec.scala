@@ -71,7 +71,8 @@ class VectorFunctionsSpec extends SparkSpec {
         |  l2_norm(cast(array(3, 4) as array<float>)) AS n,
         |  l2_normalize(cast(array(3, 4) as array<float>)) AS nv,
         |  fnv64('abc') AS h,
-        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  winnow_fingerprints('the quick brown fox jumps', 8, 4) AS wf
         |""".stripMargin).head()
     assert(r.getAs[Double]("cd") === 1.0)
     assert(r.getAs[Double]("ed") === 5.0)
@@ -80,6 +81,9 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("h") ===
       graft.functions.TextKernels.fnv1a64("abc".getBytes("UTF-8")))
     assert(r.getAs[Int]("ic") === 2)
+    val wfCol = Seq(Tuple1("the quick brown fox jumps")).toDF("t")
+      .select(graft.text.Winnowing.fingerprints(col("t"))).head().getSeq[Long](0)
+    assert(r.getAs[Seq[Long]]("wf") === wfCol)
     // identical to the Column API (same Expression class underneath)
     val viaSql = spark.sql(
       "SELECT cosine_distance(cast(array(1, 2, 3) as array<float>), cast(array(3, 2, 1) as array<float>)) AS d")
