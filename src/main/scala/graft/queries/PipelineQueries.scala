@@ -146,6 +146,15 @@ object PipelineQueries {
           round(avg("quality"), 6).as("avg_quality"))
         .orderBy("lang")
     }),
+    // Rollup (grouping sets): per-(lang, source) corpus stats with
+    // per-lang and grand totals in one pass — one shuffle, the multi-level
+    // reporting shape of corpus curation dashboards.
+    "corpus_rollup" -> ((s, dir) =>
+      docs(s, dir)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     // JSON property extraction + aggregation over the events stream table —
     // the semi-structured column shape every ingest pipeline hits.
     "events_props_agg" -> ((s, dir) =>
@@ -529,6 +538,11 @@ object PipelineQueries {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
         |  ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "events_props_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
