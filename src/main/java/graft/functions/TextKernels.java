@@ -82,6 +82,37 @@ public final class TextKernels {
     }
 
     /**
+     * All k MinHash signature components in one pass: per shingle, the
+     * UTF-8 bytes are materialized ONCE and fed to each seed's digest
+     * (same md5(seed|shingle) family, bit-identical to k minhashSig
+     * calls; the k-fold getBytes/UTF8String traversal is what this
+     * saves). Empty / all-null input yields an all-MAX_VALUE array (the
+     * wrapping expression maps it to NULL like the scalar form).
+     */
+    public static long[] minhashSigs(ArrayData shingles, byte[][] prefixes) {
+        java.security.MessageDigest md = MD5.get();
+        int k = prefixes.length;
+        long[] mins = new long[k];
+        java.util.Arrays.fill(mins, Long.MAX_VALUE);
+        int n = shingles.numElements();
+        for (int i = 0; i < n; i++) {
+            if (shingles.isNullAt(i)) continue;
+            byte[] s = shingles.getUTF8String(i).getBytes();
+            for (int j = 0; j < k; j++) {
+                md.reset();
+                md.update(prefixes[j]);
+                md.update(s);
+                byte[] d = md.digest();
+                long v = ((d[0] & 0xffL) << 56 | (d[1] & 0xffL) << 48 | (d[2] & 0xffL) << 40
+                        | (d[3] & 0xffL) << 32 | (d[4] & 0xffL) << 24 | (d[5] & 0xffL) << 16
+                        | (d[6] & 0xffL) << 8 | (d[7] & 0xffL)) >>> 4;
+                if (v < mins[j]) mins[j] = v;
+            }
+        }
+        return mins;
+    }
+
+    /**
      * Winnowing fingerprints (Schleimer/Wilkerson/Aiken): FNV-1a over each
      * char k-gram's UTF-8 bytes, then the DISTINCT minima of every window
      * of w consecutive gram hashes, returned SORTED (signed order — the

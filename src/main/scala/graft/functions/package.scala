@@ -58,6 +58,11 @@ package object functions {
   def minhash_sig(shingles: Column, seed: Int): Column =
     column(MinHashSig(expression(shingles), seed))
 
+  /** All `k` MinHash signature components (seeds 0..k−1) as one
+    * array<long> — bit-identical to k [[minhash_sig]] columns, one pass. */
+  def minhash_sigs(shingles: Column, k: Int): Column =
+    column(MinHashSigs(expression(shingles), k))
+
   /** FNV-1a-style shard routing (reference pkg/sharding — F11): stable
     * bucket in [0, n). Murmur3 via Spark's hash(): same contract, codegen'd. */
   def shard_hash(c: Column, n: Int): Column = F.pmod(F.hash(c), F.lit(n))

@@ -146,6 +146,24 @@ object PipelineQueries {
           round(avg("quality"), 6).as("avg_quality"))
         .orderBy("lang")
     }),
+    // TF-IDF keyword extraction: per-doc term frequencies × corpus inverse
+    // document frequency, top-3 terms per document — two keyed shuffles
+    // (doc-term counts, term docfreq) + a bounded per-doc window.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.where(col("doc_id") < 100)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+        .orderBy("doc_id", "rn")
+    }),
     // Rollup (grouping sets): per-(lang, source) corpus stats with
     // per-lang and grand totals in one pass — one shuffle, the multi-level
     // reporting shape of corpus curation dashboards.
@@ -538,6 +556,18 @@ object PipelineQueries {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
         |  ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, ROUND(t.tf * ln(n.n * 1.0 / d.df), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (term), n),
+        |r AS (SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored WHERE doc_id < 100)
+        |SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "corpus_rollup" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens

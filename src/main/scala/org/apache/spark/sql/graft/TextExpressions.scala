@@ -86,6 +86,40 @@ case class MinHashSig(child: Expression, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** minhash_sigs(shingles, k): all k MinHash signature components as one
+  * array<long> — bit-identical to k [[MinHashSig]] columns (seeds 0..k−1)
+  * but a single pass that materializes each shingle's bytes once instead
+  * of k times. NULL on empty/all-null input, like the scalar form. */
+case class MinHashSigs(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "k must be positive")
+  override def prettyName: String = "minhash_sigs"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private lazy val prefixes: Array[Array[Byte]] =
+    (0 until k).map(j => s"$j|".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val sigs = TextKernels.minhashSigs(v.asInstanceOf[ArrayData], prefixes)
+    if (sigs(0) == Long.MaxValue) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("mhPrefixes", prefixes, "byte[][]")
+    val sigs = ctx.freshName("mhSigs")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      long[] $sigs = graft.functions.TextKernels.minhashSigs($a, $p);
+      if ($sigs[0] == Long.MAX_VALUE) { ${ev.isNull} = true; }
+      else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs); }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** winnow_fingerprints(text, k, w): the winnowing document sketch — SORTED
   * DISTINCT window-w minima of the FNV-1a hashes of the char k-grams.
   * Value-identical (as a set) to the nested-lambda Column formulation in

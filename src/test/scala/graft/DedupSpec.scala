@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sigs (array kernel) is bit-identical to k scalar minhash_sig columns") {
+    val sh = df.select(col("id"), Dedup.shingles("text").as("sh"))
+    val k = 8
+    val rows = sh.select(
+        graft.functions.minhash_sigs(col("sh"), k).as("arr"),
+        array((0 until k).map(j => graft.functions.minhash_sig(col("sh"), j)): _*).as("scalars"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString))
+    // NULL parity on empty input
+    val empty = spark.sql("SELECT cast(array() as array<string>) AS sh")
+      .select(graft.functions.minhash_sigs(col("sh"), 4)).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("minhash_sig is NULL on empty / all-null / null shingle arrays, like array_min") {
     val cases = spark.sql(
       """SELECT sh FROM VALUES
