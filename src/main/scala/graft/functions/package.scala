@@ -99,6 +99,19 @@ package object functions {
     * acceptable for commit ids, not for pk replacement. */
   def stable_id(pk: Column): Column = F.xxhash64(pk)
 
+  /** Product-quantization encode: the m-byte PQ code of a float32 vector
+    * (per-subspace nearest sub-codeword, euclidean, round-6 tie-to-lowest).
+    * `codebook(j)(c)` = sub-codeword c of subspace j; one constant-size
+    * codegen loop regardless of m·ksub. See [[graft.ann.Pq]]. */
+  def pq_encode(v: Column, codebook: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(v), codebook))
+
+  /** Asymmetric PQ distance: `sqrt(Σⱼ lutSq[j·ksub + code[j]])` over an
+    * m-byte code column — `lutSq` holds per-query SQUARED sub-distances
+    * (built by [[graft.ann.PqCodebook.adcLut]]). */
+  def pq_adc_distance(code: Column, lutSq: Array[Double], ksub: Int): Column =
+    column(PqAdcDistance(expression(code), lutSq, ksub))
+
   /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
   def quantize(v: Column, format: String): Column =
     column(QuantizeVector(expression(v), format))
