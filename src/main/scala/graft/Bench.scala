@@ -160,6 +160,43 @@ object Bench {
       r
     }
 
+    // ---- PQ at scale: sampled per-subspace training, full-corpus encode
+    // (1M×16 subspaces×256 codewords×8 dims — same flop class as
+    // ivf_assign), then the steady-state ADC scan over the 16-byte codes:
+    // the cached input is 16 MB instead of the 512 MB float collection —
+    // the memory-scale rung of the ANN ladder (recall asserted in PqSpec).
+    val pq1m = {
+      val dir = benchDir + "-clustered"
+      ensureClusteredBenchData(spark, dir, 1000000L)
+      val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      bigc.count()
+      try {
+        val t0 = System.nanoTime()
+        val cb = graft.ann.Pq.train(bigc, "vec_id", "embedding", m = 16, ksub = 256,
+          iterations = 2, sampleMod = Some(16L))
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        def encodePass(): Unit = graft.ann.Pq.encode(bigc, "embedding", cb)
+          .agg(max(length(col("pq_code")))).collect()
+        encodePass() // warm
+        val tEncode = timed("pq_encode_1m")(encodePass())
+        val codes = graft.ann.Pq.encode(bigc, "embedding", cb).select("vec_id", "pq_code")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val q = bigc.where(col("vec_id") === 3L).select("embedding").head().getSeq[Float](0).toArray
+        def scan(): Unit = graft.ann.Pq.adcSearch(codes, "vec_id", "pq_code", cb, q, 10).collect()
+        try {
+          (1 to 5).foreach(_ => scan())
+          val tScan = timed("pq_adc_scan_1m", runs = 8)(scan())
+          Seq("pq_train_sampled_1m" -> tTrain, "pq_encode_1m" -> tEncode,
+            "pq_adc_scan_1m" -> tScan)
+        } finally codes.unpersist()
+      } catch { case e: Throwable =>
+        errors("pq_1m") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        Seq.empty[(String, Double)]
+      } finally bigc.unpersist()
+    }
+
     // ---- dedup/text pipeline throughput at 100k docs: the sf suite's
     // documents table tops out at ~7k rows — corpus-shaped numbers need a
     // corpus-shaped doc count (10% deterministic near-duplicates). These
@@ -175,6 +212,8 @@ object Bench {
           graft.dedup.Dedup.exactGroups(d, "doc_id", "text").count()),
         "dedup_minhash_100k" -> (() =>
           graft.dedup.MinHashLSH.nearDuplicates(d, "doc_id", "text").count()),
+        "dedup_minhash_fast_100k" -> (() => // xx family: the production hash path
+          graft.dedup.MinHashLSH.nearDuplicates(d, "doc_id", "text", family = "xx").count()),
         "dedup_simhash_100k" -> (() =>
           graft.dedup.SimHashDedup.nearDuplicatePairs(d, "doc_id", "text").count()),
         "winnow_100k" -> (() =>
@@ -199,7 +238,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ docs100k) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ docs100k) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +

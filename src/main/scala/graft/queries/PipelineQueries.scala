@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 import graft.dedup.{Dedup, MinHashLSH, SimHashDedup}
 import graft.functions.simhash64
 import graft.multimodal.Multimodal
@@ -42,6 +42,14 @@ object PipelineQueries {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events table")
     tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** events with `ts` kept as the raw epoch-nanos long (range-join
+    * arithmetic; DuckDB side uses epoch_ns). */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events table")
+    tbl(s, dir, "events")
   }
 
   /** documents ∪ exact re-crawl of every 3rd doc (ids shifted +10000). */
@@ -227,6 +235,17 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
     }),
+    // Product-quantization ADC search: 64-d vectors → 4 subspaces × 16
+    // codewords → 4-byte codes (64× compression); top-10 by asymmetric
+    // distance over a pure code scan. Deterministic seed codebook (the 16
+    // id-smallest rows, sliced) = the oracle-checkable path; Lloyd-trained
+    // codebooks are PqSpec's territory.
+    "pq_adc_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Pq.seedCodebook(e, "vec_id", "embedding", m = 4, ksub = 16)
+      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      Pq.adcSearch(Pq.encode(e, "embedding", cb), "vec_id", "pq_code", cb, q, k = 10)
+    }),
     // As-of join: each event aligned to the newest PRIOR snapshot of its
     // user (snapshots = every 7th event) — the feature-store alignment
     // primitive. One key shuffle + window, never a range theta-join.
@@ -239,6 +258,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           count("snap_value").as("n_matched"),
           round(sum("snap_value"), 6).as("sum_snap"))
+        .orderBy("event_type")
+    }),
+    // Range (interval-containment) join: events paired with every same-user
+    // 10-minute window opened by each 11th event — binned equi-join on
+    // (user, time-bucket) + residual containment, never a theta-join. Raw
+    // nanos longs on both sides (DuckDB: epoch_ns).
+    "events_range_join" -> ((s, dir) => {
+      // epoch-micros longs on both sides (ts div 1000 == DuckDB's µs
+      // TIMESTAMP view of the nanos column — sub-µs digits truncate
+      // identically; see the events() scaladoc)
+      val raw = eventsRaw(s, dir).withColumn("t", expr("ts div 1000"))
+      val p = raw.select(col("user_id"), col("event_type"), col("value"), col("t"))
+      val iv = raw.where(col("event_id") % 11 === 0)
+        .select(col("user_id"), col("t").as("win_start"),
+          (col("t") + lit(600000000L)).as("win_end"))
+      graft.operators.RangeJoin.join(p, iv, "user_id", "t", "win_start", "win_end",
+          bucketWidth = 300000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 6).as("sum_value"))
         .orderBy("event_type")
     }),
     // Event-time tumbling-window aggregation over the events table
@@ -618,6 +656,31 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "events_range_join" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE event_id % 11 = 0),
+        |p AS (SELECT user_id, event_type, value, epoch_us(ts) AS t FROM events)
+        |SELECT p.event_type, COUNT(*) AS n_pairs, ROUND(SUM(p.value), 6) AS sum_value
+        |FROM p JOIN iv ON iv.user_id = p.user_id AND p.t BETWEEN iv.s AND iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pq_adc_search" ->
+      """WITH sp AS (SELECT j FROM range(0, 4) r(j)),
+        |cb AS (SELECT sp.j, e.vec_id AS cid, e.embedding[sp.j*16+1 : sp.j*16+16] AS cv
+        |  FROM embeddings e, sp WHERE e.vec_id < 16),
+        |q AS (SELECT sp.j, e.embedding[sp.j*16+1 : sp.j*16+16] AS qv
+        |  FROM embeddings e, sp WHERE e.vec_id = 0),
+        |asg AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, c.j, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+        |      ORDER BY ROUND(list_distance(e.embedding[c.j*16+1 : c.j*16+16]::DOUBLE[],
+        |                                   c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM embeddings e, cb c) WHERE rn = 1),
+        |adc AS (SELECT a.vec_id,
+        |    SQRT(SUM(POWER(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 2))) AS d
+        |  FROM asg a JOIN cb c ON c.j = a.j AND c.cid = a.cid JOIN q ON q.j = a.j
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, ROUND(d, 6) AS adc_dist FROM adc
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "multimodal_features" -> {
       val byteAt = (i: String) =>
         s"""(strpos('0123456789ABCDEF', substr(hex(CAST(text AS BLOB)), $i + 1, 1)) - 1) * 16
