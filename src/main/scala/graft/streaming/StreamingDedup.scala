@@ -26,6 +26,21 @@ object StreamingDedup {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup guard: keep the first arrival per full MinHash
+    * signature (k mins concatenated). Two docs share the full signature
+    * with probability J^k (J = shingle Jaccard), so this drops only
+    * very-close rewrites (J ≳ 0.9 at k=8) — the cheap ingest-time filter.
+    * Banded OR-semantics (any band collides → candidate) needs a second
+    * stateful stage + verify join; that remains the batch pipeline
+    * ([[graft.dedup.MinHashLSH.nearDuplicates]]) run over the deduped
+    * stream's sink, where it is one more batch job. State per distinct
+    * signature is k longs. Uses the `xx` family (production hash path). */
+  def dropSignatureDuplicates(docs: DataFrame, textColName: String, k: Int = 8): DataFrame =
+    graft.dedup.MinHashLSH.withSignatures(docs, textColName, k, family = "xx")
+      .withColumn("__sig", concat_ws(":", (0 until k).map(j => col(s"sig_$j")): _*))
+      .dropDuplicates("__sig")
+      .drop((0 until k).map(j => s"sig_$j") :+ "__sig": _*)
+
   /** Watermark-bounded variant: duplicates are dropped only while their
     * fingerprint is within the watermark delay of the stream's event time —
     * state evicts as the watermark advances (the 100 TB continuous-ingest

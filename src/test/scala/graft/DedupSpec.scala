@@ -276,4 +276,17 @@ class DedupSpec extends SparkSpec {
       .where(col("id_a") === 1 && col("id_b") === 2).head().getAs[Double]("jaccard")
     assert(j12 === 1.0)
   }
+
+  test("xx family: same verified duplicate pairs as the md5 family on the fixture") {
+    // the verify step pins precision for both families; this asserts the
+    // fast family's banding recall matches on a realistic dup mix
+    def run(family: String): Set[(Long, Long, Double)] =
+      MinHashLSH.nearDuplicates(df, "id", "text", k = 8, bandSize = 2,
+          threshold = 0.4, family = family)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    assert(run("xx") === run("md5"))
+    intercept[IllegalArgumentException](
+      MinHashLSH.withSignatures(df, "text", 8, family = "sha9000"))
+  }
 }

@@ -43,6 +43,32 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamedTexts === batchTexts)
   }
 
+  test("signature near-dup guard: exact + signature-identical rewrites dropped across batches") {
+    val dir = Files.createTempDirectory("graft-sndup").toString
+    val ckpt = Files.createTempDirectory("graft-sndup-ckpt").toString
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    Seq((1L, base), (2L, "totally different little text here"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir + "/f1")
+    // batch 2: an exact re-crawl + an unrelated doc; the exact copy shares
+    // the full signature and must be dropped, the unrelated doc survives
+    Seq((11L, base), (12L, "another unrelated document entirely"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir + "/f2")
+    val schema = spark.read.parquet(dir + "/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/*")
+    val q = StreamingDedup.dropSignatureDuplicates(stream, "text").writeStream
+      .format("memory").queryName("sndup")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val survivors = spark.table("sndup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 12L), s"got $survivors")
+    // output schema is clean: no signature scratch columns
+    assert(spark.table("sndup").columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("watermark-bounded dedup: duplicates within the delay dropped, state evictable") {
     val dir = Files.createTempDirectory("graft-sdedup-wm").toString
     val ckpt = Files.createTempDirectory("graft-sdedup-wm-ckpt").toString
