@@ -72,12 +72,29 @@ case class CollectionMeta(
     currentVersion: Int = 0,
     ivfCells: Option[Int] = None,
     schemaless: Option[Boolean] = None,
-    ivfTrainIterations: Option[Int] = None) {
+    ivfTrainIterations: Option[Int] = None,
+    pqSubspaces: Option[Int] = None,
+    pqCodewords: Option[Int] = None,
+    pqTrainIterations: Option[Int] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
   require(ivfTrainIterations.forall(_ >= 0), "ivfTrainIterations must be >= 0")
   require(ivfTrainIterations.isEmpty || ivfCells.isDefined,
     "ivfTrainIterations requires ivfCells")
+  require(pqSubspaces.isDefined == pqCodewords.isDefined,
+    "pqSubspaces and pqCodewords must be set together")
+  require(pqSubspaces.forall(m => m > 0 && dim % m == 0),
+    s"pqSubspaces must divide dim=$dim")
+  require(pqCodewords.forall(k => k > 0 && k <= 256),
+    "pqCodewords must be in 1..256 (codes are bytes)")
+  require(pqTrainIterations.forall(_ >= 0), "pqTrainIterations must be >= 0")
+  require(pqTrainIterations.isEmpty || pqSubspaces.isDefined,
+    "pqTrainIterations requires pqSubspaces/pqCodewords")
+  require(pqSubspaces.isEmpty || Set("cosine", "euclidean").contains(distance),
+    "PQ ADC ranks by euclidean sub-distances: valid for euclidean, and for " +
+      "cosine via normalized storage — not for dot/manhattan collections")
+  require(pqSubspaces.isEmpty || !fields.exists(_.isVector),
+    "PQ layout is not supported on multi-vector collections")
   require(!isSchemaless || fields.isEmpty,
     "schemaless (core v3) collections declare no fields — metadata is the string-coerced map")
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
@@ -91,6 +108,10 @@ case class CollectionMeta(
   }
 
   def primaryKey: Option[IndexField] = fields.find(_.primaryKey)
+
+  /** (m, ksub) when the collection keeps a PQ code layout. */
+  def pqConfig: Option[(Int, Int)] =
+    for (m <- pqSubspaces; k <- pqCodewords) yield (m, k)
 
   /** Core-v3 mode (SURVEY.md §1.2): no declared schema; metadata is an
     * arbitrary string-coerced map and the user id travels as `_id`

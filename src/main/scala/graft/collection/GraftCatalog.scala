@@ -46,6 +46,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
   private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
   private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
+  private def pqDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_pq")
   private def claimPath(name: String, v: Int) = new Path(s"$root/$name/v$v.claim")
 
   /** Atomic exclusive create of a version-claim file whose content is
@@ -154,8 +155,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     loaded.getOrElse(name,
       throw new IllegalStateException(s"collection $name is not loaded in memory"))
 
+  /** Snapshot layout columns (IVF cell, PQ code) are index artifacts, not
+    * data — dropped from the resident/user-facing view. */
   private def dropCellCol(df: DataFrame): DataFrame =
-    if (df.columns.contains(GraftCatalog.CellCol)) df.drop(GraftCatalog.CellCol) else df
+    Seq(GraftCatalog.CellCol, GraftCatalog.PqCodeCol).foldLeft(df)(
+      (d, c) => if (d.columns.contains(c)) d.drop(c) else d)
 
   // ---- ingest / mutation ----
 
@@ -238,47 +242,76 @@ class GraftCatalog(spark: SparkSession, root: String,
       s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
     val stagingData = new Path(staging, "data")
     val stagingCentroids = new Path(staging, "centroids")
+    val stagingPq = new Path(staging, "pq")
     var wroteCentroids = false
+    var wrotePq = false
     // a failed staging write must not orphan the hidden staging dir
-    try meta.ivfCells match {
-      case Some(k) if !meta.isMultiVector =>
-        // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
-        // §2.1 S4 / §7): assign each row to its nearest centroid and
-        // write the snapshot PARTITIONED BY CELL, so probed searches become
-        // directory-pruned scans — at 100 TB only nprobe/k of the files are
-        // even opened. Centroids are k-means-refined from a deterministic
-        // pk-ordered seed (Ann.trainCentroids); they live in a tiny sidecar
-        // read once per search.
-        val pk = meta.idColumn
-        val decoded = meta.quantization match {
-          case "none" => col(VectorCol)
-          case q      => dequantize(col(VectorCol), q)
-        }
-        val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
-        // each Lloyd iteration is one full corpus scan — the default 2 is
-        // the quality/cost balance; 0 = raw pk-ordered seeds (cheapest
-        // flush), more when cluster structure warrants it
-        val centroids = graft.ann.Ann.trainCentroids(
-          withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance,
-          iterations = meta.ivfTrainIterations.getOrElse(2))
-        if (centroids.isEmpty) {
-          // empty collection: partitionBy would write a schemaless dir that
-          // fails to re-read — fall back to the unpartitioned layout
-          df.write.mode("overwrite").parquet(stagingData.toString)
-        } else {
-          val assigned = graft.ann.Ann.ivfAssign(
-              withVec, pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
-            .withColumnRenamed("cell", GraftCatalog.CellCol)
-            .drop(GraftCatalog.SearchVecCol)
-          assigned.write.partitionBy(GraftCatalog.CellCol)
-            .mode("overwrite").parquet(stagingData.toString)
-          import spark.implicits._
-          centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
-            .coalesce(1).write.mode("overwrite").parquet(stagingCentroids.toString)
-          wroteCentroids = true
-        }
-      case _ =>
-        df.write.mode("overwrite").parquet(stagingData.toString)
+    try {
+      val pk = meta.idColumn
+      def decoded: Column = meta.quantization match {
+        case "none" => col(VectorCol)
+        case q      => dequantize(col(VectorCol), q)
+      }
+      // PQ code layout: per-subspace-Lloyd codebook trained on the decoded
+      // vectors, codes written as an m-byte column, codebook in a tiny
+      // sidecar — [[searchPq]]'s ADC pass then scans ONLY the code column
+      // (parquet column pruning), never the float vectors. An empty
+      // collection skips the layout (no sidecar).
+      val pqCb: Option[graft.ann.PqCodebook] = meta.pqConfig.collect {
+        case (m, ksub) if !df.isEmpty =>
+          graft.ann.Pq.train(df.withColumn(GraftCatalog.SearchVecCol, decoded),
+            pk, GraftCatalog.SearchVecCol, m, ksub,
+            iterations = meta.pqTrainIterations.getOrElse(2))
+      }
+      def withPqCode(d: DataFrame, vec: Column): DataFrame = pqCb match {
+        case Some(cb) =>
+          d.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(vec, cb.cents))
+        case None => d
+      }
+      meta.ivfCells match {
+        case Some(k) if !meta.isMultiVector =>
+          // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
+          // §2.1 S4 / §7): assign each row to its nearest centroid and
+          // write the snapshot PARTITIONED BY CELL, so probed searches become
+          // directory-pruned scans — at 100 TB only nprobe/k of the files are
+          // even opened. Centroids are k-means-refined from a deterministic
+          // pk-ordered seed (Ann.trainCentroids); they live in a tiny sidecar
+          // read once per search.
+          val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+          // each Lloyd iteration is one full corpus scan — the default 2 is
+          // the quality/cost balance; 0 = raw pk-ordered seeds (cheapest
+          // flush), more when cluster structure warrants it
+          val centroids = graft.ann.Ann.trainCentroids(
+            withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance,
+            iterations = meta.ivfTrainIterations.getOrElse(2))
+          if (centroids.isEmpty) {
+            // empty collection: partitionBy would write a schemaless dir that
+            // fails to re-read — fall back to the unpartitioned layout
+            df.write.mode("overwrite").parquet(stagingData.toString)
+          } else {
+            val assigned = graft.ann.Ann.ivfAssign(
+                withVec, pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
+              .withColumnRenamed("cell", GraftCatalog.CellCol)
+            withPqCode(assigned, col(GraftCatalog.SearchVecCol))
+              .drop(GraftCatalog.SearchVecCol)
+              .write.partitionBy(GraftCatalog.CellCol)
+              .mode("overwrite").parquet(stagingData.toString)
+            import spark.implicits._
+            centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
+              .coalesce(1).write.mode("overwrite").parquet(stagingCentroids.toString)
+            wroteCentroids = true
+          }
+        case _ =>
+          withPqCode(df, decoded).write.mode("overwrite").parquet(stagingData.toString)
+      }
+      pqCb.foreach { cb =>
+        import spark.implicits._
+        cb.cents.zipWithIndex.flatMap { case (cbj, j) =>
+          cbj.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) } }.toSeq
+          .toDF("j", "c", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(stagingPq.toString)
+        wrotePq = true
+      }
     } catch { case e: Throwable =>
       fs.delete(staging, true)
       throw e
@@ -305,6 +338,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     fs.rename(stagingData, versionDir(name, v))
     if (wroteCentroids) fs.rename(stagingCentroids, centroidDir(name, v))
+    if (wrotePq) fs.rename(stagingPq, pqDir(name, v))
     fs.delete(staging, true)
     // Validate + re-anchor BEFORE publishing: the read inspects footers, so
     // an unreadable snapshot aborts here with the meta still on the old
@@ -315,6 +349,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       catch { case e: Throwable =>
         fs.delete(versionDir(name, v), true)
         fs.delete(centroidDir(name, v), true)
+        fs.delete(pqDir(name, v), true)
         fs.delete(claimPath(name, v), false)
         throw e
       }
@@ -322,6 +357,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (!meta.versioning && meta.currentVersion > 0) {
       fs.delete(versionDir(name, meta.currentVersion), true)
       fs.delete(centroidDir(name, meta.currentVersion), true)
+      fs.delete(pqDir(name, meta.currentVersion), true)
       fs.delete(claimPath(name, meta.currentVersion), false)
     }
     // Re-anchor residency on the written snapshot: lineage collapses to a
@@ -358,6 +394,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       .map { v =>
         fs.delete(versionDir(name, v), true)
         fs.delete(centroidDir(name, v), true)
+        fs.delete(pqDir(name, v), true)
         fs.delete(claimPath(name, v), false)
         v
       }
@@ -449,6 +486,65 @@ class GraftCatalog(spark: SparkSession, root: String,
     val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
     graft.ann.Ann.ivfSearch(decoded, meta.idColumn, vecCol,
       centroids, qv, nprobe, topK, meta.distance)
+  }
+
+  /** ADC (product-quantization) search over the PQ code layout of the
+    * on-disk snapshot: the scan touches ONLY the m-byte `__pq_code` column
+    * (parquet column pruning) plus the pk — at 100 TB that is a 32-64×
+    * smaller read than any float-vector scan, and the per-row work is m
+    * table lookups. With `rerank` (default) the top `topK·overFetch` ADC
+    * candidates are re-scored exactly on their stored vectors (an
+    * id-pruned second read of O(topK·overFetch) rows) — the standard PQ
+    * recall repair; `rerank = false` returns raw ADC distances
+    * (euclidean over the decoded/normalized stored vectors — for cosine
+    * collections normalized storage makes that ordering cosine-consistent;
+    * dot/manhattan collections are rejected at create time).
+    *
+    * Composes with the IVF layout: a collection with both `ivfCells` and
+    * `pqSubspaces` stores cell-partitioned code columns, so a
+    * cell-restricted ADC scan is exactly IVF-PQ. */
+  def searchPq(name: String, queryVector: Array[Float], topK: Int,
+               rerank: Boolean = true, overFetch: Int = 4): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    import spark.implicits._
+    if (!fs.exists(pqDir(name, meta.currentVersion)))
+      // collection was flushed empty → no code layout, nothing to rank
+      return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
+    val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val adc = snap.select(col(meta.idColumn),
+      graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv).as("__adc"))
+    if (!rerank)
+      adc.select(col(meta.idColumn), round(col("__adc"), 6).as("dist"))
+        .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+    else {
+      // candidate ids are O(topK·overFetch) — driver-size, like centroid
+      // sidecars; the isin pushes into the rerank scan as a parquet filter
+      val candIds = adc.orderBy(col("__adc").asc, col(meta.idColumn).asc)
+        .limit(topK * overFetch).select(meta.idColumn).collect().map(_.get(0))
+      val vec = meta.quantization match {
+        case "none" => col(VectorCol)
+        case q      => dequantize(col(VectorCol), q)
+      }
+      snap.where(col(meta.idColumn).isin(candIds: _*))
+        .select(col(meta.idColumn),
+          round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
+        .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+    }
+  }
+
+  private def readPqCodebook(name: String, v: Int, m: Int): graft.ann.PqCodebook = {
+    val rows = spark.read.parquet(pqDir(name, v).toString).collect()
+    val byJ = rows.groupBy(_.getAs[Int]("j"))
+    graft.ann.PqCodebook((0 until m).map { j =>
+      byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
+    }.toArray)
   }
 
   /** Load the flushed IVF snapshot into a driver-local serving index
@@ -545,6 +641,9 @@ object GraftCatalog {
 
   /** IVF cell partition column in on-disk snapshots. */
   val CellCol = "__cell"
+
+  /** PQ code column in on-disk snapshots (m bytes per row). */
+  val PqCodeCol = "__pq_code"
   import CollectionMeta.VectorCol
 
   /** Mirror of the stored-vector prep for a driver-side query vector:

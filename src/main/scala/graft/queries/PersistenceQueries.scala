@@ -37,6 +37,30 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("snap", qv, topK = 10)
     }),
+    // PQ code layout through the full Collection API: create with
+    // pqSubspaces/pqCodewords, flush (codes column + codebook sidecar),
+    // ADC-ranked search over the code scan. pqTrainIterations=0 keeps the
+    // codebook at the deterministic pk-ordered seed (lpad'ed ids make
+    // string pk order numeric) so DuckDB replicates it bit-for-bit; the
+    // Lloyd-trained path is CatalogPqSpec/PqSpec territory.
+    "catalog_pq_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-pq").toString)
+      cat.createCollection(CollectionMeta("pqc", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        pqSubspaces = Some(4), pqCodewords = Some(16), pqTrainIterations = Some(0)))
+      cat.loadCollection("pqc")
+      cat.insert("pqc", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("pqc")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchPq("pqc", qv, topK = 10, rerank = false)
+    }),
     // Schema-less (core v3) collection through the full API: arbitrary
     // metadata string-coerced into a map, _id shim, filter AST routed
     // through parse-compare semantics (SURVEY.md §1.2).
@@ -93,6 +117,26 @@ object PersistenceQueries {
         |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM embeddings e, q
         |ORDER BY dist, id LIMIT 10""".stripMargin,
+    "catalog_pq_search" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id, embedding
+        |  FROM embeddings),
+        |sp AS (SELECT j FROM range(0, 4) r(j)),
+        |cb AS (SELECT sp.j, e.vec_id AS cid, e.embedding[sp.j*16+1 : sp.j*16+16] AS cv
+        |  FROM emb e, sp WHERE e.vec_id < 16),
+        |q AS (SELECT sp.j, e.embedding[sp.j*16+1 : sp.j*16+16] AS qv
+        |  FROM emb e, sp WHERE e.vec_id = 0),
+        |asg AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, c.j, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.j
+        |      ORDER BY ROUND(list_distance(e.embedding[c.j*16+1 : c.j*16+16]::DOUBLE[],
+        |                                   c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM emb e, cb c) WHERE rn = 1),
+        |adc AS (SELECT a.vec_id,
+        |    SQRT(SUM(POWER(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 2))) AS d
+        |  FROM asg a JOIN cb c ON c.j = a.j AND c.cid = a.cid JOIN q ON q.j = a.j
+        |  GROUP BY a.vec_id)
+        |SELECT e.id, ROUND(adc.d, 6) AS dist FROM adc JOIN emb e ON e.vec_id = adc.vec_id
+        |ORDER BY dist, e.id LIMIT 10""".stripMargin,
     "core_collection_roundtrip" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS _id, CAST(e.label AS VARCHAR) AS label,

@@ -189,6 +189,18 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
         rowsJson(catalog.searchIvf(name, vector, topK, nprobe))
+      // PQ ADC search over the flushed code layout (optionally reranked
+      // exactly over the stored vectors)
+      case ("POST", "collections" :: name :: "searchPq" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchPq requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val rerank = (req \ "rerank").toOption.collect { case JBool(b) => b }.getOrElse(true)
+        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(4)
+        rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
         val vector = req \ "vector" match {
@@ -301,7 +313,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       fields = fields,
       versioning = (j \ "versioning").extractOrElse(false),
       ivfCells = (j \ "ivfCells").extractOpt[Int],
-      schemaless = (j \ "schemaless").extractOpt[Boolean])
+      schemaless = (j \ "schemaless").extractOpt[Boolean],
+      ivfTrainIterations = (j \ "ivfTrainIterations").extractOpt[Int],
+      pqSubspaces = (j \ "pqSubspaces").extractOpt[Int],
+      pqCodewords = (j \ "pqCodewords").extractOpt[Int],
+      pqTrainIterations = (j \ "pqTrainIterations").extractOpt[Int])
   }
 
   /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |

@@ -189,6 +189,26 @@ class GraftServerSpec extends SparkSpec {
     assert(dDists === lDists, s"distributed $dDists vs local $lDists")
   }
 
+  test("PQ collection over HTTP: searchPq reranked agrees with exact search") {
+    val meta = """{"name":"pqh","dim":4,"distance":"euclidean","pqSubspaces":2,"pqCodewords":8,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/pqh/load")._1 === 200)
+    val rows = (0 until 30).map(i =>
+      s"""{"id":"p${"%02d".format(i)}","vector":[${i * 0.3}, ${(i % 7) * 0.5}, ${(i % 3) * 0.9}, 1]}""").mkString(",")
+    assert(http("POST", "/collections/pqh/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/pqh/flush")._2 === """{"version":1}""")
+    val q = """{"vector":[2.1,1.5,0.9,1],"topK":3,"overFetch":10}"""
+    val (pc, pb) = http("POST", "/collections/pqh/searchPq", q)
+    val (ec, eb) = http("POST", "/collections/pqh/search", """{"vector":[2.1,1.5,0.9,1],"topK":3}""")
+    assert(pc === 200 && ec === 200, s"$pb / $eb")
+    val idRe = "\"id\":\"(p\\d+)\"".r
+    assert(idRe.findAllMatchIn(pb).map(_.group(1)).toSeq ===
+      idRe.findAllMatchIn(eb).map(_.group(1)).toSeq, s"pq $pb vs exact $eb")
+    // probing an index layout the collection doesn't have is a client error
+    assert(http("POST", "/collections/pqh/searchIvf", q)._1 === 400)
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)
