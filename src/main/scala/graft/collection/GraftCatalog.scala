@@ -504,7 +504,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     * `pqSubspaces` stores cell-partitioned code columns, so a
     * cell-restricted ADC scan is exactly IVF-PQ. */
   def searchPq(name: String, queryVector: Array[Float], topK: Int,
-               rerank: Boolean = true, overFetch: Int = 4): DataFrame = {
+               rerank: Boolean = true, overFetch: Int = 4,
+               nprobe: Option[Int] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -517,7 +518,22 @@ class GraftCatalog(spark: SparkSession, root: String,
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
     val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    // IVF-PQ: on a collection with both layouts, restrict the ADC scan to
+    // the nprobe nearest cells — partition-directory pruning cuts the I/O
+    // to nprobe/k of the (already code-only) read
+    val snap = nprobe match {
+      case Some(np) =>
+        require(meta.ivfCells.isDefined,
+          s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
+        require(fs.exists(centroidDir(name, meta.currentVersion)),
+          s"collection $name has no centroid sidecar")
+        val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
+          .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+        val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance)
+        full.where(col(GraftCatalog.CellCol).isin(probed: _*))
+      case None => full
+    }
     val adc = snap.select(col(meta.idColumn),
       graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv).as("__adc"))
     if (!rerank)

@@ -279,6 +279,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 6).as("sum_value"))
         .orderBy("event_type")
     }),
+    // Pivot (§2.4 breadth): hour-of-day × event-type counts — conditional
+    // aggregation with an explicit value list (one shuffle, no second pass
+    // for value discovery); missing combos normalized to 0 like the
+    // FILTER-count formulation.
+    "events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir).select(hour(col("ts")).as("hr"), col("event_type"))
+        .groupBy("hr").pivot("event_type", types).count()
+        .select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("hr")
+    }),
+    // Exact interpolated percentiles per group (sort-based `percentile`,
+    // the continuous-quantile definition DuckDB's quantile_cont shares).
+    "events_percentiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"))
+        .orderBy("event_type")),
     // Event-time tumbling-window aggregation over the events table
     // (§2.9 extension; same plan batch or streaming, one shuffle on
     // (window, type) with map-side partial aggregation).
@@ -656,6 +675,20 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "events_pivot" ->
+      """SELECT hour(ts) AS hr,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_range_join" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
         |  FROM events WHERE event_id % 11 = 0),

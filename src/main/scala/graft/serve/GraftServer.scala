@@ -200,7 +200,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         val rerank = (req \ "rerank").toOption.collect { case JBool(b) => b }.getOrElse(true)
         val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(4)
-        rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch))
+        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
+        rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
         val vector = req \ "vector" match {

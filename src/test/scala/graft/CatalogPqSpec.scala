@@ -99,6 +99,23 @@ class CatalogPqSpec extends SparkSpec {
     // both index paths answer over the same layout
     assert(cat.searchIvf("pqivf", q, topK = 3, nprobe = 2).count() === 3)
     assert(cat.searchPq("pqivf", q, topK = 3).count() === 3)
+    // cell-pruned ADC (IVF-PQ): probing ALL cells equals the unprobed scan;
+    // a tight probe still answers from the query's own cells
+    val all = cat.searchPq("pqivf", q, topK = 3, nprobe = Some(4))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val unprobed = cat.searchPq("pqivf", q, topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(all === unprobed)
+    assert(cat.searchPq("pqivf", q, topK = 3, nprobe = Some(1)).count() === 3)
+    // nprobe without an IVF layout is a contract error
+    val cat2 = newCatalog()
+    cat2.createCollection(pqMeta("pqonly"))
+    cat2.loadCollection("pqonly")
+    cat2.insert("pqonly", fixtureRows(30, 16))
+    cat2.flush("pqonly")
+    val ex = intercept[IllegalArgumentException](
+      cat2.searchPq("pqonly", q, topK = 3, nprobe = Some(2)))
+    assert(ex.getMessage.contains("no IVF layout"))
   }
 
   test("sidecar follows the version lifecycle (unversioned prune + vacuum)") {
