@@ -60,15 +60,15 @@ object Bench {
     }
 
     // ---- warm-up: codegen + JIT + parquet footer reads, untimed ----
-    try {
-      spark.range(1000000).agg(sum("id")).collect()
-      SparkEntry.queries("flat_scan_cosine")(spark, sfDir).collect()
-    } catch { case _: Throwable => () }
+    try spark.range(1000000).agg(sum("id")).collect()
+    catch { case _: Throwable => () }
 
-    // ---- SF-scale suite (every registered query) ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name)(fn(spark, sfDir).count())
-    }
+    // Suite ORDER is deliberate: the 1M/10M scan suites run FIRST, in a
+    // near-fresh code cache — the r4 regression (flat_scan_cosine_1m
+    // 2.03×→2.69×) tracked the sf suite's hundreds of generated classes
+    // JIT-compiling ahead of the hot scan loops (PLANS.md r3/r4 bimodality);
+    // running the floor-sensitive suites before the class-heavy sf suite is
+    // the in-process form of "isolate the big suites in a fresh JVM".
 
     // ---- 1M and 10M ×128-d suites at (and above) the baseline's scale.
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
@@ -187,14 +187,55 @@ object Bench {
         try {
           (1 to 5).foreach(_ => scan())
           val tScan = timed("pq_adc_scan_1m", runs = 8)(scan())
+          // Driver-local ADC serving over the IVF-PQ residual layout: 16 MB
+          // of codes resident (vs 512 MB of floats in LocalIvfIndex), probes
+          // in-process with per-cell residual tables — the memory-scale
+          // serving rung. Mean per-query latency over 200 probes, nprobe=8.
+          val localPq = try {
+            val cents = graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding",
+              256, "euclidean", iterations = 1, sampleMod = Some(16L))
+            val resid = graft.ann.Ann
+              .ivfAssign(bigc, "vec_id", "embedding", cents, "euclidean")
+              .withColumn("__res", graft.ann.Pq.residual(col("embedding"), col("cell"), cents))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            try {
+              val rcb = graft.ann.Pq.train(resid.select(col("vec_id"), col("__res").as("v")),
+                "vec_id", "v", m = 16, ksub = 256, iterations = 1, sampleMod = Some(64L))
+              val rcodes = resid.select(col("vec_id"), col("cell"),
+                pq_encode(col("__res"), rcb.cents).as("pq_code"))
+              val idx = graft.ann.LocalPqIndex.fromCodes(rcodes, "vec_id", "pq_code",
+                rcb, cents, "euclidean", Some("cell"))
+              val qs = (0 until 200).map { i =>
+                bigc.where(col("vec_id") === i * 4999L).select("embedding")
+                  .head().getSeq[Float](0).toArray
+              }
+              qs.foreach(v => idx.search(v, 10, 8)) // warm
+              val t0 = System.nanoTime()
+              qs.foreach(v => idx.search(v, 10, 8))
+              Seq("pq_local_search_1m" -> (System.nanoTime() - t0) / 1e9 / qs.length)
+            } finally resid.unpersist(false)
+          } catch { case e: Throwable =>
+            errors("pq_local_search_1m") = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+            Seq.empty[(String, Double)]
+          }
           Seq("pq_train_sampled_1m" -> tTrain, "pq_encode_1m" -> tEncode,
-            "pq_adc_scan_1m" -> tScan)
+            "pq_adc_scan_1m" -> tScan) ++ localPq
         } finally codes.unpersist()
       } catch { case e: Throwable =>
         errors("pq_1m") = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(1).mkString
         Seq.empty[(String, Double)]
       } finally bigc.unpersist()
+    }
+
+    // ---- SF-scale suite (every registered query) ----
+    val results = {
+      try SparkEntry.queries("flat_scan_cosine")(spark, sfDir).collect() // warm footers
+      catch { case _: Throwable => () }
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> timed(name)(fn(spark, sfDir).count())
+      }
     }
 
     // ---- dedup/text pipeline throughput at 100k docs: the sf suite's

@@ -57,9 +57,10 @@ case class PqCodebook(cents: Array[Array[Array[Float]]]) {
   * and an ADC scan reads only codes + one per-query LUT.
   *
   * All per-row work is single-pass codegen kernels ([[graft.functions.pq_encode]],
-  * [[graft.functions.pq_adc_distance]]); training reuses the distributed
-  * Lloyd machinery of [[Ann.trainCentroids]] per subspace. Composes with IVF:
-  * encode the residual-free codes per cell and ADC-scan only probed cells. */
+  * [[graft.functions.pq_adc_distance]]); training runs all m subspaces'
+  * Lloyd update in one distributed job per iteration. Composes with IVF:
+  * encode per-cell residuals ([[residual]]) and ADC-scan probed cells
+  * against per-cell tables ([[residualLuts]]) — true IVF-PQ. */
 object Pq {
 
   /** Deterministic untrained codebook: the `ksub` id-smallest vectors,
@@ -77,30 +78,115 @@ object Pq {
     PqCodebook(Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub))))
   }
 
-  /** Distributed per-subspace Lloyd training (standard PQ k-means): each
-    * subspace trains independently on the sliced column via
-    * [[Ann.trainCentroids]] — m small trainings, each one assignment scan +
-    * one (cell, dim) aggregation per iteration. `sampleMod` trains on the
-    * deterministic 1/mod id-hash subsample (the 100 TB path; see
-    * trainCentroids). Codebook VALUES inherit trainCentroids'
-    * summation-order caveat: persist the artifact, don't re-derive. */
+  /** Distributed Lloyd training for all m subspaces in ONE scan per
+    * iteration (standard PQ k-means, Jégou §II): seed = the ksub id-smallest
+    * rows sliced (same deterministic convention as [[seedCodebook]] and the
+    * IVF seed), then each iteration is a single job — per row, m slice +
+    * argmin expressions (the exact per-subspace semantics of
+    * [[graft.functions.pq_encode]], pinned in PqSpec) exploded into
+    * (subspace, cell, pos) partial sums; shuffle traffic is m·ksub·dsub
+    * rows, independent of corpus size. The round-4 form trained each
+    * subspace through its own [[Ann.trainCentroids]] call, re-filtering and
+    * re-persisting its own sample — m corpus reads where one suffices, the
+    * 100 TB training-path killer (measured 11.1 s vs ~2 s at 1M×128).
+    *
+    * `sampleMod` trains the Lloyd iterations on the deterministic 1/mod
+    * id-hash subsample, filtered and persisted ONCE (the 100 TB path —
+    * centroid quality needs a uniform sample, not every row). Empty cells
+    * keep their previous sub-codeword. Codebook VALUES inherit the usual
+    * float-summation-order caveat: persist the artifact, don't re-derive. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
             iterations: Int = 2, sampleMod: Option[Long] = None): PqCodebook = {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in 1..256, got $ksub")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible into m=$m subspaces")
     val dsub = dim / m
-    val cents = Array.tabulate(m) { j =>
-      val sub = df.select(col(idCol), slice(col(vecCol), j * dsub + 1, dsub).as("__sub"))
-      Ann.trainCentroids(sub, idCol, "__sub", ksub, "euclidean", iterations, sampleMod)
-        .sortBy(_._1).map(_._2).toArray
+    val sampled = sampleMod.collect { case md if md > 1 =>
+      df.where(pmod(xxhash64(col(idCol)), lit(md)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    PqCodebook(cents)
+    val base = sampled.getOrElse(df)
+    try {
+      def seedFrom(d: DataFrame) = d.orderBy(col(idCol).asc).limit(ksub)
+        .select(vecCol).collect().map(_.getSeq[Float](0).toArray)
+      val seed0 = seedFrom(base)
+      // an over-aggressive sampleMod on a small collection must not look empty
+      val rows = if (seed0.isEmpty && sampled.isDefined) seedFrom(df) else seed0
+      require(rows.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+      var cents: Array[Array[Array[Float]]] =
+        Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
+      for (_ <- 0 until iterations) {
+        // assignment = ONE pq_encode_cells kernel call per row (the same
+        // single-loop codegen kernel the encode pass uses — a per-subspace
+        // argmin/struct/array composition falls out of whole-stage codegen
+        // and runs ~60× slower interpreted); then one posexplode + one
+        // (subspace, cell, pos) aggregation. Output rows: m·ksub·dsub.
+        // NB: the kernel is aliased in its OWN projection below the explode —
+        // `select(kernel, posexplode(...))` would make ExtractGenerator hoist
+        // the kernel above the Generate and re-evaluate it once per exploded
+        // ELEMENT (dim× the work; measured 24 s/iteration vs 1 s at 1M/16)
+        val jCol = (col("pos") / lit(dsub)).cast("int")
+        val sums = base
+          .select(col(vecCol), pq_encode_cells(col(vecCol), cents).as("__cells"))
+          .select(col("__cells"),
+            posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+          .select(jCol.as("j"), pmod(col("pos"), lit(dsub)).cast("int").as("pos"),
+            element_at(col("__cells"), jCol + 1).as("cell"), col("x"))
+          .groupBy("j", "cell", "pos")
+          .agg(sum(col("x")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cell")))
+        cents = Array.tabulate(m) { j =>
+          cents(j).zipWithIndex.map { case (old, c) =>
+            byKey.get((j, c)) match {
+              case None => old // empty cell: keep previous sub-codeword
+              case Some(rs) =>
+                val mean = new Array[Float](old.length)
+                rs.foreach { r =>
+                  mean(r.getAs[Int]("pos")) =
+                    (r.getAs[Double]("sv") / r.getAs[Long]("n")).toFloat
+                }
+                mean
+            }
+          }
+        }
+      }
+      PqCodebook(cents)
+    } finally sampled.foreach(_.unpersist(false))
   }
 
   /** Add the m-byte PQ code column (one single-pass kernel per row). */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook, codeCol: String = "pq_code"): DataFrame =
     df.withColumn(codeCol, pq_encode(col(vecCol), cb.cents))
+
+  /** Element-wise residual `vec − centroid(cell)` for IVF-PQ (Jégou,
+    * "Product Quantization for Nearest Neighbor Search", §IV.A): quantizing
+    * residuals instead of raw vectors concentrates the codebook's dynamic
+    * range around the cell center, materially improving recall at the same
+    * m/ksub (asserted in PqSpec). The centroid table rides the expression
+    * as one array literal indexed by the row's cell — centroid ids must be
+    * the trainer's dense 0..k−1. */
+  def residual(vec: Column, cell: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
+      "centroid ids must be dense 0..k-1 (the trainer's convention)")
+    val table = typedlit(sorted.map(_._2.toSeq))
+    zip_with(vec, element_at(table, (cell + lit(1)).cast("int")), (x, c) => x - c)
+  }
+
+  /** Per-cell ADC lookup tables for an IVF-PQ (residual) layout: table i =
+    * the squared sub-distances of `query − centroid(cellIds(i))` against
+    * every sub-codeword. Feed [[graft.functions.pq_adc_distance_cells]]. */
+  def residualLuts(cb: PqCodebook, query: Array[Float],
+                   centroids: Seq[(Long, Array[Float])]): (Array[Long], Array[Array[Double]]) = {
+    val sorted = centroids.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val luts = sorted.map { case (_, cv) =>
+      require(cv.length == query.length, s"centroid dim ${cv.length} != query dim ${query.length}")
+      cb.adcLut(Array.tabulate(query.length)(i => query(i) - cv(i)))
+    }.toArray
+    (ids, luts)
+  }
 
   /** ADC distance of every code against `query` (LUT built driver-side). */
   def adcDist(code: Column, cb: PqCodebook, query: Array[Float]): Column =

@@ -252,22 +252,15 @@ class GraftCatalog(spark: SparkSession, root: String,
         case "none" => col(VectorCol)
         case q      => dequantize(col(VectorCol), q)
       }
-      // PQ code layout: per-subspace-Lloyd codebook trained on the decoded
-      // vectors, codes written as an m-byte column, codebook in a tiny
-      // sidecar — [[searchPq]]'s ADC pass then scans ONLY the code column
-      // (parquet column pruning), never the float vectors. An empty
-      // collection skips the layout (no sidecar).
-      val pqCb: Option[graft.ann.PqCodebook] = meta.pqConfig.collect {
-        case (m, ksub) if !df.isEmpty =>
-          graft.ann.Pq.train(df.withColumn(GraftCatalog.SearchVecCol, decoded),
-            pk, GraftCatalog.SearchVecCol, m, ksub,
-            iterations = meta.pqTrainIterations.getOrElse(2))
-      }
-      def withPqCode(d: DataFrame, vec: Column): DataFrame = pqCb match {
-        case Some(cb) =>
-          d.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(vec, cb.cents))
-        case None => d
-      }
+      // PQ code layout: per-subspace-Lloyd codebook trained at flush, codes
+      // written as an m-byte column, codebook in a tiny sidecar —
+      // [[searchPq]]'s ADC pass then scans ONLY the code column (parquet
+      // column pruning), never the float vectors. On an IVF collection the
+      // codes quantize RESIDUALS (vec − cellCentroid) — true IVF-PQ; without
+      // cells they quantize the decoded vectors. An empty collection skips
+      // the layout (no sidecar).
+      var pqCb: Option[graft.ann.PqCodebook] = None
+      val pqIters = meta.pqTrainIterations.getOrElse(2)
       meta.ivfCells match {
         case Some(k) if !meta.isMultiVector =>
           // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
@@ -292,17 +285,48 @@ class GraftCatalog(spark: SparkSession, root: String,
             val assigned = graft.ann.Ann.ivfAssign(
                 withVec, pk, GraftCatalog.SearchVecCol, centroids, meta.distance)
               .withColumnRenamed("cell", GraftCatalog.CellCol)
-            withPqCode(assigned, col(GraftCatalog.SearchVecCol))
-              .drop(GraftCatalog.SearchVecCol)
-              .write.partitionBy(GraftCatalog.CellCol)
-              .mode("overwrite").parquet(stagingData.toString)
+            meta.pqConfig match {
+              case Some((mm, ks)) =>
+                // residual IVF-PQ: train + encode on vec − centroid(cell).
+                // The residual relation is scanned by the trainer's seed +
+                // iterations, the encode, and the write — persist it for
+                // the flush's duration instead of re-running the assignment
+                // kernel each pass.
+                val resid = assigned
+                  .withColumn(GraftCatalog.ResidVecCol, graft.ann.Pq.residual(
+                    col(GraftCatalog.SearchVecCol), col(GraftCatalog.CellCol), centroids))
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                try {
+                  val cb = graft.ann.Pq.train(resid, pk, GraftCatalog.ResidVecCol,
+                    mm, ks, iterations = pqIters)
+                  pqCb = Some(cb)
+                  resid.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(
+                      col(GraftCatalog.ResidVecCol), cb.cents))
+                    .drop(GraftCatalog.ResidVecCol)
+                    .drop(GraftCatalog.SearchVecCol)
+                    .write.partitionBy(GraftCatalog.CellCol)
+                    .mode("overwrite").parquet(stagingData.toString)
+                } finally resid.unpersist(false)
+              case None =>
+                assigned.drop(GraftCatalog.SearchVecCol)
+                  .write.partitionBy(GraftCatalog.CellCol)
+                  .mode("overwrite").parquet(stagingData.toString)
+            }
             import spark.implicits._
             centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cvec")
               .coalesce(1).write.mode("overwrite").parquet(stagingCentroids.toString)
             wroteCentroids = true
           }
         case _ =>
-          withPqCode(df, decoded).write.mode("overwrite").parquet(stagingData.toString)
+          val withCode = meta.pqConfig match {
+            case Some((mm, ks)) if !df.isEmpty =>
+              val cb = graft.ann.Pq.train(df.withColumn(GraftCatalog.SearchVecCol, decoded),
+                pk, GraftCatalog.SearchVecCol, mm, ks, iterations = pqIters)
+              pqCb = Some(cb)
+              df.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(decoded, cb.cents))
+            case _ => df
+          }
+          withCode.write.mode("overwrite").parquet(stagingData.toString)
       }
       pqCb.foreach { cb =>
         import spark.implicits._
@@ -474,8 +498,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       import spark.implicits._
       return Seq.empty[(String, Long, Double)].toDF(meta.idColumn, "cell", "dist")
     }
-    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
-      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val centroids = readCentroids(name, meta.currentVersion)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
@@ -519,23 +542,38 @@ class GraftCatalog(spark: SparkSession, root: String,
     val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
-    // IVF-PQ: on a collection with both layouts, restrict the ADC scan to
-    // the nprobe nearest cells — partition-directory pruning cuts the I/O
-    // to nprobe/k of the (already code-only) read
-    val snap = nprobe match {
-      case Some(np) =>
-        require(meta.ivfCells.isDefined,
-          s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
-        require(fs.exists(centroidDir(name, meta.currentVersion)),
-          s"collection $name has no centroid sidecar")
-        val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
-          .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
-        val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance)
-        full.where(col(GraftCatalog.CellCol).isin(probed: _*))
-      case None => full
+    nprobe.foreach { _ =>
+      require(meta.ivfCells.isDefined,
+        s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
+      require(fs.exists(centroidDir(name, meta.currentVersion)),
+        s"collection $name has no centroid sidecar")
     }
-    val adc = snap.select(col(meta.idColumn),
-      graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv).as("__adc"))
+    // IVF collections store RESIDUAL codes (vec − cellCentroid — see flush),
+    // so the ADC pass scores each row against its cell's own lookup table
+    // (query residual vs sub-codewords); with nprobe the scan is also
+    // restricted to the nearest cells — partition-directory pruning cuts
+    // the I/O to nprobe/k of the (already code-only) read.
+    val residualLayout = meta.ivfCells.isDefined &&
+      fs.exists(centroidDir(name, meta.currentVersion))
+    val (snap, adcExpr) =
+      if (residualLayout) {
+        val centroids = readCentroids(name, meta.currentVersion)
+        val kept = nprobe match {
+          case Some(np) =>
+            val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance).toSet
+            centroids.filter { case (cid, _) => probed(cid) }
+          case None => centroids
+        }
+        val (cellIds, luts) = graft.ann.Pq.residualLuts(cb, qv, kept)
+        val restricted =
+          if (nprobe.isDefined) full.where(col(GraftCatalog.CellCol).isin(cellIds: _*))
+          else full
+        (restricted, graft.functions.pq_adc_distance_cells(
+          col(GraftCatalog.PqCodeCol), col(GraftCatalog.CellCol).cast("long"),
+          cellIds, luts, cb.ksub))
+      } else
+        (full, graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv))
+    val adc = snap.select(col(meta.idColumn), adcExpr.as("__adc"))
     if (!rerank)
       adc.select(col(meta.idColumn), round(col("__adc"), 6).as("dist"))
         .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
@@ -555,6 +593,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** The centroid sidecar of version `v` — O(cells) rows, driver-sized. */
+  private def readCentroids(name: String, v: Int): Seq[(Long, Array[Float])] =
+    spark.read.parquet(centroidDir(name, v).toString)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+
   private def readPqCodebook(name: String, v: Int, m: Int): graft.ann.PqCodebook = {
     val rows = spark.read.parquet(pqDir(name, v).toString).collect()
     val byJ = rows.groupBy(_.getAs[Int]("j"))
@@ -573,8 +616,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(fs.exists(centroidDir(name, meta.currentVersion)),
       s"collection $name was flushed empty — nothing to serve")
-    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
-      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val centroids = readCentroids(name, meta.currentVersion)
     val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
@@ -585,14 +627,36 @@ class GraftCatalog(spark: SparkSession, root: String,
       GraftCatalog.SearchVecCol, centroids, meta.distance)
   }
 
+  /** Load the flushed PQ code layout into a driver-local ADC serving index
+    * ([[graft.ann.LocalPqIndex]]): m bytes per vector instead of 4·dim —
+    * 32-64× more collection per serving node than [[localIvfIndex]]'s
+    * float arrays, probes still in-process with no Spark job. On an IVF-PQ
+    * snapshot the index probes cells against per-cell residual tables;
+    * exact top-k needs the rerank repair ([[searchPq]]). */
+  def localPqIndex(name: String): graft.ann.LocalPqIndex = {
+    val meta = getMeta(name)
+    require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(fs.exists(pqDir(name, meta.currentVersion)),
+      s"collection $name was flushed empty — nothing to serve")
+    val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val hasCells = meta.ivfCells.isDefined &&
+      fs.exists(centroidDir(name, meta.currentVersion))
+    val centroids =
+      if (hasCells) readCentroids(name, meta.currentVersion)
+      else Seq.empty[(Long, Array[Float])]
+    graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,
+      centroids, meta.distance, if (hasCells) Some(GraftCatalog.CellCol) else None)
+  }
+
   /** Files the probed cells actually read, from the PHYSICAL scan's
     * selected partitions — `inputFiles` would list the whole relation; only
     * the planned `FileSourceScanExec` reflects partition-directory pruning.
     * The spec asserts this shrinks with nprobe. */
   def ivfProbedFiles(name: String, queryVector: Array[Float], nprobe: Int): Array[String] = {
     val meta = getMeta(name)
-    val centroids = spark.read.parquet(centroidDir(name, meta.currentVersion).toString)
-      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    val centroids = readCentroids(name, meta.currentVersion)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance)
     val df = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
@@ -654,6 +718,9 @@ object GraftCatalog {
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
 
   private val SearchVecCol = "__searchvec"
+
+  /** Transient residual column (vec − cellCentroid) during an IVF-PQ flush. */
+  private val ResidVecCol = "__residvec"
 
   /** IVF cell partition column in on-disk snapshots. */
   val CellCol = "__cell"

@@ -106,11 +106,26 @@ package object functions {
   def pq_encode(v: Column, codebook: Array[Array[Array[Float]]]): Column =
     column(PqEncode(expression(v), codebook))
 
+  /** [[pq_encode]] with `array<int>` output (one cell id per subspace) —
+    * the Lloyd trainer's form: the per-element aggregation needs
+    * `element_at` over the assignments, which SQL has for arrays but not
+    * for binary. Same kernel, same argmin semantics. */
+  def pq_encode_cells(v: Column, codebook: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(v), codebook, asInts = true))
+
   /** Asymmetric PQ distance: `sqrt(Σⱼ lutSq[j·ksub + code[j]])` over an
     * m-byte code column — `lutSq` holds per-query SQUARED sub-distances
     * (built by [[graft.ann.PqCodebook.adcLut]]). */
   def pq_adc_distance(code: Column, lutSq: Array[Double], ksub: Int): Column =
     column(PqAdcDistance(expression(code), lutSq, ksub))
+
+  /** Residual (IVF-PQ) ADC distance: per-cell lookup tables — row `cell`
+    * selects its table via binary search over the sorted `cellIds`.
+    * `lutsSq(i)` = squared sub-distances of `query − centroid(cellIds(i))`
+    * against every sub-codeword. */
+  def pq_adc_distance_cells(code: Column, cell: Column, cellIds: Array[Long],
+                            lutsSq: Array[Array[Double]], ksub: Int): Column =
+    column(PqAdcDistanceCells(expression(code), expression(cell), cellIds, lutsSq, ksub))
 
   /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
   def quantize(v: Column, format: String): Column =

@@ -75,6 +75,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * resident-state mutations, which only a new flush publishes). */
   private val localIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalIvfIndex]
 
+  /** Driver-local ADC (PQ code) indexes — the memory-scale serving rung:
+    * m bytes/vector instead of 4·dim. Same flush/drop invalidation. */
+  private val localPqIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalPqIndex]
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
@@ -143,7 +147,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         ok(JObject("created" -> JString(meta.name)))
       case ("GET", "collections" :: name :: Nil) => ok(infoJson(name))
       case ("DELETE", "collections" :: name :: Nil) =>
-        requireExists(name); catalog.dropCollection(name); localIndexes.remove(name)
+        requireExists(name); catalog.dropCollection(name)
+        localIndexes.remove(name); localPqIndexes.remove(name)
         ok(JObject("dropped" -> JString(name)))
       case ("POST", "collections" :: name :: "load" :: Nil) =>
         catalog.loadCollection(name); ok(infoJson(name))
@@ -152,7 +157,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         ok(JObject("released" -> JString(name)))
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         val v = catalog.flush(name)
-        localIndexes.remove(name) // a new snapshot version supersedes the cache
+        // a new snapshot version supersedes the cached serving indexes
+        localIndexes.remove(name); localPqIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "insert" :: Nil) =>
         val rows = JsonMethods.parse(body) \ "rows" match {
@@ -215,6 +221,27 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
         // differently on quantized collections.
+        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        val hits = idx.search(qv, topK, nprobe)
+        200 -> ("{\"rows\":[" + hits.map { case (id, d) =>
+          val idJson = id match {
+            case s: String => JsonMethods.compact(JString(s))
+            case other => other.toString
+          }
+          s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
+        }.mkString(",") + "]}")
+      // driver-local ADC probe over the PQ code layout (the memory-scale
+      // serving rung: m bytes/vector resident; approximate ranking — exact
+      // answers go through searchPq's rerank)
+      case ("POST", "collections" :: name :: "searchLocalPq" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchLocalPq requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         val hits = idx.search(qv, topK, nprobe)
         200 -> ("{\"rows\":[" + hits.map { case (id, d) =>

@@ -27,8 +27,14 @@ import org.apache.spark.sql.types._
   * assignment is reproducible in any engine that can round a distance.
   *
   * `cents(j)(c)` = sub-codeword c of subspace j; subspace widths may vary,
-  * their sum must equal the input dimension; ksub ≤ 256 (one byte). */
-case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]])
+  * their sum must equal the input dimension; ksub ≤ 256 (one byte).
+  *
+  * `asInts = true` returns the assignments as `array<int>` instead of the
+  * packed m-byte binary — the trainer's form: Lloyd's aggregation explodes
+  * per-element and needs `element_at` over the per-subspace cells, which
+  * SQL can do on an array but not on a binary. Same argmin, same kernel. */
+case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
+                    asInts: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   require(cents.nonEmpty, "empty codebook")
   require(cents.forall(cb => cb.nonEmpty && cb.length <= 256),
@@ -40,82 +46,122 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]])
   /** Start offset of each subspace within the full vector. */
   private val offs: Array[Int] = cents.scanLeft(0)((o, cb) => o + cb(0).length).init
   private val dim: Int = offs.last + cents.last(0).length
+  /** Sub-codeword counts and widths per subspace (runtime loop bounds). */
+  private val ksubs: Array[Int] = cents.map(_.length)
+  private val dsubs: Array[Int] = cents.map(_(0).length)
+  /** Per-subspace codebooks FLATTENED to one contiguous float[] each
+    * (`flat(j)(c·dsub + i)`): the hot loop walks a single base pointer
+    * instead of chasing float[][] rows — the same layout the scan kernels
+    * use. Built once per expression instance; shipped as a codegen
+    * reference object. */
+  private val flat: Array[Array[Float]] = cents.map { cb =>
+    val dn = cb(0).length
+    val f = new Array[Float](cb.length * dn)
+    var c = 0
+    while (c < cb.length) { System.arraycopy(cb(c), 0, f, c * dn, dn); c += 1 }
+    f
+  }
 
   override def prettyName: String = "pq_encode"
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = BinaryType
+  override def dataType: DataType = if (asInts) ArrayType(IntegerType, containsNull = false) else BinaryType
   override def nullIntolerant: Boolean = true
 
+  // Argmin semantics (identical to the round-4 per-codeword sqrt form and to
+  // VecArgMinDistance over the slice, pinned in PqSpec): winner = lowest
+  // round(dist, 6), ties to the lowest code index. The hot path compares
+  // SQUARED distances against a gate derived from the best-so-far ROUNDED
+  // distance: any candidate whose rounded distance could beat bestR has
+  // d < bestR + 0.5e-6 + ulps, so acc = d² < (bestR + 2e-6)² — candidates
+  // outside the gate can never win, and candidates inside it re-derive
+  // sqrt + round exactly like before. This removes the per-codeword
+  // sqrt/ulp work (m·ksub per row — 16× the per-row sqrt count of the flat
+  // argmin kernel, the measured 3× gap of BENCH_r04's pq_encode_1m).
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData].toFloatArray()
     if (a.length != dim)
       throw new IllegalArgumentException(s"vector dimension mismatch: ${a.length} vs $dim")
-    val out = new Array[Byte](m)
+    val out = new Array[Int](m)
     var j = 0
     while (j < m) {
-      val cb = cents(j); val off = offs(j); val dn = cb(0).length
+      val f = flat(j); val off = offs(j); val dn = dsubs(j); val kk = ksubs(j)
       var best = 0; var bestR = Double.PositiveInfinity
-      var c = 0
-      while (c < cb.length) {
-        val cc = cb(c)
+      var gateSq = Double.PositiveInfinity
+      var c = 0; var base = 0
+      while (c < kk) {
         var acc = 0.0; var i = 0
-        while (i < dn) { val t = a(off + i).toDouble - cc(i).toDouble; acc += t * t; i += 1 }
-        val d = math.sqrt(acc)
-        // same lazily-rounded argmin as VecArgMinDistance: rounding can only
-        // flip the winner within this window, so the hot path stays a plain
-        // double compare
-        if (d < bestR + 1e-6 + 4.0 * Math.ulp(d)) {
-          val rd = java.math.BigDecimal.valueOf(d)
+        while (i < dn) { val t = a(off + i).toDouble - f(base + i).toDouble; acc += t * t; i += 1 }
+        if (acc < gateSq) {
+          val rd = java.math.BigDecimal.valueOf(math.sqrt(acc))
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (rd < bestR) { bestR = rd; best = c }
+          if (rd < bestR) {
+            bestR = rd; best = c
+            val g = rd + 2e-6; gateSq = g * g
+          }
         }
-        c += 1
+        c += 1; base += dn
       }
-      out(j) = best.toByte
+      out(j) = best
       j += 1
     }
-    out
+    if (asInts) new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else { val b = new Array[Byte](m); var i = 0; while (i < m) { b(i) = out(i).toByte; i += 1 }; b }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val centsRef = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "float[][]")
       val offsRef = ctx.addReferenceObj("pqOffs", offs, "int[]")
+      val ksubsRef = ctx.addReferenceObj("pqKsubs", ksubs, "int[]")
+      val dsubsRef = ctx.addReferenceObj("pqDsubs", dsubs, "int[]")
       val a = ctx.freshName("a"); val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
-      val cb = ctx.freshName("cb"); val cc = ctx.freshName("cc")
-      val off = ctx.freshName("off"); val dn = ctx.freshName("dn")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d"); val rd = ctx.freshName("rd")
+      val f = ctx.freshName("f"); val off = ctx.freshName("off")
+      val dn = ctx.freshName("dn"); val kk = ctx.freshName("kk")
+      val acc = ctx.freshName("acc"); val rd = ctx.freshName("rd"); val g = ctx.freshName("g")
       val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
+      val gateSq = ctx.freshName("gateSq"); val base = ctx.freshName("base")
+      // when every subspace has the same width/codeword count, emit them as
+      // compile-time constants so C2 can unroll the short inner loop
+      val dnInit = if (dsubs.distinct.length == 1) s"${dsubs(0)}" else s"$dsubsRef[$j]"
+      val kkInit = if (ksubs.distinct.length == 1) s"${ksubs(0)}" else s"$ksubsRef[$j]"
+      val (outType, outStore, outAssign) =
+        if (asInts) ("int", s"$out[$j] = $best;",
+          s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);")
+        else ("byte", s"$out[$j] = (byte) $best;", s"${ev.value} = $out;")
       s"""
          |final float[] $a = $v.toFloatArray();
          |if ($a.length != $dim) {
          |  throw new IllegalArgumentException("vector dimension mismatch: " + $a.length + " vs " + $dim);
          |}
-         |final byte[] $out = new byte[$m];
+         |final $outType[] $out = new $outType[$m];
          |for (int $j = 0; $j < $m; $j++) {
-         |  final float[][] $cb = $centsRef[$j];
+         |  final float[] $f = $flatRef[$j];
          |  final int $off = $offsRef[$j];
-         |  final int $dn = $cb[0].length;
+         |  final int $dn = $dnInit;
+         |  final int $kk = $kkInit;
          |  int $best = 0;
          |  double $bestR = Double.POSITIVE_INFINITY;
-         |  for (int $c = 0; $c < $cb.length; $c++) {
-         |    final float[] $cc = $cb[$c];
+         |  double $gateSq = Double.POSITIVE_INFINITY;
+         |  int $base = 0;
+         |  for (int $c = 0; $c < $kk; $c++, $base += $dn) {
          |    double $acc = 0.0;
          |    for (int $i = 0; $i < $dn; $i++) {
-         |      final double t = (double) $a[$off + $i] - (double) $cc[$i];
+         |      final double t = (double) $a[$off + $i] - (double) $f[$base + $i];
          |      $acc += t * t;
          |    }
-         |    final double $d = Math.sqrt($acc);
-         |    if ($d < $bestR + 1e-6 + 4.0 * Math.ulp($d)) {
-         |      final double $rd = java.math.BigDecimal.valueOf($d)
+         |    if ($acc < $gateSq) {
+         |      final double $rd = java.math.BigDecimal.valueOf(Math.sqrt($acc))
          |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |      if ($rd < $bestR) { $bestR = $rd; $best = $c; }
+         |      if ($rd < $bestR) {
+         |        $bestR = $rd; $best = $c;
+         |        final double $g = $rd + 2e-6; $gateSq = $g * $g;
+         |      }
          |    }
          |  }
-         |  $out[$j] = (byte) $best;
+         |  $outStore
          |}
-         |${ev.value} = $out;
+         |$outAssign
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -167,4 +213,71 @@ case class PqAdcDistance(child: Expression, lut: Array[Double], ksub: Int)
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_adc_distance_cells(code, cell): ADC distance against RESIDUAL codes of
+  * an IVF-PQ layout — each cell has its own lookup table (the query residual
+  * `q − centroid(cell)` against every sub-codeword), so the scan picks the
+  * row's table by its `cell` value and pays the same m byte-indexed lookups
+  * as the single-LUT form plus one binary search over the (sorted, ≤ k)
+  * probed-cell ids. `luts(i)` belongs to `cellIds(i)`; total table bytes are
+  * cells·m·ksub doubles — k=256/m=16/ksub=256 is 8 MB, a broadcast-sized
+  * plan constant, independent of corpus size. */
+case class PqAdcDistanceCells(left: Expression, right: Expression,
+                              cellIds: Array[Long], luts: Array[Array[Double]], ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(ksub >= 1 && ksub <= 256, s"ksub must be in 1..256, got $ksub")
+  require(cellIds.nonEmpty && cellIds.length == luts.length,
+    s"${cellIds.length} cell ids vs ${luts.length} LUTs")
+  require((1 until cellIds.length).forall(i => cellIds(i - 1) < cellIds(i)),
+    "cellIds must be strictly ascending (binary-searched per row)")
+  require(luts.forall(l => l.length == luts(0).length && l.length % ksub == 0),
+    "ragged or non-ksub-multiple LUTs")
+
+  private val m = luts(0).length / ksub
+
+  override def prettyName: String = "pq_adc_distance_cells"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, cell: Any): Any = {
+    val code = v.asInstanceOf[Array[Byte]]
+    if (code.length != m)
+      throw new IllegalArgumentException(s"code length mismatch: ${code.length} vs $m")
+    val idx = java.util.Arrays.binarySearch(cellIds, cell.asInstanceOf[Long])
+    if (idx < 0)
+      throw new IllegalArgumentException(s"row cell $cell is not among the probed cells")
+    val lut = luts(idx)
+    var acc = 0.0; var j = 0
+    while (j < m) { acc += lut(j * ksub + (code(j) & 0xFF)); j += 1 }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cell) => {
+      val idsRef = ctx.addReferenceObj("pqCellIds", cellIds, "long[]")
+      val lutsRef = ctx.addReferenceObj("pqCellLuts", luts, "double[][]")
+      val code = ctx.freshName("code"); val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val lut = ctx.freshName("lut")
+      s"""
+         |final byte[] $code = $v;
+         |if ($code.length != $m) {
+         |  throw new IllegalArgumentException("code length mismatch: " + $code.length + " vs " + $m);
+         |}
+         |final int $idx = java.util.Arrays.binarySearch($idsRef, $cell);
+         |if ($idx < 0) {
+         |  throw new IllegalArgumentException("row cell " + $cell + " is not among the probed cells");
+         |}
+         |final double[] $lut = $lutsRef[$idx];
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut[$j * $ksub + ($code[$j] & 0xFF)];
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

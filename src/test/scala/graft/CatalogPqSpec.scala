@@ -107,6 +107,12 @@ class CatalogPqSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(all === unprobed)
     assert(cat.searchPq("pqivf", q, topK = 3, nprobe = Some(1)).count() === 3)
+    // residual codes + rerank recover the exact top-k through the full API
+    val reranked = cat.searchPq("pqivf", q, topK = 5, rerank = true, overFetch = 8)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val exact = cat.search("pqivf", q, topK = 5)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(reranked === exact)
     // nprobe without an IVF layout is a contract error
     val cat2 = newCatalog()
     cat2.createCollection(pqMeta("pqonly"))

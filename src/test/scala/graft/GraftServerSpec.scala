@@ -209,6 +209,28 @@ class GraftServerSpec extends SparkSpec {
     assert(http("POST", "/collections/pqh/searchIvf", q)._1 === 400)
   }
 
+  test("IVF-PQ over HTTP: searchLocalPq (driver-local ADC) matches searchPq(rerank=false)") {
+    val meta = """{"name":"lpqh","dim":4,"distance":"euclidean","ivfCells":2,"pqSubspaces":2,"pqCodewords":8,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/lpqh/load")._1 === 200)
+    val rows = (0 until 30).map(i =>
+      s"""{"id":"r${"%02d".format(i)}","vector":[${i * 0.3}, ${(i % 7) * 0.5}, ${(i % 3) * 0.9}, 1]}""").mkString(",")
+    assert(http("POST", "/collections/lpqh/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/lpqh/flush")._2 === """{"version":1}""")
+    val q = """{"vector":[2.1,1.5,0.9,1],"topK":5,"nprobe":2}"""
+    val (lc, lb) = http("POST", "/collections/lpqh/searchLocalPq", q)
+    val (dc, db) = http("POST", "/collections/lpqh/searchPq",
+      """{"vector":[2.1,1.5,0.9,1],"topK":5,"rerank":false,"nprobe":2}""")
+    assert(lc === 200 && dc === 200, s"$lb / $db")
+    val idRe = "\"id\":\"(r\\d+)\"".r
+    assert(idRe.findAllMatchIn(lb).map(_.group(1)).toSeq ===
+      idRe.findAllMatchIn(db).map(_.group(1)).toSeq, s"local $lb vs distributed $db")
+    val num = "\"dist\":([-0-9.Ee]+)".r
+    assert(num.findAllMatchIn(lb).map(_.group(1).toDouble).toSeq ===
+      num.findAllMatchIn(db).map(_.group(1).toDouble).toSeq, s"local $lb vs distributed $db")
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)
