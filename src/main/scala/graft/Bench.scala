@@ -60,15 +60,24 @@ object Bench {
     }
 
     // ---- warm-up: codegen + JIT + parquet footer reads, untimed ----
-    try spark.range(1000000).agg(sum("id")).collect()
-    catch { case _: Throwable => () }
+    try {
+      spark.range(1000000).agg(sum("id")).collect()
+      SparkEntry.queries("flat_scan_cosine")(spark, sfDir).collect()
+    } catch { case _: Throwable => () }
 
-    // Suite ORDER is deliberate: the 1M/10M scan suites run FIRST, in a
-    // near-fresh code cache — the r4 regression (flat_scan_cosine_1m
-    // 2.03×→2.69×) tracked the sf suite's hundreds of generated classes
-    // JIT-compiling ahead of the hot scan loops (PLANS.md r3/r4 bimodality);
-    // running the floor-sensitive suites before the class-heavy sf suite is
-    // the in-process form of "isolate the big suites in a fresh JVM".
+    // Suite ORDER is deliberate: the class-heavy sf suite runs FIRST.
+    // An r5 experiment ran the 1M/10M suites first "for a fresh code
+    // cache" and EVERYTHING regressed (point-lookup floor 2×, one-shot
+    // ivf_train 6.2→33 s, random kernels 3-7×): early-JVM-life is far
+    // worse than code-cache pressure — the sf suite is what warms Spark's
+    // scan/shuffle/codegen infrastructure before the floor-sensitive big
+    // scans. The r4 single-kernel regression is attacked instead by the
+    // warm-until-steady loop in bigSuite.
+
+    // ---- SF-scale suite (every registered query) ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name)(fn(spark, sfDir).count())
+    }
 
     // ---- 1M and 10M ×128-d suites at (and above) the baseline's scale.
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
@@ -96,14 +105,23 @@ object Bench {
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"point_lookup_$tag" -> (() => big.where(col("vec_id") === rows - 1).collect())
       )
-      // Untimed warm-up of EACH query: the r02 f16_1m mystery was partly
-      // C2 still compiling during timed runs — steady state needs several
-      // iterations of the fissioned kernels, and these scans sit at the
-      // dispatch floor where one compile pause is a 3× outlier. Warm-up
-      // count is generous because C2's decision to compile the hot
-      // generated loop is profile-dependent and bimodal across JVM runs.
+      // Warm-until-steady per query: the r02/r4 mysteries were C2 still
+      // compiling (or having deoptimized) the hot generated loop during the
+      // timed runs — a fixed warm-up count is hostage to profile-dependent,
+      // bimodal compile timing, so instead keep warming until two
+      // consecutive runs land within 15% of the best seen (cap 15), THEN
+      // take the timed min-of-8.
       suite.foreach { case (_, fn) =>
-        try (1 to 5).foreach(_ => fn()) catch { case _: Throwable => () } }
+        try {
+          var best = Double.MaxValue; var steady = 0; var i = 0
+          while (steady < 2 && i < 15) {
+            val t0 = System.nanoTime(); fn()
+            val t = (System.nanoTime() - t0) / 1e9
+            if (t < best) best = t
+            if (t <= best * 1.15) steady += 1 else steady = 0
+            i += 1
+          }
+        } catch { case _: Throwable => () } }
       suite.map { case (name, fn) => name -> timed(name, runs = 8)(fn()) }
     }
     val big1m = bigSuite(1000000L, benchDir, "1m")
@@ -227,15 +245,6 @@ object Bench {
           .linesIterator.take(1).mkString
         Seq.empty[(String, Double)]
       } finally bigc.unpersist()
-    }
-
-    // ---- SF-scale suite (every registered query) ----
-    val results = {
-      try SparkEntry.queries("flat_scan_cosine")(spark, sfDir).collect() // warm footers
-      catch { case _: Throwable => () }
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timed(name)(fn(spark, sfDir).count())
-      }
     }
 
     // ---- dedup/text pipeline throughput at 100k docs: the sf suite's

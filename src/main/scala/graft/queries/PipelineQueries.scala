@@ -85,6 +85,55 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(nearCorpus(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // MinHash near-dup with the PRODUCTION hash family (xx: one xxhash64
+    // pass per shingle + k remixes — ~3x cheaper than md5, engine-internal
+    // hashes). The oracle is therefore BRUTE-FORCE TRUTH (all-pairs exact
+    // Jaccard in DuckDB) instead of a hash replication: 8 single-sig bands
+    // put the miss probability of a qualifying pair at (1-J)^8 <= 2.6e-6
+    // (truth set's minimum J is 0.8 at sf0.01), and the exact-Jaccard
+    // verify makes false positives impossible — so the LSH output equals
+    // the truth set on this corpus.
+    "dedup_minhash_xx" -> ((s, dir) =>
+      MinHashLSH.nearDuplicates(nearCorpus(s, dir), "doc_id", "text",
+          k = 8, bandSize = 1, family = "xx")
+        .orderBy("id_a", "id_b")),
+    // Streaming signature dedup REPLAYED against the oracle: a real 2-batch
+    // file stream (originals, then near-dup re-crawls — write order pins
+    // batch order) through dropSignatureDuplicates with the md5 family
+    // (DuckDB replicates the signatures bit-for-bit). Batch-1 ties (the
+    // base corpus has signature-colliding near-dups) are within-batch
+    // nondeterministic, so batch 1 contributes only its survivor COUNT;
+    // the re-crawl batch is collision-free at sf0.01, so its survivors are
+    // exact rows: a re-crawl survives iff its signature is new.
+    "streaming_dedup_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdr").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdr-ckpt").toString
+      val base = docs(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val recrawl = base.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+      base.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
+      recrawl.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+      val qn = "sdr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingDedup
+        .dropSignatureDuplicates(stream, "text", family = "md5")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      val kept = s.table(qn)
+      kept.where(col("doc_id") >= 10000)
+        .select(lit("recrawl_kept").as("src"), col("doc_id").as("val"))
+        .unionByName(kept.where(col("doc_id") < 10000)
+          .agg(count(lit(1)).as("val"))
+          .select(lit("base_kept_count").as("src"), col("val")))
+        .orderBy("src", "val")
+    }),
     // Duplicate-cluster formation: connected components (min-label
     // propagation) over the MinHash near-dup pair graph — pair lists become
     // per-id cluster representatives, the actual keep/drop decision.
@@ -489,6 +538,35 @@ object PipelineQueries {
       s"""WITH $minhashVerifyCtes
          |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force truth: every pair with exact Jaccard >= 0.5 — the xx
+    // pipeline's banding is recall-complete on this corpus (see the query)
+    "dedup_minhash_xx" ->
+      s"""WITH $nearCorpusSql,
+         |sh AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${jaccardSql("a.shingles", "b.shingles")} AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.shingles", "b.shingles")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "streaming_dedup_replay" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sh AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus),
+         |sig AS (SELECT doc_id, array_to_string(list_transform(range(0, 8),
+         |    j -> CAST(list_min(list_transform(shingles, s -> ${h15("j", "s")})) AS VARCHAR)), ':') AS sg
+         |  FROM sh),
+         |b1 AS (SELECT sg FROM sig WHERE doc_id < 10000),
+         |kept2 AS (SELECT doc_id FROM sig
+         |  WHERE doc_id >= 10000 AND sg NOT IN (SELECT sg FROM b1))
+         |SELECT 'base_kept_count' AS src,
+         |  CAST((SELECT COUNT(DISTINCT sg) FROM b1) AS BIGINT) AS val
+         |UNION ALL
+         |SELECT 'recrawl_kept', doc_id FROM kept2
+         |ORDER BY src, val""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifyCtes,
          |pairs AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),

@@ -34,9 +34,13 @@ object StreamingDedup {
     * stateful stage + verify join; that remains the batch pipeline
     * ([[graft.dedup.MinHashLSH.nearDuplicates]]) run over the deduped
     * stream's sink, where it is one more batch job. State per distinct
-    * signature is k longs. Uses the `xx` family (production hash path). */
-  def dropSignatureDuplicates(docs: DataFrame, textColName: String, k: Int = 8): DataFrame =
-    graft.dedup.MinHashLSH.withSignatures(docs, textColName, k, family = "xx")
+    * signature is k longs. `family` picks the hash family: `xx` (default —
+    * the production path) or `md5` (engine-independent, the oracle path:
+    * the streaming_dedup_replay CORRECTNESS row replays a 2-batch file
+    * stream against DuckDB's signature computation). */
+  def dropSignatureDuplicates(docs: DataFrame, textColName: String, k: Int = 8,
+                              family: String = "xx"): DataFrame =
+    graft.dedup.MinHashLSH.withSignatures(docs, textColName, k, family)
       .withColumn("__sig", concat_ws(":", (0 until k).map(j => col(s"sig_$j")): _*))
       .dropDuplicates("__sig")
       .drop((0 until k).map(j => s"sig_$j") :+ "__sig": _*)
