@@ -122,11 +122,16 @@ object Ann {
       .select(vecCol).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }.toSeq
     val seed0 = seedFrom(base)
-    // an over-aggressive sampleMod on a small collection must not look empty
-    val seed = if (seed0.isEmpty && sampleMod.isDefined) seedFrom(df) else seed0
+    // an over-aggressive sampleMod on a small collection must not look
+    // empty — and the Lloyd iterations must fall back WITH the seed, else
+    // they aggregate the empty sample to zero rows and silently ship the
+    // untrained seed as the "trained" centroids
+    val sampleEmpty = seed0.isEmpty && sampled.isDefined
+    val seed = if (sampleEmpty) seedFrom(df) else seed0
+    val train = if (sampleEmpty) df else base
     if (seed.isEmpty) return seed
     (0 until iterations).foldLeft(seed) { (cents, _) =>
-      val sums = ivfAssign(base.select(col(vecCol)), idCol, vecCol, cents, metric)
+      val sums = ivfAssign(train.select(col(vecCol)), idCol, vecCol, cents, metric)
         .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
         .collect()

@@ -41,36 +41,97 @@ final class LocalPqIndex private (
     var n = 0L; cellCodes.values.forEach(a => n += a.length); n
   }
 
+  /** O(1) centroid lookup for per-cell residual tables (the linear
+    * `centroids.find` was O(k) per probed cell). */
+  private val centroidByCid: java.util.HashMap[Long, Array[Float]] = {
+    val h = new java.util.HashMap[Long, Array[Float]]()
+    centroids.foreach { case (cid, cv) => h.put(cid, cv) }
+    h
+  }
+
   /** ADC top-k: probe the `nprobe` nearest cells (all, when the layout has
     * no cells), build each probed cell's lookup table once, scan its m-byte
-    * codes with a bounded heap. Returns (id, adcDistance) best-first —
-    * candidates for an exact rerank, or directly the approximate answer. */
+    * codes with a bounded heap. Probed cells scan in parallel on the common
+    * pool (one task per cell, local top-k, merged on the caller — the same
+    * fan-out as [[LocalIvfIndex.search]]); inside the scan loop a
+    * squared-ADC admission gate rejects codes that cannot make the heap
+    * BEFORE the sqrt + tuple allocation — the hot loop allocates nothing
+    * for the overwhelming majority of scanned codes. Returns
+    * (id, adcDistance) best-first — candidates for an exact rerank, or
+    * directly the approximate answer. */
   def search(q: Array[Float], topK: Int, nprobe: Int): Seq[(AnyRef, Double)] = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
     val m = cb.m
+    val ksub = cb.ksub
+    // top-nprobe cell selection by insertion into primitive parallel arrays
+    // (no tuple boxing, no full sort of k cells); ties break on lower cid,
+    // matching the sortBy((dist, cid)) order of the distributed probe
     val probed: Seq[Long] =
       if (centroids.isEmpty) Seq(LocalPqIndex.NoCell)
-      else centroids
-        .map { case (cid, cv) => (cid, LocalIvfIndex.dist(cv, 0, q, metric)) }
-        .sortBy { case (cid, d) => (d, cid) }
-        .take(nprobe).map(_._1).toSeq
-    val heap = LocalPqIndex.newHeap(topK)
-    probed.foreach { cid =>
-      val ids = cellIds.get(cid)
-      if (ids != null) {
-        val codes = cellCodes.get(cid)
-        val lut = lutFor(cid, q)
-        var i = 0
-        while (i < ids.length) {
-          var acc = 0.0; var j = 0; val base = i * m
-          while (j < m) { acc += lut(j * cb.ksub + (codes(base + j) & 0xFF)); j += 1 }
-          val e = (ids(i), math.sqrt(acc))
-          if (heap.size < topK) heap.add(e)
-          else if (LocalPqIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
-          i += 1
+      else {
+        val np = math.min(nprobe, centroids.length)
+        val bestIds = new Array[Long](np)
+        val bestD = Array.fill(np)(Double.MaxValue)
+        var ci = 0
+        while (ci < centroids.length) {
+          val (cid, cv) = centroids(ci)
+          val d = LocalIvfIndex.dist(cv, 0, q, metric)
+          if (d < bestD(np - 1) || (d == bestD(np - 1) && cid < bestIds(np - 1))) {
+            var ins = np - 1
+            while (ins > 0 && (d < bestD(ins - 1) || (d == bestD(ins - 1) && cid < bestIds(ins - 1)))) {
+              bestD(ins) = bestD(ins - 1); bestIds(ins) = bestIds(ins - 1); ins -= 1
+            }
+            bestD(ins) = d; bestIds(ins) = cid
+          }
+          ci += 1
         }
+        bestIds.toSeq
       }
+    def scanCell(cid: Long): Array[(AnyRef, Double)] = {
+      val ids = cellIds.get(cid)
+      if (ids == null) return Array.empty
+      val codes = cellCodes.get(cid)
+      val lut = lutFor(cid, q)
+      val heap = LocalPqIndex.newHeap(topK)
+      // Admission bound in the SQUARED domain: an element can only displace
+      // the heap head if dist <= head + 2e-6 (beyond that, cmp resolves on
+      // the raw doubles — see cmp's fast path), so acc > (head + 2e-6)²
+      // can be skipped without sqrt, tuple, or comparator work.
+      var gate = Double.MaxValue
+      var i = 0
+      while (i < ids.length) {
+        var acc = 0.0; var j = 0; val base = i * m; var lutOff = 0
+        while (j < m) {
+          acc += lut(lutOff + (codes(base + j) & 0xFF)); lutOff += ksub; j += 1
+        }
+        if (acc <= gate) {
+          val e = (ids(i), math.sqrt(acc))
+          if (heap.size < topK) {
+            heap.add(e)
+            if (heap.size == topK) { val w = heap.peek()._2 + 2e-6; gate = w * w }
+          } else if (LocalPqIndex.cmp(e, heap.peek()) < 0) {
+            heap.poll(); heap.add(e)
+            val w = heap.peek()._2 + 2e-6; gate = w * w
+          }
+        }
+        i += 1
+      }
+      heap.toArray(new Array[(AnyRef, Double)](0))
     }
+    val perCell: Seq[Array[(AnyRef, Double)]] =
+      if (probed.length <= 1) probed.map(scanCell)
+      else {
+        import java.util.concurrent.CompletableFuture
+        probed
+          .map(cid => CompletableFuture.supplyAsync(() => scanCell(cid)))
+          .map(_.join())
+      }
+    val heap = LocalPqIndex.newHeap(topK)
+    perCell.foreach(_.foreach { e =>
+      if (heap.size < topK) heap.add(e)
+      else if (LocalPqIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
+    })
     val out = new Array[(AnyRef, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
@@ -80,7 +141,7 @@ final class LocalPqIndex private (
   private def lutFor(cid: Long, q: Array[Float]): Array[Double] =
     if (!residual) cb.adcLut(q)
     else {
-      val cv = centroids.find(_._1 == cid).get._2
+      val cv = centroidByCid.get(cid)
       cb.adcLut(Array.tabulate(q.length)(i => q(i) - cv(i)))
     }
 }
@@ -111,12 +172,17 @@ object LocalPqIndex {
 
   /** Build from a flushed PQ snapshot's (id, code[, cell]) columns + the
     * codebook sidecar — streamed via toLocalIterator so the transient
-    * footprint is one partition. `centroids` empty ⇒ cells-less layout;
-    * nonempty ⇒ IVF-PQ residual layout (codes are residuals, probes use
-    * per-cell tables). */
+    * footprint is one partition. `centroids` empty ⇒ cells-less layout.
+    * `residual` is the SNAPSHOT'S recorded code layout (the pq sidecar's
+    * flag — see GraftCatalog.flush): true ⇒ codes quantize
+    * vec − cellCentroid and probes use per-cell tables; false ⇒ raw codes,
+    * one plain query LUT (cells, when present, still direct probing).
+    * Defaults to the flush convention (cells ⇒ residual) for callers
+    * outside the catalog. */
   def fromCodes(snapshot: DataFrame, idCol: String, codeCol: String,
                 cb: PqCodebook, centroids: Seq[(Long, Array[Float])],
-                metric: String, cellCol: Option[String]): LocalPqIndex = {
+                metric: String, cellCol: Option[String],
+                residual: Boolean = true): LocalPqIndex = {
     val m = cb.m
     val rows = cellCol match {
       case Some(cc) => snapshot.select(col(idCol), col(codeCol), col(cc).cast("long"))
@@ -145,7 +211,8 @@ object LocalPqIndex {
     idsB.forEach((k, b) => ids.put(k, b.result()))
     codesB.forEach((k, b) => codes.put(k, b.result()))
     val dim = cb.dim
+    // residual tables need centroids; a cells-less layout is always raw
     new LocalPqIndex(centroids.sortBy(_._1).toArray, ids, codes, cb, dim, metric,
-      residual = centroids.nonEmpty)
+      residual = residual && centroids.nonEmpty)
   }
 }

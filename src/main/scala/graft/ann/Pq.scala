@@ -110,8 +110,13 @@ object Pq {
       def seedFrom(d: DataFrame) = d.orderBy(col(idCol).asc).limit(ksub)
         .select(vecCol).collect().map(_.getSeq[Float](0).toArray)
       val seed0 = seedFrom(base)
-      // an over-aggressive sampleMod on a small collection must not look empty
-      val rows = if (seed0.isEmpty && sampled.isDefined) seedFrom(df) else seed0
+      // an over-aggressive sampleMod on a small collection must not look
+      // empty — and the Lloyd iterations must fall back WITH the seed, else
+      // they aggregate the empty sample to zero rows and silently ship the
+      // untrained seed as the "trained" codebook
+      val sampleEmpty = seed0.isEmpty && sampled.isDefined
+      val rows = if (sampleEmpty) seedFrom(df) else seed0
+      val train = if (sampleEmpty) df else base
       require(rows.nonEmpty, "cannot train a PQ codebook on an empty corpus")
       var cents: Array[Array[Array[Float]]] =
         Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
@@ -126,7 +131,7 @@ object Pq {
         // the kernel above the Generate and re-evaluate it once per exploded
         // ELEMENT (dim× the work; measured 24 s/iteration vs 1 s at 1M/16)
         val jCol = (col("pos") / lit(dsub)).cast("int")
-        val sums = base
+        val sums = train
           .select(col(vecCol), pq_encode_cells(col(vecCol), cents).as("__cells"))
           .select(col("__cells"),
             posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))

@@ -75,7 +75,9 @@ case class CollectionMeta(
     ivfTrainIterations: Option[Int] = None,
     pqSubspaces: Option[Int] = None,
     pqCodewords: Option[Int] = None,
-    pqTrainIterations: Option[Int] = None) {
+    pqTrainIterations: Option[Int] = None,
+    ivfTrainSampleMod: Option[Long] = None,
+    pqTrainSampleMod: Option[Long] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
   require(ivfTrainIterations.forall(_ >= 0), "ivfTrainIterations must be >= 0")
@@ -90,6 +92,17 @@ case class CollectionMeta(
   require(pqTrainIterations.forall(_ >= 0), "pqTrainIterations must be >= 0")
   require(pqTrainIterations.isEmpty || pqSubspaces.isDefined,
     "pqTrainIterations requires pqSubspaces/pqCodewords")
+  // The 100 TB training knob: flush trains IVF centroids / the PQ codebook
+  // on the deterministic 1/mod id-hash subsample instead of the full corpus
+  // (Lloyd needs a uniform sample, not every row — Ann.trainCentroids /
+  // Pq.train `sampleMod`). mod >= 2; the final full-corpus cell ASSIGNMENT
+  // and encode stay exact either way.
+  require(ivfTrainSampleMod.forall(_ >= 2), "ivfTrainSampleMod must be >= 2")
+  require(ivfTrainSampleMod.isEmpty || ivfCells.isDefined,
+    "ivfTrainSampleMod requires ivfCells")
+  require(pqTrainSampleMod.forall(_ >= 2), "pqTrainSampleMod must be >= 2")
+  require(pqTrainSampleMod.isEmpty || pqSubspaces.isDefined,
+    "pqTrainSampleMod requires pqSubspaces/pqCodewords")
   require(pqSubspaces.isEmpty || Set("cosine", "euclidean").contains(distance),
     "PQ ADC ranks by euclidean sub-distances: valid for euclidean, and for " +
       "cosine via normalized storage — not for dot/manhattan collections")

@@ -260,6 +260,12 @@ class GraftCatalog(spark: SparkSession, root: String,
       // cells they quantize the decoded vectors. An empty collection skips
       // the layout (no sidecar).
       var pqCb: Option[graft.ann.PqCodebook] = None
+      // Whether the written codes quantize RESIDUALS (IVF-PQ) or decoded
+      // vectors — RECORDED in the pq sidecar (`residual` column) so readers
+      // gate the ADC path on the snapshot's actual layout instead of
+      // re-inferring it (a raw-code snapshot scored against residual LUTs
+      // returns silently wrong distances).
+      var pqResidual = false
       val pqIters = meta.pqTrainIterations.getOrElse(2)
       meta.ivfCells match {
         case Some(k) if !meta.isMultiVector =>
@@ -271,12 +277,16 @@ class GraftCatalog(spark: SparkSession, root: String,
           // pk-ordered seed (Ann.trainCentroids); they live in a tiny sidecar
           // read once per search.
           val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
-          // each Lloyd iteration is one full corpus scan — the default 2 is
-          // the quality/cost balance; 0 = raw pk-ordered seeds (cheapest
-          // flush), more when cluster structure warrants it
+          // each Lloyd iteration is one corpus scan — the default 2 is the
+          // quality/cost balance; 0 = raw pk-ordered seeds (cheapest
+          // flush), more when cluster structure warrants it. With
+          // `ivfTrainSampleMod` the iterations run on the deterministic
+          // 1/mod subsample instead of the full corpus — the 100 TB flush
+          // path (the final full-corpus assignment below stays exact).
           val centroids = graft.ann.Ann.trainCentroids(
             withVec, pk, GraftCatalog.SearchVecCol, k, meta.distance,
-            iterations = meta.ivfTrainIterations.getOrElse(2))
+            iterations = meta.ivfTrainIterations.getOrElse(2),
+            sampleMod = meta.ivfTrainSampleMod)
           if (centroids.isEmpty) {
             // empty collection: partitionBy would write a schemaless dir that
             // fails to re-read — fall back to the unpartitioned layout
@@ -298,8 +308,9 @@ class GraftCatalog(spark: SparkSession, root: String,
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 try {
                   val cb = graft.ann.Pq.train(resid, pk, GraftCatalog.ResidVecCol,
-                    mm, ks, iterations = pqIters)
+                    mm, ks, iterations = pqIters, sampleMod = meta.pqTrainSampleMod)
                   pqCb = Some(cb)
+                  pqResidual = true
                   resid.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(
                       col(GraftCatalog.ResidVecCol), cb.cents))
                     .drop(GraftCatalog.ResidVecCol)
@@ -321,7 +332,8 @@ class GraftCatalog(spark: SparkSession, root: String,
           val withCode = meta.pqConfig match {
             case Some((mm, ks)) if !df.isEmpty =>
               val cb = graft.ann.Pq.train(df.withColumn(GraftCatalog.SearchVecCol, decoded),
-                pk, GraftCatalog.SearchVecCol, mm, ks, iterations = pqIters)
+                pk, GraftCatalog.SearchVecCol, mm, ks, iterations = pqIters,
+                sampleMod = meta.pqTrainSampleMod)
               pqCb = Some(cb)
               df.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(decoded, cb.cents))
             case _ => df
@@ -333,6 +345,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         cb.cents.zipWithIndex.flatMap { case (cbj, j) =>
           cbj.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) } }.toSeq
           .toDF("j", "c", "cvec")
+          .withColumn("residual", lit(pqResidual)) // the layout flag
           .coalesce(1).write.mode("overwrite").parquet(stagingPq.toString)
         wrotePq = true
       }
@@ -539,7 +552,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (!fs.exists(pqDir(name, meta.currentVersion)))
       // collection was flushed empty → no code layout, nothing to rank
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
-    val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
+    val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
     nprobe.foreach { _ =>
@@ -552,9 +565,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     // so the ADC pass scores each row against its cell's own lookup table
     // (query residual vs sub-codewords); with nprobe the scan is also
     // restricted to the nearest cells — partition-directory pruning cuts
-    // the I/O to nprobe/k of the (already code-only) read.
-    val residualLayout = meta.ivfCells.isDefined &&
+    // the I/O to nprobe/k of the (already code-only) read. Which layout the
+    // snapshot actually stores is read from the sidecar's recorded flag
+    // (legacy sidecars: inferred from the IVF artifacts) — scoring raw
+    // codes against residual LUTs would be silently wrong.
+    val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, meta.currentVersion))
+    val residualLayout = residFlag.getOrElse(hasCells)
+    require(!residualLayout || hasCells,
+      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     val (snap, adcExpr) =
       if (residualLayout) {
         val centroids = readCentroids(name, meta.currentVersion)
@@ -571,8 +590,18 @@ class GraftCatalog(spark: SparkSession, root: String,
         (restricted, graft.functions.pq_adc_distance_cells(
           col(GraftCatalog.PqCodeCol), col(GraftCatalog.CellCol).cast("long"),
           cellIds, luts, cb.ksub))
-      } else
-        (full, graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv))
+      } else {
+        // raw-code layout: one plain query LUT; nprobe (when the snapshot
+        // is cell-partitioned) still prunes partition directories
+        val restricted = nprobe match {
+          case Some(np) =>
+            val centroids = readCentroids(name, meta.currentVersion)
+            val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance)
+            full.where(col(GraftCatalog.CellCol).isin(probed: _*))
+          case None => full
+        }
+        (restricted, graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv))
+      }
     val adc = snap.select(col(meta.idColumn), adcExpr.as("__adc"))
     if (!rerank)
       adc.select(col(meta.idColumn), round(col("__adc"), 6).as("dist"))
@@ -598,12 +627,23 @@ class GraftCatalog(spark: SparkSession, root: String,
     spark.read.parquet(centroidDir(name, v).toString)
       .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
 
-  private def readPqCodebook(name: String, v: Int, m: Int): graft.ann.PqCodebook = {
-    val rows = spark.read.parquet(pqDir(name, v).toString).collect()
+  /** The PQ sidecar of version `v`: the codebook plus the recorded
+    * residual-layout flag. `residual = None` on sidecars written before the
+    * flag existed — the caller falls back to inferring the layout from the
+    * IVF artifacts (those legacy residual snapshots predate raw-IVF+PQ
+    * combinations, so the inference is correct for them). */
+  private def readPqCodebook(name: String, v: Int,
+                             m: Int): (graft.ann.PqCodebook, Option[Boolean]) = {
+    val sidecar = spark.read.parquet(pqDir(name, v).toString)
+    val rows = sidecar.collect()
+    val residual =
+      if (sidecar.columns.contains("residual") && rows.nonEmpty)
+        Some(rows(0).getAs[Boolean]("residual"))
+      else None
     val byJ = rows.groupBy(_.getAs[Int]("j"))
-    graft.ann.PqCodebook((0 until m).map { j =>
+    (graft.ann.PqCodebook((0 until m).map { j =>
       byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
-    }.toArray)
+    }.toArray), residual)
   }
 
   /** Load the flushed IVF snapshot into a driver-local serving index
@@ -639,15 +679,19 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(fs.exists(pqDir(name, meta.currentVersion)),
       s"collection $name was flushed empty — nothing to serve")
-    val cb = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
+    val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
     val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
     val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, meta.currentVersion))
     val centroids =
       if (hasCells) readCentroids(name, meta.currentVersion)
       else Seq.empty[(Long, Array[Float])]
+    val residual = residFlag.getOrElse(hasCells) // sidecar-recorded layout
+    require(!residual || hasCells,
+      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,
-      centroids, meta.distance, if (hasCells) Some(GraftCatalog.CellCol) else None)
+      centroids, meta.distance, if (hasCells) Some(GraftCatalog.CellCol) else None,
+      residual = residual)
   }
 
   /** Files the probed cells actually read, from the PHYSICAL scan's

@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   *  - [[extractFeatures]]'s folded byte histogram — kept as the
   *    codec-independent fallback whose arithmetic any engine can replicate
   *    (the bitwise-oracle-checked path).
-  * Audio/video codecs aren't in the JDK; they'd plug in as further
-  * [[PayloadDecoder]]s behind the identical seam.
+  *  - [[VideoStatsDecoder]] — a REAL pure-JDK AVI container parser
+  *    (RIFF chunk walker: avih/strh/strf headers + movi frame chunks) with
+  *    two codec paths: uncompressed DIB frames decoded directly (lossless →
+  *    oracle-exact), MJPEG frames decoded through `javax.imageio`'s JPEG
+  *    codec (real-world path; lossy, so plumbing-tested rather than
+  *    value-pinned). Every `sampleStep`-th frame is decoded — the
+  *    frame-sample operation of a media pipeline.
   */
 object Multimodal {
 
@@ -111,6 +116,225 @@ object Multimodal {
         finally ais.close()
       }
     }
+  }
+
+  /** Real video decoder: minimal AVI (RIFF) container parser + frame
+    * sampling. Emits (n_frames, width, height, fps, n_sampled, meanR,
+    * meanG, meanB) where the channel means aggregate every `sampleStep`-th
+    * frame (frame-sample, the standard first step of any video featurizer —
+    * decoding every frame of a 100 TB corpus is never the plan).
+    *
+    * Codec paths inside the container:
+    *  - `00db` uncompressed DIB (BITMAPINFOHEADER biCompression=0,
+    *    24-bit): decoded directly from the bottom-up padded BGR rows —
+    *    lossless, so stats are bit-exactly the pixel formula's (the
+    *    oracle-checked path);
+    *  - `00dc` MJPEG: each frame is a JPEG stream, decoded through
+    *    `javax.imageio` (the real-world codec path; lossy).
+    * Sums accumulate in Long (exact); one division at the end. Corrupt or
+    * non-AVI bytes → None (skip-don't-crash). */
+  class VideoStatsDecoder(sampleStep: Int = 2) extends PayloadDecoder {
+    require(sampleStep >= 1, "sampleStep must be >= 1")
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def dim: Int = 8
+    override def decode(bytes: Array[Byte]): Option[Array[Double]] =
+      try decodeAvi(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeAvi(bytes: Array[Byte]): Option[Array[Double]] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(pos: Int): String =
+        new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var totalFrames = 0L; var width = 0; var height = 0
+      var scale = 0L; var rate = 0L
+      var bitCount = 0; var compression = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)] // (off, len, kind)
+      // RIFF chunk walker: chunks are (fourcc, size, payload) padded to even;
+      // LIST payloads nest. `limit` guards truncated containers.
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val fc = fourcc(pos); val size = bb.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > to) return // truncated/corrupt
+          fc match {
+            case "LIST" if size >= 4 => walk(pos + 12, pos + 8 + size)
+            case "avih" if size >= 40 =>
+              totalFrames = bb.getInt(pos + 8 + 16).toLong & 0xFFFFFFFFL
+              width = bb.getInt(pos + 8 + 32); height = bb.getInt(pos + 8 + 36)
+            case "strh" if size >= 32 && fourcc(pos + 8) == "vids" =>
+              scale = bb.getInt(pos + 8 + 20).toLong & 0xFFFFFFFFL
+              rate = bb.getInt(pos + 8 + 24).toLong & 0xFFFFFFFFL
+            case "strf" if size >= 20 =>
+              bitCount = bb.getShort(pos + 8 + 14) & 0xFFFF
+              compression = bb.getInt(pos + 8 + 16)
+            case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) =>
+              frames += ((pos + 8, size, c.takeRight(2)))
+            case _ => ()
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, bytes.length)
+      if (frames.isEmpty || width <= 0 || height <= 0) return None
+      val fps = if (scale > 0) rate.toDouble / scale else 0.0
+      var sr = 0L; var sg = 0L; var sb = 0L; var sampled = 0L
+      var f = 0
+      while (f < frames.length) {
+        if (f % sampleStep == 0) {
+          val (off, len, kind) = frames(f)
+          if (kind == "db" && compression == 0 && bitCount == 24) {
+            // bottom-up BGR rows, stride padded to 4 bytes
+            val stride = ((width * 3 + 3) / 4) * 4
+            if (len < stride * height) return None
+            var y = 0
+            while (y < height) {
+              val rowOff = off + (height - 1 - y) * stride
+              var x = 0
+              while (x < width) {
+                sb += bytes(rowOff + x * 3) & 0xFF
+                sg += bytes(rowOff + x * 3 + 1) & 0xFF
+                sr += bytes(rowOff + x * 3 + 2) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+          } else {
+            // compressed frame (MJPEG et al): a self-contained image stream
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, len))
+            if (img == null) return None
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+          }
+          sampled += 1
+        }
+        f += 1
+      }
+      val n = sampled * width.toLong * height
+      if (n == 0) None
+      else Some(Array(
+        (if (totalFrames > 0) totalFrames else frames.length).toDouble,
+        width.toDouble, height.toDouble, fps, sampled.toDouble,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    }
+  }
+
+  /** Deterministic synthetic AVI per id — UNCOMPRESSED 24-bit DIB frames:
+    * w = 8+id%5, h = 6+id%5, frames = 3+id%4 at 10 fps; frame f's pixel
+    * (x,y) = ((x·7+y·13+f·17+id)%256, (x·3+y·5+f·11+2id)%256,
+    * (x·11+y+f·29+3id)%256). Lossless, so sampled-frame channel means are
+    * exactly the formula's — the oracle recomputes them without a codec. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt; val h = 6 + (id % 5).toInt
+    val nFrames = 3 + (id % 4).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frames = (0 until nFrames).map { f =>
+      val data = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          data(rowOff + x * 3) = ((x * 11 + y + f * 29 + 3 * id) % 256).toByte     // B
+          data(rowOff + x * 3 + 1) = ((x * 3 + y * 5 + f * 11 + 2 * id) % 256).toByte // G
+          data(rowOff + x * 3 + 2) = ((x * 7 + y * 13 + f * 17 + id) % 256).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      data
+    }
+    buildAvi(w, h, fps = 10, frames, handler = "DIB ", compression = 0, chunkId = "00db")
+  }
+
+  /** Deterministic MJPEG AVI per id: the same pixel formula encoded as JPEG
+    * frames (`javax.imageio`) in `00dc` chunks — exercises the REAL
+    * compressed-codec path of [[VideoStatsDecoder]]. JPEG is lossy, so
+    * specs assert container stats + decode success, not exact means. */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt; val h = 6 + (id % 5).toInt
+    val nFrames = 3 + (id % 4).toInt
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 13 + f * 17 + id) % 256).toInt
+          val g = ((x * 3 + y * 5 + f * 11 + 2 * id) % 256).toInt
+          val b = ((x * 11 + y + f * 29 + 3 * id) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    buildAvi(w, h, fps = 10, frames,
+      handler = "MJPG", compression = fourccLe("MJPG"), chunkId = "00dc")
+  }
+
+  private def fourccLe(s: String): Int =
+    (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+
+  /** Minimal spec-correct AVI writer: RIFF('AVI ') { LIST(hdrl){ avih,
+    * LIST(strl){ strh, strf } }, LIST(movi){ frame chunks } }. */
+  private def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
+                       handler: String, compression: Int, chunkId: String): Array[Byte] = {
+    def le(i: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(i); b.array()
+    }
+    def le16(i: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(i.toShort); b.array()
+    }
+    def fcc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      fcc(id) ++ le(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le(children.length + 4) ++ fcc(listType) ++ children
+    val maxFrame = frames.map(_.length).max
+    val avih = le(1000000 / fps) ++ le(0) ++ le(0) ++ le(0) ++
+      le(frames.length) ++ le(0) ++ le(1) ++ le(maxFrame) ++
+      le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = fcc("vids") ++ fcc(handler) ++ le(0) ++ le16(0) ++ le16(0) ++
+      le(0) ++ le(1) ++ le(fps) ++ le(0) ++ le(frames.length) ++
+      le(maxFrame) ++ le(0) ++ le(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le(40) ++ le(w) ++ le(h) ++ le16(1) ++ le16(24) ++
+      le(compression) ++ le(maxFrame) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(fdata => chunk(chunkId, fdata)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le(body.length) ++ body
+  }
+
+  /** Attach a synthetic DIB AVI payload per row (distributed encode, like
+    * [[withSyntheticImages]]). */
+  def withSyntheticVideo(df: DataFrame, idCol: String,
+                         payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(payloadCol, BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticAvi(r.getLong(0))) }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Deterministic synthetic WAV per id (PCM 16-bit mono, 8 kHz):
@@ -222,13 +446,12 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(payloadCol)).cast("long"))
       .withColumn("head_byte", expr(s"cast(conv(hex(substring($payloadCol, 1, 1)), 16, 10) as long)"))
 
-  /** Decode + featurize each payload into a dim-width float vector.
-    *
-    * ??? REAL DECODER GOES HERE: replace `fakeDecode` with the actual codec
-    * (JPEG decode → pixel stats, PCM decode → spectral features, …). The
-    * fake is a folded byte histogram — deterministic, locality-preserving
-    * for byte-similar payloads, and cheap — so the plumbing and everything
-    * downstream is fully testable without codecs. */
+  /** Decode + featurize each payload into a dim-width float vector using
+    * the codec-INDEPENDENT folded byte histogram — deterministic,
+    * locality-preserving for byte-similar payloads, replicable by any
+    * engine (the bitwise-oracle-checked path). Real codecs go through
+    * [[extractWith]] + a [[PayloadDecoder]] ([[ImageStatsDecoder]],
+    * [[AudioStatsDecoder]], [[VideoStatsDecoder]]). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16,
                       normalize: Boolean = true): DataFrame = {
     val spark = df.sparkSession

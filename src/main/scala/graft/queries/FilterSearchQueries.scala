@@ -68,6 +68,14 @@ object FilterSearchQueries {
       val e = emb(s, dir)
       VectorSearch.hybridSearch(e, req(e), Single("label", Gte, 5), overFetch = 3)
     }),
+    // J1 edge: a selective filter leaves FEWER survivors than topK inside
+    // the over-fetch window — the semi-join must drain and return the short
+    // result (the reference's discarded-intersect bug would return
+    // unfiltered rows here; we implement the documented intent, SURVEY J1 ⚠)
+    "hybrid_search_drain" -> ((s, dir) => {
+      val e = emb(s, dir)
+      VectorSearch.hybridSearch(e, req(e), Single("label", Eq, 3), overFetch = 3)
+    }),
     // A1: weighted multi-vector search (CFLAT) — two named vectors per row
     "multi_vector_search" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -172,6 +180,13 @@ object FilterSearchQueries {
          |           FROM embeddings e, q ORDER BY dist, vec_id LIMIT 30)
          |SELECT * FROM scored
          |WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label >= 5)
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "hybrid_search_drain" ->
+      s"""WITH $qCte,
+         |scored AS (SELECT e.vec_id, e.label, $cosCols
+         |           FROM embeddings e, q ORDER BY dist, vec_id LIMIT 30)
+         |SELECT * FROM scored
+         |WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "multi_vector_search" ->
       s"""WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

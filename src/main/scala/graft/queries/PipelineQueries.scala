@@ -404,6 +404,27 @@ object PipelineQueries {
           round(element_at(col("features"), 4), 6).as("rms"),
           element_at(col("features"), 5).cast("long").as("zero_crossings"))
         .orderBy("doc_id")
+    }),
+    // REAL video container path: synthetic uncompressed-DIB AVIs (pixel
+    // formula seeded by doc_id and frame index) through the actual RIFF
+    // parse → frame-sample (every 2nd frame) → channel-stat chain; DIB is
+    // lossless, so the oracle recomputes the sampled-frame means
+    // analytically from the same formula, like image_features.
+    "video_features" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id").where(col("doc_id") < 150)
+      val avis = Multimodal.withSyntheticVideo(d, "doc_id")
+      val feats = Multimodal.extractWith(avis, "doc_id", "payload",
+        new Multimodal.VideoStatsDecoder(sampleStep = 2))
+      feats.where(col("decode_ok"))
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("width"),
+          element_at(col("features"), 3).cast("long").as("height"),
+          element_at(col("features"), 5).cast("long").as("n_sampled"),
+          round(element_at(col("features"), 6), 6).as("mean_r"),
+          round(element_at(col("features"), 7), 6).as("mean_g"),
+          round(element_at(col("features"), 8), 6).as("mean_b"))
+        .orderBy("doc_id")
     })
   )
 
@@ -831,6 +852,20 @@ object PipelineQueries {
         |  ROUND(SQRT(AVG(CAST(smp * smp AS DOUBLE))), 6) AS rms,
         |  CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND (smp >= 0) != (prev >= 0)) AS BIGINT)
         |    AS zero_crossings
-        |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "video_features" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 5 AS h,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 150),
+        |px AS (SELECT doc_id, w, h, nf, tf.f AS f, tx.x AS x, ty.y AS y
+        |  FROM d, range(0, 6) tf(f), range(0, 12) tx(x), range(0, 10) ty(y)
+        |  WHERE tf.f < nf AND tf.f % 2 = 0 AND tx.x < w AND ty.y < h)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+        |  ROUND(AVG((x*7 + y*13 + f*17 + doc_id) % 256), 6) AS mean_r,
+        |  ROUND(AVG((x*3 + y*5 + f*11 + 2*doc_id) % 256), 6) AS mean_g,
+        |  ROUND(AVG((x*11 + y + f*29 + 3*doc_id) % 256), 6) AS mean_b
+        |FROM px GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin
   )
 }

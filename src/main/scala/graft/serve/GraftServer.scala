@@ -345,7 +345,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       ivfTrainIterations = (j \ "ivfTrainIterations").extractOpt[Int],
       pqSubspaces = (j \ "pqSubspaces").extractOpt[Int],
       pqCodewords = (j \ "pqCodewords").extractOpt[Int],
-      pqTrainIterations = (j \ "pqTrainIterations").extractOpt[Int])
+      pqTrainIterations = (j \ "pqTrainIterations").extractOpt[Int],
+      ivfTrainSampleMod = (j \ "ivfTrainSampleMod").extractOpt[Long],
+      pqTrainSampleMod = (j \ "pqTrainSampleMod").extractOpt[Long])
   }
 
   /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |

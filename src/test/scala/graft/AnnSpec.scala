@@ -107,6 +107,22 @@ class AnnSpec extends SparkSpec {
     assert(cost(trained) <= cost(seed) + 1e-6)
   }
 
+  test("over-aggressive sampleMod trains on the FULL corpus, never an empty sample") {
+    // a mod that filters out every row must fall the Lloyd iterations back
+    // to the full df along with the seed — the pre-fix behavior aggregated
+    // the empty persisted sample to zero rows and silently shipped the
+    // untrained seed as the trained centroids
+    val df = emb.where(col("vec_id") < 40).select(col("vec_id"), col("embedding"))
+    val full = Ann.trainCentroids(df, "vec_id", "embedding", 4, "euclidean", iterations = 2)
+    val sampled = Ann.trainCentroids(df, "vec_id", "embedding", 4, "euclidean",
+      iterations = 2, sampleMod = Some(1000000000L))
+    assert(sampled.length === full.length)
+    full.zip(sampled).foreach { case ((cidF, cvF), (cidS, cvS)) =>
+      assert(cidF === cidS)
+      cvF.zip(cvS).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+    }
+  }
+
   test("ivfSearch with nprobe < cells keeps high recall vs exact (pruned scan)") {
     val centroids = (0 until 8).map(i =>
       (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq

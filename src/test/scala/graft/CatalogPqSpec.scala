@@ -124,6 +124,85 @@ class CatalogPqSpec extends SparkSpec {
     assert(ex.getMessage.contains("no IVF layout"))
   }
 
+  test("sampled-training flush (the 100 TB path): searches stay green, rerank recovers exact") {
+    // ivfTrainSampleMod/pqTrainSampleMod train the flush's Lloyd iterations
+    // on the deterministic 1/mod id-hash subsample — the production route
+    // to the sampled path the bench proves (ivf_train_sampled_1m 1.7 s vs
+    // 7.3 s full). Cell ASSIGNMENT and encode remain full-corpus exact, so
+    // every search contract holds unchanged.
+    val cat = newCatalog()
+    cat.createCollection(pqMeta("pqsamp", ivf = Some(4))
+      .copy(ivfTrainSampleMod = Some(2L), pqTrainSampleMod = Some(2L)))
+    cat.loadCollection("pqsamp")
+    cat.insert("pqsamp", fixtureRows(60, 16))
+    cat.flush("pqsamp")
+    val snap = cat.snapshot("pqsamp")
+    assert(snap.columns.contains(GraftCatalog.CellCol))
+    assert(snap.columns.contains(GraftCatalog.PqCodeCol))
+    val q = fixtureRows(8, 16).where(col("label") === 7)
+      .select("vector").head().getSeq[Float](0).toArray
+    assert(cat.searchIvf("pqsamp", q, topK = 3, nprobe = 4).count() === 3)
+    assert(cat.searchPq("pqsamp", q, topK = 3, nprobe = Some(2)).count() === 3)
+    val reranked = cat.searchPq("pqsamp", q, topK = 5, rerank = true, overFetch = 8)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val exact = cat.search("pqsamp", q, topK = 5)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(reranked === exact)
+    // an over-aggressive mod on a tiny collection degrades to full-corpus
+    // training (never an empty sample / untrained codebook)
+    cat.createCollection(pqMeta("pqsamp2", ivf = Some(2))
+      .copy(ivfTrainSampleMod = Some(1000000L), pqTrainSampleMod = Some(1000000L)))
+    cat.loadCollection("pqsamp2")
+    cat.insert("pqsamp2", fixtureRows(20, 16))
+    cat.flush("pqsamp2")
+    assert(cat.searchPq("pqsamp2", q, topK = 3).count() === 3)
+    // contract: sampling knobs require their layout
+    intercept[IllegalArgumentException](
+      CollectionMeta("bad", dim = 16, ivfTrainSampleMod = Some(2L),
+        fields = Seq(IndexField("id", "string", primaryKey = true))))
+    intercept[IllegalArgumentException](pqMeta("bad2").copy(pqTrainSampleMod = Some(1L)))
+  }
+
+  test("pq sidecar records the residual layout flag; legacy sidecars fall back to inference") {
+    val root = Files.createTempDirectory("graft-pqflag").toString
+    val cat = new GraftCatalog(spark, root)
+    // IVF+PQ flush ⇒ residual codes, flag true
+    cat.createCollection(pqMeta("rflag", ivf = Some(4)))
+    cat.loadCollection("rflag")
+    cat.insert("rflag", fixtureRows(60, 16))
+    cat.flush("rflag")
+    val sidecar = spark.read.parquet(s"$root/rflag/v1_pq")
+    assert(sidecar.columns.contains("residual"))
+    assert(sidecar.select("residual").distinct().collect().map(_.getBoolean(0)).toSeq === Seq(true))
+    // cells-less PQ flush ⇒ raw codes, flag false
+    cat.createCollection(pqMeta("rflat"))
+    cat.loadCollection("rflat")
+    cat.insert("rflat", fixtureRows(30, 16))
+    cat.flush("rflat")
+    val flatSidecar = spark.read.parquet(s"$root/rflat/v1_pq")
+    assert(flatSidecar.select("residual").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    // legacy sidecar (no residual column): reads fall back to the IVF-
+    // artifact inference and keep answering identically
+    val q = fixtureRows(1, 16).select("vector").head().getSeq[Float](0).toArray
+    val before = cat.searchPq("rflag", q, topK = 5, rerank = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val legacyRows = java.util.Arrays.asList(sidecar.drop("residual").collect(): _*)
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      sidecar.schema.filterNot(_.name == "residual"))
+    val legacy = spark.createDataFrame(legacyRows, legacySchema)
+    val tmp = s"$root/rflag/v1_pq_legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/rflag/v1_pq"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$root/rflag/v1_pq"))
+    val after = cat.searchPq("rflag", q, topK = 5, rerank = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(after === before)
+  }
+
   test("sidecar follows the version lifecycle (unversioned prune + vacuum)") {
     val root = Files.createTempDirectory("graft-pqlc").toString
     val fs = new org.apache.hadoop.fs.Path(root)

@@ -92,5 +92,9 @@ class LocalPqIndexSpec extends SparkSpec {
     val idx = cat2.localPqIndex("dimchk")
     val ex3 = intercept[IllegalArgumentException](idx.search(Array.fill(8)(0f), 5, 1))
     assert(ex3.getMessage.contains("dimension mismatch"))
+    // topK=0 is a contract error, not an NPE (it reached the HTTP route
+    // as a 500 before the guard)
+    val ex4 = intercept[IllegalArgumentException](idx.search(q(0), topK = 0, nprobe = 1))
+    assert(ex4.getMessage.contains("topK"))
   }
 }

@@ -94,6 +94,57 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.decode(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("REAL video container: DIB AVI round trip reproduces the formula's sampled-frame stats") {
+    val id = 6L // w=8+6%5=9, h=6+6%5=7, nFrames=3+6%4=5, sampled f∈{0,2,4}
+    val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)
+    dec.init()
+    val f = dec.decode(Multimodal.syntheticAvi(id)).get
+    assert(f(0) === 5.0 && f(1) === 9.0 && f(2) === 7.0) // frames, w, h
+    assert(f(3) === 10.0) // fps = dwRate/dwScale
+    assert(f(4) === 3.0)  // frames 0, 2, 4 sampled
+    val px = for (fr <- Seq(0, 2, 4); x <- 0 until 9; y <- 0 until 7)
+      yield ((x * 7 + y * 13 + fr * 17 + id) % 256).toDouble
+    assert(f(5) === px.sum / px.length) // mean_r EXACT: DIB is lossless
+    // corrupt / truncated / non-AVI bytes refuse cleanly
+    assert(dec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(dec.decode(Multimodal.syntheticAvi(id).take(40)).isEmpty)
+    assert(dec.decode(Multimodal.syntheticWav(id)).isEmpty)
+  }
+
+  test("REAL video codec: MJPEG AVI decodes through javax.imageio's JPEG path") {
+    val id = 3L // w=11, h=9, nFrames=6, sampled {0,2,4}
+    val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)
+    dec.init()
+    val f = dec.decode(Multimodal.syntheticMjpegAvi(id)).get
+    assert(f(0) === 6.0 && f(1) === 11.0 && f(2) === 9.0 && f(4) === 3.0)
+    // JPEG is lossy: means are near the formula's, not exact
+    val px = for (fr <- Seq(0, 2, 4); x <- 0 until 11; y <- 0 until 9)
+      yield ((x * 7 + y * 13 + fr * 17 + id) % 256).toDouble
+    assert(math.abs(f(5) - px.sum / px.length) < 16.0,
+      s"MJPEG mean_r ${f(5)} too far from formula ${px.sum / px.length}")
+    assert(f(5) > 0 && f(5) < 256 && f(6) > 0 && f(6) < 256)
+  }
+
+  test("REAL video codec: distributed encode→decode round trip over many ids") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val avis = Multimodal.withSyntheticVideo(ids, "doc_id")
+    val feats = Multimodal.extractWith(avis, "doc_id", "payload",
+      new Multimodal.VideoStatsDecoder(sampleStep = 2))
+    assert(feats.where(!col("decode_ok")).count() === 0L)
+    feats.select(col("doc_id"),
+        element_at(col("features"), 1).as("nf"),
+        element_at(col("features"), 2).as("w"),
+        element_at(col("features"), 3).as("h"),
+        element_at(col("features"), 5).as("sampled"))
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getDouble(1) === 3.0 + id % 4, s"n_frames mismatch at id=$id")
+        assert(r.getDouble(2) === 8.0 + id % 5, s"width mismatch at id=$id")
+        assert(r.getDouble(3) === 6.0 + id % 5, s"height mismatch at id=$id")
+        assert(r.getDouble(4) === (((3 + id % 4) + 1) / 2).toDouble, s"sampled mismatch at id=$id")
+      }
+  }
+
   test("feature output feeds the vector operators downstream (search over features)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(

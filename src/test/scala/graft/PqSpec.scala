@@ -109,6 +109,21 @@ class PqSpec extends SparkSpec {
       f"training increased reconstruction error: $eTrained%.3f > $eSeed%.3f")
   }
 
+  test("over-aggressive sampleMod trains on the FULL corpus, never an empty sample") {
+    // same fallback contract as Ann.trainCentroids: a mod that filters out
+    // every row must fall the Lloyd iterations back to the full df along
+    // with the seed, not aggregate the empty sample and ship the seed
+    val df = emb.where(col("vec_id") < 40)
+    val full = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8, iterations = 2)
+    val sampled = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8, iterations = 2,
+      sampleMod = Some(1000000000L))
+    full.cents.zip(sampled.cents).foreach { case (cbF, cbS) =>
+      cbF.zip(cbS).foreach { case (cwF, cwS) =>
+        cwF.zip(cwS).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+      }
+    }
+  }
+
   test("ADC top-k with rerank recovers the exact top-k on the sf corpus") {
     val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 32, iterations = 2)
     val q = headVec(emb, 11L)
