@@ -41,11 +41,9 @@ final class LocalIvfIndex private (
     * reference's per-shard goroutine fan-out
     * (edge/none_vectorstore.go:148-178). */
   def search(q: Array[Float], topK: Int, nprobe: Int): Seq[(AnyRef, Double)] = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
-    val probed = centroids
-      .map { case (cid, cv) => (cid, LocalIvfIndex.dist(cv, 0, q, metric)) }
-      .sortBy { case (cid, d) => (d, cid) }
-      .take(nprobe).map(_._1)
+    val probed = LocalIvfIndex.selectCells(centroids, q, nprobe, metric)
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
@@ -62,10 +60,10 @@ final class LocalIvfIndex private (
       heap.toArray(new Array[(AnyRef, Double)](0))
     }
     val perCell: Seq[Array[(AnyRef, Double)]] =
-      if (probed.length <= 1) probed.toSeq.map(scanCell)
+      if (probed.length <= 1) probed.map(scanCell)
       else {
         import java.util.concurrent.CompletableFuture
-        probed.toSeq
+        probed
           .map(cid => CompletableFuture.supplyAsync(() => scanCell(cid)))
           .map(_.join())
       }
@@ -83,6 +81,31 @@ final class LocalIvfIndex private (
 }
 
 object LocalIvfIndex {
+
+  /** The `nprobe` nearest cell ids by insertion into primitive parallel
+    * arrays — no tuple boxing, no full sort of k cells; ties break on the
+    * lower cid, matching the distributed probe's sortBy((dist, cid)). */
+  private[ann] def selectCells(centroids: Array[(Long, Array[Float])],
+                               q: Array[Float], nprobe: Int, metric: String): Seq[Long] = {
+    val np = math.min(nprobe, centroids.length)
+    if (np <= 0) return Seq.empty
+    val bestIds = new Array[Long](np)
+    val bestD = Array.fill(np)(Double.MaxValue)
+    var ci = 0
+    while (ci < centroids.length) {
+      val (cid, cv) = centroids(ci)
+      val d = dist(cv, 0, q, metric)
+      if (d < bestD(np - 1) || (d == bestD(np - 1) && cid < bestIds(np - 1))) {
+        var ins = np - 1
+        while (ins > 0 && (d < bestD(ins - 1) || (d == bestD(ins - 1) && cid < bestIds(ins - 1)))) {
+          bestD(ins) = bestD(ins - 1); bestIds(ins) = bestIds(ins - 1); ins -= 1
+        }
+        bestD(ins) = d; bestIds(ins) = cid
+      }
+      ci += 1
+    }
+    bestIds.toSeq
+  }
 
   /** Spark's `round(d, 6)` — BigDecimal HALF_UP on the exact binary value,
     * matching the `round(dist, 6)` the distributed probe orders by. */

@@ -64,30 +64,9 @@ final class LocalPqIndex private (
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
     val m = cb.m
     val ksub = cb.ksub
-    // top-nprobe cell selection by insertion into primitive parallel arrays
-    // (no tuple boxing, no full sort of k cells); ties break on lower cid,
-    // matching the sortBy((dist, cid)) order of the distributed probe
     val probed: Seq[Long] =
       if (centroids.isEmpty) Seq(LocalPqIndex.NoCell)
-      else {
-        val np = math.min(nprobe, centroids.length)
-        val bestIds = new Array[Long](np)
-        val bestD = Array.fill(np)(Double.MaxValue)
-        var ci = 0
-        while (ci < centroids.length) {
-          val (cid, cv) = centroids(ci)
-          val d = LocalIvfIndex.dist(cv, 0, q, metric)
-          if (d < bestD(np - 1) || (d == bestD(np - 1) && cid < bestIds(np - 1))) {
-            var ins = np - 1
-            while (ins > 0 && (d < bestD(ins - 1) || (d == bestD(ins - 1) && cid < bestIds(ins - 1)))) {
-              bestD(ins) = bestD(ins - 1); bestIds(ins) = bestIds(ins - 1); ins -= 1
-            }
-            bestD(ins) = d; bestIds(ins) = cid
-          }
-          ci += 1
-        }
-        bestIds.toSeq
-      }
+      else LocalIvfIndex.selectCells(centroids, q, nprobe, metric)
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty

@@ -315,11 +315,20 @@ class GraftCatalog(spark: SparkSession, root: String,
                       col(GraftCatalog.ResidVecCol), cb.cents))
                     .drop(GraftCatalog.ResidVecCol)
                     .drop(GraftCatalog.SearchVecCol)
+                    // REBALANCE on the cell before partitionBy: without it
+                    // every write task emits a file into every cell dir —
+                    // tasks×cells files (an 8k-file snapshot at 1M/k=256;
+                    // a small-file explosion at 100 TB). The rebalance
+                    // shuffle co-locates each cell into ~one task (AQE
+                    // splits oversized/skewed cells), so the layout is
+                    // ~one well-sized file per cell directory.
+                    .hint("rebalance", GraftCatalog.CellCol)
                     .write.partitionBy(GraftCatalog.CellCol)
                     .mode("overwrite").parquet(stagingData.toString)
                 } finally resid.unpersist(false)
               case None =>
                 assigned.drop(GraftCatalog.SearchVecCol)
+                  .hint("rebalance", GraftCatalog.CellCol) // see PQ branch note
                   .write.partitionBy(GraftCatalog.CellCol)
                   .mode("overwrite").parquet(stagingData.toString)
             }

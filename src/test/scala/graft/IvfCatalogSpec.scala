@@ -49,6 +49,30 @@ class IvfCatalogSpec extends SparkSpec {
     assert(all.map(f => f.split("__cell=")(1).split("/")(0)).distinct.length === 4)
   }
 
+  test("rebalance write: one data file per cell directory, not one per (task, cell)") {
+    // without the rebalance hint every write task emits a file into every
+    // cell directory it touches — tasks×cells files, the small-file
+    // explosion that kills 100 TB snapshot reads. The rebalance shuffle
+    // co-locates each cell into one task → one file per cell dir.
+    val root = Files.createTempDirectory("graft-ivfreb").toString
+    val cat = new GraftCatalog(spark, root)
+    cat.createCollection(CollectionMeta("ivfr", dim = 4, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true)),
+      ivfCells = Some(4)))
+    cat.loadCollection("ivfr")
+    cat.insert("ivfr", clustered.repartition(4)) // every task holds rows of every cell
+    cat.flush("ivfr")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ivfr/v1"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__cell="))
+    assert(cellDirs.length === 4)
+    cellDirs.foreach { d =>
+      val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getPath.getName}: ${files.length} files")
+    }
+  }
+
   test("probing fewer cells reads strictly fewer files (directory pruning)") {
     val cat = mkCat(4)
     val q = Array(0f, 0f, 100f, 0f)
