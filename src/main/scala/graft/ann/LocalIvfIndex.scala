@@ -49,12 +49,24 @@ final class LocalIvfIndex private (
       if (ids == null) return Array.empty
       val vecs = cellVecs.get(cid)
       val heap = LocalIvfIndex.newHeap(topK)
+      // Admission gate: once the heap is full, a vector can only displace
+      // the head if d <= head + 2e-6 (beyond that, cmp resolves on the raw
+      // doubles — see cmp's fast path), so the overwhelming majority of
+      // scanned vectors skip the tuple allocation and comparator call.
+      var gate = Double.MaxValue
       var i = 0
       while (i < ids.length) {
         val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
-        val e = (ids(i), d)
-        if (heap.size < topK) heap.add(e)
-        else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
+        if (d <= gate) {
+          val e = (ids(i), d)
+          if (heap.size < topK) {
+            heap.add(e)
+            if (heap.size == topK) gate = heap.peek()._2 + 2e-6
+          } else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) {
+            heap.poll(); heap.add(e)
+            gate = heap.peek()._2 + 2e-6
+          }
+        }
         i += 1
       }
       heap.toArray(new Array[(AnyRef, Double)](0))

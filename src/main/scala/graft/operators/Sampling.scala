@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling and dataset splitting — the
+  * reproducibility discipline a training-data pipeline needs: membership is
+  * a pure function of the row's id (no RNG, no partition sensitivity), so
+  * train/val/test assignment survives re-runs, re-partitions, backfills and
+  * engine changes, and a holdout never leaks when the corpus is rebuilt.
+  *
+  * The hash is the md5-based 60-bit family used by the MinHash signatures
+  * (engine-replicable bit-for-bit in the DuckDB oracle); the id-hash
+  * discipline is the same one `Ann.trainCentroids(sampleMod)` uses for the
+  * corpus-scale training subsample. All operators are row-local
+  * projections/filters — zero shuffles.
+  */
+object Sampling {
+
+  /** 60-bit md5 bucket of `id` under a `family` label, in [0, buckets):
+    * int64(first 15 hex digits of md5(family || '|' || id)) mod buckets.
+    * Different family labels give independent assignments over the same
+    * ids (split vs subsample vs A/B never correlate). */
+  def hashBucket(id: Column, family: String, buckets: Int): Column = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    pmod(conv(substring(md5(concat(lit(family), lit("|"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+  }
+
+  /** Add a `split` column assigning each row to one of the named splits by
+    * cumulative weight ranges over the bucket space — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights are
+    * normalized; realized proportions are exact to 1/buckets. */
+  def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                  family: String = "split", buckets: Int = 10000,
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val thresholds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => math.round(c / total * buckets))
+    val b = hashBucket(col(idCol), family, buckets)
+    val caseCol = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, t), els) => when(b < t, lit(name)).otherwise(els)
+      }
+    df.withColumn(splitCol, caseCol)
+  }
+
+  /** Keep a deterministic `fraction` of rows (exact to 1/buckets). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 family: String = "sample", buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.where(hashBucket(col(idCol), family, buckets) < math.round(fraction * buckets))
+  }
+}

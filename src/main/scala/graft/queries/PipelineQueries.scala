@@ -425,6 +425,39 @@ object PipelineQueries {
           round(element_at(col("features"), 7), 6).as("mean_g"),
           round(element_at(col("features"), 8), 6).as("mean_b"))
         .orderBy("doc_id")
+    }),
+    // Deterministic dataset split: train/val/test membership is a pure
+    // function of the id hash (no RNG, no partition sensitivity) — the
+    // reproducible-holdout discipline; zero shuffles beyond the final agg.
+    "dataset_split" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("split")),
+    // Token-window chunking with overlap — context packing / retrieval
+    // units; row-local + explode, output rows are the only cost.
+    "doc_chunks" -> ((s, dir) =>
+      graft.text.Chunking.chunks(docs(s, dir).where(col("doc_id") < 200),
+          "doc_id", "text", chunkTokens = 20, overlapTokens = 5)
+        .orderBy("doc_id", "chunk_id")),
+    // Train/eval decontamination: eval docs sharing winnow fingerprints
+    // with the train corpus are flagged (benchmark-leakage check). The
+    // eval set mixes re-crawled train docs (last word dropped — still
+    // substring-overlapping, so winnowing MUST catch them) with unseen
+    // docs; the overlap is a fingerprint equi-join, never doc×doc.
+    "decontaminate_eval" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val train = base.where(col("doc_id") < 200)
+      val toks = split(col("text"), " ")
+      val leaked = train.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+      val fresh = base.where(col("doc_id") >= 200 && col("doc_id") < 250)
+      val idx = graft.dedup.Decontaminate.fingerprintIndex(train, "text")
+      graft.dedup.Decontaminate.overlap(leaked.unionByName(fresh), "doc_id", "text", idx)
+        .orderBy("doc_id")
     })
   )
 
@@ -435,6 +468,23 @@ object PipelineQueries {
   private def h15(j: String, s: String): String =
     s"""list_reduce(list_transform(string_split_regex(substr(md5(concat(CAST($j AS VARCHAR), '|', $s)), 1, 15), ''),
        | c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (acc, v) -> acc * 16 + v)""".stripMargin
+
+  /** The winnowing sketch (k=8, w=4) of `src(doc_id, text)` as CTEs
+    * `<p>g/<p>h/<p>w/<p>fp`, ending in `<p>fp(doc_id, fp)` — the same
+    * formulation the winnow_fingerprints oracle pins bit-exactly. */
+  private def winnowCtes(p: String, src: String): String =
+    s"""${p}g AS (SELECT doc_id, CASE WHEN length(text) >= 8
+       |    THEN list_transform(range(0, length(text) - 7), i -> substr(text, i + 1, 8))
+       |    ELSE [text] END AS grams FROM $src),
+       |${p}h AS (SELECT doc_id, list_transform(list_transform(grams, t -> $fnvSql), hv ->
+       |    CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+       |      THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT)) AS hs
+       |  FROM ${p}g),
+       |${p}w AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+       |    THEN list_transform(range(0, len(hs) - 3),
+       |      j -> list_min(list_transform(range(0, 4), q -> hs[j + q + 1])))
+       |    ELSE [list_min(hs)] END AS wins FROM ${p}h),
+       |${p}fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM ${p}w)""".stripMargin
 
   /** 3-word shingles of column `t` (whole text if < 3 tokens). */
   private def shingleSql(t: String): String =
@@ -866,6 +916,41 @@ object PipelineQueries {
         |  ROUND(AVG((x*7 + y*13 + f*17 + doc_id) % 256), 6) AS mean_r,
         |  ROUND(AVG((x*3 + y*5 + f*11 + 2*doc_id) % 256), 6) AS mean_g,
         |  ROUND(AVG((x*11 + y + f*29 + 3*doc_id) % 256), 6) AS mean_b
-        |FROM px GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, nf, w, h ORDER BY doc_id""".stripMargin,
+    "dataset_split" -> {
+      val bkt = h15("'split'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, text, $bkt % 10000 AS bkt FROM documents)
+         |SELECT CASE WHEN bkt < 8000 THEN 'train'
+         |            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+         |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS sum_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (SELECT doc_id, toks,
+        |    GREATEST(1, (len(toks) - 5 + 14) // 15) AS nc FROM t)
+        |SELECT doc_id, g.i AS chunk_id,
+        |  CAST(len(toks[g.i*15 + 1 : g.i*15 + 20]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[g.i*15 + 1 : g.i*15 + 20], ' ') AS chunk_text
+        |FROM c, range(0, 64) g(i) WHERE g.i < nc
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "decontaminate_eval" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |ev AS (
+         |  SELECT doc_id + 10000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ') AS text
+         |  FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 200 AND doc_id < 250),
+         |${winnowCtes("t", "tr")},
+         |${winnowCtes("e", "ev")},
+         |idx AS (SELECT DISTINCT fp FROM tfp)
+         |SELECT e.doc_id, COUNT(*) AS n_fp, COUNT(i.fp) AS n_shared,
+         |  ROUND(COUNT(i.fp) * 1.0 / COUNT(*), 6) AS overlap_ratio,
+         |  CAST(COUNT(i.fp) * 2 >= COUNT(*) AS BIGINT) AS contaminated
+         |FROM efp e LEFT JOIN idx i ON i.fp = e.fp
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontaminate
+import graft.operators.Sampling
+import graft.text.Chunking
+
+/** Curation operators: token-window chunking, deterministic hash
+  * splits/samples, train-eval decontamination — unit layer under the
+  * oracle-checked queries (doc_chunks, dataset_split, decontaminate_eval). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text").cache()
+
+  test("chunks: stride windows reconstruct the token stream; bounds hold") {
+    val out = Chunking.chunks(docs, "doc_id", "text", chunkTokens = 20, overlapTokens = 5)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    val tokens = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong), s"doc $id chunk ids")
+      sorted.foreach { r =>
+        assert(r.getLong(2) <= 20 && r.getLong(2) >= 1, s"doc $id chunk size ${r.getLong(2)}")
+        assert(r.getString(3).split(" ", -1).length.toLong === r.getLong(2))
+      }
+      // stride-15 windows with 5-token overlap: dropping each chunk's first
+      // 5 tokens (except chunk 0) re-concatenates to the original stream
+      val rebuilt = sorted.zipWithIndex.flatMap { case (r, i) =>
+        val t = r.getString(3).split(" ", -1).toSeq
+        if (i == 0) t else t.drop(5)
+      }
+      assert(rebuilt === tokens(id), s"doc $id reconstruction")
+      // consecutive chunks share their 5-token boundary
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val at = a.getString(3).split(" ", -1).toSeq
+          val bt = b.getString(3).split(" ", -1).toSeq
+          assert(at.takeRight(math.min(5, bt.length)).startsWith(bt.take(5).take(at.length)) ||
+            at.length < 20 // short last-but-one chunk can't overlap fully
+            , s"doc $id overlap between ${a.getLong(1)} and ${b.getLong(1)}")
+        case _ => ()
+      }
+    }
+    // a doc shorter than one chunk yields exactly itself
+    val short = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val one = Chunking.chunks(short, "doc_id", "text", 20, 5).collect()
+    assert(one.length === 1 && one(0).getString(3) === "only three tokens")
+    intercept[IllegalArgumentException](Chunking.chunks(short, "doc_id", "text", 5, 5))
+  }
+
+  test("assignSplit: splits partition the corpus, deterministically, near the weights") {
+    val s1 = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum === n) // exhaustive + disjoint (one row each)
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.06, counts.toString)
+    // identical assignment on a re-run (pure function of the id)
+    val s2 = Sampling.assignSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.select("doc_id", "split").except(s2.select("doc_id", "split")).count() === 0)
+    // a different family relabels independently of the sample family
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.5)
+    assert(math.abs(sampled.count().toDouble / n - 0.5) < 0.06)
+    assert(sampled.join(docs, Seq("doc_id"), "left_anti").count() === 0) // subset
+    assert(Sampling.hashSample(docs, "doc_id", 0.5).count() === sampled.count())
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() === n)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0)
+  }
+
+  test("decontaminate: substring copies are flagged, disjoint docs are not, clean() drops them") {
+    // synthetic corpora with disjoint vocabularies so "clean" is provable
+    val train = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"tw${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    // leaked: doc 100 copies train doc 3's middle (a long shared substring);
+    // clean: docs 101-102 use a vocabulary no train gram can collide with
+    val leakedText = (5 until 25).map(j => s"tw3_$j").mkString(" ")
+    val eval = Seq(
+      (100L, leakedText),
+      (101L, (0 until 30).map(j => s"zq${j}_a").mkString(" ")),
+      (102L, (0 until 30).map(j => s"zq${j}_b").mkString(" "))).toDF("doc_id", "text")
+    val idx = Decontaminate.fingerprintIndex(train, "text")
+    val flags = Decontaminate.overlap(eval, "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val (nfp, shared, contaminated) = flags(100L)
+    assert(shared > 0 && contaminated === 1L, s"leaked doc: $nfp fps, $shared shared")
+    assert(flags(101L)._2 === 0L && flags(101L)._3 === 0L)
+    assert(flags(102L)._2 === 0L && flags(102L)._3 === 0L)
+    // zero-overlap docs survive the left join with n_shared=0 (not dropped)
+    assert(flags.size === 3)
+    val kept = Decontaminate.clean(eval, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(101L, 102L))
+  }
+}
