@@ -31,6 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The full suite JITs hundreds of generated classes before the big-scan
   // suites run; the default 240m code cache runs warm enough that C2 can
   // start flushing/refusing exactly when the hot scan loops compile —
-  // the bimodal-latency trap (PLANS.md r3/r4).
-  "-XX:ReservedCodeCacheSize=512m",
+  // the bimodal-latency trap (PLANS.md r3/r4). Re-raised 512m -> 768m in
+  // r6 when the suite grew past 70 queries (more generated classes ahead
+  // of the floor-sensitive 1M scans).
+  "-XX:ReservedCodeCacheSize=768m",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

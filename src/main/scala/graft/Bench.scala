@@ -16,8 +16,8 @@ import graft.functions._
   *
   * Protocol: one warm-up pass (JIT + codegen + FS metadata), then each
   * sf-suite query runs twice and reports the best time; the 1M/10M suites
-  * warm until steady and then time 12 INTERLEAVED round-robin reps per
-  * query, reporting the median of the fastest 8 (see bigSuite) —
+  * warm until steady and then time 16 INTERLEAVED round-robin reps per
+  * query, reporting the min (+ the median as `<name>_med`, see bigSuite) —
   * steady-state latency, matching how the reference benchmarks repeated
   * searches against a loaded collection (benchmark/coltt_edge_search.go
   * averages 100 queries). The 1M collection
@@ -135,15 +135,15 @@ object Bench {
       // 7.3×, r4 cosine 2.69×, r5 f16+filtered) — a C2 deopt/recompile
       // window that happens to cover one query's entire consecutive sample
       // owns its reported number. Interleaving spreads any such window
-      // across one rep of EVERY query, so the per-query MIN of 12
+      // across one rep of EVERY query, so the per-query MIN of 16
       // interleaved reps cannot be owned by one window (a window long
-      // enough to cover all 12 of a query's reps covers the whole suite
+      // enough to cover all 16 of a query's reps covers the whole suite
       // and every query reports it). Min stays the headline statistic —
       // it matches the steady-state protocol the baseline itself uses
       // (repeated searches against a loaded collection) and r5's
       // statistic; the per-query median ships alongside (`<name>_med`) as
       // the stability/dispersion evidence.
-      val reps = 12
+      val reps = 16
       val samples = Array.fill(suite.size)(mutable.ArrayBuffer.empty[Double])
       val failed = Array.fill(suite.size)(false)
       for (_ <- 0 until reps; ((name, fn), qi) <- suite.zipWithIndex if !failed(qi)) {
@@ -304,6 +304,48 @@ object Bench {
       } finally bigc.unpersist()
     }
 
+    // ---- PQ at 10M: the memory-scale claim an order of magnitude past the
+    // reference's 1M in-memory comfort zone — 10M×128 floats are 5 GB, the
+    // m=16 codes are 160 MB, and the ADC scan reads ONLY codes. Train is
+    // sampled (1/64, untimed — the 1M suite times training); encode is one
+    // timed full pass (throughput op); the scan is steady-state.
+    val pq10m = {
+      val dir = benchDir + "-10m"
+      ensureBenchData(spark, dir, 10000000L)
+      val big = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      big.count()
+      try {
+        val cb = graft.ann.Pq.train(big, "vec_id", "embedding", m = 16, ksub = 256,
+          iterations = 1, sampleMod = Some(64L))
+        // warm the encode codegen on a 1% slice so the timed full pass
+        // measures throughput, not C2 compiling inside the window (the
+        // cold-timed form measured 40-50 s vs ~25 s warm at 10M)
+        graft.ann.Pq.encode(big.where(pmod(col("vec_id"), lit(100L)) === 0), "embedding", cb)
+          .agg(max(length(col("pq_code")))).collect()
+        val t0 = System.nanoTime()
+        graft.ann.Pq.encode(big, "embedding", cb)
+          .agg(max(length(col("pq_code")))).collect()
+        val tEncode = (System.nanoTime() - t0) / 1e9
+        val codes = graft.ann.Pq.encode(big, "embedding", cb).select("vec_id", "pq_code")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val q = big.where(col("vec_id") === 3L).select("embedding").head()
+          .getSeq[Float](0).toArray
+        def scan(): Unit =
+          graft.ann.Pq.adcSearch(codes, "vec_id", "pq_code", cb, q, 10).collect()
+        try {
+          scan(); scan()
+          val tScan = timed("pq_adc_scan_10m", runs = 4)(scan())
+          Seq("pq_encode_10m" -> tEncode, "pq_adc_scan_10m" -> tScan)
+        } finally codes.unpersist()
+      } catch { case e: Throwable =>
+        errors("pq_10m") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        Seq.empty[(String, Double)]
+      } finally big.unpersist(false)
+    }
+
     // ---- dedup/text pipeline throughput at 100k docs: the sf suite's
     // documents table tops out at ~7k rows — corpus-shaped numbers need a
     // corpus-shaped doc count (10% deterministic near-duplicates). These
@@ -339,6 +381,24 @@ object Bench {
       big10m.collect { case (n, t)
           if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
         n -> math.round(t / (Baseline1mFlatScanSec * 10) * 100.0) / 100.0 }
+    // Supplementary decomposition: each measured time = per-job dispatch
+    // floor (point_lookup on the same cached data — pure scheduling, no
+    // scan) + scan work. The reference's 0.025 s is an IN-PROCESS search
+    // with no dispatch cost, so the floor-subtracted ratio isolates the
+    // engine's scan throughput from Spark's constant per-job overhead
+    // (which amortizes to zero at the multi-second jobs 100 TB implies).
+    // The raw vs_baseline above stays the headline number.
+    val vsBaselineScanOnly = {
+      def adj(suite: Seq[(String, Double)], base: Double) = {
+        val floor = suite.collectFirst {
+          case (n, t) if n.startsWith("point_lookup") && !n.endsWith("_med") && t > 0 => t
+        }
+        suite.collect { case (n, t)
+            if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") && floor.isDefined =>
+          n -> math.round(math.max(0.0, t - floor.get) / base * 100.0) / 100.0 }
+      }
+      adj(big1m, Baseline1mFlatScanSec) ++ adj(big10m, Baseline1mFlatScanSec * 10)
+    }
 
     def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
       case (k, v: String) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
@@ -347,10 +407,11 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ docs100k) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ pq10m ++ docs100k) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +
+      ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
       ",\"errors\":" + jmap(errors.toSeq) +
       ",\"sf\":\"" + sfDir + "\"}")
     spark.stop()

@@ -500,6 +500,36 @@ class GraftCatalog(spark: SparkSession, root: String,
           vectorCol = VectorCol, customDistance = fused))
   }
 
+  /** Hybrid search (v3 HybridSearch RPC, core/core.go:760-839): over-fetch
+    * the pure-similarity top `topK·overFetch`, semi-join the ids surviving
+    * the metadata filter, final top-K — the documented INTENT (the
+    * reference's final loop drops the intersection, a recorded bug we
+    * don't copy; oracle-pinned incl. the drain case). Schemaless
+    * collections route the same filter AST through the string-coerced map
+    * semantics. */
+  def searchHybrid(name: String, queryVector: Array[Float], topK: Int,
+                   filter: FilterExpr, overFetch: Int = 3): DataFrame = {
+    val meta = getMeta(name)
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMulti")
+    val df = loadedOrThrow(name)
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val fused: Option[Column] = meta.quantization match {
+      case "none" => None
+      case q      => Some(graft.functions.distance_quant(
+        col(VectorCol), lit(qv), q, meta.distance))
+    }
+    val pred =
+      if (meta.isSchemaless)
+        graft.core.CoreMeta.filterColumn(col(CollectionMeta.MetaCol), col(meta.idColumn), filter)
+      else filter.toColumn
+    VectorSearch.hybridSearchWith(df,
+      SearchRequest(qv, topK, metric = meta.distance, idCol = meta.idColumn,
+        vectorCol = VectorCol, customDistance = fused),
+      pred, overFetch)
+  }
+
   def count(name: String): Long = loadedOrThrow(name).count()
 
   /** IVF (cell-probed) search over the PARTITIONED ON-DISK snapshot of an

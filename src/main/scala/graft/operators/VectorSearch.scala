@@ -75,9 +75,17 @@ object VectorSearch {
     * its final loop drops the intersection, a recorded bug we don't copy).
     * The ANN side is ≤ overFetch·topK rows, so Catalyst broadcasts it;
     * the filter side stays a pushed-down scan — no big-table shuffle. */
-  def hybridSearch(df: DataFrame, req: SearchRequest, filter: FilterExpr, overFetch: Int = 3): DataFrame = {
+  def hybridSearch(df: DataFrame, req: SearchRequest, filter: FilterExpr, overFetch: Int = 3): DataFrame =
+    hybridSearchWith(df, req, filter.toColumn, overFetch)
+
+  /** [[hybridSearch]] with the candidate predicate as a raw Column — the
+    * seam that lets schemaless (string-coerced map) collections route their
+    * own filter semantics through the same over-fetch + semi-join shape. */
+  def hybridSearchWith(df: DataFrame, req: SearchRequest, candidatePred: Column,
+                       overFetch: Int = 3): DataFrame = {
+    require(overFetch >= 1, "overFetch must be >= 1")
     val ann = search(df, req.copy(filter = None, topK = req.topK * overFetch, offset = 0))
-    val candidates = df.where(filter.toColumn).select(col(req.idCol))
+    val candidates = df.where(candidatePred).select(col(req.idCol))
     ann.join(candidates, Seq(req.idCol), "left_semi")
       .orderBy(col("dist").asc, col(req.idCol).asc)
       .limit(req.topK)

@@ -183,6 +183,22 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val minScore = (req \ "minScore").toOption.map(num)
         val out = catalog.search(name, vector, topK, filter, offset, minScore)
         rowsJson(out)
+      // hybrid search (v3 HybridSearch RPC): ANN over-fetch intersected
+      // with the metadata-filter candidates
+      case ("POST", "collections" :: name :: "searchHybrid" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchHybrid requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(3)
+        val filter = req \ "filter" match {
+          case JNothing => throw new IllegalArgumentException(
+            "searchHybrid requires \"filter\" (use search for pure similarity)")
+          case f => parseFilter(f)
+        }
+        rowsJson(catalog.searchHybrid(name, vector, topK, filter, overFetch))
       // IVF probes over the flushed cell-partitioned snapshot: the
       // distributed directory-pruned scan, and the driver-local in-process
       // index (the point-latency path; see LocalIvfIndex)

@@ -72,6 +72,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0)
   }
 
+  test("curation ops are streaming-safe: quality filter + chunking on a file stream == batch") {
+    // chunking and quality scoring are stateless column expressions, so the
+    // same pipeline runs unchanged under Structured Streaming (continuous
+    // ingest curation) — pin it so a stateful construct never creeps in
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("graft-curstream").toString
+    val ckpt = Files.createTempDirectory("graft-curstream-ckpt").toString
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(dir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      Chunking.chunks(
+        df.where(graft.text.TextAnalysis.qualityScore("text") > 0.3),
+        "doc_id", "text", chunkTokens = 20, overlapTokens = 5)
+    val schema = spark.read.parquet(dir).schema
+    val q = pipeline(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("cur_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cur_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val batch = pipeline(spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("decontaminate: substring copies are flagged, disjoint docs are not, clean() drops them") {
     // synthetic corpora with disjoint vocabularies so "clean" is provable
     val train = (0 until 20).map(i =>

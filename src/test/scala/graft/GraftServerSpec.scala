@@ -111,6 +111,33 @@ class GraftServerSpec extends SparkSpec {
     assert(http("POST", "/collections/err2/search", "not json at all")._1 === 400)
   }
 
+  test("hybrid search over HTTP: ANN over-fetch intersected with filter candidates") {
+    val meta = """{"name":"hyb","dim":3,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"grade","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/hyb/load")._1 === 200)
+    assert(http("POST", "/collections/hyb/insert",
+      """{"rows":[
+        {"id":"a","grade":1,"vector":[1,0,0]},
+        {"id":"b","grade":5,"vector":[0.9,0.1,0]},
+        {"id":"c","grade":5,"vector":[0,1,0]},
+        {"id":"d","grade":1,"vector":[0.95,0,0.05]}]}""")._1 === 200)
+    // nearest to [1,0,0] are a, d — but only grade>=5 survives the filter:
+    // the intersected answer is b then c, never a/d
+    val (hc, hr) = http("POST", "/collections/hyb/searchHybrid",
+      """{"vector":[1,0,0],"topK":2,
+         "filter":{"col":"grade","op":"gte","value":5}}""")
+    assert(hc === 200)
+    assert(hr.contains("\"id\":\"b\"") && hr.contains("\"id\":\"c\"") &&
+      !hr.contains("\"id\":\"a\"") && !hr.contains("\"id\":\"d\""), hr)
+    assert(hr.indexOf("\"id\":\"b\"") < hr.indexOf("\"id\":\"c\""), s"nearest survivor first: $hr")
+    // filter is mandatory on this route (pure similarity = /search)
+    assert(http("POST", "/collections/hyb/searchHybrid",
+      """{"vector":[1,0,0],"topK":2}""")._1 === 400)
+    assert(http("DELETE", "/collections/hyb")._1 === 200)
+  }
+
   test("multi-vector (CFLAT) search and CompareDist over HTTP") {
     val meta = """{"name":"mv","dim":2,"distance":"euclidean","fields":[
       {"name":"id","fieldType":"string","primaryKey":true},

@@ -66,6 +66,22 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash dedup must pair via band equi-joins:\n$p")
   }
 
+  test("doc_chunks: row-local chunk explode — zero data shuffles before the output sort") {
+    val p = plan("doc_chunks")
+    assert(shuffles(p) === 0, s"chunking is per-row; a shuffle crept in:\n$p")
+  }
+
+  test("dataset_split: pure projection + one aggregation shuffle") {
+    val p = plan("dataset_split")
+    assert(shuffles(p) === 1, s"split assignment must be row-local, agg one shuffle:\n$p")
+  }
+
+  test("decontaminate_eval: fingerprint equi-join, never doc-x-doc") {
+    val p = plan("decontaminate_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must join on the fingerprint key:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // the only legitimate unbounded pairing is blocked/banded equi-joins;
     // a cartesian in any registered query is a scale bug
