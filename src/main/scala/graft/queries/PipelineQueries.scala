@@ -442,6 +442,17 @@ object PipelineQueries {
       graft.text.Chunking.chunks(docs(s, dir).where(col("doc_id") < 200),
           "doc_id", "text", chunkTokens = 20, overlapTokens = 5)
         .orderBy("doc_id", "chunk_id")),
+    // Sequence packing (GPT-style concat-and-split): every doc's first
+    // token is placed in a context window of a shard-local packed stream —
+    // one window shuffle partitioned BY SHARD (a global order would
+    // serialize; shard streams pack independently at any scale).
+    "pack_sequences" -> ((s, dir) => {
+      val withTokens = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packSequences(withTokens, "doc_id", "n_tokens",
+          contextTokens = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
     // Train/eval decontamination: eval docs sharing winnow fingerprints
     // with the train corpus are flagged (benchmark-leakage check). The
     // eval set mixes re-crawled train docs (last word dropped — still
@@ -936,6 +947,22 @@ object PipelineQueries {
         |  array_to_string(toks[g.i*15 + 1 : g.i*15 + 20], ' ') AS chunk_text
         |FROM c, range(0, 64) g(i) WHERE g.i < nc
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "pack_sequences" -> {
+      val shard = h15("'pack'", "CAST(doc_id AS VARCHAR)")
+      val ord = h15("'pack-order'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    $shard % 8 AS shard, $ord % 1073741824 AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) - n_tokens
+         |      AS BIGINT) AS start
+         |  FROM d)
+         |SELECT doc_id, shard, CAST(start // 512 AS BIGINT) AS seq_id,
+         |  CAST(start % 512 AS BIGINT) AS seq_offset,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "decontaminate_eval" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
          |ev AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Decontaminate
-import graft.operators.Sampling
+import graft.operators.{Packing, Sampling}
 import graft.text.Chunking
 
 /** Curation operators: token-window chunking, deterministic hash
@@ -70,6 +70,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.5).count() === sampled.count())
     assert(Sampling.hashSample(docs, "doc_id", 1.0).count() === n)
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0)
+  }
+
+  test("packSequences: gapless shard-local concat-and-split, deterministic across partitioning") {
+    val withTokens = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Packing.packSequences(withTokens, "doc_id", "n_tokens",
+      contextTokens = 512, shards = 4)
+    val rows = packed.collect()
+    assert(rows.length.toLong === withTokens.count())
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      // the shard's token stream is gapless: the max doc end equals the
+      // total token mass (concatenation leaves no holes)
+      val streamLen = rs.map(_.getLong(4)).sum
+      val maxEnd = rs.map(r => r.getLong(2) * 512 + r.getLong(3) + r.getLong(4)).max
+      assert(maxEnd === streamLen, s"shard $shard stream not gapless")
+      rs.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) < 512, s"offset out of window"))
+    }
+    // packing is a pure function of content — partitioning cannot move a doc
+    val packed2 = Packing.packSequences(withTokens.repartition(13), "doc_id", "n_tokens",
+      contextTokens = 512, shards = 4)
+    assert(packed.except(packed2).count() === 0)
+    // every doc starts in exactly one window
+    val stats = Packing.packStats(packed, "n_tokens").collect()
+    assert(stats.map(_.getLong(2)).sum === rows.length.toLong)
   }
 
   test("curation ops are streaming-safe: quality filter + chunking on a file stream == batch") {
