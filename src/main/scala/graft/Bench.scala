@@ -88,7 +88,17 @@ object Bench {
     // where scan throughput, not overhead, decides the number.
     def bigSuite(rows: Long, dir: String, tag: String): Seq[(String, Double)] = {
       ensureBenchData(spark, dir, rows)
-      val big = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // Partition sizing is the floor-vs-parallelism trade: every task adds
+      // ~0.5-1 ms of single-threaded DAGScheduler dispatch, but the
+      // distance scan is COMPUTE-bound (an 8×64 MB experiment cut the
+      // point-lookup floor to 0.022 s and quadrupled the scan to 0.103 s),
+      // so the optimum is exactly one wave: `cpus` partitions — full
+      // compute parallelism, no second-wave stragglers, no excess dispatch.
+      // The 10M suite keeps its finer file splits (scan-dominated, and the
+      // bigger partitions would spill the cache granularity).
+      val read = spark.read.parquet(dir)
+      val big = (if (rows <= 1000000L) read.coalesce(cpus.toInt) else read)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       big.count() // materialize the cache (the reference loads before searching)
       System.gc() // settle allocation noise from the sf suite / generation
                   // before timing queries that sit at the dispatch floor

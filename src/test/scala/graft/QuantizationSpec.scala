@@ -145,6 +145,32 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("loss bounds hold at 384-d and 768-d (the reference's dim sweep)") {
+    // compresshelper_test.go repeats the loss sweep at 384 and 768 dims —
+    // higher dims average MORE terms, so the relative drift shrinks; pin
+    // the same bounds at 100k pairs per dim (spec-time budget; the 1M-pair
+    // volume is pinned at 128-d above)
+    import org.apache.spark.sql.functions.{abs => sabs, col, expr, max => smax}
+    for (dim <- Seq(384, 768)) {
+      def mk(off: Int) = expr(
+        s"transform(sequence(0,${dim - 1}), j -> cast(pmod(xxhash64(id, j + $off), 1000001) / 1000000.0 as float))")
+      val pairs = spark.range(100000L).select(mk(0).as("va"), mk(dim).as("vb"))
+      def score(d: org.apache.spark.sql.Column) = graft.functions.score_from_distance(d, "cosine")
+      val base = score(cosine_distance(col("va"), col("vb")))
+      val drifts = Seq("f16", "bf16", "f8").map { fmt =>
+        smax(sabs(score(cosine_distance(
+          dequantize(quantize(col("va"), fmt), fmt),
+          dequantize(quantize(col("vb"), fmt), fmt))) - base)).as(s"drift_$fmt")
+      }
+      val r = pairs.select(drifts: _*).head()
+      val bounds = Map("f16" -> 1.0, "bf16" -> 1.0, "f8" -> 1.25)
+      Seq("f16", "bf16", "f8").zipWithIndex.foreach { case (fmt, i) =>
+        val d = r.getDouble(i)
+        assert(d <= bounds(fmt), s"$fmt display-score drift $d at dim=$dim exceeds ${bounds(fmt)}")
+      }
+    }
+  }
+
   test("fused cosine_distance_quant is bit-identical to decode-then-cosine") {
     import spark.implicits._
     val vecs = (0L to 99L).map(i => (i, randVec(24))).toDF("id", "v")
