@@ -122,10 +122,11 @@ object Bench {
       // compiling (or having deoptimized) the hot generated loop during the
       // timed runs — a fixed warm-up count is hostage to profile-dependent,
       // bimodal compile timing, so keep warming until two consecutive runs
-      // land within 15% of the best seen SO FAR (cap 15). NB: `prev` — the
-      // r5 form compared t against the best *including* t, which is
-      // trivially true on every new best, so two monotonically improving
-      // runs counted as steady.
+      // land WITHIN ±15% of the best seen before them (cap 15). A run that
+      // IMPROVES on the previous best by more than the tolerance resets the
+      // counter too — the r5/r6 forms only reset on regressions, so two
+      // monotonically improving runs (100 s then 50 s) counted as steady
+      // while the loop was still descending.
       suite.foreach { case (_, fn) =>
         try {
           var best = Double.MaxValue; var steady = 0; var i = 0
@@ -134,7 +135,7 @@ object Bench {
             val t = (System.nanoTime() - t0) / 1e9
             val prev = best
             if (t < best) best = t
-            if (t <= prev * 1.15) steady += 1 else steady = 0
+            if (t >= prev / 1.15 && t <= prev * 1.15) steady += 1 else steady = 0
             i += 1
           }
         } catch { case _: Throwable => () } }

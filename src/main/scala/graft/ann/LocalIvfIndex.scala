@@ -103,6 +103,9 @@ object LocalIvfIndex {
     if (np <= 0) return Seq.empty
     val bestIds = new Array[Long](np)
     val bestD = Array.fill(np)(Double.MaxValue)
+    var filled = 0 // slots holding a real admission (a NaN-distance query
+                   // admits nothing — return the empty prefix, never the
+                   // zero-initialized filler cids as duplicate "cells")
     var ci = 0
     while (ci < centroids.length) {
       val (cid, cv) = centroids(ci)
@@ -113,10 +116,11 @@ object LocalIvfIndex {
           bestD(ins) = bestD(ins - 1); bestIds(ins) = bestIds(ins - 1); ins -= 1
         }
         bestD(ins) = d; bestIds(ins) = cid
+        if (filled < np) filled += 1
       }
       ci += 1
     }
-    bestIds.toSeq
+    bestIds.take(filled).toSeq
   }
 
   /** Spark's `round(d, 6)` — BigDecimal HALF_UP on the exact binary value,

@@ -148,6 +148,12 @@ object Multimodal {
       var totalFrames = 0L; var width = 0; var height = 0
       var scale = 0L; var rate = 0L
       var bitCount = 0; var compression = 0
+      // Streams are numbered in strl order and frame chunks carry the
+      // 2-digit stream number ('00db' = stream 0 DIB) — the video stream's
+      // index gates BOTH the strf header parse and the frame collection, so
+      // an audio stream's WAVEFORMATEX cannot clobber the bitmap header and
+      // its '01wb' chunks never mix into the pixel stats.
+      var streamCount = 0; var videoStream = -1; var expectVideoStrf = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)] // (off, len, kind)
       // RIFF chunk walker: chunks are (fourcc, size, payload) padded to even;
       // LIST payloads nest. `limit` guards truncated containers.
@@ -161,13 +167,20 @@ object Multimodal {
             case "avih" if size >= 40 =>
               totalFrames = bb.getInt(pos + 8 + 16).toLong & 0xFFFFFFFFL
               width = bb.getInt(pos + 8 + 32); height = bb.getInt(pos + 8 + 36)
-            case "strh" if size >= 32 && fourcc(pos + 8) == "vids" =>
-              scale = bb.getInt(pos + 8 + 20).toLong & 0xFFFFFFFFL
-              rate = bb.getInt(pos + 8 + 24).toLong & 0xFFFFFFFFL
-            case "strf" if size >= 20 =>
+            case "strh" if size >= 32 =>
+              expectVideoStrf = fourcc(pos + 8) == "vids"
+              if (expectVideoStrf && videoStream < 0) {
+                videoStream = streamCount
+                scale = bb.getInt(pos + 8 + 20).toLong & 0xFFFFFFFFL
+                rate = bb.getInt(pos + 8 + 24).toLong & 0xFFFFFFFFL
+              }
+              streamCount += 1
+            case "strf" if size >= 20 && expectVideoStrf =>
               bitCount = bb.getShort(pos + 8 + 14) & 0xFFFF
               compression = bb.getInt(pos + 8 + 16)
-            case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) =>
+              expectVideoStrf = false
+            case c if c.length == 4 && (c.endsWith("db") || c.endsWith("dc")) &&
+                videoStream >= 0 && c.take(2) == f"$videoStream%02d" =>
               frames += ((pos + 8, size, c.takeRight(2)))
             case _ => ()
           }
@@ -178,6 +191,11 @@ object Multimodal {
       if (frames.isEmpty || width <= 0 || height <= 0) return None
       val fps = if (scale > 0) rate.toDouble / scale else 0.0
       var sr = 0L; var sg = 0L; var sb = 0L; var sampled = 0L
+      // means divide by the pixels actually SUMMED, not the header dims —
+      // a sloppy encoder's compressed frames may decode at a different
+      // size than avih declares, and header-based division would silently
+      // scale the means by the area ratio
+      var nPix = 0L
       var f = 0
       while (f < frames.length) {
         if (f % sampleStep == 0) {
@@ -198,6 +216,7 @@ object Multimodal {
               }
               y += 1
             }
+            nPix += width.toLong * height
           } else {
             // compressed frame (MJPEG et al): a self-contained image stream
             val img = javax.imageio.ImageIO.read(
@@ -213,12 +232,13 @@ object Multimodal {
               }
               y += 1
             }
+            nPix += img.getWidth.toLong * img.getHeight
           }
           sampled += 1
         }
         f += 1
       }
-      val n = sampled * width.toLong * height
+      val n = nPix
       if (n == 0) None
       else Some(Array(
         (if (totalFrames > 0) totalFrames else frames.length).toDouble,
@@ -232,7 +252,7 @@ object Multimodal {
     * (x,y) = ((x·7+y·13+f·17+id)%256, (x·3+y·5+f·11+2id)%256,
     * (x·11+y+f·29+3id)%256). Lossless, so sampled-frame channel means are
     * exactly the formula's — the oracle recomputes them without a codec. */
-  def syntheticAvi(id: Long): Array[Byte] = {
+  def syntheticAvi(id: Long, audioTrack: Boolean = false): Array[Byte] = {
     val w = 8 + (id % 5).toInt; val h = 6 + (id % 5).toInt
     val nFrames = 3 + (id % 4).toInt
     val stride = ((w * 3 + 3) / 4) * 4
@@ -252,7 +272,8 @@ object Multimodal {
       }
       data
     }
-    buildAvi(w, h, fps = 10, frames, handler = "DIB ", compression = 0, chunkId = "00db")
+    buildAvi(w, h, fps = 10, frames, handler = "DIB ", compression = 0, chunkId = "00db",
+      audioTrack = audioTrack)
   }
 
   /** Deterministic MJPEG AVI per id: the same pixel formula encoded as JPEG
@@ -288,9 +309,14 @@ object Multimodal {
     (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
 
   /** Minimal spec-correct AVI writer: RIFF('AVI ') { LIST(hdrl){ avih,
-    * LIST(strl){ strh, strf } }, LIST(movi){ frame chunks } }. */
+    * LIST(strl){ strh, strf } [, audio strl] }, LIST(movi){ frame chunks
+    * [interleaved '01wb' audio] } }. `audioTrack` adds a stream-1 PCM
+    * audio strl whose WAVEFORMATEX strf and '01wb' chunks exercise the
+    * decoder's stream gating (an ungated parser lets the audio strf
+    * clobber the bitmap header and mixes audio bytes into pixel stats). */
   private def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
-                       handler: String, compression: Int, chunkId: String): Array[Byte] = {
+                       handler: String, compression: Int, chunkId: String,
+                       audioTrack: Boolean = false): Array[Byte] = {
     def le(i: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(i); b.array()
@@ -308,7 +334,7 @@ object Multimodal {
       fcc("LIST") ++ le(children.length + 4) ++ fcc(listType) ++ children
     val maxFrame = frames.map(_.length).max
     val avih = le(1000000 / fps) ++ le(0) ++ le(0) ++ le(0) ++
-      le(frames.length) ++ le(0) ++ le(1) ++ le(maxFrame) ++
+      le(frames.length) ++ le(0) ++ le(if (audioTrack) 2 else 1) ++ le(maxFrame) ++
       le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
     val strh = fcc("vids") ++ fcc(handler) ++ le(0) ++ le16(0) ++ le16(0) ++
       le(0) ++ le(1) ++ le(fps) ++ le(0) ++ le(frames.length) ++
@@ -316,9 +342,22 @@ object Multimodal {
       le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
     val strf = le(40) ++ le(w) ++ le(h) ++ le16(1) ++ le16(24) ++
       le(compression) ++ le(maxFrame) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
-    val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.flatMap(fdata => chunk(chunkId, fdata)).toArray)
+    val videoStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val (audioStrl, audioChunk) =
+      if (!audioTrack) (Array.empty[Byte], Array.empty[Byte])
+      else {
+        val astrh = fcc("auds") ++ Array.fill[Byte](52)(0)
+        // WAVEFORMATEX-ish PCM blob (30 bytes >= the parser's 20-byte
+        // strf floor): its bytes at the bitmap bitCount/compression
+        // offsets are NOT 24/0, so an ungated parse visibly breaks
+        val astrf = le16(1) ++ le16(1) ++ le(8000) ++ le(16000) ++
+          le16(2) ++ le16(16) ++ Array.fill[Byte](14)(0)
+        (list("strl", chunk("strh", astrh) ++ chunk("strf", astrf)),
+         chunk("01wb", Array.fill[Byte](64)(7)))
+      }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ videoStrl ++ audioStrl)
+    val movi = list("movi",
+      frames.flatMap(fdata => chunk(chunkId, fdata) ++ audioChunk).toArray)
     val body = fcc("AVI ") ++ hdrl ++ movi
     fcc("RIFF") ++ le(body.length) ++ body
   }

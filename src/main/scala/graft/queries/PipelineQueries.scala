@@ -945,7 +945,7 @@ object PipelineQueries {
         |SELECT doc_id, g.i AS chunk_id,
         |  CAST(len(toks[g.i*15 + 1 : g.i*15 + 20]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(toks[g.i*15 + 1 : g.i*15 + 20], ' ') AS chunk_text
-        |FROM c, range(0, 64) g(i) WHERE g.i < nc
+        |FROM c, range(0, 4096) g(i) WHERE g.i < nc
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "pack_sequences" -> {
       val shard = h15("'pack'", "CAST(doc_id AS VARCHAR)")

@@ -147,5 +147,13 @@ class CurationOpsSpec extends SparkSpec {
     val kept = Decontaminate.clean(eval, "doc_id", "text", idx)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(101L, 102L))
+    // a doc with NULL text yields no fingerprints — no evidence either
+    // way — and must SURVIVE clean() (the pre-fix left_semi silently
+    // dropped it from the eval set)
+    val withNull = eval.unionByName(
+      Seq((103L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val keptNull = Decontaminate.clean(withNull, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNull === Set(101L, 102L, 103L))
   }
 }

@@ -51,6 +51,18 @@ class LocalIvfIndexSpec extends SparkSpec {
     assert(hits.map(_._1.toString) === exact)
   }
 
+  test("NaN query vector: probe returns empty, never duplicate filler cells") {
+    // a corrupt (NaN) query admits no centroid into the top-nprobe
+    // selection — the result must be empty, not cell 0 scanned nprobe
+    // times with duplicate ids in the merged top-k
+    val cents = (0 until 4).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", cents, "euclidean")
+    val idx = LocalIvfIndex.fromAssigned(assigned, "vec_id", "embedding", cents, "euclidean")
+    val q = Array.fill(cents.head._2.length)(Float.NaN)
+    assert(idx.search(q, topK = 5, nprobe = 3).isEmpty)
+  }
+
   test("point latency: in-process probe is far below the Spark job dispatch floor") {
     val cents = (0 until 16).map(i =>
       (i.toLong, emb.where(col("vec_id") === i).head().getSeq[Float](1).toArray)).toSeq

@@ -111,6 +111,19 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.decode(Multimodal.syntheticWav(id)).isEmpty)
   }
 
+  test("REAL video container: a second (audio) stream neither clobbers the bitmap header nor pollutes pixel stats") {
+    // the audio strl's WAVEFORMATEX strf parses at the bitmap offsets as
+    // bitCount!=24, and its '01wb' chunks interleave between frames — an
+    // ungated parser misroutes DIB decode or mixes audio bytes into the
+    // sums; the gated one must decode identically to the video-only file
+    val id = 6L
+    val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)
+    dec.init()
+    val plain = dec.decode(Multimodal.syntheticAvi(id)).get
+    val withAudio = dec.decode(Multimodal.syntheticAvi(id, audioTrack = true)).get
+    assert(plain.toSeq === withAudio.toSeq)
+  }
+
   test("REAL video codec: MJPEG AVI decodes through javax.imageio's JPEG path") {
     val id = 3L // w=11, h=9, nFrames=6, sampled {0,2,4}
     val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)
