@@ -453,6 +453,17 @@ object PipelineQueries {
           contextTokens = 512, shards = 8)
         .orderBy("doc_id")
     }),
+    // packing-efficiency audit: docs started + token mass per (shard,
+    // context window) — one agg shuffle over the packed assignment
+    "pack_stats" -> ((s, dir) => {
+      val withTokens = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packStats(
+          graft.operators.Packing.packSequences(withTokens, "doc_id", "n_tokens",
+            contextTokens = 512, shards = 8), "n_tokens")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("shard", "seq_id")
+    }),
     // Train/eval decontamination: eval docs sharing winnow fingerprints
     // with the train corpus are flagged (benchmark-leakage check). The
     // eval set mixes re-crawled train docs (last word dropped — still
@@ -962,6 +973,21 @@ object PipelineQueries {
          |  CAST(start % 512 AS BIGINT) AS seq_offset,
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "pack_stats" -> {
+      val shard = h15("'pack'", "CAST(doc_id AS VARCHAR)")
+      val ord = h15("'pack-order'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    $shard % 8 AS shard, $ord % 1073741824 AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) - n_tokens
+         |      AS BIGINT) AS start
+         |  FROM d)
+         |SELECT shard, CAST(start // 512 AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
     },
     "decontaminate_eval" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
