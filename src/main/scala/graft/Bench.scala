@@ -16,7 +16,8 @@ import graft.functions._
   *
   * Protocol: one warm-up pass (JIT + codegen + FS metadata), then each
   * sf-suite query runs twice and reports the best time; the 1M/10M suites
-  * warm until steady and then time 16 INTERLEAVED round-robin reps per
+  * warm until steady and then time 48 (1M) / 16 (10M) INTERLEAVED
+  * round-robin reps per
   * query, reporting the min (+ the median as `<name>_med`, see bigSuite) —
   * steady-state latency, matching how the reference benchmarks repeated
   * searches against a loaded collection (benchmark/coltt_edge_search.go
@@ -86,7 +87,7 @@ object Bench {
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
     // point_lookup_1m on the same cached data) dominates; the 10M suite is
     // where scan throughput, not overhead, decides the number.
-    def bigSuite(rows: Long, dir: String, tag: String): Seq[(String, Double)] = {
+    def bigSuite(rows: Long, dir: String, tag: String, reps: Int): Seq[(String, Double)] = {
       ensureBenchData(spark, dir, rows)
       // Partition sizing is the floor-vs-parallelism trade: every task adds
       // ~0.5-1 ms of single-threaded DAGScheduler dispatch, but the
@@ -150,15 +151,17 @@ object Bench {
       // 7.3×, r4 cosine 2.69×, r5 f16+filtered) — a C2 deopt/recompile
       // window that happens to cover one query's entire consecutive sample
       // owns its reported number. Interleaving spreads any such window
-      // across one rep of EVERY query, so the per-query MIN of 16
+      // across one rep of EVERY query, so the per-query MIN of the
       // interleaved reps cannot be owned by one window (a window long
-      // enough to cover all 16 of a query's reps covers the whole suite
+      // enough to cover ALL of a query's reps covers the whole suite
       // and every query reports it). Min stays the headline statistic —
       // it matches the steady-state protocol the baseline itself uses
       // (repeated searches against a loaded collection) and r5's
       // statistic; the per-query median ships alongside (`<name>_med`) as
-      // the stability/dispersion evidence.
-      val reps = 16
+      // the stability/dispersion evidence. The 1M suite runs 48 reps
+      // (~45 s timed window — wide enough to straddle the transient VM
+      // slow windows the r6 ledger documents, at trivial wall cost); the
+      // 10M suite's longer reps keep 16.
       val samples = Array.fill(suite.size)(mutable.ArrayBuffer.empty[Double])
       val failed = Array.fill(suite.size)(false)
       for (_ <- 0 until reps; ((name, fn), qi) <- suite.zipWithIndex if !failed(qi)) {
@@ -189,8 +192,8 @@ object Bench {
       big.unpersist(false)
       out
     }
-    val big1m = bigSuite(1000000L, benchDir, "1m")
-    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m")
+    val big1m = bigSuite(1000000L, benchDir, "1m", reps = 48)
+    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m", reps = 16)
 
     // ---- IVF at scale: k-means training + full-corpus assignment on the
     // clustered 1M collection (k=256 — the cell count where the single-loop
