@@ -53,4 +53,25 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     df.where(hashBucket(col(idCol), family, buckets) < math.round(fraction * buckets))
   }
+
+  /** Per-stratum deterministic sampling — the corpus-mixing step of LLM
+    * data prep: down-weight dominant strata (a language, a crawl source)
+    * by keeping only a per-stratum fraction of rows, with admission a pure
+    * function of the row id so the mix is reproducible across re-runs and
+    * engines. Strata not named in `rates` keep `defaultRate`. Row-local
+    * filter (one case-expression over the id hash): zero shuffles, and at
+    * 100 TB the filter sits below the parquet scan's column pruning — only
+    * `idCol`/`stratumCol` feed the predicate.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Seq[(String, Double)], defaultRate: Double = 1.0,
+                       family: String = "mix", buckets: Int = 10000): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
+      "stratum rates must be in [0,1]")
+    val threshold = rates.foldRight(lit(math.round(defaultRate * buckets)): Column) {
+      case ((stratum, rate), els) =>
+        when(col(stratumCol) === stratum, lit(math.round(rate * buckets))).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol), family, buckets) < threshold)
+  }
 }

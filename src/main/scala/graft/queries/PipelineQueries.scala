@@ -480,8 +480,61 @@ object PipelineQueries {
       val idx = graft.dedup.Decontaminate.fingerprintIndex(train, "text")
       graft.dedup.Decontaminate.overlap(leaked.unionByName(fresh), "doc_id", "text", idx)
         .orderBy("doc_id")
-    })
+    }),
+    // PII scrub audit: structured PII (emails, phones, IPv4, SSN shapes) is
+    // injected by an id-seeded formula (the corpus is synthetic word soup),
+    // detected and redacted by the codegen'd regex detectors, and audited
+    // per source. Row-local expressions + one agg shuffle; the DuckDB
+    // oracle rebuilds the same augmented text and re-runs the same RE2
+    // patterns, so match semantics are pinned engine-to-engine.
+    "pii_scrub" -> ((s, dir) => {
+      val aug = withInjectedPii(docs(s, dir))
+      val red = graft.text.Pii.redact(col("text"))
+      aug.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.text.Pii.hasPii(col("text")).cast("long")).as("docs_with_pii"),
+          sum(graft.text.Pii.countMatches(col("text"), "email").cast("long")).as("emails"),
+          sum(graft.text.Pii.countMatches(col("text"), "phone").cast("long")).as("phones"),
+          sum(graft.text.Pii.countMatches(col("text"), "ipv4").cast("long")).as("ipv4s"),
+          sum(graft.text.Pii.countMatches(col("text"), "ssn").cast("long")).as("ssns"),
+          sum((length(col("text")) - length(red)).cast("long")).as("chars_redacted"))
+        .orderBy("source")
+    }),
+    // Corpus mixing: per-language deterministic down-sampling (dominant
+    // language kept at 35%, mid strata at 60/80%, rare strata in full) —
+    // the data-mixing step of corpus prep. Membership is a pure id-hash
+    // function: zero shuffles before the audit agg, reproducible at any
+    // partitioning.
+    "corpus_mix" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Seq("en" -> 0.35, "es" -> 0.6, "zh" -> 0.8), defaultRate = 1.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("lang"))
   )
+
+  /** Id-seeded PII injection: a deterministic subset of docs gets an email
+    * / phone / IPv4 / SSN-shaped suffix appended (formula mirrored in the
+    * DuckDB oracle — same discipline as the media oracles' pixel/PCM
+    * formulas). */
+  private def withInjectedPii(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val t0 = col("text")
+    val withEmail = when(id % 7 === 0,
+      concat(t0, lit(" contact u"), id, lit("@ex"), id % 13, lit(".com"))).otherwise(t0)
+    val withPhone = when(id % 11 === 0,
+      concat(withEmail, lit(" call "), id % 900 + 100, lit("-"), (id * 3) % 900 + 100,
+        lit("-"), id % 9000 + 1000)).otherwise(withEmail)
+    val withIp = when(id % 5 === 0,
+      concat(withPhone, lit(" from 10."), id % 256, lit("."), (id * 7) % 256,
+        lit("."), (id * 13) % 256)).otherwise(withPhone)
+    val withSsn = when(id % 13 === 0,
+      concat(withIp, lit(" ssn "), id % 900 + 100, lit("-"), id % 90 + 10,
+        lit("-"), (id * 7) % 9000 + 1000)).otherwise(withIp)
+    df.withColumn("text", withSsn)
+  }
 
   // ---- DuckDB oracle fragments ----
 
@@ -1004,6 +1057,44 @@ object PipelineQueries {
          |  ROUND(COUNT(i.fp) * 1.0 / COUNT(*), 6) AS overlap_ratio,
          |  CAST(COUNT(i.fp) * 2 >= COUNT(*) AS BIGINT) AS contaminated
          |FROM efp e LEFT JOIN idx i ON i.fp = e.fp
-         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH aug AS (SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 13) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call ' || (doc_id % 900 + 100) || '-' || ((doc_id * 3) % 900 + 100) || '-' || (doc_id % 9000 + 1000) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' ssn ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || '-' || ((doc_id * 7) % 9000 + 1000) ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |red AS (SELECT source, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
+        |  FROM aug)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |        OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')
+        |        OR regexp_matches(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')
+        |        OR regexp_matches(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+        |  CAST(SUM(len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b'))) AS BIGINT) AS phones,
+        |  CAST(SUM(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS ipv4s,
+        |  CAST(SUM(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS ssns,
+        |  CAST(SUM(len(text) - len(redacted)) AS BIGINT) AS chars_redacted
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_mix" -> {
+      val bkt = h15("'mix'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (SELECT lang, doc_id, text, $bkt % 10000 AS bkt FROM documents)
+         |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+         |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS sum_tokens
+         |FROM b
+         |WHERE bkt < CASE lang WHEN 'en' THEN 3500 WHEN 'es' THEN 6000
+         |            WHEN 'zh' THEN 8000 ELSE 10000 END
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    }
   )
 }

@@ -72,6 +72,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0)
   }
 
+  test("stratifiedSample: per-stratum rates hold, deterministic, default keeps all") {
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").cache()
+    val rates = Seq("en" -> 0.35, "es" -> 0.6, "zh" -> 0.8)
+    val mixed = Sampling.stratifiedSample(langs, "doc_id", "lang", rates)
+    val before = langs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (lang, rate) =>
+      val realized = after(lang).toDouble / before(lang)
+      assert(math.abs(realized - rate) < 0.15, s"$lang realized $realized vs $rate")
+    }
+    // strata without a rate keep every row (defaultRate = 1.0)
+    (before.keySet -- rates.map(_._1)).foreach(l => assert(after(l) === before(l), l))
+    // admission is a pure id function: partitioning cannot change the sample
+    val mixed2 = Sampling.stratifiedSample(langs.repartition(11), "doc_id", "lang", rates)
+    assert(mixed.except(mixed2).count() === 0 && mixed.count() === mixed2.count())
+    // rate 0 removes the stratum; a subset relation always holds
+    val drop = Sampling.stratifiedSample(langs, "doc_id", "lang", Seq("en" -> 0.0))
+    assert(drop.where(col("lang") === "en").count() === 0)
+    assert(mixed.join(langs, Seq("doc_id"), "left_anti").count() === 0)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(langs, "doc_id", "lang", Seq("en" -> 1.5)))
+  }
+
   test("packSequences: gapless shard-local concat-and-split, deterministic across partitioning") {
     val withTokens = docs.select(col("doc_id"),
       graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
