@@ -49,12 +49,20 @@ object Mutations {
     *
     * Version ties break deterministically on the `op` column when present
     * ("put" > "del" — an equal-version put/delete pair resolves to the put on
-    * every path, batch or streamed). Rows equal on (version, op) but
-    * differing elsewhere have no defined winner: LWW convergence assumes
-    * versions identify writes; give concurrent writers distinct versions. */
-  def latestByKey(changes: DataFrame, pk: String, versionCol: String): DataFrame = {
+    * every path, batch or streamed), then on any extra `tiebreaks` columns
+    * (e.g. a replica origin id — see [[graft.streaming.ChangeFeed.mergeLeaders]]).
+    * Rows equal on the full ordering but differing elsewhere have no defined
+    * winner: LWW convergence assumes the ordering identifies writes; give
+    * concurrent writers distinct versions or a distinguishing tiebreak. */
+  def latestByKey(changes: DataFrame, pk: String, versionCol: String): DataFrame =
+    latestByKey(changes, pk, versionCol,
+      Seq("op").filter(changes.columns.contains(_)))
+
+  /** [[latestByKey]] with an explicit version-tie ordering suffix. */
+  def latestByKey(changes: DataFrame, pk: String, versionCol: String,
+                  tiebreaks: Seq[String]): DataFrame = {
     val cols = changes.columns.filter(c => c != pk)
-    val ord = struct((versionCol +: Seq("op").filter(cols.contains)).map(col): _*)
+    val ord = struct((versionCol +: tiebreaks).map(col): _*)
     changes.groupBy(col(pk))
       .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("_latest"))
       .select(col(pk) +: cols.map(c => col(s"_latest.$c").as(c)).toIndexedSeq: _*)

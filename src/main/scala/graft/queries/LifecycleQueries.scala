@@ -89,6 +89,27 @@ object LifecycleQueries {
     "lww_change_feed" -> ((s, dir) =>
       ChangeFeed.batchApply(changeLog(emb(s, dir), withVector = false), "id", "version")
         .orderBy("id")),
+    // Multi-leader replication bus (the JetStream LWW intent): three
+    // leaders write concurrently — same-version put/put conflicts resolve
+    // by origin priority, put/del ties by op — and the merged view is the
+    // unique fixpoint every delivery order converges to (ChangeFeedSpec
+    // pins commutativity/idempotence; here the winners themselves are
+    // oracle-checked).
+    "replica_merge" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val id = col("vec_id").cast("string").as("id")
+      def entry(op: String, version: Long, label: org.apache.spark.sql.Column) =
+        Seq(lit(op).as("op"), id, lit(version).as("version"), label.cast("long").as("label"))
+      val a = e.select(entry("put", 1L, col("label")): _*)
+        .unionByName(e.where(col("vec_id") % 5 === 0).select(entry("del", 3L, lit(0L)): _*))
+      val b = e.where(col("vec_id") % 3 === 0).select(entry("put", 2L, col("label") + 100): _*)
+        .unionByName(e.where(col("vec_id") % 7 === 0).select(entry("put", 3L, col("label") + 200): _*))
+      val c = e.where(col("vec_id") % 7 === 0).select(entry("put", 3L, col("label") + 300): _*)
+        .unionByName(e.where(col("vec_id") % 9 === 0).select(entry("del", 2L, lit(0L)): _*))
+      ChangeFeed.view(ChangeFeed.mergeLeaders(
+          Seq("a" -> a, "b" -> b, "c" -> c), "id", "version"))
+        .orderBy("id")
+    }),
     // S10 versioning lifecycle: three flushed versions, a time-travel read
     // of v1, vacuum keepLast=1 — removed ids + surviving version/row count.
     "vacuum_versions" -> ((s, dir) => {
@@ -136,6 +157,24 @@ object LifecycleQueries {
       s"""WITH $logLwwSql
          |SELECT id, CAST(version AS BIGINT) AS version, label
          |FROM w WHERE rn = 1 AND op = 'put' ORDER BY id""".stripMargin,
+    "replica_merge" ->
+      """WITH log AS (
+        |  SELECT 'put' AS op, CAST(vec_id AS VARCHAR) AS id, 1 AS version,
+        |    CAST(label AS BIGINT) AS label, 'a' AS origin FROM embeddings
+        |  UNION ALL SELECT 'del', CAST(vec_id AS VARCHAR), 3, 0, 'a'
+        |    FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL SELECT 'put', CAST(vec_id AS VARCHAR), 2, CAST(label + 100 AS BIGINT), 'b'
+        |    FROM embeddings WHERE vec_id % 3 = 0
+        |  UNION ALL SELECT 'put', CAST(vec_id AS VARCHAR), 3, CAST(label + 200 AS BIGINT), 'b'
+        |    FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL SELECT 'put', CAST(vec_id AS VARCHAR), 3, CAST(label + 300 AS BIGINT), 'c'
+        |    FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL SELECT 'del', CAST(vec_id AS VARCHAR), 2, 0, 'c'
+        |    FROM embeddings WHERE vec_id % 9 = 0),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |        ORDER BY version DESC, op DESC, origin DESC) AS rn FROM log)
+        |SELECT id, CAST(version AS BIGINT) AS version, label, origin
+        |FROM w WHERE rn = 1 AND op = 'put' ORDER BY id""".stripMargin,
     "vacuum_versions" ->
       """SELECT '1,2' AS removed_versions,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id < 100) AS n_rows_v1,

@@ -501,6 +501,30 @@ object PipelineQueries {
           sum((length(col("text")) - length(red)).cast("long")).as("chars_redacted"))
         .orderBy("source")
     }),
+    // End-to-end training-data export: the whole prep pipeline composed —
+    // dup-injected corpus → quality filter → exact dedup → stratified
+    // language mix → GPT-style sequence packing → per-shard export stats.
+    // Three shuffles total (dedup group, pack window, final agg); every
+    // stage is an already-audited operator, and every stage's selectivity
+    // shows up in the packed token mass, so a regression anywhere in the
+    // chain moves this oracle.
+    "training_export" -> ((s, dir) => {
+      val scored = dupCorpus(s, dir).select(
+        col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.qualityScore("text"), 6).as("quality"))
+      val kept = scored.where(col("quality") >= 0.63)
+      val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+      val mixed = graft.operators.Sampling.stratifiedSample(deduped, "doc_id", "lang",
+        Seq("en" -> 0.35, "es" -> 0.6, "zh" -> 0.8), defaultRate = 1.0)
+      graft.operators.Packing.packSequences(
+          mixed.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", contextTokens = 512, shards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("seq_id").as("n_windows"),
+          sum("n_tokens").as("n_tokens"))
+        .orderBy("shard")
+    }),
     // Corpus mixing: per-language deterministic down-sampling (dominant
     // language kept at 35%, mid strata at 60/80%, rare strata in full) —
     // the data-mixing step of corpus prep. Membership is a pure id-hash
@@ -1086,6 +1110,32 @@ object PipelineQueries {
         |  CAST(SUM(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS ssns,
         |  CAST(SUM(len(text) - len(redacted)) AS BIGINT) AS chars_redacted
         |FROM red GROUP BY source ORDER BY source""".stripMargin,
+    "training_export" -> {
+      val mixBkt = h15("'mix'", "CAST(doc_id AS VARCHAR)")
+      val shard = h15("'pack'", "CAST(doc_id AS VARCHAR)")
+      val ord = h15("'pack-order'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH $dupCorpusSql,
+         |scored AS (SELECT doc_id, text, lang,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    ${QualitySql.quality} AS quality
+         |  FROM corpus),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.63),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+         |surv AS (SELECT * FROM kept WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |mixed AS (SELECT * FROM surv WHERE $mixBkt % 10000 <
+         |    CASE lang WHEN 'en' THEN 3500 WHEN 'es' THEN 6000
+         |         WHEN 'zh' THEN 8000 ELSE 10000 END),
+         |d AS (SELECT doc_id, n_tokens,
+         |    $shard % 8 AS shard, $ord % 1073741824 AS ord FROM mixed),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) - n_tokens
+         |      AS BIGINT) AS start
+         |  FROM d)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT start // 512) AS BIGINT) AS n_windows,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "corpus_mix" -> {
       val bkt = h15("'mix'", "CAST(doc_id AS VARCHAR)")
       s"""WITH b AS (SELECT lang, doc_id, text, $bkt % 10000 AS bkt FROM documents)

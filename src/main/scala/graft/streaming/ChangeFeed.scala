@@ -46,6 +46,33 @@ object ChangeFeed {
   /** User-facing view of the folded state: tombstones hidden. */
   def view(state: DataFrame): DataFrame = state.where(col(OpCol) =!= OpDel).drop(OpCol)
 
+  /** Multi-leader LWW merge — the reference's JetStream replication-bus
+    * intent (README "Summary" §2-4; subjects at
+    * /root/reference/config/config.go:75-86, declared but never consumed in
+    * its tree): each leader ships an independent change log tagged with its
+    * origin id, and the merged state keeps, per key, the row greatest under
+    * the TOTAL order (version, op, origin). Totality is what makes the merge
+    * associative, commutative and idempotent — any gossip topology, delivery
+    * order, or re-delivery converges to the same state (pinned by
+    * ChangeFeedSpec). Same-version concurrent writes resolve
+    * deterministically: put beats del (the single-log rule), then the
+    * lexically greatest origin wins — an arbitrary but fixed site priority,
+    * the standard LWW-register tiebreak.
+    *
+    * Scale: one `max_by` shuffle on the pk regardless of leader count; logs
+    * union without materializing. To gossip incrementally, fold a new
+    * origin-tagged batch into previously merged state with
+    * `Mutations.latestByKey(state ∪ batch, pk, version, Seq("op", originCol))`
+    * — the merged state keeps its origin column for exactly this reason. */
+  def mergeLeaders(logs: Seq[(String, DataFrame)], pk: String, versionCol: String,
+                   originCol: String = "origin"): DataFrame = {
+    require(logs.nonEmpty, "at least one leader log required")
+    require(logs.map(_._1).distinct.size == logs.size, "leader origin ids must be distinct")
+    val tagged = logs.map { case (origin, df) => df.withColumn(originCol, lit(origin)) }
+    val ord = Seq(OpCol).filter(logs.head._2.columns.contains(_)) :+ originCol
+    Mutations.latestByKey(tagged.reduce(_ unionByName _), pk, versionCol, ord)
+  }
+
   /** Batch reference semantics: LWW over the whole log at once — the spec
     * asserts the streamed fold converges to exactly this. */
   def batchApply(log: DataFrame, pk: String, versionCol: String): DataFrame =

@@ -65,6 +65,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(last === expected)
   }
 
+  test("mergeLeaders: total (version, op, origin) order makes the merge a CRDT join") {
+    // three leaders writing concurrently, with every conflict class:
+    // same-version put/put (k2@2: b vs c), same-version put/del (k3@2:
+    // put(a) vs del(c) — put wins), plain version dominance (k1)
+    val la = changes(Seq(("put", "k1", 1L, "k1-a1"), ("put", "k3", 2L, "k3-a2"),
+      ("del", "k4", 9L, "")))
+    val lb = changes(Seq(("put", "k1", 3L, "k1-b3"), ("put", "k2", 2L, "k2-b2")))
+    val lc = changes(Seq(("put", "k2", 2L, "k2-c2"), ("del", "k3", 2L, ""),
+      ("put", "k4", 1L, "k4-c1")))
+    val want = Map("k1" -> "k1-b3", "k2" -> "k2-c2", "k3" -> "k3-a2")
+
+    def merged(logs: Seq[(String, DataFrame)]) =
+      collectView(ChangeFeed.view(ChangeFeed.mergeLeaders(logs, "id", "version")))
+
+    val base = merged(Seq("a" -> la, "b" -> lb, "c" -> lc))
+    assert(base === want)
+    // commutative: any delivery order converges identically
+    assert(merged(Seq("c" -> lc, "a" -> la, "b" -> lb)) === want)
+    assert(merged(Seq("b" -> lb, "c" -> lc, "a" -> la)) === want)
+    // idempotent: re-delivering a whole log changes nothing (same origin,
+    // same rows — union then LWW collapses the duplicates)
+    assert(merged(Seq("a" -> la.unionByName(la), "b" -> lb, "c" -> lc)) === want)
+    // associative: gossiping pairwise then folding the third — the merged
+    // state keeps its origin column, so a later log folds in with the same
+    // total order
+    val ab = ChangeFeed.mergeLeaders(Seq("a" -> la, "b" -> lb), "id", "version")
+    val abc = graft.operators.Mutations.latestByKey(
+      ab.unionByName(lc.withColumn("origin", lit("c"))),
+      "id", "version", Seq("op", "origin"))
+    assert(collectView(ChangeFeed.view(abc)) === want)
+    // distinct-origin contract
+    intercept[IllegalArgumentException](
+      ChangeFeed.mergeLeaders(Seq("a" -> la, "a" -> lb), "id", "version"))
+    intercept[IllegalArgumentException](
+      ChangeFeed.mergeLeaders(Seq.empty, "id", "version"))
+  }
+
   test("fold is idempotent: re-applying a batch changes nothing") {
     val b = changes(batch2)
     val once = ChangeFeed.fold(changes(batch1), b, "id", "version")
