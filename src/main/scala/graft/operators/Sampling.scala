@@ -74,4 +74,26 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol), family, buckets) < threshold)
   }
+
+  /** Cap every stratum at `maxRows`, keeping a deterministic hash-ordered
+    * prefix — the "no single domain dominates" guard of corpus prep. The
+    * kept subset is a pure function of the ids (the hash order is a uniform
+    * shuffle of each stratum, so the prefix IS a uniform sample), stable
+    * across re-runs and engines.
+    *
+    * Scale: one window shuffle partitioned by stratum. A stratum lands on
+    * one reducer, so a stratum vastly larger than `maxRows` should be
+    * pre-thinned with [[hashSample]] (rate ≈ a few × maxRows/|stratum|)
+    * before the exact cap — the same two-phase discipline as a skewed
+    * top-K. */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    maxRows: Int, family: String = "cap"): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), family, 1 << 30), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxRows)
+      .drop("_rk")
+  }
 }

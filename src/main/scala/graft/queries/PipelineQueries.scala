@@ -525,6 +525,27 @@ object PipelineQueries {
           sum("n_tokens").as("n_tokens"))
         .orderBy("shard")
     }),
+    // Bigram-LM quality scoring (the CCNet/KenLM discipline): model
+    // trained on the first half of the corpus (capped at its 400 most
+    // frequent bigrams — the cap binds: 912 distinct), every doc scored
+    // by average bigram log-likelihood. Distributed top-K model build +
+    // broadcast-join scoring; no content shuffle of the corpus.
+    "lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.text.NgramLm.train(
+        d.where(col("doc_id") < 250), "text", maxBigrams = 400)
+      graft.text.NgramLm.score(d, "doc_id", "text", model)
+        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .orderBy("doc_id")
+    }),
+    // Per-source cap: no single domain exceeds 15 docs — a deterministic
+    // hash-ordered prefix per stratum (the prefix IS a uniform sample of
+    // the stratum). One stratum-partitioned window shuffle.
+    "source_cap" -> ((s, dir) =>
+      graft.operators.Sampling.capPerStratum(docs(s, dir), "doc_id", "source", maxRows = 15)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("source")),
     // Corpus mixing: per-language deterministic down-sampling (dominant
     // language kept at 35%, mid strata at 60/80%, rare strata in full) —
     // the data-mixing step of corpus prep. Membership is a pure id-hash
@@ -1135,6 +1156,35 @@ object PipelineQueries {
          |  CAST(COUNT(DISTINCT start // 512) AS BIGINT) AS n_windows,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "lm_perplexity" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 250),
+        |bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |    FROM tr)
+        |  GROUP BY bigram ORDER BY c_bg DESC, bigram LIMIT 400),
+        |hdc AS (SELECT w1, COUNT(*) AS c_head FROM (
+        |    SELECT unnest(toks[1:len(toks)-1]) AS w1 FROM tr) GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT t) AS vocab FROM (SELECT unnest(toks) AS t FROM tr)),
+        |sc AS (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents),
+        |j AS (SELECT sc.doc_id,
+        |    ln((COALESCE(b.c_bg, 0)::DOUBLE + 0.5) / (COALESCE(h.c_head, 0)::DOUBLE + 0.5 * v.vocab)) AS logp
+        |  FROM sc
+        |  LEFT JOIN bgc b USING (bigram)
+        |  LEFT JOIN hdc h ON h.w1 = string_split(sc.bigram, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(logp), 6) AS avg_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "source_cap" -> {
+      val bkt = h15("'cap'", "CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY $bkt % 1073741824, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+         |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin
     },
     "corpus_mix" -> {
       val bkt = h15("'mix'", "CAST(doc_id AS VARCHAR)")

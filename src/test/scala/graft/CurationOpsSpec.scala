@@ -98,6 +98,25 @@ class CurationOpsSpec extends SparkSpec {
       Sampling.stratifiedSample(langs, "doc_id", "lang", Seq("en" -> 1.5)))
   }
 
+  test("capPerStratum: exact cap, deterministic prefix, small strata untouched") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").cache()
+    val capped = Sampling.capPerStratum(src, "doc_id", "source", maxRows = 15)
+    val before = src.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (s, n) =>
+      assert(after(s) === math.min(n, 15L), s"source $s")
+    }
+    // pure function of the ids: partitioning cannot change the kept set
+    val capped2 = Sampling.capPerStratum(src.repartition(9), "doc_id", "source", 15)
+    assert(capped.except(capped2).count() === 0 && capped.count() === capped2.count())
+    // the helper column does not leak
+    assert(capped.columns.toSeq === src.columns.toSeq)
+    intercept[IllegalArgumentException](Sampling.capPerStratum(src, "doc_id", "source", 0))
+  }
+
   test("packSequences: gapless shard-local concat-and-split, deterministic across partitioning") {
     val withTokens = docs.select(col("doc_id"),
       graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
