@@ -347,6 +347,24 @@ object PipelineQueries {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.75)"), 6).as("p75"))
         .orderBy("event_type")),
+    // Z-order (Morton) clustering audit: the exact-integer z-value over
+    // (user_id, epoch-ns ts), aggregated per coarse z-cell — every cell's
+    // min/max box shows the locality a z-clustered parquet layout gives
+    // each row group on BOTH dimensions. Pure bit arithmetic, replicated
+    // bit-exactly by the oracle; ZOrderSpec proves the row-group-skipping
+    // payoff end to end.
+    "zorder_locality" -> ((s, dir) => {
+      // micros on both sides: DuckDB truncates the parquet ns timestamps
+      val e = eventsRaw(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"))
+      val shifts = graft.operators.ZOrder.fitShifts(e, Seq("user_id", "tsu"), bits = 8)
+      e.withColumn("z", graft.operators.ZOrder.zvalue(Seq("user_id", "tsu"), shifts, bits = 8))
+        .groupBy(shiftright(col("z"), 10).as("z_cell"))
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("u_min"), max("user_id").as("u_max"),
+          min("tsu").as("t_min"), max("tsu").as("t_max"))
+        .orderBy("z_cell")
+    }),
     // Event-time tumbling-window aggregation over the events table
     // (§2.9 extension; same plan batch or streaming, one shuffle on
     // (window, type) with map-side partial aggregation).
@@ -944,6 +962,27 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "zorder_locality" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+        |st AS (SELECT MIN(user_id) AS mnu, MAX(user_id) - MIN(user_id) AS ru,
+        |    MIN(tsu) AS mnt, MAX(tsu) - MIN(tsu) AS rt
+        |  FROM ev),
+        |sh AS (SELECT mnu, mnt,
+        |    GREATEST(list_max(list_transform(range(0, 63),
+        |      b -> CASE WHEN (ru >> b) > 0 THEN b + 1 ELSE 0 END)) - 8, 0) AS shu,
+        |    GREATEST(list_max(list_transform(range(0, 63),
+        |      b -> CASE WHEN (rt >> b) > 0 THEN b + 1 ELSE 0 END)) - 8, 0) AS sht
+        |  FROM st),
+        |z AS (SELECT event_id, user_id, tsu,
+        |    list_reduce(list_transform(range(0, 8), b ->
+        |      (((((user_id - mnu) >> shu) >> b) & 1) << (2 * b))
+        |      | (((((tsu - mnt) >> sht) >> b) & 1) << (2 * b + 1))),
+        |      (a, v) -> a | v) AS zv
+        |  FROM ev, sh)
+        |SELECT zv >> 10 AS z_cell, COUNT(*) AS n,
+        |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+        |  MIN(tsu) AS t_min, MAX(tsu) AS t_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_pivot" ->
       """SELECT hour(ts) AS hr,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
