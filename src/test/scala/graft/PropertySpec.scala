@@ -92,6 +92,82 @@ class PropertySpec extends SparkSpec {
 
   // --- arg_min_distance ≡ struct-array argmin under adversarial near-ties ---
 
+  test("mergeLeaders converges to the single-log LWW fixpoint on random gossip") {
+    // any partition of a write set into origin-tagged leader logs merges to
+    // the state a direct max over the same (version, op, origin) total
+    // order computes — 20 random worlds. Writes are unique per
+    // (key, version, op, origin) so the order is genuinely total.
+    val r = new Random(1306)
+    val origins = Seq("l1", "l2", "l3")
+    (1 to 20).foreach { world =>
+      val keys = Seq("a", "b", "c", "d", "e")
+      val writes = Seq.fill(12 + r.nextInt(20))((
+          if (r.nextInt(4) == 0) "del" else "put",
+          keys(r.nextInt(keys.length)),
+          (1 + r.nextInt(5)).toLong,
+          s"p${r.nextInt(1000)}",
+          origins(r.nextInt(3))))
+        .groupBy(w => (w._1, w._2, w._3, w._5)).map(_._2.head).toSeq
+      val logs = origins.map(o => o -> writes.filter(_._5 == o)
+        .map(w => (w._1, w._2, w._3, w._4)).toDF("op", "id", "version", "payload"))
+      val merged = ChangeFeed.view(ChangeFeed.mergeLeaders(logs, "id", "version"))
+        .select("id", "payload").collect().map(x => x.getString(0) -> x.getString(1)).toMap
+      val want = writes.groupBy(_._2).flatMap { case (k, ws) =>
+        val (op, _, _, payload, _) = ws.maxBy(w => (w._3, w._1, w._5))
+        if (op == "put") Some(k -> payload) else None
+      }
+      assert(merged === want, s"world $world diverged")
+    }
+  }
+
+  test("z-values stay in range and respect per-dimension bucket monotonicity") {
+    import graft.operators.ZOrder
+    val r = new Random(1891)
+    val rows = Seq.fill(400)((r.nextLong().abs % 100000L, r.nextLong().abs % 3000L))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = rows.toDF("id", "x", "y")
+    val bits = 6
+    val shifts = ZOrder.fitShifts(df, Seq("x", "y"), bits)
+    val out = df.withColumn("z", ZOrder.zvalue(Seq("x", "y"), shifts, bits))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    out.foreach { case (_, _, z) =>
+      assert(z >= 0 && z < (1L << (2 * bits)), s"z out of range: $z") }
+    // equal buckets in both dims ⇒ equal z; larger value in one dim with the
+    // other fixed ⇒ z never decreases below the other's bucket prefix
+    def bucket(v: Long, mn: Long, sh: Int) = (v - mn) >> sh
+    out.toSeq.combinations(2).take(20000).foreach { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      val bx1 = bucket(x1, shifts(0)._1, shifts(0)._2); val bx2 = bucket(x2, shifts(0)._1, shifts(0)._2)
+      val by1 = bucket(y1, shifts(1)._1, shifts(1)._2); val by2 = bucket(y2, shifts(1)._1, shifts(1)._2)
+      if (bx1 == bx2 && by1 == by2) assert(z1 === z2)
+      if (bx1 <= bx2 && by1 <= by2) assert(z1 <= z2, s"dominance violated: ($bx1,$by1,z=$z1) vs ($bx2,$by2,z=$z2)")
+      case _ => ()
+    }
+  }
+
+  test("redaction is idempotent and never leaks a detectable span on random PII soup") {
+    import graft.text.Pii
+    val r = new Random(77)
+    def randPii(): String = r.nextInt(4) match {
+      case 0 => s"u${r.nextInt(1000)}@ex${r.nextInt(100)}.org"
+      case 1 => s"${100 + r.nextInt(900)}-${100 + r.nextInt(900)}-${1000 + r.nextInt(9000)}"
+      case 2 => s"${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}"
+      case _ => s"${100 + r.nextInt(900)}-${10 + r.nextInt(90)}-${1000 + r.nextInt(9000)}"
+    }
+    val words = Seq("alpha", "beta", "gamma", "delta", "x9", "v1.2")
+    val texts = Seq.fill(60) {
+      Seq.fill(3 + r.nextInt(8))(
+        if (r.nextInt(3) == 0) randPii() else words(r.nextInt(words.length))
+      ).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val red = df.select(col("id"), Pii.redact(col("text")).as("text"))
+    // nothing detectable survives one redaction pass…
+    assert(red.where(Pii.hasPii(col("text"))).count() === 0)
+    // …so a second pass is the identity
+    val twice = red.select(col("id"), Pii.redact(col("text")).as("text"))
+    assert(red.exceptAll(twice).count() === 0)
+  }
+
   test("arg_min_distance matches the naive argmin on duplicate and sub-round6-perturbed centroids") {
     val r = new Random(1234)
     val dim = 8
