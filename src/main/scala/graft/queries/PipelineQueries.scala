@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.{Ann, Pq}
@@ -252,6 +252,27 @@ object PipelineQueries {
       val qs = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ann.bruteForceTopK(e, qs, k = 5, "vec_id", "embedding", "qid", "qvec", "cosine")
+    }),
+    // JL random projection: 64 → 16 dims through a deterministic
+    // md5-Rademacher matrix (a plan constant), then top-5 cosine in the
+    // PROJECTED space — the cheap candidate-generation rung of the ANN
+    // ladder. Every fold is left-to-right, so the oracle matches the
+    // doubles bit-for-bit, not just at the rounding digit.
+    "rp_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ann.RandomProjection.project(emb(s, dir), "embedding", 64, 16)
+        .select(col("vec_id"), col("projected"))
+      val q = p.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("projected").as("qv"))
+      def dot(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val scored = p.crossJoin(broadcast(q)).select(col("qid"), col("vec_id"),
+        round(lit(1.0) - dot(col("projected"), col("qv")) /
+          (sqrt(dot(col("projected"), col("projected"))) * sqrt(dot(col("qv"), col("qv")))), 6)
+          .as("dist"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .drop("rn").orderBy("qid", "dist", "vec_id")
     }),
     // Sign-LSH near-neighbor pairs: 2 hyperplanes → 4 buckets → equi-join +
     // exact verify (the corpus-scale alternative to all-pairs).
@@ -962,6 +983,32 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "rp_topk" ->
+      """WITH gm AS (SELECT i, list_transform(range(0, 64), j ->
+        |      ((list_reduce(list_transform(string_split_regex(
+        |          substr(md5('rp|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 15), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |        (acc, v) -> acc * 16 + v) % 2) * 2 - 1)::DOUBLE) AS gs
+        |  FROM range(0, 16) t(i)),
+        |pv AS (SELECT e.vec_id, g.i,
+        |    list_reduce(list_transform(range(0, 64),
+        |      j -> e.embedding[j + 1]::DOUBLE * g.gs[j + 1]), (a, b) -> a + b) / sqrt(16) AS c
+        |  FROM embeddings e, gm g),
+        |pvl AS (SELECT vec_id, list(c ORDER BY i) AS pvec FROM pv GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, pvec AS qv FROM pvl WHERE vec_id < 3),
+        |s AS (SELECT q.qid, p.vec_id,
+        |    -- + 0 normalizes -0.0 (DuckDB ROUND keeps the zero sign;
+        |    -- Spark's BigDecimal round does not)
+        |    ROUND(1 - list_reduce(list_transform(range(0, 16),
+        |        ii -> p.pvec[ii + 1] * q.qv[ii + 1]), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(0, 16),
+        |           ii -> p.pvec[ii + 1] * p.pvec[ii + 1]), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(0, 16),
+        |           ii -> q.qv[ii + 1] * q.qv[ii + 1]), (a, b) -> a + b))), 6) + 0 AS dist
+        |  FROM pvl p, q),
+        |r AS (SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM s)
+        |SELECT qid, vec_id, dist FROM r WHERE rn <= 5 ORDER BY qid, dist, vec_id""".stripMargin,
     "zorder_locality" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
         |st AS (SELECT MIN(user_id) AS mnu, MAX(user_id) - MIN(user_id) AS ru,
