@@ -253,6 +253,21 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ann.bruteForceTopK(e, qs, k = 5, "vec_id", "embedding", "qid", "qvec", "cosine")
     }),
+    // Cross-source contamination matrix: winnow fingerprints shared
+    // between source pairs — the syndication/mirror map of a crawl.
+    // Distinct (source, fp) projection then a fingerprint equi-join
+    // (never doc×doc); at 100 TB a boilerplate-hot fp contributes at most
+    // |sources|² pair rows, bounded by the source count, not the corpus.
+    "source_overlap" -> ((s, dir) => {
+      val sf = docs(s, dir)
+        .select(col("source"), explode(Winnowing.fingerprints(col("text"))).as("fp"))
+        .distinct()
+      sf.as("a").join(sf.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .orderBy("source_a", "source_b")
+    }),
     // JL random projection: 64 → 16 dims through a deterministic
     // md5-Rademacher matrix (a plan constant), then top-5 cosine in the
     // PROJECTED space — the cheap candidate-generation rung of the ANN
@@ -983,6 +998,14 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "source_overlap" ->
+      s"""WITH src AS (SELECT doc_id, text FROM documents),
+         |${winnowCtes("s", "src")},
+         |sf AS (SELECT DISTINCT d.source, f.fp
+         |  FROM sfp f JOIN documents d USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_fps
+         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rp_topk" ->
       """WITH gm AS (SELECT i, list_transform(range(0, 64), j ->
         |      ((list_reduce(list_transform(string_split_regex(
