@@ -39,9 +39,13 @@ object RandomProjection {
     require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
       s"need 1 <= outDim <= inDim, got $outDim / $inDim")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // a wrong-length vector would zip into silent nulls — fail loudly instead
+    val checked = when(size(vec) === inDim, vec.cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"random projection expects $inDim dims, got "), size(vec).cast("string"))))
     val comps = (0 until outDim).map { i =>
       val gs = array((0 until inDim).map(j => lit(sign(family, i, j))): _*)
-      aggregate(zip_with(vec.cast("array<double>"), gs, (x, g) => x * g),
+      aggregate(zip_with(checked, gs, (x, g) => x * g),
         lit(0.0), (acc, x) => acc + x) * lit(scale)
     }
     array(comps: _*)

@@ -89,6 +89,8 @@ object Sampling {
   def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
                     maxRows: Int, family: String = "cap"): DataFrame = {
     require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    require(!df.columns.contains("_rk"),
+      "input already has a _rk column; rename it before capping")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(hashBucket(col(idCol), family, 1 << 30), col(idCol))

@@ -33,6 +33,7 @@ object ZOrder {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0), "cannot fit z-order shifts: input is empty or all-null")
     cols.indices.map { i =>
       val mn = r.getLong(2 * i)
       val range = r.getLong(2 * i + 1) - mn

@@ -68,6 +68,9 @@ object ChangeFeed {
                    originCol: String = "origin"): DataFrame = {
     require(logs.nonEmpty, "at least one leader log required")
     require(logs.map(_._1).distinct.size == logs.size, "leader origin ids must be distinct")
+    require(!logs.exists(_._2.columns.contains(originCol)),
+      s"leader logs already carry a '$originCol' column — pass a different originCol " +
+        "(pre-tagged state folds in via Mutations.latestByKey, not mergeLeaders)")
     val tagged = logs.map { case (origin, df) => df.withColumn(originCol, lit(origin)) }
     val ord = Seq(OpCol).filter(logs.head._2.columns.contains(_)) :+ originCol
     Mutations.latestByKey(tagged.reduce(_ unionByName _), pk, versionCol, ord)

@@ -100,6 +100,9 @@ class ChangeFeedSpec extends SparkSpec {
       ChangeFeed.mergeLeaders(Seq("a" -> la, "a" -> lb), "id", "version"))
     intercept[IllegalArgumentException](
       ChangeFeed.mergeLeaders(Seq.empty, "id", "version"))
+    // pre-tagged state must fold via latestByKey, not re-tag through merge
+    intercept[IllegalArgumentException](
+      ChangeFeed.mergeLeaders(Seq("d" -> ab), "id", "version"))
   }
 
   test("fold is idempotent: re-applying a batch changes nothing") {

@@ -115,6 +115,8 @@ class CurationOpsSpec extends SparkSpec {
     // the helper column does not leak
     assert(capped.columns.toSeq === src.columns.toSeq)
     intercept[IllegalArgumentException](Sampling.capPerStratum(src, "doc_id", "source", 0))
+    intercept[IllegalArgumentException](
+      Sampling.capPerStratum(src.withColumn("_rk", lit(1)), "doc_id", "source", 5))
   }
 
   test("packSequences: gapless shard-local concat-and-split, deterministic across partitioning") {

@@ -59,5 +59,11 @@ class RandomProjectionSpec extends SparkSpec {
       RandomProjection.projectExpr(col("embedding"), 64, 65))
     intercept[IllegalArgumentException](
       RandomProjection.projectExpr(col("embedding"), 64, 0))
+    // wrong-length vectors fail loudly instead of zipping into nulls
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      RandomProjection.project(bad, "embedding", 64, 16).collect())
+    assert(e.getMessage.contains("expects 64 dims") ||
+      Option(e.getCause).exists(_.getMessage.contains("expects 64 dims")))
   }
 }

@@ -34,6 +34,8 @@ class ZOrderSpec extends SparkSpec {
     val cshifts = ZOrder.fitShifts(df.withColumn("y", lit(7L)), Seq("x", "y"), 2)
     assert(cshifts(1) === ((7L, 0)))
     intercept[IllegalArgumentException](ZOrder.fitShifts(df, Seq("x", "y"), 32))
+    intercept[IllegalArgumentException](
+      ZOrder.fitShifts(df.where(lit(false)), Seq("x", "y"), 2)) // empty input
   }
 
   test("cluster: content-preserving, partitions cover disjoint tight z-ranges") {
