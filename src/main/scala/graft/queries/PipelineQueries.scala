@@ -79,6 +79,21 @@ object PipelineQueries {
       Dedup.dropExactDuplicates(dupCorpus(s, dir), "doc_id", "text")
         .groupBy("lang").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
         .orderBy("lang")),
+    // Incremental dedup: a "new crawl" batch (every 4th doc re-crawled
+    // verbatim + every (4k+1)th doc with genuinely new content) against the
+    // full corpus — bloom-negative rows skip the anti-join, bloom-positive
+    // rows are settled exactly; output = the genuinely-new rows only.
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text", "lang", "source")
+      val batch = corpus.where(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .unionByName(corpus.where(col("doc_id") % 4 === 1)
+          .withColumn("doc_id", col("doc_id") + 30000)
+          .withColumn("text", concat(col("text"), lit(" addendum"))))
+      Dedup.newAgainstCorpus(batch, corpus, "text",
+          expectedItems = 100000L, fpp = 0.03)
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands → bucket join →
     // exact-Jaccard verify. The only corpus-wide shuffles are the band
     // equi-join and the two candidate hydration joins.
@@ -779,6 +794,18 @@ object PipelineQueries {
          |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
          |FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // ground truth for the bloom-prefiltered operator is the plain
+    // anti-join: batch rows whose text is absent from the corpus
+    "dedup_incremental" ->
+      s"""WITH batch AS (
+         |  SELECT doc_id + 20000 AS doc_id, text, lang, source
+         |  FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000 AS doc_id, text || ' addendum' AS text, lang, source
+         |  FROM documents WHERE doc_id % 4 = 1)
+         |SELECT doc_id, lang, source FROM batch
+         |WHERE text NOT IN (SELECT text FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashVerifyCtes
          |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5

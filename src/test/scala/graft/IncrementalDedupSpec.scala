@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SketchExpressions
+
+import graft.dedup.Dedup
+
+/** Bloom-prefiltered incremental dedup: the sketch may say "maybe" too
+  * often (false positives) but never "no" wrongly (false negatives) —
+  * exactness must hold at ANY fpp because the anti-join backstop settles
+  * every bloom-positive row. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 300L)
+    .map(i => (i, s"historical document number $i with stable content"))
+    .toDF("doc_id", "text")
+
+  // 40 exact re-crawls + 60 genuinely new docs
+  private lazy val batch = (
+    (0L until 40L).map(i => (1000L + i, s"historical document number ${i * 3} with stable content")) ++
+    (0L until 60L).map(i => (2000L + i, s"fresh crawl document $i never seen before"))
+  ).toDF("doc_id", "text")
+
+  private def plainAntiJoin = batch.join(corpus.select("text"), Seq("text"), "left_anti")
+
+  test("newAgainstCorpus equals the plain anti-join at default fpp") {
+    val got = Dedup.newAgainstCorpus(batch, corpus, "text", expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = plainAntiJoin.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.length === 60)
+    assert(got.forall(_ >= 2000L))
+  }
+
+  test("exactness survives a deliberately undersized, high-fpp sketch") {
+    // 8 expected items for a 300-item corpus at fpp 0.5: the sketch is
+    // saturated, nearly every probe is positive — the anti-join must
+    // still produce the exact answer (just with less pruning).
+    val got = Dedup.newAgainstCorpus(batch, corpus, "text",
+        expectedItems = 8L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = plainAntiJoin.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("no false negatives: every corpus text probes bloom-positive") {
+    val h = xxhash64(col("text"))
+    val bloom = corpus.select(
+      SketchExpressions.bloomFilterAgg(h, 1000L, 0.03).as("b")).head().getAs[Array[Byte]]("b")
+    val negatives = corpus.where(!SketchExpressions.mightContain(lit(bloom), h)).count()
+    assert(negatives === 0L)
+  }
+
+  test("bloom pruning is real: most genuinely-new rows skip the anti-join") {
+    val h = xxhash64(col("text"))
+    val bloom = corpus.select(
+      SketchExpressions.bloomFilterAgg(h, 1000L, 0.03).as("b")).head().getAs[Array[Byte]]("b")
+    // bloom-positive batch rows = 40 true dups + fp-sliver of the 60 new
+    val maybe = batch.where(SketchExpressions.mightContain(lit(bloom), h)).count()
+    assert(maybe >= 40L, s"lost true duplicates to the sketch: $maybe")
+    assert(maybe <= 40L + 20L, s"fpp far above configured bound: ${maybe - 40} of 60 new rows flagged")
+  }
+
+  test("empty corpus: everything in the batch is new") {
+    val empty = corpus.where(lit(false))
+    val got = Dedup.newAgainstCorpus(batch, empty, "text", expectedItems = 10L)
+      .count()
+    assert(got === batch.count())
+  }
+
+  test("all-duplicate batch returns no rows") {
+    val dupBatch = corpus.withColumn("doc_id", col("doc_id") + 5000L)
+    assert(Dedup.newAgainstCorpus(dupBatch, corpus, "text", expectedItems = 1000L).count() === 0L)
+  }
+
+  test("within-batch duplicates are retained, not collapsed") {
+    val twice = batch.unionByName(batch.withColumn("doc_id", col("doc_id") + 9000L))
+    val got = Dedup.newAgainstCorpus(twice, corpus, "text", expectedItems = 1000L).count()
+    assert(got === 120L) // 60 new texts, two carriers each
+  }
+
+  test("contract errors: missing column, bad sketch parameters") {
+    intercept[IllegalArgumentException] {
+      Dedup.newAgainstCorpus(batch, corpus, "nope", expectedItems = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      SketchExpressions.bloomFilterAgg(col("x"), expectedItems = 0L, fpp = 0.03)
+    }
+    intercept[IllegalArgumentException] {
+      SketchExpressions.bloomFilterAgg(col("x"), expectedItems = 10L, fpp = 1.5)
+    }
+  }
+}
