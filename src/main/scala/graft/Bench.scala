@@ -388,7 +388,21 @@ object Bench {
         "dedup_simhash_100k" -> (() =>
           graft.dedup.SimHashDedup.nearDuplicatePairs(d, "doc_id", "text").count()),
         "winnow_100k" -> (() =>
-          d.select(explode(graft.text.Winnowing.fingerprints(col("text"), 8, 4))).count()))
+          d.select(explode(graft.text.Winnowing.fingerprints(col("text"), 8, 4))).count()),
+        // incremental ingest shape: 20k-row batch (half exact re-crawls,
+        // half genuinely new) against the 100k corpus — bloom negatives
+        // skip the anti-join, positives settle exactly
+        "dedup_incremental_100k" -> (() => {
+          val recrawl = d.where(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+          val fresh = spark.range(0, 10000).toDF("doc_id")
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", expr(
+              """array_join(transform(sequence(0, 49), j ->
+                |  concat('n', pmod(xxhash64(doc_id, j), 5000))), ' ')""".stripMargin))
+          graft.dedup.Dedup.newAgainstCorpus(
+            recrawl.unionByName(fresh), d, "text", expectedItems = 100000L).count()
+        }))
       val r = suite.map { case (name, fn) => name -> timed(name, runs = 1)(fn()) }
       d.unpersist()
       r

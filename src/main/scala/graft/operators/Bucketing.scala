@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout: pay the partitioning shuffle ONCE at write time,
+  * then every equi-join / aggregation on the bucket key runs exchange-free.
+  *
+  * The 100 TB rationale: a fact table that is joined on the same key by
+  * every downstream query (doc_id, user_id, …) re-shuffles its full volume
+  * per query under the default layout. Hash-bucketing the files at ingest
+  * (`bucketBy` + `sortBy`) records the partitioning in the table spec, so
+  * Catalyst plans a sort-merge join with NO Exchange on either bucketed
+  * side — and a point filter on the bucket key prunes to 1/n of the files
+  * before the scan ("SelectedBucketsCount" in the plan). This is the batch
+  * analog of the reference's shard-by-hash placement
+  * (root_layer/edge-lite shard hash, FNV-1a mod 16): co-locate once,
+  * query forever.
+  *
+  * Bucket-count choice at scale: buckets are the join's parallelism ceiling
+  * (one task per bucket), so size them like shuffle partitions — corpus
+  * bytes / target partition size, rounded to a power of two; both sides of
+  * a co-located join must agree (Spark requires equal counts; v2 bucketing
+  * relaxes to multiples).
+  *
+  * Operational note: `spark.sql.sources.bucketing.autoBucketedScan.enabled`
+  * (default true) turns bucketed reading OFF for queries that don't exploit
+  * the distribution, trading bucket-pruning for file-split parallelism —
+  * point lookups that should prune to one bucket need it set to false.
+  */
+object Bucketing {
+
+  /** Write `df` as an external parquet table hash-bucketed (and per-bucket
+    * sorted) on `key`, replacing any previous table of the same name. The
+    * sort makes the merge-join side streamable with no per-query Sort. */
+  def writeBucketed(df: DataFrame, path: String, table: String, key: String,
+                    buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(df.columns.contains(key),
+      s"bucket key '$key' not in columns (${df.columns.mkString(", ")})")
+    val spark = df.sparkSession
+    // drop-then-write: overwrite alone refuses on bucket-spec changes
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two bucketed tables on their bucket keys. The merge hint
+    * keeps the planner on sort-merge (a broadcast pick would hide the
+    * layout's point); with matching bucket specs the executed plan has no
+    * Exchange — asserted by BucketingSpec. */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
+}

@@ -416,6 +416,24 @@ object PipelineQueries {
           min("tsu").as("t_min"), max("tsu").as("t_max"))
         .orderBy("z_cell")
     }),
+    // Bucketed co-located join: both tables hash-bucketed (and per-bucket
+    // sorted) on the join key at WRITE time, so the sort-merge join plans
+    // with zero Exchange — the pay-the-shuffle-once layout for keys every
+    // downstream query joins on. The oracle is the plain join: the layout
+    // must be invisible in the results. BucketingSpec pins the plan
+    // properties (no Exchange, SelectedBucketsCount pruning).
+    "bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      graft.operators.Bucketing.writeBucketed(
+        docs(s, dir).select("doc_id", "lang", "source"),
+        base + "/docs", "graft_bkt_docs", "doc_id", buckets = 8)
+      graft.operators.Bucketing.writeBucketed(
+        emb(s, dir).select("vec_id", "label"),
+        base + "/emb", "graft_bkt_emb", "vec_id", buckets = 8)
+      graft.operators.Bucketing.colocatedJoin(s,
+          "graft_bkt_docs", "graft_bkt_emb", "doc_id", "vec_id")
+        .select("doc_id", "lang", "source", "label").orderBy("doc_id")
+    }),
     // Event-time tumbling-window aggregation over the events table
     // (§2.9 extension; same plan batch or streaming, one shuffle on
     // (window, type) with map-side partial aggregation).
@@ -1080,6 +1098,11 @@ object PipelineQueries {
         |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
         |  MIN(tsu) AS t_min, MAX(tsu) AS t_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketed layout must be invisible in the results: plain join
+    "bucketed_join" ->
+      """SELECT d.doc_id, d.lang, d.source, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
     "events_pivot" ->
       """SELECT hour(ts) AS hr,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

@@ -82,6 +82,14 @@ class PlanShapeSpec extends SparkSpec {
       s"decontamination must join on the fingerprint key:\n$p")
   }
 
+  test("bucketed_join: the write-time layout eliminates the join shuffle") {
+    // only the final orderBy's range partitioning remains; the join itself
+    // must ride the bucket spec (zero hash exchanges)
+    val p = plan("bucketed_join")
+    assert(shuffles(p) === 0, s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint lost:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // the only legitimate unbounded pairing is blocked/banded equi-joins;
     // a cartesian in any registered query is a scale bug

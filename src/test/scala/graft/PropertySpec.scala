@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.functions._
 
 import graft.FilterExpr._
+import graft.dedup.Dedup
 import graft.streaming.ChangeFeed
 
 /** Randomized property tests (seeded, deterministic): the filter-AST
@@ -223,5 +224,35 @@ class PropertySpec extends SparkSpec {
         graft.functions.arg_min_distance(col("v"), cents, metric).as("got"))
       .where(col("want") =!= col("got"))
     assert(diverged.count() === 0L, s"kernel diverges from naive argmin on $metric")
+  }
+
+  test("newAgainstCorpus equals set-difference semantics on random corpora at random fpp") {
+    // the sketch is an optimization, never a semantic: whatever the fpp or
+    // how badly the sketch is sized, the output must be exactly the batch
+    // rows whose text is absent from the corpus — duplicates-within-batch
+    // retained, empty strings and non-ASCII included
+    val r = new Random(7)
+    def randText(): String = {
+      val n = r.nextInt(6)
+      val base = Seq.fill(n)(s"t${r.nextInt(30)}").mkString(" ")
+      if (r.nextBoolean()) base + " é✓" else base
+    }
+    for (round <- 1 to 5) {
+      val corpusTexts = Seq.fill(30 + r.nextInt(100))(randText())
+      val batchTexts = Seq.fill(20 + r.nextInt(60))(
+        if (r.nextBoolean()) corpusTexts(r.nextInt(corpusTexts.length)) else randText())
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val fpp = Seq(0.01, 0.1, 0.5)(r.nextInt(3))
+      val expectedItems = 1L + r.nextInt(200)
+      val got = Dedup.newAgainstCorpus(batch, corpus, "text", expectedItems, fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val corpusSet = corpusTexts.toSet
+      val want = batchTexts.zipWithIndex
+        .collect { case (t, i) if !corpusSet(t) => 1000L + i }.sorted
+      assert(got === want, s"round $round fpp $fpp expectedItems $expectedItems")
+    }
   }
 }
