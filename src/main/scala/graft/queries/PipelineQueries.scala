@@ -416,6 +416,17 @@ object PipelineQueries {
           min("tsu").as("t_min"), max("tsu").as("t_max"))
         .orderBy("z_cell")
     }),
+    // Exact heavy hitters over corpus-cardinality keys (3-word shingles),
+    // CMS-candidate-pruned: the sketch pass drops rows whose key can't
+    // reach the threshold BEFORE the groupBy shuffle; the exact count on
+    // the surviving sliver makes the output bit-identical to the plain
+    // groupBy-HAVING (which is what the oracle runs).
+    "heavy_hitters" -> ((s, dir) => {
+      val sh = dupCorpus(s, dir).select(explode(Dedup.shingles("text")).as("k"))
+      graft.operators.HeavyHitters.frequentKeys(sh, col("k"),
+          threshold = 7L, eps = 5e-5)
+        .orderBy(desc("n"), col("key"))
+    }),
     // Bucketed co-located join: both tables hash-bucketed (and per-bucket
     // sorted) on the join key at WRITE time, so the sort-merge join plans
     // with zero Exchange — the pay-the-shuffle-once layout for keys every
@@ -1098,6 +1109,12 @@ object PipelineQueries {
         |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
         |  MIN(tsu) AS t_min, MAX(tsu) AS t_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch must be invisible in the results: plain groupBy-HAVING
+    "heavy_hitters" ->
+      s"""WITH $dupCorpusSql,
+         |sh AS (SELECT unnest(${shingleSql("text")}) AS k FROM corpus)
+         |SELECT k AS key, COUNT(*) AS n FROM sh GROUP BY k
+         |HAVING COUNT(*) >= 7 ORDER BY n DESC, key""".stripMargin,
     // the bucketed layout must be invisible in the results: plain join
     "bucketed_join" ->
       """SELECT d.doc_id, d.lang, d.source, e.label

@@ -7,10 +7,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, CountMinSketchAgg}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType}
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Bloom-sketch Column API.
   *
@@ -42,4 +45,47 @@ object SketchExpressions {
     * at the configured fpp; false negatives never. */
   def mightContain(bloom: Column, value: Column): Column =
     column(BloomFilterMightContain(expression(bloom), expression(value)))
+
+  /** Aggregate a LongType column into a serialized count-min sketch
+    * (BINARY). Sizing rule: the estimate overshoots a key's true count by
+    * up to eps · N (N = TOTAL rows ingested, not distinct keys) with
+    * probability ≥ confidence, so pick eps ≈ tolerable-slack / N — the
+    * sketch is O(1/eps) bytes and corpus-size-independent otherwise. */
+  def cmsAgg(values: Column, eps: Double, confidence: Double, seed: Int): Column = {
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0, 1), got $eps")
+    require(confidence > 0.0 && confidence < 1.0,
+      s"confidence must be in (0, 1), got $confidence")
+    column(new CountMinSketchAgg(expression(values),
+      expression(lit(eps)), expression(lit(confidence)),
+      expression(lit(seed))).toAggregateExpression())
+  }
+
+  /** Per-row upper-bound count of a LongType value against a driver-held
+    * serialized count-min sketch (never underestimates — the property the
+    * heavy-hitter prefilter's losslessness rests on). */
+  def cmsEstimate(sketchBytes: Array[Byte], value: Column): Column =
+    column(CmsEstimateLong(sketchBytes, expression(value)))
+}
+
+/** cms_estimate(value): the sketch's count upper bound for `value`. The
+  * deserialized sketch rides the plan as a reference object (Serializable),
+  * deserialized once per executor, probed inside whole-stage codegen. */
+case class CmsEstimateLong(sketchBytes: Array[Byte], child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "cms_estimate"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+
+  @transient private lazy val cms: CountMinSketch = CountMinSketch.readFrom(sketchBytes)
+
+  override def nullSafeEval(v: Any): Any = cms.estimateCount(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsSketch", cms,
+      "org.apache.spark.util.sketch.CountMinSketch")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.estimateCount((Object) $a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
