@@ -82,6 +82,12 @@ class PlanShapeSpec extends SparkSpec {
       s"decontamination must join on the fingerprint key:\n$p")
   }
 
+  test("heavy_hitters: codegen'd sketch prefilter, then ONE aggregation shuffle") {
+    val p = plan("heavy_hitters")
+    assert(shuffles(p) === 1, s"expected exactly the exact-count shuffle:\n$p")
+    assert(p.contains("cms_estimate"), s"CMS prefilter missing from the plan:\n$p")
+  }
+
   test("bucketed_join: the write-time layout eliminates the join shuffle") {
     // only the final orderBy's range partitioning remains; the join itself
     // must ride the bucket spec (zero hash exchanges)
