@@ -25,22 +25,26 @@ import org.apache.spark.sql.graft.SketchExpressions
   * pins this with a deliberately coarse sketch).
   *
   * Sizing at 100 TB: the estimate overshoots by ≤ eps·N (N = total rows
-  * ingested), so eps ≈ slack/N — the sketch is O(1/eps) and otherwise
-  * corpus-independent. When N·eps approaches the threshold, candidates
-  * degrade toward "everything" (still exact, just unpruned — the plain
-  * groupBy as the graceful floor). */
+  * ingested), so the scale-stable parameterization is RELATIVE support —
+  * threshold = ⌈φ·N⌉ with eps = φ/2 (the textbook frequent-items pairing):
+  * slack eps·N = threshold/2 stays proportionally under the threshold at
+  * every corpus size while the sketch stays a CONSTANT 2/eps = 4/φ
+  * counters. A fixed absolute threshold with fixed eps instead degrades
+  * toward "everything is a candidate" as N grows (still exact, just
+  * unpruned — the plain groupBy as the graceful floor). */
 object HeavyHitters {
 
-  /** Serialized CMS of `key`'s xxhash64 stream, or None on empty input.
-    * Hashing to 64-bit first keeps the probe a primitive-long codegen path;
-    * hash collisions only merge counts (more overestimate, still a superset
-    * — the exact pass is immune). */
+  /** Serialized CMS of `key`'s xxhash64 stream. Unlike the bloom aggregate,
+    * CountMinSketchAgg never returns SQL NULL — empty input yields a valid
+    * EMPTY sketch (every estimate 0), which flows through candidates →
+    * exact count as an empty result with the contract schema. Hashing to
+    * 64-bit first keeps the probe a primitive-long codegen path; hash
+    * collisions only merge counts (more overestimate, still a superset —
+    * the exact pass is immune). */
   def sketch(df: DataFrame, key: Column, eps: Double, confidence: Double,
-             seed: Int = 42): Option[Array[Byte]] = {
-    val row = df.select(
-      SketchExpressions.cmsAgg(xxhash64(key), eps, confidence, seed).as("s")).head()
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
-  }
+             seed: Int = 42): Array[Byte] =
+    df.select(SketchExpressions.cmsAgg(xxhash64(key), eps, confidence, seed).as("s"))
+      .head().getAs[Array[Byte]]("s")
 
   /** The rows whose key's sketch upper bound reaches `threshold` — a
     * provable superset of all heavy keys' rows, no shuffle. */
@@ -53,15 +57,9 @@ object HeavyHitters {
                    eps: Double = 1e-4, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    sketch(df, key, eps, confidence, seed) match {
-      case None => // empty input: empty result with the contract schema
-        df.select(key.as("key")).where(lit(false))
-          .groupBy("key").agg(count(lit(1)).as("n"))
-      case Some(bytes) =>
-        candidates(df, key, threshold, bytes)
-          .select(key.as("key"))
-          .groupBy("key").agg(count(lit(1)).as("n"))
-          .where(col("n") >= threshold)
-    }
+    candidates(df, key, threshold, sketch(df, key, eps, confidence, seed))
+      .select(key.as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
   }
 }

@@ -420,11 +420,16 @@ object PipelineQueries {
     // CMS-candidate-pruned: the sketch pass drops rows whose key can't
     // reach the threshold BEFORE the groupBy shuffle; the exact count on
     // the surviving sliver makes the output bit-identical to the plain
-    // groupBy-HAVING (which is what the oracle runs).
+    // groupBy-HAVING (which is what the oracle runs). RELATIVE support
+    // (threshold = ⌈φ·N⌉, eps = φ/2) so slack = threshold/2 and the
+    // pruning holds at every sf — the scale-stable parameterization the
+    // operator documents.
     "heavy_hitters" -> ((s, dir) => {
+      val phi = 2e-4
       val sh = dupCorpus(s, dir).select(explode(Dedup.shingles("text")).as("k"))
+      val n = sh.count()
       graft.operators.HeavyHitters.frequentKeys(sh, col("k"),
-          threshold = 7L, eps = 5e-5)
+          threshold = math.ceil(phi * n).toLong, eps = phi / 2)
         .orderBy(desc("n"), col("key"))
     }),
     // Bucketed co-located join: both tables hash-bucketed (and per-bucket
@@ -1110,11 +1115,13 @@ object PipelineQueries {
         |  MIN(tsu) AS t_min, MAX(tsu) AS t_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sketch must be invisible in the results: plain groupBy-HAVING
+    // with the same relative-support threshold ceil(2e-4 * N)
     "heavy_hitters" ->
       s"""WITH $dupCorpusSql,
          |sh AS (SELECT unnest(${shingleSql("text")}) AS k FROM corpus)
          |SELECT k AS key, COUNT(*) AS n FROM sh GROUP BY k
-         |HAVING COUNT(*) >= 7 ORDER BY n DESC, key""".stripMargin,
+         |HAVING COUNT(*) >= (SELECT CEIL(2e-4 * COUNT(*)) FROM sh)
+         |ORDER BY n DESC, key""".stripMargin,
     // the bucketed layout must be invisible in the results: plain join
     "bucketed_join" ->
       """SELECT d.doc_id, d.lang, d.source, e.label

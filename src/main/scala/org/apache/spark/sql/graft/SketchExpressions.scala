@@ -25,15 +25,50 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 object SketchExpressions {
   import GraftBridge.{column, expression}
 
+  /** Session cap on bloom items (`spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`): BloomFilterAggregate silently Math.min-clamps its
+    * sizing to this, which would degrade fpp without a trace — so
+    * [[bloomFilterAgg]] refuses loudly instead and callers that can
+    * degrade gracefully check these caps first. */
+  def bloomMaxItems: Long = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+
+  /** Session cap on bloom bits (`…runtime.bloomFilter.maxNumBits`). */
+  def bloomMaxBits: Long = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+
+  /** The smallest fpp whose optimal sizing for `items` still fits the
+    * session's numBits cap: optimalNumOfBits(n, p) = −n·ln p / ln²2 ≤ max
+    * ⇒ p ≥ exp(−max·ln²2 / n). */
+  def fppFloor(items: Long): Double = {
+    require(items > 0, s"items must be > 0, got $items")
+    math.exp(-bloomMaxBits * math.log(2.0) * math.log(2.0) / items.toDouble)
+  }
+
   /** Aggregate a LongType column into a serialized bloom filter (BINARY).
     * Returns SQL NULL on empty input (no rows ingested). Sized by the
     * classic optimal-bits formula; `expectedItems` overshoot is safe (fpp
     * only drops), undershoot degrades fpp but NEVER correctness — probes
-    * have no false negatives regardless. */
+    * have no false negatives regardless.
+    *
+    * Sizings past the session caps fail LOUDLY here: BloomFilterAggregate
+    * would otherwise Math.min-clamp items/bits internally and ship a
+    * silently undersized sketch whose realized fpp can be arbitrarily
+    * worse than requested. Raise the two confs in the error message (the
+    * caps are per-sketch memory guards, not correctness bounds) or shard
+    * the input by hash range and build one sketch per shard. */
   def bloomFilterAgg(values: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    require(expectedItems <= bloomMaxItems,
+      s"expectedItems=$expectedItems exceeds spark.sql.optimizer.runtime.bloomFilter" +
+        s".maxNumItems=$bloomMaxItems; raise the conf or shard the input " +
+        "(BloomFilterAggregate would clamp silently and degrade fpp)")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    require(numBits <= bloomMaxBits,
+      s"optimalNumOfBits($expectedItems, $fpp)=$numBits exceeds spark.sql.optimizer" +
+        s".runtime.bloomFilter.maxNumBits=$bloomMaxBits; raise the conf or use " +
+        s"fpp >= ${fppFloor(expectedItems)} (BloomFilterAggregate would clamp silently)")
     column(new BloomFilterAggregate(
       expression(values),
       expression(lit(expectedItems)),

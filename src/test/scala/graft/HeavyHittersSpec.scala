@@ -40,7 +40,7 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("candidate prefilter is a superset of heavy rows and actually prunes") {
     val bytes = HeavyHitters.sketch(skewed, col("k"), eps = 1e-4,
-      confidence = 0.99).get
+      confidence = 0.99)
     val cand = HeavyHitters.candidates(skewed, col("k"), 50L, bytes)
     val n = cand.count()
     // all 250 heavy rows must survive; slack eps*N = 0.225 rounds to ~0

@@ -80,6 +80,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got === 120L) // 60 new texts, two carriers each
   }
 
+  test("session bloom caps: loud oversized corpus sketch; reverse filter backs off then skips") {
+    val want = plainAntiJoin.select("doc_id").as[Long].collect().sorted.toSeq
+    try {
+      // requested sizing past the items cap fails LOUDLY (BloomFilterAggregate
+      // would silently clamp and degrade fpp)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "50")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.newAgainstCorpus(batch, corpus, "text", expectedItems = 1000L)
+      }
+      assert(e.getMessage.contains("maxNumItems"))
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      // bits cap at 500: corpus sketch (60 items @ fpp .5 = 87 bits) fits,
+      // the maybe-side 1e-4 target does not — fpp backs off to the floor,
+      // result stays exact
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "500")
+      val backedOff = Dedup.newAgainstCorpus(batch, corpus, "text",
+          expectedItems = 60L, fpp = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(backedOff === want)
+      // bits cap at 100: even fpp 0.5 can't fit the maybe set — the
+      // reverse filter is SKIPPED (unpruned corpus side), still exact
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "100")
+      val skipped = Dedup.newAgainstCorpus(batch, corpus, "text",
+          expectedItems = 60L, fpp = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(skipped === want)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    }
+  }
+
   test("contract errors: missing column, bad sketch parameters") {
     intercept[IllegalArgumentException] {
       Dedup.newAgainstCorpus(batch, corpus, "nope", expectedItems = 10L)
