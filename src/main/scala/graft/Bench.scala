@@ -402,6 +402,14 @@ object Bench {
                 |  concat('n', pmod(xxhash64(doc_id, j), 5000))), ' ')""".stripMargin))
           graft.dedup.Dedup.newAgainstCorpus(
             recrawl.unionByName(fresh), d, "text", expectedItems = 100000L).count()
+        }),
+        // CMS-pruned exact heavy hitters over ~4.8M shingle instances,
+        // relative support phi=2e-4 (the scale-stable parameterization)
+        "heavy_hitters_100k" -> (() => {
+          val sh = d.select(explode(graft.dedup.Dedup.shingles("text")).as("k"))
+          val n = sh.count()
+          graft.operators.HeavyHitters.frequentKeys(sh, col("k"),
+            threshold = math.ceil(2e-4 * n).toLong, eps = 1e-4).count()
         }))
       val r = suite.map { case (name, fn) => name -> timed(name, runs = 1)(fn()) }
       d.unpersist()

@@ -82,6 +82,16 @@ class PlanShapeSpec extends SparkSpec {
       s"decontamination must join on the fingerprint key:\n$p")
   }
 
+  test("dedup_incremental: bloom probes on BOTH join sides, anti-join settles") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("LeftAnti"), s"exactness backstop join missing:\n$p")
+    // the corpus relation must be probed (reverse filter) before the join:
+    // both sides carry a might_contain, so it appears at least twice
+    assert("might_contain".r.findAllIn(p).length >= 2,
+      s"symmetric (corpus-side) bloom prune missing:\n$p")
+  }
+
   test("heavy_hitters: codegen'd sketch prefilter, then ONE aggregation shuffle") {
     val p = plan("heavy_hitters")
     assert(shuffles(p) === 1, s"expected exactly the exact-count shuffle:\n$p")
