@@ -48,7 +48,7 @@ final class LocalIvfIndex private (
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
       val vecs = cellVecs.get(cid)
-      val heap = LocalIvfIndex.newHeap(topK)
+      val heap = LocalTopK.newHeap(topK)
       // Admission gate: once the heap is full, a vector can only displace
       // the head if d <= head + 2e-6 (beyond that, cmp resolves on the raw
       // doubles — see cmp's fast path), so the overwhelming majority of
@@ -62,7 +62,7 @@ final class LocalIvfIndex private (
           if (heap.size < topK) {
             heap.add(e)
             if (heap.size == topK) gate = heap.peek()._2 + 2e-6
-          } else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) {
+          } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
             heap.poll(); heap.add(e)
             gate = heap.peek()._2 + 2e-6
           }
@@ -71,24 +71,7 @@ final class LocalIvfIndex private (
       }
       heap.toArray(new Array[(AnyRef, Double)](0))
     }
-    val perCell: Seq[Array[(AnyRef, Double)]] =
-      if (probed.length <= 1) probed.map(scanCell)
-      else {
-        import java.util.concurrent.CompletableFuture
-        probed
-          .map(cid => CompletableFuture.supplyAsync(() => scanCell(cid)))
-          .map(_.join())
-      }
-    // merge the per-cell top-k sets
-    val heap = LocalIvfIndex.newHeap(topK)
-    perCell.foreach(_.foreach { e =>
-      if (heap.size < topK) heap.add(e)
-      else if (LocalIvfIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
-    })
-    val out = new Array[(AnyRef, Double)](heap.size)
-    var i = out.length - 1
-    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
-    out.toSeq
+    LocalTopK.scanAndMerge(probed, scanCell, topK)
   }
 }
 
@@ -129,27 +112,8 @@ object LocalIvfIndex {
     if (d.isNaN || d.isInfinite) d
     else new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** (round6(dist), id) ordering — the SAME total order as the distributed
-    * probe (`Ann.ivfSearch`: orderBy round(dist,6) asc, id asc), so the two
-    * probe paths rank near-ties identically. Fast path: when the raw
-    * distances differ by more than 2e-6 the rounded values are guaranteed to
-    * differ in the same direction (rounding moves each value < 0.5e-6), so
-    * BigDecimal rounding only runs on genuine near-ties. */
-  private def cmp(a: (AnyRef, Double), b: (AnyRef, Double)): Int = {
-    val c =
-      if (math.abs(a._2 - b._2) > 2e-6) java.lang.Double.compare(a._2, b._2)
-      else java.lang.Double.compare(round6(a._2), round6(b._2))
-    if (c != 0) c
-    else a._1 match {
-      case x: Comparable[_] => x.asInstanceOf[Comparable[AnyRef]].compareTo(b._1)
-      case _ => 0
-    }
-  }
-
-  /** Bounded max-heap on (dist, id) (worst of the best k at the head). */
-  private def newHeap(topK: Int) = new java.util.PriorityQueue[(AnyRef, Double)](
-    math.max(topK, 1),
-    (a: (AnyRef, Double), b: (AnyRef, Double)) => cmp(b, a))
+  // ordering + heap + fan-out live in [[LocalTopK]], shared with
+  // LocalPqIndex so the two serving rungs cannot drift apart
 
   /** Build from an assigned DataFrame (columns: id, vector, cell) + the
     * trained centroids — streamed to the driver via toLocalIterator, so the

@@ -72,7 +72,7 @@ final class LocalPqIndex private (
       if (ids == null) return Array.empty
       val codes = cellCodes.get(cid)
       val lut = lutFor(cid, q)
-      val heap = LocalPqIndex.newHeap(topK)
+      val heap = LocalTopK.newHeap(topK)
       // Admission bound in the SQUARED domain: an element can only displace
       // the heap head if dist <= head + 2e-6 (beyond that, cmp resolves on
       // the raw doubles — see cmp's fast path), so acc > (head + 2e-6)²
@@ -89,7 +89,7 @@ final class LocalPqIndex private (
           if (heap.size < topK) {
             heap.add(e)
             if (heap.size == topK) { val w = heap.peek()._2 + 2e-6; gate = w * w }
-          } else if (LocalPqIndex.cmp(e, heap.peek()) < 0) {
+          } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
             heap.poll(); heap.add(e)
             val w = heap.peek()._2 + 2e-6; gate = w * w
           }
@@ -98,23 +98,7 @@ final class LocalPqIndex private (
       }
       heap.toArray(new Array[(AnyRef, Double)](0))
     }
-    val perCell: Seq[Array[(AnyRef, Double)]] =
-      if (probed.length <= 1) probed.map(scanCell)
-      else {
-        import java.util.concurrent.CompletableFuture
-        probed
-          .map(cid => CompletableFuture.supplyAsync(() => scanCell(cid)))
-          .map(_.join())
-      }
-    val heap = LocalPqIndex.newHeap(topK)
-    perCell.foreach(_.foreach { e =>
-      if (heap.size < topK) heap.add(e)
-      else if (LocalPqIndex.cmp(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
-    })
-    val out = new Array[(AnyRef, Double)](heap.size)
-    var i = out.length - 1
-    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
-    out.toSeq
+    LocalTopK.scanAndMerge(probed, scanCell, topK)
   }
 
   private def lutFor(cid: Long, q: Array[Float]): Array[Double] =
@@ -130,24 +114,8 @@ object LocalPqIndex {
   /** Cell key used when the layout has no IVF cells. */
   private val NoCell = -1L
 
-  /** Same (round6(dist), id) total order as the distributed ADC scan
-    * (`searchPq` orders by round(adc, 6) asc, id asc) — see
-    * [[LocalIvfIndex.round6]] for the fast-path rationale. */
-  private def cmp(a: (AnyRef, Double), b: (AnyRef, Double)): Int = {
-    val c =
-      if (math.abs(a._2 - b._2) > 2e-6) java.lang.Double.compare(a._2, b._2)
-      else java.lang.Double.compare(LocalIvfIndex.round6(a._2), LocalIvfIndex.round6(b._2))
-    if (c != 0) c
-    else a._1 match {
-      case x: Comparable[_] => x.asInstanceOf[Comparable[AnyRef]].compareTo(b._1)
-      case _ => 0
-    }
-  }
-
-  /** Bounded max-heap on (dist, id) (worst of the best k at the head). */
-  private def newHeap(topK: Int) = new java.util.PriorityQueue[(AnyRef, Double)](
-    math.max(topK, 1),
-    (a: (AnyRef, Double), b: (AnyRef, Double)) => cmp(b, a))
+  // ordering + heap + fan-out live in [[LocalTopK]], shared with
+  // LocalIvfIndex so the two serving rungs cannot drift apart
 
   /** Build from a flushed PQ snapshot's (id, code[, cell]) columns + the
     * codebook sidecar — streamed via toLocalIterator so the transient

@@ -605,12 +605,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     // (query residual vs sub-codewords); with nprobe the scan is also
     // restricted to the nearest cells — partition-directory pruning cuts
     // the I/O to nprobe/k of the (already code-only) read. Which layout the
-    // snapshot actually stores is read from the sidecar's recorded flag
-    // (legacy sidecars: inferred from the IVF artifacts) — scoring raw
-    // codes against residual LUTs would be silently wrong.
+    // snapshot actually stores is read from the sidecar's recorded flag.
+    // Legacy (flagless) sidecars are RAW: residual encoding shipped in the
+    // same change as the flag, so every pre-flag flush — including IVF+PQ
+    // ones — encoded the raw decoded vector (round-5 flush:
+    // `withPqCode(assigned, SearchVecCol)`); inferring residual from the
+    // IVF artifacts would score raw codes against residual LUTs, silently
+    // wrong — the exact failure the flag exists to prevent.
     val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, meta.currentVersion))
-    val residualLayout = residFlag.getOrElse(hasCells)
+    val residualLayout = residFlag.getOrElse(false)
     require(!residualLayout || hasCells,
       s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     val (snap, adcExpr) =
@@ -668,9 +672,10 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   /** The PQ sidecar of version `v`: the codebook plus the recorded
     * residual-layout flag. `residual = None` on sidecars written before the
-    * flag existed — the caller falls back to inferring the layout from the
-    * IVF artifacts (those legacy residual snapshots predate raw-IVF+PQ
-    * combinations, so the inference is correct for them). */
+    * flag existed — callers treat those as RAW, which is historically
+    * exact: residual encoding and the flag shipped in the same change, so
+    * every flagless sidecar (including IVF+PQ ones) holds raw-vector
+    * codes. */
   private def readPqCodebook(name: String, v: Int,
                              m: Int): (graft.ann.PqCodebook, Option[Boolean]) = {
     val sidecar = spark.read.parquet(pqDir(name, v).toString)
@@ -725,7 +730,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids =
       if (hasCells) readCentroids(name, meta.currentVersion)
       else Seq.empty[(Long, Array[Float])]
-    val residual = residFlag.getOrElse(hasCells) // sidecar-recorded layout
+    val residual = residFlag.getOrElse(false) // legacy flagless sidecars are raw
     require(!residual || hasCells,
       s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,

@@ -168,12 +168,19 @@ object Multimodal {
               totalFrames = bb.getInt(pos + 8 + 16).toLong & 0xFFFFFFFFL
               width = bb.getInt(pos + 8 + 32); height = bb.getInt(pos + 8 + 36)
             case "strh" if size >= 32 =>
-              expectVideoStrf = fourcc(pos + 8) == "vids"
-              if (expectVideoStrf && videoStream < 0) {
+              // arm the strf parse ONLY for the SELECTED (first) video
+              // stream: a second 'vids' strh re-arming it would let that
+              // stream's strf clobber the first's bitCount/compression
+              // while the frame chunks are still gated to the first —
+              // mis-decoding valid frames. Any other strh disarms, so a
+              // malformed file whose vids strl lacks its strf can't have
+              // a later stream's strf land in the video slot.
+              if (fourcc(pos + 8) == "vids" && videoStream < 0) {
                 videoStream = streamCount
                 scale = bb.getInt(pos + 8 + 20).toLong & 0xFFFFFFFFL
                 rate = bb.getInt(pos + 8 + 24).toLong & 0xFFFFFFFFL
-              }
+                expectVideoStrf = true
+              } else expectVideoStrf = false
               streamCount += 1
             case "strf" if size >= 20 && expectVideoStrf =>
               bitCount = bb.getShort(pos + 8 + 14) & 0xFFFF
@@ -252,7 +259,8 @@ object Multimodal {
     * (x,y) = ((x·7+y·13+f·17+id)%256, (x·3+y·5+f·11+2id)%256,
     * (x·11+y+f·29+3id)%256). Lossless, so sampled-frame channel means are
     * exactly the formula's — the oracle recomputes them without a codec. */
-  def syntheticAvi(id: Long, audioTrack: Boolean = false): Array[Byte] = {
+  def syntheticAvi(id: Long, audioTrack: Boolean = false,
+                   secondVideoTrack: Boolean = false): Array[Byte] = {
     val w = 8 + (id % 5).toInt; val h = 6 + (id % 5).toInt
     val nFrames = 3 + (id % 4).toInt
     val stride = ((w * 3 + 3) / 4) * 4
@@ -273,7 +281,7 @@ object Multimodal {
       data
     }
     buildAvi(w, h, fps = 10, frames, handler = "DIB ", compression = 0, chunkId = "00db",
-      audioTrack = audioTrack)
+      audioTrack = audioTrack, secondVideoTrack = secondVideoTrack)
   }
 
   /** Deterministic MJPEG AVI per id: the same pixel formula encoded as JPEG
@@ -316,7 +324,8 @@ object Multimodal {
     * clobber the bitmap header and mixes audio bytes into pixel stats). */
   private def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
                        handler: String, compression: Int, chunkId: String,
-                       audioTrack: Boolean = false): Array[Byte] = {
+                       audioTrack: Boolean = false,
+                       secondVideoTrack: Boolean = false): Array[Byte] = {
     def le(i: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(i); b.array()
@@ -355,7 +364,23 @@ object Multimodal {
         (list("strl", chunk("strh", astrh) ++ chunk("strf", astrf)),
          chunk("01wb", Array.fill[Byte](64)(7)))
       }
-    val hdrl = list("hdrl", chunk("avih", avih) ++ videoStrl ++ audioStrl)
+    // a SECOND vids strl (MJPG, 16bpp — both fields differ from stream
+    // 0's) with no frame chunks of its own: a parser that re-arms the
+    // strf parse on every vids strh lets this clobber stream 0's format
+    // while the frames stay gated to stream 0 — mis-decoding valid video
+    val secondVideoStrl =
+      if (!secondVideoTrack) Array.empty[Byte]
+      else {
+        val strh2 = fcc("vids") ++ fcc("MJPG") ++ le(0) ++ le16(0) ++ le16(0) ++
+          le(0) ++ le(1) ++ le(fps * 2) ++ le(0) ++ le(frames.length) ++
+          le(maxFrame) ++ le(0) ++ le(0) ++
+          le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+        val strf2 = le(40) ++ le(w) ++ le(h) ++ le16(1) ++ le16(16) ++
+          le(0x47504A4D) ++ le(maxFrame) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+        list("strl", chunk("strh", strh2) ++ chunk("strf", strf2))
+      }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ videoStrl ++ audioStrl ++ secondVideoStrl)
     val movi = list("movi",
       frames.flatMap(fdata => chunk(chunkId, fdata) ++ audioChunk).toArray)
     val body = fcc("AVI ") ++ hdrl ++ movi

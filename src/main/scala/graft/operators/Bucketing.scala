@@ -31,19 +31,42 @@ object Bucketing {
 
   /** Write `df` as an external parquet table hash-bucketed (and per-bucket
     * sorted) on `key`, replacing any previous table of the same name. The
-    * sort makes the merge-join side streamable with no per-query Sort. */
+    * sort makes the merge-join side streamable with no per-query Sort.
+    *
+    * Stage-then-swap (the GraftCatalog.flush discipline): the replacement
+    * is FULLY written under a fresh subdir and a staging table name before
+    * the serving catalog entry is touched, so a failed write (disk full,
+    * executor loss, bad expression) cannot destroy the table downstream
+    * joins are using; the previous data directory is removed only after
+    * the swap succeeds. */
   def writeBucketed(df: DataFrame, path: String, table: String, key: String,
                     buckets: Int): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(df.columns.contains(key),
       s"bucket key '$key' not in columns (${df.columns.mkString(", ")})")
     val spark = df.sparkSession
-    // drop-then-write: overwrite alone refuses on bucket-spec changes
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.mode("overwrite").format("parquet").option("path", path)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$path/b$stamp"
+    val staged = s"${table}__staging_$stamp"
+    val prevLoc = if (spark.catalog.tableExists(table)) tableLocation(spark, table) else None
+    df.write.format("parquet").option("path", dataDir)
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+      .saveAsTable(staged)
+    // swap: catalog-only operations; the old data stays readable until here
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    prevLoc.filter(_ != dataDir).foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
+
+  /** The external location of `table` (DESCRIBE FORMATTED's Location row). */
+  private def tableLocation(spark: SparkSession, table: String): Option[String] =
+    spark.sql(s"DESCRIBE FORMATTED `$table`").collect()
+      .find(r => Option(r.getString(0)).exists(_.trim == "Location"))
+      .map(_.getString(1).trim)
 
   /** Equi-join two bucketed tables on their bucket keys. The merge hint
     * keeps the planner on sort-merge (a broadcast pick would hide the

@@ -33,7 +33,13 @@ object ZOrder {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!r.isNullAt(0), "cannot fit z-order shifts: input is empty or all-null")
+    // check EVERY dimension, naming the offender: min/max are null per
+    // column, so a later all-null clustered column would otherwise surface
+    // as a bare NPE from getLong instead of a contract error
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!r.isNullAt(2 * i),
+        s"cannot fit z-order shifts: input is empty or column '$c' is all-null")
+    }
     cols.indices.map { i =>
       val mn = r.getLong(2 * i)
       val range = r.getLong(2 * i + 1) - mn

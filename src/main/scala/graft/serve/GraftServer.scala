@@ -226,47 +226,23 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchLocal requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val (vector, topK, nprobe) = parseLocalProbe(req, "searchLocal")
         val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
         // differently on quantized collections.
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
-        val hits = idx.search(qv, topK, nprobe)
-        200 -> ("{\"rows\":[" + hits.map { case (id, d) =>
-          val idJson = id match {
-            case s: String => JsonMethods.compact(JString(s))
-            case other => other.toString
-          }
-          s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
-        }.mkString(",") + "]}")
+        200 -> hitsJson(idx.search(qv, topK, nprobe))
       // driver-local ADC probe over the PQ code layout (the memory-scale
       // serving rung: m bytes/vector resident; approximate ranking — exact
       // answers go through searchPq's rerank)
       case ("POST", "collections" :: name :: "searchLocalPq" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchLocalPq requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val (vector, topK, nprobe) = parseLocalProbe(req, "searchLocalPq")
         val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
-        val hits = idx.search(qv, topK, nprobe)
-        200 -> ("{\"rows\":[" + hits.map { case (id, d) =>
-          val idJson = id match {
-            case s: String => JsonMethods.compact(JString(s))
-            case other => other.toString
-          }
-          s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
-        }.mkString(",") + "]}")
+        200 -> hitsJson(idx.search(qv, topK, nprobe))
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
       case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>
@@ -333,6 +309,30 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     case JDecimal(v) => v.toDouble
     case other => throw new IllegalArgumentException(s"expected a number, got $other")
   }
+
+  /** (vector, topK, nprobe) of a local-probe request body — shared by the
+    * searchLocal / searchLocalPq routes. */
+  private def parseLocalProbe(req: JValue, route: String): (Array[Float], Int, Int) = {
+    val vector = req \ "vector" match {
+      case JArray(xs) => xs.map(num(_).toFloat).toArray
+      case _ => throw new IllegalArgumentException(s"$route requires \"vector\": [..]")
+    }
+    (vector,
+      (req \ "topK").toOption.map(num(_).toInt).getOrElse(10),
+      (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4))
+  }
+
+  /** The serving rows payload — ONE definition of the hit wire format
+    * (string-id escaping, round6 dist), so the two local serving rungs
+    * cannot diverge on it. */
+  private def hitsJson(hits: Seq[(AnyRef, Double)]): String =
+    "{\"rows\":[" + hits.map { case (id, d) =>
+      val idJson = id match {
+        case s: String => JsonMethods.compact(JString(s))
+        case other => other.toString
+      }
+      s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
+    }.mkString(",") + "]}"
 
   /** Collection meta from the create-request JSON (mirrors proto
     * `Collection`, edge.proto:29-36). */

@@ -53,7 +53,16 @@ object NgramLm {
       .orderBy(col("c_head").desc, col("w1")).limit(maxUnigrams)
     val vocab = df.select(explode(t).as("t"))
       .agg(countDistinct("t")).head().getLong(0)
-    Model(bg, hd, vocab)
+    // Consistency across the two caps: a bigram kept by maxBigrams whose
+    // HEAD was dropped by maxUnigrams would score with c_bg > 0 but
+    // c_head = 0 — a conditional above 1 and a POSITIVE log-likelihood
+    // (an unbounded overestimate masquerading as quality). Such orphaned
+    // bigrams leave the model with their head and take the unseen-head
+    // path (≈1/V), preserving the cap's bounded-underestimate semantics.
+    // Both tables are cap-bounded, so the semi-join is driver-sized.
+    val bgKept = bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(hd.select("w1"), Seq("w1"), "left_semi").drop("w1")
+    Model(bgKept, hd, vocab)
   }
 
   /** Per-document average bigram log-likelihood:

@@ -60,6 +60,19 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("a failed replacement write leaves the serving table intact") {
+    writeBoth()
+    val before = spark.table("graft_spec_bkt_docs").count()
+    assert(before > 0)
+    val bad = Tables.tbl(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source")
+      .withColumn("boom", expr("assert_true(doc_id < 0)"))
+    intercept[Exception] {
+      Bucketing.writeBucketed(bad, tmp + "/docs", "graft_spec_bkt_docs", "doc_id", 8)
+    }
+    assert(spark.table("graft_spec_bkt_docs").count() === before)
+  }
+
   test("contract errors: bad bucket count, missing key") {
     val d = Tables.tbl(spark, sfDir, "documents")
     intercept[IllegalArgumentException] {

@@ -163,7 +163,7 @@ class CatalogPqSpec extends SparkSpec {
     intercept[IllegalArgumentException](pqMeta("bad2").copy(pqTrainSampleMod = Some(1L)))
   }
 
-  test("pq sidecar records the residual layout flag; legacy sidecars fall back to inference") {
+  test("pq sidecar records the residual layout flag; legacy flagless sidecars read as raw") {
     val root = Files.createTempDirectory("graft-pqflag").toString
     val cat = new GraftCatalog(spark, root)
     // IVF+PQ flush ⇒ residual codes, flag true
@@ -182,11 +182,12 @@ class CatalogPqSpec extends SparkSpec {
     val flatSidecar = spark.read.parquet(s"$root/rflat/v1_pq")
     assert(flatSidecar.select("residual").distinct().collect()
       .map(_.getBoolean(0)).toSeq === Seq(false))
-    // legacy sidecar (no residual column): reads fall back to the IVF-
-    // artifact inference and keep answering identically
+    // legacy sidecar (no residual column): every flagless sidecar in the
+    // wild was written by the pre-flag flush, which encoded RAW vectors
+    // even under IVF — so the reader must interpret flagless codes as raw
+    // (single query LUT), NEVER infer residual from the IVF artifacts
+    // (that would score raw codes against residual LUTs, silently wrong)
     val q = fixtureRows(1, 16).select("vector").head().getSeq[Float](0).toArray
-    val before = cat.searchPq("rflag", q, topK = 5, rerank = false)
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val legacyRows = java.util.Arrays.asList(sidecar.drop("residual").collect(): _*)
     val legacySchema = org.apache.spark.sql.types.StructType(
       sidecar.schema.filterNot(_.name == "residual"))
@@ -200,7 +201,18 @@ class CatalogPqSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$root/rflag/v1_pq"))
     val after = cat.searchPq("rflag", q, topK = 5, rerank = false)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-    assert(after === before)
+    // expected = the raw single-LUT ADC over the stored codes, computed
+    // independently of the catalog's reader
+    val byJ = legacy.collect().groupBy(_.getAs[Int]("j"))
+    val cb = graft.ann.PqCodebook((0 until 4).map { j =>
+      byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
+    }.toArray)
+    val want = spark.read.parquet(s"$root/rflag/v1")
+      .select(col("id"),
+        round(graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, q), 6).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(after === want)
   }
 
   test("sidecar follows the version lifecycle (unversioned prune + vacuum)") {

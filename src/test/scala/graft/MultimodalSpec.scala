@@ -124,6 +124,18 @@ class MultimodalSpec extends SparkSpec {
     assert(plain.toSeq === withAudio.toSeq)
   }
 
+  test("REAL video container: a SECOND video stream's strf cannot clobber the selected stream's format") {
+    // stream 1 declares MJPG/16bpp with no frames of its own; a parser
+    // that re-arms the strf parse on every vids strh would overwrite
+    // stream 0's DIB/24bpp format and fail to decode its raw frames
+    val id = 6L
+    val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)
+    dec.init()
+    val plain = dec.decode(Multimodal.syntheticAvi(id)).get
+    val twoVideo = dec.decode(Multimodal.syntheticAvi(id, secondVideoTrack = true)).get
+    assert(plain.toSeq === twoVideo.toSeq)
+  }
+
   test("REAL video codec: MJPEG AVI decodes through javax.imageio's JPEG path") {
     val id = 3L // w=11, h=9, nFrames=6, sampled {0,2,4}
     val dec = new Multimodal.VideoStatsDecoder(sampleStep = 2)

@@ -28,9 +28,11 @@ class NgramLmSpec extends SparkSpec {
   test("caps keep the most frequent entries under a deterministic total order") {
     val m = NgramLm.train(train, "text", maxBigrams = 2, maxUnigrams = 1)
     val bg = m.bigrams.collect().map(_.getString(0)).toSet
-    // "the cat" (c=2) first; then the c=1 tie breaks on the bigram text:
-    // "cat ran" < "cat sat" < "dog sat" < "the dog"
-    assert(bg === Set("the cat", "cat ran"))
+    // the bigram cap keeps "the cat" (c=2) then "cat ran" (c=1 tie broken
+    // on text), but "cat ran"'s HEAD fell out of the 1-entry unigram cap —
+    // an orphaned bigram would score P > 1, so it leaves the model with
+    // its head and only "the cat" ships
+    assert(bg === Set("the cat"))
     assert(m.heads.collect().map(_.getString(0)).toSet === Set("the"))
   }
 
@@ -61,5 +63,20 @@ class NgramLmSpec extends SparkSpec {
 
   test("model caps are a contract error when < 1") {
     intercept[IllegalArgumentException](NgramLm.train(train, "text", maxBigrams = 0))
+  }
+
+  test("a bigram whose head fell out of the unigram cap cannot push P above 1") {
+    // head 'x' (30) dominates the 1-entry unigram cap; bigram 'a b' (20)
+    // stays under the bigram cap — pre-fix it scored with c_head = 0 and
+    // P = 20.5 / (0.5·4) ≈ 10 (logp ≈ +2.3), ranking junk as top quality;
+    // the orphaned bigram must instead take the unseen-head path (< 1)
+    val docs = (Seq.fill(30)("x y") ++ Seq.fill(20)("a b")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = NgramLm.train(docs, "text", maxBigrams = 2, maxUnigrams = 1)
+    val scores = NgramLm.score(docs, "doc_id", "text", m)
+      .select("avg_logp").as[Double].collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(_ <= 0.0),
+      s"positive log-likelihood leaked through the cap: max=${scores.max}")
   }
 }

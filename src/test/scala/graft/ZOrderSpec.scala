@@ -36,6 +36,11 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](ZOrder.fitShifts(df, Seq("x", "y"), 32))
     intercept[IllegalArgumentException](
       ZOrder.fitShifts(df.where(lit(false)), Seq("x", "y"), 2)) // empty input
+    // a LATER all-null column must be the same loud contract error (not an
+    // NPE from the null min/max), and the message must name the column
+    val eNull = intercept[IllegalArgumentException](
+      ZOrder.fitShifts(df.withColumn("y", lit(null).cast("long")), Seq("x", "y"), 2))
+    assert(eNull.getMessage.contains("'y'"))
   }
 
   test("cluster: content-preserving, partitions cover disjoint tight z-ranges") {
