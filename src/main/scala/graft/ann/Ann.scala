@@ -183,6 +183,50 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch k-NN join: for EVERY row of `queries`, the k nearest `assigned`
+    * corpus rows, candidates restricted to each query's `nprobe` nearest IVF
+    * cells — the set-returning form of [[ivfSearch]] (which fixes ONE query
+    * vector) and the 100 TB path for retrieval-augmentation / cross-corpus
+    * semantic-dedup joins where the query side is itself a table.
+    *
+    * Plan shape: probe-cell selection is ONE row-local [[top_cells]] kernel
+    * call per query row (no join, no shuffle — the codebook rides along as a
+    * plan constant, exactly like [[ivfAssign]]); `explode` fans each query
+    * into `nprobe` (cell, qvec) rows; ONE equi-join on `cell` pairs queries
+    * with candidate rows (with the catalog's cell-partitioned snapshot
+    * layout this is a partition-pruned, co-located join — never all-pairs);
+    * exact distances only inside probed cells; one qid-keyed window bounds
+    * the result to k per query. Hot cells are ordinary join skew — AQE's
+    * skew-join split applies. Recall follows IVF recall (nprobe/k dial);
+    * `nprobe = centroids.size` degenerates to exact brute force.
+    *
+    * `queries` must expose `qidCol`/`qvecCol` under names distinct from
+    * `idCol` (alias first, as with [[bruteForceTopK]]). Output:
+    * (qidCol, idCol, dist, rn), best-first per query. */
+  def knnJoin(
+      assigned: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      metric: String = "euclidean"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(qidCol != idCol && qvecCol != vecCol,
+      s"query columns ($qidCol, $qvecCol) must be aliased apart from corpus columns ($idCol, $vecCol)")
+    // top_cells is the EXPLODE INPUT (evaluated once per query row by the
+    // Generate) — not a sibling projection, so the ExtractGenerator
+    // kernel-hoist re-evaluation footgun (Pq.scala) does not apply
+    val probed = queries.select(
+      col(qidCol), col(qvecCol),
+      explode(top_cells(col(qvecCol), centroids, metric, nprobe)).as("cell"))
+    val cand = probed
+      .join(assigned.select(col(idCol), col(vecCol), col("cell")), Seq("cell"))
+      .select(col(qidCol), col(idCol),
+        round(distance(col(vecCol), col(qvecCol), metric), 6).as("dist"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .orderBy(col(qidCol), col("rn"))
+  }
+
   /** Driver-side distance mirror (double accumulation like the expressions). */
   private def distLocal(a: Array[Float], b: Array[Float], metric: String): Double = metric match {
     case "euclidean" =>

@@ -44,6 +44,17 @@ package object functions {
       sorted.map(_._1).toArray, sorted.map(_._2).toArray, metric))
   }
 
+  /** Probe-cell kernel: the `nprobe` nearest centroid cids, best-first,
+    * under the (round(dist,6), cid) total order — `arg_min_distance`
+    * generalized to top-n, same constant-size codegen loop. Feeds
+    * [[graft.ann.Ann.knnJoin]]'s per-query cell fan-out. */
+  def top_cells(v: Column, centroids: Seq[(Long, Array[Float])], metric: String,
+                nprobe: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    column(VecTopCells(expression(v),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, metric, nprobe))
+  }
+
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 

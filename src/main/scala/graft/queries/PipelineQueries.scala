@@ -335,6 +335,21 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
     }),
+    // Batch k-NN join: every query ROW (not one fixed vector) gets its
+    // top-5 corpus neighbors, candidates from the query's 3 nearest of 8
+    // deterministic cells — probe cells via one row-local top_cells kernel
+    // call, ONE cell equi-join, exact distances only inside probed cells.
+    // The retrieval-augmentation / cross-corpus-dedup primitive.
+    "knn_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = (0 until 8).map(i =>
+        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
+      val q = e.where(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.knnJoin(assigned, q, k = 5, "vec_id", "embedding", "qid", "qvec",
+        cents, nprobe = 3, "euclidean")
+    }),
     // Product-quantization ADC search: 64-d vectors → 4 subspaces × 16
     // codewords → 4-byte codes (64× compression); top-10 by asymmetric
     // distance over a pure code scan. Deterministic seed codebook (the 16
@@ -1059,6 +1074,28 @@ object PipelineQueries {
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, e.vec_id LIMIT 10""".stripMargin,
+    "knn_join" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 101 = 0),
+        |probe AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM q, cents c) WHERE rn <= 3),
+        |cand AS (SELECT q.qid, e.vec_id,
+        |    ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |  FROM q JOIN probe p ON p.qid = q.qid
+        |    JOIN asg a ON a.cid = p.cid
+        |    JOIN embeddings e ON e.vec_id = a.vec_id),
+        |r AS (SELECT qid, vec_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM cand)
+        |SELECT qid, vec_id, dist, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "source_overlap" ->
       s"""WITH src AS (SELECT doc_id, text FROM documents),
          |${winnowCtes("s", "src")},

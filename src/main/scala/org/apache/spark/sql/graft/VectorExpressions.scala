@@ -377,6 +377,170 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** top_cells(v): the `nprobe` nearest centroid ids from an embedded
+  * (broadcast-sized) codebook, best-first — the per-QUERY-row probe-cell
+  * kernel behind [[graft.ann.Ann.knnJoin]]. The top-n generalization of
+  * [[VecArgMinDistance]] (nprobe=1 degenerates to it): same total order
+  * (`round(dist,6)` asc, cid asc — the order every distributed scan uses),
+  * same lazy-rounding discipline (BigDecimal only runs when a candidate
+  * lands within the rounding window of the current cut), one constant-size
+  * codegen loop over a `float[][]` reference so k=4096 centroid counts stay
+  * inside whole-stage codegen.
+  *
+  * Selection is insertion into two fixed nprobe-sized arrays (nprobe is
+  * single-digit in practice); centroids are scanned in ascending-cid order,
+  * so a strict `rd < slot` insertion preserves lowest-cid-wins on ties. */
+case class VecTopCells(child: Expression, cids: Array[Long],
+                       cents: Array[Array[Float]], metric: String, nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cids.length == cents.length && cids.nonEmpty, "empty or mismatched codebook")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  require(Set("cosine", "euclidean", "manhattan", "dot").contains(metric),
+    s"unknown metric: $metric")
+  override def prettyName: String = "top_cells"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dist(a: Array[Float], c: Array[Float]): Double = metric match {
+    case "euclidean" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    case "manhattan" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += math.abs(a(i).toDouble - c(i).toDouble); i += 1 }
+      acc
+    case "cosine" =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+    case "dot" =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * c(i).toDouble; i += 1 }
+      -acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    val np = math.min(nprobe, cents.length)
+    val bestCid = new Array[Long](np)
+    val bestRd = new Array[Double](np)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      if (cents(c).length != a.length)
+        throw new IllegalArgumentException(
+          s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
+      val d = dist(a, cents(c))
+      // rounding can only matter when d lands within the rounding window of
+      // the current cut (the worst kept distance) — see VecArgMinDistance
+      if (filled < np || d < bestRd(filled - 1) + 1e-6 + 4.0 * Math.ulp(d)) {
+        val rd = round6(d)
+        var pos = filled
+        while (pos > 0 && rd < bestRd(pos - 1)) pos -= 1
+        if (pos < np) {
+          val last = math.min(filled, np - 1)
+          var i = last
+          while (i > pos) { bestRd(i) = bestRd(i - 1); bestCid(i) = bestCid(i - 1); i -= 1 }
+          bestRd(pos) = rd; bestCid(pos) = cids(c)
+          if (filled < np) filled += 1
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestCid, filled))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val a = ctx.freshName("a"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val rd = ctx.freshName("rd")
+      val np = ctx.freshName("np"); val filled = ctx.freshName("filled")
+      val bestCid = ctx.freshName("bestCid"); val bestRd = ctx.freshName("bestRd")
+      val pos = ctx.freshName("pos"); val j = ctx.freshName("j")
+      val last = ctx.freshName("last"); val cc = ctx.freshName("cc")
+      val distBody = {
+        // reuse VecArgMinDistance's per-metric loop shape
+        val acc = ctx.freshName("acc")
+        metric match {
+          case "euclidean" =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $n; $i++) {
+               |  final double t = (double) $a[$i] - (double) $cc[$i];
+               |  $acc += t * t;
+               |}
+               |$d = Math.sqrt($acc);""".stripMargin
+          case "manhattan" =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $n; $i++) {
+               |  $acc += Math.abs((double) $a[$i] - (double) $cc[$i]);
+               |}
+               |$d = $acc;""".stripMargin
+          case "cosine" =>
+            val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+            s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+               |for (int $i = 0; $i < $n; $i++) {
+               |  final double x = (double) $a[$i];
+               |  final double y = (double) $cc[$i];
+               |  $acc += x * y; $na += x * x; $nb += y * y;
+               |}
+               |$d = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
+          case "dot" =>
+            s"""double $acc = 0.0;
+               |for (int $i = 0; $i < $n; $i++) {
+               |  $acc += (double) $a[$i] * (double) $cc[$i];
+               |}
+               |$d = -$acc;""".stripMargin
+        }
+      }
+      s"""
+         |final float[] $a = $v.toFloatArray();
+         |final int $n = $a.length;
+         |final int $np = Math.min($nprobe, $centsRef.length);
+         |final long[] $bestCid = new long[$np];
+         |final double[] $bestRd = new double[$np];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  final float[] $cc = $centsRef[$c];
+         |  if ($cc.length != $n) {
+         |    throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $cc.length);
+         |  }
+         |  double $d;
+         |  {
+         |    $distBody
+         |  }
+         |  if ($filled < $np || $d < $bestRd[$filled - 1] + 1e-6 + 4.0 * Math.ulp($d)) {
+         |    final double $rd = java.math.BigDecimal.valueOf($d)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    int $pos = $filled;
+         |    while ($pos > 0 && $rd < $bestRd[$pos - 1]) $pos--;
+         |    if ($pos < $np) {
+         |      final int $last = Math.min($filled, $np - 1);
+         |      for (int $j = $last; $j > $pos; $j--) {
+         |        $bestRd[$j] = $bestRd[$j - 1]; $bestCid[$j] = $bestCid[$j - 1];
+         |      }
+         |      $bestRd[$pos] = $rd; $bestCid[$pos] = $cidsRef[$c];
+         |      if ($filled < $np) $filled++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bestCid, $filled));
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** l2_norm(v) = √Σvᵢ² */
 case class VecL2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "l2_norm"

@@ -138,4 +138,81 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for nprobe=4/8 on random data")
     assigned.unpersist()
   }
+
+  test("top_cells kernel: best-first under (round6, cid), nprobe=1 == arg_min_distance, full probe = all cells sorted") {
+    val centroids = (0 until 8).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    Seq("euclidean", "cosine", "manhattan", "dot").foreach { metric =>
+      val rows = emb.limit(50).select(
+        graft.functions.arg_min_distance(col("embedding"), centroids, metric).as("am"),
+        graft.functions.top_cells(col("embedding"), centroids, metric, 1).as("t1"),
+        graft.functions.top_cells(col("embedding"), centroids, metric, 3).as("t3"),
+        graft.functions.top_cells(col("embedding"), centroids, metric, 8).as("t8"),
+        // the naive formulation: per-centroid (round6 dist, cid) structs,
+        // array_sort'd — the semantic pin top_cells must reproduce
+        slice(array_sort(array(centroids.map { case (cid, cvec) =>
+          struct(round(graft.functions.distance(col("embedding"), lit(cvec), metric), 6).as("d"),
+            lit(cid).as("cid"))
+        }: _*)), 1, 8).as("naive")).collect()
+      rows.foreach { r =>
+        val naive = r.getSeq[org.apache.spark.sql.Row](4).map(_.getLong(1))
+        assert(r.getSeq[Long](1) === Seq(r.getLong(0)), s"$metric: t1 != arg_min")
+        assert(r.getSeq[Long](2) === naive.take(3), s"$metric: t3 != naive prefix")
+        assert(r.getSeq[Long](3) === naive, s"$metric: t8 != full sorted order")
+      }
+    }
+  }
+
+  test("top_cells: exact rounded ties resolve to the lower cid") {
+    import spark.implicits._
+    // two IDENTICAL centroids under different cids: every distance ties
+    // bit-exactly, so the kernel's insertion order alone decides — lower
+    // cid must come first at every position
+    val cents = Seq((7L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)), (5L, Array(0.0f, 1.0f)))
+    val out = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("v")
+      .select(graft.functions.top_cells(col("v"), cents, "euclidean", 3))
+      .head().getSeq[Long](0)
+    assert(out === Seq(3L, 7L, 5L))
+  }
+
+  test("knnJoin with nprobe = all cells equals bruteForceTopK on every query row") {
+    val centroids = (0 until 6).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 5).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
+    val qs = emb.where(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val knn = Ann.knnJoin(assigned, qs, k = 4, "vec_id", "embedding", "qid", "qvec",
+        centroids, nprobe = centroids.size)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rn")))
+    val brute = Ann.bruteForceTopK(emb, qs, k = 4, "vec_id", "embedding", "qid", "qvec",
+        metric = "euclidean")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Int]("rn")))
+    assert(knn.nonEmpty)
+    assert(knn.toSeq === brute.toSeq)
+    assigned.unpersist()
+  }
+
+  test("knnJoin pruned probe: each query still finds itself first; k and alias contracts hold") {
+    val centroids = (0 until 8).map(i =>
+      (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+    val assigned = Ann.ivfAssign(emb, "vec_id", "embedding", centroids).cache()
+    val qs = emb.where(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "qid", "qvec",
+      centroids, nprobe = 2).collect()
+    val nq = qs.count()
+    assert(out.length === 3 * nq)
+    // a query's own cell is always its nearest centroid (ivfAssign and
+    // top_cells share the (round6, cid) argmin), so rn=1 is the query
+    // itself at dist 0 whenever the query is in the corpus
+    out.filter(_.getAs[Int]("rn") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("qid"))
+      assert(r.getAs[Double]("dist") === 0.0)
+    }
+    intercept[IllegalArgumentException](
+      Ann.knnJoin(assigned, qs, k = 0, "vec_id", "embedding", "qid", "qvec", centroids, 1))
+    intercept[IllegalArgumentException](
+      Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "vec_id", "qvec", centroids, 1))
+    assigned.unpersist()
+  }
 }

@@ -106,6 +106,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), s"merge hint lost:\n$p")
   }
 
+  test("knn_join: probe cells via row-local kernel explode + ONE cell equi-join, never all-pairs") {
+    val p = plan("knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"knn_join must pair via the cell equi-join, not all-pairs:\n$p")
+    assert(p.contains("top_cells"), s"probe-cell kernel fell out of the plan:\n$p")
+    assert(p.contains("Generate"), s"probe fan-out must be a row-local explode:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // the only legitimate unbounded pairing is blocked/banded equi-joins;
     // a cartesian in any registered query is a scale bug
