@@ -249,10 +249,34 @@ object Bench {
         qs.foreach(q => idx.search(q, 10, 8))
         (System.nanoTime() - t0) / 1e9 / qs.length
       } catch { case e: Throwable => errors("ivf_local_search_1m") = e.toString; -1.0 }
+      // Batch k-NN join throughput: 500 query ROWS against the 1M corpus,
+      // candidates from each query's 8 of 256 cells (~15.6M exact distance
+      // evals total) — the retrieval-augmentation shape, all inside one
+      // cell equi-join + per-qid window, never query×corpus.
+      val tKnnJoin = try {
+        val assigned = graft.ann.Ann
+          .ivfAssign(bigc, "vec_id", "embedding", cents, "cosine")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
+        val qs = bigc.where(pmod(col("vec_id"), lit(2000L)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def kj(): Unit = graft.ann.Ann.knnJoin(assigned, qs, 10,
+          "vec_id", "embedding", "qid", "qvec", cents, nprobe = 8, "cosine")
+          .agg(max("rn")).collect()
+        kj() // warm
+        val t = timed("knn_join_1m", runs = 2)(kj())
+        assigned.unpersist(false)
+        t
+      } catch { case e: Throwable =>
+        errors("knn_join_1m") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString
+        -1.0
+      }
       val r = Seq("ivf_train_1m" -> tTrain,
         "ivf_train_sampled_1m" -> tTrainSampled,
         "ivf_assign_1m" -> tAssign,
-        "ivf_local_search_1m" -> localLatency)
+        "ivf_local_search_1m" -> localLatency,
+        "knn_join_1m" -> tKnnJoin)
       bigc.unpersist()
       r
     }

@@ -69,7 +69,34 @@ object PipelineQueries {
       .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " ")))
   }
 
+  /** documents re-shaped into multi-line pages: tokens chunked into 8-token
+    * lines, plus injected boilerplate banners riding on id moduli — every
+    * 7th doc opens with a newsletter banner (~72 docs at sf0.01, far over
+    * any threshold), every 97th a consent banner (6 docs, just over the
+    * query's minDocs=5), every 251st a footer shared by only 2 docs (under
+    * threshold — MUST survive). doc 0 carries all three. */
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
+    val body = array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n")
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0, lit("subscribe to our newsletter\n")).otherwise(lit("")),
+        when(col("doc_id") % 97 === 0, lit("cookie consent required\n")).otherwise(lit("")),
+        when(col("doc_id") % 251 === 0, lit("rare footer line\n")).otherwise(lit("")),
+        body).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Line-granular boilerplate removal (C4-family prep): lines appearing
+    // in >= 5 distinct docs are struck from every doc, survivors
+    // reassembled in order — 8-byte hash shuffles, anti-join strike,
+    // never doc×doc. The 2-doc footer proves the threshold floor holds.
+    "line_boilerplate" -> ((s, dir) =>
+      Dedup.stripBoilerplateLines(lineCorpus(s, dir), "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")),
     // Exact dedup: hash-groupBy on content — one shuffle, map-side combine.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
@@ -833,6 +860,37 @@ object PipelineQueries {
        |  WHERE ROUND($cosSimSql, 6) >= 0.4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "line_boilerplate" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    concat(
+         |      CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END,
+         |      CASE WHEN doc_id % 97 = 0 THEN 'cookie consent required' || chr(10) ELSE '' END,
+         |      CASE WHEN doc_id % 251 = 0 THEN 'rare footer line' || chr(10) ELSE '' END,
+         |      array_to_string(
+         |        list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)),
+         |          i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')),
+         |        chr(10))) AS text
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)),
+         |lh AS (
+         |  SELECT doc_id, pos, line,
+         |    list_transform([trim(line)], t -> $fnvSql)[1] AS h
+         |  FROM l),
+         |boiler AS (
+         |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM lh WHERE trim(line) <> '')
+         |  GROUP BY h HAVING COUNT(*) >= 5),
+         |kept AS (SELECT doc_id, pos, line FROM lh WHERE h NOT IN (SELECT h FROM boiler)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         |    COUNT(*) AS lines_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+         |  COALESCE(a.lines_kept, 0) AS lines_kept,
+         |  len(string_split(s.text, chr(10))) - COALESCE(a.lines_kept, 0) AS lines_dropped
+         |FROM src s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH $dupCorpusSql
          |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

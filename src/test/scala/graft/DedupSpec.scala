@@ -289,4 +289,58 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       MinHashLSH.withSignatures(df, "text", 8, family = "sha9000"))
   }
+
+  test("stripBoilerplateLines: cross-doc lines struck, rare/blank/within-doc-repeat lines kept, order preserved") {
+    val pages = Seq(
+      (1L, "BANNER\nalpha one\n\nalpha two"),   // banner + blank line
+      (2L, "BANNER\nbeta one\nbeta one"),        // banner + a WITHIN-doc repeat
+      (3L, "BANNER\ngamma one\nrare pair"),      // banner + a 2-doc line
+      (4L, "rare pair\ndelta one"),              // 2-doc line, no banner
+      (5L, "BANNER")                             // banner only -> fully stripped
+    ).toDF("id", "text")
+    val out = Dedup.stripBoilerplateLines(pages, "id", "text", minDocs = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("lines_kept"),
+          r.getAs[Long]("lines_dropped")))).toMap
+    assert(out(1L) === (("alpha one\n\nalpha two", 3L, 1L))) // blank kept, order intact
+    assert(out(2L) === (("beta one\nbeta one", 2L, 1L)))     // repeat counts doc ONCE -> kept
+    assert(out(3L) === (("gamma one\nrare pair", 2L, 1L)))   // 2 docs < minDocs -> kept
+    assert(out(4L) === (("rare pair\ndelta one", 2L, 0L)))
+    assert(out(5L) === (("", 0L, 1L)))                       // stripped doc still present
+    // at minDocs=2 the rare pair goes too, and the trimmed-form match
+    // ("  BANNER  " === "BANNER") strikes the padded variant as well
+    val out2 = Dedup.stripBoilerplateLines(
+        pages.unionByName(Seq((6L, "  BANNER  \nzeta one")).toDF("id", "text")),
+        "id", "text", minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_clean")).toMap
+    assert(out2(6L) === "zeta one")
+    assert(out2(3L) === "gamma one")
+    assert(out2(4L) === "delta one")
+    intercept[IllegalArgumentException](
+      Dedup.stripBoilerplateLines(pages, "id", "text", minDocs = 1))
+  }
+
+  test("stripBoilerplateLines matches the naive per-line computation on a random corpus") {
+    val rnd = new scala.util.Random(20260813)
+    val vocabLine = (0 until 12).map(i => s"line$i")
+    val corpus = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(6)
+      id -> (0 until n).map(_ => vocabLine(rnd.nextInt(vocabLine.size))).mkString("\n")
+    }
+    val minDocs = 3
+    val counts = corpus.flatMap { case (id, t) => t.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val boiler = counts.filter(_._2 >= minDocs).keySet
+    val expected = corpus.map { case (id, t) =>
+      val kept = t.split("\n", -1).filterNot(l => boiler(l.trim))
+      id -> ((kept.mkString("\n"), kept.length.toLong,
+        (t.split("\n", -1).length - kept.length).toLong))
+    }.toMap
+    val got = Dedup.stripBoilerplateLines(corpus.toDF("id", "text"), "id", "text", minDocs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"),
+          r.getAs[Long]("lines_kept"), r.getAs[Long]("lines_dropped")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
 }
