@@ -427,6 +427,19 @@ object Bench {
           graft.dedup.Dedup.newAgainstCorpus(
             recrawl.unionByName(fresh), d, "text", expectedItems = 100000L).count()
         }),
+        // line-granular boilerplate strike over 100k docs re-paged into
+        // 8-token lines (~700k lines): the 10% near-copy docs share most
+        // of their lines pairwise, so minDocs=2 strikes real volume —
+        // hash-keyed frequency + anti-join + reassembly, full pipeline
+        "line_boilerplate_100k" -> (() => {
+          val toks = split(col("text"), " ")
+          val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
+          val paged = d.withColumn("text", array_join(
+            transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n"))
+          graft.dedup.Dedup.stripBoilerplateLines(paged, "doc_id", "text", minDocs = 2)
+            .agg(sum("lines_dropped")).collect()
+        }),
         // CMS-pruned exact heavy hitters over ~4.8M shingle instances,
         // relative support phi=2e-4 (the scale-stable parameterization)
         "heavy_hitters_100k" -> (() => {
