@@ -253,24 +253,24 @@ object Bench {
       // candidates from each query's 8 of 256 cells (~15.6M exact distance
       // evals total) — the retrieval-augmentation shape, all inside one
       // cell equi-join + per-qid window, never query×corpus.
-      val tKnnJoin = try {
+      val tKnnJoin = {
         val assigned = graft.ann.Ann
           .ivfAssign(bigc, "vec_id", "embedding", cents, "cosine")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        assigned.count()
-        val qs = bigc.where(pmod(col("vec_id"), lit(2000L)) === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        def kj(): Unit = graft.ann.Ann.knnJoin(assigned, qs, 10,
-          "vec_id", "embedding", "qid", "qvec", cents, nprobe = 8, "cosine")
-          .agg(max("rn")).collect()
-        kj() // warm
-        val t = timed("knn_join_1m", runs = 2)(kj())
-        assigned.unpersist(false)
-        t
-      } catch { case e: Throwable =>
-        errors("knn_join_1m") = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString
-        -1.0
+        try {
+          assigned.count()
+          val qs = bigc.where(pmod(col("vec_id"), lit(2000L)) === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          def kj(): Unit = graft.ann.Ann.knnJoin(assigned, qs, 10,
+            "vec_id", "embedding", "qid", "qvec", cents, nprobe = 8, "cosine")
+            .agg(max("rn")).collect()
+          kj() // warm
+          timed("knn_join_1m", runs = 2)(kj())
+        } catch { case e: Throwable =>
+          errors("knn_join_1m") = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          -1.0
+        } finally assigned.unpersist(false) // a failed run must not leak 1M cached rows into later suites
       }
       val r = Seq("ivf_train_1m" -> tTrain,
         "ivf_train_sampled_1m" -> tTrainSampled,
@@ -432,11 +432,8 @@ object Bench {
         // of their lines pairwise, so minDocs=2 strikes real volume —
         // hash-keyed frequency + anti-join + reassembly, full pipeline
         "line_boilerplate_100k" -> (() => {
-          val toks = split(col("text"), " ")
-          val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
-          val paged = d.withColumn("text", array_join(
-            transform(sequence(lit(0), nLines - 1),
-              i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n"))
+          val paged = d.withColumn("text",
+            graft.dedup.Dedup.pageIntoLines(col("text"), 8))
           graft.dedup.Dedup.stripBoilerplateLines(paged, "doc_id", "text", minDocs = 2)
             .agg(sum("lines_dropped")).collect()
         }),

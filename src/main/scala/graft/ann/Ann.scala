@@ -200,9 +200,13 @@ object Ann {
     * skew-join split applies. Recall follows IVF recall (nprobe/k dial);
     * `nprobe = centroids.size` degenerates to exact brute force.
     *
-    * `queries` must expose `qidCol`/`qvecCol` under names distinct from
-    * `idCol` (alias first, as with [[bruteForceTopK]]). Output:
-    * (qidCol, idCol, dist, rn), best-first per query. */
+    * `queries` must expose `qidCol`/`qvecCol` under names distinct from the
+    * corpus columns AND the operator's internal names (alias first, as with
+    * [[bruteForceTopK]]). Output: (qidCol, idCol, dist, rn), best-first per
+    * query. A query whose `nprobe` probed cells hold zero corpus rows
+    * produces NO output rows (inner join — same contract as a search that
+    * finds nothing); left-join `queries` back on qidCol when "no neighbors"
+    * must be distinguishable from "qid absent". */
   def knnJoin(
       assigned: DataFrame, queries: DataFrame, k: Int,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
@@ -210,8 +214,10 @@ object Ann {
       metric: String = "euclidean"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    require(qidCol != idCol && qvecCol != vecCol,
-      s"query columns ($qidCol, $qvecCol) must be aliased apart from corpus columns ($idCol, $vecCol)")
+    val reserved = Set(idCol, vecCol, "cell", "dist", "rn")
+    require(qidCol != qvecCol && !reserved(qidCol) && !reserved(qvecCol),
+      s"query columns ($qidCol, $qvecCol) must be distinct from corpus columns " +
+        s"($idCol, $vecCol) and the internal names (cell, dist, rn) — alias first")
     // top_cells is the EXPLODE INPUT (evaluated once per query row by the
     // Generate) — not a sibling projection, so the ExtractGenerator
     // kernel-hoist re-evaluation footgun (Pq.scala) does not apply

@@ -606,15 +606,22 @@ class GraftCatalog(spark: SparkSession, root: String,
     // restricted to the nearest cells — partition-directory pruning cuts
     // the I/O to nprobe/k of the (already code-only) read. Which layout the
     // snapshot actually stores is read from the sidecar's recorded flag.
-    // Legacy (flagless) sidecars are RAW: residual encoding shipped in the
-    // same change as the flag, so every pre-flag flush — including IVF+PQ
-    // ones — encoded the raw decoded vector (round-5 flush:
-    // `withPqCode(assigned, SearchVecCol)`); inferring residual from the
-    // IVF artifacts would score raw codes against residual LUTs, silently
-    // wrong — the exact failure the flag exists to prevent.
+    // Legacy (flagless) sidecars: without an IVF layout the codes are
+    // unambiguously RAW (residual encoding only ever applied to
+    // ivfCells+pqSubspaces flushes). WITH an IVF layout the cohort is
+    // genuinely ambiguous — flushes before residual encoding landed hold
+    // raw codes, flushes after it but before the flag hold residual
+    // codes — and guessing either way silently mis-scores the other, so
+    // that case demands a re-flush instead of an inference.
     val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, meta.currentVersion))
-    val residualLayout = residFlag.getOrElse(false)
+    val residualLayout = residFlag.getOrElse {
+      require(!hasCells,
+        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
+          "the codes are raw or residual is unrecorded and cannot be " +
+          "inferred; re-flush the collection to write a flagged sidecar")
+      false
+    }
     require(!residualLayout || hasCells,
       s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     val (snap, adcExpr) =
@@ -628,7 +635,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         }
         val (cellIds, luts) = graft.ann.Pq.residualLuts(cb, qv, kept)
         val restricted =
-          if (nprobe.isDefined) full.where(col(GraftCatalog.CellCol).isin(cellIds: _*))
+          if (nprobe.isDefined) full.where(col(GraftCatalog.CellCol).isin(cellIds.toIndexedSeq: _*))
           else full
         (restricted, graft.functions.pq_adc_distance_cells(
           col(GraftCatalog.PqCodeCol), col(GraftCatalog.CellCol).cast("long"),
@@ -658,7 +665,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         case "none" => col(VectorCol)
         case q      => dequantize(col(VectorCol), q)
       }
-      snap.where(col(meta.idColumn).isin(candIds: _*))
+      snap.where(col(meta.idColumn).isin(candIds.toIndexedSeq: _*))
         .select(col(meta.idColumn),
           round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
         .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
@@ -672,10 +679,11 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   /** The PQ sidecar of version `v`: the codebook plus the recorded
     * residual-layout flag. `residual = None` on sidecars written before the
-    * flag existed — callers treat those as RAW, which is historically
-    * exact: residual encoding and the flag shipped in the same change, so
-    * every flagless sidecar (including IVF+PQ ones) holds raw-vector
-    * codes. */
+    * flag existed; callers treat flagless-without-IVF as RAW (the only
+    * layout that cohort could hold) and must REFUSE flagless-with-IVF —
+    * residual encoding landed before the flag did, so both raw and
+    * residual flagless IVF+PQ snapshots exist and the layout cannot be
+    * inferred. */
   private def readPqCodebook(name: String, v: Int,
                              m: Int): (graft.ann.PqCodebook, Option[Boolean]) = {
     val sidecar = spark.read.parquet(pqDir(name, v).toString)
@@ -730,7 +738,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids =
       if (hasCells) readCentroids(name, meta.currentVersion)
       else Seq.empty[(Long, Array[Float])]
-    val residual = residFlag.getOrElse(false) // legacy flagless sidecars are raw
+    // flagless + IVF is ambiguous (raw and residual cohorts both exist
+    // pre-flag) — same re-flush demand as searchPq; flagless without IVF
+    // is unambiguously raw
+    val residual = residFlag.getOrElse {
+      require(!hasCells,
+        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
+          "the codes are raw or residual is unrecorded and cannot be " +
+          "inferred; re-flush the collection to write a flagged sidecar")
+      false
+    }
     require(!residual || hasCells,
       s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,

@@ -49,16 +49,39 @@ object Bucketing {
     val dataDir = s"$path/b$stamp"
     val staged = s"${table}__staging_$stamp"
     val prevLoc = if (spark.catalog.tableExists(table)) tableLocation(spark, table) else None
-    df.write.format("parquet").option("path", dataDir)
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(staged)
+    try {
+      df.write.format("parquet").option("path", dataDir)
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(staged)
+    } catch {
+      case e: Throwable =>
+        // failed mid-stage: drop the staging entry and its partial files so
+        // retries don't accumulate catalog/disk garbage (flush discipline)
+        spark.sql(s"DROP TABLE IF EXISTS `$staged`")
+        val p = new org.apache.hadoop.fs.Path(dataDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        throw e
+    }
     // swap: catalog-only operations; the old data stays readable until here
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
-    prevLoc.filter(_ != dataDir).foreach { loc =>
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+    prevLoc.foreach { loc =>
+      val fsConf = spark.sparkContext.hadoopConfiguration
+      val newPath = new org.apache.hadoop.fs.Path(dataDir)
+      val newFs = newPath.getFileSystem(fsConf)
+      val newQ = newFs.makeQualified(newPath)
+      val prevPath = new org.apache.hadoop.fs.Path(loc)
+      val prevFs = prevPath.getFileSystem(fsConf)
+      val prevQ = prevFs.makeQualified(prevPath)
+      // Never delete the new data: compare QUALIFIED URIs (the catalog
+      // reports a file: URI, the caller passes a raw path) and skip any
+      // previous location that equals OR is an ancestor of the fresh
+      // dataDir — a table written by an older layout may sit at `path`
+      // itself, which contains `path/b<stamp>`.
+      val isAncestorOfNew =
+        Iterator.iterate(newQ)(_.getParent).takeWhile(_ != null).contains(prevQ)
+      if (!isAncestorOfNew && prevFs.exists(prevQ)) prevFs.delete(prevQ, true)
     }
   }
 

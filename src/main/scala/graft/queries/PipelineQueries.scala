@@ -76,11 +76,7 @@ object PipelineQueries {
     * query's minDocs=5), every 251st a footer shared by only 2 docs (under
     * threshold — MUST survive). doc 0 carries all three. */
   private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nLines = ceil(size(toks).cast("double") / 8.0).cast("int")
-    val body = array_join(
-      transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n")
+    val body = Dedup.pageIntoLines(col("text"), 8)
     docs(s, dir).select(col("doc_id"),
       concat(
         when(col("doc_id") % 7 === 0, lit("subscribe to our newsletter\n")).otherwise(lit("")),

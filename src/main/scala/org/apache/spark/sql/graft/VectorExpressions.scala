@@ -246,21 +246,16 @@ case class VecManhattanDistance(left: Expression, right: Expression) extends Bin
   *
   * `cids`/`cents` must be sorted by cid ascending (enforced by the caller)
   * so "first strictly-smaller wins" == "lowest cid wins ties". */
-case class VecArgMinDistance(child: Expression, cids: Array[Long],
-                             cents: Array[Array[Float]], metric: String)
-    extends UnaryExpression with ExpectsInputTypes {
-  require(cids.length == cents.length && cids.nonEmpty, "empty or mismatched codebook")
-  require(Set("cosine", "euclidean", "manhattan", "dot").contains(metric),
-    s"unknown metric: $metric")
-  override def prettyName: String = "arg_min_distance"
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-
-  private def round6(d: Double): Double =
+/** Shared per-metric centroid-distance bodies for [[VecArgMinDistance]] and
+  * [[VecTopCells]] — ONE definition per metric (interpreted + codegen) so
+  * the two kernels cannot drift apart: knnJoin's rn=1 self-match contract
+  * needs `top_cells` and `arg_min_distance` to agree on every distance to
+  * the last bit. */
+private[graft] object CentroidDist {
+  def round6(d: Double): Double =
     java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  private def dist(a: Array[Float], c: Array[Float]): Double = metric match {
+  def dist(metric: String, a: Array[Float], c: Array[Float]): Double = metric match {
     case "euclidean" =>
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
@@ -282,34 +277,13 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
       -acc
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData].toFloatArray()
-    var best = 0
-    var bestR = Double.PositiveInfinity
-    var c = 0
-    while (c < cents.length) {
-      if (cents(c).length != a.length)
-        throw new IllegalArgumentException(
-          s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
-      val d = dist(a, cents(c))
-      // only inside this window can rounding change the ordering:
-      // |round6(d) − d| ≤ 5e-7 (decimal rounding) + O(ulp(d)) (nearest-
-      // double error) — the ulp term matters past d ≈ 1e9
-      if (d < bestR + 1e-6 + 4.0 * Math.ulp(d)) {
-        val rd = round6(d)
-        if (rd < bestR) { bestR = rd; best = c }
-      }
-      c += 1
-    }
-    cids(best)
-  }
-
-  /** Per-metric inner-loop body: distance of float[] `a` vs centroid row
-    * `cc`, assigned to declared double `d`. Accumulators are fresh-named —
-    * nested Java blocks cannot shadow outer locals. */
-  private def distCode(ctx: CodegenContext, a: String, cc: String, n: String,
-                       i: String, d: String): String = {
+  /** Java body assigning the distance of float[] `a` vs float[] `cc` (both
+    * length `n`) to the pre-declared double `d`. Accumulators and the loop
+    * var are fresh-named — nested Java blocks cannot shadow outer locals. */
+  def distCode(ctx: CodegenContext, metric: String, a: String, cc: String,
+               n: String, d: String): String = {
     val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     metric match {
       case "euclidean" =>
         s"""double $acc = 0.0;
@@ -341,13 +315,52 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
            |$d = -$acc;""".stripMargin
     }
   }
+}
+
+case class VecArgMinDistance(child: Expression, cids: Array[Long],
+                             cents: Array[Array[Float]], metric: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cids.length == cents.length && cids.nonEmpty, "empty or mismatched codebook")
+  require(Set("cosine", "euclidean", "manhattan", "dot").contains(metric),
+    s"unknown metric: $metric")
+  override def prettyName: String = "arg_min_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def round6(d: Double): Double = CentroidDist.round6(d)
+
+  private def dist(a: Array[Float], c: Array[Float]): Double =
+    CentroidDist.dist(metric, a, c)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var best = 0
+    var bestR = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      if (cents(c).length != a.length)
+        throw new IllegalArgumentException(
+          s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
+      val d = dist(a, cents(c))
+      // only inside this window can rounding change the ordering:
+      // |round6(d) − d| ≤ 5e-7 (decimal rounding) + O(ulp(d)) (nearest-
+      // double error) — the ulp term matters past d ≈ 1e9
+      if (d < bestR + 1e-6 + 4.0 * Math.ulp(d)) {
+        val rd = round6(d)
+        if (rd < bestR) { bestR = rd; best = c }
+      }
+      c += 1
+    }
+    cids(best)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
       val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
       val a = ctx.freshName("a"); val n = ctx.freshName("n")
-      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
       val d = ctx.freshName("d"); val rd = ctx.freshName("rd")
       val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
       val cc = ctx.freshName("cc")
@@ -363,7 +376,7 @@ case class VecArgMinDistance(child: Expression, cids: Array[Long],
          |  }
          |  double $d;
          |  {
-         |    ${distCode(ctx, a, cc, n, i, d)}
+         |    ${CentroidDist.distCode(ctx, metric, a, cc, n, d)}
          |  }
          |  if ($d < $bestR + 1e-6 + 4.0 * Math.ulp($d)) {
          |    final double $rd = java.math.BigDecimal.valueOf($d)
@@ -402,30 +415,10 @@ case class VecTopCells(child: Expression, cids: Array[Long],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  private def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def round6(d: Double): Double = CentroidDist.round6(d)
 
-  private def dist(a: Array[Float], c: Array[Float]): Double = metric match {
-    case "euclidean" =>
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
-      math.sqrt(acc)
-    case "manhattan" =>
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += math.abs(a(i).toDouble - c(i).toDouble); i += 1 }
-      acc
-    case "cosine" =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = c(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      math.abs(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
-    case "dot" =>
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * c(i).toDouble; i += 1 }
-      -acc
-  }
+  private def dist(a: Array[Float], c: Array[Float]): Double =
+    CentroidDist.dist(metric, a, c)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData].toFloatArray()
@@ -463,46 +456,13 @@ case class VecTopCells(child: Expression, cids: Array[Long],
       val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
       val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
       val a = ctx.freshName("a"); val n = ctx.freshName("n")
-      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
       val d = ctx.freshName("d"); val rd = ctx.freshName("rd")
       val np = ctx.freshName("np"); val filled = ctx.freshName("filled")
       val bestCid = ctx.freshName("bestCid"); val bestRd = ctx.freshName("bestRd")
       val pos = ctx.freshName("pos"); val j = ctx.freshName("j")
       val last = ctx.freshName("last"); val cc = ctx.freshName("cc")
-      val distBody = {
-        // reuse VecArgMinDistance's per-metric loop shape
-        val acc = ctx.freshName("acc")
-        metric match {
-          case "euclidean" =>
-            s"""double $acc = 0.0;
-               |for (int $i = 0; $i < $n; $i++) {
-               |  final double t = (double) $a[$i] - (double) $cc[$i];
-               |  $acc += t * t;
-               |}
-               |$d = Math.sqrt($acc);""".stripMargin
-          case "manhattan" =>
-            s"""double $acc = 0.0;
-               |for (int $i = 0; $i < $n; $i++) {
-               |  $acc += Math.abs((double) $a[$i] - (double) $cc[$i]);
-               |}
-               |$d = $acc;""".stripMargin
-          case "cosine" =>
-            val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-            s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
-               |for (int $i = 0; $i < $n; $i++) {
-               |  final double x = (double) $a[$i];
-               |  final double y = (double) $cc[$i];
-               |  $acc += x * y; $na += x * x; $nb += y * y;
-               |}
-               |$d = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
-          case "dot" =>
-            s"""double $acc = 0.0;
-               |for (int $i = 0; $i < $n; $i++) {
-               |  $acc += (double) $a[$i] * (double) $cc[$i];
-               |}
-               |$d = -$acc;""".stripMargin
-        }
-      }
+      val distBody = CentroidDist.distCode(ctx, metric, a, cc, n, d)
       s"""
          |final float[] $a = $v.toFloatArray();
          |final int $n = $a.length;

@@ -213,6 +213,15 @@ class AnnSpec extends SparkSpec {
       Ann.knnJoin(assigned, qs, k = 0, "vec_id", "embedding", "qid", "qvec", centroids, 1))
     intercept[IllegalArgumentException](
       Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "vec_id", "qvec", centroids, 1))
+    // cross-collisions and internal names are contract errors too, not
+    // deep AnalysisExceptions: qvec colliding with the CORPUS vector
+    // column, and query columns shadowing cell/dist/rn
+    intercept[IllegalArgumentException](
+      Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "qid", "embedding", centroids, 1))
+    intercept[IllegalArgumentException](
+      Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "cell", "qvec", centroids, 1))
+    intercept[IllegalArgumentException](
+      Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "qid", "rn", centroids, 1))
     assigned.unpersist()
   }
 }

@@ -73,6 +73,33 @@ class BucketingSpec extends SparkSpec {
     assert(spark.table("graft_spec_bkt_docs").count() === before)
   }
 
+  test("a failed replacement write cleans up its staging table and files") {
+    writeBoth()
+    val bad = Tables.tbl(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source")
+      .withColumn("boom", expr("assert_true(doc_id < 0)"))
+    intercept[Exception] {
+      Bucketing.writeBucketed(bad, tmp + "/docs", "graft_spec_bkt_docs", "doc_id", 8)
+    }
+    val staged = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_spec_bkt_docs__staging_")).count()
+    assert(staged === 0, "staging table leaked after a failed write")
+  }
+
+  test("replacing a table whose location IS the parent path keeps the new data") {
+    // a table written by an older layout (location = path itself, which
+    // CONTAINS the fresh b<stamp> dir) must not be deleted out from under
+    // the new data during the post-swap cleanup
+    val path = tmp + "/legacy"
+    val d = Tables.tbl(spark, sfDir, "documents").select("doc_id", "lang", "source")
+    d.write.format("parquet").option("path", path)
+      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("graft_spec_bkt_legacy")
+    val before = spark.table("graft_spec_bkt_legacy").count()
+    assert(before > 0)
+    Bucketing.writeBucketed(d, path, "graft_spec_bkt_legacy", "doc_id", buckets = 8)
+    assert(spark.table("graft_spec_bkt_legacy").count() === before)
+  }
+
   test("contract errors: bad bucket count, missing key") {
     val d = Tables.tbl(spark, sfDir, "documents")
     intercept[IllegalArgumentException] {

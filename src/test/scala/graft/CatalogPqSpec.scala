@@ -182,32 +182,45 @@ class CatalogPqSpec extends SparkSpec {
     val flatSidecar = spark.read.parquet(s"$root/rflat/v1_pq")
     assert(flatSidecar.select("residual").distinct().collect()
       .map(_.getBoolean(0)).toSeq === Seq(false))
-    // legacy sidecar (no residual column): every flagless sidecar in the
-    // wild was written by the pre-flag flush, which encoded RAW vectors
-    // even under IVF — so the reader must interpret flagless codes as raw
-    // (single query LUT), NEVER infer residual from the IVF artifacts
-    // (that would score raw codes against residual LUTs, silently wrong)
+    // Legacy (flagless) sidecars are ambiguous when the collection has an
+    // IVF layout: residual encoding landed BEFORE the flag, so flagless
+    // IVF+PQ snapshots exist holding raw codes AND holding residual codes,
+    // and guessing either way silently mis-scores the other cohort — the
+    // reader must refuse and demand a re-flush.
     val q = fixtureRows(1, 16).select("vector").head().getSeq[Float](0).toArray
-    val legacyRows = java.util.Arrays.asList(sidecar.drop("residual").collect(): _*)
-    val legacySchema = org.apache.spark.sql.types.StructType(
-      sidecar.schema.filterNot(_.name == "residual"))
-    val legacy = spark.createDataFrame(legacyRows, legacySchema)
-    val tmp = s"$root/rflag/v1_pq_legacy"
-    legacy.coalesce(1).write.parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/rflag/v1_pq"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$root/rflag/v1_pq"))
-    val after = cat.searchPq("rflag", q, topK = 5, rerank = false)
+    def stripFlag(name: String): org.apache.spark.sql.DataFrame = {
+      val sc = spark.read.parquet(s"$root/$name/v1_pq")
+      val rows = java.util.Arrays.asList(sc.drop("residual").collect(): _*)
+      val schema = org.apache.spark.sql.types.StructType(
+        sc.schema.filterNot(_.name == "residual"))
+      val legacy = spark.createDataFrame(rows, schema)
+      val tmp = s"$root/$name/v1_pq_legacy"
+      legacy.coalesce(1).write.parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/v1_pq"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$root/$name/v1_pq"))
+      legacy
+    }
+    stripFlag("rflag")
+    val e1 = intercept[IllegalArgumentException](
+      cat.searchPq("rflag", q, topK = 5, rerank = false))
+    assert(e1.getMessage.contains("re-flush"))
+    val e2 = intercept[IllegalArgumentException](cat.localPqIndex("rflag"))
+    assert(e2.getMessage.contains("re-flush"))
+    // without an IVF layout the flagless cohort is unambiguously RAW —
+    // codes score against the plain single query LUT
+    val legacyFlat = stripFlag("rflat")
+    val after = cat.searchPq("rflat", q, topK = 5, rerank = false)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     // expected = the raw single-LUT ADC over the stored codes, computed
     // independently of the catalog's reader
-    val byJ = legacy.collect().groupBy(_.getAs[Int]("j"))
+    val byJ = legacyFlat.collect().groupBy(_.getAs[Int]("j"))
     val cb = graft.ann.PqCodebook((0 until 4).map { j =>
       byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
     }.toArray)
-    val want = spark.read.parquet(s"$root/rflag/v1")
+    val want = spark.read.parquet(s"$root/rflat/v1")
       .select(col("id"),
         round(graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, q), 6).as("dist"))
       .orderBy(col("dist").asc, col("id").asc).limit(5)

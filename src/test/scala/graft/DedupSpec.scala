@@ -318,6 +318,16 @@ class DedupSpec extends SparkSpec {
     assert(out2(4L) === "delta one")
     intercept[IllegalArgumentException](
       Dedup.stripBoilerplateLines(pages, "id", "text", minDocs = 1))
+    // a null text row must come back whole with zero counts, never a
+    // negative lines_dropped from size(split(null)) = -1
+    val withNull = pages.unionByName(
+      Seq((7L, Option.empty[String])).toDF("id", "text"))
+    val outNull = Dedup.stripBoilerplateLines(withNull, "id", "text", minDocs = 4)
+      .where(col("id") === 7L).collect()
+    assert(outNull.length === 1)
+    assert(outNull(0).getAs[String]("text_clean") === "")
+    assert(outNull(0).getAs[Long]("lines_kept") === 0L)
+    assert(outNull(0).getAs[Long]("lines_dropped") === 0L)
   }
 
   test("stripBoilerplateLines matches the naive per-line computation on a random corpus") {
