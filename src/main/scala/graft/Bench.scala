@@ -43,10 +43,6 @@ object Bench {
       // 1M×128-d is ~600 MB on disk; without this the scan collapses to
       // ~5 input partitions and wastes the other cores.
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
-      // events.parquet carries TIMESTAMP(NANOS); session-level, NOT set
-      // inside query constructors (a global side effect from a query would
-      // silently retype later reads in the same session)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -102,13 +98,21 @@ object Bench {
       // the row-round-robin shuffle runs once, at cache materialization.
       // The 10M suite keeps its finer file splits (scan-dominated).
       val read = spark.read.parquet(dir)
+      // SQ8 affine ranges trained on the deterministic 1/16 id-hash sample
+      // (the 100 TB discipline — min/max clamping absorbs sampled-out
+      // tails); encode rides the cache build, so the timed scan reads the
+      // 1-byte/dim codes (4× fewer cached bytes than f32, 2× fewer than f16)
+      val (sqMins, sqScales) = graft.ann.Sq.trainStats(read, "embedding",
+        sampleMod = 16L, idCol = "vec_id")
       val big = (if (rows <= 1000000L) read.repartition(cpus.toInt) else read)
+        .withColumn("emb_sq8", graft.ann.Sq.encode(col("embedding"), sqMins, sqScales))
         .persist(StorageLevel.MEMORY_AND_DISK)
       big.count() // materialize the cache (the reference loads before searching)
       System.gc() // settle allocation noise from the sf suite / generation
                   // before timing queries that sit at the dispatch floor
       val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
+      val qSq8 = graft.ann.Sq.roundTrip(q, sqMins, sqScales)
       val suite = Seq(
         s"flat_scan_cosine_$tag" -> (() =>
           big.select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
@@ -116,6 +120,10 @@ object Bench {
         s"flat_scan_f16_$tag" -> (() =>
           big.select(col("vec_id"),
               cosine_distance_quant(col("emb_f16"), lit(qF16), "f16").as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
+        s"flat_scan_sq8_$tag" -> (() =>
+          big.select(col("vec_id"),
+              graft.ann.Sq.distance(col("emb_sq8"), qSq8, sqMins, sqScales, "cosine").as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"filtered_search_$tag" -> (() =>
           big.where(col("label") === 7)

@@ -31,26 +31,23 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
-    * the session sets `spark.sql.legacy.parquet.nanosAsLong` (done in the
-    * Verify/Bench/test session builders — NOT here: a conf mutation inside
-    * a query constructor would silently retype later same-session reads).
-    * Nanos-as-long convert to a microsecond timestamp by truncation —
-    * sub-microsecond precision is irrelevant at session/window granularity
-    * and DuckDB's ns values truncate identically. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events table")
-    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events.parquet carries a MICROSECOND `isAdjustedToUTC=false` timestamp
+    * (TIMESTAMP_NTZ to Spark, naive `timestamp` to DuckDB) — the round-6
+    * testdata regeneration; earlier rounds shipped int64 TIMESTAMP(NANOS)
+    * behind the now-retired `nanosAsLong` session flag. The NTZ column is
+    * cast to TimestampType under the UTC session (same wall instant both
+    * engines see), keeping every downstream window/session/pivot shape and
+    * oracle unchanged. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
 
-  /** events with `ts` kept as the raw epoch-nanos long (range-join
-    * arithmetic; DuckDB side uses epoch_ns). */
-  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read the events table")
+  /** events with `ts` as the epoch-nanos long the range/as-of/z-order
+    * arithmetic (and its DuckDB `epoch_ns` mirror) was written against —
+    * reconstructed as unix_micros × 1000, exactly DuckDB's epoch_ns view
+    * of the µs column. */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
-  }
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
 
   /** documents ∪ exact re-crawl of every 3rd doc (ids shifted +10000). */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -75,6 +72,25 @@ object PipelineQueries {
     * any threshold), every 97th a consent banner (6 docs, just over the
     * query's minDocs=5), every 251st a footer shared by only 2 docs (under
     * threshold — MUST survive). doc 0 carries all three. */
+  /** documents with an 8-token template phrase injected at a DIFFERENT
+    * offset per doc — end of text for doc_id % 4 == 0, start for % 4 == 1
+    * (the unaligned-repeat case line-granular boilerplate cannot see) —
+    * plus an 8-token rare phrase on every 251st doc (2 docs at sf0.01,
+    * under the query's minDocs=5 — MUST survive). Windows straddling the
+    * injected phrase and the document body are unique per doc and never
+    * reach threshold. */
+  private def spanCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 1,
+          lit("all rights reserved contact the site administrator today ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" all rights reserved contact the site administrator today")).otherwise(lit("")),
+        when(col("doc_id") % 251 === 0,
+          lit(" this rare disclaimer appears in just two documents")).otherwise(lit("")))
+        .as("text"))
+
   private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
     val body = Dedup.pageIntoLines(col("text"), 8)
     docs(s, dir).select(col("doc_id"),
@@ -92,6 +108,16 @@ object PipelineQueries {
     // never doc×doc. The 2-doc footer proves the threshold floor holds.
     "line_boilerplate" -> ((s, dir) =>
       Dedup.stripBoilerplateLines(lineCorpus(s, dir), "doc_id", "text", minDocs = 5)
+        .orderBy("doc_id")),
+    // Token-window repeated-span strike (ExactSubstr family): 8-token
+    // windows repeated across >= 5 distinct docs are struck from every doc
+    // at whatever offset they occur — the template phrase rides at the END
+    // of %4==0 docs and the START of %4==1 docs and is struck from both;
+    // the 2-doc rare phrase survives. 8-byte hash shuffles, semi-join
+    // strike, O(tokens) row-local reassembly — never doc×doc.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.strikeRepeatedSpans(spanCorpus(s, dir), "doc_id", "text",
+          n = 8, minDocs = 5)
         .orderBy("doc_id")),
     // Exact dedup: hash-groupBy on content — one shuffle, map-side combine.
     "dedup_exact" -> ((s, dir) =>
@@ -372,6 +398,30 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ann.knnJoin(assigned, q, k = 5, "vec_id", "embedding", "qid", "qvec",
         cents, nprobe = 3, "euclidean")
+    }),
+    // Index-quality audit: recall@10 of the pruned IVF probe (nprobe 2/8)
+    // against exact brute force, one row per query — the evaluation
+    // operator an index rollout needs before trusting an approximate
+    // serving path. Brute force IS knnJoin at nprobe = |cells| (spec-pinned
+    // degeneration), so both arms share one audited code path; at 100 TB
+    // the query set is a sample, and the whole audit is two bounded
+    // cell-joins plus one (qid, id) equi-join — never corpus×corpus.
+    "ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = (0 until 8).map(i =>
+        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
+      val q = e.where(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def topk(nprobe: Int) =
+        Ann.knnJoin(assigned, q, k = 10, "vec_id", "embedding", "qid", "qvec",
+          cents, nprobe, "euclidean").select(col("qid"), col("vec_id"))
+      topk(nprobe = 8)
+        .join(topk(nprobe = 2).withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("__hit")).as("hits"),
+          (count(col("__hit")) / lit(10.0)).as("recall"))
+        .orderBy("qid")
     }),
     // Product-quantization ADC search: 64-d vectors → 4 subspaces × 16
     // codewords → 4-byte codes (64× compression); top-10 by asymmetric
@@ -887,6 +937,43 @@ object PipelineQueries {
          |  COALESCE(a.lines_kept, 0) AS lines_kept,
          |  len(string_split(s.text, chr(10))) - COALESCE(a.lines_kept, 0) AS lines_dropped
          |FROM src s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    concat(
+         |      CASE WHEN doc_id % 4 = 1
+         |        THEN 'all rights reserved contact the site administrator today ' ELSE '' END,
+         |      text,
+         |      CASE WHEN doc_id % 4 = 0
+         |        THEN ' all rights reserved contact the site administrator today' ELSE '' END,
+         |      CASE WHEN doc_id % 251 = 0
+         |        THEN ' this rare disclaimer appears in just two documents' ELSE '' END) AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM src),
+         |wins AS (
+         |  SELECT doc_id, i AS start,
+         |    list_transform([array_to_string(list_slice(tk, i + 1, i + 8), ' ')],
+         |      t -> $fnvSql)[1] AS wh
+         |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS i
+         |        FROM toks WHERE len(tk) >= 8)),
+         |rep AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM wins)
+         |  GROUP BY wh HAVING COUNT(*) >= 5),
+         |struck AS (SELECT DISTINCT doc_id, start FROM wins
+         |  WHERE wh IN (SELECT wh FROM rep)),
+         |covered AS (SELECT DISTINCT doc_id, start + o.off AS pos
+         |  FROM struck, (SELECT unnest(range(0, 8)) AS off) o),
+         |idx AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS pos FROM toks),
+         |kept AS (
+         |  SELECT i.doc_id, i.pos, i.tk[i.pos + 1] AS tok
+         |  FROM idx i LEFT JOIN covered c ON i.doc_id = c.doc_id AND i.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |    COUNT(*) AS kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+         |  COALESCE(a.kept, 0) AS tokens_kept,
+         |  len(t.tk) - COALESCE(a.kept, 0) AS tokens_dropped
+         |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_exact" ->
       s"""WITH $dupCorpusSql
          |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1150,6 +1237,38 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM cand)
         |SELECT qid, vec_id, dist, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "ann_recall" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 101 = 0),
+        |exact10 AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6), e.vec_id) AS rn
+        |  FROM q, embeddings e) WHERE rn <= 10),
+        |probe AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM q, cents c) WHERE rn <= 2),
+        |cand AS (SELECT q.qid, e.vec_id,
+        |    ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |  FROM q JOIN probe p ON p.qid = q.qid
+        |    JOIN asg a ON a.cid = p.cid
+        |    JOIN embeddings e ON e.vec_id = a.vec_id),
+        |approx10 AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM cand)
+        |  WHERE rn <= 10)
+        |SELECT e.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+        |  COUNT(a.vec_id) / 10.0 AS recall
+        |FROM exact10 e LEFT JOIN approx10 a
+        |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
     "source_overlap" ->
       s"""WITH src AS (SELECT doc_id, text FROM documents),
          |${winnowCtes("s", "src")},

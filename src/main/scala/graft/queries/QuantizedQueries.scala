@@ -48,10 +48,29 @@ object QuantizedQueries {
       .limit(10)
   }
 
+  /** SQ8 scan: per-dimension affine ranges trained from THIS corpus in one
+    * aggregation, both sides quantized, distance fused over the 1-byte/dim
+    * codes. The oracle re-trains the identical stats in SQL, so codes,
+    * decodes, and distances replicate bit-for-bit (SqExpressions.scala). */
+  private def scanSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val (mins, scales) = graft.ann.Sq.trainStats(e, "embedding")
+    val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val qDec = graft.ann.Sq.roundTrip(qv, mins, scales)
+    e.select(
+        col("vec_id"),
+        round(graft.ann.Sq.distance(
+          graft.ann.Sq.encode(col("embedding"), mins, scales),
+          qDec, mins, scales, "cosine"), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flat_scan_f16" -> ((s, dir) => scan(s, dir, "f16")),
     "flat_scan_bf16" -> ((s, dir) => scan(s, dir, "bf16")),
-    "flat_scan_f8" -> ((s, dir) => scan(s, dir, "f8"))
+    "flat_scan_f8" -> ((s, dir) => scan(s, dir, "f8")),
+    "flat_scan_sq8" -> ((s, dir) => scanSq8(s, dir))
   )
 
   /** dequantize(quantize(x)) as arithmetic on a float32-exact double:
@@ -82,9 +101,32 @@ object QuantizedQueries {
        |FROM s, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
   }
 
+  /** SQ8 oracle: train the identical per-dim (min, scale) stats in SQL,
+    * quantize both sides with clamp(round((x−mn)/sc)) (round-half-up on a
+    * non-negative operand — DuckDB's half-away == Java's Math.round there),
+    * decode as mn + c·sc in doubles, cosine over the decodes. */
+  private val sq8Oracle = {
+    val dec = """CASE WHEN st.scs[i] <= 0 THEN st.mins[i]
+                |      ELSE st.mins[i] + least(255, greatest(0,
+                |        round((v[i] - st.mins[i]) / st.scs[i]))) * st.scs[i] END""".stripMargin
+    s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM s),
+       |st0 AS (SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc
+       |        FROM d GROUP BY dim),
+       |st AS (SELECT list(mn ORDER BY dim) AS mins, list(sc ORDER BY dim) AS scs FROM st0),
+       |dec AS (SELECT vec_id,
+       |    list_transform(range(1, len(v) + 1), i -> $dec) AS ev
+       |  FROM s, st),
+       |q AS (SELECT ev AS qv FROM dec WHERE vec_id = 0)
+       |SELECT dec.vec_id, ROUND(ABS(1 - (list_inner_product(dec.ev, q.qv) /
+       |  (SQRT(list_inner_product(dec.ev, dec.ev)) * SQRT(list_inner_product(q.qv, q.qv))))), 6) AS dist
+       |FROM dec, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "flat_scan_f16" -> oracleScan(mbits = 10, emin = -14),
     "flat_scan_bf16" -> oracleScan(mbits = 7, emin = -126),
-    "flat_scan_f8" -> oracleScan(mbits = 2, emin = -14)
+    "flat_scan_f8" -> oracleScan(mbits = 2, emin = -14),
+    "flat_scan_sq8" -> sq8Oracle
   )
 }

@@ -1,0 +1,231 @@
+// Same private[sql]-visibility rationale as VectorExpressions.scala.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Trained scalar quantization (SQ8) — the uniform-affine int8 rung of the
+  * quantization ladder, between the stateless float formats (f16/bf16/f8,
+  * QuantExpressions.scala) and product quantization (PqExpressions.scala).
+  * The reference engine ships only the stateless formats
+  * (/root/reference/edge/f16_quantization.go, f8_quantization.go); SQ8 is
+  * the training-pipeline extension every FAISS-style stack expects
+  * (`ScalarQuantizer QT_8bit`): per-dimension affine ranges trained from the
+  * corpus, 1 byte/dim (4× smaller than f32, 2× smaller than f16) with far
+  * better resolution than the 1-5-2 minifloat because the 256 levels adapt
+  * to each dimension's actual spread.
+  *
+  * code_d  = clamp(round((x_d − min_d) / scale_d), 0, 255)   scale_d = (max_d − min_d)/255
+  * dec_d   = min_d + code_d · scale_d
+  *
+  * All arithmetic is double (floats widen exactly), rounding is
+  * round-half-up on a non-negative operand — both chosen so an external
+  * engine (the DuckDB oracle) reproduces codes and decodes bit-for-bit.
+  * A degenerate dimension (max = min ⇒ scale ≤ 0) encodes as 0 and decodes
+  * exactly to min_d.
+  *
+  * The trained (mins, scales) ride as plan constants (`addReferenceObj`) —
+  * dim-sized, O(KB) — never as a join. At 100 TB the encoded column is what
+  * is persisted and scanned; decode runs fused inside the scoring loop
+  * ([[VecDistanceSq8]]), so the scan reads 1 byte/dim and never
+  * materializes a decoded array per row.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mins.length == scales.length,
+    s"mins/scales length mismatch: ${mins.length} vs ${scales.length}")
+  override def prettyName: String = "sq8_encode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == mins.length, s"vector dimension mismatch: $n vs ${mins.length}")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Sq8Encode.encodeOne(a.getFloat(i), mins(i), scales(i))
+      i += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val sc = ctx.addReferenceObj("sqScales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val r = ctx.freshName("r")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $mn.length) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $mn.length);
+         |}
+         |final byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($sc[$i] > 0.0) {
+         |    final long $r = Math.round(((double) $a.getFloat($i) - $mn[$i]) / $sc[$i]);
+         |    $out[$i] = (byte) ($r < 0L ? 0 : ($r > 255L ? 255 : (int) $r));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Sq8Encode {
+  def encodeOne(x: Float, mn: Double, sc: Double): Byte =
+    if (sc <= 0.0) 0.toByte
+    else {
+      val r = Math.round((x.toDouble - mn) / sc)
+      (if (r < 0L) 0 else if (r > 255L) 255 else r.toInt).toByte
+    }
+  def decodeOne(c: Byte, mn: Double, sc: Double): Double =
+    mn + (c & 0xFF).toDouble * sc
+}
+
+/** Decode SQ8 codes back to the quantized double values (min_d + c·scale_d).
+  * Output is array<double> — the decode is exact in doubles, which is what
+  * lets the oracle reproduce distances to the rounding digit. */
+case class Sq8Decode(child: Expression, mins: Array[Double], scales: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mins.length == scales.length,
+    s"mins/scales length mismatch: ${mins.length} vs ${scales.length}")
+  override def prettyName: String = "sq8_decode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[Array[Byte]]
+    require(a.length == mins.length,
+      s"vector dimension mismatch: ${a.length} vs ${mins.length}")
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = Sq8Encode.decodeOne(a(i), mins(i), scales(i)); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val sc = ctx.addReferenceObj("sqScales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.length;
+         |if ($n != $mn.length) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $mn.length);
+         |}
+         |final double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $mn[$i] + ((double) ($a[$i] & 0xFF)) * $sc[$i];
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused SQ8 asymmetric distance: decodes the stored codes INSIDE the scan
+  * loop against a pre-decoded query (the [[VecDistanceQuant]] discipline —
+  * loop fission into a reused decode buffer, then a pure double[] metric
+  * loop HotSpot vectorizes). The query, mins, and scales are plan
+  * constants; the only child is the 1-byte/dim code column, so the scan hot
+  * path reads a quarter of the f32 bytes. Accumulation order is identical
+  * to metric(decode(codes), query), so results are bit-identical to the
+  * unfused pipeline (QuantizationSpec pins this). */
+case class VecDistanceSq8(child: Expression, query: Array[Double],
+                          mins: Array[Double], scales: Array[Double], metric: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(VecDistanceQuant.metrics.contains(metric), s"unknown metric: $metric")
+  require(query.length == mins.length && mins.length == scales.length,
+    s"query/mins/scales length mismatch: ${query.length}/${mins.length}/${scales.length}")
+  override def prettyName: String = s"${metric}_distance_sq8"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[Array[Byte]]
+    val n = a.length
+    require(n == query.length, s"vector dimension mismatch: $n vs ${query.length}")
+    var acc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    metric match {
+      case "cosine" =>
+        while (i < n) { val x = Sq8Encode.decodeOne(a(i), mins(i), scales(i)); val y = query(i)
+          acc += x * y; na += x * x; nb += y * y; i += 1 }
+        math.abs(1.0 - acc / (math.sqrt(na) * math.sqrt(nb)))
+      case "euclidean" =>
+        while (i < n) { val d = Sq8Encode.decodeOne(a(i), mins(i), scales(i)) - query(i)
+          acc += d * d; i += 1 }
+        math.sqrt(acc)
+      case "manhattan" =>
+        while (i < n) { acc += math.abs(Sq8Encode.decodeOne(a(i), mins(i), scales(i)) - query(i)); i += 1 }
+        acc
+      case "dot" =>
+        while (i < n) { acc += Sq8Encode.decodeOne(a(i), mins(i), scales(i)) * query(i); i += 1 }
+        -acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val sc = ctx.addReferenceObj("sqScales", scales, "double[]")
+    val qv = ctx.addReferenceObj("sqQuery", query, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      // per-operator scratch buffer: one allocation per task, not per row
+      val buf = ctx.addMutableState("double[]", "sq8DecodeBuf", v => s"$v = new double[0];")
+      val loop = metric match {
+        case "cosine" =>
+          s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final double x = $buf[$i];
+             |  final double y = $qv[$i];
+             |  $acc += x * y; $na += x * x; $nb += y * y;
+             |}
+             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
+        case "euclidean" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  final double d = $buf[$i] - $qv[$i];
+             |  $acc += d * d;
+             |}
+             |${ev.value} = Math.sqrt($acc);""".stripMargin
+        case "manhattan" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += Math.abs($buf[$i] - $qv[$i]);
+             |}
+             |${ev.value} = $acc;""".stripMargin
+        case "dot" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += $buf[$i] * $qv[$i];
+             |}
+             |${ev.value} = -$acc;""".stripMargin
+      }
+      s"""
+         |final int $n = $a.length;
+         |if ($n != $qv.length) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $qv.length);
+         |}
+         |if ($buf.length < $n) $buf = new double[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $buf[$j] = $mn[$j] + ((double) ($a[$j] & 0xFF)) * $sc[$j];
+         |}
+         |$loop
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -353,4 +353,69 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
   }
+
+  test("strikeRepeatedSpans: cross-doc windows struck at any offset, overlaps merge, short/rare/null docs survive") {
+    val corpus = Seq(
+      (1L, "x a b c y"),        // span mid-doc
+      (2L, "a b c z w"),        // same span at offset 0
+      (3L, "p q r s t"),        // unique -> untouched
+      (4L, "a b c"),            // exactly the span -> fully struck
+      (5L, "a b a b a b c"),    // within-doc repeats count once; tail span struck
+      (6L, "a b c d a b c"),    // overlapping struck windows merge; lone 'd' kept
+      (7L, "a b")               // shorter than n -> no windows, untouched
+    ).toDF("id", "text")
+    val out = Dedup.strikeRepeatedSpans(corpus, "id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("tokens_dropped")))).toMap
+    assert(out(1L) === (("x y", 2L, 3L)))
+    assert(out(2L) === (("z w", 2L, 3L)))
+    assert(out(3L) === (("p q r s t", 5L, 0L)))
+    assert(out(4L) === (("", 0L, 3L)))             // struck doc still present
+    assert(out(5L) === (("a b a b", 4L, 3L)))      // "a b a" repeats WITHIN doc 5 only -> kept
+    assert(out(6L) === (("d", 1L, 6L)))            // covered {0..2} ∪ {4..6}
+    assert(out(7L) === (("a b", 2L, 0L)))
+    intercept[IllegalArgumentException](
+      Dedup.strikeRepeatedSpans(corpus, "id", "text", n = 1, minDocs = 2))
+    intercept[IllegalArgumentException](
+      Dedup.strikeRepeatedSpans(corpus, "id", "text", n = 3, minDocs = 1))
+    val withNull = corpus.unionByName(Seq((8L, Option.empty[String])).toDF("id", "text"))
+    val outNull = Dedup.strikeRepeatedSpans(withNull, "id", "text", n = 3, minDocs = 2)
+      .where(col("id") === 8L).collect()
+    assert(outNull.length === 1)
+    assert(outNull(0).getAs[String]("text_clean") === "")
+    assert(outNull(0).getAs[Long]("tokens_kept") === 0L)
+    assert(outNull(0).getAs[Long]("tokens_dropped") === 0L)
+  }
+
+  test("strikeRepeatedSpans matches the naive per-window computation on a random corpus") {
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 50L).map { id =>
+      val len = 2 + rnd.nextInt(11)
+      id -> (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val n = 3; val minDocs = 3
+    def windows(t: String): Seq[(Int, String)] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < n) Seq.empty
+      else (0 to tk.length - n).map(i => i -> tk.slice(i, i + n).mkString(" "))
+    }
+    val support = corpus.flatMap { case (id, t) => windows(t).map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val repeated = support.filter(_._2 >= minDocs).keySet
+    val expected = corpus.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      val covered = windows(t).collect { case (i, w) if repeated(w) => i until (i + n) }
+        .flatten.toSet
+      val kept = tk.indices.filterNot(covered).map(tk)
+      id -> ((kept.mkString(" "), kept.length.toLong, (tk.length - kept.length).toLong))
+    }.toMap
+    val got = Dedup.strikeRepeatedSpans(corpus.toDF("id", "text"), "id", "text", n, minDocs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"),
+          r.getAs[Long]("tokens_kept"), r.getAs[Long]("tokens_dropped")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) === e, s"doc $id") }
+  }
 }

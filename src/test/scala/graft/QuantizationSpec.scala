@@ -189,4 +189,82 @@ class QuantizationSpec extends SparkSpec {
       both.foreach { case (u, f) => assert(u === f, fmt) }
     }
   }
+
+  test("sq8: round-trip error bounded by scale/2, degenerate dims decode to min, extremes hit the rails") {
+    import spark.implicits._
+    import graft.ann.Sq
+    val dim = 16
+    val vecs = (0L until 500L).map { i =>
+      val v = randVec(dim); v(3) = 7.25f /* degenerate dim: constant */ ; (i, v)
+    }.toDF("id", "v")
+    val (mins, scales) = Sq.trainStats(vecs, "v")
+    assert(mins.length === dim)
+    assert(scales(3) === 0.0)            // constant dim → zero scale
+    val rows = vecs.select(col("v"), Sq.decode(Sq.encode(col("v"), mins, scales), mins, scales).as("d"))
+      .as[(Seq[Float], Seq[Double])].collect()
+    rows.foreach { case (v, d) =>
+      (0 until dim).foreach { j =>
+        if (j == 3) assert(d(j) === 7.25f.toDouble)
+        else {
+          assert(math.abs(d(j) - v(j)) <= scales(j) / 2 + 1e-12,
+            s"dim $j: |${d(j)} - ${v(j)}| > ${scales(j) / 2}")
+          // decode stays inside the trained range
+          assert(d(j) >= mins(j) - 1e-12 && d(j) <= mins(j) + 255 * scales(j) + 1e-12)
+        }
+      }
+    }
+    // out-of-range inputs clamp to the rails instead of wrapping
+    val rail = Seq((0L, Array.fill(dim)(1e9f)), (1L, Array.fill(dim)(-1e9f))).toDF("id", "v")
+      .select(Sq.decode(Sq.encode(col("v"), mins, scales), mins, scales).as("d"))
+      .as[Seq[Double]].collect()
+    (0 until dim).filterNot(_ == 3).foreach { j =>
+      assert(rail(0)(j) === mins(j) + 255 * scales(j), s"hi rail dim $j")
+      assert(rail(1)(j) === mins(j), s"lo rail dim $j")
+    }
+  }
+
+  test("sq8: fused distance is bit-identical to decode-then-metric, all metrics") {
+    import spark.implicits._
+    import graft.ann.Sq
+    val dim = 24
+    val vecs = (0L until 200L).map(i => (i, randVec(dim))).toDF("id", "v")
+    val (mins, scales) = Sq.trainStats(vecs, "v")
+    val q = randVec(dim)
+    val qDec = Sq.roundTrip(q, mins, scales)
+    for (metric <- Seq("cosine", "euclidean", "manhattan", "dot")) {
+      val both = vecs.select(
+          Sq.decode(Sq.encode(col("v"), mins, scales), mins, scales).as("dec"),
+          Sq.distance(Sq.encode(col("v"), mins, scales), qDec, mins, scales, metric).as("fused"))
+        .as[(Seq[Double], Double)].collect()
+      both.foreach { case (dec, fused) =>
+        var acc = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val expected = metric match {
+          case "cosine" =>
+            while (i < dim) { acc += dec(i) * qDec(i); na += dec(i) * dec(i); nb += qDec(i) * qDec(i); i += 1 }
+            math.abs(1.0 - acc / (math.sqrt(na) * math.sqrt(nb)))
+          case "euclidean" =>
+            while (i < dim) { val d = dec(i) - qDec(i); acc += d * d; i += 1 }; math.sqrt(acc)
+          case "manhattan" =>
+            while (i < dim) { acc += math.abs(dec(i) - qDec(i)); i += 1 }; acc
+          case "dot" =>
+            while (i < dim) { acc += dec(i) * qDec(i); i += 1 }; -acc
+        }
+        assert(fused === expected, metric)
+      }
+    }
+  }
+
+  test("sq8: sampled training falls back to the full corpus when the sample is empty") {
+    import spark.implicits._
+    import graft.ann.Sq
+    val vecs = (0L until 50L).map(i => (i, randVec(8))).toDF("id", "v")
+    val (mFull, sFull) = Sq.trainStats(vecs, "v")
+    // mod far larger than the corpus: deterministic sample is (almost surely)
+    // empty → stats must equal full-corpus training, not crash or degenerate
+    val (mSampled, sSampled) = Sq.trainStats(vecs, "v", sampleMod = 1000000007L, idCol = "id")
+    assert(mSampled.toSeq === mFull.toSeq)
+    assert(sSampled.toSeq === sFull.toSeq)
+    intercept[IllegalArgumentException](Sq.trainStats(vecs, "v", sampleMod = 4L))
+  }
 }
