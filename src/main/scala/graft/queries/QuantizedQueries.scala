@@ -66,11 +66,52 @@ object QuantizedQueries {
       .limit(10)
   }
 
+  /** Binary (1-bit/dim) scan: per-dimension midrange thresholds trained
+    * from THIS corpus in one aggregation, sign bits packed to ceil(dim/8)
+    * bytes, distance = Hamming (XOR + popcount) against the encoded query.
+    * The oracle re-trains the identical thresholds in SQL and counts bit
+    * mismatches dim-wise — packing order cancels out of the comparison, so
+    * only the (exact, order-independent) bit decisions must agree. */
+  private def scanBinary(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val th = graft.ann.Bin.trainThresholds(e, "embedding")
+    val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val qc = graft.ann.Bin.encodeOne(qv, th)
+    e.select(
+        col("vec_id"),
+        graft.ann.Bin.hamming(graft.ann.Bin.encode(col("embedding"), th), qc).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** The 100 TB two-pass retrieval shape: binary Hamming prefilter to a
+    * 3× candidate set (the first pass scans 1/32 of the f32 bytes,
+    * integer-only), then EXACT float cosine re-rank of the candidates.
+    * Both passes are top-K bounded (TakeOrderedAndProject), so the second
+    * pass touches 30 rows regardless of corpus size. */
+  private def binaryRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val th = graft.ann.Bin.trainThresholds(e, "embedding")
+    val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val qc = graft.ann.Bin.encodeOne(qv, th)
+    val cands = e.select(col("vec_id"), col("embedding"),
+        graft.ann.Bin.hamming(graft.ann.Bin.encode(col("embedding"), th), qc).as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(30)
+    cands.select(
+        col("vec_id"),
+        round(cosine_distance(col("embedding"), lit(qv)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flat_scan_f16" -> ((s, dir) => scan(s, dir, "f16")),
     "flat_scan_bf16" -> ((s, dir) => scan(s, dir, "bf16")),
     "flat_scan_f8" -> ((s, dir) => scan(s, dir, "f8")),
-    "flat_scan_sq8" -> ((s, dir) => scanSq8(s, dir))
+    "flat_scan_sq8" -> ((s, dir) => scanSq8(s, dir)),
+    "flat_scan_binary" -> ((s, dir) => scanBinary(s, dir)),
+    "binary_rerank" -> ((s, dir) => binaryRerank(s, dir))
   )
 
   /** dequantize(quantize(x)) as arithmetic on a float32-exact double:
@@ -123,10 +164,41 @@ object QuantizedQueries {
        |FROM dec, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Shared oracle prelude: re-train the midrange thresholds in SQL
+    * ((min+max)/2 per dim — exact, order-independent doubles) and derive
+    * per-vector bit lists; Hamming = dim-wise mismatch count. */
+  private val binBitsCte =
+    """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM s),
+      |th0 AS (SELECT dim, (min(x) + max(x)) / 2.0 AS t FROM d GROUP BY dim),
+      |th AS (SELECT list(t ORDER BY dim) AS ts FROM th0),
+      |b AS (SELECT vec_id, v, list_transform(range(1, len(v) + 1),
+      |        i -> CASE WHEN v[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits
+      |      FROM s, th),
+      |q AS (SELECT bits AS qb, v AS qv FROM b WHERE vec_id = 0)""".stripMargin
+
+  private val binOracle =
+    s"""$binBitsCte
+       |SELECT b.vec_id, CAST(list_sum(list_transform(range(1, len(b.bits) + 1),
+       |    i -> CASE WHEN b.bits[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+       |FROM b, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
+  private val binRerankOracle =
+    s"""$binBitsCte,
+       |c AS (SELECT b.vec_id, b.v,
+       |        list_sum(list_transform(range(1, len(b.bits) + 1),
+       |          i -> CASE WHEN b.bits[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS h
+       |      FROM b, q ORDER BY h, vec_id LIMIT 30)
+       |SELECT c.vec_id, ROUND(ABS(1 - (list_inner_product(c.v, q.qv) /
+       |  (SQRT(list_inner_product(c.v, c.v)) * SQRT(list_inner_product(q.qv, q.qv))))), 6) AS dist
+       |FROM c, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "flat_scan_f16" -> oracleScan(mbits = 10, emin = -14),
     "flat_scan_bf16" -> oracleScan(mbits = 7, emin = -126),
     "flat_scan_f8" -> oracleScan(mbits = 2, emin = -14),
-    "flat_scan_sq8" -> sq8Oracle
+    "flat_scan_sq8" -> sq8Oracle,
+    "flat_scan_binary" -> binOracle,
+    "binary_rerank" -> binRerankOracle
   )
 }
