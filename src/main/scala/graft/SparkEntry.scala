@@ -22,6 +22,7 @@ object SparkEntry {
       QuantizedQueries.queries ++
       PersistenceQueries.queries ++
       PipelineQueries.queries ++
+      RetrievalQueries.queries ++
       LifecycleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       QuantizedQueries.oracles ++
       PersistenceQueries.oracles ++
       PipelineQueries.oracles ++
+      RetrievalQueries.oracles ++
       LifecycleQueries.oracles
 }
