@@ -182,4 +182,25 @@ public final class TextKernels {
         }
         return n;
     }
+
+    // Text canonicalization — the ingest-side cleanup every corpus pass
+    // runs first. Order and character classes are chosen for bit parity
+    // with the DuckDB oracle: NFC (UAX#15 — identical output from any
+    // compliant implementation), then strip the non-whitespace control
+    // chars (TAB/LF/VT/FF/CR survive into the collapse step so "a\r\nb"
+    // joins with a space, never as "ab"), then collapse \s+ runs (Java's
+    // default \s == RE2's \s == [ \t\n\x0B\f\r]) and trim the single
+    // leading/trailing space the collapse can leave.
+    private static final java.util.regex.Pattern CTRL =
+        java.util.regex.Pattern.compile("[\\x00-\\x08\\x0E-\\x1F\\x7F]");
+    private static final java.util.regex.Pattern WS =
+        java.util.regex.Pattern.compile("\\s+");
+
+    public static UTF8String normalizeText(UTF8String s) {
+        String nfc = java.text.Normalizer.normalize(
+            s.toString(), java.text.Normalizer.Form.NFC);
+        String collapsed = WS.matcher(CTRL.matcher(nfc).replaceAll(""))
+            .replaceAll(" ");
+        return UTF8String.fromString(collapsed.trim());
+    }
 }

@@ -104,8 +104,14 @@ object Bench {
       // 1-byte/dim codes (4× fewer cached bytes than f32, 2× fewer than f16)
       val (sqMins, sqScales) = graft.ann.Sq.trainStats(read, "embedding",
         sampleMod = 16L, idCol = "vec_id")
+      // binary sign-bit thresholds off the same 1/16 sample: the timed
+      // Hamming scan reads 16 bytes per 128-d vector — 32× fewer cached
+      // bytes than f32, and an integer-only (XOR+popcount) hot loop
+      val binTh = graft.ann.Bin.trainThresholds(read, "embedding",
+        sampleMod = 16L, idCol = "vec_id")
       val big = (if (rows <= 1000000L) read.repartition(cpus.toInt) else read)
         .withColumn("emb_sq8", graft.ann.Sq.encode(col("embedding"), sqMins, sqScales))
+        .withColumn("emb_bin", graft.ann.Bin.encode(col("embedding"), binTh))
         .persist(StorageLevel.MEMORY_AND_DISK)
       big.count() // materialize the cache (the reference loads before searching)
       System.gc() // settle allocation noise from the sf suite / generation
@@ -113,6 +119,7 @@ object Bench {
       val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
       val qSq8 = graft.ann.Sq.roundTrip(q, sqMins, sqScales)
+      val qBin = graft.ann.Bin.encodeOne(q, binTh)
       val suite = Seq(
         s"flat_scan_cosine_$tag" -> (() =>
           big.select(col("vec_id"), cosine_distance(col("embedding"), lit(q)).as("dist"))
@@ -124,6 +131,9 @@ object Bench {
         s"flat_scan_sq8_$tag" -> (() =>
           big.select(col("vec_id"),
               graft.ann.Sq.distance(col("emb_sq8"), qSq8, sqMins, sqScales, "cosine").as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
+        s"flat_scan_bin_$tag" -> (() =>
+          big.select(col("vec_id"), graft.ann.Bin.hamming(col("emb_bin"), qBin).as("dist"))
             .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()),
         s"filtered_search_$tag" -> (() =>
           big.where(col("label") === 7)

@@ -58,6 +58,10 @@ package object functions {
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 
+  /** Ingest-side text canonicalization: NFC → control-char strip →
+    * whitespace collapse → trim (TextKernels.normalizeText). */
+  def normalize_text(text: Column): Column = column(NormalizeText(expression(text)))
+
   /** |a ∩ b| of two SORTED, DISTINCT string arrays — zero-allocation merge
     * (the dedup-verify kernel; `array_intersect` hashes per evaluation). */
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -748,7 +748,26 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+    // Ingest-side text canonicalization: NFC + control strip + whitespace
+    // collapse + trim as ONE codegen'd row-local kernel — zero shuffles;
+    // the oracle recomputes the identical pipeline from DuckDB's own
+    // nfc_normalize/regexp_replace (UAX#15 makes NFC engine-independent).
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          graft.functions.normalize_text(col("text")).as("norm"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(graft.functions.normalize_text(col("text"))).cast("long").as("len_norm"))
+        .orderBy("doc_id")),
+    // Fuzzy (edit-distance ≤ 1) title self-join via lossless
+    // deletion-neighborhood blocking — the oracle is the brute-force
+    // all-pairs truth, so the blocked path must find EVERY pair.
+    "fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editPairs1(
+          docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 30).as("title")),
+          "doc_id", "title")
+        .orderBy("id_a", "id_b"))
   )
 
   /** Id-seeded PII injection: a deterministic subset of docs gets an email
@@ -1588,6 +1607,20 @@ object PipelineQueries {
          |WHERE bkt < CASE lang WHEN 'en' THEN 3500 WHEN 'es' THEN 6000
          |            WHEN 'zh' THEN 8000 ELSE 10000 END
          |GROUP BY lang ORDER BY lang""".stripMargin
-    }
+    },
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, length(text) AS len_raw, length(norm) AS len_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 30) AS title FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS d
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -27,6 +27,25 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** normalize_text(s): ingest-side canonicalization — NFC, control-char
+  * strip, whitespace collapse, trim (see TextKernels.normalizeText for the
+  * exact order and the oracle-parity rationale). Row-local, codegen'd. */
+case class NormalizeText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "normalize_text"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.normalizeText(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernels.normalizeText($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** sorted_intersect_count(a, b): |a ∩ b| for two SORTED, DISTINCT string
   * arrays via a single merge pass — the verification kernel of the dedup
   * pipelines. `array_intersect` hashes one side into a fresh OpenHashSet
