@@ -77,7 +77,8 @@ case class CollectionMeta(
     pqCodewords: Option[Int] = None,
     pqTrainIterations: Option[Int] = None,
     ivfTrainSampleMod: Option[Long] = None,
-    pqTrainSampleMod: Option[Long] = None) {
+    pqTrainSampleMod: Option[Long] = None,
+    binaryIndex: Option[Boolean] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
   require(ivfTrainIterations.forall(_ >= 0), "ivfTrainIterations must be >= 0")
@@ -108,6 +109,8 @@ case class CollectionMeta(
       "cosine via normalized storage — not for dot/manhattan collections")
   require(pqSubspaces.isEmpty || !fields.exists(_.isVector),
     "PQ layout is not supported on multi-vector collections")
+  require(!binaryIndex.contains(true) || !fields.exists(_.isVector),
+    "binaryIndex is not supported on multi-vector collections")
   require(!isSchemaless || fields.isEmpty,
     "schemaless (core v3) collections declare no fields — metadata is the string-coerced map")
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
@@ -121,6 +124,11 @@ case class CollectionMeta(
   }
 
   def primaryKey: Option[IndexField] = fields.find(_.primaryKey)
+
+  /** Whether flush writes the packed 1-bit/dim sign-code column + midrange
+    * threshold sidecar for [[GraftCatalog.searchBinary]]'s Hamming-prefilter
+    * two-pass path. Option-typed for sidecar-JSON backward compatibility. */
+  def hasBinaryIndex: Boolean = binaryIndex.contains(true)
 
   /** (m, ksub) when the collection keeps a PQ code layout. */
   def pqConfig: Option[(Int, Int)] =

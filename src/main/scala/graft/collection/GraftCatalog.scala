@@ -47,6 +47,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
   private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
   private def pqDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_pq")
+  private def binDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_bin")
   private def claimPath(name: String, v: Int) = new Path(s"$root/$name/v$v.claim")
 
   /** Atomic exclusive create of a version-claim file whose content is
@@ -158,7 +159,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   /** Snapshot layout columns (IVF cell, PQ code) are index artifacts, not
     * data — dropped from the resident/user-facing view. */
   private def dropCellCol(df: DataFrame): DataFrame =
-    Seq(GraftCatalog.CellCol, GraftCatalog.PqCodeCol).foldLeft(df)(
+    Seq(GraftCatalog.CellCol, GraftCatalog.PqCodeCol, GraftCatalog.BinCol).foldLeft(df)(
       (d, c) => if (d.columns.contains(c)) d.drop(c) else d)
 
   // ---- ingest / mutation ----
@@ -243,14 +244,30 @@ class GraftCatalog(spark: SparkSession, root: String,
     val stagingData = new Path(staging, "data")
     val stagingCentroids = new Path(staging, "centroids")
     val stagingPq = new Path(staging, "pq")
+    val stagingBin = new Path(staging, "bin")
     var wroteCentroids = false
     var wrotePq = false
+    var wroteBin = false
     // a failed staging write must not orphan the hidden staging dir
     try {
       val pk = meta.idColumn
       def decoded: Column = meta.quantization match {
         case "none" => col(VectorCol)
         case q      => dequantize(col(VectorCol), q)
+      }
+      // Binary prefilter layout: trained midrange sign-bit thresholds (one
+      // cheap min/max aggregation — no sampling needed, unlike Lloyd) and a
+      // packed ceil(dim/8)-byte code column riding the snapshot, so
+      // [[searchBinary]]'s first pass scans 1/32 of the float bytes via
+      // parquet column pruning. Thresholds go to a dim-row sidecar.
+      val binTh: Option[Array[Double]] =
+        if (meta.hasBinaryIndex && !df.isEmpty)
+          Some(graft.ann.Bin.trainThresholds(
+            df.select(decoded.as(GraftCatalog.SearchVecCol)), GraftCatalog.SearchVecCol))
+        else None
+      def withBin(d: DataFrame): DataFrame = binTh match {
+        case Some(th) => d.withColumn(GraftCatalog.BinCol, graft.ann.Bin.encode(decoded, th))
+        case None     => d
       }
       // PQ code layout: per-subspace-Lloyd codebook trained at flush, codes
       // written as an m-byte column, codebook in a tiny sidecar —
@@ -311,10 +328,10 @@ class GraftCatalog(spark: SparkSession, root: String,
                     mm, ks, iterations = pqIters, sampleMod = meta.pqTrainSampleMod)
                   pqCb = Some(cb)
                   pqResidual = true
-                  resid.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(
+                  withBin(resid.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(
                       col(GraftCatalog.ResidVecCol), cb.cents))
                     .drop(GraftCatalog.ResidVecCol)
-                    .drop(GraftCatalog.SearchVecCol)
+                    .drop(GraftCatalog.SearchVecCol))
                     // REBALANCE on the cell before partitionBy: without it
                     // every write task emits a file into every cell dir —
                     // tasks×cells files (an 8k-file snapshot at 1M/k=256;
@@ -327,7 +344,7 @@ class GraftCatalog(spark: SparkSession, root: String,
                     .mode("overwrite").parquet(stagingData.toString)
                 } finally resid.unpersist(false)
               case None =>
-                assigned.drop(GraftCatalog.SearchVecCol)
+                withBin(assigned.drop(GraftCatalog.SearchVecCol))
                   .hint("rebalance", GraftCatalog.CellCol) // see PQ branch note
                   .write.partitionBy(GraftCatalog.CellCol)
                   .mode("overwrite").parquet(stagingData.toString)
@@ -347,7 +364,13 @@ class GraftCatalog(spark: SparkSession, root: String,
               df.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(decoded, cb.cents))
             case _ => df
           }
-          withCode.write.mode("overwrite").parquet(stagingData.toString)
+          withBin(withCode).write.mode("overwrite").parquet(stagingData.toString)
+      }
+      binTh.foreach { th =>
+        import spark.implicits._
+        th.zipWithIndex.map { case (t, d) => (d, t) }.toSeq.toDF("d", "t")
+          .coalesce(1).write.mode("overwrite").parquet(stagingBin.toString)
+        wroteBin = true
       }
       pqCb.foreach { cb =>
         import spark.implicits._
@@ -385,6 +408,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     fs.rename(stagingData, versionDir(name, v))
     if (wroteCentroids) fs.rename(stagingCentroids, centroidDir(name, v))
     if (wrotePq) fs.rename(stagingPq, pqDir(name, v))
+    if (wroteBin) fs.rename(stagingBin, binDir(name, v))
     fs.delete(staging, true)
     // Validate + re-anchor BEFORE publishing: the read inspects footers, so
     // an unreadable snapshot aborts here with the meta still on the old
@@ -396,6 +420,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         fs.delete(versionDir(name, v), true)
         fs.delete(centroidDir(name, v), true)
         fs.delete(pqDir(name, v), true)
+        fs.delete(binDir(name, v), true)
         fs.delete(claimPath(name, v), false)
         throw e
       }
@@ -404,6 +429,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       fs.delete(versionDir(name, meta.currentVersion), true)
       fs.delete(centroidDir(name, meta.currentVersion), true)
       fs.delete(pqDir(name, meta.currentVersion), true)
+      fs.delete(binDir(name, meta.currentVersion), true)
       fs.delete(claimPath(name, meta.currentVersion), false)
     }
     // Re-anchor residency on the written snapshot: lineage collapses to a
@@ -441,6 +467,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         fs.delete(versionDir(name, v), true)
         fs.delete(centroidDir(name, v), true)
         fs.delete(pqDir(name, v), true)
+        fs.delete(binDir(name, v), true)
         fs.delete(claimPath(name, v), false)
         v
       }
@@ -672,6 +699,56 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Two-pass binary search over the packed sign-code layout: the first
+    * pass scans ONLY (pk, `__bin_code`) — ceil(dim/8) bytes/row via parquet
+    * column pruning, a 1/32-of-f32 read with an integer-only XOR+popcount
+    * hot loop — and keeps the Hamming top `topK·overFetch`; the second pass
+    * re-scores exactly those candidates on their stored vectors (an
+    * id-pruned read of O(topK·overFetch) rows, the [[searchPq]] rerank
+    * shape). At 100 TB the first pass is the cheapest possible full scan
+    * and the second never grows with the corpus. Recall is the standard
+    * sign-sketch trade, tunable via `overFetch`. */
+  def searchBinary(name: String, queryVector: Array[Float], topK: Int,
+                   overFetch: Int = 3): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    require(topK >= 1, "topK must be >= 1")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    import spark.implicits._
+    val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    if (!fs.exists(binDir(name, meta.currentVersion))) {
+      // only an EMPTY flush legitimately lacks the sidecar — a populated
+      // snapshot without one is a layout mismatch, not a no-result query
+      require(full.isEmpty,
+        s"collection $name: binary sidecar missing for version ${meta.currentVersion} — " +
+          "the snapshot predates the binary layout; re-flush to build it")
+      return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
+    }
+    val th = spark.read.parquet(binDir(name, meta.currentVersion).toString)
+      .orderBy("d").collect().map(_.getAs[Double]("t"))
+    require(th.length == meta.dim,
+      s"binary sidecar dimension mismatch: ${th.length} vs ${meta.dim}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val qc = graft.ann.Bin.encodeOne(qv, th)
+    // candidate ids are O(topK·overFetch) — driver-sized; the isin pushes
+    // into the rerank scan as a parquet filter (same as searchPq's rerank)
+    val candIds = full.select(col(meta.idColumn),
+        graft.ann.Bin.hamming(col(GraftCatalog.BinCol), qc).as("__h"))
+      .orderBy(col("__h").asc, col(meta.idColumn).asc)
+      .limit(topK * overFetch).select(meta.idColumn).collect().map(_.get(0))
+    val vec = meta.quantization match {
+      case "none" => col(VectorCol)
+      case q      => dequantize(col(VectorCol), q)
+    }
+    full.where(col(meta.idColumn).isin(candIds.toIndexedSeq: _*))
+      .select(col(meta.idColumn),
+        round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
+      .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+  }
+
   /** The centroid sidecar of version `v` — O(cells) rows, driver-sized. */
   private def readCentroids(name: String, v: Int): Seq[(Long, Array[Float])] =
     spark.read.parquet(centroidDir(name, v).toString)
@@ -832,6 +909,9 @@ object GraftCatalog {
 
   /** PQ code column in on-disk snapshots (m bytes per row). */
   val PqCodeCol = "__pq_code"
+
+  /** Packed 1-bit/dim sign-code column of binary-indexed snapshots. */
+  val BinCol = "__bin_code"
   import CollectionMeta.VectorCol
 
   /** Mirror of the stored-vector prep for a driver-side query vector:

@@ -61,6 +61,31 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.searchPq("pqc", qv, topK = 10, rerank = false)
     }),
+    // Binary (sign-bit) layout through the full Collection API: create with
+    // binaryIndex, flush (packed code column + midrange-threshold sidecar),
+    // two-pass search — Hamming prefilter over the 1/32-width code scan,
+    // exact rerank on the stored vectors. The oracle replays BOTH passes:
+    // re-trains the thresholds in SQL, takes the Hamming top-30 with the
+    // same (h, id) order, then re-ranks exactly — so prefilter membership
+    // AND final ranking must agree bit-for-bit.
+    "catalog_bin_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-bin").toString)
+      cat.createCollection(CollectionMeta("binc", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        binaryIndex = Some(true)))
+      cat.loadCollection("binc")
+      cat.insert("binc", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("binc")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchBinary("binc", qv, topK = 10, overFetch = 3)
+    }),
     // Schema-less (core v3) collection through the full API: arbitrary
     // metadata string-coerced into a map, _id shim, filter AST routed
     // through parse-compare semantics (SURVEY.md §1.2).
@@ -137,6 +162,22 @@ object PersistenceQueries {
         |  GROUP BY a.vec_id)
         |SELECT e.id, ROUND(adc.d, 6) AS dist FROM adc JOIN emb e ON e.vec_id = adc.vec_id
         |ORDER BY dist, e.id LIMIT 10""".stripMargin,
+    "catalog_bin_search" ->
+      """WITH s AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM s),
+        |th0 AS (SELECT dim, (min(x) + max(x)) / 2.0 AS t FROM d GROUP BY dim),
+        |th AS (SELECT list(t ORDER BY dim) AS ts FROM th0),
+        |b AS (SELECT id, v, list_transform(range(1, len(v) + 1),
+        |        i -> CASE WHEN v[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits
+        |      FROM s, th),
+        |q AS (SELECT bits AS qb, v AS qv FROM b WHERE id = '000'),
+        |c AS (SELECT b.id, b.v,
+        |        list_sum(list_transform(range(1, len(b.bits) + 1),
+        |          i -> CASE WHEN b.bits[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS h
+        |      FROM b, q ORDER BY h, id LIMIT 30)
+        |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
+        |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
     "core_collection_roundtrip" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS _id, CAST(e.label AS VARCHAR) AS label,

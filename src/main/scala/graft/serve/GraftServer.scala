@@ -223,6 +223,17 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(4)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
         rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe))
+      // two-pass binary search: Hamming prefilter over the packed
+      // sign-code column, exact rerank on the stored vectors
+      case ("POST", "collections" :: name :: "searchBinary" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchBinary requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(3)
+        rowsJson(catalog.searchBinary(name, vector, topK, overFetch))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
         val (vector, topK, nprobe) = parseLocalProbe(req, "searchLocal")
@@ -362,7 +373,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       pqCodewords = (j \ "pqCodewords").extractOpt[Int],
       pqTrainIterations = (j \ "pqTrainIterations").extractOpt[Int],
       ivfTrainSampleMod = (j \ "ivfTrainSampleMod").extractOpt[Long],
-      pqTrainSampleMod = (j \ "pqTrainSampleMod").extractOpt[Long])
+      pqTrainSampleMod = (j \ "pqTrainSampleMod").extractOpt[Long],
+      binaryIndex = (j \ "binaryIndex").extractOpt[Boolean])
   }
 
   /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |

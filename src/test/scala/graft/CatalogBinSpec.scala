@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
+
+/** Collection-level binary (sign-bit) layout: flush writes the packed code
+  * column + threshold sidecar, the resident view stays clean, the two-pass
+  * searchBinary agrees with the exact search, the sidecar follows the
+  * version lifecycle, and layout mismatches fail loudly. */
+class CatalogBinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newCatalog() =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-bincat").toString)
+
+  private def fixtureRows(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f)
+      (f"$i%03d", i, v.toSeq)
+    }.toDF("id", "label", "vector")
+
+  private def binMeta(name: String, dim: Int = 16, quant: String = "none",
+                      ivf: Option[Int] = None) =
+    CollectionMeta(name, dim = dim, distance = "euclidean", quantization = quant,
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer")),
+      ivfCells = ivf,
+      binaryIndex = Some(true))
+
+  test("flush writes packed codes + threshold sidecar; resident view stays clean") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("bina"))
+    cat.loadCollection("bina")
+    cat.insert("bina", fixtureRows(60, 16))
+    cat.flush("bina")
+    val snap = cat.snapshot("bina")
+    assert(snap.schema.fieldNames.contains(GraftCatalog.BinCol))
+    assert(snap.schema(GraftCatalog.BinCol).dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // 16 dims → 2 packed bytes
+    val codeLens = snap.select(length(col(GraftCatalog.BinCol)))
+      .distinct().collect().map(_.getInt(0))
+    assert(codeLens.toSeq === Seq(2))
+    // resident view / searches never see the layout column
+    cat.releaseCollection("bina"); cat.loadCollection("bina")
+    assert(!cat.resident("bina").columns.contains(GraftCatalog.BinCol))
+    val q = fixtureRows(1, 16).select("vector").head().getSeq[Float](0).toArray
+    assert(!cat.search("bina", q, topK = 3).columns.contains(GraftCatalog.BinCol))
+  }
+
+  test("two-pass searchBinary equals the exact search top-k at full over-fetch") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("binb"))
+    cat.loadCollection("binb")
+    cat.insert("binb", fixtureRows(60, 16))
+    cat.flush("binb")
+    val q = fixtureRows(60, 16).where(col("id") === "017")
+      .select("vector").head().getSeq[Float](0).toArray
+    // overFetch large enough to drain the whole collection → the rerank IS
+    // the exact scan, so agreement must be total (the recall trade only
+    // exists when candidates are dropped)
+    val got = cat.searchBinary("binb", q, topK = 5, overFetch = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = cat.search("binb", q, topK = 5)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // at the default over-fetch an exact duplicate of the query must
+    // survive the Hamming prefilter (its code IS the query code) — the
+    // periodic fixture makes 004 and 017 identical vectors, so the winner
+    // is the smaller id at distance 0
+    val top = cat.searchBinary("binb", q, topK = 1).collect()
+    assert(top.head.getDouble(1) === 0.0)
+    assert(top.head.getString(0) === want.head._1)
+  }
+
+  test("binary layout composes with quantized storage and the IVF layout") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("binq", quant = "f16", ivf = Some(4)))
+    cat.loadCollection("binq")
+    cat.insert("binq", fixtureRows(60, 16))
+    cat.flush("binq")
+    val snap = cat.snapshot("binq")
+    assert(snap.schema.fieldNames.contains(GraftCatalog.BinCol))
+    val q = fixtureRows(60, 16).where(col("id") === "007")
+      .select("vector").head().getSeq[Float](0).toArray
+    val got = cat.searchBinary("binq", q, topK = 5, overFetch = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = cat.search("binq", q, topK = 5)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want, "rerank on f16-decoded vectors must match the fused exact search")
+  }
+
+  test("sidecar follows the version lifecycle; contract errors are loud") {
+    val root = Files.createTempDirectory("graft-bincat").toString
+    val cat = new GraftCatalog(spark, root)
+    cat.createCollection(binMeta("binv").copy(versioning = true))
+    cat.loadCollection("binv")
+    cat.insert("binv", fixtureRows(30, 16))
+    cat.flush("binv") // v1
+    cat.insert("binv", fixtureRows(40, 16))
+    cat.flush("binv") // v2
+    val fsPath = new org.apache.hadoop.fs.Path(s"$root/binv/v1_bin")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(fsPath), "v1 threshold sidecar must exist before vacuum")
+    assert(cat.vacuum("binv", keepLast = 1) === Seq(1))
+    assert(!fs.exists(fsPath), "vacuum must remove the bin sidecar with its version")
+
+    // wrong dim / topK=0 / no layout are contract errors
+    val q = Array.fill(16)(0.1f)
+    intercept[IllegalArgumentException] { cat.searchBinary("binv", q.take(3), 5) }
+    intercept[IllegalArgumentException] { cat.searchBinary("binv", q, 0) }
+    cat.createCollection(binMeta("plain").copy(binaryIndex = None))
+    cat.loadCollection("plain")
+    cat.insert("plain", fixtureRows(10, 16))
+    cat.flush("plain")
+    val ex = intercept[IllegalArgumentException] { cat.searchBinary("plain", q, 5) }
+    assert(ex.getMessage.contains("binary index"))
+  }
+
+  test("empty flush: searchBinary returns no rows instead of failing") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("bine"))
+    cat.loadCollection("bine")
+    cat.flush("bine")
+    assert(cat.searchBinary("bine", Array.fill(16)(0.5f), topK = 3).count() === 0L)
+  }
+}
