@@ -368,6 +368,37 @@ object Bench {
       } finally bigc.unpersist()
     }
 
+    // ---- Binary at 1M: the density-scale serving rung — 16 bytes/vector
+    // (128 d → 8 MB per 1M resident, 2× denser than the m=16 PQ codes) and
+    // the probe is pure integer XOR+POPCNT, no lookup tables. Mean
+    // per-query latency over 200 probes, whole-index scans (no cells: the
+    // full 1M-word sweep is cheaper than an ADC cell probe).
+    val bin1m = try {
+      val big = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        big.count()
+        val th = graft.ann.Bin.trainThresholds(big, "embedding",
+          sampleMod = 16L, idCol = "vec_id")
+        val codes = big.select(col("vec_id"),
+          graft.ann.Bin.encode(col("embedding"), th).as("bin_code"))
+        val idx = graft.ann.LocalBinIndex.fromCodes(codes, "vec_id", "bin_code",
+          th.length, th)
+        val qs = (0 until 200).map { i =>
+          big.where(col("vec_id") === i * 4999L).select("embedding")
+            .head().getSeq[Float](0).toArray
+        }
+        qs.foreach(q => idx.search(q, 10)) // warm
+        val t0 = System.nanoTime()
+        qs.foreach(q => idx.search(q, 10))
+        Seq("bin_local_search_1m" -> (System.nanoTime() - t0) / 1e9 / qs.length)
+      } finally big.unpersist(false)
+    } catch { case e: Throwable =>
+      errors("bin_local_search_1m") = Option(e.getMessage)
+        .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // ---- PQ at 10M: the memory-scale claim an order of magnitude past the
     // reference's 1M in-memory comfort zone — 10M×128 floats are 5 GB, the
     // m=16 codes are 160 MB, and the ADC scan reads ONLY codes. Train is
@@ -503,7 +534,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ pq10m ++ docs100k) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +

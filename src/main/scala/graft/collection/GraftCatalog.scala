@@ -775,6 +775,24 @@ class GraftCatalog(spark: SparkSession, root: String,
     }.toArray), residual)
   }
 
+  /** Load the flushed binary sign-code layout into a driver-local Hamming
+    * serving index ([[graft.ann.LocalBinIndex]]): ceil(dim/8) bytes per
+    * vector — the densest serving rung (2× beyond [[localPqIndex]] at
+    * dim=128/m=16) with a pure-integer scan; candidates feed
+    * [[searchBinary]]-style exact reranks. */
+  def localBinIndex(name: String): graft.ann.LocalBinIndex = {
+    val meta = getMeta(name)
+    require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(fs.exists(binDir(name, meta.currentVersion)),
+      s"collection $name was flushed empty — nothing to serve")
+    val th = spark.read.parquet(binDir(name, meta.currentVersion).toString)
+      .orderBy("d").collect().map(_.getAs[Double]("t"))
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    graft.ann.LocalBinIndex.fromCodes(snap, meta.idColumn, GraftCatalog.BinCol,
+      meta.dim, th)
+  }
+
   /** Load the flushed IVF snapshot into a driver-local serving index
     * (sub-millisecond point probes, no Spark job — the serving-side
     * counterpart of the batch-built layout; see

@@ -78,6 +78,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * m bytes/vector instead of 4·dim. Same flush/drop invalidation. */
   private val localPqIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalPqIndex]
 
+  /** Driver-local Hamming (sign-code) indexes — the density-scale serving
+    * rung: ceil(dim/8) bytes/vector. Same flush/drop invalidation. */
+  private val localBinIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalBinIndex]
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
@@ -147,7 +151,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("GET", "collections" :: name :: Nil) => ok(infoJson(name))
       case ("DELETE", "collections" :: name :: Nil) =>
         requireExists(name); catalog.dropCollection(name)
-        localIndexes.remove(name); localPqIndexes.remove(name)
+        localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
         ok(JObject("dropped" -> JString(name)))
       case ("POST", "collections" :: name :: "load" :: Nil) =>
         catalog.loadCollection(name); ok(infoJson(name))
@@ -157,7 +161,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         val v = catalog.flush(name)
         // a new snapshot version supersedes the cached serving indexes
-        localIndexes.remove(name); localPqIndexes.remove(name)
+        localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "insert" :: Nil) =>
         val rows = JsonMethods.parse(body) \ "rows" match {
@@ -253,6 +257,19 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK, nprobe))
+      // driver-local Hamming probe over the packed sign-code layout (the
+      // density-scale serving rung; approximate ranking — exact answers go
+      // through searchBinary's rerank)
+      case ("POST", "collections" :: name :: "searchLocalBin" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val vector = req \ "vector" match {
+          case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => throw new IllegalArgumentException("searchLocalBin requires \"vector\": [..]")
+        }
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val idx = localBinIndexes.getOrElseUpdate(name, catalog.localBinIndex(name))
+        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        200 -> hitsJson(idx.search(qv, topK))
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
       case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>

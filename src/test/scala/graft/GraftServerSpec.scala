@@ -258,6 +258,38 @@ class GraftServerSpec extends SparkSpec {
       num.findAllMatchIn(db).map(_.group(1).toDouble).toSeq, s"local $lb vs distributed $db")
   }
 
+  test("binary layout over HTTP: searchBinary (two-pass) + searchLocalBin (driver-local Hamming)") {
+    val meta = """{"name":"binh","dim":4,"distance":"euclidean","binaryIndex":true,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/binh/load")._1 === 200)
+    val rows = (0 until 30).map(i =>
+      s"""{"id":"r${"%02d".format(i)}","vector":[${i * 0.3}, ${(i % 7) * 0.5}, ${(i % 3) * 0.9}, 1]}""").mkString(",")
+    assert(http("POST", "/collections/binh/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/binh/flush")._2 === """{"version":1}""")
+    // the exact-rerank route at drain-everything over-fetch == the plain search
+    val (bc, bb) = http("POST", "/collections/binh/searchBinary",
+      """{"vector":[2.1,1.5,0.9,1],"topK":5,"overFetch":6}""")
+    val (ec, eb) = http("POST", "/collections/binh/search",
+      """{"vector":[2.1,1.5,0.9,1],"topK":5}""")
+    assert(bc === 200 && ec === 200, s"$bb / $eb")
+    val idRe = "\"id\":\"(r\\d+)\"".r
+    assert(idRe.findAllMatchIn(bb).map(_.group(1)).toSeq ===
+      idRe.findAllMatchIn(eb).map(_.group(1)).toSeq, s"binary $bb vs exact $eb")
+    // the driver-local Hamming probe answers without a Spark job; its top
+    // hit for a stored vector is that vector at Hamming 0
+    val (lc, lb) = http("POST", "/collections/binh/searchLocalBin",
+      """{"vector":[0.9,1.5,0.0,1],"topK":3}""")
+    assert(lc === 200, lb)
+    assert(lb.contains("\"id\":\"r03\"") && lb.contains("\"dist\":0.0"), lb)
+    // probing a layout the collection doesn't have is a client error
+    val plain = """{"name":"nobin","dim":4,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", plain)._1 === 200)
+    assert(http("POST", "/collections/nobin/searchBinary",
+      """{"vector":[2.1,1.5,0.9,1],"topK":5}""")._1 === 400)
+  }
+
   test("schemaless (core v3) collection over HTTP: string-coerced map + parse-compare filter") {
     val meta = """{"name":"corev3","dim":2,"distance":"euclidean","schemaless":true}"""
     assert(http("POST", "/collections", meta)._1 === 200)
