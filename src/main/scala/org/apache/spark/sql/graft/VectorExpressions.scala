@@ -42,6 +42,7 @@ object GraftBridge {
     reg1("l2_normalize", VecL2Normalize(_))
     reg1("simhash64", SimHash64(_))
     reg1("fnv64", Fnv64(_))
+    reg1("normalize_text", NormalizeText(_))
     reg2("sorted_intersect_count", SortedIntersectCount(_, _))
     // winnow_fingerprints(text, k, w): k/w must be integer literals (they
     // parameterize the generated kernel)

@@ -114,6 +114,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate"), s"probe fan-out must be a row-local explode:\n$p")
   }
 
+  test("bm25: query-term restriction broadcasts; posting shuffles stay keyed") {
+    val p = plan("bm25_topk")
+    assert(!p.contains("CartesianProduct"), s"bm25 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-term query set must broadcast, never shuffle the tokens:\n$p")
+    assert(!p.contains("SortMergeJoin") || shuffles(p) <= 4,
+      s"bm25 shuffle budget exceeded (tf + dl + df + score join):\n$p")
+  }
+
+  test("flat_scan_binary / binary_rerank: zero corpus shuffles, bounded top-K") {
+    for (q <- Seq("flat_scan_binary", "binary_rerank")) {
+      val p = plan(q)
+      assert(shuffles(p) === 0, s"$q shuffles the corpus:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the bounded top-K:\n$p")
+    }
+  }
+
+  test("fuzzy_pairs: deletion-variant equi-join, never all-pairs") {
+    val p = plan("fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must pair via the variant equi-join:\n$p")
+    assert(p.contains("Generate"), s"variant fan-out must be a row-local explode:\n$p")
+  }
+
+  test("text_normalize: row-local kernel, zero data shuffles before the output sort") {
+    val p = plan("text_normalize")
+    assert(shuffles(p) === 0, s"normalization is per-row; a shuffle crept in:\n$p")
+    assert(p.contains("normalize_text"), s"kernel fell out of the plan:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // the only legitimate unbounded pairing is blocked/banded equi-joins;
     // a cartesian in any registered query is a scale bug

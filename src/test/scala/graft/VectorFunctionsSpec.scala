@@ -72,8 +72,10 @@ class VectorFunctionsSpec extends SparkSpec {
         |  l2_normalize(cast(array(3, 4) as array<float>)) AS nv,
         |  fnv64('abc') AS h,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
-        |  winnow_fingerprints('the quick brown fox jumps', 8, 4) AS wf
+        |  winnow_fingerprints('the quick brown fox jumps', 8, 4) AS wf,
+        |  normalize_text('  a\tb  ') AS nt
         |""".stripMargin).head()
+    assert(r.getAs[String]("nt") === "a b")
     assert(r.getAs[Double]("cd") === 1.0)
     assert(r.getAs[Double]("ed") === 5.0)
     assert(r.getAs[Double]("n") === 5.0)
