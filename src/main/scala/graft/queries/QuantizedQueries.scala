@@ -105,13 +105,48 @@ object QuantizedQueries {
       .limit(10)
   }
 
+  /** Recall audit of the Hamming prefilter (the `ann_recall` discipline
+    * applied to the binary rung): per query, |exact-euclidean top-10 ∩
+    * Hamming top-30| / 10 — the number that justifies (or forbids) an
+    * over-fetch setting before rollout. Queries are driver-enumerated
+    * (≤ corpus/101 rows), so each arm is an independent BOUNDED top-K scan
+    * (TakeOrderedAndProject, zero shuffles) — at 100 TB the audit cost is
+    * |queries| × 2 cheap scans, never a per-query window over the corpus. */
+  private def binaryRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val th = graft.ann.Bin.trainThresholds(e, "embedding")
+    val coded = e.select(col("vec_id"), col("embedding"),
+      graft.ann.Bin.encode(col("embedding"), th).as("c"))
+    val qRows = e.where(col("vec_id") % 101 === 0)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+    val parts = qRows.map { r =>
+      val qid = r.getLong(0); val qv = r.getSeq[Float](1).toArray
+      val qc = graft.ann.Bin.encodeOne(qv, th)
+      val cand = coded
+        .select(col("vec_id"), graft.ann.Bin.hamming(col("c"), qc).as("h"))
+        .orderBy(col("h").asc, col("vec_id").asc).limit(30)
+        .select(lit(qid).as("qid"), col("vec_id"), lit(1).as("__hit"))
+      e.select(col("vec_id"),
+          round(euclidean_distance(col("embedding"), lit(qv)), 6).as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select(lit(qid).as("qid"), col("vec_id"))
+        .join(cand, Seq("qid", "vec_id"), "left")
+    }
+    parts.reduce(_ union _)
+      .groupBy("qid")
+      .agg(count(col("__hit")).as("hits"),
+        (count(col("__hit")) / lit(10.0)).as("recall"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flat_scan_f16" -> ((s, dir) => scan(s, dir, "f16")),
     "flat_scan_bf16" -> ((s, dir) => scan(s, dir, "bf16")),
     "flat_scan_f8" -> ((s, dir) => scan(s, dir, "f8")),
     "flat_scan_sq8" -> ((s, dir) => scanSq8(s, dir)),
     "flat_scan_binary" -> ((s, dir) => scanBinary(s, dir)),
-    "binary_rerank" -> ((s, dir) => binaryRerank(s, dir))
+    "binary_rerank" -> ((s, dir) => binaryRerank(s, dir)),
+    "binary_recall" -> ((s, dir) => binaryRecall(s, dir))
   )
 
   /** dequantize(quantize(x)) as arithmetic on a float32-exact double:
@@ -193,12 +228,30 @@ object QuantizedQueries {
        |  (SQRT(list_inner_product(c.v, c.v)) * SQRT(list_inner_product(q.qv, q.qv))))), 6) AS dist
        |FROM c, q ORDER BY dist, vec_id LIMIT 10""".stripMargin
 
+  private val binRecallOracle =
+    s"""$binBitsCte,
+       |qs AS (SELECT vec_id AS qid, v AS qv, bits AS qb FROM b WHERE vec_id % 101 = 0),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT qs.qid, b.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+       |      list_sum(list_transform(range(1, len(b.bits) + 1),
+       |        i -> CASE WHEN b.bits[i] <> qs.qb[i] THEN 1 ELSE 0 END)), b.vec_id) AS rn
+       |  FROM qs, b) WHERE rn <= 30),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qs.qid, s.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+       |      ROUND(list_distance(s.v, qs.qv), 6), s.vec_id) AS rn
+       |  FROM qs, s) WHERE rn <= 10)
+       |SELECT e.qid, CAST(COUNT(c.vec_id) AS BIGINT) AS hits,
+       |  COUNT(c.vec_id) / 10.0 AS recall
+       |FROM exact e LEFT JOIN cand c ON c.qid = e.qid AND c.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "flat_scan_f16" -> oracleScan(mbits = 10, emin = -14),
     "flat_scan_bf16" -> oracleScan(mbits = 7, emin = -126),
     "flat_scan_f8" -> oracleScan(mbits = 2, emin = -14),
     "flat_scan_sq8" -> sq8Oracle,
     "flat_scan_binary" -> binOracle,
-    "binary_rerank" -> binRerankOracle
+    "binary_rerank" -> binRerankOracle,
+    "binary_recall" -> binRecallOracle
   )
 }
