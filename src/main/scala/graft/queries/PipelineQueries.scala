@@ -544,6 +544,45 @@ object PipelineQueries {
     "events_windowed_agg" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(events(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
+    // Watermarked windowed aggregation REPLAYED as a real 3-batch file
+    // stream (the streaming_dedup_replay discipline): batches split at
+    // Jan 10 / Jan 20; the LAST batch carries a poisoned copy of the
+    // earliest event (value 999999) — a late arrival whose window was
+    // EVICTED at the end of batch 2 (watermark = max(batch1) − 1 h passed
+    // Jan 1 long before), so the row MUST be dropped; any leak shifts a
+    // window sum and the oracle catches it. Three batches are the minimum
+    // that proves the drop: eviction happens at batch END, so a late row
+    // arriving in the same batch that evicts its window still merges —
+    // measured, not assumed (PLANS.md round-6 cont. 5). Append mode emits
+    // exactly the windows the final watermark (max ts − 1 h) closed; cuts
+    // and delay keep every window end off the watermark boundaries.
+    "streaming_window_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-swr").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-swr-ckpt").toString
+      val ev = events(s, dir).select("event_id", "user_id", "event_type", "value", "ts")
+      val cut1 = lit("2024-01-10 00:00:00").cast("timestamp")
+      val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
+      val late = ev.orderBy("ts", "event_id").limit(1)
+        .withColumn("value", lit(999999.0)).withColumn("event_id", lit(-1L))
+      ev.where(col("ts") < cut1).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
+      ev.where(col("ts") >= cut1 && col("ts") < cut2).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
+      ev.where(col("ts") >= cut2).unionByName(late).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp + "/b3")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+      val qn = "swr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStream.windowedAgg(stream, "1 hour",
+          watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.table(qn).orderBy("window_start", "event_type")
+    }),
     // Gap-based sessionization (session_window): per-user session/event
     // counts; DuckDB replicates via the lag-island formulation.
     "events_sessionize" -> ((s, dir) =>
@@ -1210,6 +1249,13 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "streaming_window_replay" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM events, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
