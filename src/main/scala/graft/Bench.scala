@@ -499,6 +499,44 @@ object Bench {
       r
     }
 
+    // ---- catalog persistence at 1M: the O(corpus)-vs-O(changes) evidence
+    // for the delta-flush path. Full flush rewrites 1M rows (the only
+    // pre-round-6 option); flushDelta persists a 10k-row ledger; the fold
+    // load pays one LWW agg over the segment + a broadcast anti-join on
+    // top of the base read. The RATIO is the 100 TB story: at fixed batch
+    // size, delta cost stays constant while full-flush cost scales with
+    // the corpus.
+    val deltaFlush1m = try {
+      val e = spark.read.parquet(benchDir)
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-delta").toString
+      val cat = new graft.collection.GraftCatalog(spark, root)
+      cat.createCollection(graft.collection.CollectionMeta("bd", dim = 128,
+        distance = "euclidean", fields = Seq(
+          graft.collection.IndexField("id", "string", primaryKey = true),
+          graft.collection.IndexField("label", "integer"))))
+      cat.loadCollection("bd")
+      cat.insert("bd", e.select(col("vec_id").cast("string").as("id"),
+        col("label").cast("long").as("label"), col("embedding").as("vector")))
+      try {
+        val tFull = timed("catalog_flush_full_1m", runs = 1)(cat.flush("bd"))
+        cat.insert("bd", e.where(col("vec_id") < 10000)
+          .select(col("vec_id").cast("string").as("id"),
+            (col("label") + 100).cast("long").as("label"), col("embedding").as("vector")))
+        val tDelta = timed("catalog_flush_delta_10k", runs = 1)(cat.flushDelta("bd"))
+        cat.releaseCollection("bd")
+        val tFold = timed("catalog_fold_load_1m", runs = 1) {
+          cat.loadCollection("bd"); cat.resident("bd").count(): Unit
+        }
+        Seq("catalog_flush_full_1m" -> tFull,
+          "catalog_flush_delta_10k" -> tDelta,
+          "catalog_fold_load_1m" -> tFold)
+      } finally cat.dropCollection("bd")
+    } catch { case e: Throwable =>
+      errors("delta_flush_1m") = Option(e.getMessage)
+        .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
     val vsBaseline =
@@ -534,7 +572,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k ++ deltaFlush1m) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +

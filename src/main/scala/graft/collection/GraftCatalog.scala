@@ -36,6 +36,17 @@ class GraftCatalog(spark: SparkSession, root: String,
   private val loaded = mutable.Map.empty[String, DataFrame]
   private val mutationCount = mutable.Map.empty[String, Int]
 
+  /** Per-collection pending-change ledger since the last flush: the rows of
+    * every insert/delete/applyChanges as `(collection columns…, __op, __seq)`
+    * — puts carry the validated row, deletes carry the pk with the rest
+    * NULL. [[flushDelta]] writes EXACTLY this ledger as an O(changes) delta
+    * segment instead of flush's O(corpus) snapshot rewrite — the reference's
+    * append-a-WAL-segment shape (diskv/db.go bitcask segments) at 100 TB,
+    * where rewriting the corpus per flush is the scale-killer. */
+  private val pending = mutable.Map.empty[String, DataFrame]
+  private val pendingCount = mutable.Map.empty[String, Int]
+  private val pendingSeq = mutable.Map.empty[String, Long]
+
   /** Every k-th mutation truncates lineage with an eager localCheckpoint:
     * without it, N inserts stack N anti-join/union plans and any cache
     * eviction re-executes the whole chain — the round-1 scale-killer. */
@@ -108,6 +119,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def dropCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    clearPending(name)
     fs.delete(colDir(name), true)
   }
 
@@ -127,22 +139,26 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   def isLoaded(name: String): Boolean = loaded.contains(name)
 
-  /** Load the latest snapshot into memory (S8 + Load RPC). */
+  /** Load the latest snapshot into memory (S8 + Load RPC). A delta-chain
+    * head ([[flushDelta]]) folds base + segments on the way in. */
   def loadCollection(name: String): DataFrame = {
     val meta = getMeta(name)
     val df =
       if (meta.currentVersion == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
-      else dropCellCol(spark.read.parquet(versionDir(name, meta.currentVersion).toString))
+      else foldChain(name, meta, meta.currentVersion)
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = cached
     cached
   }
 
-  /** Release from memory (Release RPC → unpersist). */
+  /** Release from memory (Release RPC → unpersist). Unflushed mutations —
+    * resident state AND the pending-change ledger — are discarded, matching
+    * the reference's release-without-flush semantics. */
   def releaseCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    clearPending(name)
   }
 
   /** The current RESIDENT state (mutations applied, possibly unflushed) —
@@ -162,6 +178,59 @@ class GraftCatalog(spark: SparkSession, root: String,
     Seq(GraftCatalog.CellCol, GraftCatalog.PqCodeCol, GraftCatalog.BinCol).foldLeft(df)(
       (d, c) => if (d.columns.contains(c)) d.drop(c) else d)
 
+  // ---- pending-change ledger (delta-flush support) ----
+
+  /** Append one mutation batch to the ledger. Rows are stamped with the
+    * batch's sequence number — the fold's LWW order across delta segments is
+    * `(segment version, __seq, op)`, so later batches beat earlier ones and
+    * an equal-seq put/del pair resolves to the put ("put" > "del" on every
+    * engine path). Within one batch, at most one row per pk is the caller's
+    * contract (same as [[Mutations.upsert]]). The ledger is persisted with
+    * the same lineage-cut cadence as [[rebind]].
+    *
+    * Pre-base mutations are not tracked: [[flushDelta]] needs a base
+    * snapshot, and the full [[flush]] that creates one clears the ledger —
+    * so a ledger built before v1 is unreachable by construction, and
+    * tracking it would only double-cache the initial bulk load. Index-layout
+    * collections skip tracking too — [[flushDelta]] refuses them. */
+  private def appendPending(name: String, meta: CollectionMeta,
+                            rows: DataFrame, op: String): Unit = {
+    if (meta.currentVersion == 0 || meta.ivfCells.isDefined ||
+        meta.pqConfig.isDefined || meta.hasBinaryIndex) return
+    val seq = pendingSeq.getOrElse(name, 0L) + 1
+    pendingSeq(name) = seq
+    val stamped = rows
+      .withColumn(GraftCatalog.DeltaOpCol, lit(op))
+      .withColumn(GraftCatalog.DeltaSeqCol, lit(seq))
+    val merged = pending.get(name) match {
+      case Some(cur) => cur.unionByName(stamped, allowMissingColumns = true)
+      case None      => stamped
+    }
+    val n = pendingCount.getOrElse(name, 0) + 1
+    pendingCount(name) = n
+    val bound =
+      if (n % LineageCutEvery == 0) merged.localCheckpoint(true)
+      else merged.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = pending.get(name)
+    pending(name) = bound
+    prev.foreach(_.unpersist(false))
+  }
+
+  /** Delete-marker rows for the ledger: the pk, everything else NULL (the
+    * fold only reads a del winner's key). */
+  private def delMarkers(name: String, keys: DataFrame, pk: String): DataFrame = {
+    val schema = loadedOrThrow(name).schema
+    val cols = col(pk) +: schema.fields.toIndexedSeq.filter(_.name != pk)
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    keys.select(cols: _*)
+  }
+
+  private def clearPending(name: String): Unit = {
+    pending.remove(name).foreach(_.unpersist(false))
+    pendingCount.remove(name)
+    pendingSeq.remove(name)
+  }
+
   // ---- ingest / mutation ----
 
   /** Validated upsert of user rows (single-vector collections: vector in
@@ -173,7 +242,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     val validated = GraftCatalog.validateAndEncode(rows, meta, UserVectorCol)
     val pk = meta.idColumn
-    rebind(name, Mutations.upsert(loadedOrThrow(name), validated, pk))
+    val next = Mutations.upsert(loadedOrThrow(name), validated, pk)
+    appendPending(name, meta, validated, "put")
+    rebind(name, next)
   }
 
   /** Delete rows matching a conjunctive filter (P5). Schema-less
@@ -183,12 +254,18 @@ class GraftCatalog(spark: SparkSession, root: String,
     * are deleted, per the index semantics "absent key = no postings". */
   def delete(name: String, filter: FilterExpr): Unit = {
     val meta = getMeta(name)
-    val next =
+    val cur = loadedOrThrow(name)
+    val pred: Column =
       if (meta.isSchemaless)
-        loadedOrThrow(name).where(!(graft.core.CoreMeta.filterColumn(
-          col(CollectionMeta.MetaCol), col(meta.idColumn), filter) <=> lit(true)))
-      else Mutations.deleteWhere(loadedOrThrow(name), filter)
-    rebind(name, next)
+        graft.core.CoreMeta.filterColumn(
+          col(CollectionMeta.MetaCol), col(meta.idColumn), filter)
+      else filter.toColumn
+    // ledger first: the keys matching AT DELETE TIME (the rows the fold must
+    // strike), evaluated against the pre-delete resident state
+    appendPending(name, meta,
+      delMarkers(name, cur.where(pred <=> lit(true)).select(col(meta.idColumn)), meta.idColumn),
+      "del")
+    rebind(name, cur.where(!(pred <=> lit(true))))
   }
 
   /** WAL replay (S9, the Spark shape of diskv's startup replay —
@@ -208,6 +285,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     val validated = GraftCatalog.validateAndEncode(puts, meta, UserVectorCol)
     val next = Mutations.deleteByKeys(
       Mutations.upsert(loadedOrThrow(name), validated, pk), delKeys, pk)
+    appendPending(name, meta, validated, "put")
+    appendPending(name, meta, delMarkers(name, delKeys, pk), "del")
     rebind(name, next)
   }
 
@@ -425,12 +504,17 @@ class GraftCatalog(spark: SparkSession, root: String,
         throw e
       }
     writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
-    if (!meta.versioning && meta.currentVersion > 0) {
-      fs.delete(versionDir(name, meta.currentVersion), true)
-      fs.delete(centroidDir(name, meta.currentVersion), true)
-      fs.delete(pqDir(name, meta.currentVersion), true)
-      fs.delete(binDir(name, meta.currentVersion), true)
-      fs.delete(claimPath(name, meta.currentVersion), false)
+    if (!meta.versioning) {
+      // prune EVERY superseded version, not just v-1: a delta chain leaves
+      // multiple live dirs behind the new base, all obsolete once this full
+      // snapshot (which folds them) is published
+      (1 until v).filter(w => fs.exists(versionDir(name, w))).foreach { w =>
+        fs.delete(versionDir(name, w), true)
+        fs.delete(centroidDir(name, w), true)
+        fs.delete(pqDir(name, w), true)
+        fs.delete(binDir(name, w), true)
+        fs.delete(claimPath(name, w), false)
+      }
     }
     // Re-anchor residency on the written snapshot: lineage collapses to a
     // parquet scan and the pre-flush cached copy is released.
@@ -438,7 +522,121 @@ class GraftCatalog(spark: SparkSession, root: String,
     loaded(name) = reread.persist(StorageLevel.MEMORY_AND_DISK)
     prev.foreach(_.unpersist(false))
     mutationCount(name) = 0
+    clearPending(name) // the full snapshot subsumes the ledger
     v
+  }
+
+  /** O(changes) delta flush (S7's segment shape): persist ONLY the
+    * pending-change ledger as version `v<N>` — a parquet change log marked
+    * with [[GraftCatalog.DeltaMarkerFile]] — instead of [[flush]]'s
+    * O(corpus) snapshot rewrite. Readers ([[loadCollection]] /
+    * [[snapshot]] / [[timeTravel]]) fold the chain `base..current` back into
+    * the collection state: one LWW aggregation over the (small) delta log +
+    * one pk anti-join against the base — with changes ≪ corpus, AQE
+    * broadcasts the winner keys and the base stays a single pushed-down
+    * scan. This is the reference's bitcask append (diskv/db.go:71-120 — a
+    * put appends a segment record, it never rewrites the store) and the
+    * 100 TB ingest answer: a 10k-row upsert batch costs a 10k-row write,
+    * not a corpus rewrite. A later full [[flush]] COMPACTS the chain (and,
+    * for unversioned collections, prunes the superseded segments).
+    *
+    * Contract: index layouts (ivfCells / PQ / binaryIndex) refuse delta
+    * flushes — their sidecar artifacts are corpus-derived, so only a full
+    * flush can publish them consistently. Storage quantization (f16/bf16/f8)
+    * is row-local and composes fine. Requires an existing base snapshot
+    * (run [[flush]] once first) and a non-empty ledger.
+    *
+    * Same concurrent-writer discipline as [[flush]]: staged write, O_EXCL
+    * version claim, re-read before the meta swap. */
+  def flushDelta(name: String): Int = {
+    val meta = getMeta(name)
+    require(meta.ivfCells.isEmpty && meta.pqConfig.isEmpty && !meta.hasBinaryIndex,
+      s"collection $name: index layouts (ivfCells/pq/binaryIndex) require a full " +
+        "flush — their sidecars are corpus-derived and cannot ride a delta segment")
+    loadedOrThrow(name) // mutations imply residency; keep the error shape uniform
+    require(meta.currentVersion > 0,
+      s"collection $name has no base snapshot — run a full flush before delta flushes")
+    val log = pending.getOrElse(name, throw new IllegalStateException(
+      s"collection $name has no pending changes to delta-flush"))
+    val v = meta.currentVersion + 1
+    val staging = new Path(colDir(name),
+      s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    val stagingData = new Path(staging, "data")
+    try {
+      log.write.mode("overwrite").parquet(stagingData.toString)
+      // the marker rides INSIDE the data dir so the claim rename publishes
+      // dir + marker atomically; parquet readers ignore `_`-prefixed files
+      fs.create(new Path(stagingData, GraftCatalog.DeltaMarkerFile), true).close()
+    } catch { case e: Throwable =>
+      fs.delete(staging, true)
+      throw e
+    }
+    val claim = claimPath(name, v)
+    var claimed = tryCreateClaim(claim)
+    if (!claimed && claimIsStale(claim)) {
+      fs.delete(claim, false)
+      claimed = tryCreateClaim(claim)
+    }
+    if (!claimed || getMeta(name).currentVersion >= v) {
+      if (claimed) fs.delete(claim, false)
+      fs.delete(staging, true)
+      throw new GraftCatalog.ConcurrentFlushException(
+        s"collection $name: version $v was claimed by a concurrent flush")
+    }
+    fs.rename(stagingData, versionDir(name, v))
+    fs.delete(staging, true)
+    try spark.read.parquet(versionDir(name, v).toString).schema
+    catch { case e: Throwable =>
+      fs.delete(versionDir(name, v), true)
+      fs.delete(claimPath(name, v), false)
+      throw e
+    }
+    writeMeta(meta.copy(currentVersion = v))
+    // the chain behind a delta head stays live even when versioning=false —
+    // the base + sibling segments ARE the current state; only a full flush
+    // (compaction) may prune them
+    clearPending(name)
+    v
+  }
+
+  // ---- delta-chain fold ----
+
+  /** Whether `v<N>` is a delta segment (recorded at write time by
+    * [[flushDelta]]'s marker file — never inferred from the data schema). */
+  private def isDeltaVersion(name: String, v: Int): Boolean =
+    fs.exists(new Path(versionDir(name, v), GraftCatalog.DeltaMarkerFile))
+
+  /** Walk down from `upTo` to the nearest full snapshot. Loud when the
+    * base was vacuumed/never existed — a delta segment alone is not a
+    * collection state. */
+  private def chainBase(name: String, upTo: Int): Int = {
+    var v = upTo
+    while (v >= 1 && isDeltaVersion(name, v)) v -= 1
+    require(v >= 1 && fs.exists(versionDir(name, v)),
+      s"collection $name: no base snapshot at or below v$upTo — the chain's " +
+        "base was vacuumed or never written; delta segments cannot be read alone")
+    v
+  }
+
+  /** Fold the delta chain ending at `upTo` into the collection state:
+    * read the base snapshot, LWW-resolve the delta log per pk by
+    * (segment version, batch seq, op), strike every winner key from the
+    * base, union the put winners back in. One aggregation over the delta
+    * log + one anti-join; the base is never shuffled. */
+  private def foldChain(name: String, meta: CollectionMeta, upTo: Int): DataFrame = {
+    val base = chainBase(name, upTo)
+    val df = dropCellCol(spark.read.parquet(versionDir(name, base).toString))
+    if (base == upTo) return df
+    val log = (base + 1 to upTo).map { w =>
+      spark.read.parquet(versionDir(name, w).toString)
+        .withColumn(GraftCatalog.DeltaVerCol, lit(w))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val pk = meta.idColumn
+    val winners = Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
+      Seq(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaOpCol))
+    val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
+      .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
+    Mutations.deleteByKeys(df, winners.select(col(pk)), pk).unionByName(puts)
   }
 
   /** Collection count/byte-size info (A2 — edge/edge.go:283-284, snapshot
@@ -450,7 +648,13 @@ class GraftCatalog(spark: SparkSession, root: String,
       if (meta.currentVersion == 0) 0L else snapshot(name).count())
     val bytes =
       if (meta.currentVersion == 0) 0L
-      else fs.getContentSummary(versionDir(name, meta.currentVersion)).getLength
+      else {
+        // a delta head's on-disk state is the whole chain, not one dir
+        val base = chainBase(name, meta.currentVersion)
+        (base to meta.currentVersion)
+          .filter(v => fs.exists(versionDir(name, v)))
+          .map(v => fs.getContentSummary(versionDir(name, v)).getLength).sum
+      }
     GraftCatalog.CollectionInfo(name, rows, bytes, meta.currentVersion, isLoaded(name))
   }
 
@@ -461,7 +665,12 @@ class GraftCatalog(spark: SparkSession, root: String,
   def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = getMeta(name)
-    (1 to meta.currentVersion - keepLast)
+    // never cut into the live chain: a delta head counts its base + sibling
+    // segments as part of the current version
+    val chainFloor =
+      if (meta.currentVersion == 0) 0
+      else chainBase(name, meta.currentVersion) - 1
+    (1 to math.min(meta.currentVersion - keepLast, chainFloor))
       .filter(v => fs.exists(versionDir(name, v)))
       .map { v =>
         fs.delete(versionDir(name, v), true)
@@ -473,18 +682,24 @@ class GraftCatalog(spark: SparkSession, root: String,
       }
   }
 
-  /** Read an older snapshot (S10 versioning / time travel). */
+  /** Read an older snapshot (S10 versioning / time travel). A full-snapshot
+    * version reads as stored (layout columns included — existing behavior);
+    * a delta version reads as the FOLDED collection state at that point in
+    * the chain (user-facing columns only). */
   def timeTravel(name: String, version: Int): DataFrame = {
     val meta = getMeta(name)
     require(meta.versioning, s"collection $name has versioning disabled")
-    spark.read.parquet(versionDir(name, version).toString)
+    if (isDeltaVersion(name, version)) foldChain(name, meta, version)
+    else spark.read.parquet(versionDir(name, version).toString)
   }
 
-  /** Read the latest on-disk snapshot directly (no residency). */
+  /** Read the latest on-disk snapshot directly (no residency). A delta-chain
+    * head folds to the current collection state. */
   def snapshot(name: String): DataFrame = {
     val meta = getMeta(name)
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
-    spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    if (isDeltaVersion(name, meta.currentVersion)) foldChain(name, meta, meta.currentVersion)
+    else spark.read.parquet(versionDir(name, meta.currentVersion).toString)
   }
 
   // ---- query ----
@@ -930,6 +1145,18 @@ object GraftCatalog {
 
   /** Packed 1-bit/dim sign-code column of binary-indexed snapshots. */
   val BinCol = "__bin_code"
+
+  /** Delta-segment ledger columns ([[GraftCatalog.flushDelta]]): mutation op
+    * ("put"/"del"), per-batch sequence within a segment, and the segment
+    * version stamped at fold time. */
+  val DeltaOpCol = "__op"
+  val DeltaSeqCol = "__seq"
+  val DeltaVerCol = "__delta_v"
+
+  /** Marker file recording "this version dir is a delta segment" — written
+    * inside the segment dir (`_`-prefixed: invisible to parquet readers) so
+    * the layout kind is recorded, never inferred from the data schema. */
+  val DeltaMarkerFile = "_graft_delta"
   import CollectionMeta.VectorCol
 
   /** Mirror of the stored-vector prep for a driver-side query vector:

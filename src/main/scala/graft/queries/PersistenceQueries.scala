@@ -86,6 +86,43 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.searchBinary("binc", qv, topK = 10, overFetch = 3)
     }),
+    // Delta-flush lifecycle (S7's O(changes) segment shape) end to end:
+    // base flush → a relabel-update batch (vec_id%7==0 → label+100) and a
+    // predicate delete (label >= 105, striking some of the just-updated
+    // rows — put-then-delete across batches) → flushDelta (writes ONLY the
+    // change ledger) → release → load (folds base + segment) → full flush
+    // (compacts the chain into a new base) → release → load → search. The
+    // oracle recomputes the post-fold state from the input table alone, so
+    // a hash match proves ledger capture, the LWW fold, AND compaction all
+    // preserved the exact collection state.
+    "delta_flush_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-delta").toString)
+      cat.createCollection(CollectionMeta("dlt", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"))))
+      cat.loadCollection("dlt")
+      cat.insert("dlt", e.select(
+        col("vec_id").cast("string").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("dlt") // v1: base snapshot
+      cat.insert("dlt", e.where(col("vec_id") % 7 === 0).select(
+        col("vec_id").cast("string").as("id"),
+        (col("label") + 100).as("label"),
+        col("embedding").as("vector")))
+      cat.delete("dlt", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 105))
+      cat.flushDelta("dlt") // v2: the two-batch ledger, O(changes) bytes
+      cat.releaseCollection("dlt")
+      cat.loadCollection("dlt") // folds v1 + v2
+      cat.flush("dlt") // v3: compaction — full snapshot of the folded state
+      cat.releaseCollection("dlt")
+      cat.loadCollection("dlt")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.search("dlt", qv, topK = 10)
+    }),
     // Schema-less (core v3) collection through the full API: arbitrary
     // metadata string-coerced into a map, _id shim, filter AST routed
     // through parse-compare semantics (SURVEY.md §1.2).
@@ -178,6 +215,20 @@ object PersistenceQueries {
         |      FROM b, q ORDER BY h, id LIMIT 30)
         |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
         |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
+    "delta_flush_roundtrip" ->
+      """WITH base AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |upd AS (SELECT vec_id, id, label + 100 AS label, embedding
+        |  FROM base WHERE vec_id % 7 = 0),
+        |merged AS (SELECT * FROM base WHERE vec_id % 7 <> 0
+        |           UNION ALL SELECT * FROM upd),
+        |fin AS (SELECT * FROM merged WHERE label < 105),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT f.id, f.label,
+        |  ROUND(list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM fin f, q
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
     "core_collection_roundtrip" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS _id, CAST(e.label AS VARCHAR) AS label,

@@ -25,7 +25,8 @@ import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
   * DELETE /collections/:name                 DeleteCollection
   * POST   /collections/:name/load            LoadCollection
   * POST   /collections/:name/release         ReleaseCollection
-  * POST   /collections/:name/flush           Flush
+  * POST   /collections/:name/flush           Flush (full snapshot / compaction)
+  * POST   /collections/:name/flushDelta      Flush (O(changes) delta segment)
   * POST   /collections/:name/insert {rows}   Index (upsert changes)
   * POST   /collections/:name/delete {filter} Index (delete changes)
   * POST   /collections/:name/search {query}  Search / FilterSearch
@@ -161,6 +162,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         val v = catalog.flush(name)
         // a new snapshot version supersedes the cached serving indexes
+        localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
+        ok(JObject("version" -> JInt(v)))
+      case ("POST", "collections" :: name :: "flushDelta" :: Nil) =>
+        val v = catalog.flushDelta(name)
+        // serving indexes track flushed versions; a delta head has none
+        // (flushDelta rejects index layouts), but stay defensive
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "insert" :: Nil) =>

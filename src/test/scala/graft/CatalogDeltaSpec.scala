@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr._
+import graft.collection._
+
+/** Delta-flush lifecycle: O(changes) segments, chain fold on load,
+  * compaction, vacuum safety, and the index-layout refusal contract. */
+class CatalogDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("graft-delta").toString
+
+  private def newCatalog(root: String = newRoot()) = new GraftCatalog(spark, root)
+
+  private val fields = Seq(
+    IndexField("id", "string", primaryKey = true),
+    IndexField("label", "integer"))
+
+  private def meta(name: String, versioning: Boolean = false,
+                   quantization: String = "none") =
+    CollectionMeta(name, dim = 4, distance = "euclidean",
+      quantization = quantization, fields = fields, versioning = versioning)
+
+  private def rows(ids: Seq[Int], labelOf: Int => Long = _ % 10): DataFrame = {
+    ids.map { i =>
+      val rnd = new scala.util.Random(i) // per-id vectors: stable across batches
+      (s"id-$i", labelOf(i), Array.fill(4)(rnd.nextFloat()))
+    }.toDF("id", "label", "vector")
+  }
+
+  private def state(df: DataFrame): Set[String] =
+    df.select("id", "label").collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").toSet
+
+  test("delta flush persists only the ledger; load folds base + segment back") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d1"))
+    cat.loadCollection("d1")
+    cat.insert("d1", rows(1 to 100))
+    cat.flush("d1") // v1 base
+    // update 10 rows, delete by predicate, insert 5 new — three ledger batches
+    cat.insert("d1", rows(1 to 10, _ => 77L))
+    cat.delete("d1", Single("label", FilterExpr.Eq, 5L)) // ids with i%10==5
+    cat.insert("d1", rows(101 to 105))
+    val expected = state(cat.resident("d1"))
+    val v = cat.flushDelta("d1")
+    assert(v === 2)
+    // the segment holds the LEDGER (O(changes) rows), not the corpus
+    val seg = spark.read.parquet(s"$root/d1/v2")
+    assert(seg.columns.contains(GraftCatalog.DeltaOpCol))
+    // puts + del markers (label==5 at delete time: ids 15,25,…,95 — id-5
+    // was just relabeled to 77) + new puts
+    assert(seg.count() === 10 + 9 + 5)
+    // marker recorded, base untouched
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$root/d1/v2/${GraftCatalog.DeltaMarkerFile}")))
+    assert(fs.exists(new Path(s"$root/d1/v1")))
+    // cold load folds chain to the exact pre-flush resident state
+    cat.releaseCollection("d1")
+    cat.loadCollection("d1")
+    assert(state(cat.resident("d1")) === expected)
+    assert(expected.count(_.endsWith(":77")) === 10)
+    assert(!expected.contains("id-15:5")) // struck by the predicate delete
+    assert(expected.contains("id-105:5")) // inserted AFTER the delete — survives
+  }
+
+  test("put-then-delete and delete-then-reinsert across segments resolve LWW") {
+    val cat = newCatalog()
+    cat.createCollection(meta("d2"))
+    cat.loadCollection("d2")
+    cat.insert("d2", rows(1 to 10))
+    cat.flush("d2")
+    cat.insert("d2", rows(Seq(3), _ => 50L)) // put id-3
+    cat.delete("d2", Single("id", FilterExpr.Eq, "id-3")) // then delete it
+    cat.flushDelta("d2") // v2
+    cat.insert("d2", rows(Seq(3), _ => 60L)) // reinsert in a LATER segment
+    cat.flushDelta("d2") // v3
+    cat.releaseCollection("d2")
+    cat.loadCollection("d2")
+    val got = state(cat.resident("d2"))
+    assert(got.contains("id-3:60")) // v3 put beats v2 delete
+    assert(got.size === 10)
+    // time travel mid-chain: at v2 the delete is the winner
+    val cat2 = new GraftCatalog(spark, newRoot())
+    cat2.createCollection(meta("d2v", versioning = true))
+    cat2.loadCollection("d2v")
+    cat2.insert("d2v", rows(1 to 10))
+    cat2.flush("d2v")
+    cat2.delete("d2v", Single("id", FilterExpr.Eq, "id-3"))
+    cat2.flushDelta("d2v")
+    cat2.insert("d2v", rows(Seq(3), _ => 60L))
+    cat2.flushDelta("d2v")
+    assert(!state(cat2.timeTravel("d2v", 2)).exists(_.startsWith("id-3:")))
+    assert(state(cat2.timeTravel("d2v", 3)).contains("id-3:60"))
+  }
+
+  test("full flush compacts the chain; unversioned prune removes every segment") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d3"))
+    cat.loadCollection("d3")
+    cat.insert("d3", rows(1 to 50))
+    cat.flush("d3") // v1
+    cat.insert("d3", rows(Seq(1), _ => 99L)); cat.flushDelta("d3") // v2
+    cat.insert("d3", rows(Seq(2), _ => 98L)); cat.flushDelta("d3") // v3
+    val expected = state(cat.resident("d3"))
+    assert(cat.flush("d3") === 4) // compaction
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 3).foreach(w => assert(!fs.exists(new Path(s"$root/d3/v$w")),
+      s"v$w should be pruned by the compacting flush"))
+    assert(!fs.exists(new Path(s"$root/d3/v4/${GraftCatalog.DeltaMarkerFile}")))
+    cat.releaseCollection("d3")
+    cat.loadCollection("d3")
+    assert(state(cat.resident("d3")) === expected)
+  }
+
+  test("vacuum never cuts the live chain; info sums chain bytes") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d4", versioning = true))
+    cat.loadCollection("d4")
+    cat.insert("d4", rows(1 to 20))
+    cat.flush("d4") // v1
+    cat.flush("d4") // v2 (an older, superseded base)
+    cat.insert("d4", rows(Seq(1), _ => 99L)); cat.flushDelta("d4") // v3
+    cat.insert("d4", rows(Seq(2), _ => 98L)); cat.flushDelta("d4") // v4
+    // keepLast=1 would cut to v3 — but the chain base is v2, so only v1 goes
+    assert(cat.vacuum("d4", keepLast = 1) === Seq(1))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$root/d4/v2")))
+    val info = cat.info("d4")
+    assert(info.version === 4)
+    val dirBytes = (2 to 4).map(w =>
+      fs.getContentSummary(new Path(s"$root/d4/v$w")).getLength).sum
+    assert(info.sizeBytes === dirBytes)
+    // cold load still folds correctly after the vacuum
+    cat.releaseCollection("d4")
+    cat.loadCollection("d4")
+    assert(state(cat.resident("d4")).contains("id-1:99"))
+  }
+
+  test("index layouts, missing base, and empty ledger all refuse loudly") {
+    val cat = newCatalog()
+    cat.createCollection(CollectionMeta("ivfd", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4)))
+    cat.loadCollection("ivfd")
+    cat.insert("ivfd", rows(1 to 10))
+    cat.flush("ivfd")
+    cat.insert("ivfd", rows(Seq(1), _ => 99L))
+    val e1 = intercept[IllegalArgumentException](cat.flushDelta("ivfd"))
+    assert(e1.getMessage.contains("full"))
+    // no base snapshot yet
+    cat.createCollection(meta("nob"))
+    cat.loadCollection("nob")
+    cat.insert("nob", rows(1 to 5))
+    val e2 = intercept[Exception](cat.flushDelta("nob"))
+    assert(e2.getMessage.contains("pending") || e2.getMessage.contains("base"))
+    // base exists but nothing pending
+    cat.createCollection(meta("emp"))
+    cat.loadCollection("emp")
+    cat.insert("emp", rows(1 to 5))
+    cat.flush("emp")
+    val e3 = intercept[IllegalStateException](cat.flushDelta("emp"))
+    assert(e3.getMessage.contains("no pending changes"))
+  }
+
+  test("quantized storage (f16) composes with delta segments") {
+    val cat = newCatalog()
+    cat.createCollection(meta("dq", quantization = "f16"))
+    cat.loadCollection("dq")
+    cat.insert("dq", rows(1 to 30))
+    cat.flush("dq")
+    cat.insert("dq", rows(Seq(7), _ => 42L))
+    val expected = state(cat.resident("dq"))
+    val qv = Array(0.3f, 0.5f, 0.1f, 0.9f)
+    val before = cat.search("dq", qv, 5).collect().map(_.toString).toSeq
+    cat.flushDelta("dq")
+    cat.releaseCollection("dq")
+    cat.loadCollection("dq")
+    assert(state(cat.resident("dq")) === expected)
+    assert(cat.search("dq", qv, 5).collect().map(_.toString).toSeq === before)
+  }
+
+  test("applyChanges batches ride the ledger") {
+    val cat = newCatalog()
+    cat.createCollection(meta("dc"))
+    cat.loadCollection("dc")
+    cat.insert("dc", rows(1 to 10))
+    cat.flush("dc")
+    val changes = Seq(
+      ("id-1", 70L, Array(0.1f, 0.2f, 0.3f, 0.4f), "put", 1L),
+      ("id-2", 0L, null.asInstanceOf[Array[Float]], "del", 2L),
+      ("id-11", 71L, Array(0.5f, 0.6f, 0.7f, 0.8f), "put", 3L)
+    ).toDF("id", "label", "vector", "op", "ver")
+    cat.applyChanges("dc", changes, versionCol = "ver")
+    val expected = state(cat.resident("dc"))
+    cat.flushDelta("dc")
+    cat.releaseCollection("dc")
+    cat.loadCollection("dc")
+    val got = state(cat.resident("dc"))
+    assert(got === expected)
+    assert(got.contains("id-1:70") && got.contains("id-11:71"))
+    assert(!got.exists(_.startsWith("id-2:")))
+  }
+}

@@ -78,6 +78,33 @@ class GraftServerSpec extends SparkSpec {
     assert(!http("GET", "/collections")._2.contains("\"web\""))
   }
 
+  test("flushDelta route: segment append + fold-on-reload over HTTP") {
+    val meta = """{"name":"dlt","dim":3,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"type","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/dlt/load")._1 === 200)
+    assert(http("POST", "/collections/dlt/insert",
+      """{"rows":[
+        {"id":"a","type":1,"vector":[1,0,0]},
+        {"id":"b","type":2,"vector":[0,1,0]}]}""")._1 === 200)
+    assert(http("POST", "/collections/dlt/flush")._2 === """{"version":1}""")
+    // mutate, delta-flush the ledger, cold-reload the folded chain
+    assert(http("POST", "/collections/dlt/insert",
+      """{"rows":[{"id":"c","type":3,"vector":[0,0,1]}]}""")._1 === 200)
+    assert(http("POST", "/collections/dlt/delete",
+      """{"filter":{"col":"type","op":"eq","value":2}}""")._1 === 200)
+    assert(http("POST", "/collections/dlt/flushDelta")._2 === """{"version":2}""")
+    assert(http("POST", "/collections/dlt/release")._1 === 200)
+    assert(http("POST", "/collections/dlt/load")._1 === 200)
+    val (_, got) = http("POST", "/collections/dlt/search", """{"vector":[0,0.5,0.5],"topK":5}""")
+    assert(got.contains("\"id\":\"c\"") && !got.contains("\"id\":\"b\""), got)
+    // empty ledger refuses loudly (400, not 500)
+    val (ec, eb) = http("POST", "/collections/dlt/flushDelta")
+    assert(ec === 400 && eb.contains("no pending changes"), s"$ec $eb")
+    assert(http("DELETE", "/collections/dlt")._1 === 200)
+  }
+
   test("error contracts: not-loaded, duplicate create, validation reject, unknown route") {
     val meta = """{"name":"err1","dim":2,"fields":[{"name":"id","fieldType":"string","primaryKey":true}]}"""
     assert(http("POST", "/collections", meta)._1 === 200)
