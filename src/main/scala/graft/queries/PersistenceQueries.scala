@@ -123,6 +123,57 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("dlt", qv, topK = 10)
     }),
+    // Streaming ingest with per-batch durability: a 2-batch change-log file
+    // stream drives ChangeFeed.runIntoCollection(deltaFlushEachBatch=true) —
+    // every micro-batch is applyChanges-folded into the resident state AND
+    // persisted as an O(batch) delta segment. Batch 1: relabel puts
+    // (vec_id%5==0 → +50) + tombstones (vec_id%5==1); batch 2: re-insert a
+    // subset of the tombstoned keys (≡1 mod 10 → label 300 — a later
+    // segment's put must beat the earlier segment's delete) + re-delete
+    // another subset (≡6 mod 10 — idempotent double delete). The cold load
+    // then folds base + BOTH segments; the oracle recomputes the end state
+    // from the input table, so any batch-ordering, fold, or durability bug
+    // hash-fails.
+    "streaming_ingest_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.SaveMode
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-sir").toString)
+      cat.createCollection(CollectionMeta("sir", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"))))
+      cat.loadCollection("sir")
+      cat.insert("sir", e.select(
+        col("vec_id").cast("string").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("sir") // v1 base
+      val tmp = Files.createTempDirectory("graft-sir-log").toString
+      val ckpt = Files.createTempDirectory("graft-sir-ckpt").toString
+      def put(rows: org.apache.spark.sql.DataFrame, label: org.apache.spark.sql.Column, ver: Long) =
+        rows.select(lit("put").as("op"), col("vec_id").cast("string").as("id"),
+          label.as("label"), col("embedding").as("vector"), lit(ver).as("ver"))
+      def del(rows: org.apache.spark.sql.DataFrame, ver: Long) =
+        rows.select(lit("del").as("op"), col("vec_id").cast("string").as("id"),
+          lit(null).cast("long").as("label"),
+          lit(null).cast("array<float>").as("vector"), lit(ver).as("ver"))
+      put(e.where(col("vec_id") % 5 === 0), col("label") + 50, ver = 1L)
+        .unionByName(del(e.where(col("vec_id") % 5 === 1), ver = 2L))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
+      put(e.where(col("vec_id") % 10 === 1), lit(300L), ver = 3L)
+        .unionByName(del(e.where(col("vec_id") % 10 === 6), ver = 4L))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
+      val schema = s.read.parquet(tmp + "/b1").schema
+      val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", s,
+        tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,
+        deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+      q.awaitTermination(180000)
+      cat.releaseCollection("sir")
+      cat.loadCollection("sir") // folds v1 + the two streamed segments
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.search("sir", qv, topK = 10)
+    }),
     // Schema-less (core v3) collection through the full API: arbitrary
     // metadata string-coerced into a map, _id shim, filter AST routed
     // through parse-compare semantics (SURVEY.md §1.2).
@@ -223,6 +274,22 @@ object PersistenceQueries {
         |merged AS (SELECT * FROM base WHERE vec_id % 7 <> 0
         |           UNION ALL SELECT * FROM upd),
         |fin AS (SELECT * FROM merged WHERE label < 105),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT f.id, f.label,
+        |  ROUND(list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM fin f, q
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    "streaming_ingest_replay" ->
+      """WITH base AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |fin AS (SELECT id,
+        |    CASE WHEN vec_id % 10 = 1 THEN 300
+        |         WHEN vec_id % 5 = 0 THEN label + 50
+        |         ELSE label END AS label,
+        |    embedding
+        |  FROM base
+        |  WHERE NOT (vec_id % 5 = 1 AND vec_id % 10 <> 1)),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT f.id, f.label,
         |  ROUND(list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,

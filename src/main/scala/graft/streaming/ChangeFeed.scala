@@ -34,9 +34,14 @@ object ChangeFeed {
   val OpPut = "put"
   val OpDel = "del"
 
-  /** Streaming source over the append-log directory. */
-  def readLog(spark: SparkSession, logDir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(logDir)
+  /** Streaming source over the append-log directory. `maxFilesPerTrigger`
+    * caps files per micro-batch (deterministic batch cuts for replays). */
+  def readLog(spark: SparkSession, logDir: String, schema: StructType,
+              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(logDir)
+  }
 
   /** One LWW fold step: per-key max-version row of state ∪ batch
     * (tombstones included). */
@@ -97,16 +102,28 @@ object ChangeFeed {
     *
     * Restart semantics: collection state IS the durable state — restarting
     * against the same checkpoint resumes from wherever the resident/flushed
-    * collection left off, with no separate state to re-seed. */
+    * collection left off, with no separate state to re-seed. With
+    * `deltaFlushEachBatch` that durability is REAL per batch: each non-empty
+    * micro-batch is also persisted as an O(batch) delta segment
+    * ([[graft.collection.GraftCatalog.flushDelta]]) — the streaming WAL
+    * shape at 100 TB, where flushing the corpus per micro-batch is
+    * unthinkable. Requires a flushed base snapshot and a non-index layout
+    * (flushDelta's contract); a periodic full flush compacts the segment
+    * chain. */
   def runIntoCollection(catalog: graft.collection.GraftCatalog, name: String,
                         spark: SparkSession, logDir: String, schema: StructType,
                         versionCol: String, checkpointDir: String,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    readLog(spark, logDir, schema).writeStream
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        deltaFlushEachBatch: Boolean = false,
+                        maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    readLog(spark, logDir, schema, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        catalog.applyChanges(name, batch, versionCol)
+        if (!batch.isEmpty) {
+          catalog.applyChanges(name, batch, versionCol)
+          if (deltaFlushEachBatch) catalog.flushDelta(name): Unit
+        }
       }
       .start()
 

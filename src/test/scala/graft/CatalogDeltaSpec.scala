@@ -187,6 +187,44 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(cat.search("dq", qv, 5).collect().map(_.toString).toSeq === before)
   }
 
+  test("streaming ingest lands one delta segment per micro-batch; cold fold converges") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("ds"))
+    cat.loadCollection("ds")
+    cat.insert("ds", rows(1 to 20))
+    cat.flush("ds") // v1 base
+    val tmp = Files.createTempDirectory("graft-ds-log").toString
+    val ckpt = Files.createTempDirectory("graft-ds-ckpt").toString
+    def put(ids: Seq[Int], label: Long, ver: Long): DataFrame =
+      rows(ids, _ => label).select(lit("put").as("op"), col("id"),
+        col("label"), col("vector"), lit(ver).as("ver"))
+    def del(ids: Seq[Int], ver: Long): DataFrame =
+      ids.map(i => s"id-$i").toDF("id").select(lit("del").as("op"), col("id"),
+        lit(null).cast("long").as("label"),
+        lit(null).cast("array<float>").as("vector"), lit(ver).as("ver"))
+    put(Seq(1), 99L, 1L).unionByName(del(Seq(2), 2L))
+      .coalesce(1).write.parquet(tmp + "/b1")
+    put(Seq(2), 88L, 3L) // batch 2 resurrects the key batch 1 tombstoned
+      .coalesce(1).write.parquet(tmp + "/b2")
+    val schema = spark.read.parquet(tmp + "/b1").schema
+    val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "ds", spark,
+      tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,
+      deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(cat.getMeta("ds").currentVersion === 3) // one segment per batch
+    (2 to 3).foreach(v => assert(
+      fs.exists(new Path(s"$root/ds/v$v/${GraftCatalog.DeltaMarkerFile}")),
+      s"v$v should be a delta segment"))
+    cat.releaseCollection("ds")
+    cat.loadCollection("ds")
+    val got = state(cat.resident("ds"))
+    assert(got.contains("id-1:99"))
+    assert(got.contains("id-2:88")) // later segment's put beats the tombstone
+    assert(got.size === 20)
+  }
+
   test("applyChanges batches ride the ledger") {
     val cat = newCatalog()
     cat.createCollection(meta("dc"))
