@@ -140,9 +140,12 @@ class GraftCatalog(spark: SparkSession, root: String,
   def isLoaded(name: String): Boolean = loaded.contains(name)
 
   /** Load the latest snapshot into memory (S8 + Load RPC). A delta-chain
-    * head ([[flushDelta]]) folds base + segments on the way in. */
+    * head ([[flushDelta]]) folds base + segments on the way in. Re-anchoring
+    * DISCARDS unflushed resident mutations — and their ledger entries, so a
+    * later [[flushDelta]] cannot resurrect changes the re-load threw away. */
   def loadCollection(name: String): DataFrame = {
     val meta = getMeta(name)
+    clearPending(name)
     val df =
       if (meta.currentVersion == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
@@ -192,11 +195,21 @@ class GraftCatalog(spark: SparkSession, root: String,
     * snapshot, and the full [[flush]] that creates one clears the ledger —
     * so a ledger built before v1 is unreachable by construction, and
     * tracking it would only double-cache the initial bulk load. Index-layout
-    * collections skip tracking too — [[flushDelta]] refuses them. */
+    * collections skip tracking too — [[flushDelta]] refuses them.
+    *
+    * Laziness contract (the standard Spark one, same as [[rebind]]): put
+    * batches are held as plans over the caller's DataFrame and evaluated at
+    * flush/checkpoint time — callers must not mutate an input's backing
+    * files between the mutation call and the flush that persists it (the
+    * every-[[LineageCutEvery]] eager checkpoint bounds the window; del
+    * markers are materialized eagerly at delete time — see [[delete]]). */
+  private def tracksPending(meta: CollectionMeta): Boolean =
+    meta.currentVersion > 0 && meta.ivfCells.isEmpty &&
+      meta.pqConfig.isEmpty && !meta.hasBinaryIndex
+
   private def appendPending(name: String, meta: CollectionMeta,
                             rows: DataFrame, op: String): Unit = {
-    if (meta.currentVersion == 0 || meta.ivfCells.isDefined ||
-        meta.pqConfig.isDefined || meta.hasBinaryIndex) return
+    if (!tracksPending(meta)) return
     val seq = pendingSeq.getOrElse(name, 0L) + 1
     pendingSeq(name) = seq
     val stamped = rows
@@ -260,11 +273,16 @@ class GraftCatalog(spark: SparkSession, root: String,
         graft.core.CoreMeta.filterColumn(
           col(CollectionMeta.MetaCol), col(meta.idColumn), filter)
       else filter.toColumn
-    // ledger first: the keys matching AT DELETE TIME (the rows the fold must
-    // strike), evaluated against the pre-delete resident state
-    appendPending(name, meta,
-      delMarkers(name, cur.where(pred <=> lit(true)).select(col(meta.idColumn)), meta.idColumn),
-      "del")
+    // ledger first: the keys matching AT DELETE TIME, MATERIALIZED now —
+    // rebind unpersists the pre-delete resident `cur` in this same call, so
+    // a lazy marker plan would re-execute the whole resident lineage (an
+    // O(corpus) recompute hiding inside the O(changes) flushDelta); the
+    // eager checkpoint scans the still-cached state instead and pins O(keys)
+    if (tracksPending(meta))
+      appendPending(name, meta,
+        delMarkers(name, cur.where(pred <=> lit(true)).select(col(meta.idColumn)), meta.idColumn)
+          .localCheckpoint(true),
+        "del")
     rebind(name, cur.where(!(pred <=> lit(true))))
   }
 
@@ -464,26 +482,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       fs.delete(staging, true)
       throw e
     }
-    // Atomic claim of the version slot: exclusive create of `v<N>.claim`
-    // (a true O_EXCL CAS — see tryCreateClaim; `rename` is NOT a CAS: onto
-    // an existing dir it moves-into). Re-check the meta version after
-    // claiming so a flush that raced an already-committed one still backs
-    // out. A writer that hard-crashes between claim and publish leaves its
-    // claim behind; the embedded owner/timestamp lets a later flush detect
-    // and reclaim it after `staleClaimMs` (two concurrent reclaimers both
-    // delete — idempotent — but only one exclusive re-create can win).
-    val claim = claimPath(name, v)
-    var claimed = tryCreateClaim(claim)
-    if (!claimed && claimIsStale(claim)) {
-      fs.delete(claim, false)
-      claimed = tryCreateClaim(claim)
-    }
-    if (!claimed || getMeta(name).currentVersion >= v) {
-      if (claimed) fs.delete(claim, false)
-      fs.delete(staging, true)
-      throw new GraftCatalog.ConcurrentFlushException(
-        s"collection $name: version $v was claimed by a concurrent flush")
-    }
+    claimVersionOrAbort(name, v, staging)
     fs.rename(stagingData, versionDir(name, v))
     if (wroteCentroids) fs.rename(stagingCentroids, centroidDir(name, v))
     if (wrotePq) fs.rename(stagingPq, pqDir(name, v))
@@ -571,18 +570,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       fs.delete(staging, true)
       throw e
     }
-    val claim = claimPath(name, v)
-    var claimed = tryCreateClaim(claim)
-    if (!claimed && claimIsStale(claim)) {
-      fs.delete(claim, false)
-      claimed = tryCreateClaim(claim)
-    }
-    if (!claimed || getMeta(name).currentVersion >= v) {
-      if (claimed) fs.delete(claim, false)
-      fs.delete(staging, true)
-      throw new GraftCatalog.ConcurrentFlushException(
-        s"collection $name: version $v was claimed by a concurrent flush")
-    }
+    claimVersionOrAbort(name, v, staging)
     fs.rename(stagingData, versionDir(name, v))
     fs.delete(staging, true)
     try spark.read.parquet(versionDir(name, v).toString).schema
@@ -599,6 +587,33 @@ class GraftCatalog(spark: SparkSession, root: String,
     v
   }
 
+  /** Atomic claim of the version slot, shared by [[flush]] and
+    * [[flushDelta]] (the subtlest concurrency logic here — one copy):
+    * exclusive create of `v<N>.claim` (a true O_EXCL CAS — see
+    * tryCreateClaim; `rename` is NOT a CAS: onto an existing dir it
+    * moves-into). Re-check the meta version after claiming so a flush that
+    * raced an already-committed one still backs out. A writer that
+    * hard-crashes between claim and publish leaves its claim behind; the
+    * embedded owner/timestamp lets a later flush detect and reclaim it
+    * after `staleClaimMs` (two concurrent reclaimers both delete —
+    * idempotent — but only one exclusive re-create can win). On abort the
+    * staging dir is deleted and [[GraftCatalog.ConcurrentFlushException]]
+    * thrown. */
+  private def claimVersionOrAbort(name: String, v: Int, staging: Path): Unit = {
+    val claim = claimPath(name, v)
+    var claimed = tryCreateClaim(claim)
+    if (!claimed && claimIsStale(claim)) {
+      fs.delete(claim, false)
+      claimed = tryCreateClaim(claim)
+    }
+    if (!claimed || getMeta(name).currentVersion >= v) {
+      if (claimed) fs.delete(claim, false)
+      fs.delete(staging, true)
+      throw new GraftCatalog.ConcurrentFlushException(
+        s"collection $name: version $v was claimed by a concurrent flush")
+    }
+  }
+
   // ---- delta-chain fold ----
 
   /** Whether `v<N>` is a delta segment (recorded at write time by
@@ -606,17 +621,20 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def isDeltaVersion(name: String, v: Int): Boolean =
     fs.exists(new Path(versionDir(name, v), GraftCatalog.DeltaMarkerFile))
 
-  /** Walk down from `upTo` to the nearest full snapshot. Loud when the
-    * base was vacuumed/never existed — a delta segment alone is not a
-    * collection state. */
-  private def chainBase(name: String, upTo: Int): Int = {
+  /** Walk down from `upTo` to the nearest full snapshot; None when the
+    * base was vacuumed/never existed. */
+  private def chainBaseOpt(name: String, upTo: Int): Option[Int] = {
     var v = upTo
     while (v >= 1 && isDeltaVersion(name, v)) v -= 1
-    require(v >= 1 && fs.exists(versionDir(name, v)),
-      s"collection $name: no base snapshot at or below v$upTo — the chain's " +
-        "base was vacuumed or never written; delta segments cannot be read alone")
-    v
+    if (v >= 1 && fs.exists(versionDir(name, v))) Some(v) else None
   }
+
+  /** [[chainBaseOpt]], loud — a delta segment alone is not a collection
+    * state. */
+  private def chainBase(name: String, upTo: Int): Int =
+    chainBaseOpt(name, upTo).getOrElse(throw new IllegalStateException(
+      s"collection $name: no base snapshot at or below v$upTo — the chain's " +
+        "base was vacuumed or never written; delta segments cannot be read alone"))
 
   /** Fold the delta chain ending at `upTo` into the collection state:
     * read the base snapshot, LWW-resolve the delta log per pk by
@@ -665,11 +683,18 @@ class GraftCatalog(spark: SparkSession, root: String,
   def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = getMeta(name)
-    // never cut into the live chain: a delta head counts its base + sibling
-    // segments as part of the current version
+    // never cut into a RETAINED chain: every kept version (the newest
+    // `keepLast`, by number) must stay readable, and a kept delta version
+    // reads through its base + earlier sibling segments — so the floor is
+    // the lowest chain base any retained version depends on (already-broken
+    // historical chains protect nothing extra)
     val chainFloor =
       if (meta.currentVersion == 0) 0
-      else chainBase(name, meta.currentVersion) - 1
+      else (meta.currentVersion - keepLast + 1 to meta.currentVersion)
+        .filter(v => v >= 1 && fs.exists(versionDir(name, v)))
+        .flatMap(v => chainBaseOpt(name, v))
+        .map(_ - 1).reduceOption(_ min _)
+        .getOrElse(meta.currentVersion - keepLast)
     (1 to math.min(meta.currentVersion - keepLast, chainFloor))
       .filter(v => fs.exists(versionDir(name, v)))
       .map { v =>

@@ -187,6 +187,47 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(cat.search("dq", qv, 5).collect().map(_.toString).toSeq === before)
   }
 
+  test("re-load discards unflushed mutations AND their ledger entries") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d5"))
+    cat.loadCollection("d5")
+    cat.insert("d5", rows(1 to 10))
+    cat.flush("d5") // v1
+    cat.insert("d5", rows(Seq(1), _ => 99L)) // tracked…
+    cat.loadCollection("d5") // …then DISCARDED by the re-anchor
+    cat.insert("d5", rows(Seq(2), _ => 88L))
+    cat.flushDelta("d5")
+    // the segment holds only the post-reload batch — a flushDelta must not
+    // resurrect changes the re-load threw away
+    assert(spark.read.parquet(s"$root/d5/v2").count() === 1)
+    cat.releaseCollection("d5")
+    cat.loadCollection("d5")
+    val got = state(cat.resident("d5"))
+    assert(got.contains("id-2:88"))
+    assert(got.contains("id-1:1")) // original label — the discarded put never lands
+  }
+
+  test("vacuum keeps bases that RETAINED historical delta versions depend on") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d6", versioning = true))
+    cat.loadCollection("d6")
+    cat.insert("d6", rows(1 to 10))
+    cat.flush("d6") // v1 base
+    cat.insert("d6", rows(Seq(1), _ => 99L)); cat.flushDelta("d6") // v2 delta on v1
+    cat.flush("d6") // v3 base
+    cat.flush("d6") // v4 base
+    // keepLast=3 retains {v2,v3,v4}; v2 reads through its base v1 — v1 must stay
+    assert(cat.vacuum("d6", keepLast = 3) === Seq.empty)
+    assert(state(cat.timeTravel("d6", 2)).contains("id-1:99"))
+    // keepLast=1 retains only v4 (a base): v1-v3 may now go
+    assert(cat.vacuum("d6", keepLast = 1) === Seq(1, 2, 3))
+    cat.releaseCollection("d6")
+    cat.loadCollection("d6")
+    assert(state(cat.resident("d6")).contains("id-1:99"))
+  }
+
   test("streaming ingest lands one delta segment per micro-batch; cold fold converges") {
     val root = newRoot()
     val cat = newCatalog(root)
