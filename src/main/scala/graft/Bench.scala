@@ -476,6 +476,17 @@ object Bench {
           graft.dedup.Dedup.newAgainstCorpus(
             recrawl.unionByName(fresh), d, "text", expectedItems = 100000L).count()
         }),
+        // incremental NEAR-dup: a 10k near-recrawl batch (last token
+        // dropped — invisible to the exact screen) banded against the
+        // 100k corpus, xx family, exact-Jaccard verify
+        "dedup_incremental_near_100k" -> (() => {
+          val toks = split(col("text"), " ")
+          val recrawl = d.where(col("doc_id") % 10 === 3)
+            .withColumn("doc_id", col("doc_id") + 3000000L)
+            .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+          graft.dedup.MinHashLSH.corpusNearDuplicates(
+            recrawl, d, "doc_id", "text", family = "xx").count()
+        }),
         // line-granular boilerplate strike over 100k docs re-paged into
         // 8-token lines (~700k lines): the 10% near-copy docs share most
         // of their lines pairwise, so minDocs=2 strikes real volume —

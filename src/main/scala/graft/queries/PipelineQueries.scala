@@ -143,6 +143,31 @@ object PipelineQueries {
           expectedItems = 100000L, fpp = 0.03)
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    // Incremental NEAR-dup: a new crawl batch screened against the corpus
+    // by banded MinHash — never batch×batch or corpus×corpus; candidates
+    // are band co-occupants only, settled by exact Jaccard. The batch is
+    // every 5th doc re-crawled MINUS its last token (a near-copy the exact
+    // screen above cannot see) + every (5k+1)th doc with fresh
+    // disjoint-vocab content. xx family + 8 single-sig bands make the LSH
+    // recall-complete on this corpus (truth-set min J ≈ 0.8 ⇒ miss
+    // ≤ 2.6e-6 — the dedup_minhash_xx argument), so the oracle is
+    // BRUTE-FORCE TRUTH: every batch×corpus pair with exact Jaccard ≥ 0.5.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val batch = corpus.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+        .unionByName(corpus.where(col("doc_id") % 5 === 1)
+          .withColumn("doc_id", col("doc_id") + 30000)
+          .withColumn("text", array_join(
+            transform(sequence(lit(0), lit(29)), j => concat(lit("zq"),
+              substring(md5(concat(col("doc_id").cast("string"), lit(":"), j.cast("string"))), 1, 6))),
+            " ")))
+      MinHashLSH.corpusNearDuplicates(batch, corpus, "doc_id", "text",
+          bandSize = 1, family = "xx", maxCorpusBandProbes = 1000000)
+        .orderBy("batch_id", "corpus_id")
+    }),
     // MinHash+LSH near-dup: shingle → 8 minhashes → 4 bands → bucket join →
     // exact-Jaccard verify. The only corpus-wide shuffles are the band
     // equi-join and the two candidate hydration joins.
@@ -1054,6 +1079,27 @@ object PipelineQueries {
          |SELECT doc_id, lang, source FROM batch
          |WHERE text NOT IN (SELECT text FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // brute-force truth: every batch×corpus pair at exact Jaccard >= 0.5
+    // (the banding is recall-complete on this corpus — see the query)
+    "dedup_incremental_near" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 20000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ') AS text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000 AS doc_id,
+         |    array_to_string(list_transform(range(0, 30),
+         |      j -> concat('zq', substr(md5(concat(CAST(doc_id + 30000 AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 6))),
+         |      ' ') AS text
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |sha AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM batch),
+         |shb AS (SELECT doc_id, ${shingleSql("text")} AS shingles FROM corpus)
+         |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |  ${jaccardSql("a.shingles", "b.shingles")} AS jaccard
+         |FROM sha a, shb b
+         |WHERE ${jaccardSql("a.shingles", "b.shingles")} >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashVerifyCtes
          |SELECT id_a, id_b, jaccard FROM verify WHERE jaccard >= 0.5

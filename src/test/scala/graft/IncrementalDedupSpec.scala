@@ -123,4 +123,60 @@ class IncrementalDedupSpec extends SparkSpec {
       SketchExpressions.bloomFilterAgg(col("x"), expectedItems = 10L, fpp = 1.5)
     }
   }
+
+  // ---- incremental NEAR-dup (banded MinHash against the corpus) ----
+
+  // near-recrawls: last token dropped (high Jaccard, invisible to the exact
+  // screen); fresh docs: disjoint vocabulary (Jaccard 0 with everything)
+  private lazy val nearBatch = (
+    (0L until 30L).map { i =>
+      val base = s"historical document number ${i * 7} with stable content"
+      (3000L + i, base.split(' ').dropRight(1).mkString(" "))
+    } ++
+    (0L until 30L).map(i => (4000L + i, (0 until 12).map(j => s"zq${i}x$j").mkString(" ")))
+  ).toDF("doc_id", "text")
+
+  private def bruteCross(threshold: Double) = {
+    val sa = nearBatch.select(col("doc_id").as("batch_id"),
+      array_sort(array_distinct(Dedup.shingles("text"))).as("sa"))
+    val sb = corpus.select(col("doc_id").as("corpus_id"),
+      array_sort(array_distinct(Dedup.shingles("text"))).as("sb"))
+    sa.crossJoin(sb)
+      .select(col("batch_id"), col("corpus_id"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .where(col("j") >= threshold)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("corpusNearDuplicates equals brute-force cross Jaccard (single-sig bands, both families)") {
+    val want = bruteCross(0.5)
+    assert(want.nonEmpty && want.forall(_._1 < 4000L), "fixture sanity: only near-recrawls match")
+    for (family <- Seq("md5", "xx")) {
+      val got = graft.dedup.MinHashLSH.corpusNearDuplicates(
+          nearBatch, corpus, "doc_id", "text", bandSize = 1, family = family)
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got === want, s"family=$family")
+    }
+  }
+
+  test("newNearAgainstCorpus returns exactly the fresh rows") {
+    val got = graft.dedup.MinHashLSH.newNearAgainstCorpus(
+        nearBatch, corpus, "doc_id", "text", bandSize = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === (0L until 30L).map(4000L + _))
+  }
+
+  test("giant duplicate cluster still matches under a tight corpus-band probe cap") {
+    // 80 corpus copies of one text land in the same bands; a batch recrawl
+    // must match via SOME probed member even at cap 3 — any member of the
+    // cluster verifies, which is exactly why the cap is sound
+    val cluster = (0L until 80L).map(i => (i, "mass duplicated boilerplate page body"))
+      .toDF("doc_id", "text")
+    val b = Seq((9000L, "mass duplicated boilerplate page body")).toDF("doc_id", "text")
+    val got = graft.dedup.MinHashLSH.corpusNearDuplicates(
+      b, cluster, "doc_id", "text", bandSize = 1, maxCorpusBandProbes = 3)
+    assert(got.count() >= 1)
+    assert(got.agg(max("jaccard")).head().getDouble(0) === 1.0)
+    assert(graft.dedup.MinHashLSH.newNearAgainstCorpus(
+      b, cluster, "doc_id", "text", bandSize = 1, maxCorpusBandProbes = 3).isEmpty)
+  }
 }
