@@ -718,6 +718,68 @@ class GraftCatalog(spark: SparkSession, root: String,
     else spark.read.parquet(versionDir(name, version).toString)
   }
 
+  /** Change log between two versions — CDC at rest, O(changes): when every
+    * version in `(fromV, toV]` is a delta segment, the net change set IS the
+    * LWW fold of those segments' ledgers — no corpus read at all (the
+    * 100 TB shape for incremental downstream consumption: "give me what
+    * changed since v12" costs the changed rows, not the table). Returns
+    * `(op ∈ put/del, <collection columns>)`: put rows carry the new row
+    * content (insert or update), del rows the deleted pk with the rest
+    * NULL.
+    *
+    * Contract: net-per-key over the WINDOW (a key mutated twice emits its
+    * final op), and ops are relative to the ledger, not to `fromV`'s state —
+    * an idempotent delete or a content-identical re-put still emits
+    * (downstream appliers are LWW folds, so replaying them is harmless).
+    * For an exact state-to-state diff — or across a full-flush/compaction
+    * boundary, where no ledger exists — use [[stateDiff]]. */
+  def changeLogBetween(name: String, fromV: Int, toV: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(1 <= fromV && fromV < toV && toV <= meta.currentVersion,
+      s"collection $name: need 1 <= fromV < toV <= ${meta.currentVersion}, got ($fromV, $toV)")
+    val window = fromV + 1 to toV
+    require(window.forall(isDeltaVersion(name, _)),
+      s"collection $name: versions (${fromV}, $toV] contain a full snapshot — " +
+        "there is no change ledger across a compaction boundary; use stateDiff")
+    val log = window.map { w =>
+      spark.read.parquet(versionDir(name, w).toString)
+        .withColumn(GraftCatalog.DeltaVerCol, lit(w))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val pk = meta.idColumn
+    Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
+        Seq(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaOpCol))
+      .withColumnRenamed(GraftCatalog.DeltaOpCol, "op")
+      .drop(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
+  }
+
+  /** Exact state-to-state diff between two versions: put rows present (or
+    * changed) in `toV` relative to `fromV`, del rows present in `fromV` but
+    * gone in `toV` — same output shape as [[changeLogBetween]], valid for
+    * ANY version pair (either side may be a full snapshot, a delta head, or
+    * `fromV = 0` for "diff against empty": every row emits as a put).
+    * Cost: both states fold and full-outer join on the pk — one shuffle of
+    * each state; the O(changes) path is [[changeLogBetween]]. */
+  def stateDiff(name: String, fromV: Int, toV: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(0 <= fromV && fromV < toV && toV <= meta.currentVersion,
+      s"collection $name: need 0 <= fromV < toV <= ${meta.currentVersion}, got ($fromV, $toV)")
+    val pk = meta.idColumn
+    val to = foldChain(name, meta, toV)
+    val from =
+      if (fromV == 0)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+      else foldChain(name, meta, fromV)
+    val rest = to.columns.filterNot(_ == pk).toIndexedSeq
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(col(pk), struct(rest.map(col): _*).as(as))
+    packed(from, "__fv").join(packed(to, "__tv"), Seq(pk), "full_outer")
+      .where(col("__tv").isNull || !(col("__fv") <=> col("__tv")))
+      .select(
+        when(col("__tv").isNull, lit("del")).otherwise(lit("put")).as("op") +:
+          col(pk) +:
+          rest.map(c => when(col("__tv").isNull, lit(null)).otherwise(col(s"__tv.$c")).as(c)): _*)
+  }
+
   /** Read the latest on-disk snapshot directly (no residency). A delta-chain
     * head folds to the current collection state. */
   def snapshot(name: String): DataFrame = {

@@ -174,6 +174,46 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("sir", qv, topK = 10)
     }),
+    // Version CDC: exact state-to-state diff across a delta chain AND a
+    // compaction boundary. v1 = base; v2 = applyChanges batch (relabel
+    // vec_id%6==0 → +70, tombstone vec_id%6==1) as a delta segment; v3 =
+    // fresh-key inserts (vec_id%6==2, id+50000, label+500) as a second
+    // segment; v4 = compacting full flush. stateDiff(1, 4) must emit
+    // exactly the net puts/dels — the oracle recomputes them from the input
+    // table. (The O(changes) fast path, changeLogBetween, is pinned equal
+    // to stateDiff on the delta window by CatalogDeltaSpec.)
+    "version_diff" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-vdiff").toString)
+      cat.createCollection(CollectionMeta("vd", dim = dim, distance = "euclidean",
+        versioning = true,
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"))))
+      cat.loadCollection("vd")
+      cat.insert("vd", e.select(
+        col("vec_id").cast("string").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("vd") // v1
+      val puts = e.where(col("vec_id") % 6 === 0).select(
+        lit("put").as("op"), col("vec_id").cast("string").as("id"),
+        (col("label") + 70).as("label"), col("embedding").as("vector"), lit(1L).as("ver"))
+      val dels = e.where(col("vec_id") % 6 === 1).select(
+        lit("del").as("op"), col("vec_id").cast("string").as("id"),
+        lit(null).cast("long").as("label"),
+        lit(null).cast("array<float>").as("vector"), lit(2L).as("ver"))
+      cat.applyChanges("vd", puts.unionByName(dels), versionCol = "ver")
+      cat.flushDelta("vd") // v2
+      cat.insert("vd", e.where(col("vec_id") % 6 === 2).select(
+        (col("vec_id") + 50000).cast("string").as("id"),
+        (col("label") + 500).as("label"),
+        col("embedding").as("vector")))
+      cat.flushDelta("vd") // v3
+      cat.flush("vd") // v4: compaction
+      cat.stateDiff("vd", 1, 4).select("op", "id", "label").orderBy("op", "id")
+    }),
     // Schema-less (core v3) collection through the full API: arbitrary
     // metadata string-coerced into a map, _id shim, filter AST routed
     // through parse-compare semantics (SURVEY.md §1.2).
@@ -280,6 +320,18 @@ object PersistenceQueries {
         |  ROUND(GREATEST(0, 100 - list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM fin f, q
         |ORDER BY dist, id LIMIT 10""".stripMargin,
+    "version_diff" ->
+      """SELECT 'put' AS op, CAST(vec_id AS VARCHAR) AS id,
+        |  CAST(label + 70 AS BIGINT) AS label
+        |FROM embeddings WHERE vec_id % 6 = 0
+        |UNION ALL
+        |SELECT 'put' AS op, CAST(vec_id + 50000 AS VARCHAR) AS id,
+        |  CAST(label + 500 AS BIGINT) AS label
+        |FROM embeddings WHERE vec_id % 6 = 2
+        |UNION ALL
+        |SELECT 'del' AS op, CAST(vec_id AS VARCHAR) AS id, NULL AS label
+        |FROM embeddings WHERE vec_id % 6 = 1
+        |ORDER BY op, id""".stripMargin,
     "streaming_ingest_replay" ->
       """WITH base AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
         |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),

@@ -266,6 +266,42 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(got.size === 20)
   }
 
+  test("changeLogBetween (O(changes) CDC) equals stateDiff on a delta window; loud across compaction") {
+    val cat = newCatalog()
+    cat.createCollection(meta("d7", versioning = true))
+    cat.loadCollection("d7")
+    cat.insert("d7", rows(1 to 20))
+    cat.flush("d7") // v1
+    cat.insert("d7", rows(Seq(1, 2), _ => 99L))
+    cat.delete("d7", Single("id", FilterExpr.Eq, "id-3"))
+    cat.flushDelta("d7") // v2
+    cat.insert("d7", rows(Seq(21), _ => 77L)) // fresh key
+    cat.insert("d7", rows(Seq(3), _ => 55L)) // resurrect the tombstoned key
+    cat.flushDelta("d7") // v3
+    def shape(df: DataFrame): Set[(String, String, Any)] =
+      df.select("op", "id", "label").collect()
+        .map(r => (r.getString(0), r.getString(1), r.get(2))).toSet
+    val log = shape(cat.changeLogBetween("d7", 1, 3))
+    val diff = shape(cat.stateDiff("d7", 1, 3))
+    assert(log === diff) // clean mutations: the ledger fold IS the state diff
+    assert(log.contains(("put", "id-3", 55L))) // net op for the del→put key
+    assert(log.contains(("put", "id-21", 77L)))
+    assert(!log.exists { case (op, id, _) => op == "del" && id == "id-3" })
+    // sub-window: only v3's changes
+    assert(shape(cat.changeLogBetween("d7", 2, 3)) ===
+      Set(("put", "id-21", 77L), ("put", "id-3", 55L)))
+    // compaction closes the ledger window
+    cat.flush("d7") // v4 full
+    val e = intercept[IllegalArgumentException](cat.changeLogBetween("d7", 1, 4))
+    assert(e.getMessage.contains("stateDiff"))
+    // …but stateDiff crosses it fine, and unchanged rows stay silent
+    val d14 = shape(cat.stateDiff("d7", 1, 4))
+    assert(d14 === log)
+    // diff against empty: every current row is a put
+    assert(cat.stateDiff("d7", 0, 4).where(col("op") =!= "put").isEmpty)
+    assert(cat.stateDiff("d7", 0, 4).count() === 21) // 20 - 1 del + 1 new + resurrection
+  }
+
   test("applyChanges batches ride the ledger") {
     val cat = newCatalog()
     cat.createCollection(meta("dc"))
