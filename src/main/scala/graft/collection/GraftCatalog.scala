@@ -718,6 +718,28 @@ class GraftCatalog(spark: SparkSession, root: String,
     else spark.read.parquet(versionDir(name, version).toString)
   }
 
+  /** Number of delta segments in the live chain (0 when the head is a full
+    * snapshot or the collection was never flushed). */
+  def segmentCount(name: String): Int = {
+    val meta = getMeta(name)
+    if (meta.currentVersion == 0) 0
+    else meta.currentVersion - chainBase(name, meta.currentVersion)
+  }
+
+  /** Compaction policy: when the live chain carries at least `maxSegments`
+    * delta segments, run one full [[flush]] — the fold collapses into a new
+    * base (and unversioned collections prune the superseded segments).
+    * Returns the new version when compaction ran. This is the knob for the
+    * streaming-ingest loop: `deltaFlushEachBatch` appends one segment per
+    * micro-batch, and calling this after each batch bounds the reader's
+    * fold width at `maxSegments` while keeping steady-state ingest
+    * O(batch) — the classic LSM trade, amortized O(corpus/maxSegments)
+    * write cost per compaction. */
+  def compactIfNeeded(name: String, maxSegments: Int = 16): Option[Int] = {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    if (segmentCount(name) >= maxSegments) Some(flush(name)) else None
+  }
+
   /** Change log between two versions — CDC at rest, O(changes): when every
     * version in `(fromV, toV]` is a delta segment, the net change set IS the
     * LWW fold of those segments' ledgers — no corpus read at all (the

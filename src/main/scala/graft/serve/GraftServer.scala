@@ -27,6 +27,7 @@ import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
   * POST   /collections/:name/release         ReleaseCollection
   * POST   /collections/:name/flush           Flush (full snapshot / compaction)
   * POST   /collections/:name/flushDelta      Flush (O(changes) delta segment)
+  * POST   /collections/:name/changes         Version CDC (changeLog/stateDiff)
   * POST   /collections/:name/insert {rows}   Index (upsert changes)
   * POST   /collections/:name/delete {filter} Index (delete changes)
   * POST   /collections/:name/search {query}  Search / FilterSearch
@@ -299,6 +300,26 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         }
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         rowsJson(catalog.searchMulti(name, fields, topK))
+      // Version CDC: net changes between two snapshot versions. mode=log is
+      // the O(changes) ledger fold (delta windows only), mode=diff the
+      // exact state diff; auto (default) tries the cheap path and falls
+      // back across compaction boundaries / from=0.
+      case ("POST", "collections" :: name :: "changes" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val from = num(req \ "from").toInt
+        val to = (req \ "to").toOption.map(num(_).toInt)
+          .getOrElse(catalog.getMeta(name).currentVersion)
+        val mode = (req \ "mode").toOption.collect { case JString(s) => s }.getOrElse("auto")
+        val out = mode match {
+          case "log"  => catalog.changeLogBetween(name, from, to)
+          case "diff" => catalog.stateDiff(name, from, to)
+          case "auto" =>
+            try catalog.changeLogBetween(name, from, to)
+            catch { case _: IllegalArgumentException => catalog.stateDiff(name, from, to) }
+          case other => throw new IllegalArgumentException(
+            s"unknown mode: $other (log | diff | auto)")
+        }
+        rowsJson(out.orderBy("op", catalog.getMeta(name).idColumn))
       // standalone two-vector distance+score (CompareDist RPC,
       // core/core.go:841-867)
       case ("POST", "compare" :: Nil) =>

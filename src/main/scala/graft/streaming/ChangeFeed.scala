@@ -115,14 +115,20 @@ object ChangeFeed {
                         versionCol: String, checkpointDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
                         deltaFlushEachBatch: Boolean = false,
-                        maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+                        maxFilesPerTrigger: Option[Int] = None,
+                        compactEverySegments: Option[Int] = None): StreamingQuery =
     readLog(spark, logDir, schema, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           catalog.applyChanges(name, batch, versionCol)
-          if (deltaFlushEachBatch) catalog.flushDelta(name): Unit
+          if (deltaFlushEachBatch) {
+            catalog.flushDelta(name)
+            // bound the fold width: one full flush every N segments — the
+            // LSM compaction cadence (amortized O(corpus/N) per batch)
+            compactEverySegments.foreach(n => catalog.compactIfNeeded(name, n): Unit)
+          }
         }
       }
       .start()

@@ -302,6 +302,27 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(cat.stateDiff("d7", 0, 4).count() === 21) // 20 - 1 del + 1 new + resurrection
   }
 
+  test("segmentCount + compactIfNeeded bound the chain at the LSM cadence") {
+    val cat = newCatalog()
+    cat.createCollection(meta("d8"))
+    cat.loadCollection("d8")
+    cat.insert("d8", rows(1 to 10))
+    cat.flush("d8") // v1
+    assert(cat.segmentCount("d8") === 0)
+    cat.insert("d8", rows(Seq(1), _ => 91L)); cat.flushDelta("d8")
+    assert(cat.segmentCount("d8") === 1)
+    assert(cat.compactIfNeeded("d8", maxSegments = 3) === None) // below the bound
+    cat.insert("d8", rows(Seq(2), _ => 92L)); cat.flushDelta("d8")
+    cat.insert("d8", rows(Seq(3), _ => 93L)); cat.flushDelta("d8")
+    assert(cat.segmentCount("d8") === 3)
+    val expected = state(cat.resident("d8"))
+    assert(cat.compactIfNeeded("d8", maxSegments = 3) === Some(5)) // v5 base
+    assert(cat.segmentCount("d8") === 0)
+    cat.releaseCollection("d8")
+    cat.loadCollection("d8")
+    assert(state(cat.resident("d8")) === expected)
+  }
+
   test("applyChanges batches ride the ledger") {
     val cat = newCatalog()
     cat.createCollection(meta("dc"))

@@ -105,6 +105,39 @@ class GraftServerSpec extends SparkSpec {
     assert(http("DELETE", "/collections/dlt")._1 === 200)
   }
 
+  test("changes route: ledger CDC, state diff, and the auto fallback over HTTP") {
+    val meta = """{"name":"cdc","dim":3,"distance":"euclidean","versioning":true,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"type","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/cdc/load")._1 === 200)
+    assert(http("POST", "/collections/cdc/insert",
+      """{"rows":[
+        {"id":"a","type":1,"vector":[1,0,0]},
+        {"id":"b","type":2,"vector":[0,1,0]}]}""")._1 === 200)
+    assert(http("POST", "/collections/cdc/flush")._2 === """{"version":1}""")
+    assert(http("POST", "/collections/cdc/insert",
+      """{"rows":[{"id":"c","type":3,"vector":[0,0,1]}]}""")._1 === 200)
+    assert(http("POST", "/collections/cdc/delete",
+      """{"filter":{"col":"id","op":"eq","value":"a"}}""")._1 === 200)
+    assert(http("POST", "/collections/cdc/flushDelta")._2 === """{"version":2}""")
+    // auto → ledger fold: del a + put c, nothing for untouched b
+    val (lc, lb) = http("POST", "/collections/cdc/changes", """{"from":1}""")
+    assert(lc === 200, lb)
+    assert(lb.contains(""""op":"del"""") && lb.contains(""""id":"a""""), lb)
+    assert(lb.contains(""""op":"put"""") && lb.contains(""""id":"c""""), lb)
+    assert(!lb.contains(""""id":"b""""), lb)
+    // compaction closes the ledger window: explicit log mode turns 400…
+    assert(http("POST", "/collections/cdc/flush")._2 === """{"version":3}""")
+    val (mc, mb) = http("POST", "/collections/cdc/changes", """{"from":1,"mode":"log"}""")
+    assert(mc === 400 && mb.contains("stateDiff"), s"$mc $mb")
+    // …while auto falls back to the exact diff with the same net content
+    val (dc, db) = http("POST", "/collections/cdc/changes", """{"from":1,"to":3}""")
+    assert(dc === 200 && db.contains(""""id":"a"""") && db.contains(""""id":"c""""), db)
+    assert(!db.contains(""""id":"b""""), db)
+    assert(http("DELETE", "/collections/cdc")._1 === 200)
+  }
+
   test("error contracts: not-loaded, duplicate create, validation reject, unknown route") {
     val meta = """{"name":"err1","dim":2,"fields":[{"name":"id","fieldType":"string","primaryKey":true}]}"""
     assert(http("POST", "/collections", meta)._1 === 200)
