@@ -323,6 +323,47 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(state(cat.resident("d8")) === expected)
   }
 
+  test("a concurrently-claimed slot fails flushDelta cleanly; the ledger survives for retry") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d9"))
+    cat.loadCollection("d9")
+    cat.insert("d9", rows(1 to 10))
+    cat.flush("d9") // v1
+    cat.insert("d9", rows(Seq(1), _ => 99L))
+    // simulate another driver holding the v2 claim (fresh timestamp)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = fs.create(new Path(s"$root/d9/v2.claim"), false)
+    claim.write(s"other@host ${System.currentTimeMillis()}".getBytes("UTF-8")); claim.close()
+    intercept[GraftCatalog.ConcurrentFlushException](cat.flushDelta("d9"))
+    assert(!fs.exists(new Path(s"$root/d9/v2"))) // no orphan segment
+    assert(cat.getMeta("d9").currentVersion === 1) // meta unchanged
+    // the lost race must NOT lose the ledger: clearing the claim, the retry lands
+    fs.delete(new Path(s"$root/d9/v2.claim"), false)
+    assert(cat.flushDelta("d9") === 2)
+    cat.releaseCollection("d9")
+    cat.loadCollection("d9")
+    assert(state(cat.resident("d9")).contains("id-1:99"))
+  }
+
+  test("fold plan shape: winners broadcast to the anti-join; the base is never shuffled") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("d10"))
+    cat.loadCollection("d10")
+    cat.insert("d10", rows(1 to 500))
+    cat.flush("d10")
+    cat.insert("d10", rows(Seq(1), _ => 99L))
+    cat.flushDelta("d10")
+    val p = cat.snapshot("d10").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"delta winner keys must broadcast into the base anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base-side shuffle join crept into the fold:\n$p")
+    // the only hash exchanges belong to the (small) winners aggregation
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"fold shuffled more than the delta log ($shuffles):\n$p")
+  }
+
   test("applyChanges batches ride the ledger") {
     val cat = newCatalog()
     cat.createCollection(meta("dc"))
