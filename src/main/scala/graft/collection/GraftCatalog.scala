@@ -636,22 +636,31 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: no base snapshot at or below v$upTo — the chain's " +
         "base was vacuumed or never written; delta segments cannot be read alone"))
 
+  /** The net per-key winners of a delta-segment window: union the segment
+    * ledgers (stamped with their version), LWW-resolve per pk by
+    * (segment version, batch seq, op). The ONE copy of the fold recipe —
+    * shared by [[foldChain]] and [[changeLogBetween]] so the state read and
+    * the CDC read cannot drift apart. Keeps `__op`/`__seq`/`__delta_v`. */
+  private def ledgerWinners(name: String, pk: String, window: Range): DataFrame = {
+    val log = window.map { w =>
+      spark.read.parquet(versionDir(name, w).toString)
+        .withColumn(GraftCatalog.DeltaVerCol, lit(w))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
+      Seq(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaOpCol))
+  }
+
   /** Fold the delta chain ending at `upTo` into the collection state:
-    * read the base snapshot, LWW-resolve the delta log per pk by
-    * (segment version, batch seq, op), strike every winner key from the
-    * base, union the put winners back in. One aggregation over the delta
-    * log + one anti-join; the base is never shuffled. */
+    * read the base snapshot, LWW-resolve the delta log per pk, strike every
+    * winner key from the base, union the put winners back in. One
+    * aggregation over the delta log + one anti-join; the base is never
+    * shuffled. */
   private def foldChain(name: String, meta: CollectionMeta, upTo: Int): DataFrame = {
     val base = chainBase(name, upTo)
     val df = dropCellCol(spark.read.parquet(versionDir(name, base).toString))
     if (base == upTo) return df
-    val log = (base + 1 to upTo).map { w =>
-      spark.read.parquet(versionDir(name, w).toString)
-        .withColumn(GraftCatalog.DeltaVerCol, lit(w))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val pk = meta.idColumn
-    val winners = Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
-      Seq(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaOpCol))
+    val winners = ledgerWinners(name, pk, base + 1 to upTo)
     val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
       .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
     Mutations.deleteByKeys(df, winners.select(col(pk)), pk).unionByName(puts)
@@ -757,19 +766,21 @@ class GraftCatalog(spark: SparkSession, root: String,
     * boundary, where no ledger exists — use [[stateDiff]]. */
   def changeLogBetween(name: String, fromV: Int, toV: Int): DataFrame = {
     val meta = getMeta(name)
-    require(1 <= fromV && fromV < toV && toV <= meta.currentVersion,
-      s"collection $name: need 1 <= fromV < toV <= ${meta.currentVersion}, got ($fromV, $toV)")
+    require(1 <= fromV && fromV <= toV && toV <= meta.currentVersion,
+      s"collection $name: need 1 <= fromV <= toV <= ${meta.currentVersion}, got ($fromV, $toV)")
+    if (fromV == toV) { // "changes since head": a legal, empty window
+      val shape = foldChain(name, meta, toV).limit(0)
+      return shape.select(lit("put").as("op") +: shape.columns.map(col): _*).limit(0)
+    }
     val window = fromV + 1 to toV
+    window.filterNot(w => fs.exists(versionDir(name, w))).foreach(w =>
+      throw new IllegalStateException(
+        s"collection $name: version v$w in (${fromV}, $toV] was vacuumed or never " +
+          "written — the change window is gone; re-baseline downstream from stateDiff(0, head)"))
     require(window.forall(isDeltaVersion(name, _)),
       s"collection $name: versions (${fromV}, $toV] contain a full snapshot — " +
         "there is no change ledger across a compaction boundary; use stateDiff")
-    val log = window.map { w =>
-      spark.read.parquet(versionDir(name, w).toString)
-        .withColumn(GraftCatalog.DeltaVerCol, lit(w))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val pk = meta.idColumn
-    Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
-        Seq(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaOpCol))
+    ledgerWinners(name, meta.idColumn, window)
       .withColumnRenamed(GraftCatalog.DeltaOpCol, "op")
       .drop(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
   }
@@ -783,23 +794,33 @@ class GraftCatalog(spark: SparkSession, root: String,
     * each state; the O(changes) path is [[changeLogBetween]]. */
   def stateDiff(name: String, fromV: Int, toV: Int): DataFrame = {
     val meta = getMeta(name)
-    require(0 <= fromV && fromV < toV && toV <= meta.currentVersion,
-      s"collection $name: need 0 <= fromV < toV <= ${meta.currentVersion}, got ($fromV, $toV)")
+    require(0 <= fromV && fromV <= toV && toV <= meta.currentVersion,
+      s"collection $name: need 0 <= fromV <= toV <= ${meta.currentVersion}, got ($fromV, $toV)")
     val pk = meta.idColumn
     val to = foldChain(name, meta, toV)
     val from =
       if (fromV == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+      else if (fromV == toV) to // legal empty window: identical states diff to nothing
       else foldChain(name, meta, fromV)
-    val rest = to.columns.filterNot(_ == pk).toIndexedSeq
-    def packed(df: DataFrame, as: String): DataFrame =
-      df.select(col(pk), struct(rest.map(col): _*).as(as))
-    packed(from, "__fv").join(packed(to, "__tv"), Seq(pk), "full_outer")
-      .where(col("__tv").isNull || !(col("__fv") <=> col("__tv")))
+    val rest = to.schema.fields.toIndexedSeq.filterNot(_.name == pk)
+    // MapType is not comparable in Spark — canonicalize map columns to
+    // sorted entry arrays for the equality check (schemaless collections'
+    // metadata column), while the EMITTED content stays the original shape
+    def cmp(f: org.apache.spark.sql.types.StructField): Column = f.dataType match {
+      case _: org.apache.spark.sql.types.MapType => array_sort(map_entries(col(f.name)))
+      case _ => col(f.name)
+    }
+    def packed(df: DataFrame, v: String, c: String): DataFrame =
+      df.select(col(pk), struct(rest.map(f => col(f.name)): _*).as(v),
+        struct(rest.map(cmp): _*).as(c))
+    packed(from, "__fv", "__fc").join(packed(to, "__tv", "__tc"), Seq(pk), "full_outer")
+      .where(col("__tc").isNull || !(col("__fc") <=> col("__tc")))
       .select(
-        when(col("__tv").isNull, lit("del")).otherwise(lit("put")).as("op") +:
+        when(col("__tc").isNull, lit("del")).otherwise(lit("put")).as("op") +:
           col(pk) +:
-          rest.map(c => when(col("__tv").isNull, lit(null)).otherwise(col(s"__tv.$c")).as(c)): _*)
+          rest.map(f => when(col("__tc").isNull, lit(null))
+            .otherwise(col(s"__tv.${f.name}")).as(f.name)): _*)
   }
 
   /** Read the latest on-disk snapshot directly (no residency). A delta-chain

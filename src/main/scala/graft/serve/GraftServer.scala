@@ -306,9 +306,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // back across compaction boundaries / from=0.
       case ("POST", "collections" :: name :: "changes" :: Nil) =>
         val req = JsonMethods.parse(body)
+        val cmeta = catalog.getMeta(name)
         val from = num(req \ "from").toInt
-        val to = (req \ "to").toOption.map(num(_).toInt)
-          .getOrElse(catalog.getMeta(name).currentVersion)
+        val to = (req \ "to").toOption.map(num(_).toInt).getOrElse(cmeta.currentVersion)
+        // every other rows route is topK-bounded; an unbounded diff would
+        // collect the collection into one driver-side JSON string
+        val limit = (req \ "limit").toOption.map(num(_).toInt).getOrElse(10000)
+        require(limit >= 1, "limit must be >= 1")
         val mode = (req \ "mode").toOption.collect { case JString(s) => s }.getOrElse("auto")
         val out = mode match {
           case "log"  => catalog.changeLogBetween(name, from, to)
@@ -319,7 +323,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case other => throw new IllegalArgumentException(
             s"unknown mode: $other (log | diff | auto)")
         }
-        rowsJson(out.orderBy("op", catalog.getMeta(name).idColumn))
+        rowsJson(out.orderBy("op", cmeta.idColumn).limit(limit))
       // standalone two-vector distance+score (CompareDist RPC,
       // core/core.go:841-867)
       case ("POST", "compare" :: Nil) =>

@@ -116,7 +116,10 @@ object ChangeFeed {
                         trigger: Trigger = Trigger.AvailableNow(),
                         deltaFlushEachBatch: Boolean = false,
                         maxFilesPerTrigger: Option[Int] = None,
-                        compactEverySegments: Option[Int] = None): StreamingQuery =
+                        compactEverySegments: Option[Int] = None): StreamingQuery = {
+    require(compactEverySegments.isEmpty || deltaFlushEachBatch,
+      "compactEverySegments bounds the delta-segment chain — it requires " +
+        "deltaFlushEachBatch = true (without per-batch segments there is nothing to compact)")
     readLog(spark, logDir, schema, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -132,6 +135,7 @@ object ChangeFeed {
         }
       }
       .start()
+  }
 
   /** Consume the log with Structured Streaming, folding each micro-batch
     * into state and pushing the updated view to `onUpdate`.

@@ -302,6 +302,40 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(cat.stateDiff("d7", 0, 4).count() === 21) // 20 - 1 del + 1 new + resurrection
   }
 
+  test("CDC edges: empty window, vacuumed window, schemaless map diff") {
+    val cat = newCatalog()
+    cat.createCollection(meta("d11", versioning = true))
+    cat.loadCollection("d11")
+    cat.insert("d11", rows(1 to 10))
+    cat.flush("d11") // v1
+    // "changes since head" is a legal empty answer, not an error
+    assert(cat.changeLogBetween("d11", 1, 1).isEmpty)
+    assert(cat.stateDiff("d11", 1, 1).isEmpty)
+    cat.insert("d11", rows(Seq(1), _ => 99L)); cat.flushDelta("d11") // v2
+    cat.flush("d11") // v3
+    cat.flush("d11") // v4
+    cat.vacuum("d11", keepLast = 1) // v1-v3 gone
+    val e = intercept[IllegalStateException](cat.changeLogBetween("d11", 1, 2))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage) // not "full snapshot"
+    assert(cat.stateDiff("d11", 0, 4).count() === 10) // the re-baseline path
+    // schemaless: the metadata MAP column must diff (canonicalized entries)
+    val cs = newCatalog()
+    cs.createCollection(CollectionMeta("sdm", dim = 4, distance = "euclidean",
+      schemaless = Some(true)))
+    cs.loadCollection("sdm")
+    val mkRows = (ids: Seq[Int], tag: String) => ids.map { i =>
+      (s"id-$i", tag, Array.fill(4)(new scala.util.Random(i).nextFloat()))
+    }.toDF("_id", "tag", "vector")
+    cs.insert("sdm", mkRows(1 to 5, "a"))
+    cs.flush("sdm")
+    cs.insert("sdm", mkRows(Seq(2), "b")) // map content change only
+    cs.flushDelta("sdm")
+    val d = cs.stateDiff("sdm", 1, 2).collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[String]("op") === "put")
+    assert(d.head.getAs[String]("_id") === "id-2")
+  }
+
   test("segmentCount + compactIfNeeded bound the chain at the LSM cadence") {
     val cat = newCatalog()
     cat.createCollection(meta("d8"))
