@@ -727,6 +727,42 @@ class GraftCatalog(spark: SparkSession, root: String,
     else spark.read.parquet(versionDir(name, version).toString)
   }
 
+  /** Copy a collection's persisted state — meta sidecar, every retained
+    * version dir (full snapshots AND delta segments, markers included), and
+    * the index sidecars (centroids / PQ codebooks / binary thresholds) —
+    * into another catalog root: backup, restore, or environment promotion
+    * (the reference's MinIO bucket-copy story, S7/S10 lifecycle). Claims
+    * and staging dirs never travel; unflushed resident state never travels
+    * (flush first — the snapshot IS the durable state). The destination
+    * catalog must not already hold the collection.
+    *
+    * IO shape: a driver-side recursive copy via Hadoop FileUtil — fine for
+    * driver-reachable roots; at 100 TB the layout is plain parquet dirs +
+    * tiny sidecars, so any bulk copier (distcp, object-store replication)
+    * produces a byte-identical, immediately-loadable collection: nothing
+    * in the layout is host- or catalog-relative. */
+  def exportCollection(name: String, destRoot: String): Unit = {
+    val meta = getMeta(name)
+    val destDir = new Path(s"$destRoot/$name")
+    val destFs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!destFs.exists(new Path(destDir, "meta.json")),
+      s"collection $name already exists under $destRoot")
+    destFs.mkdirs(destDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1 to meta.currentVersion).foreach { v =>
+      Seq(versionDir(name, v), centroidDir(name, v), pqDir(name, v), binDir(name, v))
+        .filter(fs.exists)
+        .foreach { src =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, destFs, new Path(destDir, src.getName), false, conf)
+        }
+    }
+    // meta LAST, same discipline as create/flush: a partially-copied
+    // collection is never visible to the destination catalog
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, metaPath(name), destFs, new Path(destDir, "meta.json"), false, conf)
+  }
+
   /** Number of delta segments in the live chain (0 when the head is a full
     * snapshot or the collection was never flushed). */
   def segmentCount(name: String): Int = {

@@ -28,6 +28,7 @@ import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
   * POST   /collections/:name/flush           Flush (full snapshot / compaction)
   * POST   /collections/:name/flushDelta      Flush (O(changes) delta segment)
   * POST   /collections/:name/changes         Version CDC (changeLog/stateDiff)
+  * POST   /collections/:name/export          Copy chain+sidecars to another root
   * POST   /collections/:name/insert {rows}   Index (upsert changes)
   * POST   /collections/:name/delete {filter} Index (delete changes)
   * POST   /collections/:name/search {query}  Search / FilterSearch
@@ -171,6 +172,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // (flushDelta rejects index layouts), but stay defensive
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
+      case ("POST", "collections" :: name :: "export" :: Nil) =>
+        val dest = JsonMethods.parse(body) \ "destRoot" match {
+          case JString(p) if p.nonEmpty => p
+          case _ => throw new IllegalArgumentException(
+            "export requires {\"destRoot\": \"<catalog root>\"}")
+        }
+        catalog.exportCollection(name, dest)
+        ok(JObject("exported" -> JString(name), "destRoot" -> JString(dest)))
       case ("POST", "collections" :: name :: "insert" :: Nil) =>
         val rows = JsonMethods.parse(body) \ "rows" match {
           case JArray(rs) => rs.collect { case o: JObject => o }

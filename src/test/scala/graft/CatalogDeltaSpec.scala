@@ -398,6 +398,43 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(shuffles <= 2, s"fold shuffled more than the delta log ($shuffles):\n$p")
   }
 
+  test("exportCollection: chain + sidecars travel; the copy loads and folds identically") {
+    val cat = newCatalog()
+    cat.createCollection(meta("exp"))
+    cat.loadCollection("exp")
+    cat.insert("exp", rows(1 to 50))
+    cat.flush("exp") // v1
+    cat.insert("exp", rows(Seq(1), _ => 99L))
+    cat.delete("exp", Single("id", FilterExpr.Eq, "id-2"))
+    cat.flushDelta("exp") // v2 — the delta segment must travel with its marker
+    val expected = state(cat.resident("exp"))
+    val destRoot = newRoot()
+    cat.exportCollection("exp", destRoot)
+    val dst = newCatalog(destRoot)
+    assert(dst.exists("exp"))
+    dst.loadCollection("exp")
+    assert(state(dst.resident("exp")) === expected)
+    // re-export refuses (destination already holds the collection)
+    val e = intercept[IllegalArgumentException](cat.exportCollection("exp", destRoot))
+    assert(e.getMessage.contains("already exists"))
+    // an indexed collection's sidecars travel too: searches agree
+    val catIvf = newCatalog()
+    catIvf.createCollection(CollectionMeta("expq", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), pqSubspaces = Some(2), pqCodewords = Some(8),
+      pqTrainIterations = Some(0)))
+    catIvf.loadCollection("expq")
+    catIvf.insert("expq", rows(1 to 64))
+    catIvf.flush("expq")
+    val qv = Array(0.3f, 0.5f, 0.1f, 0.9f)
+    val want = catIvf.searchPq("expq", qv, topK = 5, rerank = false)
+      .collect().map(_.toString).toSeq
+    val destRoot2 = newRoot()
+    catIvf.exportCollection("expq", destRoot2)
+    val dst2 = newCatalog(destRoot2)
+    assert(dst2.searchPq("expq", qv, topK = 5, rerank = false)
+      .collect().map(_.toString).toSeq === want)
+  }
+
   test("applyChanges batches ride the ledger") {
     val cat = newCatalog()
     cat.createCollection(meta("dc"))
