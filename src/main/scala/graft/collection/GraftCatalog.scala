@@ -692,6 +692,14 @@ class GraftCatalog(spark: SparkSession, root: String,
   def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = getMeta(name)
+    // crashed-writer hygiene: staging dirs are invisible to readers (dot
+    // prefix) but hold real bytes — a flush that died mid-write can orphan
+    // a corpus-sized staging copy. Sweep any older than the stale-claim
+    // horizon (a LIVE writer's staging is younger by definition).
+    fs.listStatus(colDir(name))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-") &&
+        System.currentTimeMillis() - s.getModificationTime > staleClaimMs)
+      .foreach(s => fs.delete(s.getPath, true))
     // never cut into a RETAINED chain: every kept version (the newest
     // `keepLast`, by number) must stay readable, and a kept delta version
     // reads through its base + earlier sibling segments — so the floor is

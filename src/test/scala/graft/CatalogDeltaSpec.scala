@@ -398,6 +398,31 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(shuffles <= 2, s"fold shuffled more than the delta log ($shuffles):\n$p")
   }
 
+  test("crashed delta writer: stale claim + orphan staging do not block the next flushDelta") {
+    val root = newRoot()
+    val cat = new GraftCatalog(spark, root, staleClaimMs = 50L)
+    cat.createCollection(meta("d12"))
+    cat.loadCollection("d12")
+    cat.insert("d12", rows(1 to 10))
+    cat.flush("d12") // v1
+    cat.insert("d12", rows(Seq(1), _ => 99L))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died between claim and publish: an old claim
+    // plus its abandoned staging dir
+    val stale = fs.create(new Path(s"$root/d12/v2.claim"), false)
+    stale.write(s"dead@host ${System.currentTimeMillis() - 10000}".getBytes("UTF-8")); stale.close()
+    fs.mkdirs(new Path(s"$root/d12/.staging-v2-deadbeef/data"))
+    Thread.sleep(60) // cross the staleness horizon
+    assert(cat.flushDelta("d12") === 2) // reclaims the slot, publishes cleanly
+    cat.releaseCollection("d12")
+    cat.loadCollection("d12")
+    assert(state(cat.resident("d12")).contains("id-1:99"))
+    // vacuum sweeps the dead writer's orphaned staging bytes
+    assert(fs.exists(new Path(s"$root/d12/.staging-v2-deadbeef")))
+    cat.vacuum("d12")
+    assert(!fs.exists(new Path(s"$root/d12/.staging-v2-deadbeef")))
+  }
+
   test("exportCollection: chain + sidecars travel; the copy loads and folds identically") {
     val cat = newCatalog()
     cat.createCollection(meta("exp"))
