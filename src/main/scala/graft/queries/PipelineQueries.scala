@@ -255,6 +255,19 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(Winnowing.fingerprints(col("text"), k = 8, w = 4)).as("fp"))
         .orderBy("doc_id", "fp")),
+    // HLL++ distinct-count audit (the cardinality member of the sketch
+    // family): exact distinct + approx_count_distinct on the same relation,
+    // per (lang, source) group, flagged when the estimate strays past
+    // 3·rsd. The production path at 100 TB is approx-only (one scan,
+    // fixed-size register merges, no distinct-value shuffle); this audit is
+    // the calibration run. The estimate itself is engine-specific, so the
+    // oracle pins the exact counts and the REQUIRED hll_ok=true outcome —
+    // an HLL regression past the bound hash-fails the row.
+    "distinct_audit" -> ((s, dir) =>
+      graft.operators.DistinctCount.audit(
+          docs(s, dir), Seq(col("lang"), col("source")), col("text"))
+        .select(col("lang"), col("source"), col("exact_distinct"), col("hll_ok"))
+        .orderBy("lang", "source")),
     // Quality metrics: token counts, alpha/stopword ratios, composite
     // score, md5 content fingerprint — all single-pass row-local.
     "text_quality" -> ((s, dir) =>
@@ -1190,6 +1203,11 @@ object PipelineQueries {
          |    ELSE [list_min(hs)] END AS wins FROM h)
          |SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
          |ORDER BY doc_id, fp""".stripMargin,
+    "distinct_audit" ->
+      """SELECT lang, source, COUNT(DISTINCT text) AS exact_distinct,
+        |  TRUE AS hll_ok
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "text_quality" -> {
       import QualitySql.{alpha, stop, lenBand}
       s"""SELECT doc_id,
