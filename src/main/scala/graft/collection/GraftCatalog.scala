@@ -200,9 +200,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     * Laziness contract (the standard Spark one, same as [[rebind]]): put
     * batches are held as plans over the caller's DataFrame and evaluated at
     * flush/checkpoint time — callers must not mutate an input's backing
-    * files between the mutation call and the flush that persists it (the
-    * every-[[LineageCutEvery]] eager checkpoint bounds the window; del
-    * markers are materialized eagerly at delete time — see [[delete]]). */
+    * files between the mutation call and the flushDelta that persists it
+    * (del markers are materialized eagerly at delete time — see
+    * [[delete]]; put batches evaluate when the segment writes). */
   private def tracksPending(meta: CollectionMeta): Boolean =
     meta.currentVersion > 0 && meta.ivfCells.isEmpty &&
       meta.pqConfig.isEmpty && !meta.hasBinaryIndex
@@ -221,8 +221,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     val n = pendingCount.getOrElse(name, 0) + 1
     pendingCount(name) = n
+    // LAZY checkpoint on the cadence: cuts lineage like rebind's, but the
+    // materialization happens only when something evaluates the ledger
+    // (flushDelta) — a workload that full-flushes and never delta-flushes
+    // pays nothing for the bookkeeping (an EAGER cut here would re-evaluate
+    // every accumulated put batch on each 8th mutation, doubling the
+    // mutation path for no consumer)
     val bound =
-      if (n % LineageCutEvery == 0) merged.localCheckpoint(true)
+      if (n % LineageCutEvery == 0) merged.localCheckpoint(false)
       else merged.persist(StorageLevel.MEMORY_AND_DISK)
     val prev = pending.get(name)
     pending(name) = bound
@@ -506,8 +512,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (!meta.versioning) {
       // prune EVERY superseded version, not just v-1: a delta chain leaves
       // multiple live dirs behind the new base, all obsolete once this full
-      // snapshot (which folds them) is published
-      (1 until v).filter(w => fs.exists(versionDir(name, w))).foreach { w =>
+      // snapshot (which folds them) is published. ONE directory listing —
+      // probing 1..v-1 individually is O(lifetime version count) existence
+      // RPCs per compaction, unbounded under a streaming delta cadence
+      val live = fs.listStatus(colDir(name)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+        .filter(_ < v)
+      live.foreach { w =>
         fs.delete(versionDir(name, w), true)
         fs.delete(centroidDir(name, w), true)
         fs.delete(pqDir(name, w), true)
@@ -694,11 +705,23 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     // crashed-writer hygiene: staging dirs are invisible to readers (dot
     // prefix) but hold real bytes — a flush that died mid-write can orphan
-    // a corpus-sized staging copy. Sweep any older than the stale-claim
-    // horizon (a LIVE writer's staging is younger by definition).
+    // a corpus-sized staging copy. Staleness uses the NEWEST mtime found in
+    // the dir, its children, and grandchildren (the part files): a live
+    // writer streaming parquet keeps those fresh, while the top-level dir's
+    // own mtime is frozen at write start — judging on it alone would reap a
+    // live compaction that stages longer than the horizon. Residual
+    // assumption: a writer silent for the whole staleClaimMs (single part
+    // file, no FS mtime updates until close) can still be reaped — size
+    // staleClaimMs above the longest expected flush.
+    def newestMtime(p: Path, depth: Int): Long = {
+      val s = fs.getFileStatus(p)
+      if (depth == 0 || !s.isDirectory) s.getModificationTime
+      else (s.getModificationTime +: fs.listStatus(p).toSeq.map(c =>
+        newestMtime(c.getPath, depth - 1))).max
+    }
     fs.listStatus(colDir(name))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-") &&
-        System.currentTimeMillis() - s.getModificationTime > staleClaimMs)
+        System.currentTimeMillis() - newestMtime(s.getPath, 2) > staleClaimMs)
       .foreach(s => fs.delete(s.getPath, true))
     // never cut into a RETAINED chain: every kept version (the newest
     // `keepLast`, by number) must stay readable, and a kept delta version
@@ -753,8 +776,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     val destDir = new Path(s"$destRoot/$name")
     val destFs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!destFs.exists(new Path(destDir, "meta.json")),
-      s"collection $name already exists under $destRoot")
+    // refuse a NON-EMPTY destination, not just a published one: a retry
+    // after a half-failed export would otherwise pass the meta check and
+    // FileUtil.copy would nest v1 into the leftover v1 — a destination that
+    // then publishes (meta last) as a valid-looking, unreadable collection
+    require(!destFs.exists(destDir) || destFs.listStatus(destDir).isEmpty,
+      s"destination $destDir is not empty — clean up the partial copy first")
     destFs.mkdirs(destDir)
     val conf = spark.sparkContext.hadoopConfiguration
     (1 to meta.currentVersion).foreach { v =>
@@ -814,6 +841,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: need 1 <= fromV <= toV <= ${meta.currentVersion}, got ($fromV, $toV)")
     if (fromV == toV) { // "changes since head": a legal, empty window
       val shape = foldChain(name, meta, toV).limit(0)
+      GraftCatalog.requireNoOpColumn(name, shape.columns)
       return shape.select(lit("put").as("op") +: shape.columns.map(col): _*).limit(0)
     }
     val window = fromV + 1 to toV
@@ -824,9 +852,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(window.forall(isDeltaVersion(name, _)),
       s"collection $name: versions (${fromV}, $toV] contain a full snapshot — " +
         "there is no change ledger across a compaction boundary; use stateDiff")
-    ledgerWinners(name, meta.idColumn, window)
+    val winners0 = ledgerWinners(name, meta.idColumn, window)
+    GraftCatalog.requireNoOpColumn(name, winners0.columns)
+    val winners = winners0
       .withColumnRenamed(GraftCatalog.DeltaOpCol, "op")
       .drop(GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
+    // op FIRST, matching stateDiff and the documented (op, row) shape —
+    // withColumnRenamed leaves __op where the ledger stored it (last)
+    winners.select(col("op") +: winners.columns.filterNot(_ == "op").map(col): _*)
   }
 
   /** Exact state-to-state diff between two versions: put rows present (or
@@ -842,12 +875,17 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: need 0 <= fromV <= toV <= ${meta.currentVersion}, got ($fromV, $toV)")
     val pk = meta.idColumn
     val to = foldChain(name, meta, toV)
+    GraftCatalog.requireNoOpColumn(name, to.columns)
+    val restAll = to.schema.fields.toIndexedSeq.filterNot(_.name == pk)
+    if (fromV == toV) // legal empty window: identical states diff to nothing —
+      // answer at plan-build cost, not with a corpus self-join
+      return to.limit(0).select(lit("put").as("op") +: col(pk) +:
+        restAll.map(f => col(f.name)): _*).limit(0)
     val from =
       if (fromV == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
-      else if (fromV == toV) to // legal empty window: identical states diff to nothing
       else foldChain(name, meta, fromV)
-    val rest = to.schema.fields.toIndexedSeq.filterNot(_.name == pk)
+    val rest = restAll
     // MapType is not comparable in Spark — canonicalize map columns to
     // sorted entry arrays for the equality check (schemaless collections'
     // metadata column), while the EMITTED content stays the original shape
@@ -1319,6 +1357,15 @@ object GraftCatalog {
 
   /** Packed 1-bit/dim sign-code column of binary-indexed snapshots. */
   val BinCol = "__bin_code"
+
+  /** The CDC readers prefix their output with an `op` column; a user field
+    * of the same name would emit two identically-named columns (ambiguous
+    * to every downstream select/orderBy). Refused loudly — the ledger's own
+    * internals are underscore-prefixed for exactly this reason. */
+  private[collection] def requireNoOpColumn(name: String, cols: Seq[String]): Unit =
+    require(!cols.contains("op"),
+      s"collection $name declares a field named 'op' — it collides with the CDC " +
+        "output column (changeLogBetween/stateDiff); rename the field to read changes")
 
   /** Delta-segment ledger columns ([[GraftCatalog.flushDelta]]): mutation op
     * ("put"/"del"), per-batch sequence within a segment, and the segment

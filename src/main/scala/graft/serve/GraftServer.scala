@@ -332,7 +332,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case other => throw new IllegalArgumentException(
             s"unknown mode: $other (log | diff | auto)")
         }
-        rowsJson(out.orderBy("op", cmeta.idColumn).limit(limit))
+        // a CDC result has a completeness contract a topK search does not:
+        // fetch limit+1 and SAY when the window was cut so an applier never
+        // mistakes a truncated change set for the whole diff
+        val fetched = out.orderBy("op", cmeta.idColumn).limit(limit + 1).toJSON.collect()
+        200 -> ("{\"rows\":[" + fetched.take(limit).mkString(",") +
+          "],\"truncated\":" + (fetched.length > limit) + "}")
       // standalone two-vector distance+score (CompareDist RPC,
       // core/core.go:841-867)
       case ("POST", "compare" :: Nil) =>

@@ -318,6 +318,21 @@ class CatalogDeltaSpec extends SparkSpec {
     val e = intercept[IllegalStateException](cat.changeLogBetween("d11", 1, 2))
     assert(e.getMessage.contains("vacuumed"), e.getMessage) // not "full snapshot"
     assert(cat.stateDiff("d11", 0, 4).count() === 10) // the re-baseline path
+    // both CDC readers emit op FIRST — one documented shape, either path
+    assert(cat.stateDiff("d11", 0, 4).columns.head === "op")
+    cat.insert("d11", rows(Seq(1), _ => 77L)); cat.flushDelta("d11") // v5
+    assert(cat.changeLogBetween("d11", 4, 5).columns.head === "op")
+    assert(cat.changeLogBetween("d11", 5, 5).columns.head === "op")
+    // a user field named `op` collides with the CDC output — refused loudly
+    val cop = newCatalog()
+    cop.createCollection(CollectionMeta("opc", dim = 4, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true),
+        IndexField("op", "string"))))
+    cop.loadCollection("opc")
+    cop.insert("opc", Seq(("a", "x", Array(1f, 0f, 0f, 0f))).toDF("id", "op", "vector"))
+    cop.flush("opc")
+    val eo = intercept[IllegalArgumentException](cop.stateDiff("opc", 0, 1))
+    assert(eo.getMessage.contains("collides"), eo.getMessage)
     // schemaless: the metadata MAP column must diff (canonicalized entries)
     val cs = newCatalog()
     cs.createCollection(CollectionMeta("sdm", dim = 4, distance = "euclidean",
@@ -439,9 +454,10 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(dst.exists("exp"))
     dst.loadCollection("exp")
     assert(state(dst.resident("exp")) === expected)
-    // re-export refuses (destination already holds the collection)
+    // re-export refuses: ANY non-empty destination (a published copy or a
+    // half-failed one) — retrying into leftovers would nest version dirs
     val e = intercept[IllegalArgumentException](cat.exportCollection("exp", destRoot))
-    assert(e.getMessage.contains("already exists"))
+    assert(e.getMessage.contains("not empty"))
     // an indexed collection's sidecars travel too: searches agree
     val catIvf = newCatalog()
     catIvf.createCollection(CollectionMeta("expq", dim = 4, distance = "euclidean",
