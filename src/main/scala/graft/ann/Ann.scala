@@ -75,6 +75,46 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental SEMANTIC dedup: batch embeddings screened against the
+    * corpus by sign-LSH bucket co-occupancy, verified by exact cosine —
+    * completing the incremental-screen triple (bloom = exact content,
+    * banded MinHash = lexical near-dup, this = embedding near-dup). Never
+    * batch×batch or corpus×corpus; the corpus side of each bucket is capped
+    * at the `maxCorpusBucketProbes` id-least members (the
+    * corpusNearDuplicates argument: a giant bucket is a near-dup cluster,
+    * so bounded probing still verifies). Returns verified
+    * (batch_id, corpus_id, sim) pairs; the corpus bucket relation depends
+    * only on the corpus and amortizes across batches. */
+  def signLshAgainstCorpus(
+      batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Float]], threshold: Double,
+      maxCorpusBucketProbes: Int = 1024): DataFrame = {
+    require(maxCorpusBucketProbes >= 1, "maxCorpusBucketProbes must be >= 1")
+    val b = batch.select(signBucket(col(vecCol), planes).as("bucket"),
+      col(idCol).as("batch_id"), col(vecCol).as("va"))
+    val c = corpus.select(signBucket(col(vecCol), planes).as("bucket"),
+      col(idCol).as("corpus_id"), col(vecCol).as("vb"))
+    val cCapped = c.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")).orderBy(col("corpus_id"))))
+      .where(col("__rn") <= maxCorpusBucketProbes).drop("__rn")
+    b.join(cCapped, Seq("bucket"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(lit(1.0) - cosine_distance(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Batch survivors of the semantic screen: rows of `batch` with no
+    * verified corpus neighbor at `threshold` ([[signLshAgainstCorpus]]). */
+  def newSemanticAgainstCorpus(
+      batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Array[Float]], threshold: Double,
+      maxCorpusBucketProbes: Int = 1024): DataFrame = {
+    val matched = signLshAgainstCorpus(batch, corpus, idCol, vecCol, planes,
+      threshold, maxCorpusBucketProbes)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** IVF cell assignment: nearest centroid per row via the single-loop
     * [[graft.functions.arg_min_distance]] kernel (rounded-distance argmin,
     * lowest cid on ties — semantics pinned against the per-centroid

@@ -411,6 +411,25 @@ object PipelineQueries {
         .select("id_a", "id_b")
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
+    // Incremental SEMANTIC screen — the embedding member of the
+    // batch-vs-corpus family (bloom = exact content, banded MinHash =
+    // lexical): sign-LSH buckets both sides, joins bucket co-occupants
+    // only, verifies by exact cosine. Batch = exact re-embeds (vec_id%9==0,
+    // sim 1.0) + reversed embeddings (vec_id%9==1 — a deterministic
+    // "different content" vector both engines can construct). The oracle
+    // replicates the bucketing, join, and verify bit-for-bit.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val planes = (0 to 1).map(i =>
+        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val batch = e.where(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") % 9 === 1)
+          .select((col("vec_id") + 95000).as("vec_id"), reverse(col("embedding")).as("embedding")))
+      Ann.signLshAgainstCorpus(batch, e, "vec_id", "embedding", planes,
+          threshold = 0.4, maxCorpusBucketProbes = 1000000)
+        .orderBy("batch_id", "corpus_id")
+    }),
     // IVF cell-probed search: deterministic centroids (first 8 rows),
     // broadcast argmin assignment, probe the 3 nearest cells, exact top-k
     // inside — the partition-prunable scale path for S4.
@@ -1266,6 +1285,31 @@ object PipelineQueries {
          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
          |SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id
          |ORDER BY id""".stripMargin,
+    "dedup_semantic_incremental" -> {
+      val cross =
+        """list_inner_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+          | (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          |  * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))""".stripMargin
+      s"""WITH p0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |p1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+         |batch0 AS (
+         |  SELECT vec_id + 90000 AS vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 95000 AS vec_id, list_reverse(embedding) AS embedding
+         |  FROM embeddings WHERE vec_id % 9 = 1),
+         |bb AS (SELECT b.vec_id, b.embedding, concat(
+         |   CASE WHEN list_inner_product(b.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
+         |   CASE WHEN list_inner_product(b.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM batch0 b, p0, p1),
+         |cb AS (SELECT e.vec_id, e.embedding, concat(
+         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
+         |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings e, p0, p1)
+         |SELECT a.vec_id AS batch_id, c.vec_id AS corpus_id, ROUND($cross, 6) AS sim
+         |FROM bb a JOIN cb c ON a.bucket = c.bucket
+         |WHERE ROUND($cross, 6) >= 0.4
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    },
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2

@@ -224,4 +224,25 @@ class AnnSpec extends SparkSpec {
       Ann.knnJoin(assigned, qs, k = 3, "vec_id", "embedding", "qid", "rn", centroids, 1))
     assigned.unpersist()
   }
+
+  test("signLshAgainstCorpus: exact re-embeds match, opposite vectors never join, cap still verifies") {
+    val planes = Seq(Array(1f, 0.1f, 0f, 0f), Array(0.1f, 1f, 0f, 0f))
+    val corpus = ((0L until 50L).map(i => (i, Array(1f, 0.05f, 0f, 0f))) :+ // a 50-copy cluster
+      (100L, Array(0f, 1f, 0.05f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (900L, Array(1f, 0.05f, 0f, 0f)),   // exact re-embed of the cluster
+      (901L, Array(-1f, -0.05f, 0f, 0f))  // opposite sign: different bucket, never joined
+    ).toDF("vec_id", "embedding")
+    // tight probe cap: the giant bucket IS a near-dup cluster — any probed
+    // member verifies at sim 1.0
+    val got = Ann.signLshAgainstCorpus(batch, corpus, "vec_id", "embedding",
+      planes, threshold = 0.9, maxCorpusBucketProbes = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) == 900L))
+    assert(got.length <= 3) // the cap bounded the fan-out
+    assert(got.forall(_.getDouble(2) === 1.0))
+    val survivors = Ann.newSemanticAgainstCorpus(batch, corpus, "vec_id", "embedding",
+      planes, threshold = 0.9, maxCorpusBucketProbes = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(survivors === Seq(901L))
+  }
 }
