@@ -548,6 +548,26 @@ object Bench {
       Seq.empty[(String, Double)]
     }
 
+    // ---- semantic screen at 1M: a 10k exact-re-embed batch vs the 1M
+    // corpus through 8-plane sign-LSH buckets (≈256 buckets, corpus side
+    // capped per bucket) + exact cosine verify — the batch-retrieval shape
+    // of incremental embedding dedup at the baseline's own scale.
+    val semantic1m = try {
+      val e = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
+      val planes = (0 until 8).map(i =>
+        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val batch = e.where(pmod(col("vec_id"), lit(100L)) === 7)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Seq("semantic_screen_1m" -> timed("semantic_screen_1m", runs = 1) {
+        graft.ann.Ann.signLshAgainstCorpus(batch, e, "vec_id", "embedding",
+          planes, threshold = 0.9, maxCorpusBucketProbes = 256).count(): Unit
+      })
+    } catch { case ex: Throwable =>
+      errors("semantic_screen_1m") = Option(ex.getMessage)
+        .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
     val vsBaseline =
@@ -583,7 +603,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k ++ deltaFlush1m) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k ++ deltaFlush1m ++ semantic1m) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +
