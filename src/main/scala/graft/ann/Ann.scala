@@ -92,11 +92,15 @@ object Ann {
     require(maxCorpusBucketProbes >= 1, "maxCorpusBucketProbes must be >= 1")
     val b = batch.select(signBucket(col(vecCol), planes).as("bucket"),
       col(idCol).as("batch_id"), col(vecCol).as("va"))
-    val c = corpus.select(signBucket(col(vecCol), planes).as("bucket"),
-      col(idCol).as("corpus_id"), col(vecCol).as("vb"))
-    val cCapped = c.withColumn("__rn", row_number().over(
+    // the probe-cap window shuffles (bucket, id) ONLY — at corpus scale the
+    // vectors are ~30× the id bytes, and they are needed just for the
+    // (much smaller) capped survivor set, re-attached by an id equi-join
+    val cIds = corpus.select(signBucket(col(vecCol), planes).as("bucket"),
+      col(idCol).as("corpus_id"))
+    val cCapped = cIds.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")).orderBy(col("corpus_id"))))
       .where(col("__rn") <= maxCorpusBucketProbes).drop("__rn")
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("vb")), Seq("corpus_id"))
     b.join(cCapped, Seq("bucket"))
       .select(col("batch_id"), col("corpus_id"),
         round(lit(1.0) - cosine_distance(col("va"), col("vb")), 6).as("sim"))
