@@ -554,8 +554,9 @@ object Bench {
     // of incremental embedding dedup at the baseline's own scale.
     val semantic1m = try {
       val e = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
-      val planes = (0 until 8).map(i =>
-        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      // one scan for all 8 planes (a filtered head() per plane is 8 jobs)
+      val planes = e.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect().toSeq.map(_.getSeq[Float](1).toArray)
       val batch = e.where(pmod(col("vec_id"), lit(100L)) === 7)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       Seq("semantic_screen_1m" -> timed("semantic_screen_1m", runs = 1) {

@@ -52,6 +52,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     * eviction re-executes the whole chain — the round-1 scale-killer. */
   private val LineageCutEvery = 8
 
+  /** The ledger's cadence cut ([[appendPending]]) is LAZY — it bounds
+    * LOGICAL plan depth only; physical RDD lineage keeps growing until
+    * something materializes the chain. Every k-th mutation the cut is
+    * EAGER instead, so the union chain a flushDelta (or the next eager cut)
+    * must walk is bounded at this depth rather than the whole mutation
+    * history — each put batch still evaluates ~once, just at the boundary
+    * instead of at every 8th mutation as the all-eager form did. */
+  private val EagerCutEvery = LineageCutEvery * 8
+
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def colDir(name: String) = new Path(s"$root/$name")
   private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
@@ -221,14 +230,19 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     val n = pendingCount.getOrElse(name, 0) + 1
     pendingCount(name) = n
-    // LAZY checkpoint on the cadence: cuts lineage like rebind's, but the
-    // materialization happens only when something evaluates the ledger
-    // (flushDelta) — a workload that full-flushes and never delta-flushes
-    // pays nothing for the bookkeeping (an EAGER cut here would re-evaluate
-    // every accumulated put batch on each 8th mutation, doubling the
-    // mutation path for no consumer)
+    // LAZY checkpoint on the cadence: cuts LOGICAL lineage like rebind's,
+    // but the materialization happens only when something evaluates the
+    // ledger (flushDelta) — a workload that full-flushes and never
+    // delta-flushes pays nothing for the bookkeeping (an EAGER cut here
+    // would re-evaluate every accumulated put batch on each 8th mutation,
+    // doubling the mutation path for no consumer). The lazy cut leaves
+    // PHYSICAL lineage intact, so every EagerCutEvery-th mutation
+    // materializes for real — without it a 10k-mutation stream hands
+    // flushDelta a 10k-deep union RDD graph (DAGScheduler recursion /
+    // task-serialization blow-up)
     val bound =
-      if (n % LineageCutEvery == 0) merged.localCheckpoint(false)
+      if (n % EagerCutEvery == 0) merged.localCheckpoint(true)
+      else if (n % LineageCutEvery == 0) merged.localCheckpoint(false)
       else merged.persist(StorageLevel.MEMORY_AND_DISK)
     val prev = pending.get(name)
     pending(name) = bound
@@ -705,23 +719,32 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     // crashed-writer hygiene: staging dirs are invisible to readers (dot
     // prefix) but hold real bytes — a flush that died mid-write can orphan
-    // a corpus-sized staging copy. Staleness uses the NEWEST mtime found in
-    // the dir, its children, and grandchildren (the part files): a live
-    // writer streaming parquet keeps those fresh, while the top-level dir's
-    // own mtime is frozen at write start — judging on it alone would reap a
-    // live compaction that stages longer than the horizon. Residual
-    // assumption: a writer silent for the whole staleClaimMs (single part
-    // file, no FS mtime updates until close) can still be reaped — size
-    // staleClaimMs above the longest expected flush.
-    def newestMtime(p: Path, depth: Int): Long = {
-      val s = fs.getFileStatus(p)
-      if (depth == 0 || !s.isDirectory) s.getModificationTime
-      else (s.getModificationTime +: fs.listStatus(p).toSeq.map(c =>
-        newestMtime(c.getPath, depth - 1))).max
-    }
+    // a corpus-sized staging copy. Staleness uses the NEWEST mtime found
+    // anywhere in the staging tree: a live parquet write's activity lives
+    // DEEP — the committer tree is data/_temporary/0/_temporary/attempt_*/
+    // part-* (depth 4-5 under the staging dir) and only those leaves get
+    // fresh mtimes while the job runs; every dir above them is frozen at
+    // job start, so any bounded shallow walk would reap a live flush whose
+    // write job outlasts the horizon. The walk recurses the full tree
+    // (committer layout, boundedly shallow) over the FileStatus entries
+    // listStatus already returned (no per-path re-stat RPC), and a subtree
+    // that vanishes mid-walk means a writer is COMMITTING right now — the
+    // liveliest possible signal, reported as "fresh". Residual assumption:
+    // a writer silent for the whole staleClaimMs (single part file, no FS
+    // mtime updates until close) can still be reaped — size staleClaimMs
+    // above the longest expected flush.
+    def newestMtime(s: org.apache.hadoop.fs.FileStatus): Long =
+      if (!s.isDirectory) s.getModificationTime
+      else {
+        val children =
+          try fs.listStatus(s.getPath)
+          catch { case _: java.io.FileNotFoundException =>
+            return System.currentTimeMillis() }
+        (s.getModificationTime +: children.toSeq.map(newestMtime)).max
+      }
     fs.listStatus(colDir(name))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-") &&
-        System.currentTimeMillis() - newestMtime(s.getPath, 2) > staleClaimMs)
+        System.currentTimeMillis() - newestMtime(s) > staleClaimMs)
       .foreach(s => fs.delete(s.getPath, true))
     // never cut into a RETAINED chain: every kept version (the newest
     // `keepLast`, by number) must stay readable, and a kept delta version
@@ -842,7 +865,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (fromV == toV) { // "changes since head": a legal, empty window
       val shape = foldChain(name, meta, toV).limit(0)
       GraftCatalog.requireNoOpColumn(name, shape.columns)
-      return shape.select(lit("put").as("op") +: shape.columns.map(col): _*).limit(0)
+      return shape.select(lit("put").as("op") +: shape.columns.map(col): _*)
     }
     val window = fromV + 1 to toV
     window.filterNot(w => fs.exists(versionDir(name, w))).foreach(w =>
@@ -880,7 +903,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (fromV == toV) // legal empty window: identical states diff to nothing —
       // answer at plan-build cost, not with a corpus self-join
       return to.limit(0).select(lit("put").as("op") +: col(pk) +:
-        restAll.map(f => col(f.name)): _*).limit(0)
+        restAll.map(f => col(f.name)): _*)
     val from =
       if (fromV == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)

@@ -1301,10 +1301,17 @@ object PipelineQueries {
          |   CASE WHEN list_inner_product(b.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
          |   CASE WHEN list_inner_product(b.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
          |  FROM batch0 b, p0, p1),
-         |cb AS (SELECT e.vec_id, e.embedding, concat(
+         |cb0 AS (SELECT e.vec_id, e.embedding, concat(
          |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p0.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END,
          |   CASE WHEN list_inner_product(e.embedding::DOUBLE[], p1.v::DOUBLE[]) > 0 THEN '1' ELSE '0' END) AS bucket
-         |  FROM embeddings e, p0, p1)
+         |  FROM embeddings e, p0, p1),
+         |-- replicate the Spark side's maxCorpusBucketProbes = 1000000 cap
+         |-- (id-least members per bucket) so parity is structural, not an
+         |-- accident of no bucket exceeding the cap
+         |cb AS (SELECT vec_id, embedding, bucket FROM (
+         |  SELECT vec_id, embedding, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM cb0) WHERE rn <= 1000000)
          |SELECT a.vec_id AS batch_id, c.vec_id AS corpus_id, ROUND($cross, 6) AS sim
          |FROM bb a JOIN cb c ON a.bucket = c.bucket
          |WHERE ROUND($cross, 6) >= 0.4

@@ -334,8 +334,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         }
         // a CDC result has a completeness contract a topK search does not:
         // fetch limit+1 and SAY when the window was cut so an applier never
-        // mistakes a truncated change set for the whole diff
-        val fetched = out.orderBy("op", cmeta.idColumn).limit(limit + 1).toJSON.collect()
+        // mistakes a truncated change set for the whole diff (clamped —
+        // limit = Int.MaxValue must not wrap +1 into a negative limit)
+        val fetched = out.orderBy("op", cmeta.idColumn)
+          .limit(math.min(limit, Int.MaxValue - 1) + 1).toJSON.collect()
         200 -> ("{\"rows\":[" + fetched.take(limit).mkString(",") +
           "],\"truncated\":" + (fetched.length > limit) + "}")
       // standalone two-vector distance+score (CompareDist RPC,

@@ -70,6 +70,30 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(expected.contains("id-105:5")) // inserted AFTER the delete — survives
   }
 
+  test("a mutation stream past the eager-cut cadence folds exactly (bounded physical lineage)") {
+    // the ledger's cadence checkpoint is lazy (logical-plan cut only); every
+    // EagerCutEvery-th mutation materializes for real so flushDelta never
+    // walks an unboundedly deep union RDD chain. 70 batches crosses the
+    // 64-boundary; LWW re-puts straddle it so the fold is order-sensitive.
+    val cat = newCatalog()
+    cat.createCollection(meta("dcut"))
+    cat.loadCollection("dcut")
+    cat.insert("dcut", rows(1 to 20))
+    cat.flush("dcut") // v1 base — ledger tracking starts after it
+    (1 to 70).foreach { k =>
+      // each batch re-puts one rolling id with label=k: id-(k%20+1) is
+      // written multiple times across the stream, last write must win
+      cat.insert("dcut", rows(Seq(k % 20 + 1), _ => k.toLong))
+    }
+    val expected = state(cat.resident("dcut"))
+    // ids 51%20+1 .. 70%20+1 carry their LAST batch's label
+    assert(expected.contains(s"id-${70 % 20 + 1}:70"))
+    cat.flushDelta("dcut")
+    cat.releaseCollection("dcut")
+    cat.loadCollection("dcut")
+    assert(state(cat.resident("dcut")) === expected)
+  }
+
   test("put-then-delete and delete-then-reinsert across segments resolve LWW") {
     val cat = newCatalog()
     cat.createCollection(meta("d2"))
