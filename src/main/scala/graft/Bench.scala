@@ -49,9 +49,20 @@ object Bench {
 
     val errors = mutable.LinkedHashMap.empty[String, String]
 
-    def timed(name: String, runs: Int = 2)(fn: => Unit): Double = {
+    def timed(name: String, runs: Int = 2, stat: String = "min")(fn: => Unit): Double = {
       def once(): Double = { val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
-      try (1 to runs).map(_ => once()).min
+      try {
+        val ts = (1 to runs).map(_ => once()).sorted
+        stat match {
+          // Median for the one-shot heavyweight stages (train/assign/encode):
+          // min-of-2 still handed the number to whichever GC/compile window
+          // the two runs landed in (r6: ivf_train 5.7 s builder vs 11.6 s
+          // driver on zero code change); median-of-3 needs TWO of three runs
+          // slow before the reported number moves.
+          case "median" => ts(ts.size / 2)
+          case _        => ts.head
+        }
+      }
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString
@@ -211,7 +222,12 @@ object Bench {
       out
     }
     val big1m = bigSuite(1000000L, benchDir, "1m", reps = 48)
-    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m", reps = 16)
+    // 32 reps for 10M (was 16): the r6 driver run hit a globally slow
+    // machine window (floor control point_lookup_10m doubled on an
+    // untouched path) that the 1M suite's 48-rep ~45 s window rode out but
+    // the 10M suite's 16 reps did not — widen the interleave so a transient
+    // window can no longer own the per-query min.
+    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32)
 
     // ---- IVF at scale: k-means training + full-corpus assignment on the
     // clustered 1M collection (k=256 — the cell count where the single-loop
@@ -234,14 +250,14 @@ object Bench {
       // number to whatever GC/compile window it lands in (observed 4.5 s
       // and 31.5 s for the identical full train across runs)
       var cents: Seq[(Long, Array[Float])] = Seq.empty
-      val tTrain = timed("ivf_train_1m", runs = 2) {
+      val tTrain = timed("ivf_train_1m", runs = 3, stat = "median") {
         cents = graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding", 256, "cosine",
           iterations = 2)
       }
       // The 100 TB training path: Lloyd iterations on the deterministic
       // 1/16 id-hash subsample (~244 points/cell at k=256) — recall parity
       // asserted in IvfRecallSpec; here the cost is the point.
-      val tTrainSampled = timed("ivf_train_sampled_1m", runs = 2) {
+      val tTrainSampled = timed("ivf_train_sampled_1m", runs = 3, stat = "median") {
         graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding", 256, "cosine",
           iterations = 2, sampleMod = Some(16L))
       }
@@ -249,7 +265,7 @@ object Bench {
         .ivfAssign(bigc, "vec_id", "embedding", cents, "cosine")
         .agg(max("cell")).collect()
       assign(); assign() // warm ×2 (the argmin kernel showed r5-style compile bimodality)
-      val tAssign = timed("ivf_assign_1m", runs = 4)(assign()) // before the 600 MB driver index exists
+      val tAssign = timed("ivf_assign_1m", runs = 5, stat = "median")(assign()) // before the 600 MB driver index exists
       // Driver-local point serving over the same layout (the reference's
       // HNSW comparison point: 0.87 ms per 1M-vector search,
       // UPDATE-LOG.md:142): mean per-query latency over 200 probes,
@@ -310,14 +326,15 @@ object Bench {
       val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
       bigc.count()
       try {
-        val t0 = System.nanoTime()
-        val cb = graft.ann.Pq.train(bigc, "vec_id", "embedding", m = 16, ksub = 256,
-          iterations = 2, sampleMod = Some(16L))
-        val tTrain = (System.nanoTime() - t0) / 1e9
+        var cb: graft.ann.PqCodebook = null
+        val tTrain = timed("pq_train_sampled_1m", runs = 3, stat = "median") {
+          cb = graft.ann.Pq.train(bigc, "vec_id", "embedding", m = 16, ksub = 256,
+            iterations = 2, sampleMod = Some(16L))
+        }
         def encodePass(): Unit = graft.ann.Pq.encode(bigc, "embedding", cb)
           .agg(max(length(col("pq_code")))).collect()
         encodePass(); encodePass() // warm ×2 (same compile-bimodality class as assign)
-        val tEncode = timed("pq_encode_1m", runs = 4)(encodePass())
+        val tEncode = timed("pq_encode_1m", runs = 5, stat = "median")(encodePass())
         val codes = graft.ann.Pq.encode(bigc, "embedding", cb).select("vec_id", "pq_code")
           .persist(StorageLevel.MEMORY_AND_DISK)
         codes.count()
@@ -510,6 +527,35 @@ object Bench {
       r
     }
 
+    // ---- incremental near-dup screen at the 1M corpus (the scale twin of
+    // semantic_screen_1m, so the bloom/MinHash/sign-LSH screen triple has
+    // consistent 1M evidence): a 10k near-recrawl batch (last token dropped
+    // — invisible to the exact screen) banded against a 1M-doc corpus.
+    // The number measures the WORST case — corpus band relation built from
+    // scratch (O(corpus) signature pass) — while a real ingest loop builds
+    // it once and amortizes it across every batch; the per-batch marginal
+    // cost is one band equi-join + probe-capped exact-Jaccard verify.
+    val nearDup1m = try {
+      val dir = benchDir + "-docs-1m"
+      ensureDocBenchData(spark, dir, 1000000L)
+      val d1 = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      d1.count()
+      try {
+        val toks = split(col("text"), " ")
+        val recrawl = d1.where(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
+        Seq("dedup_incremental_near_1m" -> timed("dedup_incremental_near_1m", runs = 1) {
+          graft.dedup.MinHashLSH.corpusNearDuplicates(
+            recrawl, d1, "doc_id", "text", family = "xx").count(): Unit
+        })
+      } finally d1.unpersist(false)
+    } catch { case ex: Throwable =>
+      errors("dedup_incremental_near_1m") = Option(ex.getMessage)
+        .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // ---- catalog persistence at 1M: the O(corpus)-vs-O(changes) evidence
     // for the delta-flush path. Full flush rewrites 1M rows (the only
     // pre-round-6 option); flushDelta persists a 10k-row ledger; the fold
@@ -604,7 +650,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k ++ deltaFlush1m ++ semantic1m) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +

@@ -272,6 +272,21 @@ object Ann {
       .join(assigned.select(col(idCol), col(vecCol), col("cell")), Seq("cell"))
       .select(col(qidCol), col(idCol),
         round(distance(col(vecCol), col(qvecCol), metric), 6).as("dist"))
+    // Per-query ranking. The window LOOKS like a scale hazard (all of one
+    // query's nprobe×|cell| candidates shuffling to the one task that owns
+    // its qid hash — and AQE's skew split does not apply to windows), but
+    // the row_number()+filter pattern is exactly what Catalyst's
+    // InferWindowGroupLimit rewrites: the physical plan carries a
+    // partition-local `WindowGroupLimit(qid, rank<=k) Partial` BELOW the
+    // exchange — a bounded per-partition top-k heap — so the global window
+    // receives at most partitions×k rows per query, never the raw candidate
+    // set. A hand-rolled per-(qid, cell) pre-prune window was tried in r7
+    // and REJECTED: when the query side broadcasts (the common small-batch
+    // case) the join output carries no (qid, cell) partitioning, so the
+    // extra window costs one extra full shuffle for a bound the native
+    // group-limit already provides. PlanShapeSpec pins the Partial
+    // WindowGroupLimit so a regression (e.g. a rank expression the rule
+    // cannot match) fails loudly.
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
     cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .orderBy(col(qidCol), col("rn"))

@@ -211,7 +211,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     * flush/checkpoint time — callers must not mutate an input's backing
     * files between the mutation call and the flushDelta that persists it
     * (del markers are materialized eagerly at delete time — see
-    * [[delete]]; put batches evaluate when the segment writes). */
+    * [[delete]]; put batches evaluate when the segment writes). The same
+    * rule forbids deriving a put batch from THIS collection's own
+    * [[resident]] view (read-modify-write loops): resident lineage is
+    * localCheckpointed and REBOUND by the very mutation being appended —
+    * the old checkpoint's blocks are released on a later rebind/flush, so
+    * a lazy plan over them can become unrecomputable before the segment
+    * writes. Materialize such batches first (`.localCheckpoint(true)`, or
+    * write/read a scratch table) and pass the materialized frame. */
   private def tracksPending(meta: CollectionMeta): Boolean =
     meta.currentVersion > 0 && meta.ivfCells.isEmpty &&
       meta.pqConfig.isEmpty && !meta.hasBinaryIndex
@@ -637,6 +644,17 @@ class GraftCatalog(spark: SparkSession, root: String,
       throw new GraftCatalog.ConcurrentFlushException(
         s"collection $name: version $v was claimed by a concurrent flush")
     }
+    // We own the claim and v is UNPUBLISHED (meta-last invariant, re-checked
+    // above) — so any pre-existing v<N> dirs are a dead writer's orphans: a
+    // previous owner hard-crashed AFTER its staging rename but BEFORE
+    // writeMeta. They must be deleted NOW, not renamed onto: Hadoop rename
+    // onto an existing dir moves-INTO (nesting the new data as v<N>/data),
+    // after which the schema-verify read succeeds on the DEAD writer's
+    // files, writeMeta publishes them, and clearPending silently drops the
+    // live ledger — durable data loss. No concurrent writer can recreate
+    // these dirs while we hold the claim.
+    for (d <- Seq(versionDir(name, v), centroidDir(name, v), pqDir(name, v), binDir(name, v)))
+      if (fs.exists(d)) fs.delete(d, true)
   }
 
   // ---- delta-chain fold ----
@@ -815,10 +833,14 @@ class GraftCatalog(spark: SparkSession, root: String,
             fs, src, destFs, new Path(destDir, src.getName), false, conf)
         }
     }
-    // meta LAST, same discipline as create/flush: a partially-copied
-    // collection is never visible to the destination catalog
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, metaPath(name), destFs, new Path(destDir, "meta.json"), false, conf)
+    // meta LAST, same discipline as create/flush — and it is the meta
+    // CAPTURED AT ENTRY that is written, not a fresh copy of the live
+    // meta.json: a concurrent flush between the version loop and this line
+    // can publish a currentVersion the loop never copied, leaving the
+    // destination valid-looking but unreadable at its head. The entry meta's
+    // currentVersion is by construction <= every version the loop copied.
+    val out = destFs.create(new Path(destDir, "meta.json"), true)
+    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
   }
 
   /** Number of delta segments in the live chain (0 when the head is a full

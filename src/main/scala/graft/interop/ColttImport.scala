@@ -1,0 +1,260 @@
+package graft.interop
+
+import java.io.{DataInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
+import graft.functions.QuantKernels
+
+/** One-way importer for the reference engine's persisted collection buckets —
+  * the migration story for a user moving an existing coltt deployment onto
+  * this engine. A coltt bucket holds three objects
+  * (`edge/edge_helper.go:85-117`):
+  *
+  *   `<col>.meta.json`     — collection Metadata JSON
+  *                           (`edge/edge_metadata.go:22-35`): dim, distance
+  *                           enum (0=Cosine, 1=Euclidean), quantization enum
+  *                           (0=None, 1=F16, 2=F8, 3=BF16), the index-field
+  *                           map, versioning flag.
+  *   `<col>.vertex`        — the binary vertex blob
+  *                           (`edge/none_vectorstore.go:308-423` encode /
+  *                           :425-516 decode): 16 shard sections, each
+  *                           `u64 count` then per entry `u64 key`,
+  *                           `u32 vecLen`, vecLen vector elements (f32 BE for
+  *                           None; u16 f16/bf16 bits or u8 f8 bits for the
+  *                           quantized stores, `f16_vectorstore.go:317-343`),
+  *                           `u32 metaCount`, then per metadata entry
+  *                           `u16 keyLen + keyBytes` and a 1-byte type tag:
+  *                           0 = i64 BE, 1 = string (u16 len + bytes),
+  *                           2 = f64 BE, 3 = bool byte. All big-endian.
+  *   `<col>.inverted.raw`  — the serialized roaring-bitmap inverted index.
+  *                           NOT read: it is derived data (rebuilt from the
+  *                           metadata on every reference load), and this
+  *                           engine's filters run on parquet
+  *                           pushdown/statistics instead of posting lists.
+  *
+  * The u64 vertex keys are the reference's internal snowflake commit ids
+  * (`edge/id_generator.go:24-39`) — identity lives in the primary-key
+  * metadata field, so the keys are NOT imported; rows re-key by their
+  * declared pk, exactly as the reference's own upsert path resolves identity
+  * (`none_vectorstore.go:66-85`).
+  *
+  * Scale shape: the blob is parsed in ONE sequential driver pass — inherent
+  * to the format (shard sections have no length prefix, so random access is
+  * impossible), and within the source system's own envelope by construction:
+  * a coltt snapshot is the serialized form of a collection the reference
+  * holds fully in memory on one node. The decoded rows then take the normal
+  * distributed ingest path (validate → insert → flush), so everything after
+  * the parse scales like any other bulk load. */
+object ColttImport {
+
+  /** The reference's enum wire values (gen/protoc/v4/edgepb/edge.pb.go:97-146). */
+  private val distanceNames = Map(0 -> "cosine", 1 -> "euclidean")
+  private val quantizationNames = Map(0 -> "none", 1 -> "f16", 2 -> "f8", 3 -> "bf16")
+  private val fieldTypeNames = Map(0 -> "string", 1 -> "integer", 2 -> "float", 3 -> "boolean")
+
+  private val ShardCount = 16 // EDGE_MAP_SHARD_COUNT, edge/constants.go
+
+  /** Parse `<col>.meta.json` into this engine's [[CollectionMeta]].
+    * Quantization is imported as declared — the reference persists the
+    * QUANTIZED vector bits, and [[parseVertexBlob]] decodes them back to the
+    * exact float values the reference's own loader produces. */
+  def parseMetadata(name: String, metaJson: String): CollectionMeta = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(metaJson)
+    val dim = (j \ "dim").extract[Int]
+    val dist = (j \ "distance").extract[Int]
+    val quant = (j \ "quantization").extract[Int]
+    val versioning = (j \ "versioning").extractOpt[Boolean].getOrElse(false)
+    val fields = (j \ "index_type") match {
+      case JObject(kvs) => kvs.map { case (col, fj) =>
+        IndexField(
+          name = (fj \ "index_name").extractOpt[String].getOrElse(col),
+          fieldType = fieldTypeNames.getOrElse((fj \ "index_type").extract[Int],
+            throw new IllegalArgumentException(
+              s"unknown index_type ${(fj \ "index_type").extract[Int]} on field $col")),
+          enableNull = (fj \ "enable_null").extractOpt[Boolean].getOrElse(false),
+          primaryKey = (fj \ "primary_key").extractOpt[Boolean].getOrElse(false))
+      }.sortBy(_.name)
+      case _ => throw new IllegalArgumentException("meta.json has no index_type map")
+    }
+    CollectionMeta(
+      name = name,
+      dim = dim,
+      distance = distanceNames.getOrElse(dist,
+        throw new IllegalArgumentException(s"unknown distance enum $dist")),
+      quantization = quantizationNames.getOrElse(quant,
+        throw new IllegalArgumentException(s"unknown quantization enum $quant")),
+      fields = fields,
+      versioning = versioning)
+  }
+
+  /** One decoded vertex: the (dequantized) vector and the typed metadata map. */
+  final case class ColttVertex(key: Long, vector: Array[Float], meta: Map[String, Any])
+
+  /** Sequential decode of a `<col>.vertex` blob (format in the class doc).
+    * `quantization` selects the element width/decoder; the decoded floats are
+    * bit-identical to what the reference's own `LoadVertex` + dequantize
+    * produces. */
+  def parseVertexBlob(in: InputStream, quantization: String): Seq[ColttVertex] = {
+    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+    val out = mutable.ArrayBuffer.empty[ColttVertex]
+    def readElem(): Float = quantization match {
+      case "none" => java.lang.Float.intBitsToFloat(d.readInt())
+      case "f16"  => QuantKernels.f16ToFloat(d.readShort())
+      case "bf16" => QuantKernels.bf16ToFloat(d.readShort())
+      case "f8"   => QuantKernels.f8ToFloat(d.readByte())
+      case q      => throw new IllegalArgumentException(s"unknown quantization: $q")
+    }
+    try {
+      var shard = 0
+      while (shard < ShardCount) {
+        val count = d.readLong()
+        require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
+        var j = 0L
+        while (j < count) {
+          val key = d.readLong()
+          val vecLen = d.readInt()
+          require(vecLen >= 0, s"corrupt vector length $vecLen")
+          val vec = new Array[Float](vecLen)
+          var i = 0
+          while (i < vecLen) { vec(i) = readElem(); i += 1 }
+          val metaCount = d.readInt()
+          require(metaCount >= 0, s"corrupt metadata count $metaCount")
+          val meta = mutable.LinkedHashMap.empty[String, Any]
+          var k = 0
+          while (k < metaCount) {
+            val keyLen = d.readUnsignedShort()
+            val keyBytes = new Array[Byte](keyLen)
+            d.readFully(keyBytes)
+            val metaKey = new String(keyBytes, StandardCharsets.UTF_8)
+            meta(metaKey) = d.readByte() match {
+              case 0 => d.readLong()
+              case 1 =>
+                val len = d.readUnsignedShort()
+                val b = new Array[Byte](len)
+                d.readFully(b)
+                new String(b, StandardCharsets.UTF_8)
+              case 2 => d.readDouble()
+              case 3 => d.readByte() != 0
+              case t => throw new IllegalArgumentException(s"unsupported metadata type tag: $t")
+            }
+            k += 1
+          }
+          out += ColttVertex(key, vec, meta.toMap)
+          j += 1
+        }
+        shard += 1
+      }
+    } catch {
+      case _: EOFException =>
+        throw new IllegalArgumentException(
+          "truncated coltt vertex blob: hit EOF before all 16 shard sections were read")
+    } finally d.close()
+    out.toSeq
+  }
+
+  /** Decoded vertices → a DataFrame in this engine's ingest shape: metadata
+    * columns by declared name, vector in the `vector` column.
+    * Missing nullable fields stay NULL (insert-time validation applies the
+    * declared defaults, the same standardAnalyzer semantics). */
+  def verticesToRows(spark: SparkSession, meta: CollectionMeta,
+                     vertices: Seq[ColttVertex]): DataFrame = {
+    val fields = meta.fields
+    val schema = StructType(
+      fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
+        StructField("vector", ArrayType(FloatType, containsNull = false),
+          nullable = false))
+    val rows = vertices.map { v =>
+      // the map[Any] ascription matters: an if/else over (Double, Long)
+      // branches unifies to Double and silently widens the Long — guard
+      // patterns keep each branch's own type
+      Row.fromSeq(fields.map(f => v.meta.get(f.name).map[Any] {
+        case i: Long if f.fieldType == "float"    => i.toDouble
+        case x: Double if f.fieldType == "integer" => x.toLong
+        case other                                 => other
+      }.orNull) :+ v.vector.toSeq)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 32), schema)
+  }
+
+  /** Encode vertices into the reference's blob format (the exact inverse of
+    * [[parseVertexBlob]]) — the write half of the interop story: round-trip
+    * fixtures, and exporting a (small) collection BACK to a coltt
+    * deployment. Entries are distributed over the 16 shard sections by
+    * `key % 16`; the reference's own sharding hash is irrelevant to
+    * compatibility because its loader reads sections strictly in order. */
+  def encodeVertexBlob(vertices: Seq[ColttVertex], quantization: String = "none"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    val byShard = vertices.groupBy(v => ((v.key % ShardCount) + ShardCount) % ShardCount)
+    (0 until ShardCount).foreach { s =>
+      val entries = byShard.getOrElse(s.toLong, Seq.empty)
+      d.writeLong(entries.size.toLong)
+      entries.foreach { v =>
+        d.writeLong(v.key)
+        d.writeInt(v.vector.length)
+        v.vector.foreach { f =>
+          quantization match {
+            case "none" => d.writeInt(java.lang.Float.floatToIntBits(f))
+            case "f16"  => d.writeShort(QuantKernels.floatToF16(f))
+            case "bf16" => d.writeShort(QuantKernels.floatToBf16(f))
+            case "f8"   => d.writeByte(QuantKernels.floatToF8(f))
+            case q      => throw new IllegalArgumentException(s"unknown quantization: $q")
+          }
+        }
+        d.writeInt(v.meta.size)
+        v.meta.foreach { case (k, value) =>
+          val kb = k.getBytes(StandardCharsets.UTF_8)
+          require(kb.length <= 65535, s"metadata key too long: $k")
+          d.writeShort(kb.length)
+          d.write(kb)
+          value match {
+            case i: Long    => d.writeByte(0); d.writeLong(i)
+            case s0: String =>
+              d.writeByte(1)
+              val sb = s0.getBytes(StandardCharsets.UTF_8)
+              require(sb.length <= 65535, s"metadata string too long: $s0")
+              d.writeShort(sb.length); d.write(sb)
+            case x: Double  => d.writeByte(2); d.writeDouble(x)
+            case b: Boolean => d.writeByte(3); d.writeByte(if (b) 1 else 0)
+            case other => throw new IllegalArgumentException(
+              s"unsupported metadata type: ${other.getClass.getName}")
+          }
+        }
+      }
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Full import: read `<name>.meta.json` + `<name>.vertex` from `srcDir`,
+    * create the collection in `catalog`, bulk-insert every vertex, and flush
+    * the first snapshot. Returns the row count. The source collection must
+    * not already exist in the catalog. */
+  def importSnapshot(spark: SparkSession, catalog: GraftCatalog,
+                     name: String, srcDir: String): Long = {
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val meta = parseMetadata(name, readAll(new Path(srcDir, s"$name.meta.json")))
+    val vertexIn = fs.open(new Path(srcDir, s"$name.vertex"))
+    val vertices = parseVertexBlob(vertexIn, meta.quantization)
+    catalog.createCollection(meta)
+    catalog.loadCollection(name)
+    if (vertices.nonEmpty)
+      catalog.insert(name, verticesToRows(spark, meta, vertices))
+    catalog.flush(name)
+    vertices.size.toLong
+  }
+}

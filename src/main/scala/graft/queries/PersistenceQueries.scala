@@ -37,6 +37,38 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("snap", qv, topK = 10)
     }),
+    // Migration path: round-trip the embeddings table THROUGH the reference
+    // engine's persisted bucket format — encode a coltt meta.json + 16-shard
+    // binary vertex blob (edge/none_vectorstore.go:308-423), import it with
+    // ColttImport (parse → create → insert → flush), and search the imported
+    // collection. The f32 blob round-trip is bit-exact, so the oracle is the
+    // plain euclidean scan over the original table: any drift in the format
+    // mapping (shard walk, type tags, key rule, enum mapping) breaks the
+    // hash.
+    "coltt_import_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val vs = e.select(col("vec_id"), col("label").cast("long"), col("embedding"))
+        .collect().toIndexedSeq.map { r =>
+          graft.interop.ColttImport.ColttVertex(
+            key = 7000L + r.getLong(0), // synthetic snowflake-style commit ids
+            vector = r.getSeq[Float](2).toArray,
+            meta = Map[String, Any]("id" -> r.getLong(0).toString, "label" -> r.getLong(1)))
+        }
+      val bucket = Files.createTempDirectory("coltt-bucket-q")
+      val metaJson =
+        s"""{"dim":$dim,"distance":1,"quantization":0,"index_type":{
+           |"id":{"index_name":"id","index_type":0,"enable_null":false,"primary_key":true},
+           |"label":{"index_name":"label","index_type":1,"enable_null":false,"primary_key":false}
+           |},"versioning":false}""".stripMargin
+      Files.write(bucket.resolve("imported.meta.json"), metaJson.getBytes("UTF-8"))
+      Files.write(bucket.resolve("imported.vertex"),
+        graft.interop.ColttImport.encodeVertexBlob(vs))
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-coltt").toString)
+      graft.interop.ColttImport.importSnapshot(s, cat, "imported", bucket.toString)
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.search("imported", qv, topK = 10)
+    }),
     // PQ code layout through the full Collection API: create with
     // pqSubspaces/pqCodewords, flush (codes column + codebook sidecar),
     // ADC-ranked search over the code scan. pqTrainIterations=0 keeps the
@@ -264,6 +296,15 @@ object PersistenceQueries {
 
   val oracles: Map[String, String] = Map(
     "snapshot_roundtrip" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM embeddings e, q
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // identical shape to snapshot_roundtrip: the coltt bucket encode/decode
+    // is bit-exact for f32, so results must equal a direct scan
+    "coltt_import_roundtrip" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
         |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,

@@ -327,8 +327,17 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case "log"  => catalog.changeLogBetween(name, from, to)
           case "diff" => catalog.stateDiff(name, from, to)
           case "auto" =>
+            // IllegalArgumentException: window not ledger-answerable (from=0
+            // / compaction boundary). IllegalStateException: a vacuumed
+            // intermediate segment inside the window — the endpoint versions
+            // may both still be readable, so the exact state diff (which
+            // itself fails loudly if an endpoint is truly gone) still
+            // answers.
             try catalog.changeLogBetween(name, from, to)
-            catch { case _: IllegalArgumentException => catalog.stateDiff(name, from, to) }
+            catch {
+              case _: IllegalArgumentException => catalog.stateDiff(name, from, to)
+              case _: IllegalStateException    => catalog.stateDiff(name, from, to)
+            }
           case other => throw new IllegalArgumentException(
             s"unknown mode: $other (log | diff | auto)")
         }

@@ -134,14 +134,27 @@ case class Sq8Decode(child: Expression, mins: Array[Double], scales: Array[Doubl
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Fused SQ8 asymmetric distance: decodes the stored codes INSIDE the scan
-  * loop against a pre-decoded query (the [[VecDistanceQuant]] discipline —
-  * loop fission into a reused decode buffer, then a pure double[] metric
-  * loop HotSpot vectorizes). The query, mins, and scales are plan
-  * constants; the only child is the 1-byte/dim code column, so the scan hot
-  * path reads a quarter of the f32 bytes. Accumulation order is identical
-  * to metric(decode(codes), query), so results are bit-identical to the
-  * unfused pipeline (QuantizationSpec pins this). */
+/** Fused SQ8 asymmetric distance. The query, mins, and scales are ALL plan
+  * constants, so the per-element arithmetic against any of the 256 possible
+  * codes is computable ahead of the scan: codegen precomputes an ADC-style
+  * lookup table per (dimension, code) — for cosine an interleaved
+  * (dec·q, dec·dec) pair table plus the constant query self-norm, for
+  * euclidean/manhattan/dot a single per-element contribution table — and
+  * the generated hot loop is one byte-indexed gather + add per element.
+  * This replaced the fissioned decode-buffer form after the r7 kernel
+  * dissection showed the affine decode (2 double loads + int→double convert
+  * per element) ran 3× slower than f16's table decode and made sq8 the only
+  * scan over the 10M bench gate (0.064 s → 0.033 s per 200k×128 rows,
+  * single thread).
+  *
+  * Bit-exactness: each table entry is produced by the IDENTICAL fp-op
+  * sequence the fissioned loop executed per element ((mn+c·sc) then the
+  * metric op), and the accumulation order over elements is unchanged — so
+  * results are bit-identical to metric(decode(codes), query) and to the
+  * interpreted path below (QuantizationSpec pins this). Table cost: dim×256
+  * doubles (×2 for cosine) ≈ 256-512 KB at dim=128, shipped once per task
+  * as a codegen reference object — the same weight class as the IVF
+  * centroid constants. */
 case class VecDistanceSq8(child: Expression, query: Array[Double],
                           mins: Array[Double], scales: Array[Double], metric: String)
     extends UnaryExpression with ExpectsInputTypes {
@@ -176,52 +189,96 @@ case class VecDistanceSq8(child: Expression, query: Array[Double],
     }
   }
 
+  /** Per-(dim, code) contribution table(s). Cosine interleaves
+    * (dec·q, dec·dec) pairs so both gathers land in one cache line; the
+    * other metrics collapse to a single per-element contribution. Entry
+    * arithmetic mirrors the per-element op sequence of
+    * metric(decode(codes), query) exactly. */
+  private lazy val lut: Array[Double] = {
+    val n = query.length
+    metric match {
+      case "cosine" =>
+        val t = new Array[Double](n << 9)
+        var i = 0
+        while (i < n) {
+          val y = query(i)
+          var c = 0
+          while (c < 256) {
+            val x = mins(i) + c.toDouble * scales(i)
+            val base = ((i << 8) | c) << 1
+            t(base) = x * y
+            t(base + 1) = x * x
+            c += 1
+          }
+          i += 1
+        }
+        t
+      case _ =>
+        val t = new Array[Double](n << 8)
+        var i = 0
+        while (i < n) {
+          val y = query(i)
+          var c = 0
+          while (c < 256) {
+            val x = mins(i) + c.toDouble * scales(i)
+            t((i << 8) | c) = metric match {
+              case "euclidean" => val d = x - y; d * d
+              case "manhattan" => math.abs(x - y)
+              case "dot"       => x * y
+            }
+            c += 1
+          }
+          i += 1
+        }
+        t
+    }
+  }
+
+  /** Query self-norm Σ y·y, accumulated in element order — the same value
+    * the fissioned loop's `nb` accumulator produced (query is constant, so
+    * it never depended on the row). */
+  private lazy val queryNormSq: Double = {
+    var nb = 0.0; var i = 0
+    while (i < query.length) { val y = query(i); nb += y * y; i += 1 }
+    nb
+  }
+
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mn = ctx.addReferenceObj("sqMins", mins, "double[]")
-    val sc = ctx.addReferenceObj("sqScales", scales, "double[]")
-    val qv = ctx.addReferenceObj("sqQuery", query, "double[]")
+    val tab = ctx.addReferenceObj("sq8Lut", lut, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val acc = ctx.freshName("acc"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      // per-operator scratch buffer: one allocation per task, not per row
-      val buf = ctx.addMutableState("double[]", "sq8DecodeBuf", v => s"$v = new double[0];")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val ix = ctx.freshName("ix")
+      val acc = ctx.freshName("acc"); val na = ctx.freshName("na")
       val loop = metric match {
         case "cosine" =>
-          s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+          s"""double $acc = 0.0; double $na = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  final double x = $buf[$i];
-             |  final double y = $qv[$i];
-             |  $acc += x * y; $na += x * x; $nb += y * y;
+             |  final int $ix = (($i << 8) | ($a[$i] & 0xFF)) << 1;
+             |  $acc += $tab[$ix]; $na += $tab[$ix + 1];
              |}
-             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($nb)));""".stripMargin
+             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt(${queryNormSq}D)));""".stripMargin
         case "euclidean" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  final double d = $buf[$i] - $qv[$i];
-             |  $acc += d * d;
+             |  $acc += $tab[($i << 8) | ($a[$i] & 0xFF)];
              |}
              |${ev.value} = Math.sqrt($acc);""".stripMargin
         case "manhattan" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  $acc += Math.abs($buf[$i] - $qv[$i]);
+             |  $acc += $tab[($i << 8) | ($a[$i] & 0xFF)];
              |}
              |${ev.value} = $acc;""".stripMargin
         case "dot" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  $acc += $buf[$i] * $qv[$i];
+             |  $acc += $tab[($i << 8) | ($a[$i] & 0xFF)];
              |}
              |${ev.value} = -$acc;""".stripMargin
       }
       s"""
          |final int $n = $a.length;
-         |if ($n != $qv.length) {
-         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + $qv.length);
-         |}
-         |if ($buf.length < $n) $buf = new double[$n];
-         |for (int $j = 0; $j < $n; $j++) {
-         |  $buf[$j] = $mn[$j] + ((double) ($a[$j] & 0xFF)) * $sc[$j];
+         |if ($n != ${query.length}) {
+         |  throw new IllegalArgumentException("vector dimension mismatch: " + $n + " vs " + ${query.length});
          |}
          |$loop
        """.stripMargin

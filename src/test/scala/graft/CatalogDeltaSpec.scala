@@ -521,4 +521,125 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(got.contains("id-1:70") && got.contains("id-11:71"))
     assert(!got.exists(_.startsWith("id-2:")))
   }
+
+  /** No staging leftovers under the collection dir (claims may remain for
+    * the published versions — they are the slot's tombstone). */
+  private def stagingOrphans(root: String, name: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(s"$root/$name")).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(".staging-"))
+  }
+
+  test("LIVE two-writer race on one version slot: exactly one winner, loser aborts " +
+    "cleanly, no staging orphans") {
+    val root = newRoot()
+    // two catalogs over the SAME root = two drivers sharing a warehouse
+    val catA = newCatalog(root)
+    val catB = newCatalog(root)
+    catA.createCollection(meta("race"))
+    catA.loadCollection("race")
+    catA.insert("race", rows(1 to 20))
+    catA.flush("race") // v1
+    catB.loadCollection("race")
+    catA.insert("race", rows(Seq(1), _ => 71L))
+    catB.insert("race", rows(Seq(2), _ => 72L))
+    // both writers target v2 (each read currentVersion=1 at entry); start
+    // them together so the claim CAS — not entry timing — decides
+    val start = new java.util.concurrent.CountDownLatch(1)
+    import scala.util.Try
+    def racer(f: () => Int): java.util.concurrent.FutureTask[Try[Int]] =
+      new java.util.concurrent.FutureTask(() => { start.await(); Try(f()) })
+    val ta = racer(() => catA.flushDelta("race"))
+    val tb = racer(() => catB.flushDelta("race"))
+    new Thread(ta).start(); new Thread(tb).start()
+    start.countDown()
+    val (ra, rb) = (ta.get(), tb.get())
+    val outcomes = Seq(ra, rb)
+    val wins = outcomes.collect { case scala.util.Success(v) => v }
+    val losses = outcomes.collect { case scala.util.Failure(e) => e }
+    // the near-certain outcome is one winner + one ConcurrentFlushException;
+    // if the loser happened to enter after the winner PUBLISHED, it
+    // legitimately serialized onto the next slot instead — accept both, but
+    // never two claims of the same slot
+    assert(wins.nonEmpty, s"no writer succeeded: $losses")
+    assert(wins.distinct.size === wins.size, s"two writers claimed one slot: $wins")
+    losses.foreach(e => assert(e.isInstanceOf[GraftCatalog.ConcurrentFlushException],
+      s"loser must abort with ConcurrentFlushException, got: $e"))
+    assert(stagingOrphans(root, "race").isEmpty,
+      s"staging dirs left behind: ${stagingOrphans(root, "race")}")
+    // the published chain reads cleanly and holds every winner's change
+    val reader = newCatalog(root)
+    reader.loadCollection("race")
+    val got = state(reader.resident("race"))
+    if (losses.isEmpty) { // both serialized: both changes landed
+      assert(got.contains("id-1:71") && got.contains("id-2:72"))
+    } else { // one aborted: exactly one change landed, the other's ledger survives
+      assert(got.contains("id-1:71") ^ got.contains("id-2:72"),
+        s"expected exactly one winning change, got $got")
+    }
+    assert(reader.getMeta("race").currentVersion === 1 + wins.size)
+  }
+
+  test("LIVE flush-vs-flushDelta race on one slot: claim CAS serializes, no orphans") {
+    val root = newRoot()
+    val catA = newCatalog(root)
+    val catB = newCatalog(root)
+    catA.createCollection(meta("race2"))
+    catA.loadCollection("race2")
+    catA.insert("race2", rows(1 to 20))
+    catA.flush("race2") // v1
+    catB.loadCollection("race2")
+    catA.insert("race2", rows(Seq(3), _ => 73L)) // full-flush side
+    catB.insert("race2", rows(Seq(4), _ => 74L)) // delta side
+    val start = new java.util.concurrent.CountDownLatch(1)
+    import scala.util.Try
+    def racer(f: () => Int): java.util.concurrent.FutureTask[Try[Int]] =
+      new java.util.concurrent.FutureTask(() => { start.await(); Try(f()) })
+    val ta = racer(() => catA.flush("race2"))
+    val tb = racer(() => catB.flushDelta("race2"))
+    new Thread(ta).start(); new Thread(tb).start()
+    start.countDown()
+    val outcomes = Seq(ta.get(), tb.get())
+    val wins = outcomes.collect { case scala.util.Success(v) => v }
+    val losses = outcomes.collect { case scala.util.Failure(e) => e }
+    assert(wins.nonEmpty, s"no writer succeeded: $losses")
+    assert(wins.distinct.size === wins.size, s"two writers claimed one slot: $wins")
+    losses.foreach(e => assert(e.isInstanceOf[GraftCatalog.ConcurrentFlushException],
+      s"loser must abort with ConcurrentFlushException, got: $e"))
+    assert(stagingOrphans(root, "race2").isEmpty)
+    val reader = newCatalog(root)
+    reader.loadCollection("race2") // the head (full or delta chain) must fold cleanly
+    assert(reader.resident("race2").count() >= 20)
+  }
+
+  test("reclaimed stale claim with a dead writer's ORPHAN version dir: the orphan is " +
+    "deleted, never published (rename-into nesting would lose the live ledger)") {
+    val root = newRoot()
+    val cat = new GraftCatalog(spark, root, staleClaimMs = 50L)
+    cat.createCollection(meta("d13"))
+    cat.loadCollection("d13")
+    cat.insert("d13", rows(1 to 10))
+    cat.flush("d13") // v1
+    cat.insert("d13", rows(Seq(1), _ => 55L)) // the LIVE pending change
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dead writer crashed AFTER renaming its staging onto v2 but BEFORE
+    // writeMeta: orphan segment dir (with delta marker) + stale claim, meta
+    // still at v1
+    val deadSeg = Seq(("id-99", 666L, Array(0.1f, 0.2f, 0.3f, 0.4f), "put", 1L))
+      .toDF("id", "label", "vector", GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol)
+    deadSeg.write.parquet(s"$root/d13/v2")
+    fs.create(new Path(s"$root/d13/v2/${GraftCatalog.DeltaMarkerFile}"), true).close()
+    val stale = fs.create(new Path(s"$root/d13/v2.claim"), false)
+    stale.write(s"dead@host ${System.currentTimeMillis() - 10000}".getBytes("UTF-8")); stale.close()
+    Thread.sleep(60)
+    assert(cat.flushDelta("d13") === 2) // reclaims the slot
+    cat.releaseCollection("d13")
+    cat.loadCollection("d13")
+    val got = state(cat.resident("d13"))
+    // the LIVE ledger was published — not the dead writer's segment, and not
+    // a nested v2/data hybrid
+    assert(got.contains("id-1:55"), s"live change lost: $got")
+    assert(!got.exists(_.startsWith("id-99:")), s"dead writer's data published: $got")
+    assert(!fs.exists(new Path(s"$root/d13/v2/data")), "rename nested into the orphan dir")
+  }
 }

@@ -112,6 +112,14 @@ class PlanShapeSpec extends SparkSpec {
       s"knn_join must pair via the cell equi-join, not all-pairs:\n$p")
     assert(p.contains("top_cells"), s"probe-cell kernel fell out of the plan:\n$p")
     assert(p.contains("Generate"), s"probe fan-out must be a row-local explode:\n$p")
+    // the per-query ranking must carry Catalyst's partition-local group
+    // limit (InferWindowGroupLimit): a bounded per-partition top-k heap
+    // BELOW the qid exchange, so the window task receives <= partitions×k
+    // rows per query instead of the raw nprobe×|cell| candidate set — the
+    // 100× scale guard. If a refactor swaps row_number() for an expression
+    // the rule cannot match, this assertion fails loudly.
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"per-partition window group limit (the partition-local top-k pre-prune) missing:\n$p")
   }
 
   test("bm25: query-term restriction broadcasts; posting shuffles stay keyed") {
