@@ -257,4 +257,204 @@ object ColttImport {
     catalog.flush(name)
     vertices.size.toLong
   }
+
+  // ---- experimental (CFLAT multi-vector) bucket format ----
+
+  /** Parse the EXPERIMENTAL engine's `<col>.meta.json`
+    * (`experimental/experimental_metadata.go:24-36`): same JSON shape as
+    * edge but the index_type map carries `index_type = 4` VECTOR fields
+    * (proto v3 experimental.proto IndexType) and — crucially — NO
+    * primary_key flag: identity in the experimental store is the vertex
+    * map's string key itself (`multi_vector_vertex.go:38`,
+    * `map[string]VertexEdge`). The import therefore synthesizes a string pk
+    * column, `pkName`, to carry those keys. */
+  def parseExperimentalMetadata(name: String, metaJson: String,
+                                pkName: String = "_key"): CollectionMeta = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(metaJson)
+    val dim = (j \ "dim").extract[Int]
+    val dist = (j \ "distance").extract[Int]
+    val quant = (j \ "quantization").extract[Int]
+    val versioning = (j \ "versioning").extractOpt[Boolean].getOrElse(false)
+    val fields = (j \ "index_type") match {
+      case JObject(kvs) => kvs.map { case (col, fj) =>
+        val t = (fj \ "index_type").extract[Int]
+        val fname = (fj \ "index_name").extractOpt[String].getOrElse(col)
+        if (t == 4) IndexField(fname, "vector")
+        else IndexField(fname,
+          fieldTypeNames.getOrElse(t,
+            throw new IllegalArgumentException(s"unknown index_type $t on field $col")),
+          enableNull = (fj \ "enable_null").extractOpt[Boolean].getOrElse(false))
+      }.sortBy(_.name)
+      case _ => throw new IllegalArgumentException("meta.json has no index_type map")
+    }
+    require(!fields.exists(_.name == pkName),
+      s"pk column name $pkName collides with a declared field — pass another pkName")
+    CollectionMeta(
+      name = name,
+      dim = dim,
+      distance = distanceNames.getOrElse(dist,
+        throw new IllegalArgumentException(s"unknown distance enum $dist")),
+      quantization = quantizationNames.getOrElse(quant,
+        throw new IllegalArgumentException(s"unknown quantization enum $quant")),
+      fields = IndexField(pkName, "string", primaryKey = true) +: fields,
+      versioning = versioning)
+  }
+
+  /** One decoded experimental vertex: string key, named vectors, metadata
+    * (tags 0/1 only — the experimental encoder persists i64 and string,
+    * `multi_vector_vertex.go:245-271`). */
+  final case class ColttMvVertex(key: String, vectors: Map[String, Array[Float]],
+                                 meta: Map[String, Any])
+
+  /** Sequential decode of an experimental `<col>.vertex` blob
+    * (`multi_vector_vertex.go:183-243` encode / :279-352 decode): 16 shard
+    * sections, each `u64 count`, then per entry `u16 keyLen + key`,
+    * `u32 mvCount` of (`u16 nameLen + name`, `u32 dim`, dim×f32 BE), and
+    * `u32 metaCount` of (`u16 keyLen + key`, tag 0 = i64 BE | 1 = string).
+    * Elements are ALWAYS f32 — the experimental store persists raw floats
+    * regardless of the declared quantization enum. */
+  def parseMultiVectorBlob(in: InputStream): Seq[ColttMvVertex] = {
+    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+    val out = mutable.ArrayBuffer.empty[ColttMvVertex]
+    def readString(): String = {
+      val len = d.readUnsignedShort()
+      val b = new Array[Byte](len)
+      d.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    try {
+      var shard = 0
+      while (shard < ShardCount) {
+        val count = d.readLong()
+        require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
+        var j = 0L
+        while (j < count) {
+          val key = readString()
+          val mvCount = d.readInt()
+          require(mvCount >= 0, s"corrupt multi-vector count $mvCount")
+          val vecs = mutable.LinkedHashMap.empty[String, Array[Float]]
+          var m = 0
+          while (m < mvCount) {
+            val vname = readString()
+            val dim = d.readInt()
+            require(dim >= 0, s"corrupt vector dim $dim")
+            val vec = new Array[Float](dim)
+            var i = 0
+            while (i < dim) { vec(i) = java.lang.Float.intBitsToFloat(d.readInt()); i += 1 }
+            vecs(vname) = vec
+            m += 1
+          }
+          val metaCount = d.readInt()
+          require(metaCount >= 0, s"corrupt metadata count $metaCount")
+          val meta = mutable.LinkedHashMap.empty[String, Any]
+          var k = 0
+          while (k < metaCount) {
+            val metaKey = readString()
+            meta(metaKey) = d.readByte() match {
+              case 0 => d.readLong()
+              case 1 => readString()
+              case t => throw new IllegalArgumentException(
+                s"unsupported experimental metadata type tag: $t (only 0=i64, 1=string)")
+            }
+            k += 1
+          }
+          out += ColttMvVertex(key, vecs.toMap, meta.toMap)
+          j += 1
+        }
+        shard += 1
+      }
+    } catch {
+      case _: EOFException =>
+        throw new IllegalArgumentException(
+          "truncated coltt multi-vector blob: hit EOF before all 16 shard sections were read")
+    } finally d.close()
+    out.toSeq
+  }
+
+  /** Encode experimental vertices (exact inverse of [[parseMultiVectorBlob]];
+    * entries shard by a key hash — section placement is irrelevant to the
+    * reference's in-order loader). */
+  def encodeMultiVectorBlob(vertices: Seq[ColttMvVertex]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def writeString(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      require(b.length <= 65535, s"string too long: $s")
+      d.writeShort(b.length); d.write(b)
+    }
+    val byShard = vertices.groupBy(v => math.floorMod(v.key.hashCode, ShardCount))
+    (0 until ShardCount).foreach { s =>
+      val entries = byShard.getOrElse(s, Seq.empty)
+      d.writeLong(entries.size.toLong)
+      entries.foreach { v =>
+        writeString(v.key)
+        d.writeInt(v.vectors.size)
+        v.vectors.foreach { case (vname, vec) =>
+          writeString(vname)
+          d.writeInt(vec.length)
+          vec.foreach(f => d.writeInt(java.lang.Float.floatToIntBits(f)))
+        }
+        d.writeInt(v.meta.size)
+        v.meta.foreach { case (k, value) =>
+          writeString(k)
+          value match {
+            case i: Long    => d.writeByte(0); d.writeLong(i)
+            case s0: String => d.writeByte(1); writeString(s0)
+            case other => throw new IllegalArgumentException(
+              s"experimental metadata supports i64/string only, got: ${other.getClass.getName}")
+          }
+        }
+      }
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Full experimental (multi-vector) import: meta.json + vertex blob →
+    * create → insert (pk + one column per named vector + metadata columns)
+    * → flush. Returns the row count. */
+  def importExperimentalSnapshot(spark: SparkSession, catalog: GraftCatalog,
+                                 name: String, srcDir: String,
+                                 pkName: String = "_key"): Long = {
+    val fs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new Path(srcDir, s"$name.meta.json"))
+    val metaJson = try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+                   finally metaIn.close()
+    val meta = parseExperimentalMetadata(name, metaJson, pkName)
+    val vertices = parseMultiVectorBlob(fs.open(new Path(srcDir, s"$name.vertex")))
+    catalog.createCollection(meta)
+    catalog.loadCollection(name)
+    if (vertices.nonEmpty) {
+      val scalarFields = meta.fields.filter(f => !f.primaryKey && !f.isVector)
+      val vecFields = meta.vectorFields
+      val schema = StructType(
+        StructField(pkName, StringType, nullable = false) +:
+          (scalarFields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+            vecFields.map(f => StructField(f.name,
+              ArrayType(FloatType, containsNull = false), nullable = false))))
+      val rows = vertices.map { v =>
+        Row.fromSeq(
+          v.key +:
+            // the experimental encoder persists only i64/string tags, so a
+            // declared float/boolean field arrives as i64 ("1"-ish) or not
+            // at all — coerce what is coercible, leave the rest to
+            // insert-time validation
+            (scalarFields.map(f => v.meta.get(f.name).map[Any] {
+              case i: Long if f.fieldType == "float"   => i.toDouble
+              case i: Long if f.fieldType == "boolean" => i != 0L
+              case other                               => other
+            }.orNull) ++
+              vecFields.map(f => v.vectors.getOrElse(f.name,
+                throw new IllegalArgumentException(
+                  s"vertex ${v.key} is missing declared vector field ${f.name}")).toSeq)))
+      }
+      catalog.insert(name,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 32), schema))
+    }
+    catalog.flush(name)
+    vertices.size.toLong
+  }
 }

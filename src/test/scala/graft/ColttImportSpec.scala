@@ -142,6 +142,52 @@ class ColttImportSpec extends SparkSpec {
     assert(res.length === 5)
   }
 
+  test("experimental (CFLAT) bucket import: string-keyed multi-vector entries, " +
+    "weighted search parity with direct ingest") {
+    val dir = Files.createTempDirectory("coltt-bucket-mv")
+    val rnd = new scala.util.Random(5)
+    val vs = (1 to 30).map { i =>
+      ColttImport.ColttMvVertex(s"key-$i",
+        Map("img" -> Array.fill(dim)(rnd.nextFloat()), "txt" -> Array.fill(dim)(rnd.nextFloat())),
+        Map[String, Any]("rank" -> i.toLong, "src" -> s"s${i % 3}"))
+    }
+    val metaJson =
+      s"""{"dim":$dim,"distance":1,"quantization":0,"index_type":{
+         |"img":{"index_name":"img","index_type":4,"enable_null":false},
+         |"txt":{"index_name":"txt","index_type":4,"enable_null":false},
+         |"rank":{"index_name":"rank","index_type":1,"enable_null":false},
+         |"src":{"index_name":"src","index_type":0,"enable_null":false}
+         |},"versioning":false}""".stripMargin
+    Files.write(dir.resolve("mvimp.meta.json"), metaJson.getBytes("UTF-8"))
+    Files.write(dir.resolve("mvimp.vertex"), ColttImport.encodeMultiVectorBlob(vs))
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-mvimp").toString)
+    assert(ColttImport.importExperimentalSnapshot(spark, cat, "mvimp", dir.toString) === 30L)
+
+    val m = cat.getMeta("mvimp")
+    assert(m.idColumn === "_key")
+    assert(m.vectorFields.map(_.name).toSet === Set("img", "txt"))
+
+    val twin = new GraftCatalog(spark, Files.createTempDirectory("graft-mvtwin").toString)
+    twin.createCollection(ColttImport.parseExperimentalMetadata("mvimp", metaJson))
+    twin.loadCollection("mvimp")
+    twin.insert("mvimp", vs.map { v =>
+      (v.key, v.meta("rank").asInstanceOf[Long], v.meta("src").asInstanceOf[String],
+        v.vectors("img"), v.vectors("txt"))
+    }.toDF("_key", "rank", "src", "img", "txt"))
+
+    val fq = Seq(
+      graft.operators.MultiVectorSearch.FieldQuery("img", Array(0.4f, 0.6f, 0.2f, 0.8f), ratio = 60),
+      graft.operators.MultiVectorSearch.FieldQuery("txt", Array(0.1f, 0.9f, 0.3f, 0.5f), ratio = 40))
+    val got = cat.searchMulti("mvimp", fq, topK = 5).collect().map(_.toString).toSeq
+    val want = twin.searchMulti("mvimp", fq, topK = 5).collect().map(_.toString).toSeq
+    assert(got === want && got.nonEmpty)
+
+    // metadata round trip
+    val row = cat.snapshot("mvimp").where(col("_key") === "key-7")
+      .select("rank", "src").head()
+    assert(row.getLong(0) === 7L && row.getString(1) === "s1")
+  }
+
   test("missing nullable fields stay importable; truncated blob fails loudly") {
     val dir = Files.createTempDirectory("coltt-bucket-bad")
     val vs = vertices(8).map { case (k, v, meta) =>
