@@ -234,7 +234,7 @@ object Bench {
     // argmin kernel matters; the inlined-expression form falls out of
     // codegen past a few dozen centroids). Train is timed once (3 scans:
     // 2 Lloyd iterations + seed); assignment is the timed steady-state pass.
-    val ivf1m = {
+    def ivf1mRun(): Seq[(String, Double)] = {
       val dir = benchDir + "-clustered"
       ensureClusteredBenchData(spark, dir, 1000000L)
       val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -253,6 +253,14 @@ object Bench {
       val tTrain = timed("ivf_train_1m", runs = 3, stat = "median") {
         cents = graft.ann.Ann.trainCentroids(bigc, "vec_id", "embedding", 256, "cosine",
           iterations = 2)
+      }
+      // bail-early rule: timed() swallowed the train's own exception
+      // (recorded under ivf_train_1m) — degrade to the train row alone
+      // rather than letting every downstream stage fail confusingly on the
+      // empty centroid seq
+      if (cents.isEmpty) {
+        bigc.unpersist()
+        return Seq("ivf_train_1m" -> tTrain)
       }
       // The 100 TB training path: Lloyd iterations on the deterministic
       // 1/16 id-hash subsample (~244 points/cell at k=256) — recall parity
@@ -314,6 +322,7 @@ object Bench {
       bigc.unpersist()
       r
     }
+    val ivf1m = ivf1mRun()
 
     // ---- PQ at scale: sampled per-subspace training, full-corpus encode
     // (1M×16 subspaces×256 codewords×8 dims — same flop class as
@@ -331,6 +340,11 @@ object Bench {
           cb = graft.ann.Pq.train(bigc, "vec_id", "embedding", m = 16, ksub = 256,
             iterations = 2, sampleMod = Some(16L))
         }
+        // timed() swallows the train's own exception (recorded under its
+        // name); bail here rather than letting the downstream encode NPE on
+        // the null codebook and bury the root cause
+        if (cb == null)
+          throw new IllegalStateException("pq_train_sampled_1m failed — see its error entry")
         def encodePass(): Unit = graft.ann.Pq.encode(bigc, "embedding", cb)
           .agg(max(length(col("pq_code")))).collect()
         encodePass(); encodePass() // warm ×2 (same compile-bimodality class as assign)

@@ -627,16 +627,28 @@ class GraftCatalog(spark: SparkSession, root: String,
     * raced an already-committed one still backs out. A writer that
     * hard-crashes between claim and publish leaves its claim behind; the
     * embedded owner/timestamp lets a later flush detect and reclaim it
-    * after `staleClaimMs` (two concurrent reclaimers both delete —
-    * idempotent — but only one exclusive re-create can win). On abort the
-    * staging dir is deleted and [[GraftCatalog.ConcurrentFlushException]]
-    * thrown. */
+    * after `staleClaimMs`. Reclaim itself must be a CAS too: it RENAMES the
+    * stale claim file to a unique tombstone first — rename of a file is
+    * atomic, so of N concurrent reclaimers exactly ONE wins the rename and
+    * may retry the exclusive create; the rest abort. (The previous
+    * delete-then-recreate let a second reclaimer's delete remove the first
+    * reclaimer's FRESH claim, after which both proceeded as owners — and
+    * with the orphan-dir sweep below, the second owner would delete the
+    * first owner's just-renamed version data.) On abort the staging dir is
+    * deleted and [[GraftCatalog.ConcurrentFlushException]] thrown. */
   private def claimVersionOrAbort(name: String, v: Int, staging: Path): Unit = {
     val claim = claimPath(name, v)
     var claimed = tryCreateClaim(claim)
     if (!claimed && claimIsStale(claim)) {
-      fs.delete(claim, false)
-      claimed = tryCreateClaim(claim)
+      val tomb = new Path(claim.getParent,
+        s"${claim.getName}.reclaimed-${java.util.UUID.randomUUID().toString.take(8)}")
+      val wonReclaim =
+        try fs.rename(claim, tomb)
+        catch { case _: java.io.FileNotFoundException => false } // lost: source gone
+      if (wonReclaim) {
+        fs.delete(tomb, false)
+        claimed = tryCreateClaim(claim)
+      }
     }
     if (!claimed || getMeta(name).currentVersion >= v) {
       if (claimed) fs.delete(claim, false)
@@ -760,10 +772,19 @@ class GraftCatalog(spark: SparkSession, root: String,
             return System.currentTimeMillis() }
         (s.getModificationTime +: children.toSeq.map(newestMtime)).max
       }
-    fs.listStatus(colDir(name))
+    val entries = fs.listStatus(colDir(name))
+    entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging-") &&
         System.currentTimeMillis() - newestMtime(s) > staleClaimMs)
       .foreach(s => fs.delete(s.getPath, true))
+    // a reclaimer that crashed between its atomic claim-rename and the
+    // tombstone delete leaves a `v<N>.claim.reclaimed-<id>` file behind —
+    // inert (no reader or writer ever resolves that name) but worth
+    // sweeping on the same staleness horizon
+    entries
+      .filter(s => !s.isDirectory && s.getPath.getName.contains(".claim.reclaimed-") &&
+        System.currentTimeMillis() - s.getModificationTime > staleClaimMs)
+      .foreach(s => fs.delete(s.getPath, false))
     // never cut into a RETAINED chain: every kept version (the newest
     // `keepLast`, by number) must stay readable, and a kept delta version
     // reads through its base + earlier sibling segments — so the floor is
@@ -814,7 +835,21 @@ class GraftCatalog(spark: SparkSession, root: String,
     * produces a byte-identical, immediately-loadable collection: nothing
     * in the layout is host- or catalog-relative. */
   def exportCollection(name: String, destRoot: String): Unit = {
-    val meta = getMeta(name)
+    // capture the meta BYTES at entry: the loop bound and the published
+    // destination head must come from the same instant (a concurrent flush
+    // between the version loop and the final write would otherwise publish
+    // a head the loop never copied), and copying bytes — not a re-serialized
+    // parse — preserves sidecar-JSON fields this binary's CollectionMeta
+    // does not know about (the Option-typed forward-compat contract)
+    val metaBytes = {
+      val in = fs.open(metaPath(name))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toByteArray
+      } finally in.close()
+    }
+    val meta = CollectionMeta.fromJson(new String(metaBytes, "UTF-8"))
     val destDir = new Path(s"$destRoot/$name")
     val destFs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // refuse a NON-EMPTY destination, not just a published one: a retry
@@ -833,14 +868,11 @@ class GraftCatalog(spark: SparkSession, root: String,
             fs, src, destFs, new Path(destDir, src.getName), false, conf)
         }
     }
-    // meta LAST, same discipline as create/flush — and it is the meta
-    // CAPTURED AT ENTRY that is written, not a fresh copy of the live
-    // meta.json: a concurrent flush between the version loop and this line
-    // can publish a currentVersion the loop never copied, leaving the
-    // destination valid-looking but unreadable at its head. The entry meta's
-    // currentVersion is by construction <= every version the loop copied.
+    // meta LAST, same discipline as create/flush — the entry-time BYTES,
+    // whose currentVersion is by construction <= every version the loop
+    // copied
     val out = destFs.create(new Path(destDir, "meta.json"), true)
-    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
+    try out.write(metaBytes) finally out.close()
   }
 
   /** Number of delta segments in the live chain (0 when the head is a full

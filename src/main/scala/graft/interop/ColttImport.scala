@@ -61,41 +61,54 @@ object ColttImport {
 
   private val ShardCount = 16 // EDGE_MAP_SHARD_COUNT, edge/constants.go
 
-  /** Parse `<col>.meta.json` into this engine's [[CollectionMeta]].
-    * Quantization is imported as declared — the reference persists the
-    * QUANTIZED vector bits, and [[parseVertexBlob]] decodes them back to the
-    * exact float values the reference's own loader produces. */
-  def parseMetadata(name: String, metaJson: String): CollectionMeta = {
+  /** Shared meta.json header parse (dim/distance/quantization/versioning
+    * plus the index_type walk — the JSON layout is identical between the
+    * edge and experimental engines); `fieldOf(colName, typeInt, fieldJson)`
+    * maps one declared field, engine-specifically. */
+  private def parseMetaCommon(name: String, metaJson: String)(
+      fieldOf: (String, Int, org.json4s.JValue) => IndexField): CollectionMeta = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(metaJson)
-    val dim = (j \ "dim").extract[Int]
     val dist = (j \ "distance").extract[Int]
     val quant = (j \ "quantization").extract[Int]
-    val versioning = (j \ "versioning").extractOpt[Boolean].getOrElse(false)
     val fields = (j \ "index_type") match {
       case JObject(kvs) => kvs.map { case (col, fj) =>
-        IndexField(
-          name = (fj \ "index_name").extractOpt[String].getOrElse(col),
-          fieldType = fieldTypeNames.getOrElse((fj \ "index_type").extract[Int],
-            throw new IllegalArgumentException(
-              s"unknown index_type ${(fj \ "index_type").extract[Int]} on field $col")),
-          enableNull = (fj \ "enable_null").extractOpt[Boolean].getOrElse(false),
-          primaryKey = (fj \ "primary_key").extractOpt[Boolean].getOrElse(false))
+        fieldOf((fj \ "index_name").extractOpt[String].getOrElse(col),
+          (fj \ "index_type").extract[Int], fj)
       }.sortBy(_.name)
       case _ => throw new IllegalArgumentException("meta.json has no index_type map")
     }
     CollectionMeta(
       name = name,
-      dim = dim,
+      dim = (j \ "dim").extract[Int],
       distance = distanceNames.getOrElse(dist,
         throw new IllegalArgumentException(s"unknown distance enum $dist")),
       quantization = quantizationNames.getOrElse(quant,
         throw new IllegalArgumentException(s"unknown quantization enum $quant")),
       fields = fields,
-      versioning = versioning)
+      versioning = (j \ "versioning").extractOpt[Boolean].getOrElse(false))
   }
+
+  private def jBool(fj: org.json4s.JValue, key: String): Boolean = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    (fj \ key).extractOpt[Boolean].getOrElse(false)
+  }
+
+  /** Parse `<col>.meta.json` into this engine's [[CollectionMeta]].
+    * Quantization is imported as declared — the reference persists the
+    * QUANTIZED vector bits, and [[parseVertexBlob]] decodes them back to the
+    * exact float values the reference's own loader produces. */
+  def parseMetadata(name: String, metaJson: String): CollectionMeta =
+    parseMetaCommon(name, metaJson) { (fname, t, fj) =>
+      IndexField(fname,
+        fieldTypeNames.getOrElse(t, throw new IllegalArgumentException(
+          s"unknown index_type $t on field $fname")),
+        enableNull = jBool(fj, "enable_null"),
+        primaryKey = jBool(fj, "primary_key"))
+    }
 
   /** One decoded vertex: the (dequantized) vector and the typed metadata map. */
   final case class ColttVertex(key: Long, vector: Array[Float], meta: Map[String, Any])
@@ -251,10 +264,19 @@ object ColttImport {
     val vertexIn = fs.open(new Path(srcDir, s"$name.vertex"))
     val vertices = parseVertexBlob(vertexIn, meta.quantization)
     catalog.createCollection(meta)
-    catalog.loadCollection(name)
-    if (vertices.nonEmpty)
-      catalog.insert(name, verticesToRows(spark, meta, vertices))
-    catalog.flush(name)
+    // the target did not exist before this call (createCollection enforces
+    // it), so a failure past this point rolls the collection back — the
+    // import stays retryable instead of stranding a half-imported target
+    // behind an "already exists" error
+    try {
+      catalog.loadCollection(name)
+      if (vertices.nonEmpty)
+        catalog.insert(name, verticesToRows(spark, meta, vertices))
+      catalog.flush(name)
+    } catch { case e: Throwable =>
+      try catalog.dropCollection(name) catch { case _: Throwable => () }
+      throw e
+    }
     vertices.size.toLong
   }
 
@@ -270,37 +292,16 @@ object ColttImport {
     * column, `pkName`, to carry those keys. */
   def parseExperimentalMetadata(name: String, metaJson: String,
                                 pkName: String = "_key"): CollectionMeta = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    implicit val fmts: Formats = DefaultFormats
-    val j = JsonMethods.parse(metaJson)
-    val dim = (j \ "dim").extract[Int]
-    val dist = (j \ "distance").extract[Int]
-    val quant = (j \ "quantization").extract[Int]
-    val versioning = (j \ "versioning").extractOpt[Boolean].getOrElse(false)
-    val fields = (j \ "index_type") match {
-      case JObject(kvs) => kvs.map { case (col, fj) =>
-        val t = (fj \ "index_type").extract[Int]
-        val fname = (fj \ "index_name").extractOpt[String].getOrElse(col)
-        if (t == 4) IndexField(fname, "vector")
-        else IndexField(fname,
-          fieldTypeNames.getOrElse(t,
-            throw new IllegalArgumentException(s"unknown index_type $t on field $col")),
-          enableNull = (fj \ "enable_null").extractOpt[Boolean].getOrElse(false))
-      }.sortBy(_.name)
-      case _ => throw new IllegalArgumentException("meta.json has no index_type map")
+    val parsed = parseMetaCommon(name, metaJson) { (fname, t, fj) =>
+      if (t == 4) IndexField(fname, "vector")
+      else IndexField(fname,
+        fieldTypeNames.getOrElse(t, throw new IllegalArgumentException(
+          s"unknown index_type $t on field $fname")),
+        enableNull = jBool(fj, "enable_null"))
     }
-    require(!fields.exists(_.name == pkName),
+    require(!parsed.fields.exists(_.name == pkName),
       s"pk column name $pkName collides with a declared field — pass another pkName")
-    CollectionMeta(
-      name = name,
-      dim = dim,
-      distance = distanceNames.getOrElse(dist,
-        throw new IllegalArgumentException(s"unknown distance enum $dist")),
-      quantization = quantizationNames.getOrElse(quant,
-        throw new IllegalArgumentException(s"unknown quantization enum $quant")),
-      fields = IndexField(pkName, "string", primaryKey = true) +: fields,
-      versioning = versioning)
+    parsed.copy(fields = IndexField(pkName, "string", primaryKey = true) +: parsed.fields)
   }
 
   /** One decoded experimental vertex: string key, named vectors, metadata
@@ -426,6 +427,8 @@ object ColttImport {
     val meta = parseExperimentalMetadata(name, metaJson, pkName)
     val vertices = parseMultiVectorBlob(fs.open(new Path(srcDir, s"$name.vertex")))
     catalog.createCollection(meta)
+    // same rollback-on-failure contract as importSnapshot
+    try {
     catalog.loadCollection(name)
     if (vertices.nonEmpty) {
       val scalarFields = meta.fields.filter(f => !f.primaryKey && !f.isVector)
@@ -455,6 +458,10 @@ object ColttImport {
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 32), schema))
     }
     catalog.flush(name)
+    } catch { case e: Throwable =>
+      try catalog.dropCollection(name) catch { case _: Throwable => () }
+      throw e
+    }
     vertices.size.toLong
   }
 }

@@ -335,8 +335,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             // answers.
             try catalog.changeLogBetween(name, from, to)
             catch {
-              case _: IllegalArgumentException => catalog.stateDiff(name, from, to)
-              case _: IllegalStateException    => catalog.stateDiff(name, from, to)
+              case _: IllegalArgumentException | _: IllegalStateException =>
+                catalog.stateDiff(name, from, to)
             }
           case other => throw new IllegalArgumentException(
             s"unknown mode: $other (log | diff | auto)")

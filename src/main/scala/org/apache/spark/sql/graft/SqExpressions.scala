@@ -245,6 +245,10 @@ case class VecDistanceSq8(child: Expression, query: Array[Double],
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tab = ctx.addReferenceObj("sq8Lut", lut, "double[]")
+    // emit the constant via its raw bits: a plain decimal interpolation
+    // breaks codegen COMPILATION on NaN/Infinity query vectors ("NaND" is
+    // not a Java literal), silently dropping the whole stage to interpreted
+    val qNorm = s"Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(queryNormSq)}L)"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val ix = ctx.freshName("ix")
       val acc = ctx.freshName("acc"); val na = ctx.freshName("na")
@@ -255,7 +259,7 @@ case class VecDistanceSq8(child: Expression, query: Array[Double],
              |  final int $ix = (($i << 8) | ($a[$i] & 0xFF)) << 1;
              |  $acc += $tab[$ix]; $na += $tab[$ix + 1];
              |}
-             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt(${queryNormSq}D)));""".stripMargin
+             |${ev.value} = Math.abs(1.0 - $acc / (Math.sqrt($na) * Math.sqrt($qNorm)));""".stripMargin
         case "euclidean" =>
           s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {

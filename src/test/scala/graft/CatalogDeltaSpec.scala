@@ -612,6 +612,49 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(reader.resident("race2").count() >= 20)
   }
 
+  test("LIVE two-reclaimer race on one STALE claim: the rename CAS admits exactly one " +
+    "winner (delete-then-recreate admitted both, and the loser deleted the winner's data)") {
+    val root = newRoot()
+    val catA = new GraftCatalog(spark, root, staleClaimMs = 50L)
+    val catB = new GraftCatalog(spark, root, staleClaimMs = 50L)
+    catA.createCollection(meta("rrace"))
+    catA.loadCollection("rrace")
+    catA.insert("rrace", rows(1 to 20))
+    catA.flush("rrace") // v1
+    catB.loadCollection("rrace")
+    catA.insert("rrace", rows(Seq(5), _ => 75L))
+    catB.insert("rrace", rows(Seq(6), _ => 76L))
+    // the contested stale claim both writers will try to reclaim
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.create(new Path(s"$root/rrace/v2.claim"), false)
+    stale.write(s"dead@host ${System.currentTimeMillis() - 10000}".getBytes("UTF-8")); stale.close()
+    Thread.sleep(60)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    import scala.util.Try
+    def racer(f: () => Int): java.util.concurrent.FutureTask[Try[Int]] =
+      new java.util.concurrent.FutureTask(() => { start.await(); Try(f()) })
+    val ta = racer(() => catA.flushDelta("rrace"))
+    val tb = racer(() => catB.flushDelta("rrace"))
+    new Thread(ta).start(); new Thread(tb).start()
+    start.countDown()
+    val outcomes = Seq(ta.get(), tb.get())
+    val wins = outcomes.collect { case scala.util.Success(v) => v }
+    val losses = outcomes.collect { case scala.util.Failure(e) => e }
+    assert(wins.nonEmpty, s"no reclaimer succeeded: $losses")
+    assert(wins.distinct.size === wins.size, s"two writers claimed one slot: $wins")
+    losses.foreach(e => assert(e.isInstanceOf[GraftCatalog.ConcurrentFlushException],
+      s"loser must abort with ConcurrentFlushException, got: $e"))
+    assert(stagingOrphans(root, "rrace").isEmpty)
+    // every winning segment must still be READABLE — under delete-then-
+    // recreate the losing reclaimer deleted the winner's fresh data
+    val reader = newCatalog(root)
+    reader.loadCollection("rrace")
+    val got = state(reader.resident("rrace"))
+    if (losses.isEmpty) assert(got.contains("id-5:75") && got.contains("id-6:76"))
+    else assert(got.contains("id-5:75") ^ got.contains("id-6:76"),
+      s"expected exactly one winning change, got $got")
+  }
+
   test("reclaimed stale claim with a dead writer's ORPHAN version dir: the orphan is " +
     "deleted, never published (rename-into nesting would lose the live ledger)") {
     val root = newRoot()
