@@ -221,7 +221,7 @@ object Bench {
       big.unpersist(false)
       out
     }
-    val big1m = bigSuite(1000000L, benchDir, "1m", reps = 48)
+    val big1mA = bigSuite(1000000L, benchDir, "1m", reps = 48)
     // 32 reps for 10M (was 16): the r6 driver run hit a globally slow
     // machine window (floor control point_lookup_10m doubled on an
     // untouched path) that the 1M suite's 48-rep ~45 s window rode out but
@@ -470,6 +470,23 @@ object Bench {
           .linesIterator.take(1).mkString
         Seq.empty[(String, Double)]
       } finally big.unpersist(false)
+    }
+
+    // ---- second 1M pass, ~10 minutes of suite time after the first: the
+    // 1M ratios sit at the mercy of the per-job dispatch floor, and the
+    // documented slow windows (run 21, run 28: floor +15%, every 1M query
+    // over by the same margin while scan-only stayed flat) last longer
+    // than one 45 s measurement window. Two windows spaced across the run
+    // make the per-query MIN robust to any transient shorter than the gap;
+    // a machine slow for the WHOLE bench shows up in the floor control
+    // either way.
+    val big1mB = bigSuite(1000000L, benchDir, "1m", reps = 24)
+    val big1m = {
+      val b = big1mB.toMap
+      big1mA.map { case (k, t) =>
+        val tb = b.getOrElse(k, Double.MaxValue)
+        k -> (if (t < 0 || tb < 0) math.max(t, tb) else math.min(t, tb))
+      }
     }
 
     // ---- dedup/text pipeline throughput at 100k docs: the sf suite's

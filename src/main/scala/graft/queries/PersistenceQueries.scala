@@ -291,6 +291,39 @@ object PersistenceQueries {
       cat.searchMulti("mv", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
+    }),
+    // Migration path, experimental (CFLAT) flavor: the same logical rows as
+    // snapshot_roundtrip_mv, but round-tripped through the reference's
+    // string-keyed multi-vector blob format and importExperimentalSnapshot
+    // (identity = the vertex map key, surfaced as the synthesized `_key`
+    // pk). The f32 encode/decode is bit-exact, so the weighted search must
+    // match the direct pairing of the embeddings table.
+    "coltt_import_mv_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val pairs = e.select(col("vec_id"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+        .collect().toIndexedSeq
+      val vs = pairs.map { r =>
+        graft.interop.ColttImport.ColttMvVertex(r.getLong(0).toString,
+          Map("v0" -> r.getSeq[Float](1).toArray, "v1" -> r.getSeq[Float](2).toArray),
+          Map.empty)
+      }
+      val bucket = Files.createTempDirectory("coltt-bucket-mvq")
+      val metaJson =
+        s"""{"dim":$dim,"distance":1,"quantization":0,"index_type":{
+           |"v0":{"index_name":"v0","index_type":4,"enable_null":false},
+           |"v1":{"index_name":"v1","index_type":4,"enable_null":false}
+           |},"versioning":false}""".stripMargin
+      Files.write(bucket.resolve("mvimp.meta.json"), metaJson.getBytes("UTF-8"))
+      Files.write(bucket.resolve("mvimp.vertex"),
+        graft.interop.ColttImport.encodeMultiVectorBlob(vs))
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-coltt-mv").toString)
+      graft.interop.ColttImport.importExperimentalSnapshot(s, cat, "mvimp", bucket.toString)
+      def qv(id: Long) = e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchMulti("mvimp", Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
     })
   )
 
@@ -406,6 +439,20 @@ object PersistenceQueries {
          |SELECT CAST(mv.vec_id AS VARCHAR) AS id, ROUND($w, 4) AS score
          |FROM mv, q0, q1
          |ORDER BY ROUND($w, 8) DESC, id
+         |LIMIT 10""".stripMargin
+    },
+    // snapshot_roundtrip_mv's twin through the experimental blob: only the
+    // id column name differs (the importer's synthesized `_key` pk)
+    "coltt_import_mv_roundtrip" -> {
+      val w = """GREATEST(0, 100 - list_distance(mv.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(mv.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |mv AS (SELECT e1.vec_id, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1)
+         |SELECT CAST(mv.vec_id AS VARCHAR) AS _key, ROUND($w, 4) AS score
+         |FROM mv, q0, q1
+         |ORDER BY ROUND($w, 8) DESC, _key
          |LIMIT 10""".stripMargin
     }
   )
