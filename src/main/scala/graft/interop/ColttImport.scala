@@ -61,6 +61,15 @@ object ColttImport {
 
   private val ShardCount = 16 // EDGE_MAP_SHARD_COUNT, edge/constants.go
 
+  /** Parse-time sanity bounds — generous multiples of anything the
+    * reference can produce (its protos cap dim at u32 but real collections
+    * sit ≤ a few thousand dims and ≤ hundreds of metadata keys). Their job
+    * is to turn a corrupt length field into a loud error instead of a
+    * multi-gigabyte allocation. */
+  private val MaxDim = 1 << 16
+  private val MaxMetaEntries = 1 << 16
+  private val MaxVectorsPerVertex = 1 << 12
+
   /** Shared meta.json header parse (dim/distance/quantization/versioning
     * plus the index_type walk — the JSON layout is identical between the
     * edge and experimental engines); `fieldOf(colName, typeInt, fieldJson)`
@@ -136,12 +145,15 @@ object ColttImport {
         while (j < count) {
           val key = d.readLong()
           val vecLen = d.readInt()
-          require(vecLen >= 0, s"corrupt vector length $vecLen")
+          // bound BEFORE allocating: a corrupt/hostile length field must
+          // fail loudly, not drive a multi-GB allocation (same rule on
+          // every count below)
+          require(vecLen >= 0 && vecLen <= MaxDim, s"corrupt vector length $vecLen")
           val vec = new Array[Float](vecLen)
           var i = 0
           while (i < vecLen) { vec(i) = readElem(); i += 1 }
           val metaCount = d.readInt()
-          require(metaCount >= 0, s"corrupt metadata count $metaCount")
+          require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
           val meta = mutable.LinkedHashMap.empty[String, Any]
           var k = 0
           while (k < metaCount) {
@@ -335,13 +347,13 @@ object ColttImport {
         while (j < count) {
           val key = readString()
           val mvCount = d.readInt()
-          require(mvCount >= 0, s"corrupt multi-vector count $mvCount")
+          require(mvCount >= 0 && mvCount <= MaxVectorsPerVertex, s"corrupt multi-vector count $mvCount")
           val vecs = mutable.LinkedHashMap.empty[String, Array[Float]]
           var m = 0
           while (m < mvCount) {
             val vname = readString()
             val dim = d.readInt()
-            require(dim >= 0, s"corrupt vector dim $dim")
+            require(dim >= 0 && dim <= MaxDim, s"corrupt vector dim $dim")
             val vec = new Array[Float](dim)
             var i = 0
             while (i < dim) { vec(i) = java.lang.Float.intBitsToFloat(d.readInt()); i += 1 }
@@ -349,7 +361,7 @@ object ColttImport {
             m += 1
           }
           val metaCount = d.readInt()
-          require(metaCount >= 0, s"corrupt metadata count $metaCount")
+          require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
           val meta = mutable.LinkedHashMap.empty[String, Any]
           var k = 0
           while (k < metaCount) {

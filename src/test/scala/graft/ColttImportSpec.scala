@@ -188,6 +188,32 @@ class ColttImportSpec extends SparkSpec {
     assert(row.getLong(0) === 7L && row.getString(1) === "s1")
   }
 
+  test("fuzz: random and corrupt blobs fail loudly, never hang or allocate wildly") {
+    val rnd = new scala.util.Random(99)
+    // pure random bytes: every seed must throw (EOF-mapped or corrupt-count),
+    // never loop or OOM
+    for (seed <- 1 to 50) {
+      val r = new scala.util.Random(seed)
+      val junk = Array.fill(r.nextInt(4096))(r.nextInt().toByte)
+      intercept[IllegalArgumentException] {
+        ColttImport.parseVertexBlob(new java.io.ByteArrayInputStream(junk), "none")
+      }
+      intercept[IllegalArgumentException] {
+        ColttImport.parseMultiVectorBlob(new java.io.ByteArrayInputStream(junk))
+      }
+    }
+    // targeted corruption: a hostile vecLen (1 << 30) must be rejected by
+    // the sanity bound BEFORE the allocation, with a "corrupt" message
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeLong(1L); d.writeLong(42L); d.writeInt(1 << 30)
+    (0 until 64).foreach(_ => d.writeInt(rnd.nextInt()))
+    val ex = intercept[IllegalArgumentException] {
+      ColttImport.parseVertexBlob(new java.io.ByteArrayInputStream(bos.toByteArray), "none")
+    }
+    assert(ex.getMessage.contains("corrupt vector length"))
+  }
+
   test("missing nullable fields stay importable; truncated blob fails loudly") {
     val dir = Files.createTempDirectory("coltt-bucket-bad")
     val vs = vertices(8).map { case (k, v, meta) =>

@@ -19,7 +19,8 @@ class PlanShapeSpec extends SparkSpec {
   private def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
 
   test("flat scans: zero shuffles of the corpus; top-K via TakeOrderedAndProject") {
-    for (q <- Seq("flat_scan_cosine", "flat_scan_euclidean", "flat_scan_f16")) {
+    for (q <- Seq("flat_scan_cosine", "flat_scan_euclidean", "flat_scan_f16",
+        "flat_scan_sq8", "flat_scan_f8", "flat_scan_bf16")) {
       val p = plan(q)
       assert(shuffles(p) === 0, s"$q shuffles the corpus:\n$p")
       assert(p.contains("TakeOrderedAndProject"), s"$q lost the bounded top-K:\n$p")
