@@ -122,12 +122,18 @@ object ColttImport {
   /** One decoded vertex: the (dequantized) vector and the typed metadata map. */
   final case class ColttVertex(key: Long, vector: Array[Float], meta: Map[String, Any])
 
-  /** Sequential decode of a `<col>.vertex` blob (format in the class doc).
-    * `quantization` selects the element width/decoder; the decoded floats are
-    * bit-identical to what the reference's own `LoadVertex` + dequantize
-    * produces. */
-  def parseVertexBlob(in: InputStream, quantization: String): Seq[ColttVertex] = {
-    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+  /** Bytes per stored vector element for a quantization. */
+  private def elementWidth(quantization: String): Int = quantization match {
+    case "none" => 4
+    case "f16" | "bf16" => 2
+    case "f8" => 1
+    case q => throw new IllegalArgumentException(s"unknown quantization: $q")
+  }
+
+  /** Decode ONE shard section (`u64 count` + entries) from an already-
+    * positioned stream — the unit both the sequential and the distributed
+    * import paths share. */
+  private def parseShardSection(d: DataInputStream, quantization: String): Seq[ColttVertex] = {
     val out = mutable.ArrayBuffer.empty[ColttVertex]
     def readElem(): Float = quantization match {
       case "none" => java.lang.Float.intBitsToFloat(d.readInt())
@@ -136,45 +142,113 @@ object ColttImport {
       case "f8"   => QuantKernels.f8ToFloat(d.readByte())
       case q      => throw new IllegalArgumentException(s"unknown quantization: $q")
     }
+    val count = d.readLong()
+    require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
+    var j = 0L
+    while (j < count) {
+      val key = d.readLong()
+      val vecLen = d.readInt()
+      // bound BEFORE allocating: a corrupt/hostile length field must
+      // fail loudly, not drive a multi-GB allocation (same rule on
+      // every count below)
+      require(vecLen >= 0 && vecLen <= MaxDim, s"corrupt vector length $vecLen")
+      val vec = new Array[Float](vecLen)
+      var i = 0
+      while (i < vecLen) { vec(i) = readElem(); i += 1 }
+      val metaCount = d.readInt()
+      require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
+      val meta = mutable.LinkedHashMap.empty[String, Any]
+      var k = 0
+      while (k < metaCount) {
+        val keyLen = d.readUnsignedShort()
+        val keyBytes = new Array[Byte](keyLen)
+        d.readFully(keyBytes)
+        val metaKey = new String(keyBytes, StandardCharsets.UTF_8)
+        meta(metaKey) = d.readByte() match {
+          case 0 => d.readLong()
+          case 1 =>
+            val len = d.readUnsignedShort()
+            val b = new Array[Byte](len)
+            d.readFully(b)
+            new String(b, StandardCharsets.UTF_8)
+          case 2 => d.readDouble()
+          case 3 => d.readByte() != 0
+          case t => throw new IllegalArgumentException(s"unsupported metadata type tag: $t")
+        }
+        k += 1
+      }
+      out += ColttVertex(key, vec, meta.toMap)
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** Sequential decode of a `<col>.vertex` blob (format in the class doc).
+    * `quantization` selects the element width/decoder; the decoded floats are
+    * bit-identical to what the reference's own `LoadVertex` + dequantize
+    * produces. */
+  def parseVertexBlob(in: InputStream, quantization: String): Seq[ColttVertex] = {
+    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+    try (0 until ShardCount).flatMap(_ => parseShardSection(d, quantization))
+    catch {
+      case _: EOFException =>
+        throw new IllegalArgumentException(
+          "truncated coltt vertex blob: hit EOF before all 16 shard sections were read")
+    } finally d.close()
+  }
+
+  /** Byte offset of each of the 16 shard sections, found by ONE sequential
+    * skip-scan that reads only the length fields (O(blob) IO, O(1) memory —
+    * the format has no section index, so this is the cheapest possible
+    * partitioning pass). Every skip honors the same sanity bounds as the
+    * real parse. */
+  def sectionOffsets(in: InputStream, quantization: String): Array[Long] = {
+    val width = elementWidth(quantization)
+    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+    var pos = 0L
+    def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = d.skip(left)
+        if (s <= 0) { // skip() may return 0 at EOF — distinguish via a read
+          if (d.read() < 0) throw new EOFException()
+          left -= 1
+        } else left -= s
+      }
+      pos += n
+    }
+    def readInt(): Int = { pos += 4; d.readInt() }
+    def readLong(): Long = { pos += 8; d.readLong() }
+    def readU16(): Int = { pos += 2; d.readUnsignedShort() }
+    def readTag(): Int = { pos += 1; val t = d.readByte(); t.toInt }
+    val offs = new Array[Long](ShardCount)
     try {
       var shard = 0
       while (shard < ShardCount) {
-        val count = d.readLong()
+        offs(shard) = pos
+        val count = readLong()
         require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
         var j = 0L
         while (j < count) {
-          val key = d.readLong()
-          val vecLen = d.readInt()
-          // bound BEFORE allocating: a corrupt/hostile length field must
-          // fail loudly, not drive a multi-GB allocation (same rule on
-          // every count below)
+          skipFully(8) // key
+          val vecLen = readInt()
           require(vecLen >= 0 && vecLen <= MaxDim, s"corrupt vector length $vecLen")
-          val vec = new Array[Float](vecLen)
-          var i = 0
-          while (i < vecLen) { vec(i) = readElem(); i += 1 }
-          val metaCount = d.readInt()
-          require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
-          val meta = mutable.LinkedHashMap.empty[String, Any]
+          skipFully(vecLen.toLong * width)
+          val metaCount = readInt()
+          require(metaCount >= 0 && metaCount <= MaxMetaEntries,
+            s"corrupt metadata count $metaCount")
           var k = 0
           while (k < metaCount) {
-            val keyLen = d.readUnsignedShort()
-            val keyBytes = new Array[Byte](keyLen)
-            d.readFully(keyBytes)
-            val metaKey = new String(keyBytes, StandardCharsets.UTF_8)
-            meta(metaKey) = d.readByte() match {
-              case 0 => d.readLong()
-              case 1 =>
-                val len = d.readUnsignedShort()
-                val b = new Array[Byte](len)
-                d.readFully(b)
-                new String(b, StandardCharsets.UTF_8)
-              case 2 => d.readDouble()
-              case 3 => d.readByte() != 0
+            skipFully(readU16().toLong) // key bytes
+            readTag() match {
+              case 0 => skipFully(8)
+              case 1 => skipFully(readU16().toLong)
+              case 2 => skipFully(8)
+              case 3 => skipFully(1)
               case t => throw new IllegalArgumentException(s"unsupported metadata type tag: $t")
             }
             k += 1
           }
-          out += ColttVertex(key, vec, meta.toMap)
           j += 1
         }
         shard += 1
@@ -184,7 +258,7 @@ object ColttImport {
         throw new IllegalArgumentException(
           "truncated coltt vertex blob: hit EOF before all 16 shard sections were read")
     } finally d.close()
-    out.toSeq
+    offs
   }
 
   /** Decoded vertices → a DataFrame in this engine's ingest shape: metadata
@@ -198,17 +272,88 @@ object ColttImport {
       fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
         StructField("vector", ArrayType(FloatType, containsNull = false),
           nullable = false))
-    val rows = vertices.map { v =>
-      // the map[Any] ascription matters: an if/else over (Double, Long)
-      // branches unifies to Double and silently widens the Long — guard
-      // patterns keep each branch's own type
-      Row.fromSeq(fields.map(f => v.meta.get(f.name).map[Any] {
-        case i: Long if f.fieldType == "float"    => i.toDouble
-        case x: Double if f.fieldType == "integer" => x.toLong
-        case other                                 => other
-      }.orNull) :+ v.vector.toSeq)
-    }
+    val rows = vertices.map(v => vertexToRow(fields, v))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 32), schema)
+  }
+
+  /** One vertex → an ingest Row under the declared fields (shared by the
+    * driver-side and executor-side paths — must stay serializable-closure
+    * friendly: only case classes and primitives). The map[Any] ascription
+    * matters: an if/else over (Double, Long) branches unifies to Double and
+    * silently widens the Long — guard patterns keep each branch's own type. */
+  private def vertexToRow(fields: Seq[IndexField], v: ColttVertex): Row =
+    Row.fromSeq(fields.map(f => v.meta.get(f.name).map[Any] {
+      case i: Long if f.fieldType == "float"     => i.toDouble
+      case x: Double if f.fieldType == "integer" => x.toLong
+      case other                                 => other
+    }.orNull) :+ v.vector.toSeq)
+
+  /** Hadoop Configuration is not Serializable; ship it to executors via its
+    * Writable form (the standard connector trick). */
+  private class SerHadoopConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** [[importSnapshot]] without the O(corpus) driver-memory envelope: one
+    * driver-side SKIP-SCAN finds the 16 shard-section offsets (reads only
+    * length fields — O(blob) IO, O(1) memory), then each section is parsed
+    * by an EXECUTOR task seeking straight to its offset, and rows flow into
+    * the normal distributed ingest. Parallelism is format-bound at 16 (the
+    * encoder's EDGE_MAP_SHARD_COUNT); with the reference's roughly uniform
+    * key sharding the sections are balanced. Use this for buckets too big
+    * to hold as a driver-side Seq; results are identical to
+    * [[importSnapshot]] (same section parser). */
+  def importSnapshotDistributed(spark: SparkSession, catalog: GraftCatalog,
+                                name: String, srcDir: String): Long = {
+    val srcPath = new Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val meta = parseMetadata(name, readAll(new Path(srcDir, s"$name.meta.json")))
+    val vertexPath = new Path(srcDir, s"$name.vertex")
+    val offsets = sectionOffsets(fs.open(vertexPath), meta.quantization)
+    val fields = meta.fields
+    val quant = meta.quantization
+    val pathStr = vertexPath.toString
+    val serConf = new SerHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(
+      fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
+        StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false))
+    val rowsRdd = spark.sparkContext
+      .parallelize(offsets.toIndexedSeq, offsets.length)
+      .flatMap { off =>
+        val p = new Path(pathStr)
+        val in = p.getFileSystem(serConf.conf).open(p)
+        in.seek(off)
+        val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+        try parseShardSection(d, quant).map(v => vertexToRow(fields, v))
+        catch {
+          case _: EOFException => throw new IllegalArgumentException(
+            s"truncated coltt vertex blob: section at offset $off hit EOF")
+        } finally d.close()
+      }
+    catalog.createCollection(meta)
+    try {
+      catalog.loadCollection(name)
+      catalog.insert(name, spark.createDataFrame(rowsRdd, schema))
+      catalog.flush(name)
+    } catch { case e: Throwable =>
+      try catalog.dropCollection(name) catch { case _: Throwable => () }
+      throw e
+    }
+    // count AFTER the flush: the snapshot is the materialized result, so
+    // this reads the published parquet instead of re-parsing the blob
+    catalog.snapshot(name).count()
   }
 
   /** Encode vertices into the reference's blob format (the exact inverse of

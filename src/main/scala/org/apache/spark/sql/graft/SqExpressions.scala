@@ -80,6 +80,80 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** JVM-wide interned ADC tables for [[VecDistanceSq8]] — one shared copy
+  * per (metric, query, mins, scales) instead of one per task (see the
+  * doGenCode note). Entries are content-keyed; a small LRU bounds residency
+  * (a serving loop cycles queries, each with its own table). Thread-safe:
+  * the worst race builds the same deterministic table twice. */
+object Sq8LutCache {
+  private final case class Key(metric: String, q: Seq[Double], mn: Seq[Double], sc: Seq[Double])
+  private val MaxEntries = 64
+  private val cache = new java.util.LinkedHashMap[Key, Array[Double]](MaxEntries, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, Array[Double]]): Boolean =
+      size() > MaxEntries
+  }
+
+  /** Build the per-(dim, code) contribution table. Cosine interleaves
+    * (dec·q, dec·dec) pairs so both gathers land in one cache line; the
+    * other metrics collapse to a single per-element contribution. Entry
+    * arithmetic mirrors the per-element op sequence of
+    * metric(decode(codes), query) exactly — bit-identical accumulation. */
+  private def build(metric: String, query: Array[Double],
+                    mins: Array[Double], scales: Array[Double]): Array[Double] = {
+    val n = query.length
+    metric match {
+      case "cosine" =>
+        val t = new Array[Double](n << 9)
+        var i = 0
+        while (i < n) {
+          val y = query(i)
+          var c = 0
+          while (c < 256) {
+            val x = mins(i) + c.toDouble * scales(i)
+            val base = ((i << 8) | c) << 1
+            t(base) = x * y
+            t(base + 1) = x * x
+            c += 1
+          }
+          i += 1
+        }
+        t
+      case _ =>
+        val t = new Array[Double](n << 8)
+        var i = 0
+        while (i < n) {
+          val y = query(i)
+          var c = 0
+          while (c < 256) {
+            val x = mins(i) + c.toDouble * scales(i)
+            t((i << 8) | c) = metric match {
+              case "euclidean" => val d = x - y; d * d
+              case "manhattan" => math.abs(x - y)
+              case "dot"       => x * y
+            }
+            c += 1
+          }
+          i += 1
+        }
+        t
+    }
+  }
+
+  def getOrBuild(metric: String, query: Array[Double],
+                 mins: Array[Double], scales: Array[Double]): Array[Double] = {
+    val key = Key(metric, query.toSeq, mins.toSeq, scales.toSeq)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val built = build(metric, query, mins, scales) // build OUTSIDE the lock
+    cache.synchronized {
+      val raced = cache.get(key)
+      if (raced != null) raced else { cache.put(key, built); built }
+    }
+  }
+}
+
 object Sq8Encode {
   def encodeOne(x: Float, mn: Double, sc: Double): Byte =
     if (sc <= 0.0) 0.toByte
@@ -189,51 +263,6 @@ case class VecDistanceSq8(child: Expression, query: Array[Double],
     }
   }
 
-  /** Per-(dim, code) contribution table(s). Cosine interleaves
-    * (dec·q, dec·dec) pairs so both gathers land in one cache line; the
-    * other metrics collapse to a single per-element contribution. Entry
-    * arithmetic mirrors the per-element op sequence of
-    * metric(decode(codes), query) exactly. */
-  private lazy val lut: Array[Double] = {
-    val n = query.length
-    metric match {
-      case "cosine" =>
-        val t = new Array[Double](n << 9)
-        var i = 0
-        while (i < n) {
-          val y = query(i)
-          var c = 0
-          while (c < 256) {
-            val x = mins(i) + c.toDouble * scales(i)
-            val base = ((i << 8) | c) << 1
-            t(base) = x * y
-            t(base + 1) = x * x
-            c += 1
-          }
-          i += 1
-        }
-        t
-      case _ =>
-        val t = new Array[Double](n << 8)
-        var i = 0
-        while (i < n) {
-          val y = query(i)
-          var c = 0
-          while (c < 256) {
-            val x = mins(i) + c.toDouble * scales(i)
-            t((i << 8) | c) = metric match {
-              case "euclidean" => val d = x - y; d * d
-              case "manhattan" => math.abs(x - y)
-              case "dot"       => x * y
-            }
-            c += 1
-          }
-          i += 1
-        }
-        t
-    }
-  }
-
   /** Query self-norm Σ y·y, accumulated in element order — the same value
     * the fissioned loop's `nb` accumulator produced (query is constant, so
     * it never depended on the row). */
@@ -244,7 +273,19 @@ case class VecDistanceSq8(child: Expression, query: Array[Double],
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tab = ctx.addReferenceObj("sq8Lut", lut, "double[]")
+    // The table is INTERNED per JVM (content-keyed LRU), not shipped as a
+    // reference object: a reference object is deserialized per task, so 32
+    // concurrent scan tasks would hold 32 private copies of a 256-512 KB
+    // table — 8-16 MB of hot gather targets thrashing L3 where ONE shared
+    // copy fits. The generated init fetches (or builds once) the shared
+    // array from the small (query, mins, scales) constants.
+    val qRef = ctx.addReferenceObj("sq8Query", query, "double[]")
+    val mnRef = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val scRef = ctx.addReferenceObj("sq8Scales", scales, "double[]")
+    val tab = ctx.addMutableState("double[]", "sq8LutShared",
+      v => s"""$v = org.apache.spark.sql.graft.Sq8LutCache.getOrBuild(
+              |  "$metric", $qRef, $mnRef, $scRef);""".stripMargin,
+      forceInline = false)
     // emit the constant via its raw bits: a plain decimal interpolation
     // breaks codegen COMPILATION on NaN/Infinity query vectors ("NaND" is
     // not a Java literal), silently dropping the whole stage to interpreted

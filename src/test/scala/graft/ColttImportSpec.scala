@@ -142,6 +142,32 @@ class ColttImportSpec extends SparkSpec {
     assert(res.length === 5)
   }
 
+  test("distributed import: skip-scan section offsets + executor-side parse match " +
+    "the sequential path exactly") {
+    val dir = Files.createTempDirectory("coltt-bucket-dist")
+    val vs = vertices(120)
+    writeBucket(dir, "dimp", distance = 1, quantization = 0, vs, "none")
+    // offsets found by the skip-scan must agree with a real parse: section i
+    // starts where sections 0..i-1 ended
+    val blob = Files.readAllBytes(dir.resolve("dimp.vertex"))
+    val offs = ColttImport.sectionOffsets(new java.io.ByteArrayInputStream(blob), "none")
+    assert(offs.length === 16 && offs.head === 0L && offs.sorted.sameElements(offs))
+    assert(offs.last < blob.length)
+
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-dimp").toString)
+    assert(ColttImport.importSnapshotDistributed(spark, cat, "dimp", dir.toString) === 120L)
+    val seqCat = new GraftCatalog(spark, Files.createTempDirectory("graft-dimp-seq").toString)
+    ColttImport.importSnapshot(spark, seqCat, "dimp", dir.toString)
+    val q = Array(0.3f, 0.7f, 0.2f, 0.5f)
+    assert(cat.search("dimp", q, 10).collect().map(_.toString).toSeq ===
+      seqCat.search("dimp", q, 10).collect().map(_.toString).toSeq)
+    // full-state parity, not just top-10
+    def all(c: GraftCatalog) = c.snapshot("dimp")
+      .select("doc_id", "rank", "weight", "flagged").collect()
+      .map(_.toString).toSet
+    assert(all(cat) === all(seqCat))
+  }
+
   test("experimental (CFLAT) bucket import: string-keyed multi-vector entries, " +
     "weighted search parity with direct ingest") {
     val dir = Files.createTempDirectory("coltt-bucket-mv")

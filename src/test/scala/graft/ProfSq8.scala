@@ -21,7 +21,7 @@ object ProfSq8 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/repo/target/bench-1m-10m"
+    val dir = sys.env.getOrElse("PROF_DIR", "/root/repo/target/bench-1m-10m")
     val read = spark.read.parquet(dir)
     val (sqMins, sqScales) = graft.ann.Sq.trainStats(read, "embedding", sampleMod = 16L, idCol = "vec_id")
     val big = read
