@@ -130,11 +130,8 @@ object ColttImport {
     case q => throw new IllegalArgumentException(s"unknown quantization: $q")
   }
 
-  /** Decode ONE shard section (`u64 count` + entries) from an already-
-    * positioned stream — the unit both the sequential and the distributed
-    * import paths share. */
-  private def parseShardSection(d: DataInputStream, quantization: String): Seq[ColttVertex] = {
-    val out = mutable.ArrayBuffer.empty[ColttVertex]
+  /** Decode one vertex entry from an already-positioned stream. */
+  private def parseOneVertex(d: DataInputStream, quantization: String): ColttVertex = {
     def readElem(): Float = quantization match {
       case "none" => java.lang.Float.intBitsToFloat(d.readInt())
       case "f16"  => QuantKernels.f16ToFloat(d.readShort())
@@ -142,46 +139,56 @@ object ColttImport {
       case "f8"   => QuantKernels.f8ToFloat(d.readByte())
       case q      => throw new IllegalArgumentException(s"unknown quantization: $q")
     }
-    val count = d.readLong()
-    require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
-    var j = 0L
-    while (j < count) {
-      val key = d.readLong()
-      val vecLen = d.readInt()
-      // bound BEFORE allocating: a corrupt/hostile length field must
-      // fail loudly, not drive a multi-GB allocation (same rule on
-      // every count below)
-      require(vecLen >= 0 && vecLen <= MaxDim, s"corrupt vector length $vecLen")
-      val vec = new Array[Float](vecLen)
-      var i = 0
-      while (i < vecLen) { vec(i) = readElem(); i += 1 }
-      val metaCount = d.readInt()
-      require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
-      val meta = mutable.LinkedHashMap.empty[String, Any]
-      var k = 0
-      while (k < metaCount) {
-        val keyLen = d.readUnsignedShort()
-        val keyBytes = new Array[Byte](keyLen)
-        d.readFully(keyBytes)
-        val metaKey = new String(keyBytes, StandardCharsets.UTF_8)
-        meta(metaKey) = d.readByte() match {
-          case 0 => d.readLong()
-          case 1 =>
-            val len = d.readUnsignedShort()
-            val b = new Array[Byte](len)
-            d.readFully(b)
-            new String(b, StandardCharsets.UTF_8)
-          case 2 => d.readDouble()
-          case 3 => d.readByte() != 0
-          case t => throw new IllegalArgumentException(s"unsupported metadata type tag: $t")
-        }
-        k += 1
+    val key = d.readLong()
+    val vecLen = d.readInt()
+    // bound BEFORE allocating: a corrupt/hostile length field must fail
+    // loudly, not drive a multi-GB allocation (same rule on every count)
+    require(vecLen >= 0 && vecLen <= MaxDim, s"corrupt vector length $vecLen")
+    val vec = new Array[Float](vecLen)
+    var i = 0
+    while (i < vecLen) { vec(i) = readElem(); i += 1 }
+    val metaCount = d.readInt()
+    require(metaCount >= 0 && metaCount <= MaxMetaEntries, s"corrupt metadata count $metaCount")
+    val meta = mutable.LinkedHashMap.empty[String, Any]
+    var k = 0
+    while (k < metaCount) {
+      val keyLen = d.readUnsignedShort()
+      val keyBytes = new Array[Byte](keyLen)
+      d.readFully(keyBytes)
+      val metaKey = new String(keyBytes, StandardCharsets.UTF_8)
+      meta(metaKey) = d.readByte() match {
+        case 0 => d.readLong()
+        case 1 =>
+          val len = d.readUnsignedShort()
+          val b = new Array[Byte](len)
+          d.readFully(b)
+          new String(b, StandardCharsets.UTF_8)
+        case 2 => d.readDouble()
+        case 3 => d.readByte() != 0
+        case t => throw new IllegalArgumentException(s"unsupported metadata type tag: $t")
       }
-      out += ColttVertex(key, vec, meta.toMap)
-      j += 1
+      k += 1
     }
-    out.toSeq
+    ColttVertex(key, vec, meta.toMap)
   }
+
+  /** LAZY decode of one shard section (`u64 count` + entries) — the unit
+    * both import paths share. The distributed path consumes this as a true
+    * stream (one vertex live at a time); only the sequential driver path
+    * materializes it. */
+  private def shardSectionIterator(d: DataInputStream,
+                                   quantization: String): Iterator[ColttVertex] = {
+    val entryCount = d.readLong()
+    require(entryCount >= 0 && entryCount < Int.MaxValue, s"corrupt shard count $entryCount")
+    new Iterator[ColttVertex] {
+      private var j = 0L
+      override def hasNext: Boolean = j < entryCount
+      override def next(): ColttVertex = { j += 1; parseOneVertex(d, quantization) }
+    }
+  }
+
+  private def parseShardSection(d: DataInputStream, quantization: String): Seq[ColttVertex] =
+    shardSectionIterator(d, quantization).toIndexedSeq
 
   /** Sequential decode of a `<col>.vertex` blob (format in the class doc).
     * `quantization` selects the element width/decoder; the decoded floats are
@@ -224,7 +231,10 @@ object ColttImport {
     val offs = new Array[Long](ShardCount)
     try {
       var shard = 0
-      while (shard < ShardCount) {
+      // the LAST section's offset is known the moment section 14's scan
+      // ends — don't burn up to 1/16 of the blob's IO scanning it; the
+      // executor parse validates every section anyway
+      while (shard < ShardCount - 1) {
         offs(shard) = pos
         val count = readLong()
         require(count >= 0 && count < Int.MaxValue, s"corrupt shard count $count")
@@ -253,6 +263,7 @@ object ColttImport {
         }
         shard += 1
       }
+      offs(ShardCount - 1) = pos
     } catch {
       case _: EOFException =>
         throw new IllegalArgumentException(
@@ -265,15 +276,20 @@ object ColttImport {
     * columns by declared name, vector in the `vector` column.
     * Missing nullable fields stay NULL (insert-time validation applies the
     * declared defaults, the same standardAnalyzer semantics). */
-  def verticesToRows(spark: SparkSession, meta: CollectionMeta,
-                     vertices: Seq[ColttVertex]): DataFrame = {
-    val fields = meta.fields
-    val schema = StructType(
+  /** The ingest frame's schema — ONE definition shared by the sequential
+    * and distributed paths so they cannot desynchronize. */
+  private def ingestSchema(fields: Seq[IndexField]): StructType =
+    StructType(
       fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
         StructField("vector", ArrayType(FloatType, containsNull = false),
           nullable = false))
+
+  def verticesToRows(spark: SparkSession, meta: CollectionMeta,
+                     vertices: Seq[ColttVertex]): DataFrame = {
+    val fields = meta.fields
     val rows = vertices.map(v => vertexToRow(fields, v))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 32), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 32),
+      ingestSchema(fields))
   }
 
   /** One vertex → an ingest Row under the declared fields (shared by the
@@ -288,29 +304,15 @@ object ColttImport {
       case other                                 => other
     }.orNull) :+ v.vector.toSeq)
 
-  /** Hadoop Configuration is not Serializable; ship it to executors via its
-    * Writable form (the standard connector trick). */
-  private class SerHadoopConf(@transient var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
-
   /** [[importSnapshot]] without the O(corpus) driver-memory envelope: one
     * driver-side SKIP-SCAN finds the 16 shard-section offsets (reads only
     * length fields — O(blob) IO, O(1) memory), then each section is parsed
-    * by an EXECUTOR task seeking straight to its offset, and rows flow into
-    * the normal distributed ingest. Parallelism is format-bound at 16 (the
-    * encoder's EDGE_MAP_SHARD_COUNT); with the reference's roughly uniform
-    * key sharding the sections are balanced. Use this for buckets too big
-    * to hold as a driver-side Seq; results are identical to
-    * [[importSnapshot]] (same section parser). */
+    * by an EXECUTOR task seeking straight to its offset and STREAMING
+    * entries one at a time (one vertex live per task, never a section-sized
+    * buffer), and rows flow into the normal distributed ingest. Parallelism
+    * is format-bound at 16 (the encoder's EDGE_MAP_SHARD_COUNT); with the
+    * reference's roughly uniform key sharding the sections are balanced.
+    * Results are identical to [[importSnapshot]] (same entry parser). */
   def importSnapshotDistributed(spark: SparkSession, catalog: GraftCatalog,
                                 name: String, srcDir: String): Long = {
     val srcPath = new Path(srcDir)
@@ -325,22 +327,33 @@ object ColttImport {
     val fields = meta.fields
     val quant = meta.quantization
     val pathStr = vertexPath.toString
-    val serConf = new SerHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val schema = StructType(
-      fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
-        StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false))
+    val serConf = new org.apache.spark.sql.graft.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val schema = ingestSchema(fields)
     val rowsRdd = spark.sparkContext
       .parallelize(offsets.toIndexedSeq, offsets.length)
       .flatMap { off =>
         val p = new Path(pathStr)
-        val in = p.getFileSystem(serConf.conf).open(p)
+        val in = p.getFileSystem(serConf.value).open(p)
         in.seek(off)
         val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
-        try parseShardSection(d, quant).map(v => vertexToRow(fields, v))
-        catch {
-          case _: EOFException => throw new IllegalArgumentException(
-            s"truncated coltt vertex blob: section at offset $off hit EOF")
-        } finally d.close()
+        // the stream must outlive this flatMap call (the iterator is
+        // consumed downstream) — close on task completion, not here
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.close()))
+        def truncated() = new IllegalArgumentException(
+          s"truncated coltt vertex blob: section at offset $off hit EOF")
+        val base =
+          try shardSectionIterator(d, quant)
+          catch { case _: EOFException => throw truncated() }
+        // translate an EOF DURING consumption too (the count header read
+        // above is not the only place a truncated section can surface)
+        new Iterator[Row] {
+          override def hasNext: Boolean = base.hasNext
+          override def next(): Row =
+            try vertexToRow(fields, base.next())
+            catch { case _: EOFException => throw truncated() }
+        }
       }
     catalog.createCollection(meta)
     try {

@@ -87,11 +87,15 @@ case class Sq8Encode(child: Expression, mins: Array[Double], scales: Array[Doubl
   * the worst race builds the same deterministic table twice. */
 object Sq8LutCache {
   private final case class Key(metric: String, q: Seq[Double], mn: Seq[Double], sc: Seq[Double])
-  private val MaxEntries = 64
-  private val cache = new java.util.LinkedHashMap[Key, Array[Double]](MaxEntries, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Key, Array[Double]]): Boolean =
-      size() > MaxEntries
-  }
+  /** Residency is bounded by TOTAL BYTES, not entry count: a table is
+    * dim×256×8 B (×2 for cosine), so at dim=1536 one cosine entry is
+    * ~6.3 MB and a fixed entry count would silently pin hundreds of MB in
+    * every executor. 64 MB holds ~128 dim=128 cosine tables or ~10 dim=1536
+    * ones; eviction is LRU, and the worst case after eviction is rebuilding
+    * a table (milliseconds), never wrong answers. */
+  private val MaxBytes = 64L << 20
+  private var totalBytes = 0L
+  private val cache = new java.util.LinkedHashMap[Key, Array[Double]](64, 0.75f, true)
 
   /** Build the per-(dim, code) contribution table. Cosine interleaves
     * (dec·q, dec·dec) pairs so both gathers land in one cache line; the
@@ -149,7 +153,22 @@ object Sq8LutCache {
     val built = build(metric, query, mins, scales) // build OUTSIDE the lock
     cache.synchronized {
       val raced = cache.get(key)
-      if (raced != null) raced else { cache.put(key, built); built }
+      if (raced != null) raced
+      else {
+        cache.put(key, built)
+        totalBytes += built.length.toLong * 8
+        // evict least-recently-used until under the byte budget (access-order
+        // map: the iterator walks eldest-first); never evict what we just put
+        val it = cache.entrySet().iterator()
+        while (totalBytes > MaxBytes && it.hasNext) {
+          val e = it.next()
+          if (!(e.getKey eq key)) {
+            totalBytes -= e.getValue.length.toLong * 8
+            it.remove()
+          }
+        }
+        built
+      }
     }
   }
 }

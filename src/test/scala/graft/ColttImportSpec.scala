@@ -166,6 +166,18 @@ class ColttImportSpec extends SparkSpec {
       .select("doc_id", "rank", "weight", "flagged").collect()
       .map(_.toString).toSet
     assert(all(cat) === all(seqCat))
+
+    // quantized twin: the skip-scan's ONLY quantization-dependent logic is
+    // the element width, so a 2-byte (f16) blob must also land mid-entry
+    // nowhere — parity with the sequential f16 import proves the widths
+    val dirQ = Files.createTempDirectory("coltt-bucket-dist-f16")
+    writeBucket(dirQ, "dimpq", distance = 0, quantization = 1, vertices(64), "f16")
+    val catQ = new GraftCatalog(spark, Files.createTempDirectory("graft-dimpq").toString)
+    assert(ColttImport.importSnapshotDistributed(spark, catQ, "dimpq", dirQ.toString) === 64L)
+    val seqQ = new GraftCatalog(spark, Files.createTempDirectory("graft-dimpq-seq").toString)
+    ColttImport.importSnapshot(spark, seqQ, "dimpq", dirQ.toString)
+    assert(catQ.search("dimpq", q, 8).collect().map(_.toString).toSeq ===
+      seqQ.search("dimpq", q, 8).collect().map(_.toString).toSeq)
   }
 
   test("experimental (CFLAT) bucket import: string-keyed multi-vector entries, " +
