@@ -1094,6 +1094,51 @@ class GraftCatalog(spark: SparkSession, root: String,
       centroids, qv, nprobe, topK, meta.distance)
   }
 
+  /** Batch retrieval over the IVF layout: the k nearest rows for EVERY
+    * query of a batch, in one plan — [[searchIvf]] is this with a
+    * single-row query side. The retrieval-augmentation primitive
+    * ([[graft.ann.Ann.knnJoin]]): probe-cell selection is row-local, ONE
+    * cell equi-join pairs queries with candidates (partition-pruned on the
+    * cell-partitioned snapshot — never query×corpus), and Catalyst's
+    * partial WindowGroupLimit bounds each query to k below the exchange.
+    * Queries are prepared exactly like single probes (normalize/quantize
+    * round-trip per the collection). Output: (qid, idColumn, dist, rn). */
+  def searchBatch(name: String, queries: Seq[(String, Array[Float])],
+                  topK: Int, nprobe: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queries.nonEmpty, "searchBatch requires at least one query")
+    require(meta.idColumn != "qid",
+      "searchBatch reserves the output column name 'qid'; the collection pk shadows it")
+    queries.foreach { case (qid, v) =>
+      require(v.length == meta.dim,
+        s"query $qid dimension mismatch: expected ${meta.dim}, got ${v.length}")
+    }
+    import spark.implicits._
+    if (!fs.exists(centroidDir(name, meta.currentVersion))) {
+      // flushed empty → no cells, no neighbors (same contract as knnJoin:
+      // a query with no candidates produces no rows)
+      return Seq.empty[(String, String, Double, Int)]
+        .toDF("qid", meta.idColumn, "dist", "rn")
+    }
+    val centroids = readCentroids(name, meta.currentVersion)
+    // internal query-column names that cannot collide with a declared pk
+    val qdf = queries.map { case (qid, v) =>
+      (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
+    }.toDF("__batch_qid", "__batch_qvec")
+    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+      .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val decoded = meta.quantization match {
+      case "none" => snap
+      case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+    graft.ann.Ann.knnJoin(decoded, qdf, topK,
+      meta.idColumn, vecCol, "__batch_qid", "__batch_qvec", centroids, nprobe, meta.distance)
+      .select(col("__batch_qid").as("qid"), col(meta.idColumn), col("dist"), col("rn"))
+  }
+
   /** ADC (product-quantization) search over the PQ code layout of the
     * on-disk snapshot: the scan touches ONLY the m-byte `__pq_code` column
     * (parquet column pruning) plus the pk — at 100 TB that is a 32-64×

@@ -69,6 +69,51 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("imported", qv, topK = 10)
     }),
+    // Migration path #3 — the CORE engine's commit log: round-trip the
+    // embeddings table through a bitcask WAL of proto-marshaled Dataset
+    // records (core/core.go:449, diskv/db.go, pkg/wal/segment.go), with the
+    // full mutation vocabulary exercised — batched inserts, an UPDATE batch
+    // (re-put under the same snowflake id), a DELETE batch, and an
+    // uncommitted tail batch that replay must drop. The oracle recomputes
+    // the exact post-replay state from the input table alone, so the chunk
+    // CRC walk, LogRecord varints, protobuf decode, batch atomicity, AND
+    // LWW ordering all have to be right for the hash to match. Labels
+    // arrive as proto Struct numbers (always double) → DOUBLE in both.
+    "coltt_import_core" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val rows = e.select(col("vec_id"), col("label").cast("double"), col("embedding"))
+        .collect().toIndexedSeq
+      def dataset(id: Long, label: Double, vec: Array[Float]) =
+        graft.interop.ColttCoreImport.CoreDataset(7000L + id, id.toString, vec,
+          Map[String, Any]("label" -> label))
+      def putOf(d: graft.interop.ColttCoreImport.CoreDataset) =
+        Left(s"coreimp_${d.uniqueId}" -> graft.interop.ColttCoreImport.encodeDataset(d))
+      val all = rows.map(r => dataset(r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+      val dim = rows.head.getSeq[Float](2).length
+      val walDir = Files.createTempDirectory("coltt-core-wal")
+      val out = new java.io.FileOutputStream(walDir.resolve("000000001.SEG").toFile)
+      try graft.interop.ColttCoreImport.writeWalFixture(out,
+        batches = Seq(
+          500L -> all.map(putOf),
+          501L -> (all.collect { case d if d.userId.toLong % 7 == 0 =>
+              putOf(d.copy(meta = Map[String, Any](
+                "label" -> (d.meta("label").asInstanceOf[Double] + 100.0))))
+            } ++ all.collect { case d if d.userId.toLong % 37 == 5 =>
+              Right(s"coreimp_${d.uniqueId}"): Either[(String, Array[Byte]), String]
+            }),
+          502L -> all.collect { case d if d.userId.toLong % 11 == 0 =>
+            putOf(d.copy(meta = Map[String, Any]("label" -> 9999.0))) }),
+        finishLast = false, // batch 502 is the torn tail replay must drop
+        directPuts = Seq("coreimp_archive" ->
+          graft.interop.ColttCoreImport.encodeCollectionConfig(
+            graft.interop.ColttCoreImport.CoreCollectionConfig(
+              "coreimp", dim, "euclidean", "None"))))
+      finally out.close()
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-core").toString)
+      graft.interop.ColttCoreImport.importCoreCollection(s, cat, "coreimp", walDir.toString)
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.search("coreimp", qv, topK = 10)
+    }),
     // PQ code layout through the full Collection API: create with
     // pqSubspaces/pqCodewords, flush (codes column + codebook sidecar),
     // ADC-ranked search over the code scan. pqTrainIterations=0 keeps the
@@ -344,6 +389,21 @@ object PersistenceQueries {
         |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM embeddings e, q
         |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the core WAL replay's final state, recomputed from the input table:
+    // vec_id%7=0 relabeled +100 (the committed update batch), vec_id%37=5
+    // gone (the delete batch), the torn 9999-label batch invisible; labels
+    // are DOUBLE because proto Struct numbers are
+    "coltt_import_core" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |live AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0 THEN label + 100 ELSE label END AS label,
+        |    embedding
+        |  FROM embeddings WHERE vec_id % 37 <> 5)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS _id, CAST(e.label AS DOUBLE) AS label,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM live e, q
+        |ORDER BY dist, _id LIMIT 10""".stripMargin,
     "catalog_pq_search" ->
       """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id, embedding
         |  FROM embeddings),

@@ -231,6 +231,40 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
         rowsJson(catalog.searchIvf(name, vector, topK, nprobe))
+      // Batch retrieval (the knnJoin primitive over the IVF layout): the k
+      // nearest rows for EVERY query of a batch in ONE Spark plan — the
+      // retrieval-augmentation shape, amortizing the per-job dispatch floor
+      // across the whole batch instead of paying it per query. Bounded like
+      // every rows route: ≤ 1024 queries per call (a bigger batch is a bulk
+      // job — run knnJoin as a library call), topK-bounded output per query.
+      case ("POST", "collections" :: name :: "searchBatch" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val queries = req \ "queries" match {
+          case JArray(qs) => qs.map { q =>
+            val qid = q \ "id" match {
+              case JString(s) => s
+              case JInt(v) => v.toString
+              case JLong(v) => v.toString
+              case _ => throw new IllegalArgumentException(
+                "each query requires \"id\" (string or integer)")
+            }
+            val vec = q \ "vector" match {
+              case JArray(xs) => xs.map(num(_).toFloat).toArray
+              case _ => throw new IllegalArgumentException(
+                s"query $qid requires \"vector\": [..]")
+            }
+            qid -> vec
+          }
+          case _ => throw new IllegalArgumentException(
+            "searchBatch requires \"queries\": [{\"id\":.., \"vector\":[..]}]")
+        }
+        require(queries.size <= 1024,
+          s"searchBatch is capped at 1024 queries per call, got ${queries.size}")
+        require(queries.map(_._1).distinct.size == queries.size,
+          "searchBatch query ids must be unique")
+        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        rowsJson(catalog.searchBatch(name, queries, topK, nprobe))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>

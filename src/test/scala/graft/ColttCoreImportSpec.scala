@@ -1,0 +1,299 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.collection._
+import graft.interop.ColttCoreImport
+import graft.interop.ColttCoreImport.{CoreCollectionConfig, CoreDataset, WalRecord}
+
+/** Migration-path spec for the reference CORE engine's commit log
+  * (bitcask WAL of proto-marshaled KV records, diskv/db.go + core/core.go):
+  * wire-format round trips at each layer, the reference's replay semantics
+  * (batch atomicity, merge records, deletes, LWW), and end-to-end import
+  * parity with a directly-ingested twin collection. */
+class ColttCoreImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 4
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextFloat())
+  }
+
+  private def ds(i: Int, label: Double = 0.0): CoreDataset =
+    CoreDataset(uniqueId = 9000L + i, userId = s"u$i", vector = vec(i),
+      meta = Map[String, Any]("label" -> (if (label != 0.0) label else i.toDouble),
+        "src" -> s"s${i % 3}", "ok" -> (i % 2 == 0)))
+
+  private def put(col: String, d: CoreDataset): Either[(String, Array[Byte]), String] =
+    Left(s"${col}_${d.uniqueId}" -> ColttCoreImport.encodeDataset(d))
+
+  private def del(col: String, uniqueId: Long): Either[(String, Array[Byte]), String] =
+    Right(s"${col}_$uniqueId")
+
+  private def archive(col: String): (String, Array[Byte]) =
+    s"${col}_archive" -> ColttCoreImport.encodeCollectionConfig(
+      CoreCollectionConfig(col, dim, "euclidean", "None"))
+
+  private def writeSeg(dir: java.nio.file.Path, segId: Long,
+                       batches: Seq[(Long, Seq[Either[(String, Array[Byte]), String]])],
+                       finishLast: Boolean = true,
+                       directPuts: Seq[(String, Array[Byte])] = Seq.empty): Unit = {
+    val out = new java.io.FileOutputStream(dir.resolve(f"$segId%09d.SEG").toFile)
+    try ColttCoreImport.writeWalFixture(out, batches, finishLast, directPuts)
+    finally out.close()
+  }
+
+  test("protobuf layer: Dataset and Collection round-trip, unknown fields skip, " +
+    "unpacked floats accepted") {
+    val d0 = ds(7)
+    val dec = ColttCoreImport.decodeDataset(ColttCoreImport.encodeDataset(d0))
+    assert(dec.uniqueId === d0.uniqueId && dec.userId === d0.userId)
+    assert(dec.vector.toSeq === d0.vector.toSeq && dec.meta === d0.meta)
+
+    // empty metadata / empty vector stay decodable
+    val bare = ColttCoreImport.decodeDataset(ColttCoreImport.encodeDataset(
+      CoreDataset(1L, "x", Array.emptyFloatArray, Map.empty)))
+    assert(bare.userId === "x" && bare.vector.isEmpty && bare.meta.isEmpty)
+
+    // forward compatibility: an unknown field (99, varint) before the known
+    // ones must be skipped by wire type, not break the decode
+    val extra = Array[Byte]((99 << 3).toByte, 0x2a) ++ ColttCoreImport.encodeDataset(d0)
+    assert(ColttCoreImport.decodeDataset(extra).userId === d0.userId)
+
+    // unpacked repeated float (field 3, wire type 5 per element) is legal
+    // on the wire; the reference's proto3 writer packs, a compliant decoder
+    // accepts both
+    val unpacked = (0 until dim).flatMap { i =>
+      val bits = java.lang.Float.floatToIntBits(d0.vector(i))
+      Seq(((3 << 3) | 5).toByte, (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+        ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+    }.toArray
+    assert(ColttCoreImport.decodeDataset(unpacked).vector.toSeq === d0.vector.toSeq)
+
+    val cfg = CoreCollectionConfig("c1", 128, "cosine-dot", "None")
+    assert(ColttCoreImport.decodeCollectionConfig(
+      ColttCoreImport.encodeCollectionConfig(cfg)) === cfg)
+  }
+
+  test("WAL chunk layer: multi-block records, block padding, CRC validation") {
+    // records sized to force FULL chunks, block-boundary padding, and a
+    // FIRST/MIDDLE/LAST span (70 KB > two 32 KB blocks)
+    val rnd = new scala.util.Random(3)
+    val records = Seq(100, 5000, 32760, 70 * 1024, 17, 31000).map { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ColttCoreImport.SegmentWriter(bos)
+    records.foreach(w.write)
+    val got = ColttCoreImport.segmentRecords(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).toSeq
+    assert(got.size === records.size)
+    got.zip(records).foreach { case (g, r) => assert(g.sameElements(r)) }
+
+    // flip one data byte → the CRC must catch it
+    val corrupt = bos.toByteArray.clone()
+    corrupt(40) = (corrupt(40) ^ 0x01).toByte
+    val ex = intercept[IllegalArgumentException] {
+      ColttCoreImport.segmentRecords(new java.io.ByteArrayInputStream(corrupt)).toSeq
+    }
+    assert(ex.getMessage.contains("CRC"))
+  }
+
+  test("LogRecord layer: zigzag sizes, uvarint batch id, round-trip") {
+    val rec = WalRecord(tpe = 0, batchId = 987654321098L, expire = 0L,
+      key = "core_9001".getBytes("UTF-8"), value = Array[Byte](1, 2, 3))
+    val dec = ColttCoreImport.decodeLogRecord(ColttCoreImport.encodeLogRecord(rec))
+    assert(dec.tpe === rec.tpe && dec.batchId === rec.batchId)
+    assert(dec.key.sameElements(rec.key) && dec.value.sameElements(rec.value))
+  }
+
+  test("replay semantics: batch atomicity, LWW overwrite, delete, merge records, " +
+    "expiry, multi-segment order") {
+    val dir = Files.createTempDirectory("core-wal-replay")
+    // segment 1: merge-style direct put (batch 0) + batch 10 (a, b) +
+    // batch 11 re-puts a (LWW) and deletes b
+    writeSeg(dir, 1L,
+      batches = Seq(
+        10L -> Seq(Left("k_a" -> Array[Byte](1)), Left("k_b" -> Array[Byte](2))),
+        11L -> Seq(Left("k_a" -> Array[Byte](3)), Right("k_b"))),
+      directPuts = Seq("k_m" -> Array[Byte](9)))
+    // segment 2: batch 12 puts c, then an UNCOMMITTED batch 13 that would
+    // overwrite a — must be dropped on replay
+    writeSeg(dir, 2L,
+      batches = Seq(
+        12L -> Seq(Left("k_c" -> Array[Byte](4))),
+        13L -> Seq(Left("k_a" -> Array[Byte](99)))),
+      finishLast = false)
+    val kv = ColttCoreImport.replayWal(spark, dir.toString)
+    assert(kv.keySet === Set("k_m", "k_a", "k_c"))
+    assert(kv("k_a").toSeq === Seq[Byte](3)) // batch 11 won; batch 13 dropped
+    assert(kv("k_m").toSeq === Seq[Byte](9))
+
+    // an expired record deletes its key at replay time (db.go:550-553)
+    val dir2 = Files.createTempDirectory("core-wal-expire")
+    val out = new java.io.FileOutputStream(dir2.resolve("000000001.SEG").toFile)
+    val w = new ColttCoreImport.SegmentWriter(out)
+    w.write(ColttCoreImport.encodeLogRecord(WalRecord(0, 0L, 0L,
+      "k_e".getBytes, Array[Byte](5)))) // live (merge record)
+    w.write(ColttCoreImport.encodeLogRecord(WalRecord(0, 20L, expire = 1000L,
+      "k_e".getBytes, Array[Byte](6)))) // expired long ago
+    w.write(ColttCoreImport.encodeLogRecord(WalRecord(2, 20L, 0L,
+      "20".getBytes, Array.emptyByteArray)))
+    w.flush(); out.close()
+    val kv2 = ColttCoreImport.replayWal(spark, dir2.toString,
+      nowNanos = 2000L)
+    assert(!kv2.contains("k_e"))
+  }
+
+  test("full import: WAL-replayed collection matches a direct-ingest twin " +
+    "(insert + update + delete + uncommitted tail)") {
+    val dir = Files.createTempDirectory("core-wal-full")
+    val all = (1 to 40).map(i => ds(i))
+    // batch 1: archive + first 20 inserts; batch 2: rest; batch 3: update
+    // rows 3,6 (same uniqueId re-put, new label) and delete rows 5,10;
+    // batch 4 (uncommitted): a bogus overwrite that must not apply
+    writeSeg(dir, 1L,
+      batches = Seq(
+        100L -> all.take(20).map(put("core", _)),
+        101L -> all.drop(20).map(put("core", _)),
+        102L -> Seq(
+          put("core", ds(3, label = 300.0)),
+          put("core", ds(6, label = 600.0)),
+          del("core", 9005L), del("core", 9010L)),
+        103L -> Seq(put("core", ds(1, label = 111.0)))),
+      finishLast = false,
+      directPuts = Seq(archive("core")))
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-core-imp").toString)
+    val n = ColttCoreImport.importCoreCollection(spark, cat, "core", dir.toString)
+    assert(n === 38L) // 40 - 2 deleted
+
+    // twin: the expected final state ingested directly
+    val expected = all.filterNot(d => d.uniqueId == 9005L || d.uniqueId == 9010L)
+      .map(d => if (d.uniqueId == 9003L) ds(3, 300.0)
+                else if (d.uniqueId == 9006L) ds(6, 600.0) else d)
+    val twin = new GraftCatalog(spark, Files.createTempDirectory("graft-core-twin").toString)
+    twin.createCollection(CollectionMeta("core", dim = dim, distance = "euclidean",
+      fields = Seq(
+        IndexField("_id", "string", primaryKey = true),
+        IndexField("label", "float", enableNull = true),
+        IndexField("ok", "boolean", enableNull = true),
+        IndexField("src", "string", enableNull = true))))
+    twin.loadCollection("core")
+    twin.insert("core", expected.map(d =>
+      (d.userId, d.meta("label").asInstanceOf[Double], d.meta("ok").asInstanceOf[Boolean],
+        d.meta("src").asInstanceOf[String], d.vector))
+      .toDF("_id", "label", "ok", "src", "vector"))
+
+    val q = vec(77)
+    val got = cat.search("core", q, 10).collect().map(_.toString).toSeq
+    val want = twin.search("core", q, 10).collect().map(_.toString).toSeq
+    assert(got === want && got.nonEmpty)
+
+    // inferred schema: Struct numbers are double → float fields; pk synthesized
+    val m = cat.getMeta("core")
+    assert(m.idColumn === "_id")
+    assert(m.fields.map(f => f.name -> f.fieldType).toMap ===
+      Map("_id" -> "string", "label" -> "float", "ok" -> "boolean", "src" -> "string"))
+
+    // updated label visible; deleted rows gone; uncommitted batch dropped
+    val s = cat.snapshot("core")
+    assert(s.where(col("_id") === "u3").select("label").head().getDouble(0) === 300.0)
+    assert(s.where(col("_id") === "u5").count() === 0L)
+    assert(s.where(col("_id") === "u1").select("label").head().getDouble(0) === 1.0)
+  }
+
+  test("identity resolution: duplicate user ids keep the latest snowflake id") {
+    val dir = Files.createTempDirectory("core-wal-dup")
+    val v1 = CoreDataset(5001L, "dup", vec(1), Map[String, Any]("label" -> 1.0))
+    val v2 = CoreDataset(5009L, "dup", vec(2), Map[String, Any]("label" -> 2.0))
+    writeSeg(dir, 1L,
+      batches = Seq(200L -> Seq(put("c2", v2), put("c2", v1))), // order scrambled
+      directPuts = Seq(s"c2_archive" ->
+        ColttCoreImport.encodeCollectionConfig(CoreCollectionConfig("c2", dim, "euclidean", "None"))))
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-core-dup").toString)
+    assert(ColttCoreImport.importCoreCollection(spark, cat, "c2", dir.toString) === 1L)
+    assert(cat.snapshot("c2").select("label").head().getDouble(0) === 2.0)
+  }
+
+  test("guards: missing archive, dim mismatch, mixed-type metadata, nested Struct") {
+    val dirA = Files.createTempDirectory("core-wal-noarch")
+    writeSeg(dirA, 1L, batches = Seq(300L -> Seq(put("c3", ds(1)))))
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-core-bad").toString)
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.importCoreCollection(spark, cat, "c3", dirA.toString)
+    }.getMessage.contains("_archive"))
+
+    val dirB = Files.createTempDirectory("core-wal-dim")
+    writeSeg(dirB, 1L,
+      batches = Seq(301L -> Seq(put("c4",
+        CoreDataset(1L, "x", Array.fill(dim + 1)(0.5f), Map.empty)))),
+      directPuts = Seq("c4_archive" ->
+        ColttCoreImport.encodeCollectionConfig(CoreCollectionConfig("c4", dim, "euclidean", "None"))))
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.importCoreCollection(spark, cat, "c4", dirB.toString)
+    }.getMessage.contains("dim"))
+
+    val dirC = Files.createTempDirectory("core-wal-mixed")
+    writeSeg(dirC, 1L,
+      batches = Seq(302L -> Seq(
+        put("c5", CoreDataset(1L, "a", vec(1), Map[String, Any]("f" -> 1.0))),
+        put("c5", CoreDataset(2L, "b", vec(2), Map[String, Any]("f" -> "one"))))),
+      directPuts = Seq("c5_archive" ->
+        ColttCoreImport.encodeCollectionConfig(CoreCollectionConfig("c5", dim, "euclidean", "None"))))
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.importCoreCollection(spark, cat, "c5", dirC.toString)
+    }.getMessage.contains("mixed types"))
+
+    // nested Struct metadata is out of importable scope — loud error.
+    // Hand-build Dataset{metadata: Struct{"k": Value{struct_value: {}}}}
+    val w = new ColttCoreImport.PbWriter
+    w.stringField(2, "nested")
+    val nestedStruct = {
+      val vw = new ColttCoreImport.PbWriter
+      vw.bytesField(5, Array.emptyByteArray) // Value.struct_value (empty Struct)
+      val ew = new ColttCoreImport.PbWriter
+      ew.stringField(1, "k")
+      ew.bytesField(2, vw.toBytes)
+      val sw = new ColttCoreImport.PbWriter
+      sw.bytesField(1, ew.toBytes)
+      sw.toBytes
+    }
+    w.bytesField(4, nestedStruct)
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.decodeDataset(w.toBytes)
+    }.getMessage.contains("nested"))
+  }
+
+  test("fuzz: random junk segments fail loudly, never hang or allocate wildly") {
+    for (seed <- 1 to 50) {
+      val r = new scala.util.Random(seed)
+      val junk = Array.fill(64 + r.nextInt(4096))(r.nextInt().toByte)
+      intercept[Exception] {
+        val recs = ColttCoreImport.segmentRecords(
+          new java.io.ByteArrayInputStream(junk)).toSeq
+        // if the chunk layer happened to pass (CRC collision is ~2^-32 per
+        // seed — effectively never), the record layer must still throw
+        recs.foreach(ColttCoreImport.decodeLogRecord)
+        throw new IllegalStateException("junk parsed cleanly — bound failure")
+      }
+    }
+    // hostile value size: the sanity bound must reject BEFORE allocating.
+    // Craft by hand: type=0, batch=1, keySize=zigzag(1), valueSize=zigzag(2^30)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0); bos.write(1); bos.write(2) // zigzag(1) = 2
+    // zigzag(2^30) varint
+    var v = (1L << 30) << 1
+    while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+    bos.write(0) // expire
+    bos.write('k')
+    val ex = intercept[IllegalArgumentException] {
+      ColttCoreImport.decodeLogRecord(bos.toByteArray)
+    }
+    assert(ex.getMessage.contains("corrupt record"))
+  }
+}

@@ -252,6 +252,33 @@ class GraftServerSpec extends SparkSpec {
     assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
   }
 
+  test("batch retrieval over HTTP: searchBatch returns per-query top-k agreeing " +
+    "with single-query searchIvf") {
+    val meta = """{"name":"batch","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/batch/load")._1 === 200)
+    val rows = (0 until 30).map(i => s"""{"id":"d$i","vector":[$i,${i % 5},1]}""").mkString(",")
+    assert(http("POST", "/collections/batch/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/batch/flush")._2 === """{"version":1}""")
+    val (bc, bb) = http("POST", "/collections/batch/searchBatch",
+      """{"queries":[{"id":"qA","vector":[7,2,1]},{"id":"qB","vector":[23,3,1]}],
+         "topK":3,"nprobe":2}""")
+    assert(bc === 200, s"$bc $bb")
+    // each query's block must agree with the single-query probe, in order
+    for ((qid, vec) <- Seq("qA" -> "[7,2,1]", "qB" -> "[23,3,1]")) {
+      val (_, single) = http("POST", "/collections/batch/searchIvf",
+        s"""{"vector":$vec,"topK":3,"nprobe":2}""")
+      val want = "\"id\":\"(d\\d+)\"".r.findAllMatchIn(single).map(_.group(1)).toSeq
+      val got = s"""\\{"qid":"$qid","id":"(d\\d+)"""".r.findAllMatchIn(bb).map(_.group(1)).toSeq
+      assert(got === want, s"$qid: batch $got vs single $want ($bb)")
+    }
+    // error contracts: duplicate ids, empty batch, over-cap
+    assert(http("POST", "/collections/batch/searchBatch",
+      """{"queries":[{"id":"x","vector":[1,1,1]},{"id":"x","vector":[2,2,2]}]}""")._1 === 400)
+    assert(http("POST", "/collections/batch/searchBatch", """{"queries":[]}""")._1 === 400)
+  }
+
   test("QUANTIZED collection: searchLocal applies the same query prep as searchIvf") {
     // f16-inexact coordinates: without the prepareQueryVector round-trip on
     // the local path, the two probes score against different query vectors
