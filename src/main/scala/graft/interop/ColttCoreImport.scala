@@ -8,6 +8,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
@@ -654,6 +655,69 @@ object ColttCoreImport {
   // =====================================================================
   // fixture/export writer
   // =====================================================================
+
+  /** Export a (small) collection BACK to a core-format WAL — the write half
+    * of the migration story, matching `encodeVertexBlob` /
+    * `encodeMultiVectorBlob` for the other two engines: one segment holding
+    * the `<name>_archive` config record plus one committed batch of Dataset
+    * puts. Driver-side by design: a core deployment is single-node, so
+    * anything exportable INTO it fits one driver pass (the same envelope
+    * the reference itself holds in RAM). Scalar fields become Struct
+    * metadata (integers widen to double — that wire has only doubles);
+    * vector quantization is decoded to floats first (the core stores raw
+    * f32). The result round-trips through [[importCoreCollection]]. */
+  def exportCoreCollection(spark: SparkSession, catalog: GraftCatalog,
+                           name: String, walDir: String): Long = {
+    val meta = catalog.getMeta(name)
+    require(meta.vectorFields.isEmpty,
+      "multi-vector collections have no core v3 representation (export to CFLAT instead)")
+    val distance = meta.distance match {
+      case "cosine" => "cosine-dot"
+      case "euclidean" => "euclidean"
+      case d => throw new IllegalArgumentException(
+        s"core v3 supports cosine/euclidean, collection declares $d")
+    }
+    val scalarFields = meta.fields.filterNot(_.primaryKey)
+    val snap = catalog.snapshot(name)
+    // the core stores raw f32 — decode quantized storage back to the float
+    // values the reference's own loader would see
+    val stored = col(graft.collection.CollectionMeta.VectorCol)
+    val vecExpr = meta.quantization match {
+      case "none" => stored
+      case q => graft.functions.dequantize(stored, q)
+    }
+    val rows = snap
+      .select((meta.idColumn +: scalarFields.map(_.name)).map(col) :+ vecExpr.as("vector"): _*)
+      .collect()
+    val datasets = rows.zipWithIndex.map { case (r, i) =>
+      val metaMap = scalarFields.zipWithIndex.flatMap { case (f, fi) =>
+        Option(r.get(fi + 1)).map { v =>
+          f.name -> (v match {
+            case l: Long => l.toDouble // Struct numbers are double
+            case i2: Int => i2.toDouble
+            case d: Double => d
+            case b: Boolean => b
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"field ${f.name}: no Struct representation for ${other.getClass.getName}")
+          })
+        }
+      }.toMap[String, Any]
+      CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
+        vector = r.getSeq[Float](scalarFields.size + 1).toArray, meta = metaMap)
+    }
+    val dirPath = new Path(walDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val out = fs.create(new Path(dirPath, "000000001.SEG"), true)
+    try writeWalFixture(out,
+      batches = Seq(1L -> datasets.toSeq.map(d =>
+        Left(s"${name}_${d.uniqueId}" -> encodeDataset(d)))),
+      directPuts = Seq(s"${name}_archive" -> encodeCollectionConfig(
+        CoreCollectionConfig(name, meta.dim, distance, "None"))))
+    finally out.close()
+    datasets.length.toLong
+  }
 
   /** Write a complete single-segment WAL fixture (`000000001.SEG`) with the
     * reference's batch framing: each `(ops, batchId)` group becomes its

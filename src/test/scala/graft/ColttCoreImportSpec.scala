@@ -268,6 +268,97 @@ class ColttCoreImportSpec extends SparkSpec {
     }.getMessage.contains("nested"))
   }
 
+  test("export → import round-trip: a collection written to core WAL format " +
+    "re-imports with identical state") {
+    val src = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-src").toString)
+    src.createCollection(CollectionMeta("exp", dim = dim, distance = "euclidean",
+      fields = Seq(
+        IndexField("_id", "string", primaryKey = true),
+        IndexField("label", "float", enableNull = true),
+        IndexField("ok", "boolean", enableNull = true))))
+    src.loadCollection("exp")
+    src.insert("exp", (1 to 25).map(i =>
+      (s"r$i", i * 1.5, i % 2 == 0, vec(i))).toDF("_id", "label", "ok", "vector"))
+    src.flush("exp")
+    val walDir = Files.createTempDirectory("core-wal-export").toString
+    assert(ColttCoreImport.exportCoreCollection(spark, src, "exp", walDir) === 25L)
+
+    val dst = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-dst").toString)
+    assert(ColttCoreImport.importCoreCollection(spark, dst, "exp", walDir) === 25L)
+    def state(c: GraftCatalog) = c.snapshot("exp")
+      .select("_id", "label", "ok").collect().map(_.toString).toSet
+    assert(state(dst) === state(src))
+    val q = vec(42)
+    assert(dst.search("exp", q, 5).collect().map(_.toString).toSeq ===
+      src.search("exp", q, 5).collect().map(_.toString).toSeq)
+
+    // multi-vector collections have no core representation — loud error
+    val mv = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-mv").toString)
+    mv.createCollection(CollectionMeta("m", dim = dim, distance = "euclidean",
+      fields = Seq(IndexField("_key", "string", primaryKey = true),
+        IndexField("v0", "vector"), IndexField("v1", "vector"))))
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.exportCoreCollection(spark, mv, "m", walDir)
+    }.getMessage.contains("multi-vector"))
+  }
+
+  test("independent fixture: a hand-assembled segment (own varints, own chunk " +
+    "framing, own proto bytes) replays identically — the writer is NOT the " +
+    "library's own encoder") {
+    // Everything below is built byte-by-byte from the reference's documented
+    // layout, sharing no code with SegmentWriter/encodeLogRecord/
+    // encodeDataset, so encode∘decode=id bugs cannot self-certify.
+    val out = new java.io.ByteArrayOutputStream()
+    def uvarint(v0: Long): Array[Byte] = {
+      var v = v0; val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((v & ~0x7fL) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      b += v.toByte; b.toArray
+    }
+    def zig(v: Long): Array[Byte] = uvarint((v << 1) ^ (v >> 63))
+    def chunk(tpe: Int, data: Array[Byte]): Unit = {
+      val crc = new java.util.zip.CRC32()
+      val lenType = Array[Byte]((data.length & 0xff).toByte,
+        ((data.length >> 8) & 0xff).toByte, tpe.toByte)
+      crc.update(lenType); crc.update(data)
+      val s = crc.getValue
+      out.write(Array[Byte](s.toByte, (s >> 8).toByte, (s >> 16).toByte, (s >> 24).toByte))
+      out.write(lenType); out.write(data)
+    }
+    def record(tpe: Int, batchId: Long, key: String, value: Array[Byte]): Array[Byte] = {
+      val k = key.getBytes("UTF-8")
+      Array(tpe.toByte) ++ uvarint(batchId) ++ zig(k.length.toLong) ++
+        zig(value.length.toLong) ++ zig(0L) ++ k ++ value
+    }
+    // diskproto.Dataset{1: 77, 2: "hand", 3: packed [1.5f, -2.0f], 4: Struct{"label": 3.0}}
+    val f1 = java.lang.Float.floatToIntBits(1.5f)
+    val f2 = java.lang.Float.floatToIntBits(-2.0f)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val labelBits = java.lang.Double.doubleToLongBits(3.0)
+    val valueMsg = Array[Byte](0x11) ++ // field 2, wt 1 (fixed64 number_value)
+      (0 until 8).map(i => ((labelBits >> (8 * i)) & 0xff).toByte).toArray
+    val entryMsg = Array[Byte](0x0a, 5) ++ "label".getBytes ++ // field 1 string key
+      Array[Byte](0x12, valueMsg.length.toByte) ++ valueMsg    // field 2 Value
+    val structMsg = Array[Byte](0x0a, entryMsg.length.toByte) ++ entryMsg
+    val dsBytes = Array[Byte](0x08, 77) ++                     // field 1 varint 77
+      Array[Byte](0x12, 4) ++ "hand".getBytes ++               // field 2 string
+      Array[Byte](0x1a, 8) ++ le32(f1) ++ le32(f2) ++          // field 3 packed floats
+      Array[Byte](0x22, structMsg.length.toByte) ++ structMsg  // field 4 Struct
+    chunk(0, record(0, 5L, "hc_77", dsBytes))
+    chunk(0, record(2, 5L, "5", Array.emptyByteArray)) // batch-finished, decimal key
+    val dir = Files.createTempDirectory("core-wal-hand")
+    Files.write(dir.resolve("000000001.SEG"), out.toByteArray)
+
+    val kv = ColttCoreImport.replayWal(spark, dir.toString)
+    assert(kv.keySet === Set("hc_77"))
+    val got = ColttCoreImport.decodeDataset(kv("hc_77"))
+    assert(got.uniqueId === 77L && got.userId === "hand")
+    assert(got.vector.toSeq === Seq(1.5f, -2.0f))
+    assert(got.meta === Map("label" -> 3.0))
+    // and the library's own encoders produce byte-identical proto output
+    // for this record (cross-check in the OTHER direction)
+    assert(ColttCoreImport.encodeDataset(got).sameElements(dsBytes))
+  }
+
   test("fuzz: random junk segments fail loudly, never hang or allocate wildly") {
     for (seed <- 1 to 50) {
       val r = new scala.util.Random(seed)

@@ -192,4 +192,31 @@ class IvfCatalogSpec extends SparkSpec {
       .select("id").collect().map(_.getString(0)).toSeq
     assert(ivf === exact)
   }
+
+  test("searchBatch: every query's block equals its single-query searchIvf; " +
+    "plan has the partial WindowGroupLimit and no cartesian") {
+    val cat = mkCat(4)
+    val qs = Seq(
+      "qa" -> Array(0f, 0f, 99f, 1f),
+      "qb" -> Array(99f, 1f, 0f, 0f),
+      "qc" -> Array(1f, 99f, 0f, 0f))
+    val batch = cat.searchBatch("ivf", qs, topK = 5, nprobe = 2)
+    val rows = batch.collect()
+    qs.foreach { case (qid, v) =>
+      val got = rows.filter(_.getString(0) == qid).sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+      val want = cat.searchIvf("ivf", v, topK = 5, nprobe = 2)
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(got === want, s"$qid: batch $got vs single $want")
+    }
+    // scale contract, same pins as the knnJoin guard: the per-query bound
+    // is a partition-local WindowGroupLimit BELOW the exchange; no
+    // cartesian product anywhere in the plan
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), phys.take(2000))
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    // contract guards
+    intercept[IllegalArgumentException](cat.searchBatch("ivf", Seq.empty, 5, 2))
+    intercept[IllegalArgumentException](
+      cat.searchBatch("ivf", Seq("bad" -> Array(1f, 2f)), 5, 2)) // wrong dim
+  }
 }
