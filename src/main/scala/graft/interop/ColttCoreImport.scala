@@ -373,9 +373,20 @@ object ColttCoreImport {
         Some((tpe, data))
       }
 
-      private def advance(): Unit = {
+      // a record can never legally exceed header + key + value at their
+      // sanity bounds — cap span reassembly BEFORE accumulating, so a
+      // crafted chain of CRC-valid MIDDLE chunks fails loudly instead of
+      // allocating without limit (the file-wide corrupt-length rule)
+      private val MaxRecordBytes = 64 + MaxKeyLen + MaxValueLen
+
+      private def advance(): Unit = try {
         nextRec = null
-        var pending: mutable.ArrayBuffer[Byte] = null
+        var pending: java.io.ByteArrayOutputStream = null
+        def accumulate(data: Array[Byte]): Unit = {
+          require(pending.size().toLong + data.length <= MaxRecordBytes,
+            s"corrupt WAL: chunk span exceeds the $MaxRecordBytes-byte record bound")
+          pending.write(data)
+        }
         while (nextRec == null && !done) {
           readChunk() match {
             case None =>
@@ -387,21 +398,26 @@ object ColttCoreImport {
               nextRec = data
             case Some((ChunkFirst, data)) =>
               require(pending == null, "corrupt WAL: nested FIRST chunk")
-              pending = mutable.ArrayBuffer.empty[Byte]
-              pending ++= data
+              pending = new java.io.ByteArrayOutputStream()
+              accumulate(data)
             case Some((ChunkMiddle, data)) =>
               require(pending != null, "corrupt WAL: MIDDLE chunk without FIRST")
-              pending ++= data
+              accumulate(data)
             case Some((ChunkLast, data)) =>
               require(pending != null, "corrupt WAL: LAST chunk without FIRST")
-              pending ++= data
-              nextRec = pending.toArray
+              accumulate(data)
+              nextRec = pending.toByteArray
               pending = null
             case Some((t, _)) =>
               throw new IllegalArgumentException(s"corrupt WAL: unknown chunk type $t")
           }
         }
         if (done) d.close()
+      } catch { case e: Throwable =>
+        // close the underlying stream on ANY failure path, not just clean
+        // EOF — a corrupt segment mid-replay must not leak the FS handle
+        try d.close() catch { case _: Throwable => () }
+        throw e
       }
 
       advance()
