@@ -534,25 +534,37 @@ object Bench {
                 graft.ann.Bin.hamming(col("bin_code"), qBin).as("dist"))
               .orderBy(col("dist").asc, col("vec_id").asc).limit(10),
           "point_lookup_100m" -> codes.where(col("vec_id") === rows100m - 1))
+        // per-query isolation (same contract as the 1M/10M suites): a
+        // point-lookup failure must not discard an already-measured flat
+        // scan, nor report under the wrong key
         suite.flatMap { case (name, df) =>
-          var best = Double.MaxValue; var steady = 0; var i = 0
-          while (steady < 2 && i < 10) { // warm until steady, same rule as bigSuite
-            val t0 = System.nanoTime(); df.collect()
-            val t = (System.nanoTime() - t0) / 1e9
-            val prev = best
-            if (t < best) best = t
-            if (t >= prev / 1.15 && t <= prev * 1.15) steady += 1 else steady = 0
-            i += 1
+          try {
+            var best = Double.MaxValue; var steady = 0; var i = 0
+            while (steady < 2 && i < 10) { // warm until steady, same rule as bigSuite
+              val t0 = System.nanoTime(); df.collect()
+              val t = (System.nanoTime() - t0) / 1e9
+              val prev = best
+              if (t < best) best = t
+              if (t >= prev / 1.15 && t <= prev * 1.15) steady += 1 else steady = 0
+              i += 1
+            }
+            val ts = (1 to 8).map { _ =>
+              val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
+            }.sorted
+            Seq(name -> ts.head, s"${name}_med" -> (ts(3) + ts(4)) / 2)
+          } catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+            Seq.empty[(String, Double)]
           }
-          val ts = (1 to 8).map { _ =>
-            val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
-          }.sorted
-          Seq(name -> ts.head, s"${name}_med" -> (ts(3) + ts(4)) / 2)
         }
       } finally codes.unpersist(false)
     } catch { case e: Throwable =>
-      errors("flat_scan_bin_100m") = Option(e.getMessage)
-        .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+      // setup failure (generator / threshold train / cache): both rows died
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString
+      errors("flat_scan_bin_100m") = msg
+      errors("point_lookup_100m") = msg
       Seq.empty[(String, Double)]
     }
 
@@ -648,6 +660,10 @@ object Bench {
       val pass1 = suite.map { case (name, fn) => name -> timed(name, runs = 1)(fn()) }
       val pass2 = suite.map { case (name, fn) => name -> timed(name, runs = 1)(fn()) }
       val r = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+        // one failed pass + one valid measurement = a valid row: drop the
+        // stale errors entry the failed pass recorded, or the output would
+        // carry both a time and an error for the same query
+        if ((a < 0) != (b < 0)) errors.remove(n)
         n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)) }
       d.unpersist()
       r

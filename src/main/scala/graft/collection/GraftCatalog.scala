@@ -1109,6 +1109,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(queries.nonEmpty, "searchBatch requires at least one query")
+    // duplicate qids would silently merge into ONE window partition in
+    // knnJoin (row_number bounds the combined candidate set) — reject at
+    // the primitive, not just the HTTP layer
+    require(queries.map(_._1).distinct.size == queries.size,
+      "searchBatch query ids must be unique")
     require(meta.idColumn != "qid",
       "searchBatch reserves the output column name 'qid'; the collection pk shadows it")
     queries.foreach { case (qid, v) =>

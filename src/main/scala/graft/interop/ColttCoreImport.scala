@@ -470,8 +470,10 @@ object ColttCoreImport {
           val space = blockRemaining - ChunkHeaderSize
           val left = record.length - off
           val take = math.min(space, left)
-          val tpe = if (first && take == left) ChunkFull
-            else if (first) ChunkFirst
+          // the split loop is only entered when the record overflows the
+          // current block, so the first chunk can never also be the last —
+          // FULL is impossible here
+          val tpe = if (first) ChunkFirst
             else if (take == left) ChunkLast
             else ChunkMiddle
           putChunk(tpe, record, off, take)
@@ -553,7 +555,12 @@ object ColttCoreImport {
     val kv = mutable.LinkedHashMap.empty[String, Array[Byte]]
     val staged = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[WalRecord]]
     segs.foreach { case (_, segPath) =>
-      segmentRecords(fs.open(segPath)).foreach { chunk =>
+      // the iterator closes the stream on its OWN failure/EOF paths, but a
+      // throw from this consumer body (corrupt LogRecord, non-decimal batch
+      // key) unwinds past it — close unconditionally so no replay failure
+      // mode leaks the FS handle (close is idempotent)
+      val in = fs.open(segPath)
+      try segmentRecords(in).foreach { chunk =>
         val rec = decodeLogRecord(chunk)
         val key = new String(rec.key, StandardCharsets.UTF_8)
         rec.tpe match {
@@ -571,6 +578,8 @@ object ColttCoreImport {
             else staged.getOrElseUpdate(rec.batchId, mutable.ArrayBuffer.empty) += rec
           case t => throw new IllegalArgumentException(s"corrupt record: unknown type $t")
         }
+      } finally {
+        try in.close() catch { case _: Throwable => () }
       }
     }
     kv // uncommitted batches left in `staged` are dropped, as on reference recovery
@@ -589,6 +598,13 @@ object ColttCoreImport {
     val types = mutable.LinkedHashMap.empty[String, String]
     datasets.foreach(_.meta.foreach { case (k, v) =>
       if (k != pkName) { // pk carries identity already; "_id" metadata is its copy
+        // the ingest DataFrame appends its own "vector" column and the
+        // catalog owns the "__" namespace — a metadata key there would
+        // produce an ambiguous/shadowed column deep inside insert; reject
+        // with the real reason instead
+        require(k != "vector" && !k.startsWith("__"),
+          s"metadata key '$k' collides with a reserved column name — " +
+            "rename it in the source collection before importing")
         val t = v match {
           case _: Double  => "float"
           case _: String  => "string"

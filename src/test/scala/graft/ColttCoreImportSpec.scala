@@ -248,6 +248,19 @@ class ColttCoreImportSpec extends SparkSpec {
       ColttCoreImport.importCoreCollection(spark, cat, "c5", dirC.toString)
     }.getMessage.contains("mixed types"))
 
+    // a metadata key named "vector" (legal on the schemaless core wire)
+    // would shadow the ingest DataFrame's own vector column — clear
+    // rejection, not an ambiguous-reference Spark error mid-insert
+    val dirR = Files.createTempDirectory("core-wal-reserved")
+    writeSeg(dirR, 1L,
+      batches = Seq(303L -> Seq(
+        put("c6", CoreDataset(1L, "a", vec(1), Map[String, Any]("vector" -> 1.0))))),
+      directPuts = Seq("c6_archive" ->
+        ColttCoreImport.encodeCollectionConfig(CoreCollectionConfig("c6", dim, "euclidean", "None"))))
+    assert(intercept[IllegalArgumentException] {
+      ColttCoreImport.importCoreCollection(spark, cat, "c6", dirR.toString)
+    }.getMessage.contains("reserved"))
+
     // nested Struct metadata is out of importable scope — loud error.
     // Hand-build Dataset{metadata: Struct{"k": Value{struct_value: {}}}}
     val w = new ColttCoreImport.PbWriter

@@ -218,5 +218,10 @@ class IvfCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.searchBatch("ivf", Seq.empty, 5, 2))
     intercept[IllegalArgumentException](
       cat.searchBatch("ivf", Seq("bad" -> Array(1f, 2f)), 5, 2)) // wrong dim
+    // duplicate qids would merge into one window partition and silently
+    // bound the COMBINED candidate set — must be rejected at the primitive
+    assert(intercept[IllegalArgumentException](
+      cat.searchBatch("ivf", Seq("q" -> qs.head._2, "q" -> qs(1)._2), 5, 2))
+      .getMessage.contains("unique"))
   }
 }
