@@ -1102,12 +1102,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     * cell-partitioned snapshot — never query×corpus), and Catalyst's
     * partial WindowGroupLimit bounds each query to k below the exchange.
     * Queries are prepared exactly like single probes (normalize/quantize
-    * round-trip per the collection). Output: (qid, idColumn, dist, rn). */
+    * round-trip per the collection). Collections WITHOUT an IVF layout fall
+    * back to the exact flat batch ([[graft.ann.Ann.bruteForceTopK]]): the
+    * query set broadcasts over ONE resident-corpus scan, per-qid bounded
+    * window — recall 1 by construction, `nprobe` ignored. Output:
+    * (qid, idColumn, dist, rn). */
   def searchBatch(name: String, queries: Seq[(String, Array[Float])],
                   topK: Int, nprobe: Int): DataFrame = {
     val meta = getMeta(name)
-    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
-    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMulti")
     require(queries.nonEmpty, "searchBatch requires at least one query")
     // duplicate qids would silently merge into ONE window partition in
     // knnJoin (row_number bounds the combined candidate set) — reject at
@@ -1121,6 +1124,23 @@ class GraftCatalog(spark: SparkSession, root: String,
         s"query $qid dimension mismatch: expected ${meta.dim}, got ${v.length}")
     }
     import spark.implicits._
+    if (meta.ivfCells.isEmpty) {
+      // flat fallback over the loaded collection (same residency contract
+      // as single-query search — no flush required)
+      val df = loadedOrThrow(name)
+      val qdfFlat = queries.map { case (qid, v) =>
+        (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
+      }.toDF("__batch_qid", "__batch_qvec")
+      val decodedFlat = meta.quantization match {
+        case "none" => df
+        case q      => df.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+      }
+      val vc = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+      return graft.ann.Ann.bruteForceTopK(decodedFlat, qdfFlat, topK,
+        meta.idColumn, vc, "__batch_qid", "__batch_qvec", meta.distance)
+        .select(col("__batch_qid").as("qid"), col(meta.idColumn), col("dist"), col("rn"))
+    }
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
     if (!fs.exists(centroidDir(name, meta.currentVersion))) {
       // flushed empty → no cells, no neighbors (same contract as knnJoin:
       // a query with no candidates produces no rows)

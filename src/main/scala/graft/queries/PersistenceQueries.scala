@@ -369,6 +369,24 @@ object PersistenceQueries {
       cat.searchMulti("mvimp", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
+    }),
+    // Batch retrieval over a FLAT collection — searchBatch's no-IVF
+    // fallback: the query set broadcasts over ONE resident-corpus scan,
+    // per-qid bounded window (partial WindowGroupLimit below the exchange),
+    // recall 1 by construction. The oracle recomputes every query's exact
+    // top-5 independently.
+    "search_batch_flat" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-sbf").toString)
+      cat.createCollection(CollectionMeta("sbf", dim = dim, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true))))
+      cat.loadCollection("sbf")
+      cat.insert("sbf", e.select(
+        col("vec_id").cast("string").as("id"), col("embedding").as("vector")))
+      val qs = e.where(col("vec_id") < 3).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1).toArray)).toSeq
+      cat.searchBatch("sbf", qs, topK = 5, nprobe = 1)
     })
   )
 
@@ -514,6 +532,17 @@ object PersistenceQueries {
          |FROM mv, q0, q1
          |ORDER BY ROUND($w, 8) DESC, _key
          |LIMIT 10""".stripMargin
-    }
+    },
+    // per-query exact top-5 recomputed independently (same construction as
+    // ann_brute_topk, but THROUGH the collection API's flat fallback)
+    "search_batch_flat" ->
+      """WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.qid, CAST(e.vec_id AS VARCHAR) AS id,
+        |    ROUND(list_distance(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS dist
+        |  FROM embeddings e, q),
+        |r AS (SELECT qid, id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM s)
+        |SELECT qid, id, dist, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   )
 }

@@ -173,4 +173,30 @@ class CollectionSpec extends SparkSpec {
     assert(cat.timeTravel("cv", 1).count() === 10)
     assert(cat.timeTravel("cv", 2).count() === 20)
   }
+
+  test("searchBatch flat fallback: every query's block equals its single-query " +
+    "search; quantized collection round-trips the query the same way") {
+    for (q <- Seq("none", "f16")) {
+      val cat = newCatalog()
+      val name = s"sb-$q"
+      cat.createCollection(meta(name, q = q))
+      cat.loadCollection(name)
+      cat.insert(name, rows(60))
+      val rnd = new scala.util.Random(11)
+      val qs = (0 until 3).map(i => s"q$i" -> Array.fill(4)(rnd.nextFloat())).toSeq
+      val batch = cat.searchBatch(name, qs, topK = 5, nprobe = 1)
+      val got = batch.collect()
+      qs.foreach { case (qid, v) =>
+        val block = got.filter(_.getString(0) == qid).sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+        val want = cat.search(name, v, topK = 5).select("id")
+          .collect().map(_.getString(0)).toSeq
+        assert(block === want, s"$q/$qid: batch $block vs single $want")
+      }
+      // scale contract: queries broadcast, per-qid bound is the partial
+      // WindowGroupLimit below the exchange, no cartesian product
+      val phys = batch.queryExecution.executedPlan.toString
+      assert(phys.contains("WindowGroupLimit"), phys.take(2000))
+      assert(!phys.contains("CartesianProduct"), phys.take(2000))
+    }
+  }
 }
