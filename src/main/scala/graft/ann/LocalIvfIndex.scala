@@ -124,14 +124,20 @@ object LocalIvfIndex {
     // normalize to long
     val rows = assigned.select(col(idCol), col(vecCol).cast("array<float>"),
       col("cell").cast("long"))
-    var dim = -1
+    // dim comes from the trained centroids, not the first data row — an
+    // empty (or fully-filtered) assigned set must build a searchable empty
+    // index, not one whose every probe fails with "expected -1".
+    require(centroids.nonEmpty, "fromAssigned requires at least one centroid")
+    val dim = centroids.head._2.length
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
     val vecsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofFloat]()
     val it = rows.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       val v = r.getSeq[Float](1)
-      if (dim < 0) dim = v.length
+      require(v != null && v.length == dim,
+        s"row ${r.get(0)}: vector is ${if (v == null) "null" else s"${v.length}-dim"}, " +
+          s"index dim is $dim")
       val cell = r.getLong(2)
       var ib = idsB.get(cell)
       if (ib == null) {

@@ -62,13 +62,22 @@ class GraftCatalog(spark: SparkSession, root: String,
   private val EagerCutEvery = LineageCutEvery * 8
 
   private def fs: FileSystem = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def colDir(name: String) = new Path(s"$root/$name")
-  private def metaPath(name: String) = new Path(s"$root/$name/meta.json")
-  private def versionDir(name: String, v: Int) = new Path(s"$root/$name/v$v")
-  private def centroidDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_centroids")
-  private def pqDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_pq")
-  private def binDir(name: String, v: Int) = new Path(s"$root/$name/v${v}_bin")
-  private def claimPath(name: String, v: Int) = new Path(s"$root/$name/v$v.claim")
+
+  /** Every on-disk path derives from here, so the single-segment name check
+    * guards ALL of them — including `dropCollection`'s recursive delete. A
+    * name like `..`, `""`, or `a/b` would otherwise escape the catalog root
+    * (reachable over HTTP: collection names arrive in request bodies, and
+    * the importers take them from untrusted snapshot blobs). */
+  private def colDir(name: String) = {
+    GraftCatalog.validateCollectionName(name)
+    new Path(s"$root/$name")
+  }
+  private def metaPath(name: String) = new Path(colDir(name), "meta.json")
+  private def versionDir(name: String, v: Int) = new Path(colDir(name), s"v$v")
+  private def centroidDir(name: String, v: Int) = new Path(colDir(name), s"v${v}_centroids")
+  private def pqDir(name: String, v: Int) = new Path(colDir(name), s"v${v}_pq")
+  private def binDir(name: String, v: Int) = new Path(colDir(name), s"v${v}_bin")
+  private def claimPath(name: String, v: Int) = new Path(colDir(name), s"v$v.claim")
 
   /** Atomic exclusive create of a version-claim file whose content is
     * `owner epochMillis`. Hadoop's LocalFileSystem `create(…, false)` is
@@ -160,7 +169,11 @@ class GraftCatalog(spark: SparkSession, root: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
       else foldChain(name, meta, meta.currentVersion)
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    loaded(name) = cached
+    // A re-load (re-anchor) must release the PREVIOUS resident copy — every
+    // other residency swap (release/drop/flush rebind) unpersists, and the
+    // fresh anchor also restarts the lineage-cut cadence.
+    loaded.put(name, cached).foreach(_.unpersist())
+    mutationCount.remove(name)
     cached
   }
 
@@ -1490,6 +1503,23 @@ object GraftCatalog {
     * reclaim it as a crashed writer's leftover (30 min — far above any
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
+
+  /** A collection name is exactly one path segment under the catalog root
+    * (the reference has the same constraint — bucket names are directory
+    * names there too: /root/reference/core/core.go dataset dirs). Dot is
+    * allowed inside a name but `.`/`..` and separators are not; the `__`
+    * prefix is reserved for engine-internal namespaces. Throws
+    * IllegalArgumentException (→ HTTP 400 via GraftServer's error map). */
+  def validateCollectionName(name: String): Unit = {
+    require(name != null && name.nonEmpty && name.length <= 128,
+      s"invalid collection name ${if (name == null) "null" else s"'$name'"}: must be 1-128 characters")
+    require(name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid collection name '$name': only letters, digits, '_', '-', '.' are allowed")
+    require(name.exists(c => c != '.'),
+      s"invalid collection name '$name': dots-only names are path traversal")
+    require(!name.startsWith("__"),
+      s"invalid collection name '$name': the '__' prefix is reserved")
+  }
 
   private val SearchVecCol = "__searchvec"
 

@@ -232,10 +232,23 @@ object PipelineQueries {
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
     // Blocked n-gram Jaccard: all-pairs only WITHIN (lang, source) blocks.
-    "dedup_blocked_jaccard" -> ((s, dir) =>
-      Dedup.blockedJaccardPairs(nearCorpus(s, dir), "doc_id", "text",
-          Seq("lang", "source"), 0.5)
-        .orderBy("id_a", "id_b")),
+    // Every 7th doc is re-injected with lang = NULL (+20000 ids): missing
+    // metadata must form its own block (NULL IS NOT DISTINCT FROM NULL),
+    // not silently skip candidate generation — docs at % 35 == 0 carry
+    // their trimmed twin into the NULL block, so real pairs live there.
+    "dedup_blocked_jaccard" -> ((s, dir) => {
+      val c = nearCorpus(s, dir)
+      // Select each % 7 == 0 original AND its trimmed twin (twin id = d +
+      // 10000), so the NULL block holds real near-dup pairs at d % 35 == 0.
+      val nullBlock = c.where(
+          col("doc_id") % 7 === 0 ||
+            (col("doc_id") >= 10000 && (col("doc_id") - 10000) % 7 === 0))
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("lang", lit(null).cast("string"))
+      Dedup.blockedJaccardPairs(c.unionByName(nullBlock),
+          "doc_id", "text", Seq("lang", "source"), 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // SimHash64 fingerprints (codegen'd expression, row-local).
     "simhash_fingerprints" -> ((s, dir) =>
       docs(s, dir)
@@ -1178,14 +1191,21 @@ object PipelineQueries {
          |ORDER BY id""".stripMargin,
     "dedup_blocked_jaccard" ->
       s"""WITH $nearCorpusSql,
-         |okblock AS (SELECT lang, source FROM corpus
+         |corpus2 AS (SELECT * FROM corpus UNION ALL
+         |  SELECT doc_id + 20000, text, NULL AS lang, source FROM corpus
+         |  WHERE doc_id % 7 = 0 OR (doc_id >= 10000 AND (doc_id - 10000) % 7 = 0)),
+         |okblock AS (SELECT lang, source FROM corpus2
          |  GROUP BY lang, source HAVING COUNT(*) <= 10000),
          |sh AS (SELECT doc_id, c.lang, c.source, ${shingleSql("c.text")} AS shingles
-         |  FROM corpus c JOIN okblock USING (lang, source)),
+         |  FROM corpus2 c JOIN okblock ok
+         |    ON c.lang IS NOT DISTINCT FROM ok.lang
+         |   AND c.source IS NOT DISTINCT FROM ok.source),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    ${jaccardSql("a.shingles", "b.shingles")} AS jaccard
          |  FROM sh a JOIN sh b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |    ON a.lang IS NOT DISTINCT FROM b.lang
+         |   AND a.source IS NOT DISTINCT FROM b.source
+         |   AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "simhash_fingerprints" ->

@@ -193,13 +193,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         ok(JObject("ok" -> JBool(true)))
       case ("POST", "collections" :: name :: "search" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("search requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val vector = parseVector(req, "search")
+        val topK = intOr(req, "topK", 10)
         val filter = (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
-        val offset = (req \ "offset").toOption.map(num(_).toInt).getOrElse(0)
+        val offset = intOr(req, "offset", 0)
         val minScore = (req \ "minScore").toOption.map(num)
         val out = catalog.search(name, vector, topK, filter, offset, minScore)
         rowsJson(out)
@@ -207,12 +204,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // with the metadata-filter candidates
       case ("POST", "collections" :: name :: "searchHybrid" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchHybrid requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(3)
+        val vector = parseVector(req, "searchHybrid")
+        val topK = intOr(req, "topK", 10)
+        val overFetch = intOr(req, "overFetch", 3)
         val filter = req \ "filter" match {
           case JNothing => throw new IllegalArgumentException(
             "searchHybrid requires \"filter\" (use search for pure similarity)")
@@ -224,12 +218,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // index (the point-latency path; see LocalIvfIndex)
       case ("POST", "collections" :: name :: "searchIvf" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchIvf requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val (vector, topK, nprobe) = parseProbe(req, "searchIvf")
         rowsJson(catalog.searchIvf(name, vector, topK, nprobe))
       // Batch retrieval (the knnJoin primitive over the IVF layout): the k
       // nearest rows for EVERY query of a batch in ONE Spark plan — the
@@ -262,36 +251,30 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           s"searchBatch is capped at 1024 queries per call, got ${queries.size}")
         require(queries.map(_._1).distinct.size == queries.size,
           "searchBatch query ids must be unique")
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val nprobe = (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4)
+        val topK = intOr(req, "topK", 10)
+        val nprobe = intOr(req, "nprobe", 4)
         rowsJson(catalog.searchBatch(name, queries, topK, nprobe))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchPq requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val vector = parseVector(req, "searchPq")
+        val topK = intOr(req, "topK", 10)
         val rerank = (req \ "rerank").toOption.collect { case JBool(b) => b }.getOrElse(true)
-        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(4)
+        val overFetch = intOr(req, "overFetch", 4)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
         rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe))
       // two-pass binary search: Hamming prefilter over the packed
       // sign-code column, exact rerank on the stored vectors
       case ("POST", "collections" :: name :: "searchBinary" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchBinary requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        val overFetch = (req \ "overFetch").toOption.map(num(_).toInt).getOrElse(3)
+        val vector = parseVector(req, "searchBinary")
+        val topK = intOr(req, "topK", 10)
+        val overFetch = intOr(req, "overFetch", 3)
         rowsJson(catalog.searchBinary(name, vector, topK, overFetch))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val (vector, topK, nprobe) = parseLocalProbe(req, "searchLocal")
+        val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
         val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
@@ -304,7 +287,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // answers go through searchPq's rerank)
       case ("POST", "collections" :: name :: "searchLocalPq" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val (vector, topK, nprobe) = parseLocalProbe(req, "searchLocalPq")
+        val (vector, topK, nprobe) = parseProbe(req, "searchLocalPq")
         val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK, nprobe))
@@ -313,11 +296,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // through searchBinary's rerank)
       case ("POST", "collections" :: name :: "searchLocalBin" :: Nil) =>
         val req = JsonMethods.parse(body)
-        val vector = req \ "vector" match {
-          case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => throw new IllegalArgumentException("searchLocalBin requires \"vector\": [..]")
-        }
-        val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
+        val vector = parseVector(req, "searchLocalBin")
+        val topK = intOr(req, "topK", 10)
         val idx = localBinIndexes.getOrElseUpdate(name, catalog.localBinIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK))
@@ -332,10 +312,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
                 case JString(s) => s
                 case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
               },
-              queryVector = f \ "vector" match {
-                case JArray(xs) => xs.map(num(_).toFloat).toArray
-                case _ => throw new IllegalArgumentException("field requires \"vector\": [..]")
-              },
+              queryVector = parseVector(f, "field"),
               ratio = num(f \ "ratio").toInt,
               include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
           }
@@ -430,15 +407,21 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
 
   /** (vector, topK, nprobe) of a local-probe request body — shared by the
     * searchLocal / searchLocalPq routes. */
-  private def parseLocalProbe(req: JValue, route: String): (Array[Float], Int, Int) = {
-    val vector = req \ "vector" match {
+  /** ONE definition of the query-vector field every search route shares —
+    * a change to numeric coercion or validation lands once, not in each of
+    * the eight routes that accept a vector. */
+  private def parseVector(req: JValue, route: String): Array[Float] =
+    req \ "vector" match {
       case JArray(xs) => xs.map(num(_).toFloat).toArray
       case _ => throw new IllegalArgumentException(s"$route requires \"vector\": [..]")
     }
-    (vector,
-      (req \ "topK").toOption.map(num(_).toInt).getOrElse(10),
-      (req \ "nprobe").toOption.map(num(_).toInt).getOrElse(4))
-  }
+
+  /** Defaulted optional integer field (topK / nprobe / overFetch / …). */
+  private def intOr(req: JValue, field: String, default: Int): Int =
+    (req \ field).toOption.map(num(_).toInt).getOrElse(default)
+
+  private def parseProbe(req: JValue, route: String): (Array[Float], Int, Int) =
+    (parseVector(req, route), intOr(req, "topK", 10), intOr(req, "nprobe", 4))
 
   /** The serving rows payload — ONE definition of the hit wire format
     * (string-id escaping, round6 dist), so the two local serving rungs

@@ -8,8 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * event-time windows, gap-based session windows, and keyed custom state via
   * flatMapGroupsWithState. The reference has no windowed aggregation — these
   * are the training-pipeline extensions the §2.9 mapping calls for, built on
-  * the same engine surface (works identically over `read` and `readStream`
-  * inputs; the watermark only matters for the streaming case).
+  * the same engine surface (each single-aggregation operator works
+  * identically over `read` and `readStream` inputs — the watermark only
+  * matters for the streaming case; [[sessionStats]]' per-user rollup is the
+  * one batch-only composition, see its doc).
   *
   * Scale: windowed/session aggregation is one shuffle keyed by
   * (window/user); state in [[statefulLww]] is per-key and bounded (one row),
@@ -27,12 +29,24 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Per-user gap-based sessionization (session closes when the next event
-    * is >= gap after the last). Output: user, session count, event count. */
-  def sessionStats(events: DataFrame, gap: String, userCol: String = "user_id"): DataFrame =
-    events
+  /** Per-(user, session) gap-based sessionization (a session closes when
+    * the next event is >= gap after the last) — the streaming-legal single
+    * aggregation: append mode needs the watermark to finalize sessions
+    * (a no-op for batch inputs). One row per closed session. */
+  def sessionWindows(events: DataFrame, gap: String, userCol: String = "user_id",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap).as("s"), col(userCol))
       .agg(count(lit(1)).as("n_in_session"))
+      .select(col(userCol), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_in_session"))
+
+  /** Per-user rollup of [[sessionWindows]]: session count + event count.
+    * BATCH-ONLY: the second, unwindowed aggregation is a chained streaming
+    * aggregation Spark rejects in every output mode — for streams, run
+    * [[sessionWindows]] and roll up per-session rows downstream. */
+  def sessionStats(events: DataFrame, gap: String, userCol: String = "user_id"): DataFrame =
+    sessionWindows(events, gap, userCol)
       .groupBy(col(userCol))
       .agg(count(lit(1)).as("n_sessions"), sum("n_in_session").as("n_events"))
 

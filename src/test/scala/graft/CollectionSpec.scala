@@ -42,6 +42,36 @@ class CollectionSpec extends SparkSpec {
     assert(!cat.exists("c1"))
   }
 
+  test("collection names are single path segments: traversal / empty / reserved rejected") {
+    val cat = newCatalog()
+    for (bad <- Seq("..", ".", "", "a/b", "a\\b", "..foo" * 40 /* > 128 chars */,
+                    "__internal", "a b", "a:b")) {
+      val ex = intercept[IllegalArgumentException] {
+        // every path derivation validates, so both entry points must refuse
+        cat.createCollection(meta("ok").copy(name = bad))
+      }
+      assert(ex.getMessage.contains("invalid collection name"), s"name '$bad'")
+      intercept[IllegalArgumentException](cat.dropCollection(bad))
+      intercept[IllegalArgumentException](cat.exists(bad))
+    }
+    // legal names still work, including dots inside a segment
+    cat.createCollection(meta("ok").copy(name = "v1.2_data-set"))
+    assert(cat.exists("v1.2_data-set"))
+  }
+
+  test("re-load releases the previous resident copy (no cache leak across re-anchors)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("c-reload"))
+    val first = cat.loadCollection("c-reload")
+    cat.insert("c-reload", rows(8))
+    first.count() // materialize the first anchor's cache
+    val second = cat.loadCollection("c-reload")
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "previous load's persisted copy must be unpersisted on re-anchor")
+    assert(second.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    cat.dropCollection("c-reload")
+  }
+
   test("operations on unloaded collection fail with not-loaded error (state machine)") {
     val cat = newCatalog()
     cat.createCollection(meta("c2"))

@@ -197,6 +197,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L))) // same block, jaccard 0.5
   }
 
+  test("blockedJaccardPairs: NULL blocking values form their own block " +
+       "(not silently dropped), and NULL != non-NULL") {
+    val withNulls = Seq(
+      (10L, "the quick brown fox jumps", null.asInstanceOf[String], "a"),
+      (11L, "the quick brown fox jumps", null.asInstanceOf[String], "a"), // dup, NULL lang
+      (12L, "the quick brown fox jumps", "en", "a")  // same text, lang set
+    ).toDF("id", "text", "lang", "src")
+    val pairs = Dedup.blockedJaccardPairs(withNulls, "id", "text", Seq("lang", "src"), 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), "identical docs in the NULL-lang block must pair")
+    assert(!pairs.contains((10L, 12L)) && !pairs.contains((11L, 12L)),
+      "NULL block must not match the 'en' block")
+  }
+
+  test("SimHash bands=1: the full-64-bit band key works (no mask wrap to zero)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // identical
+      (3L, "entirely unrelated content with different words throughout here")
+    ).toDF("id", "text")
+    val pairs = SimHashDedup.nearDuplicatePairs(docs, "id", "text",
+        maxHamming = 0, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0)),
+      "bands=1 must band on the full fingerprint: identical docs pair, others don't")
+  }
+
   test("minhash signatures: identical texts get identical signatures") {
     val sigs = MinHashLSH.withSignatures(df.where(col("id") <= 2), "text", 8)
       .select((0 until 8).map(j => col(s"sig_$j")): _*).collect()

@@ -51,6 +51,20 @@ class LocalIvfIndexSpec extends SparkSpec {
     assert(hits.map(_._1.toString) === exact)
   }
 
+  test("empty assigned set builds a searchable empty index (dim from centroids)") {
+    val cents = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 1f, 1f, 1f)))
+    val empty = emb.where(lit(false))
+      .select(col("vec_id"), col("embedding"), lit(0L).as("cell"))
+    val idx = LocalIvfIndex.fromAssigned(empty, "vec_id", "embedding", cents, "euclidean")
+    assert(idx.size === 0L)
+    // probe works against the trained dim instead of failing with "expected -1"
+    assert(idx.search(Array(0.5f, 0.5f, 0.5f, 0.5f), topK = 5, nprobe = 2).isEmpty)
+    // no centroids at all is a build-time error, not a latent serving failure
+    val ex = intercept[IllegalArgumentException](
+      LocalIvfIndex.fromAssigned(empty, "vec_id", "embedding", Seq.empty, "euclidean"))
+    assert(ex.getMessage.contains("centroid"))
+  }
+
   test("NaN query vector: probe returns empty, never duplicate filler cells") {
     // a corrupt (NaN) query admits no centroid into the top-nprobe
     // selection — the result must be empty, not cell 0 scanned nprobe
