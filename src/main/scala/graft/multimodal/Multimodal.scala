@@ -51,9 +51,14 @@ object Multimodal {
     override def dim: Int = 5
     override def decode(bytes: Array[Byte]): Option[Array[Double]] = {
       if (!ready) init()
+      if (bytes == null) return None
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize, CMM…) on
+      // truncated/corrupt bytes — any of them is "undecodable", not a
+      // task-killing failure (the skip-don't-crash contract).
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val w = im.getWidth; val h = im.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -80,13 +85,11 @@ object Multimodal {
   class AudioStatsDecoder extends PayloadDecoder {
     override def dim: Int = 5
     override def decode(bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes == null) return None
       val in =
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
-        }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(in).flatMap { ais =>
         try {
           val fmt = ais.getFormat
@@ -112,7 +115,7 @@ object Multimodal {
             else Some(Array(n.toDouble, fmt.getSampleRate.toDouble,
               sumAbs.toDouble / n, math.sqrt(sumSq.toDouble / n), crossings.toDouble))
           }
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally ais.close()
       }
     }
@@ -138,7 +141,8 @@ object Multimodal {
     override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
     override def dim: Int = 8
     override def decode(bytes: Array[Byte]): Option[Array[Double]] =
-      try decodeAvi(bytes) catch { case scala.util.control.NonFatal(_) => None }
+      if (bytes == null) None
+      else try decodeAvi(bytes) catch { case scala.util.control.NonFatal(_) => None }
 
     private def decodeAvi(bytes: Array[Byte]): Option[Array[Double]] = {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -156,14 +160,19 @@ object Multimodal {
       var streamCount = 0; var videoStream = -1; var expectVideoStrf = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)] // (off, len, kind)
       // RIFF chunk walker: chunks are (fourcc, size, payload) padded to even;
-      // LIST payloads nest. `limit` guards truncated containers.
-      def walk(from: Int, to: Int): Unit = {
+      // LIST payloads nest. `limit` guards truncated containers. Depth is
+      // bounded: a crafted LIST(LIST(LIST(…))) tower at 12 bytes/level would
+      // otherwise overflow the thread stack — and StackOverflowError is a
+      // VirtualMachineError that decode's NonFatal catch does NOT contain.
+      // Real AVI nests 3 deep (RIFF > hdrl/movi > strl/rec); 64 is generous.
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 64) return // hostile nesting — treat as corrupt
         var pos = from
         while (pos + 8 <= to) {
           val fc = fourcc(pos); val size = bb.getInt(pos + 4)
           if (size < 0 || pos + 8 + size > to) return // truncated/corrupt
           fc match {
-            case "LIST" if size >= 4 => walk(pos + 12, pos + 8 + size)
+            case "LIST" if size >= 4 => walk(pos + 12, pos + 8 + size, depth + 1)
             case "avih" if size >= 40 =>
               totalFrames = bb.getInt(pos + 8 + 16).toLong & 0xFFFFFFFFL
               width = bb.getInt(pos + 8 + 32); height = bb.getInt(pos + 8 + 36)
@@ -387,19 +396,27 @@ object Multimodal {
     fcc("RIFF") ++ le(body.length) ++ body
   }
 
-  /** Attach a synthetic DIB AVI payload per row (distributed encode, like
-    * [[withSyntheticImages]]). */
-  def withSyntheticVideo(df: DataFrame, idCol: String,
-                         payloadCol: String = "payload"): DataFrame = {
+  /** Shared attach-payload shape: encode a deterministic payload per id
+    * INSIDE the partition (like a real media fetch/transcode would), one
+    * (id, payload) row out. The three public attachers differ only in the
+    * generator. */
+  private def withSyntheticPayload(df: DataFrame, idCol: String, payloadCol: String)
+                                  (gen: Long => Array[Byte]): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField(payloadCol, BinaryType, nullable = false)))
     val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), syntheticAvi(r.getLong(0))) }
+      it.map { r => Row(r.getLong(0), gen(r.getLong(0))) }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Attach a synthetic DIB AVI payload per row (distributed encode, like
+    * [[withSyntheticImages]]). */
+  def withSyntheticVideo(df: DataFrame, idCol: String,
+                         payloadCol: String = "payload"): DataFrame =
+    withSyntheticPayload(df, idCol, payloadCol)(syntheticAvi(_))
 
   /** Deterministic synthetic WAV per id (PCM 16-bit mono, 8 kHz):
     * n = 400 + id%100 samples, sample(i) = ((i·7919 + id·104729) mod 65536)
@@ -426,16 +443,8 @@ object Multimodal {
   /** Attach a synthetic WAV payload per row (distributed encode, like
     * [[withSyntheticImages]]). */
   def withSyntheticAudio(df: DataFrame, idCol: String,
-                         payloadCol: String = "payload"): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField(payloadCol, BinaryType, nullable = false)))
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), syntheticWav(r.getLong(0))) }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+                         payloadCol: String = "payload"): DataFrame =
+    withSyntheticPayload(df, idCol, payloadCol)(syntheticWav)
 
   /** Decode + featurize through a [[PayloadDecoder]]: one decoder init per
     * partition, fixed-width double vector out, `decode_ok=false` + zeros for
@@ -452,7 +461,12 @@ object Multimodal {
     val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { it =>
       decoder.init() // once per partition, not per row
       it.map { r =>
-        decoder.decode(r.getAs[Array[Byte]](1)) match {
+        val bytes = r.getAs[Array[Byte]](1)
+        // NULL payload (nullable source, failed upstream fetch) is an
+        // undecodable row by contract — guarded here so no user-supplied
+        // decoder can turn it into a task-killing NPE.
+        val decoded = if (bytes == null) None else decoder.decode(bytes)
+        decoded match {
           case Some(f) => Row(r.getLong(0), f, true)
           case None    => Row(r.getLong(0), new Array[Double](dim), false)
         }
@@ -489,16 +503,8 @@ object Multimodal {
   /** Attach a synthetic PNG payload per row (distributed; the encoder runs
     * inside the partition like a real media fetch/transcode would). */
   def withSyntheticImages(df: DataFrame, idCol: String,
-                          payloadCol: String = "payload"): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField(payloadCol, BinaryType, nullable = false)))
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), syntheticPng(r.getLong(0))) }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+                          payloadCol: String = "payload"): DataFrame =
+    withSyntheticPayload(df, idCol, payloadCol)(syntheticPng)
 
   /** Stand-in media payload: utf-8 bytes of a text column. A real pipeline
     * reads `binaryFile` sources or parquet with real media bytes. */

@@ -46,8 +46,10 @@ object FuzzyJoin {
     va.join(vb, "vv")
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .where(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("d"))
+      // compute the O(|a|·|b|) edit distance ONCE per candidate — Catalyst
+      // does not CSE an expression across the Filter/Project boundary
+      .withColumn("d", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("d") <= 1)
+      .select("id_a", "id_b", "d")
   }
 }

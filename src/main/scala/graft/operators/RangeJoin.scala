@@ -50,6 +50,12 @@ object RangeJoin {
           col(startCol), col(endCol))).cast("long"))
     }
     val ib = intervals
+      // An inverted interval (end < start) contains no points by definition
+      // — drop it BEFORE the explode: Spark's sequence(bs, be) generates a
+      // DESCENDING sequence when bs > be, so an inverted dirty row would
+      // sail past the span guard (be - bs is negative) and then try to
+      // materialize |span| buckets anyway. NULL bounds also match nothing.
+      .where(col(endCol) >= col(startCol))
       .withColumn("__bucket",
         explode(sequence(floor(col(startCol) / bucketWidth).cast("long"), guardedEnd)))
     pb.join(ib, Seq(keyCol, "__bucket"))

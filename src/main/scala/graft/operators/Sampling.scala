@@ -23,8 +23,18 @@ object Sampling {
     * ids (split vs subsample vs A/B never correlate). */
   def hashBucket(id: Column, family: String, buckets: Int): Column = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    pmod(conv(substring(md5(concat(lit(family), lit("|"), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    // A NULL id has no identity, and a null hash silently picks a DIFFERENT
+    // behavior per consumer (where-filters drop the row, assignSplit's case
+    // chain falls through to the LAST split — holdout contamination with
+    // exactly the malformed rows, window ordering sorts nulls first). One
+    // loud contract instead: membership is a pure function of the id, so
+    // NULL ids must be filtered or repaired upstream.
+    when(id.isNull, raise_error(lit(
+        "sampling: id is NULL — membership is a pure function of the id; " +
+          "filter or repair NULL ids upstream")).cast("long"))
+      .otherwise(
+        pmod(conv(substring(md5(concat(lit(family), lit("|"), id.cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
   }
 
   /** Add a `split` column assigning each row to one of the named splits by

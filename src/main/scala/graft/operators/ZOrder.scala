@@ -42,7 +42,13 @@ object ZOrder {
     }
     cols.indices.map { i =>
       val mn = r.getLong(2 * i)
-      val range = r.getLong(2 * i + 1) - mn
+      // UNSIGNED range: for columns spanning more than half the long range
+      // (xxhash64/stable_id values), max - min wraps negative in signed
+      // arithmetic — but the wrapped value IS the unsigned distance, and
+      // numberOfLeadingZeros reads its unsigned bit length correctly
+      // (nlz = 0 → bitLen 64). [[zvalue]] computes the offsets in matching
+      // unsigned arithmetic (halved-operand form — ANSI-safe).
+      val range = r.getLong(2 * i + 1) - mn // driver-side JVM math wraps (wanted)
       val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(range) // 0 for range=0
       (mn, math.max(bitLen - bits, 0))
     }
@@ -53,7 +59,22 @@ object ZOrder {
   def zvalue(cols: Seq[String], shifts: Seq[(Long, Int)], bits: Int): Column = {
     val n = cols.size
     val buckets = cols.zip(shifts).map { case (c, (mn, sh)) =>
-      shiftright(col(c).cast("long") - lit(mn), sh)
+      // Exact floor((v - mn) / 2^sh) in UNSIGNED arithmetic, ANSI-safe for
+      // columns spanning more than half the long range (where v - mn both
+      // wraps AND trips Spark's overflow check): map to unsigned order by
+      // flipping the sign bit, then work on HALVED operands — always
+      // < 2^63, so plain subtraction cannot overflow — and correct the
+      // dropped low bit. halfd = floor(d/2) + corr with corr = 1 iff the
+      // base is odd and u even (the only case the halves over-count).
+      val u = col(c).cast("long").bitwiseXOR(lit(Long.MinValue))
+      val base = mn ^ Long.MinValue
+      val halfd = shiftrightunsigned(u, 1) - lit(base >>> 1)
+      val corr: Column =
+        if ((base & 1L) == 0L) lit(0L)
+        else u.bitwiseXOR(lit(1L)).bitwiseAND(lit(1L)) // 1 - (u & 1)
+      if (sh >= 1) shiftrightunsigned(halfd - corr, sh - 1)
+      else (halfd - corr) * lit(2L) +
+        u.bitwiseAND(lit(1L)).bitwiseXOR(lit(base & 1L)) // + (d & 1)
     }
     val terms = for (b <- 0 until bits; i <- 0 until n)
       yield shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * n + i)

@@ -72,6 +72,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() === 0)
   }
 
+  test("NULL ids fail loudly in every sampling operator (one contract, not three silent ones)") {
+    // a null id used to DROP from hashSample/stratifiedSample but land in
+    // the LAST split in assignSplit (holdout contamination)
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    def msg(f: => Unit): String = {
+      val e = intercept[Exception](f)
+      val rc = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .toSeq.last
+      rc.getMessage
+    }
+    assert(msg(Sampling.assignSplit(withNull, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).collect()).contains("id is NULL"))
+    assert(msg(Sampling.hashSample(withNull, "doc_id", 0.5).collect())
+      .contains("id is NULL"))
+    assert(msg(Sampling.stratifiedSample(withNull, "doc_id", "text",
+      Seq("a" -> 0.5)).collect()).contains("id is NULL"))
+  }
+
   test("stratifiedSample: per-stratum rates hold, deterministic, default keeps all") {
     val langs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang").cache()

@@ -66,6 +66,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L)._1 === false)
   }
 
+  test("NULL payloads yield decode_ok=false in every decoder, never an NPE") {
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, null)
+    ).toDF("doc_id", "payload")
+    for (dec <- Seq(new Multimodal.ImageStatsDecoder, new Multimodal.AudioStatsDecoder,
+                    new Multimodal.VideoStatsDecoder())) {
+      val out = Multimodal.extractWith(rows, "doc_id", "payload", dec)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(out(2L) === false, dec.getClass.getSimpleName)
+    }
+    // direct decoder calls too (library users bypass extractWith)
+    assert(new Multimodal.ImageStatsDecoder().decode(null).isEmpty)
+    assert(new Multimodal.AudioStatsDecoder().decode(null).isEmpty)
+    assert(new Multimodal.VideoStatsDecoder().decode(null).isEmpty)
+  }
+
+  test("hostile AVI: a deep LIST(LIST(…)) tower is rejected as corrupt, not a stack overflow") {
+    // 20k nesting levels × 12 bytes — would overflow the thread stack in an
+    // unbounded recursive walker, and StackOverflowError escapes NonFatal
+    val levels = 20000
+    val bb = java.nio.ByteBuffer.allocate(12 + levels * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + levels * 12).put("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until levels) {
+      // chunk at level i spans (levels - i) * 12 bytes; size excludes its
+      // own fourcc+size header (8 bytes)
+      bb.put("LIST".getBytes("US-ASCII")).putInt((levels - i) * 12 - 8)
+        .put("hdrl".getBytes("US-ASCII"))
+    }
+    assert(new Multimodal.VideoStatsDecoder().decode(bb.array()).isEmpty)
+  }
+
   test("REAL codec: distributed encode→decode round trip over many ids (PNG lossless)") {
     val ids = spark.range(0, 50).toDF("doc_id")
     val imgs = Multimodal.withSyntheticImages(ids, "doc_id")

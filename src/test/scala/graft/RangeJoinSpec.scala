@@ -60,6 +60,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("range_join"), s"got: ${ex.getMessage}")
   }
 
+  test("inverted interval (end < start) matches nothing — and cannot bypass the span guard") {
+    // sequence(bs, be) DESCENDS when bs > be: an inverted dirty row used to
+    // sail past the span guard (negative span) and explode |span| buckets
+    val p = Seq((1L, 5L, 1L)).toDF("k", "t", "pid")
+    val iv = Seq(
+      (1L, 0L, 10L, 10L),            // normal: matches the point
+      (1L, 1000000000000L, 0L, 11L), // inverted, astronomically wide
+      (1L, 7L, 3L, 12L)              // inverted, small
+    ).toDF("k", "s", "e", "iid")
+    val got = RangeJoin.join(p, iv, "k", "t", "s", "e", bucketWidth = 10L,
+        maxBucketsPerInterval = 100)
+      .select("iid").collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L))
+  }
+
   test("column collisions are rejected up front") {
     val iv = intervals.withColumnRenamed("iid", "pid")
     val ex = intercept[IllegalArgumentException](

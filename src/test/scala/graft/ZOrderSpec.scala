@@ -43,6 +43,26 @@ class ZOrderSpec extends SparkSpec {
     assert(eNull.getMessage.contains("'y'"))
   }
 
+  test("full-long-range columns (hash ids): buckets stay in [0, 2^bits), no sign flood") {
+    // min near Long.MinValue, max near Long.MaxValue: max - min wraps
+    // negative in signed math; an arithmetic shift would sign-extend the
+    // wrapped offsets so every high row collides at the all-ones bucket
+    val df = Seq(
+      (0L, Long.MinValue + 1), (1L, -1L), (2L, 0L),
+      (3L, 1L << 40), (4L, Long.MaxValue - 1), (5L, Long.MaxValue)
+    ).toDF("id", "h")
+    val bits = 4
+    val shifts = ZOrder.fitShifts(df, Seq("h"), bits)
+    assert(shifts.head._2 === 60) // unsigned bitLen 64 → shift 64 - 4
+    val buckets = df.select(ZOrder.zvalue(Seq("h"), shifts, bits).as("z"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < (1L << bits)),
+      s"buckets out of range: ${buckets.mkString(",")}")
+    // monotone: larger values land in >= buckets, and the span is used
+    assert(buckets.distinct.length > 1)
+    assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b })
+  }
+
   test("cluster: content-preserving, partitions cover disjoint tight z-ranges") {
     val df = points(20000)
     val clustered = ZOrder.cluster(df, Seq("x", "y"), bits = 10, numPartitions = 8)
