@@ -26,13 +26,18 @@ object FilterExpr {
   /** One comparison over a typed metadata column (string/long/double/bool —
     * the reference's four value types, §1.3). */
   final case class Single(column: String, op: Op, value: Any) extends FilterExpr {
+    // Field names arrive from HTTP clients verbatim: backtick-quote so a
+    // dot in a field name stays a LITERAL column reference (bare
+    // col("a.b") parses as nested-field access) and an embedded backtick
+    // can't break out of the quoting.
+    private def c: Column = col(s"`${column.replace("`", "``")}`")
     def toColumn: Column = op match {
-      case Eq  => col(column) === lit(value)
-      case Neq => col(column) =!= lit(value)
-      case Gt  => col(column) > lit(value)
-      case Gte => col(column) >= lit(value)
-      case Lt  => col(column) < lit(value)
-      case Lte => col(column) <= lit(value)
+      case Eq  => c === lit(value)
+      case Neq => c =!= lit(value)
+      case Gt  => c > lit(value)
+      case Gte => c >= lit(value)
+      case Lt  => c < lit(value)
+      case Lte => c <= lit(value)
     }
   }
 

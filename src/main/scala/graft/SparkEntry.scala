@@ -16,7 +16,7 @@ object SparkEntry {
     queries("flat_scan_cosine")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorSearchQueries.queries ++
       FilterSearchQueries.queries ++
       QuantizedQueries.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     VectorSearchQueries.oracles ++
       FilterSearchQueries.oracles ++
       QuantizedQueries.oracles ++

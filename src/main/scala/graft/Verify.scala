@@ -16,9 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // NonFatal only: an OOM/VM error means the JVM is no longer sound —
+      // continuing would let unrelated queries fail (or write truncated
+      // parquet) and pollute the round's gate with phantom failures
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -96,7 +96,10 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           if (rd < bestR) {
             bestR = rd; best = c
-            val g = rd + 2e-6; gateSq = g * g
+            // ulp term mirrors VecArgMinDistance's window: past d ≈ 1e9 the
+            // nearest-double error of round6 exceeds the fixed margin, and
+            // a winner could otherwise be gated out before rounding
+            val g = rd + 2e-6 + 4.0 * Math.ulp(rd); gateSq = g * g
           }
         }
         c += 1; base += dn
@@ -155,7 +158,7 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
          |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
          |      if ($rd < $bestR) {
          |        $bestR = $rd; $best = $c;
-         |        final double $g = $rd + 2e-6; $gateSq = $g * $g;
+         |        final double $g = $rd + 2e-6 + 4.0 * Math.ulp($rd); $gateSq = $g * $g;
          |      }
          |    }
          |  }

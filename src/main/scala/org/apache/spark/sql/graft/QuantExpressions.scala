@@ -27,9 +27,14 @@ object QuantFormats {
   }
 }
 
-case class QuantizeVector(child: Expression, format: String) extends UnaryExpression {
+case class QuantizeVector(child: Expression, format: String)
+    extends UnaryExpression with ExpectsInputTypes {
   require(QuantFormats.all.contains(format), s"unknown quantization: $format")
   override def prettyName: String = s"quantize_$format"
+  // declared like every sibling expression: without it an array<double>
+  // child passes analysis and getFloat reads half of each 8-byte slot —
+  // silently corrupt codes instead of an analysis error
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = QuantFormats.storageType(format)
   override def nullIntolerant: Boolean = true
 
@@ -150,16 +155,7 @@ case class VecDistanceQuant(left: Expression, right: Expression,
           val v = ctx.freshName("sa")
           (v, s"final short[] $v = $a.toShortArray();\n", s"$v.length")
         }
-      val fb = if (right.foldable) {
-        Option(right.eval(null)) match {
-          case Some(arr) =>
-            ctx.addReferenceObj("qvecQ", arr.asInstanceOf[ArrayData].toFloatArray(), "float[]")
-          case None => null
-        }
-      } else null
-      val (qv, prepB) =
-        if (fb != null) (fb, "")
-        else { val v = ctx.freshName("fq"); (v, s"final float[] $v = $b.toFloatArray();\n") }
+      val (qv, prepB) = CodegenVec.floatSide(ctx, right, b, "Q")
       val get = if (format == "f8") s"$a[$j]" else s"$sa[$j]"
       val loop = metric match {
         case "cosine" =>
@@ -212,9 +208,13 @@ object VecDistanceQuant {
   val metrics = Set("cosine", "euclidean", "manhattan", "dot")
 }
 
-case class DequantizeVector(child: Expression, format: String) extends UnaryExpression {
+case class DequantizeVector(child: Expression, format: String)
+    extends UnaryExpression with ExpectsInputTypes {
   require(QuantFormats.all.contains(format), s"unknown quantization: $format")
   override def prettyName: String = s"dequantize_$format"
+  // analysis-time check (matches the storage type [[QuantizeVector]]
+  // emits) instead of a runtime ClassCastException on wrong-typed input
+  override def inputTypes: Seq[AbstractDataType] = Seq(QuantFormats.storageType(format))
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

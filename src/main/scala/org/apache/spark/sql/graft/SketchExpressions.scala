@@ -110,6 +110,7 @@ case class CmsEstimateLong(sketchBytes: Array[Byte], child: Expression)
   override def prettyName: String = "cms_estimate"
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true // IsNotNull inference, like every sibling
 
   @transient private lazy val cms: CountMinSketch = CountMinSketch.readFrom(sketchBytes)
 

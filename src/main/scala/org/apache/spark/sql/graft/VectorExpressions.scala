@@ -74,7 +74,32 @@ object GraftBridge {
   *     once per row per query inside a `TakeOrderedAndProject` scan, so it
   *     must stay inside WholeStageCodegen with zero boxing.
   */
-abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInputTypes {
+/** ONE definition of the foldable-query hoisting every binary vector kernel
+  * shares: a foldable child (the query-vector literal in every scan) is
+  * evaluated ONCE at codegen time and embedded as a float[] reference —
+  * without this the per-row path unboxes the literal's 128 elements a
+  * billion times at 100 TB. A non-foldable (or null-valued foldable) side
+  * is bulk-copied per row (`toFloatArray` = one memcpy for unsafe arrays),
+  * turning the kernel into a vectorizable float[] loop.
+  * Returns (variable name, prep statement). */
+private[graft] object CodegenVec {
+  def floatSide(ctx: CodegenContext, e: Expression, rowVar: String, tag: String): (String, String) =
+    (if (e.foldable) Option(e.eval(null)) else None) match {
+      case Some(arr) =>
+        (ctx.addReferenceObj(s"vec$tag",
+          arr.asInstanceOf[ArrayData].toFloatArray(), "float[]"), "")
+      case _ =>
+        val f = ctx.freshName(s"f$tag")
+        (f, s"final float[] $f = $rowVar.toFloatArray();\n")
+    }
+}
+
+/** ImplicitCastInputTypes, not bare ExpectsInputTypes: ad-hoc SQL like
+  * `cosine_distance(embedding, array(0.1, 0.2))` supplies array<double>
+  * literals — the analyzer inserts the float cast instead of failing. The
+  * engine's own plans always pass array<float>, so no cast lands in the
+  * hot paths. */
+abstract class BinaryVectorExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -93,26 +118,11 @@ abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInput
     * reference's AVX kernels, pkg/distance/simd/). */
   protected def loopCode(ctx: CodegenContext, fa: String, fb: String, n: String, result: String): String
 
-  /** A foldable child (the query-vector literal in every scan) is evaluated
-    * ONCE at codegen time and embedded as a float[] reference — without this
-    * the per-row path unboxes the literal's 128 elements a billion times at
-    * 100 TB. The row side is bulk-copied (`toFloatArray` = one memcpy for
-    * unsafe arrays), turning the kernel into a vectorizable float[] loop. */
-  private def hoisted(e: Expression): Option[Array[Float]] =
-    if (e.foldable) Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray()) else None
-
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
-      def side(arr: String, const: Option[Array[Float]], tag: String): (String, String) =
-        const match {
-          case Some(v) => (ctx.addReferenceObj(s"vec$tag", v, "float[]"), "")
-          case None =>
-            val f = ctx.freshName(s"f$tag")
-            (f, s"final float[] $f = $arr.toFloatArray();\n")
-        }
-      val (fa, prepA) = side(a, hoisted(left), "A")
-      val (fb, prepB) = side(b, hoisted(right), "B")
+      val (fa, prepA) = CodegenVec.floatSide(ctx, left, a, "A")
+      val (fb, prepB) = CodegenVec.floatSide(ctx, right, b, "B")
       s"""
          |$prepA$prepB
          |final int $n = $fa.length;
@@ -503,7 +513,7 @@ case class VecTopCells(child: Expression, cids: Array[Long],
 }
 
 /** l2_norm(v) = √Σvᵢ² */
-case class VecL2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class VecL2Norm(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "l2_norm"
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
@@ -535,7 +545,7 @@ case class VecL2Norm(child: Expression) extends UnaryExpression with ExpectsInpu
   * stored + query vectors when the collection distance is cosine. Interpreted
   * eval only (ingest-side, not the per-row scoring hot path). */
 case class VecL2Normalize(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def prettyName: String = "l2_normalize"
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)

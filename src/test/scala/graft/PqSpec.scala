@@ -38,6 +38,28 @@ class PqSpec extends SparkSpec {
     expect.foreach { case (id, codes) => assert(kernel(id) === codes, s"vec_id $id") }
   }
 
+  test("encode == arg_min_distance parity HOLDS at large magnitudes (ulp-aware gate)") {
+    // distances ~1e10: ulp(d) ≈ 2e-6 rivals the fixed gate margin — the
+    // squared-space gate must carry the same ulp allowance as
+    // VecArgMinDistance or a winner can be gated out before rounding
+    val r = new scala.util.Random(11)
+    val dim = 8; val m = 2; val dsub = dim / m; val ksub = 16
+    def bigVec() = Array.fill(dim)((r.nextDouble() * 2e10 - 1e10).toFloat)
+    val cents = (0 until m).map(_ => Array.fill(ksub)(Array.fill(dsub)(
+      (r.nextDouble() * 2e10 - 1e10).toFloat))).toArray
+    val cb = graft.ann.PqCodebook(cents)
+    val rows = (0 until 200).map(i => (i.toLong, bigVec())).toDF("vec_id", "embedding")
+    val composed = rows.select(col("vec_id"),
+      array((0 until m).map { j =>
+        val cs = cb.cents(j).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        arg_min_distance(slice(col("embedding"), j * dsub + 1, dsub), cs, "euclidean")
+      }: _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toSeq).toMap
+    val kernel = graft.ann.Pq.encode(rows, "embedding", cb).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(_ & 0xFF).toSeq).toMap
+    composed.foreach { case (id, codes) => assert(kernel(id) === codes, s"vec_id $id") }
+  }
+
   test("pq_encode_cells (trainer form) == pq_encode byte codes") {
     val cb = Pq.seedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 16)
     val both = emb.select(col("vec_id"),

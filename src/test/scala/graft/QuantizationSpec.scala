@@ -85,6 +85,20 @@ class QuantizationSpec extends SparkSpec {
     assert(maxF8 <= 5.0, s"f8 drift $maxF8")
   }
 
+  test("quantize/dequantize declare input types: array<double> is an analysis error, not corrupt codes") {
+    import spark.implicits._
+    // without inputTypes, getFloat over an 8-byte double slot read garbage
+    val doubles = Seq((1L, Array(0.5d, 0.25d))).toDF("id", "v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(quantize(col("v"), "f16")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+    val wrongStore = Seq((1L, Array(1, 2))).toDF("id", "c")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      wrongStore.select(dequantize(col("c"), "f16")).collect()
+    }
+  }
+
   test("quantize/dequantize expressions: codegen path + self-match through a scan") {
     import spark.implicits._
     val vecs = (0L to 49L).map(i => (i, randVec(16))).toDF("id", "v")

@@ -95,6 +95,29 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("SQL array literals (array<double>) implicitly cast to float vectors") {
+    graft.functions.registerSqlFunctions(spark)
+    Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v").createOrReplaceTempView("vt_cast")
+    // array(0.0, 1.0) is array<double> — the analyzer must insert the cast
+    val d = spark.sql("SELECT cosine_distance(v, array(0.0D, 1.0D)) AS d FROM vt_cast")
+      .head().getDouble(0)
+    assert(math.abs(d - 1.0) < 1e-6)
+    val n = spark.sql("SELECT l2_norm(array(3.0D, 4.0D)) AS n").head().getDouble(0)
+    assert(math.abs(n - 5.0) < 1e-6)
+  }
+
+  test("FilterExpr: a column whose NAME contains a dot is a literal reference, not a path") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "meta.lang")
+    val got = df.where(FilterExpr.Single("meta.lang", FilterExpr.Eq, "x").toColumn)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+    // embedded backtick cannot break out of the quoting
+    val df2 = df.withColumnRenamed("meta.lang", "a`b")
+    val got2 = df2.where(FilterExpr.Single("a`b", FilterExpr.Eq, "y").toColumn)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(2L))
+  }
+
   test("score_from_distance formulas (edge/edge_helper.go:143-148)") {
     val df = Seq((0.5, 30.0)).toDF("dc", "de")
     val r = df.select(
