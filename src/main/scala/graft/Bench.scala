@@ -97,6 +97,18 @@ object Bench {
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
     // point_lookup_1m on the same cached data) dominates; the 10M suite is
     // where scan throughput, not overhead, decides the number.
+    // Suite-level guard: per-query failures already degrade to `err` rows,
+    // but suite SETUP (data generation, cache materialization, training)
+    // ran bare — one transient FS/OOM failure there aborted the process
+    // before the final JSON line and lost every already-measured suite.
+    def guardSuite(tag: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try body catch {
+        case e: Throwable =>
+          errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          Seq.empty
+      }
+
     def bigSuite(rows: Long, dir: String, tag: String, reps: Int): Seq[(String, Double)] = {
       ensureBenchData(spark, dir, rows)
       // Partition sizing is the floor-vs-parallelism trade: every task adds
@@ -237,13 +249,14 @@ object Bench {
       big.unpersist(false)
       out
     }
-    val big1mA = bigSuite(1000000L, benchDir, "1m", reps = 48)
+    val big1mA = guardSuite("suite_1m")(bigSuite(1000000L, benchDir, "1m", reps = 48))
     // 32 reps for 10M (was 16): the r6 driver run hit a globally slow
     // machine window (floor control point_lookup_10m doubled on an
     // untouched path) that the 1M suite's 48-rep ~45 s window rode out but
     // the 10M suite's 16 reps did not — widen the interleave so a transient
     // window can no longer own the per-query min.
-    val big10m = bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32)
+    val big10m = guardSuite("suite_10m")(
+      bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32))
 
     // ---- IVF at scale: k-means training + full-corpus assignment on the
     // clustered 1M collection (k=256 — the cell count where the single-loop
@@ -306,7 +319,8 @@ object Bench {
         val t0 = System.nanoTime()
         qs.foreach(q => idx.search(q, 10, 8))
         (System.nanoTime() - t0) / 1e9 / qs.length
-      } catch { case e: Throwable => errors("ivf_local_search_1m") = e.toString; -1.0 }
+      } catch { case e: Throwable =>
+        errors("ivf_local_search_1m") = e.toString.linesIterator.take(1).mkString; -1.0 }
       // Batch k-NN join throughput: 500 query ROWS against the 1M corpus,
       // candidates from each query's 8 of 256 cells (~15.6M exact distance
       // evals total) — the retrieval-augmentation shape, all inside one
@@ -341,7 +355,7 @@ object Bench {
       bigc.unpersist()
       r
     }
-    val ivf1m = ivf1mRun()
+    val ivf1m = guardSuite("suite_ivf_1m")(ivf1mRun())
 
     // ---- PQ at scale: sampled per-subspace training, full-corpus encode
     // (1M×16 subspaces×256 codewords×8 dims — same flop class as
@@ -456,7 +470,7 @@ object Bench {
     // m=16 codes are 160 MB, and the ADC scan reads ONLY codes. Train is
     // sampled (1/64, untimed — the 1M suite times training); encode is one
     // timed full pass (throughput op); the scan is steady-state.
-    val pq10m = {
+    val pq10m = guardSuite("pq_10m") {
       val dir = benchDir + "-10m"
       ensureBenchData(spark, dir, 10000000L)
       val big = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
@@ -576,12 +590,18 @@ object Bench {
     // make the per-query MIN robust to any transient shorter than the gap;
     // a machine slow for the WHOLE bench shows up in the floor control
     // either way.
-    val big1mB = bigSuite(1000000L, benchDir, "1m", reps = 24)
+    val big1mB = guardSuite("suite_1m_b")(bigSuite(1000000L, benchDir, "1m", reps = 24))
     val big1m = {
-      val b = big1mB.toMap
-      big1mA.map { case (k, t) =>
-        val tb = b.getOrElse(k, Double.MaxValue)
-        k -> (if (t < 0 || tb < 0) math.max(t, tb) else math.min(t, tb))
+      val a = big1mA.toMap; val b = big1mB.toMap
+      val keys = big1mA.map(_._1) ++ big1mB.map(_._1).filterNot(a.contains)
+      keys.map { k =>
+        val ta = a.getOrElse(k, -1.0); val tb = b.getOrElse(k, -1.0)
+        // one failed pass + one valid measurement = a valid row (the same
+        // convention the 100k family merge applies): drop the stale error
+        // the failed pass recorded, or the output carries both a time and
+        // an error for the query
+        if ((ta < 0) != (tb < 0)) errors.remove(k)
+        k -> (if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb))
       }
     }
 
@@ -590,7 +610,7 @@ object Bench {
     // corpus-shaped doc count (10% deterministic near-duplicates). These
     // are single-pass throughput measurements (runs=1, compute-dominated),
     // not floor-bound latencies.
-    val docs100k = {
+    val docs100k = guardSuite("suite_docs_100k") {
       val dir = benchDir + "-docs"
       ensureDocBenchData(spark, dir, 100000L)
       val d = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -707,7 +727,7 @@ object Bench {
     // the corpus.
     val deltaFlush1m = try {
       val e = spark.read.parquet(benchDir)
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-delta").toString
+      val root = graft.TempRoots.create("graft-bench-delta").toString
       val cat = new graft.collection.GraftCatalog(spark, root)
       cat.createCollection(graft.collection.CollectionMeta("bd", dim = 128,
         distance = "euclidean", fields = Seq(
@@ -791,9 +811,21 @@ object Bench {
         adj(bin100m, Baseline1mFlatScanSec * 100)
     }
 
+    // full JSON string escaping (backslash, quote, control chars): error
+    // messages carry paths and multiline job-abort text — quote-only
+    // replacement left the single-line output unparseable
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
-      case (k, v: String) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
-      case (k, v)         => "\"" + k + "\":" + v
+      case (k, v: String) => jstr(k) + ":" + jstr(v)
+      case (k, v)         => jstr(k) + ":" + v
     }.mkString("{", ",", "}")
 
     val total = results.map(_._2).filter(_ > 0).sum

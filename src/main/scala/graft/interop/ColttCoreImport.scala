@@ -255,7 +255,10 @@ object ColttCoreImport {
         case (3, 5) => // unpacked single float
           require(vec.size < MaxDim, "corrupt vector: too many elements")
           vec += java.lang.Float.intBitsToFloat(r.readFixed32())
-        case (4, 2) => meta = decodeStruct(r.readDelimited())
+        // MERGE, don't replace: proto3 allows a singular message field to
+        // arrive as multiple concatenated chunks (message patching); a
+        // conforming decoder merges their keys
+        case (4, 2) => meta = meta ++ decodeStruct(r.readDelimited())
         case (_, w) => r.skipField(w)
       }
     }
@@ -718,25 +721,39 @@ object ColttCoreImport {
       case "none" => stored
       case q => graft.functions.dequantize(stored, q)
     }
-    val rows = snap
-      .select((meta.idColumn +: scalarFields.map(_.name)).map(col) :+ vecExpr.as("vector"): _*)
-      .collect()
-    val datasets = rows.zipWithIndex.map { case (r, i) =>
-      val metaMap = scalarFields.zipWithIndex.flatMap { case (f, fi) =>
-        Option(r.get(fi + 1)).map { v =>
-          f.name -> (v match {
-            case l: Long => l.toDouble // Struct numbers are double
-            case i2: Int => i2.toDouble
-            case d: Double => d
-            case b: Boolean => b
-            case s: String => s
-            case other => throw new IllegalArgumentException(
-              s"field ${f.name}: no Struct representation for ${other.getClass.getName}")
-          })
-        }
-      }.toMap[String, Any]
-      CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
-        vector = r.getSeq[Float](scalarFields.size + 1).toArray, meta = metaMap)
+    val datasets = if (meta.isSchemaless) {
+      // core-mode collections keep metadata in the map column, not
+      // meta.fields — exporting only (id, vector) would silently drop it
+      // all. map<string,string> values export as Struct strings.
+      val rows = snap.select(col(meta.idColumn),
+        col(graft.collection.CollectionMeta.MetaCol), vecExpr.as("vector")).collect()
+      rows.zipWithIndex.map { case (r, i) =>
+        val mm: Map[String, Any] =
+          r.getMap[String, String](1).toMap.map { case (k, v) => k -> (v: Any) }
+        CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
+          vector = r.getSeq[Float](2).toArray, meta = mm)
+      }
+    } else {
+      val rows = snap
+        .select((meta.idColumn +: scalarFields.map(_.name)).map(col) :+ vecExpr.as("vector"): _*)
+        .collect()
+      rows.zipWithIndex.map { case (r, i) =>
+        val metaMap = scalarFields.zipWithIndex.flatMap { case (f, fi) =>
+          Option(r.get(fi + 1)).map { v =>
+            f.name -> (v match {
+              case l: Long => l.toDouble // Struct numbers are double
+              case i2: Int => i2.toDouble
+              case d: Double => d
+              case b: Boolean => b
+              case s: String => s
+              case other => throw new IllegalArgumentException(
+                s"field ${f.name}: no Struct representation for ${other.getClass.getName}")
+            })
+          }
+        }.toMap[String, Any]
+        CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
+          vector = r.getSeq[Float](scalarFields.size + 1).toArray, meta = metaMap)
+      }
     }
     val dirPath = new Path(walDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -72,7 +72,7 @@ object LifecycleQueries {
     "wal_replay" -> ((s, dir) => {
       val e = emb(s, dir)
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wal").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-wal").toString)
       cat.createCollection(CollectionMeta("wal", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -115,7 +115,7 @@ object LifecycleQueries {
     "vacuum_versions" -> ((s, dir) => {
       val e = emb(s, dir)
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-vac").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-vac").toString)
       cat.createCollection(CollectionMeta("vac", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),

@@ -20,7 +20,7 @@ object PersistenceQueries {
     "snapshot_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-snap").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-snap").toString)
       val meta = CollectionMeta("snap", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -55,7 +55,7 @@ object PersistenceQueries {
             vector = r.getSeq[Float](2).toArray,
             meta = Map[String, Any]("id" -> r.getLong(0).toString, "label" -> r.getLong(1)))
         }
-      val bucket = Files.createTempDirectory("coltt-bucket-q")
+      val bucket = graft.TempRoots.create("coltt-bucket-q")
       val metaJson =
         s"""{"dim":$dim,"distance":1,"quantization":0,"index_type":{
            |"id":{"index_name":"id","index_type":0,"enable_null":false,"primary_key":true},
@@ -64,7 +64,7 @@ object PersistenceQueries {
       Files.write(bucket.resolve("imported.meta.json"), metaJson.getBytes("UTF-8"))
       Files.write(bucket.resolve("imported.vertex"),
         graft.interop.ColttImport.encodeVertexBlob(vs))
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-coltt").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-coltt").toString)
       graft.interop.ColttImport.importSnapshot(s, cat, "imported", bucket.toString)
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("imported", qv, topK = 10)
@@ -90,7 +90,7 @@ object PersistenceQueries {
         Left(s"coreimp_${d.uniqueId}" -> graft.interop.ColttCoreImport.encodeDataset(d))
       val all = rows.map(r => dataset(r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
       val dim = rows.head.getSeq[Float](2).length
-      val walDir = Files.createTempDirectory("coltt-core-wal")
+      val walDir = graft.TempRoots.create("coltt-core-wal")
       val out = new java.io.FileOutputStream(walDir.resolve("000000001.SEG").toFile)
       try graft.interop.ColttCoreImport.writeWalFixture(out,
         batches = Seq(
@@ -109,7 +109,7 @@ object PersistenceQueries {
             graft.interop.ColttCoreImport.CoreCollectionConfig(
               "coreimp", dim, "euclidean", "None"))))
       finally out.close()
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-core").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-core").toString)
       graft.interop.ColttCoreImport.importCoreCollection(s, cat, "coreimp", walDir.toString)
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("coreimp", qv, topK = 10)
@@ -123,7 +123,7 @@ object PersistenceQueries {
     "catalog_pq_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-pq").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pq").toString)
       cat.createCollection(CollectionMeta("pqc", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -148,7 +148,7 @@ object PersistenceQueries {
     "catalog_bin_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-bin").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-bin").toString)
       cat.createCollection(CollectionMeta("binc", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -175,7 +175,7 @@ object PersistenceQueries {
     "delta_flush_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-delta").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-delta").toString)
       cat.createCollection(CollectionMeta("dlt", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -215,7 +215,7 @@ object PersistenceQueries {
       import org.apache.spark.sql.SaveMode
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-sir").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sir").toString)
       cat.createCollection(CollectionMeta("sir", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -226,8 +226,8 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("sir") // v1 base
-      val tmp = Files.createTempDirectory("graft-sir-log").toString
-      val ckpt = Files.createTempDirectory("graft-sir-ckpt").toString
+      val tmp = graft.TempRoots.create("graft-sir-log").toString
+      val ckpt = graft.TempRoots.create("graft-sir-ckpt").toString
       def put(rows: org.apache.spark.sql.DataFrame, label: org.apache.spark.sql.Column, ver: Long) =
         rows.select(lit("put").as("op"), col("vec_id").cast("string").as("id"),
           label.as("label"), col("embedding").as("vector"), lit(ver).as("ver"))
@@ -262,7 +262,7 @@ object PersistenceQueries {
     "version_diff" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-vdiff").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-vdiff").toString)
       cat.createCollection(CollectionMeta("vd", dim = dim, distance = "euclidean",
         versioning = true,
         fields = Seq(
@@ -297,7 +297,7 @@ object PersistenceQueries {
     "core_collection_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-core").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-core").toString)
       cat.createCollection(CollectionMeta("core", dim = dim, distance = "euclidean",
         schemaless = Some(true)))
       cat.loadCollection("core")
@@ -318,7 +318,7 @@ object PersistenceQueries {
     "snapshot_roundtrip_mv" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-snap-mv").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-snap-mv").toString)
       cat.createCollection(CollectionMeta("mv", dim = dim, distance = "euclidean",
         fields = Seq(
           IndexField("id", "string", primaryKey = true),
@@ -354,7 +354,7 @@ object PersistenceQueries {
           Map("v0" -> r.getSeq[Float](1).toArray, "v1" -> r.getSeq[Float](2).toArray),
           Map.empty)
       }
-      val bucket = Files.createTempDirectory("coltt-bucket-mvq")
+      val bucket = graft.TempRoots.create("coltt-bucket-mvq")
       val metaJson =
         s"""{"dim":$dim,"distance":1,"quantization":0,"index_type":{
            |"v0":{"index_name":"v0","index_type":4,"enable_null":false},
@@ -363,7 +363,7 @@ object PersistenceQueries {
       Files.write(bucket.resolve("mvimp.meta.json"), metaJson.getBytes("UTF-8"))
       Files.write(bucket.resolve("mvimp.vertex"),
         graft.interop.ColttImport.encodeMultiVectorBlob(vs))
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-coltt-mv").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-coltt-mv").toString)
       graft.interop.ColttImport.importExperimentalSnapshot(s, cat, "mvimp", bucket.toString)
       def qv(id: Long) = e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
       cat.searchMulti("mvimp", Seq(
@@ -378,7 +378,7 @@ object PersistenceQueries {
     "search_batch_flat" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val dim = e.select("embedding").head().getSeq[Float](0).length
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-sbf").toString)
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sbf").toString)
       cat.createCollection(CollectionMeta("sbf", dim = dim, distance = "euclidean",
         fields = Seq(IndexField("id", "string", primaryKey = true))))
       cat.loadCollection("sbf")

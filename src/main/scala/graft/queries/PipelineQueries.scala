@@ -197,8 +197,8 @@ object PipelineQueries {
     "streaming_dedup_replay" -> ((s, dir) => {
       import org.apache.spark.sql.SaveMode
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sdr").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdr-ckpt").toString
+      val tmp = graft.TempRoots.create("graft-sdr").toString
+      val ckpt = graft.TempRoots.create("graft-sdr-ckpt").toString
       val base = docs(s, dir).select("doc_id", "text")
       val toks = split(col("text"), " ")
       val recrawl = base.where(col("doc_id") % 5 === 0)
@@ -597,7 +597,7 @@ object PipelineQueries {
     // must be invisible in the results. BucketingSpec pins the plan
     // properties (no Exchange, SelectedBucketsCount pruning).
     "bucketed_join" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      val base = graft.TempRoots.create("graft-bkt").toString
       graft.operators.Bucketing.writeBucketed(
         docs(s, dir).select("doc_id", "lang", "source"),
         base + "/docs", "graft_bkt_docs", "doc_id", buckets = 8)
@@ -629,8 +629,8 @@ object PipelineQueries {
     "streaming_window_replay" -> ((s, dir) => {
       import org.apache.spark.sql.SaveMode
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-swr").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-swr-ckpt").toString
+      val tmp = graft.TempRoots.create("graft-swr").toString
+      val ckpt = graft.TempRoots.create("graft-swr-ckpt").toString
       val ev = events(s, dir).select("event_id", "user_id", "event_type", "value", "ts")
       val cut1 = lit("2024-01-10 00:00:00").cast("timestamp")
       val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
