@@ -198,6 +198,23 @@ class GraftServerSpec extends SparkSpec {
     assert(http("DELETE", "/collections/hyb")._1 === 200)
   }
 
+  test("path-traversal collection names are 400s at the HTTP layer, and nothing " +
+       "escapes the catalog root") {
+    // create with a traversal name: refused before any filesystem write
+    val (cc, cb) = http("POST", "/collections",
+      """{"name":"..","dim":3,"distance":"euclidean","fields":[
+        {"name":"id","fieldType":"string","primaryKey":true}]}""")
+    assert(cc === 400, cb)
+    assert(cb.contains("invalid collection name"), cb)
+    // delete with a traversal name: refused before fs.delete can run
+    // (URI normalization would collapse /collections/../, so exercise the
+    // catalog-reachable spellings)
+    for (bad <- Seq("%2e%2e", "a%20b", "__x")) {
+      val (dc, db) = http("DELETE", s"/collections/$bad")
+      assert(dc === 400, s"$bad -> $dc $db")
+    }
+  }
+
   test("multi-vector (CFLAT) search and CompareDist over HTTP") {
     val meta = """{"name":"mv","dim":2,"distance":"euclidean","fields":[
       {"name":"id","fieldType":"string","primaryKey":true},
