@@ -215,6 +215,28 @@ class GraftServerSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: malformed request bodies are client errors (400), never 500s, " +
+       "and the server keeps serving") {
+    val paths = Seq(
+      "/collections", "/collections/fz/load", "/collections/fz/insert",
+      "/collections/fz/delete", "/collections/fz/search",
+      "/collections/fz/searchHybrid", "/collections/fz/searchIvf",
+      "/collections/fz/searchBatch", "/collections/fz/searchPq",
+      "/collections/fz/searchBinary", "/collections/fz/searchMulti",
+      "/collections/fz/changes", "/collections/fz/export",
+      "/collections/fz/flush", "/collections/fz/flushDelta")
+    val bodies = Seq("", "{", "[1", "null", "123", "\"s\"", "{}",
+      """{"vector":"notanarray"}""", """{"vector":[1,"x"]}""",
+      """{"queries":42}""", """{"rows":{}}""", " ÿ",
+      """{"filter":{"op":"???"}}""")
+    for (p <- paths; b <- bodies) {
+      val (code, resp) = http("POST", p, b)
+      assert(code == 400 || code == 404, s"POST $p body=${b.take(20)} -> $code $resp")
+    }
+    // the server survived the barrage
+    assert(http("GET", "/ping")._1 === 200)
+  }
+
   test("multi-vector (CFLAT) search and CompareDist over HTTP") {
     val meta = """{"name":"mv","dim":2,"distance":"euclidean","fields":[
       {"name":"id","fieldType":"string","primaryKey":true},
