@@ -139,6 +139,7 @@ object Bench {
         .withColumn("emb_sq8", graft.ann.Sq.encode(col("embedding"), sqMins, sqScales))
         .withColumn("emb_bin", graft.ann.Bin.encode(col("embedding"), binTh))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       big.count() // materialize the cache (the reference loads before searching)
       System.gc() // settle allocation noise from the sf suite / generation
                   // before timing queries that sit at the dispatch floor
@@ -242,12 +243,15 @@ object Bench {
           Seq(name -> sorted.head, s"${name}_med" -> med)
         }
       }
-      // Release this suite's multi-GB cache before the next suite runs: the
-      // 1M (0.5 GB) + 10M (5 GB) columnar caches previously stayed resident
-      // through the ivf/pq suites — heap pressure the ivf_train drift
-      // (r4→r5 +37%) correlates with.
-      big.unpersist(false)
       out
+      } finally
+        // Release this suite's multi-GB cache before the next suite runs —
+        // even when setup/timing threw (guardSuite now survives those, and
+        // a leaked cache inflicts on later suites exactly the heap-pressure
+        // drift the r4→r5 ivf_train +37% correlates with). The 1M (0.5 GB)
+        // + 10M (5 GB) columnar caches previously stayed resident through
+        // the ivf/pq suites.
+        big.unpersist(false)
     }
     val big1mA = guardSuite("suite_1m")(bigSuite(1000000L, benchDir, "1m", reps = 48))
     // 32 reps for 10M (was 16): the r6 driver run hit a globally slow
@@ -267,6 +271,7 @@ object Bench {
       val dir = benchDir + "-clustered"
       ensureClusteredBenchData(spark, dir, 1000000L)
       val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       bigc.count()
       // Warm the argmin/explode/aggregate kernels on the cheap sampled path
       // before ANY timed training: the r4→r5 ivf_train drift (5.3 → 7.3 s)
@@ -287,10 +292,7 @@ object Bench {
       // (recorded under ivf_train_1m) — degrade to the train row alone
       // rather than letting every downstream stage fail confusingly on the
       // empty centroid seq
-      if (cents.isEmpty) {
-        bigc.unpersist()
-        return Seq("ivf_train_1m" -> tTrain)
-      }
+      if (cents.isEmpty) return Seq("ivf_train_1m" -> tTrain) // finally unpersists
       // The 100 TB training path: Lloyd iterations on the deterministic
       // 1/16 id-hash subsample (~244 points/cell at k=256) — recall parity
       // asserted in IvfRecallSpec; here the cost is the point.
@@ -347,13 +349,14 @@ object Bench {
           -1.0
         } finally assigned.unpersist(false) // a failed run must not leak 1M cached rows into later suites
       }
-      val r = Seq("ivf_train_1m" -> tTrain,
+      Seq("ivf_train_1m" -> tTrain,
         "ivf_train_sampled_1m" -> tTrainSampled,
         "ivf_assign_1m" -> tAssign,
         "ivf_local_search_1m" -> localLatency,
         "knn_join_1m" -> tKnnJoin)
-      bigc.unpersist()
-      r
+      // a failed setup/timing must not leak the 0.5 GB cache into later
+      // suites (guardSuite survives the throw; the cache would not)
+      } finally bigc.unpersist()
     }
     val ivf1m = guardSuite("suite_ivf_1m")(ivf1mRun())
 
@@ -362,12 +365,12 @@ object Bench {
     // ivf_assign), then the steady-state ADC scan over the 16-byte codes:
     // the cached input is 16 MB instead of the 512 MB float collection —
     // the memory-scale rung of the ANN ladder (recall asserted in PqSpec).
-    val pq1m = {
+    val pq1m = guardSuite("suite_pq_1m") {
       val dir = benchDir + "-clustered"
       ensureClusteredBenchData(spark, dir, 1000000L)
       val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
-      bigc.count()
       try {
+        bigc.count()
         var cb: graft.ann.PqCodebook = null
         val tTrain = timed("pq_train_sampled_1m", runs = 3, stat = "median") {
           cb = graft.ann.Pq.train(bigc, "vec_id", "embedding", m = 16, ksub = 256,
@@ -614,6 +617,7 @@ object Bench {
       val dir = benchDir + "-docs"
       ensureDocBenchData(spark, dir, 100000L)
       val d = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       d.count()
       val suite = Seq(
         "dedup_exact_100k" -> (() =>
@@ -685,8 +689,8 @@ object Bench {
         // carry both a time and an error for the same query
         if ((a < 0) != (b < 0)) errors.remove(n)
         n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)) }
-      d.unpersist()
       r
+      } finally d.unpersist()
     }
 
     // ---- incremental near-dup screen at the 1M corpus (the scale twin of

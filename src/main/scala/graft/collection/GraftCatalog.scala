@@ -67,9 +67,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     * guards ALL of them — including `dropCollection`'s recursive delete. A
     * name like `..`, `""`, or `a/b` would otherwise escape the catalog root
     * (reachable over HTTP: collection names arrive in request bodies, and
-    * the importers take them from untrusted snapshot blobs). */
+    * the importers take them from untrusted snapshot blobs). The stricter
+    * charset policy applies at CREATE ([[createCollection]]), so legacy
+    * odd-but-safe names stay manageable. */
   private def colDir(name: String) = {
-    GraftCatalog.validateCollectionName(name)
+    GraftCatalog.validateSegment(name)
     new Path(s"$root/$name")
   }
   private def metaPath(name: String) = new Path(colDir(name), "meta.json")
@@ -127,6 +129,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   }
 
   def createCollection(meta: CollectionMeta): Unit = {
+    GraftCatalog.validateCollectionName(meta.name)
     require(!exists(meta.name), s"collection ${meta.name} already exists")
     require(meta.primaryKey.isDefined || meta.isSchemaless,
       s"collection ${meta.name} requires a primary key field")
@@ -168,12 +171,17 @@ class GraftCatalog(spark: SparkSession, root: String,
       if (meta.currentVersion == 0)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.structType)
       else foldChain(name, meta, meta.currentVersion)
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     // A re-load (re-anchor) must release the PREVIOUS resident copy — every
     // other residency swap (release/drop/flush rebind) unpersists, and the
-    // fresh anchor also restarts the lineage-cut cadence.
-    loaded.put(name, cached).foreach(_.unpersist())
+    // fresh anchor also restarts the lineage-cut cadence. Unpersist BEFORE
+    // persisting the new anchor: when no mutation happened between loads
+    // the two plans are sameResult, so persist-then-unpersist would drop
+    // the single shared CacheManager entry and leave the "re-loaded"
+    // collection silently non-resident.
+    loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    loaded(name) = cached
     cached
   }
 
@@ -1504,19 +1512,33 @@ object GraftCatalog {
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
 
-  /** A collection name is exactly one path segment under the catalog root
-    * (the reference has the same constraint — bucket names are directory
-    * names there too: /root/reference/core/core.go dataset dirs). Dot is
-    * allowed inside a name but `.`/`..` and separators are not; the `__`
-    * prefix is reserved for engine-internal namespaces. Throws
-    * IllegalArgumentException (→ HTTP 400 via GraftServer's error map). */
-  def validateCollectionName(name: String): Unit = {
-    require(name != null && name.nonEmpty && name.length <= 128,
-      s"invalid collection name ${if (name == null) "null" else s"'$name'"}: must be 1-128 characters")
-    require(name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"invalid collection name '$name': only letters, digits, '_', '-', '.' are allowed")
+  /** SAFETY check, enforced on EVERY path derivation ([[colDir]]): the name
+    * must be exactly one path segment — no separators, no `.`/`..`, no NUL,
+    * non-empty — so no operation (including dropCollection's recursive
+    * delete) can escape the catalog root. Deliberately weaker than the
+    * CREATE-time policy below: a legacy collection whose name predates the
+    * policy stays manageable (load/drop) as long as it cannot traverse. */
+  def validateSegment(name: String): Unit = {
+    require(name != null && name.nonEmpty && name.length <= 255,
+      s"invalid collection name ${if (name == null) "null" else s"'$name'"}: must be 1-255 characters")
+    require(!name.exists(c => c == '/' || c == '\\' || c == '\u0000'),
+      s"invalid collection name '$name': path separators are not allowed")
     require(name.exists(c => c != '.'),
       s"invalid collection name '$name': dots-only names are path traversal")
+  }
+
+  /** CREATE-time policy, a superset of [[validateSegment]] (the reference
+    * has the same single-segment constraint — bucket names are directory
+    * names there too: /root/reference/core/core.go dataset dirs). Dot is
+    * allowed inside a name; the `__` prefix is reserved for engine-internal
+    * namespaces. Throws IllegalArgumentException (→ HTTP 400 via
+    * GraftServer's error map). */
+  def validateCollectionName(name: String): Unit = {
+    validateSegment(name)
+    require(name.length <= 128,
+      s"invalid collection name '$name': must be 1-128 characters")
+    require(name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"invalid collection name '$name': only letters, digits, '_', '-', '.' are allowed")
     require(!name.startsWith("__"),
       s"invalid collection name '$name': the '__' prefix is reserved")
   }

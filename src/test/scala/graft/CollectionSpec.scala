@@ -42,17 +42,29 @@ class CollectionSpec extends SparkSpec {
     assert(!cat.exists("c1"))
   }
 
-  test("collection names are single path segments: traversal / empty / reserved rejected") {
+  test("collection names: traversal rejected EVERYWHERE, charset policy at create") {
     val cat = newCatalog()
-    for (bad <- Seq("..", ".", "", "a/b", "a\\b", "..foo" * 40 /* > 128 chars */,
-                    "__internal", "a b", "a:b")) {
+    // SAFETY level — can escape the root as a path: refused on every
+    // operation (create, drop, even exists), since all paths derive from
+    // the validated colDir
+    for (bad <- Seq("..", ".", "", "a/b", "a\\b", null.asInstanceOf[String])) {
       val ex = intercept[IllegalArgumentException] {
-        // every path derivation validates, so both entry points must refuse
         cat.createCollection(meta("ok").copy(name = bad))
       }
       assert(ex.getMessage.contains("invalid collection name"), s"name '$bad'")
       intercept[IllegalArgumentException](cat.dropCollection(bad))
       intercept[IllegalArgumentException](cat.exists(bad))
+    }
+    // POLICY level — safe as a segment but outside the create charset:
+    // refused at CREATE, yet still manageable (a legacy collection with
+    // such a name must not become undroppable after an upgrade)
+    for (odd <- Seq("__internal", "a b", "a:b", "x" * 200)) {
+      val ex = intercept[IllegalArgumentException] {
+        cat.createCollection(meta("ok").copy(name = odd))
+      }
+      assert(ex.getMessage.contains("invalid collection name"), s"name '$odd'")
+      assert(!cat.exists(odd))   // no throw: manageable
+      cat.dropCollection(odd)    // no throw: a no-op delete of nothing
     }
     // legal names still work, including dots inside a segment
     cat.createCollection(meta("ok").copy(name = "v1.2_data-set"))
@@ -69,6 +81,16 @@ class CollectionSpec extends SparkSpec {
     assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "previous load's persisted copy must be unpersisted on re-anchor")
     assert(second.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // NO-MUTATION re-load (idempotent retry): the rebuilt plan is
+    // sameResult as the cached one, so persist-then-unpersist would drop
+    // the single shared cache entry and leave the collection silently
+    // non-resident — the unpersist must happen BEFORE the new persist
+    cat.flush("c-reload")
+    cat.loadCollection("c-reload").count()
+    val retry = cat.loadCollection("c-reload")
+    retry.count()
+    assert(retry.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "re-load without intervening mutations must leave the collection resident")
     cat.dropCollection("c-reload")
   }
 
