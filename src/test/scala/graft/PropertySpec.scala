@@ -145,6 +145,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("z-order buckets equal BigInt reference arithmetic over the FULL long domain") {
+    import graft.operators.ZOrder
+    // the halved-operand unsigned form must match floor((v - min) / 2^sh)
+    // computed in exact arithmetic, for ANY longs — including spans past
+    // 2^63 where plain subtraction wraps AND trips ANSI overflow checks
+    val r = new Random(4242)
+    val extremes = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue)
+    for (trial <- 0 until 12) {
+      val bits = 2 + r.nextInt(10)
+      val vals = (Seq.fill(60)(r.nextLong()) ++ extremes).distinct
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "h")
+      val shifts = ZOrder.fitShifts(df, Seq("h"), bits)
+      val (mn, sh) = shifts.head
+      val got = df.withColumn("z", ZOrder.zvalue(Seq("h"), shifts, bits))
+        .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+      def u(v: Long) = BigInt(v) - BigInt(Long.MinValue) // order-preserving unsigned map
+      vals.foreach { v =>
+        val ref = ((u(v) - u(mn)) >> sh).toLong
+        assert(got(v) === ref, s"trial $trial bits $bits v $v mn $mn sh $sh")
+        assert(got(v) >= 0 && got(v) < (1L << bits), s"out of range: ${got(v)}")
+      }
+    }
+  }
+
+  test("blockedJaccardPairs with random NULL blocks equals the null-safe brute force") {
+    // NULL forms its own block (IS NOT DISTINCT FROM semantics): compare
+    // against a driver-side brute force that groups by Option[String]
+    val r = new Random(7331)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def text() = Seq.fill(2 + r.nextInt(7))(vocab(r.nextInt(vocab.length))).mkString(" ")
+    val rows = (0 until 50).map { i =>
+      val blk = r.nextInt(4) match {
+        case 0 => null
+        case n => s"b$n"
+      }
+      (i.toLong, text(), blk)
+    }
+    val t = 0.4
+    val got = Dedup.blockedJaccardPairs(rows.toDF("id", "text", "blk"),
+        "id", "text", Seq("blk"), t)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    def sh(s: String): Set[String] = {
+      val tk = s.split(" ")
+      if (tk.length < 3) Set(s) else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expect = (for {
+      a <- rows; b <- rows if a._1 < b._1 && Option(a._3) == Option(b._3)
+      ja = sh(a._2); jb = sh(b._2)
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= t
+    } yield (a._1, b._1)).toSet
+    assert(got === expect)
+  }
+
   test("redaction is idempotent and never leaks a detectable span on random PII soup") {
     import graft.text.Pii
     val r = new Random(77)
