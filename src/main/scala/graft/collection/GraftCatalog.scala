@@ -36,6 +36,18 @@ class GraftCatalog(spark: SparkSession, root: String,
   private val loaded = mutable.Map.empty[String, DataFrame]
   private val mutationCount = mutable.Map.empty[String, Int]
 
+  /** The published version each resident copy is anchored on — set by
+    * [[loadCollection]], advanced by every successful flush/flushDelta.
+    * Publishing REQUIRES `anchor == meta.currentVersion` (optimistic
+    * concurrency over the meta head): a resident state anchored below the
+    * head never folded the segments another driver published in between, so
+    * a full flush would compact those acknowledged, durable changes AWAY —
+    * silent cross-driver data loss, and the claim CAS alone cannot catch it
+    * (the slot the stale writer claims IS free). Stale writers re-load
+    * (discarding unflushed local mutations — the documented re-anchor
+    * semantics) and retry. */
+  private val anchorVersion = mutable.Map.empty[String, Int]
+
   /** Per-collection pending-change ledger since the last flush: the rows of
     * every insert/delete/applyChanges as `(collection columns…, __op, __seq)`
     * — puts carry the validated row, deletes carry the pk with the rest
@@ -81,37 +93,77 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def binDir(name: String, v: Int) = new Path(colDir(name), s"v${v}_bin")
   private def claimPath(name: String, v: Int) = new Path(colDir(name), s"v$v.claim")
 
-  /** Atomic exclusive create of a version-claim file whose content is
-    * `owner epochMillis`. Hadoop's LocalFileSystem `create(…, false)` is
-    * check-then-create (NOT a CAS) — on a `file:` filesystem this uses NIO
-    * `CREATE_NEW` (a real O_EXCL); on HDFS-like stores the namenode makes
-    * exclusive create atomic already. */
-  private def tryCreateClaim(claim: Path): Boolean = {
-    val content = (s"${ProcessHandle.current().pid()}@" +
-      s"${java.net.InetAddress.getLocalHost.getHostName} ${System.currentTimeMillis()}")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  /** A per-ATTEMPT fencing token, also the claim file's content:
+    * `owner epochMillis` where owner is pid@host-uuid8. The uuid makes the
+    * token unique per attempt (two threads of one JVM, or two sequential
+    * attempts in one ms, must not be able to pass each other's
+    * [[ownsClaim]] check); the LAST space-separated field stays the
+    * timestamp [[claimIsStale]] parses. */
+  private def claimToken(): String =
+    s"${ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName}-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)} ${System.currentTimeMillis()}"
+
+  /** Atomic exclusive create of a version-claim file holding `token`.
+    * Hadoop's LocalFileSystem `create(…, false)` is check-then-create (NOT
+    * a CAS) — on a `file:` filesystem this uses NIO `CREATE_NEW` (a real
+    * O_EXCL); on HDFS-like stores the namenode makes exclusive create
+    * atomic already. A create that succeeds but whose WRITE fails deletes
+    * the torn claim before rethrowing — an empty claim would otherwise
+    * wedge the slot (no embedded timestamp) until the mtime fallback. */
+  private def tryCreateClaim(claim: Path, token: String): Boolean = {
+    val content = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (fs.getScheme == "file") {
       val f = java.nio.file.Paths.get(claim.toUri.getPath)
       java.nio.file.Files.createDirectories(f.getParent)
       try { java.nio.file.Files.write(f, content, java.nio.file.StandardOpenOption.CREATE_NEW); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      try { val os = fs.create(claim, false); os.write(content); os.close(); true }
-      catch { case _: java.io.IOException => false }
+      val os =
+        try fs.create(claim, false)
+        catch { case _: java.io.IOException => return false } // lost the race
+      try { os.write(content); os.close(); true }
+      catch { case e: java.io.IOException =>
+        // the create SUCCEEDED — this is a torn write (transient FS fault),
+        // not a lost race; remove our own partial claim and surface the fault
+        try fs.delete(claim, false) catch { case _: java.io.IOException => () }
+        throw e
+      }
     }
   }
 
   /** A claim whose embedded timestamp is older than `staleClaimMs` belongs
     * to a writer that crashed between claim and publish (every non-crash
-    * path cleans up its claim) — it may be reclaimed. Claims without a
-    * parseable timestamp are never reclaimed automatically. */
+    * path cleans up its claim) — it may be reclaimed. A claim WITHOUT a
+    * parseable timestamp (a writer died between create and write on a store
+    * where that is possible) falls back to the file's mtime on the same
+    * horizon, so a torn claim self-heals instead of wedging every future
+    * flush of the slot until a human deletes it. */
   private def claimIsStale(claim: Path): Boolean =
     try {
       val in = fs.open(claim)
       val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
                     finally in.close()
-      val ts = content.trim.split(' ').last.toLong
+      val ts =
+        try content.trim.split(' ').last.toLong
+        catch { case _: NumberFormatException =>
+          fs.getFileStatus(claim).getModificationTime }
       System.currentTimeMillis() - ts > staleClaimMs
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Lease fencing: does the claim file still hold OUR attempt's token? A
+    * writer paused past `staleClaimMs` (GC death spiral, VM migration,
+    * machine sleep) can have its claim reclaimed and the slot re-published
+    * by another driver — renaming onto or deleting `v<N>` after that would
+    * corrupt the OTHER writer's published data. Checked immediately before
+    * every destructive publish step; the residual TOCTOU window is the
+    * microseconds between check and act, down from the unbounded pause. */
+  private def ownsClaim(name: String, v: Int, token: String): Boolean =
+    try {
+      val in = fs.open(claimPath(name, v))
+      val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                    finally in.close()
+      content == token
     } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- DDL ----
@@ -134,12 +186,24 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.primaryKey.isDefined || meta.isSchemaless,
       s"collection ${meta.name} requires a primary key field")
     fs.mkdirs(colDir(meta.name))
-    writeMeta(meta.copy(currentVersion = 0)) // meta last; v0 = empty collection
+    // meta last; v0 = empty collection. The EXCLUSIVE create is the real
+    // guard behind the friendly require above: of two drivers racing
+    // createCollection past the check, exactly one wins the O_EXCL create —
+    // the overwrite path would let the later meta silently clobber the
+    // earlier schema while the loser keeps inserting against it.
+    try writeMeta(meta.copy(currentVersion = 0), exclusive = true)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"collection ${meta.name} already exists (created concurrently)")
+    }
   }
 
   def dropCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    anchorVersion.remove(name)
     clearPending(name)
     fs.delete(colDir(name), true)
   }
@@ -151,9 +215,68 @@ class GraftCatalog(spark: SparkSession, root: String,
     CollectionMeta.fromJson(s)
   }
 
-  private def writeMeta(meta: CollectionMeta): Unit = {
-    val out = fs.create(metaPath(meta.name), true)
-    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
+  /** Durable meta swap — the publish step of every lifecycle op, so it must
+    * never expose a torn state. UPDATE path: write a hidden temp file inside
+    * the collection dir, then ATOMIC-RENAME over meta.json. An in-place
+    * truncate-and-write would brick the collection on a crash between
+    * truncate and close (BOTH version pointers lost — `exists()` true,
+    * `getMeta` forever failing), and expose torn bytes to concurrent
+    * readers. CREATE path (`exclusive=true`): a real O_EXCL create of
+    * meta.json itself, so two racing creators resolve to one winner and one
+    * loud [[org.apache.hadoop.fs.FileAlreadyExistsException]] instead of a
+    * silent last-writer-wins schema clobber (a crash mid-create leaves a
+    * torn meta for a collection that never published — recoverable by
+    * dropCollection, unlike a torn update).
+    *
+    * The update path never creates parent dirs (the temp write fails if the
+    * collection dir is gone), so a flush racing a dropCollection aborts
+    * loudly instead of resurrecting the dropped collection as an unreadable
+    * meta-only shell. On `file:` the bytes go through NIO (no Hadoop-side
+    * .crc sibling — a stale checksum from the pre-atomic era is deleted
+    * before the swap, and ChecksumFileSystem tolerates a missing one). */
+  private def writeMeta(meta: CollectionMeta, exclusive: Boolean = false): Unit = {
+    val dst = metaPath(meta.name)
+    val bytes = meta.toJson.getBytes("UTF-8")
+    if (fs.getScheme == "file") {
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      if (exclusive)
+        java.nio.file.Files.write(dstNio, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+      else {
+        require(fs.exists(colDir(meta.name)),
+          s"collection ${meta.name} was dropped concurrently — aborting the meta update")
+        val tmp = dstNio.resolveSibling(
+          s".meta-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.deleteIfExists(dstNio.resolveSibling(".meta.json.crc"))
+          java.nio.file.Files.move(tmp, dstNio,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case e: Throwable =>
+          try java.nio.file.Files.deleteIfExists(tmp) catch { case _: java.io.IOException => () }
+          throw e
+        }
+      }
+    } else if (exclusive) {
+      val out = fs.create(dst, false)
+      try out.write(bytes) finally out.close()
+    } else {
+      require(fs.exists(colDir(meta.name)),
+        s"collection ${meta.name} was dropped concurrently — aborting the meta update")
+      val tmp = new Path(colDir(meta.name),
+        s".meta-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      // FileContext.rename(OVERWRITE) is Hadoop's atomic file-replace
+      // primitive (FileSystem.rename refuses an existing destination)
+      try org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch { case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw e
+      }
+    }
   }
 
   // ---- residency state machine ----
@@ -182,6 +305,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     mutationCount.remove(name)
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = cached
+    anchorVersion(name) = meta.currentVersion
     cached
   }
 
@@ -191,6 +315,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def releaseCollection(name: String): Unit = {
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    anchorVersion.remove(name)
     clearPending(name)
   }
 
@@ -383,6 +508,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def flush(name: String): Int = {
     val meta = getMeta(name)
     val df = loadedOrThrow(name)
+    requireFreshAnchor(name, meta)
     val v = meta.currentVersion + 1
     val staging = new Path(colDir(name),
       s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -530,11 +656,14 @@ class GraftCatalog(spark: SparkSession, root: String,
       fs.delete(staging, true)
       throw e
     }
-    claimVersionOrAbort(name, v, staging)
-    fs.rename(stagingData, versionDir(name, v))
-    if (wroteCentroids) fs.rename(stagingCentroids, centroidDir(name, v))
-    if (wrotePq) fs.rename(stagingPq, pqDir(name, v))
-    if (wroteBin) fs.rename(stagingBin, binDir(name, v))
+    val token = claimVersionOrAbort(name, v, staging)
+    interleaveAfterClaim(name, v)
+    fenceOrAbort(name, v, token, staging)
+    renameOrAbort(name, v, token, staging, stagingData, versionDir(name, v))
+    if (wroteCentroids)
+      renameOrAbort(name, v, token, staging, stagingCentroids, centroidDir(name, v))
+    if (wrotePq) renameOrAbort(name, v, token, staging, stagingPq, pqDir(name, v))
+    if (wroteBin) renameOrAbort(name, v, token, staging, stagingBin, binDir(name, v))
     fs.delete(staging, true)
     // Validate + re-anchor BEFORE publishing: the read inspects footers, so
     // an unreadable snapshot aborts here with the meta still on the old
@@ -543,14 +672,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     val reread =
       try dropCellCol(spark.read.parquet(versionDir(name, v).toString))
       catch { case e: Throwable =>
-        fs.delete(versionDir(name, v), true)
-        fs.delete(centroidDir(name, v), true)
-        fs.delete(pqDir(name, v), true)
-        fs.delete(binDir(name, v), true)
-        fs.delete(claimPath(name, v), false)
+        abortPublish(name, v, token, staging)
         throw e
       }
+    fenceOrAbort(name, v, token, staging) // last fence before the publish
     writeMeta(meta.copy(currentVersion = v)) // meta last: snapshot visible atomically
+    anchorVersion(name) = v
     if (!meta.versioning) {
       // prune EVERY superseded version, not just v-1: a delta chain leaves
       // multiple live dirs behind the new base, all obsolete once this full
@@ -606,6 +733,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: index layouts (ivfCells/pq/binaryIndex) require a full " +
         "flush — their sidecars are corpus-derived and cannot ride a delta segment")
     loadedOrThrow(name) // mutations imply residency; keep the error shape uniform
+    requireFreshAnchor(name, meta)
     require(meta.currentVersion > 0,
       s"collection $name has no base snapshot — run a full flush before delta flushes")
     val log = pending.getOrElse(name, throw new IllegalStateException(
@@ -623,16 +751,19 @@ class GraftCatalog(spark: SparkSession, root: String,
       fs.delete(staging, true)
       throw e
     }
-    claimVersionOrAbort(name, v, staging)
-    fs.rename(stagingData, versionDir(name, v))
+    val token = claimVersionOrAbort(name, v, staging)
+    interleaveAfterClaim(name, v)
+    fenceOrAbort(name, v, token, staging)
+    renameOrAbort(name, v, token, staging, stagingData, versionDir(name, v))
     fs.delete(staging, true)
     try spark.read.parquet(versionDir(name, v).toString).schema
     catch { case e: Throwable =>
-      fs.delete(versionDir(name, v), true)
-      fs.delete(claimPath(name, v), false)
+      abortPublish(name, v, token, staging)
       throw e
     }
+    fenceOrAbort(name, v, token, staging) // last fence before the publish
     writeMeta(meta.copy(currentVersion = v))
+    anchorVersion(name) = v
     // the chain behind a delta head stays live even when versioning=false —
     // the base + sibling segments ARE the current state; only a full flush
     // (compaction) may prune them
@@ -657,25 +788,35 @@ class GraftCatalog(spark: SparkSession, root: String,
     * with the orphan-dir sweep below, the second owner would delete the
     * first owner's just-renamed version data.) On abort the staging dir is
     * deleted and [[GraftCatalog.ConcurrentFlushException]] thrown. */
-  private def claimVersionOrAbort(name: String, v: Int, staging: Path): Unit = {
+  private def claimVersionOrAbort(name: String, v: Int, staging: Path): String = {
     val claim = claimPath(name, v)
-    var claimed = tryCreateClaim(claim)
-    if (!claimed && claimIsStale(claim)) {
-      val tomb = new Path(claim.getParent,
-        s"${claim.getName}.reclaimed-${java.util.UUID.randomUUID().toString.take(8)}")
-      val wonReclaim =
-        try fs.rename(claim, tomb)
-        catch { case _: java.io.FileNotFoundException => false } // lost: source gone
-      if (wonReclaim) {
-        fs.delete(tomb, false)
-        claimed = tryCreateClaim(claim)
+    val token = claimToken()
+    var claimed = false
+    try {
+      claimed = tryCreateClaim(claim, token)
+      if (!claimed && claimIsStale(claim)) {
+        val tomb = new Path(claim.getParent,
+          s"${claim.getName}.reclaimed-${java.util.UUID.randomUUID().toString.take(8)}")
+        val wonReclaim =
+          try fs.rename(claim, tomb)
+          catch { case _: java.io.FileNotFoundException => false } // lost: source gone
+        if (wonReclaim) {
+          fs.delete(tomb, false)
+          claimed = tryCreateClaim(claim, token)
+        }
       }
-    }
-    if (!claimed || getMeta(name).currentVersion >= v) {
+      if (!claimed || getMeta(name).currentVersion >= v)
+        throw new GraftCatalog.ConcurrentFlushException(
+          s"collection $name: version $v was claimed by a concurrent flush")
+    } catch { case e: Throwable =>
+      // EVERY abort after entry — a lost race, the meta re-check (which can
+      // itself throw on a transient meta read fault), or a torn claim
+      // write — must release what this attempt holds: a leaked fresh claim
+      // wedges the slot for staleClaimMs, a leaked staging dir holds
+      // corpus-sized bytes until a vacuum sweep.
       if (claimed) fs.delete(claim, false)
       fs.delete(staging, true)
-      throw new GraftCatalog.ConcurrentFlushException(
-        s"collection $name: version $v was claimed by a concurrent flush")
+      throw e
     }
     // We own the claim and v is UNPUBLISHED (meta-last invariant, re-checked
     // above) — so any pre-existing v<N> dirs are a dead writer's orphans: a
@@ -686,8 +827,75 @@ class GraftCatalog(spark: SparkSession, root: String,
     // files, writeMeta publishes them, and clearPending silently drops the
     // live ledger — durable data loss. No concurrent writer can recreate
     // these dirs while we hold the claim.
-    for (d <- Seq(versionDir(name, v), centroidDir(name, v), pqDir(name, v), binDir(name, v)))
-      if (fs.exists(d)) fs.delete(d, true)
+    try
+      for (d <- Seq(versionDir(name, v), centroidDir(name, v), pqDir(name, v), binDir(name, v)))
+        if (fs.exists(d)) fs.delete(d, true)
+    catch { case e: Throwable =>
+      fs.delete(claimPath(name, v), false)
+      fs.delete(staging, true)
+      throw e
+    }
+    token
+  }
+
+  /** Deterministic-interleaving seam for the concurrency specs: called
+    * between the claim CAS and the first destructive publish step of
+    * flush/flushDelta. Production no-op. */
+  protected def interleaveAfterClaim(name: String, v: Int): Unit = ()
+
+  /** Abort the publish after claiming: delete this attempt's `v<N>`
+    * artifacts and claim — but ONLY while the claim still holds our token.
+    * If the claim was reclaimed mid-flush (writer paused past staleClaimMs),
+    * those dirs may be ANOTHER writer's freshly published data; a fenced-out
+    * writer deletes nothing but its own staging. */
+  private def abortPublish(name: String, v: Int, token: String, staging: Path): Unit = {
+    if (ownsClaim(name, v, token)) {
+      fs.delete(versionDir(name, v), true)
+      fs.delete(centroidDir(name, v), true)
+      fs.delete(pqDir(name, v), true)
+      fs.delete(binDir(name, v), true)
+      fs.delete(claimPath(name, v), false)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Abort unless the claim still holds this attempt's token (see
+    * [[ownsClaim]] — the lease-fencing check before destructive steps). */
+  private def fenceOrAbort(name: String, v: Int, token: String, staging: Path): Unit =
+    if (!ownsClaim(name, v, token)) {
+      fs.delete(staging, true)
+      throw new GraftCatalog.ConcurrentFlushException(
+        s"collection $name: lost the v$v claim mid-flush (this writer stalled past " +
+          s"staleClaimMs and the slot was reclaimed) — aborted without touching v$v")
+    }
+
+  /** Publish-step rename with its Boolean result CHECKED: Hadoop reports
+    * many failures via `false`, not exceptions (vanished source,
+    * object-store rename quirks). Publishing past a failed SIDECAR rename
+    * is a silent-wrong-answer bug — searchIvf/searchPq read a missing
+    * sidecar as "flushed empty" and return empty results on a populated
+    * collection — so any failed rename aborts the whole publish. */
+  private def renameOrAbort(name: String, v: Int, token: String, staging: Path,
+                            src: Path, dst: Path): Unit = {
+    val ok =
+      try fs.rename(src, dst)
+      catch { case e: Throwable => abortPublish(name, v, token, staging); throw e }
+    if (!ok) {
+      abortPublish(name, v, token, staging)
+      throw new java.io.IOException(
+        s"collection $name: rename $src -> $dst failed while publishing v$v")
+    }
+  }
+
+  /** The optimistic-concurrency gate on publishing — see [[anchorVersion]]. */
+  private def requireFreshAnchor(name: String, meta: CollectionMeta): Unit = {
+    val anchor = anchorVersion.getOrElse(name, meta.currentVersion)
+    if (anchor != meta.currentVersion)
+      throw new GraftCatalog.StaleResidentException(
+        s"collection ${meta.name}: resident state is anchored on v$anchor but the " +
+          s"published head is v${meta.currentVersion} (a concurrent writer flushed) — " +
+          "re-load the collection before flushing; compacting the stale resident state " +
+          "would silently drop the other writer's published changes")
   }
 
   // ---- delta-chain fold ----
@@ -764,7 +972,15 @@ class GraftCatalog(spark: SparkSession, root: String,
   /** S10 old-version cleanup (the reference's lifecycle job:
     * edge/edge_helper.go:97-105, pkg/minio/bucket_handler.go:98-106):
     * delete snapshot versions older than the newest `keepLast`. Returns the
-    * versions removed. Unversioned collections self-vacuum on flush. */
+    * versions removed. Unversioned collections self-vacuum on flush.
+    *
+    * Reader contract (deliberate, documented trade): deletion is IMMEDIATE —
+    * there are no cross-driver reader leases, so a reader on another driver
+    * holding a lazy plan over a version this sweep removes fails LOUDLY
+    * (FileNotFoundException at evaluation), never silently and never
+    * corrupted. Deployments with long-lived cross-driver readers size
+    * `keepLast` above the longest reader horizon (the Delta-Lake-style
+    * retention answer); the same applies to the unversioned flush prune. */
   def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = getMeta(name)
@@ -837,6 +1053,13 @@ class GraftCatalog(spark: SparkSession, root: String,
   def timeTravel(name: String, version: Int): DataFrame = {
     val meta = getMeta(name)
     require(meta.versioning, s"collection $name has versioning disabled")
+    // bound by the PUBLISHED head, like changeLogBetween/stateDiff: a v<N>
+    // dir above currentVersion is a concurrent writer's in-flight (or a
+    // crashed writer's unvalidated) state — meta-last says no reader may
+    // see it, and it can vanish under the reader via the orphan sweep
+    require(version >= 1 && version <= meta.currentVersion,
+      s"collection $name: v$version is not a published version " +
+        s"(head is v${meta.currentVersion})")
     if (isDeltaVersion(name, version)) foldChain(name, meta, version)
     else spark.read.parquet(versionDir(name, version).toString)
   }
@@ -1506,6 +1729,12 @@ object GraftCatalog {
   /** Thrown by the flush that loses an atomic version-claim race; the
     * loser's staging data is already cleaned up when this escapes. */
   class ConcurrentFlushException(msg: String) extends RuntimeException(msg)
+
+  /** The resident state's anchor version is behind the published head — a
+    * concurrent writer flushed in between; re-load before publishing.
+    * Extends IllegalStateException so the HTTP layer maps it to a client
+    * error like every other lifecycle-state violation. */
+  class StaleResidentException(msg: String) extends IllegalStateException(msg)
 
   /** How old an uncommitted version claim must be before a later flush may
     * reclaim it as a crashed writer's leftover (30 min — far above any
