@@ -470,7 +470,16 @@ class GraftCatalog(spark: SparkSession, root: String,
                    opCol: String = "op"): Unit = {
     val meta = getMeta(name)
     val pk = meta.idColumn
-    val latest = Mutations.latestByKey(changes, pk, versionCol)
+    // an op outside {put, del} (or NULL) would win the per-key LWW and then
+    // fall through BOTH filters below — silently discarding the key's
+    // legitimate lower-version change. Fail loudly at evaluation instead;
+    // row-local expression, no extra pass over the batch.
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("put", "del"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"collection $name: applyChanges op must be 'put' or 'del', got '"),
+          coalesce(col(opCol), lit("NULL")), lit("'")))))
+    val latest = Mutations.latestByKey(checked, pk, versionCol)
     val puts = latest.where(col(opCol) === "put").drop(opCol, versionCol)
     val delKeys = latest.where(col(opCol) === "del").select(col(pk))
     val validated = GraftCatalog.validateAndEncode(puts, meta, UserVectorCol)

@@ -100,16 +100,25 @@ object ChangeFeed {
     * multi-leader logs use [[run]], whose fold keeps versions in state, and
     * feed its converged view here (or via applyChanges) instead.
     *
-    * Restart semantics: collection state IS the durable state — restarting
-    * against the same checkpoint resumes from wherever the resident/flushed
-    * collection left off, with no separate state to re-seed. With
-    * `deltaFlushEachBatch` that durability is REAL per batch: each non-empty
-    * micro-batch is also persisted as an O(batch) delta segment
-    * ([[graft.collection.GraftCatalog.flushDelta]]) — the streaming WAL
-    * shape at 100 TB, where flushing the corpus per micro-batch is
-    * unthinkable. Requires a flushed base snapshot and a non-index layout
-    * (flushDelta's contract); a periodic full flush compacts the segment
-    * chain. */
+    * Restart semantics — the checkpoint tracks CONSUMED OFFSETS, nothing
+    * else, and offsets commit after every micro-batch regardless of what
+    * was made durable. The two honest pairings:
+    *   - `deltaFlushEachBatch = true`: every applied batch is ALSO an
+    *     O(batch) delta segment ([[graft.collection.GraftCatalog.flushDelta]])
+    *     before the offset commits, so a restart against the same
+    *     checkpoint resumes exactly where the durable chain left off (a
+    *     crash between the segment publish and the offset commit replays
+    *     one batch — the duplicate segment is harmless, the LWW fold is
+    *     idempotent). The streaming WAL shape at 100 TB, where flushing
+    *     the corpus per micro-batch is unthinkable. Requires a flushed
+    *     base snapshot and a non-index layout (flushDelta's contract,
+    *     checked HERE at call time, not inside the first micro-batch);
+    *     `compactEverySegments` bounds the chain.
+    *   - `deltaFlushEachBatch = false` with a FRESH checkpoint dir: a
+    *     one-shot drain into resident state; flush when done. Re-using a
+    *     checkpoint in this mode is REFUSED at start: committed offsets
+    *     would silently mask every batch applied after the last manual
+    *     flush — the collection diverges from the log with no error. */
   def runIntoCollection(catalog: graft.collection.GraftCatalog, name: String,
                         spark: SparkSession, logDir: String, schema: StructType,
                         versionCol: String, checkpointDir: String,
@@ -120,6 +129,28 @@ object ChangeFeed {
     require(compactEverySegments.isEmpty || deltaFlushEachBatch,
       "compactEverySegments bounds the delta-segment chain — it requires " +
         "deltaFlushEachBatch = true (without per-batch segments there is nothing to compact)")
+    // fail at the CALL SITE, not as an async StreamingQueryException after
+    // batch 1 already mutated resident state: the collection must be loaded,
+    // and the per-batch durability path needs flushDelta's preconditions
+    catalog.resident(name)
+    if (deltaFlushEachBatch) {
+      val meta = catalog.getMeta(name)
+      require(meta.ivfCells.isEmpty && meta.pqConfig.isEmpty && !meta.hasBinaryIndex,
+        s"collection $name: deltaFlushEachBatch requires a non-index layout " +
+          "(flushDelta's contract — corpus-derived sidecars cannot ride delta segments)")
+      require(meta.currentVersion > 0,
+        s"collection $name: deltaFlushEachBatch requires a flushed base snapshot — " +
+          "run a full flush before starting the stream")
+    } else {
+      val off = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val cpFs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!cpFs.exists(off) || cpFs.listStatus(off).isEmpty,
+        s"checkpoint $checkpointDir has committed offsets but deltaFlushEachBatch is " +
+          "false: resuming would skip every batch applied after the last manual flush " +
+          "(silent log/collection divergence). Either restart with " +
+          "deltaFlushEachBatch = true (per-batch durable segments) or use a fresh " +
+          "checkpoint dir and replay the log")
+    }
     readLog(spark, logDir, schema, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -146,23 +177,41 @@ object ChangeFeed {
     * Restart semantics: the folded state lives in this process, NOT in the
     * checkpoint — the checkpoint only tracks which log files were consumed.
     * Restarting against an existing `checkpointDir` therefore skips the
-    * already-processed files, and the fold must be re-seeded from durable
-    * state via `initialState` (e.g. the last flushed snapshot, or a view
-    * captured by the previous run's `onUpdate`). Omitting it with a fresh
-    * checkpoint dir replays the whole log — the two valid pairings. */
+    * already-processed files, and the fold must be re-seeded via
+    * `initialState` from the RAW state a previous run's `onState` callback
+    * persisted — the only valid seed: it retains the `op` column and the
+    * tombstones. A flushed snapshot or an `onUpdate` view is NOT a valid
+    * seed (both lack `op`; the fold's union would fail, and re-adding a
+    * synthetic op would resurrect tombstoned keys — the exact bug the
+    * tombstone design prevents), which the schema check below enforces.
+    * Omitting `initialState` with a fresh checkpoint dir replays the whole
+    * log — the two valid pairings. */
   def run(spark: SparkSession, logDir: String, schema: StructType,
           pk: String, versionCol: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow(),
           initialState: Option[DataFrame] = None,
-          onState: DataFrame => Unit = _ => ())(
+          onState: DataFrame => Unit = _ => (),
+          maxFilesPerTrigger: Option[Int] = None)(
           onUpdate: DataFrame => Unit): StreamingQuery = {
+    initialState.foreach(s => require(
+      s.columns.contains(OpCol) && s.columns.contains(versionCol),
+      s"initialState must be the RAW folded state (op + $versionCol columns, " +
+        "tombstones included) persisted by a previous run's onState — a view or a " +
+        "snapshot has no tombstones and would resurrect deleted keys"))
     var state = initialState.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    readLog(spark, logDir, schema).writeStream
+    var stateOwned = false // never unpersist the CALLER's initialState frame
+    readLog(spark, logDir, schema, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = fold(state, batch, pk, versionCol).localCheckpoint(true)
+        val next = fold(state, batch, pk, versionCol).localCheckpoint(true)
+        // release the superseded state's blocks (same discipline as the
+        // catalog's rebind) — a long-running watcher otherwise accumulates
+        // one dead checkpoint per micro-batch until driver GC
+        if (stateOwned) state.unpersist(false)
+        state = next
+        stateOwned = true
         // raw folded state INCLUDING tombstones — persist this (e.g. to
         // parquet) to seed initialState across restarts
         onState(state)

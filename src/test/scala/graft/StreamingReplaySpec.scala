@@ -1,0 +1,281 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.collection._
+import graft.streaming.{ChangeFeed, EventStream}
+
+/** The failure/replay semantics the one-shot streaming specs never drive:
+  * checkpoint restarts of the collection-ingest stream, duplicate-segment
+  * idempotence (the crash-between-publish-and-offset-commit shape), the
+  * unsafe-resume refusal, eager precondition checks, true cross-batch state
+  * carry in both fold formulations, state-store survival across restart,
+  * and append-mode watermark late-data drops. */
+class StreamingReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changes(rows: Seq[(String, String, Long, String)]): DataFrame =
+    rows.toDF("op", "id", "version", "payload")
+
+  /** Change rows carrying the collection columns (one file per batch so
+    * maxFilesPerTrigger=1 gives deterministic batch cuts). */
+  private def log(rows: Seq[(String, String, Long, String)]): DataFrame =
+    changes(rows).withColumn("vector", array(lit(1.0f), lit(2.0f))).coalesce(1)
+
+  private def feedMeta(name: String) =
+    CollectionMeta(name, dim = 2, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("payload", "string")))
+
+  private def ids(cat: GraftCatalog, name: String): Map[String, String] =
+    cat.resident(name).select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("runIntoCollection(deltaFlushEachBatch): restart against the checkpoint " +
+      "resumes exactly where the durable chain left off") {
+    val logDir = Files.createTempDirectory("graft-rst-log").toString
+    val ckpt = Files.createTempDirectory("graft-rst-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-rst").toString)
+    cat.createCollection(feedMeta("rst"))
+    cat.loadCollection("rst")
+    cat.insert("rst", log(Seq(("put", "z", 0L, "seed"))).drop("op", "version"))
+    assert(cat.flush("rst") === 1) // the base snapshot flushDelta requires
+
+    val wal1 = Seq(("put", "a", 1L, "a-v1"), ("put", "b", 1L, "b-v1"))
+    val wal2 = Seq(("put", "a", 2L, "a-v2"), ("del", "b", 2L, ""))
+    Seq(wal1, wal2).foreach { b =>
+      log(b).write.mode(SaveMode.Append).parquet(logDir); Thread.sleep(150)
+    }
+    val schema = log(wal1).schema
+    val q1 = ChangeFeed.runIntoCollection(cat, "rst", spark, logDir, schema,
+      "version", ckpt, deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q1.awaitTermination(120000)
+    assert(cat.getMeta("rst").currentVersion === 3, "one delta segment per batch")
+    assert(ids(cat, "rst") === Map("z" -> "seed", "a" -> "a-v2"))
+
+    // stop, new WAL files arrive, restart against the SAME checkpoint:
+    // only the new batch applies — nothing replays, nothing is skipped
+    log(Seq(("put", "c", 1L, "c-v1"))).write.mode(SaveMode.Append).parquet(logDir)
+    val q2 = ChangeFeed.runIntoCollection(cat, "rst", spark, logDir, schema,
+      "version", ckpt, deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(120000)
+    assert(cat.getMeta("rst").currentVersion === 4)
+    assert(ids(cat, "rst") === Map("z" -> "seed", "a" -> "a-v2", "c" -> "c-v1"))
+    // the durable chain folds to the same state a cold reader sees
+    assert(cat.loadCollection("rst").select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      === Map("z" -> "seed", "a" -> "a-v2", "c" -> "c-v1"))
+  }
+
+  test("a replayed micro-batch (crash between segment publish and offset commit) " +
+      "is idempotent: the duplicate segment folds away") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-dup").toString)
+    cat.createCollection(feedMeta("dup"))
+    cat.loadCollection("dup")
+    cat.insert("dup", log(Seq(("put", "z", 0L, "seed"), ("put", "b", 0L, "b-old")))
+      .drop("op", "version"))
+    assert(cat.flush("dup") === 1)
+    val batch = log(Seq(("put", "a", 1L, "a-v1"), ("del", "b", 1L, "")))
+    cat.applyChanges("dup", batch, "version")
+    assert(cat.flushDelta("dup") === 2)
+    val once = ids(cat, "dup")
+    // the replay: identical batch applied and delta-flushed AGAIN
+    cat.applyChanges("dup", batch, "version")
+    assert(cat.flushDelta("dup") === 3)
+    assert(ids(cat, "dup") === once, "replay must not change resident state")
+    assert(cat.loadCollection("dup").select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap === once,
+      "the duplicate segment must fold away on a cold load")
+    assert(once === Map("z" -> "seed", "a" -> "a-v1"))
+  }
+
+  test("resuming a checkpoint WITHOUT per-batch durability is refused at the call site") {
+    val logDir = Files.createTempDirectory("graft-ref-log").toString
+    val ckpt = Files.createTempDirectory("graft-ref-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ref").toString)
+    cat.createCollection(feedMeta("ref"))
+    cat.loadCollection("ref")
+    val wal = Seq(("put", "a", 1L, "a-v1"))
+    log(wal).write.mode(SaveMode.Append).parquet(logDir)
+    val schema = log(wal).schema
+    val q = ChangeFeed.runIntoCollection(cat, "ref", spark, logDir, schema,
+      "version", ckpt) // fresh checkpoint: legal one-shot drain
+    q.awaitTermination(120000)
+    assert(ids(cat, "ref") === Map("a" -> "a-v1"))
+    // the committed offsets would silently mask any batch applied after the
+    // last manual flush — the resume must fail loudly, synchronously
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.runIntoCollection(cat, "ref", spark, logDir, schema, "version", ckpt)
+    }
+    assert(e.getMessage.contains("committed offsets"))
+  }
+
+  test("runIntoCollection validates catalog preconditions at start, not mid-batch") {
+    val logDir = Files.createTempDirectory("graft-pre-log").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-pre").toString)
+    cat.createCollection(feedMeta("pre"))
+    val wal = Seq(("put", "a", 1L, "a-v1"))
+    log(wal).write.mode(SaveMode.Append).parquet(logDir)
+    val schema = log(wal).schema
+    // not loaded: synchronous IllegalStateException, no stream ever starts
+    intercept[IllegalStateException] {
+      ChangeFeed.runIntoCollection(cat, "pre", spark, logDir, schema, "version",
+        Files.createTempDirectory("graft-pre-c1").toString)
+    }
+    cat.loadCollection("pre")
+    // no base snapshot: flushDelta's contract surfaces BEFORE batch 1
+    // mutates resident state, not as an async StreamingQueryException
+    intercept[IllegalArgumentException] {
+      ChangeFeed.runIntoCollection(cat, "pre", spark, logDir, schema, "version",
+        Files.createTempDirectory("graft-pre-c2").toString, deltaFlushEachBatch = true)
+    }
+    assert(ids(cat, "pre") === Map.empty, "refusal must leave resident state untouched")
+  }
+
+  test("applyChanges rejects ops outside {put, del} loudly instead of dropping the key") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-op").toString)
+    cat.createCollection(feedMeta("op"))
+    cat.loadCollection("op")
+    // the corrupt higher-version op would win the LWW and then fall through
+    // BOTH the put and del filters — pre-fix, 'a' silently lost its v3 put
+    cat.applyChanges("op",
+      log(Seq(("put", "a", 3L, "a-v3"), ("Put", "a", 9L, "corrupt"))), "version")
+    val e = intercept[Throwable] { cat.resident("op").collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("op must be 'put' or 'del'")),
+      s"unexpected error chain: ${messages(e).mkString(" | ")}")
+  }
+
+  test("run folds state ACROSS micro-batches (maxFilesPerTrigger=1), not just within one") {
+    val logDir = Files.createTempDirectory("graft-xb-log").toString
+    val ckpt = Files.createTempDirectory("graft-xb-ckpt").toString
+    val b1 = Seq(("put", "a", 3L, "a-v3"), ("del", "c", 5L, ""))
+    val b2 = Seq(("put", "a", 1L, "a-v1-stale"), ("put", "c", 4L, "c-stale"),
+      ("put", "d", 1L, "d-v1"))
+    Seq(b1, b2).foreach { b =>
+      changes(b).coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+      Thread.sleep(150)
+    }
+    val schema = changes(b1).schema
+    @volatile var updates = 0
+    @volatile var last: Map[String, String] = Map.empty
+    val q = ChangeFeed.run(spark, logDir, schema, "id", "version", ckpt,
+      maxFilesPerTrigger = Some(1)) { v =>
+      updates += 1
+      last = v.select("id", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    q.awaitTermination(120000)
+    assert(updates >= 2, "maxFilesPerTrigger=1 must cut at least two micro-batches")
+    // batch-2 staleness only resolves correctly if batch-1 state CARRIED:
+    // a-v3 beats the late v1, c's v5 tombstone blocks the v4 resurrection
+    assert(last === Map("a" -> "a-v3", "d" -> "d-v1"))
+  }
+
+  test("run refuses an initialState that lost its tombstones (a view or snapshot)") {
+    val schema = changes(Seq(("put", "a", 1L, "x"))).schema
+    val view = Seq(("a", 1L, "x")).toDF("id", "version", "payload") // no op column
+    intercept[IllegalArgumentException] {
+      ChangeFeed.run(spark, Files.createTempDirectory("graft-bad-log").toString,
+        schema, "id", "version",
+        Files.createTempDirectory("graft-bad-ckpt").toString,
+        initialState = Some(view))(_ => ())
+    }
+  }
+
+  test("statefulLww state survives micro-batch boundaries AND a checkpoint restart") {
+    val logDir = Files.createTempDirectory("graft-st-log").toString
+    val ckpt = Files.createTempDirectory("graft-st-ckpt").toString
+    def writeRows(rows: Seq[EventStream.ChangeRow]): Unit = {
+      rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(logDir)
+      Thread.sleep(150)
+    }
+    writeRows(Seq(EventStream.ChangeRow("put", "a", 3L, "a-v3")))
+    writeRows(Seq(EventStream.ChangeRow("put", "a", 1L, "a-v1-stale"),
+      EventStream.ChangeRow("put", "b", 1L, "b-v1")))
+    val schema = Seq(EventStream.ChangeRow("put", "a", 1L, "x")).toDF().schema
+    // foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    // and checkpoint recovery is exactly what the second leg exercises
+    def drain(buf: java.util.concurrent.ConcurrentLinkedQueue[(String, String)]) = {
+      val q = EventStream.statefulLww(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(logDir).as[EventStream.ChangeRow])
+        .toDF("id", "state").writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("id"), col("state.payload")).collect()
+            .foreach(r => buf.add(r.getString(0) -> r.getString(1)))
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    val run1 = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    drain(run1)
+    // batch 2 re-emits a's winner: v3 from the STATE STORE, not the stale v1
+    val emitted = run1.toArray(Array.empty[(String, String)]).toSeq
+    assert(emitted.count(_._1 == "a") >= 2, s"both batches must emit a's winner: $emitted")
+    assert(!emitted.contains(("a", "a-v1-stale")),
+      "state lost between micro-batches: the stale put won")
+    // restart against the checkpoint: the state store must restore a's v3
+    writeRows(Seq(EventStream.ChangeRow("put", "a", 2L, "a-v2-stale")))
+    val run2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    drain(run2)
+    val after = run2.toArray(Array.empty[(String, String)]).toSeq
+    assert(after.contains(("a", "a-v3")) && !after.exists(_._2 == "a-v2-stale"),
+      s"state store did not survive the restart: ${after.mkString(",")}")
+  }
+
+  test("windowedAgg append mode: the watermark drops data later than the delay") {
+    val logDir = Files.createTempDirectory("graft-wm-log").toString
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt").toString
+    def events(rows: Seq[(String, String, Double)]): DataFrame =
+      rows.toDF("ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .withColumn("user_id", lit(1L)).coalesce(1)
+    val schema = events(Seq(("2024-01-01 00:00:00", "x", 0.0))).schema
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    def drain(): Unit = {
+      val q = EventStream.windowedAgg(
+          spark.readStream.schema(schema).parquet(logDir), "1 hour")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("window_start").cast("string"), col("event_type"), col("n"))
+            .collect().foreach(r => out.add((r.getString(0), r.getString(1), r.getLong(2))))
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1 advances the watermark to 02:20 (persisted in the checkpoint);
+    // intra-run watermark propagation is batch-delayed, so the restart is
+    // the DETERMINISTIC way to put an event beyond the watermark
+    events(Seq(("2024-01-01 00:05:00", "click", 1.0),
+      ("2024-01-01 02:30:00", "click", 2.0)))
+      .write.mode(SaveMode.Append).parquet(logDir)
+    drain()
+    // run 2: the 00:10 view is 2h10m behind the restored watermark — its
+    // window is already finalized and the row must be DROPPED; the fresh
+    // 03:00 view advances the watermark further
+    events(Seq(("2024-01-01 00:10:00", "view", 9.0),
+      ("2024-01-01 03:00:00", "view", 3.0)))
+      .write.mode(SaveMode.Append).parquet(logDir)
+    drain()
+    val got = out.toArray(Array.empty[(String, String, Long)]).toSet
+    // the 00:00 window finalized with ONLY the on-time click; had the late
+    // view slipped in (or the watermark wiring broken: nothing finalizes,
+    // got is empty), these assertions fail
+    assert(got.contains(("2024-01-01 00:00:00", "click", 1L)), s"got $got")
+    assert(!got.exists(r => r._2 == "view" && r._1 == "2024-01-01 00:00:00"),
+      s"late event beyond the watermark leaked into a finalized window: $got")
+  }
+}
