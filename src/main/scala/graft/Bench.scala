@@ -776,9 +776,30 @@ object Bench {
         val tFold = timed("catalog_fold_load_1m", runs = 1) {
           cat.loadCollection("bd"); cat.resident("bd").count(): Unit
         }
+        // ---- serving path at 1M: per-REQUEST latency of the catalog's
+        // prepared (plan-once/execute-many) search — the HTTP /search
+        // model, with a FRESH query vector every call, so unlike the
+        // hoisted flat_scan rows this measures exactly what a client of
+        // the serving layer sees: literal swap + executeCollect, no
+        // Catalyst re-analysis (r9; the r8 verdict's top task). min is the
+        // gate-comparable convention of the scan rows; p50 is the honest
+        // serving percentile.
+        val serveTimes = {
+          val rnd = new scala.util.Random(7)
+          def freshVec() = Array.fill(128)(rnd.nextFloat() * 2 - 1)
+          cat.searchPrepared("bd", freshVec(), 10) // compile + codegen, once
+          (0 until 24).map { _ =>
+            val v = freshVec()
+            val t0 = System.nanoTime()
+            cat.searchPrepared("bd", v, 10)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+        }
         Seq("catalog_flush_full_1m" -> tFull,
           "catalog_flush_delta_10k" -> tDelta,
-          "catalog_fold_load_1m" -> tFold)
+          "catalog_fold_load_1m" -> tFold,
+          "serve_search_1m" -> serveTimes.head,
+          "serve_search_1m_p50" -> serveTimes(serveTimes.length / 2))
       } finally cat.dropCollection("bd")
     } catch { case e: Throwable =>
       errors("delta_flush_1m") = Option(e.getMessage)

@@ -59,6 +59,32 @@ class GraftCatalog(spark: SparkSession, root: String,
   private val pendingCount = mutable.Map.empty[String, Int]
   private val pendingSeq = mutable.Map.empty[String, Long]
 
+  /** Prepared (plan-once/execute-many) search plans for the serving path,
+    * keyed by query SHAPE — everything that changes the plan except the
+    * query vector itself. Each entry is valid ONLY for the exact resident
+    * DataFrame it was compiled from: every mutation ([[rebind]]), load and
+    * release swaps that object, so staleness is a reference comparison, not
+    * an epoch protocol — a cached plan over replaced state is unreachable
+    * by construction (PreparedSearchSpec pins this). Bounded LRU: a serving
+    * workload has few live shapes; filters with distinct VALUES are
+    * distinct shapes and age out. */
+  private case class PreparedKey(name: String, topK: Int, filter: Option[FilterExpr],
+                                 offset: Int, minScore: Option[Double])
+  private case class PreparedEntry(df: DataFrame,
+                                   prepared: org.apache.spark.sql.graft.PreparedPlan.Prepared)
+  private val preparedSearches =
+    new java.util.LinkedHashMap[PreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[PreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
+  /** Drop every prepared plan of `name` — called where the resident object
+    * is swapped or retired so retired plan trees (and the unpersisted cache
+    * relations they reference) don't linger until LRU eviction. */
+  private def invalidatePrepared(name: String): Unit =
+    preparedSearches.keySet().removeIf(_.name == name)
+
   /** Every k-th mutation truncates lineage with an eager localCheckpoint:
     * without it, N inserts stack N anti-join/union plans and any cache
     * eviction re-executes the whole chain — the round-1 scale-killer. */
@@ -204,6 +230,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
     anchorVersion.remove(name)
+    invalidatePrepared(name)
     clearPending(name)
     fs.delete(colDir(name), true)
   }
@@ -303,6 +330,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     // collection silently non-resident.
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
+    invalidatePrepared(name)
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = cached
     anchorVersion(name) = meta.currentVersion
@@ -316,6 +344,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
     anchorVersion.remove(name)
+    invalidatePrepared(name)
     clearPending(name)
   }
 
@@ -502,6 +531,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       if (n % LineageCutEvery == 0) next.localCheckpoint(true) // eager; truncates lineage
       else next.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = bound
+    invalidatePrepared(name)
     prev.foreach(_.unpersist(false))
   }
 
@@ -1284,6 +1314,73 @@ class GraftCatalog(spark: SparkSession, root: String,
           vectorCol = VectorCol, customDistance = fused))
   }
 
+  /** [[search]] through a prepared (plan-once/execute-many) physical plan —
+    * the serving-path fix for the r8 finding that EVERY per-request
+    * DataFrame rebuild pays ~22-43 ms of Catalyst re-analysis at 1M rows
+    * (PLANS.md "1M dispatch floor"). First call per (collection, resident
+    * state, query shape) compiles the plan once with the query vector as a
+    * swappable placeholder literal; subsequent calls swap the literal in
+    * the compiled PHYSICAL tree and execute — no Catalyst phase re-runs,
+    * same results as [[search]] bit-for-bit (PreparedSearchSpec proves
+    * equality on randomized vectors/filters and that mutations/re-loads are
+    * never served stale). Falls back to the plan-per-call path if this
+    * shape can't be parameterized. Returns driver-side rows — the serving
+    * layer's shape; result size is bounded by topK like every search. */
+  def searchPrepared(name: String, queryVector: Array[Float], topK: Int,
+                     filter: Option[FilterExpr] = None, offset: Int = 0,
+                     minScore: Option[Double] = None)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(!meta.isMultiVector,
+      s"collection $name is multi-vector; use searchMulti")
+    val df = loadedOrThrow(name)
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val key = PreparedKey(name, topK, filter, offset, minScore)
+    val entry = Option(preparedSearches.get(key)).filter(_.df eq df).orElse {
+      try {
+        val e = PreparedEntry(df, compileSearch(df, meta, topK, filter, offset, minScore))
+        preparedSearches.put(key, e)
+        Some(e)
+      } catch {
+        // placeholder folded away during planning — shape not parameterizable
+        case _: IllegalStateException => None
+      }
+    }
+    entry match {
+      case Some(e) => (e.prepared.schema, e.prepared.run(qv))
+      case None =>
+        val out = search(name, queryVector, topK, filter, offset, minScore)
+        (out.schema, out.collect().toIndexedSeq)
+    }
+  }
+
+  /** Build the EXACT [[search]] plan with a placeholder query-vector Column
+    * and compile it ([[org.apache.spark.sql.graft.PreparedPlan]]). The
+    * unquantized path routes its distance through `customDistance` — same
+    * expression [[search]]'s default builds, just over the placeholder. */
+  private def compileSearch(df: DataFrame, meta: CollectionMeta, topK: Int,
+                            filter: Option[FilterExpr], offset: Int, minScore: Option[Double])
+      : org.apache.spark.sql.graft.PreparedPlan.Prepared = {
+    import org.apache.spark.sql.graft.PreparedPlan
+    val (phCol, ph) = PreparedPlan.placeholder(meta.dim)
+    val raw = meta.quantization match {
+      case "none" => graft.functions.distance(col(VectorCol), phCol, meta.distance)
+      case q      => graft.functions.distance_quant(col(VectorCol), phCol, q, meta.distance)
+    }
+    val (base, pushFilter) =
+      if (meta.isSchemaless)
+        (filter.map(f => df.where(graft.core.CoreMeta.filterColumn(
+          col(CollectionMeta.MetaCol), col(meta.idColumn), f))).getOrElse(df), None)
+      else (df, filter)
+    val searchDf = VectorSearch.search(base,
+      SearchRequest(new Array[Float](meta.dim), topK, metric = meta.distance,
+        filter = pushFilter, offset = offset, minScore = minScore,
+        idCol = meta.idColumn, vectorCol = VectorCol, customDistance = Some(raw)))
+    PreparedPlan.compile(searchDf, ph)
+  }
+
   /** Hybrid search (v3 HybridSearch RPC, core/core.go:760-839): over-fetch
     * the pure-similarity top `topK·overFetch`, semi-join the ids surviving
     * the metadata filter, final top-K — the documented INTENT (the
@@ -1749,6 +1846,10 @@ object GraftCatalog {
     * reclaim it as a crashed writer's leftover (30 min — far above any
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
+
+  /** Prepared-search plan cache bound (per catalog): a serving workload has
+    * a handful of live shapes; each entry is one physical plan tree (KB). */
+  val PreparedCacheMax: Int = 64
 
   /** SAFETY check, enforced on EVERY path derivation ([[colDir]]): the name
     * must be exactly one path segment — no separators, no `.`/`..`, no NUL,

@@ -43,10 +43,13 @@ import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
   * the reference's status-in-response contract.
   *
   * This is a serving SHIM for functional parity, not a low-latency ANN
-  * server: every search is a Spark job with the documented ~40-60 ms
-  * dispatch floor (PLANS.md) — fine for batch/analytical clients, not for
-  * the reference's sub-millisecond HNSW point serving (accepted gap,
-  * SURVEY.md §7).
+  * server: every search is a Spark job. `/search` runs through the
+  * catalog's prepared-plan cache (plan-once/execute-many — the ~22-43 ms
+  * per-request Catalyst re-analysis the r8 probe measured is paid once per
+  * (resident state, query shape), leaving the ~12-21 ms scheduling floor,
+  * PLANS.md) — fine for batch/analytical clients, not for the reference's
+  * sub-millisecond HNSW point serving; THAT latency class is served by the
+  * driver-local routes (searchLocal/searchLocalPq/searchLocalBin).
   */
 /** `runMain graft.serve.Serve [catalogRoot] [port]` — standalone server. */
 object Serve {
@@ -198,8 +201,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val filter = (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
         val offset = intOr(req, "offset", 0)
         val minScore = (req \ "minScore").toOption.map(num)
-        val out = catalog.search(name, vector, topK, filter, offset, minScore)
-        rowsJson(out)
+        // plan-once/execute-many: repeated requests of one shape swap the
+        // query vector into a compiled physical plan instead of paying
+        // ~22-43 ms of Catalyst re-analysis per request (PLANS.md r8 probe);
+        // rows come back driver-side, so serialization is also job-free
+        val (schema, rows) = catalog.searchPrepared(name, vector, topK, filter, offset, minScore)
+        rowsJson(schema, rows)
       // hybrid search (v3 HybridSearch RPC): ANN over-fetch intersected
       // with the metadata-filter candidates
       case ("POST", "collections" :: name :: "searchHybrid" :: Nil) =>
@@ -382,6 +389,35 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
 
   private def rowsJson(df: DataFrame): (Int, String) =
     200 -> ("{\"rows\":[" + df.toJSON.collect().mkString(",") + "]}")
+
+  /** [[rowsJson]] for rows already on the driver (the prepared-search
+    * path): same wire shape as `df.toJSON` — schema field order, null
+    * fields omitted — without launching a serialization job. */
+  private def rowsJson(schema: StructType, rows: Seq[Row]): (Int, String) =
+    200 -> JsonMethods.compact(JObject("rows" -> JArray(rows.toList.map { r =>
+      JObject(schema.fields.toList.zipWithIndex.collect {
+        case (f, i) if !r.isNullAt(i) => f.name -> valueJson(r.get(i))
+      })
+    })))
+
+  private def valueJson(v: Any): JValue = v match {
+    case null                       => JNull
+    case s: String                  => JString(s)
+    case b: Boolean                 => JBool(b)
+    case b: Byte                    => JInt(BigInt(b))
+    case s: Short                   => JInt(BigInt(s))
+    case i: Int                     => JInt(BigInt(i))
+    case l: Long                    => JInt(BigInt(l))
+    // shortest-decimal text, matching Jackson's float/double rendering in
+    // df.toJSON (JDouble(f.toDouble) would print 0.1f as 0.100000001…)
+    case f: Float                   => JDecimal(BigDecimal(f.toString))
+    case d: Double                  => JDecimal(BigDecimal(d.toString))
+    case d: java.math.BigDecimal    => JDecimal(BigDecimal(d))
+    case d: BigDecimal              => JDecimal(d)
+    case seq: Seq[_]                => JArray(seq.toList.map(valueJson))
+    case m: Map[_, _]               => JObject(m.toList.map { case (k, x) => k.toString -> valueJson(x) })
+    case other                      => JString(other.toString) // timestamps/dates — not in search schemas
+  }
 
   private def ok(j: JValue): (Int, String) = 200 -> JsonMethods.compact(j)
 

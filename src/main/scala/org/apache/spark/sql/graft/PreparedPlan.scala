@@ -1,0 +1,109 @@
+// Catalyst extension glue lives inside the org.apache.spark.sql package tree
+// because the pieces it touches (SparkPlan, CatalystTypeConverters) are
+// private[sql]/internal in Spark 4. User-facing API is GraftCatalog.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructType}
+
+/** Plan-once / execute-many ("prepared statement") support for the serving
+  * path. An r8 probe (PLANS.md "1M dispatch floor") measured ~22-43 ms of
+  * every per-request search as Catalyst analysis+optimization of a
+  * freshly-built DataFrame — at 1M rows that was HALF the request. The bench
+  * amortizes it by hoisting each query as one memoized Dataset; this class
+  * gives the product the same model for queries whose only per-request
+  * variation is the query VECTOR:
+  *
+  *  1. build the search DataFrame once with a [[placeholder]] vector Column;
+  *  2. [[compile]] it — analysis, optimization, physical planning and
+  *     (lazily, cached by generated source) whole-stage codegen all happen
+  *     HERE, exactly once;
+  *  3. per request, [[Prepared.run]] swaps the placeholder literal for the
+  *     real vector by reference identity in the PHYSICAL plan — a pure tree
+  *     copy, no Catalyst phase re-runs — and `executeCollect()`s.
+  *
+  * The swapped literal lands in the codegen `references` array, not the
+  * generated source, so the compiled code is reused across requests; the
+  * only per-request costs left are the tree copy (µs) and the true job
+  * scheduling floor (~12-21 ms at 1M, PLANS.md).
+  *
+  * AQE is disabled while compiling: the plans this serves (top-K scans over
+  * a resident collection — no exchange) gain nothing from it, and a concrete
+  * physical tree is reusable where an adaptive shell re-plans per execute.
+  *
+  * Staleness safety is the CALLER's contract: a Prepared is valid only for
+  * the exact DataFrame it was compiled from. GraftCatalog keys its cache on
+  * the resident DataFrame's object identity — every mutation/load/release
+  * swaps that object (rebind), so a stale plan is unreachable by
+  * construction (PreparedSearchSpec pins this).
+  */
+object PreparedPlan {
+
+  /** Query vectors are float arrays end-to-end (edge parity). */
+  val VectorType: ArrayType = ArrayType(FloatType, containsNull = false)
+
+  /** A compiled physical plan with one identified swappable vector literal. */
+  final class Prepared private[PreparedPlan] (
+      val schema: StructType,
+      session: org.apache.spark.sql.SparkSession,
+      plan: SparkPlan,
+      placeholder: AnyRef) {
+    private[this] val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+
+    /** Execute the prepared plan against `vector` (already prepared —
+      * normalized/quantize-round-tripped — by the caller, same contract as
+      * the literal the unprepared path embeds). The session is pinned
+      * active for the calling thread first: SparkPlan.makeCopy (under the
+      * literal swap) reads the thread-local active session, and serving
+      * threads (the HTTP executor) don't inherit the driver main thread's. */
+    def run(vector: Array[Float]): Seq[Row] = {
+      org.apache.spark.sql.SparkSession.setActiveSession(session)
+      val fresh = Literal.create(vector, VectorType)
+      val swapped = plan.transformAllExpressions {
+        case l: Literal if l.value.asInstanceOf[AnyRef] eq placeholder => fresh
+      }
+      swapped.executeCollect().toIndexedSeq.map(r => toScala(r).asInstanceOf[Row])
+    }
+  }
+
+  /** A placeholder query-vector Column plus the identity handle used to find
+    * (and swap) its literal in the compiled plan. The VALUES never score a
+    * row — [[Prepared.run]] replaces them before any execution. */
+  def placeholder(dim: Int): (Column, AnyRef) = {
+    val ph = Literal.create(Array.fill(dim)(0.0f), VectorType)
+    (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
+  }
+
+  /** Compile `df` once (all Catalyst phases), verifying the placeholder
+    * literal survived into the physical plan by reference. Throws
+    * IllegalStateException if a rewrite folded/copied it away — callers fall
+    * back to the plan-per-call path rather than silently serving the
+    * placeholder's zeros. */
+  def compile(df: DataFrame, placeholder: AnyRef): Prepared = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    // executedPlan is lazy — force it INSIDE the conf window so the
+    // InsertAdaptiveSparkPlan preparation rule sees AQE off for this plan
+    val plan =
+      try df.queryExecution.executedPlan
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    var hits = 0
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case l: Literal if l.value.asInstanceOf[AnyRef] eq placeholder => hits += 1
+      case _ => ()
+    }))
+    if (hits == 0)
+      throw new IllegalStateException(
+        "prepared-plan placeholder did not survive planning — this query shape cannot be " +
+          "parameterized; use the plan-per-call path")
+    new Prepared(df.schema, spark, plan, placeholder)
+  }
+}

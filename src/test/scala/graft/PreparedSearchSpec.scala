@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
+
+/** Prepared (plan-once/execute-many) search: the serving-path cache that
+  * swaps the query vector into a compiled physical plan instead of paying
+  * per-request Catalyst re-analysis. Pins the two things that make the
+  * cache safe to ship: (1) results are EQUAL to the plan-per-call
+  * [[GraftCatalog.search]] across random vectors and every shape knob, and
+  * (2) a cached plan is NEVER served stale — every mutation, re-load and
+  * release invalidates by construction (resident-object identity). */
+class PreparedSearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newCatalog() =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-prep").toString)
+
+  private val dim = 8
+
+  private def meta(name: String, quant: String = "none", distance: String = "cosine") =
+    CollectionMeta(name, dim = dim, distance = distance, quantization = quant,
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer")))
+
+  private def rows(n: Int, seed: Int) = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      (f"$i%04d", i % 7, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+    }.toDF("id", "label", "vector")
+  }
+
+  private def vecs(n: Int, seed: Int): Seq[Array[Float]] = {
+    val rnd = new Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+  }
+
+  /** Canonical comparable form of a result set. */
+  private def canon(schema: org.apache.spark.sql.types.StructType,
+                    rs: Seq[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+    rs.map(r => schema.fieldNames.toSeq.map(f => r.get(r.fieldIndex(f))))
+
+  private def viaSearch(cat: GraftCatalog, name: String, q: Array[Float], topK: Int,
+                        filter: Option[FilterExpr] = None, offset: Int = 0,
+                        minScore: Option[Double] = None): Seq[Seq[Any]] = {
+    val df = cat.search(name, q, topK, filter, offset, minScore)
+    canon(df.schema, df.collect().toIndexedSeq)
+  }
+
+  private def viaPrepared(cat: GraftCatalog, name: String, q: Array[Float], topK: Int,
+                          filter: Option[FilterExpr] = None, offset: Int = 0,
+                          minScore: Option[Double] = None): Seq[Seq[Any]] = {
+    val (schema, rs) = cat.searchPrepared(name, q, topK, filter, offset, minScore)
+    canon(schema, rs)
+  }
+
+  test("prepared equals plan-per-call across random vectors (cosine, float)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("pfa"))
+    cat.loadCollection("pfa")
+    cat.insert("pfa", rows(300, seed = 1))
+    for (q <- vecs(8, seed = 11))
+      assert(viaPrepared(cat, "pfa", q, 10) === viaSearch(cat, "pfa", q, 10))
+  }
+
+  test("prepared equals plan-per-call on the fused quantized kernel (f16, euclidean)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("pfq", quant = "f16", distance = "euclidean"))
+    cat.loadCollection("pfq")
+    cat.insert("pfq", rows(300, seed = 2))
+    for (q <- vecs(8, seed = 22))
+      assert(viaPrepared(cat, "pfq", q, 7) === viaSearch(cat, "pfq", q, 7))
+  }
+
+  test("prepared honors every shape knob: filter, offset, minScore") {
+    val cat = newCatalog()
+    cat.createCollection(meta("pfk"))
+    cat.loadCollection("pfk")
+    cat.insert("pfk", rows(400, seed = 3))
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lte, 3): FilterExpr)
+    for (q <- vecs(5, seed = 33)) {
+      assert(viaPrepared(cat, "pfk", q, 10, filter = f) ===
+        viaSearch(cat, "pfk", q, 10, filter = f))
+      assert(viaPrepared(cat, "pfk", q, 10, offset = 5) ===
+        viaSearch(cat, "pfk", q, 10, offset = 5))
+      assert(viaPrepared(cat, "pfk", q, 10, minScore = Some(50.0)) ===
+        viaSearch(cat, "pfk", q, 10, minScore = Some(50.0)))
+      // distinct filter VALUES are distinct cache entries, both correct
+      val g = Some(FilterExpr.Single("label", FilterExpr.Lte, 1): FilterExpr)
+      assert(viaPrepared(cat, "pfk", q, 10, filter = g) ===
+        viaSearch(cat, "pfk", q, 10, filter = g))
+    }
+  }
+
+  test("a cached plan never serves a stale resident state (insert/delete invalidate)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("pst"))
+    cat.loadCollection("pst")
+    cat.insert("pst", rows(200, seed = 4))
+    val q = vecs(1, seed = 44).head
+    val before = viaPrepared(cat, "pst", q, 5) // compiles + caches the plan
+    // insert an exact-match row — it MUST be the new top hit
+    cat.insert("pst", Seq(("zzzz", 99, q.toSeq)).toDF("id", "label", "vector"))
+    val afterInsert = viaPrepared(cat, "pst", q, 5)
+    assert(afterInsert.head.head === "zzzz")
+    assert(afterInsert !== before)
+    // delete it — the cached post-insert plan must not resurrect it
+    cat.delete("pst", FilterExpr.Single("id", FilterExpr.Eq, "zzzz"))
+    val afterDelete = viaPrepared(cat, "pst", q, 5)
+    assert(!afterDelete.exists(_.head == "zzzz"))
+    assert(afterDelete === before)
+  }
+
+  test("release + re-load invalidates; released collection fails loudly") {
+    val cat = newCatalog()
+    cat.createCollection(meta("prl"))
+    cat.loadCollection("prl")
+    cat.insert("prl", rows(150, seed = 5))
+    cat.flush("prl")
+    val q = vecs(1, seed = 55).head
+    val flushed = viaPrepared(cat, "prl", q, 5)
+    // unflushed mutation, then re-anchor: the discard must reach the cache
+    cat.insert("prl", Seq(("gone", 1, q.toSeq)).toDF("id", "label", "vector"))
+    assert(viaPrepared(cat, "prl", q, 5).head.head === "gone")
+    cat.loadCollection("prl") // re-anchor discards the unflushed insert
+    assert(viaPrepared(cat, "prl", q, 5) === flushed)
+    cat.releaseCollection("prl")
+    intercept[IllegalStateException] { cat.searchPrepared("prl", q, 5) }
+  }
+
+  test("cache stays correct past the LRU bound (many distinct shapes)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("plru"))
+    cat.loadCollection("plru")
+    cat.insert("plru", rows(120, seed = 6))
+    val q = vecs(1, seed = 66).head
+    // > PreparedCacheMax distinct shapes (topK 1..70), then re-query the
+    // evicted earliest shapes — recompile must be transparent
+    for (k <- 1 to (GraftCatalog.PreparedCacheMax + 6))
+      assert(viaPrepared(cat, "plru", q, k).size === k)
+    for (k <- Seq(1, 2, 3))
+      assert(viaPrepared(cat, "plru", q, k) === viaSearch(cat, "plru", q, k))
+  }
+}
