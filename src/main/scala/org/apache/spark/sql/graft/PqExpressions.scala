@@ -69,40 +69,66 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
 
   // Argmin semantics (identical to the round-4 per-codeword sqrt form and to
   // VecArgMinDistance over the slice, pinned in PqSpec): winner = lowest
-  // round(dist, 6), ties to the lowest code index. The hot path compares
-  // SQUARED distances against a gate derived from the best-so-far ROUNDED
-  // distance: any candidate whose rounded distance could beat bestR has
-  // d < bestR + 0.5e-6 + ulps, so acc = d² < (bestR + 2e-6)² — candidates
-  // outside the gate can never win, and candidates inside it re-derive
-  // sqrt + round exactly like before. This removes the per-codeword
-  // sqrt/ulp work (m·ksub per row — 16× the per-row sqrt count of the flat
-  // argmin kernel, the measured 3× gap of BENCH_r04's pq_encode_1m).
+  // round(dist, 6), ties to the lowest code index. One pass per subspace:
+  // track the true (unrounded) squared minimum plus the SHORT ordered list
+  // of band candidates — codewords whose rounded distance could still
+  // beat-or-tie the minimum's, i.e. acc < (sqrt(minSq) + 2e-6 + 4·ulp)²
+  // (the same margin algebra as the r6 running gate, anchored at the true
+  // min — strictly safer). Admission checks against the gate current at
+  // that index; every min improvement TIGHTENS the gate and prunes the
+  // list, so the surviving list is exactly {c : acc_c < final gate²} in
+  // index order. Decimal rounding then runs only over those survivors
+  // (~1-2 on real data), and strict `<` in order is exactly
+  // lowest-rounded-then-lowest-index.
+  //
+  // Why: the r6 form re-derived BigDecimal.valueOf(...).setScale(6) on
+  // every RUNNING-MIN IMPROVEMENT (~H(256)≈6 per subspace ≈ 100/row); an
+  // r9 Spark-free dissection (ProfPqEncode, parity-asserted against the r6
+  // form) put that at HALF the kernel — 60 µs/row vs 31 µs/row for this
+  // form, which sits at the pure squared-argmin floor. The ulp term
+  // mirrors VecArgMinDistance's window: past d ≈ 1e9 the nearest-double
+  // error of round6 exceeds the fixed margin, and a winner could otherwise
+  // be banded out before rounding.
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData].toFloatArray()
     if (a.length != dim)
       throw new IllegalArgumentException(s"vector dimension mismatch: ${a.length} vs $dim")
     val out = new Array[Int](m)
+    val kmax = ksubs.max
+    val candIdx = new Array[Int](kmax); val candAcc = new Array[Double](kmax)
     var j = 0
     while (j < m) {
       val f = flat(j); val off = offs(j); val dn = dsubs(j); val kk = ksubs(j)
-      var best = 0; var bestR = Double.PositiveInfinity
-      var gateSq = Double.PositiveInfinity
+      var minSq = Double.PositiveInfinity; var gateSq = Double.PositiveInfinity
+      var nc = 0
       var c = 0; var base = 0
       while (c < kk) {
         var acc = 0.0; var i = 0
         while (i < dn) { val t = a(off + i).toDouble - f(base + i).toDouble; acc += t * t; i += 1 }
         if (acc < gateSq) {
-          val rd = java.math.BigDecimal.valueOf(math.sqrt(acc))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (rd < bestR) {
-            bestR = rd; best = c
-            // ulp term mirrors VecArgMinDistance's window: past d ≈ 1e9 the
-            // nearest-double error of round6 exceeds the fixed margin, and
-            // a winner could otherwise be gated out before rounding
-            val g = rd + 2e-6 + 4.0 * Math.ulp(rd); gateSq = g * g
+          if (acc < minSq) {
+            minSq = acc
+            val sq = math.sqrt(acc)
+            val g = sq + 2e-6 + 4.0 * Math.ulp(sq)
+            gateSq = g * g
+            var w = 0; var k = 0
+            while (k < nc) {
+              if (candAcc(k) < gateSq) { candIdx(w) = candIdx(k); candAcc(w) = candAcc(k); w += 1 }
+              k += 1
+            }
+            nc = w
           }
+          candIdx(nc) = c; candAcc(nc) = acc; nc += 1
         }
         c += 1; base += dn
+      }
+      var best = 0; var bestR = Double.PositiveInfinity
+      var k = 0
+      while (k < nc) {
+        val rd = java.math.BigDecimal.valueOf(math.sqrt(candAcc(k)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rd < bestR) { bestR = rd; best = candIdx(k) }
+        k += 1
       }
       out(j) = best
       j += 1
@@ -117,12 +143,21 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
       val offsRef = ctx.addReferenceObj("pqOffs", offs, "int[]")
       val ksubsRef = ctx.addReferenceObj("pqKsubs", ksubs, "int[]")
       val dsubsRef = ctx.addReferenceObj("pqDsubs", dsubs, "int[]")
+      // band-candidate scratch, allocated ONCE per operator instance, not
+      // per row — per-row arrays at ksub=256 would hand the encode pass to
+      // the collector (sized for the worst case: every codeword ties)
+      val candIdx = ctx.addMutableState("int[]", "pqCandIdx",
+        bn => s"$bn = new int[${ksubs.max}];")
+      val candAcc = ctx.addMutableState("double[]", "pqCandAcc",
+        bn => s"$bn = new double[${ksubs.max}];")
       val a = ctx.freshName("a"); val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val f = ctx.freshName("f"); val off = ctx.freshName("off")
       val dn = ctx.freshName("dn"); val kk = ctx.freshName("kk")
       val acc = ctx.freshName("acc"); val rd = ctx.freshName("rd"); val g = ctx.freshName("g")
       val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
+      val minSq = ctx.freshName("minSq"); val sq = ctx.freshName("sq")
+      val nc = ctx.freshName("nc"); val w = ctx.freshName("w"); val k = ctx.freshName("k")
       val gateSq = ctx.freshName("gateSq"); val base = ctx.freshName("base")
       // when every subspace has the same width/codeword count, emit them as
       // compile-time constants so C2 can unroll the short inner loop
@@ -132,6 +167,9 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
         if (asInts) ("int", s"$out[$j] = $best;",
           s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);")
         else ("byte", s"$out[$j] = (byte) $best;", s"${ev.value} = $out;")
+      // same one-pass band shape as nullSafeEval (see the semantics comment
+      // there): true squared min + pruned candidate list, decimal rounding
+      // only over the final band survivors
       s"""
          |final float[] $a = $v.toFloatArray();
          |if ($a.length != $dim) {
@@ -143,9 +181,9 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
          |  final int $off = $offsRef[$j];
          |  final int $dn = $dnInit;
          |  final int $kk = $kkInit;
-         |  int $best = 0;
-         |  double $bestR = Double.POSITIVE_INFINITY;
+         |  double $minSq = Double.POSITIVE_INFINITY;
          |  double $gateSq = Double.POSITIVE_INFINITY;
+         |  int $nc = 0;
          |  int $base = 0;
          |  for (int $c = 0; $c < $kk; $c++, $base += $dn) {
          |    double $acc = 0.0;
@@ -154,13 +192,28 @@ case class PqEncode(child: Expression, cents: Array[Array[Array[Float]]],
          |      $acc += t * t;
          |    }
          |    if ($acc < $gateSq) {
-         |      final double $rd = java.math.BigDecimal.valueOf(Math.sqrt($acc))
-         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |      if ($rd < $bestR) {
-         |        $bestR = $rd; $best = $c;
-         |        final double $g = $rd + 2e-6 + 4.0 * Math.ulp($rd); $gateSq = $g * $g;
+         |      if ($acc < $minSq) {
+         |        $minSq = $acc;
+         |        final double $sq = Math.sqrt($acc);
+         |        final double $g = $sq + 2e-6 + 4.0 * Math.ulp($sq);
+         |        $gateSq = $g * $g;
+         |        int $w = 0;
+         |        for (int $k = 0; $k < $nc; $k++) {
+         |          if ($candAcc[$k] < $gateSq) {
+         |            $candIdx[$w] = $candIdx[$k]; $candAcc[$w] = $candAcc[$k]; $w++;
+         |          }
+         |        }
+         |        $nc = $w;
          |      }
+         |      $candIdx[$nc] = $c; $candAcc[$nc] = $acc; $nc++;
          |    }
+         |  }
+         |  int $best = 0;
+         |  double $bestR = Double.POSITIVE_INFINITY;
+         |  for (int $k = 0; $k < $nc; $k++) {
+         |    final double $rd = java.math.BigDecimal.valueOf(Math.sqrt($candAcc[$k]))
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    if ($rd < $bestR) { $bestR = $rd; $best = $candIdx[$k]; }
          |  }
          |  $outStore
          |}
