@@ -691,16 +691,18 @@ object ColttCoreImport {
   // fixture/export writer
   // =====================================================================
 
-  /** Export a (small) collection BACK to a core-format WAL — the write half
-    * of the migration story, matching `encodeVertexBlob` /
-    * `encodeMultiVectorBlob` for the other two engines: one segment holding
-    * the `<name>_archive` config record plus one committed batch of Dataset
-    * puts. Driver-side by design: a core deployment is single-node, so
-    * anything exportable INTO it fits one driver pass (the same envelope
-    * the reference itself holds in RAM). Scalar fields become Struct
-    * metadata (integers widen to double — that wire has only doubles);
-    * vector quantization is decoded to floats first (the core stores raw
-    * f32). The result round-trips through [[importCoreCollection]]. */
+  /** Export a collection BACK to a core-format WAL — the write half of the
+    * migration story, matching `encodeVertexBlob` / `encodeMultiVectorBlob`
+    * for the other two engines: one segment holding the `<name>_archive`
+    * config record plus one committed batch of Dataset puts. The sink is a
+    * single sequential CRC-chunked file, so the WRITE is inherently
+    * driver-side — but the rows stream through `toLocalIterator` (one
+    * partition resident at a time, the LocalBinIndex discipline), each
+    * encoding to its WAL record as it arrives; the collection is never
+    * materialized on the driver heap. Scalar fields become Struct metadata
+    * (integers widen to double — that wire has only doubles); vector
+    * quantization is decoded to floats first (the core stores raw f32).
+    * The result round-trips through [[importCoreCollection]]. */
   def exportCoreCollection(spark: SparkSession, catalog: GraftCatalog,
                            name: String, walDir: String): Long = {
     val meta = catalog.getMeta(name)
@@ -721,51 +723,72 @@ object ColttCoreImport {
       case "none" => stored
       case q => graft.functions.dequantize(stored, q)
     }
-    val datasets = if (meta.isSchemaless) {
-      // core-mode collections keep metadata in the map column, not
-      // meta.fields — exporting only (id, vector) would silently drop it
-      // all. map<string,string> values export as Struct strings.
-      val rows = snap.select(col(meta.idColumn),
-        col(graft.collection.CollectionMeta.MetaCol), vecExpr.as("vector")).collect()
-      rows.zipWithIndex.map { case (r, i) =>
-        val mm: Map[String, Any] =
-          r.getMap[String, String](1).toMap.map { case (k, v) => k -> (v: Any) }
-        CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
-          vector = r.getSeq[Float](2).toArray, meta = mm)
+    // (projection, row → CoreDataset) per collection mode; uniqueId is the
+    // running row counter (snapshot rows are already identity-resolved, so
+    // any strictly increasing assignment is a valid snowflake stand-in)
+    val (proj, toDataset): (org.apache.spark.sql.DataFrame, (Row, Long) => CoreDataset) =
+      if (meta.isSchemaless) {
+        // core-mode collections keep metadata in the map column, not
+        // meta.fields — exporting only (id, vector) would silently drop it
+        // all. map<string,string> values export as Struct strings.
+        (snap.select(col(meta.idColumn),
+          col(graft.collection.CollectionMeta.MetaCol), vecExpr.as("vector")),
+          (r, id) => {
+            val mm: Map[String, Any] =
+              r.getMap[String, String](1).toMap.map { case (k, v) => k -> (v: Any) }
+            CoreDataset(uniqueId = id, userId = r.get(0).toString,
+              vector = r.getSeq[Float](2).toArray, meta = mm)
+          })
+      } else {
+        (snap.select(
+          (meta.idColumn +: scalarFields.map(_.name)).map(col) :+ vecExpr.as("vector"): _*),
+          (r, id) => {
+            val metaMap = scalarFields.zipWithIndex.flatMap { case (f, fi) =>
+              Option(r.get(fi + 1)).map { v =>
+                f.name -> (v match {
+                  case l: Long => l.toDouble // Struct numbers are double
+                  case i2: Int => i2.toDouble
+                  case d: Double => d
+                  case b: Boolean => b
+                  case s: String => s
+                  case other => throw new IllegalArgumentException(
+                    s"field ${f.name}: no Struct representation for ${other.getClass.getName}")
+                })
+              }
+            }.toMap[String, Any]
+            CoreDataset(uniqueId = id, userId = r.get(0).toString,
+              vector = r.getSeq[Float](scalarFields.size + 1).toArray, meta = metaMap)
+          })
       }
-    } else {
-      val rows = snap
-        .select((meta.idColumn +: scalarFields.map(_.name)).map(col) :+ vecExpr.as("vector"): _*)
-        .collect()
-      rows.zipWithIndex.map { case (r, i) =>
-        val metaMap = scalarFields.zipWithIndex.flatMap { case (f, fi) =>
-          Option(r.get(fi + 1)).map { v =>
-            f.name -> (v match {
-              case l: Long => l.toDouble // Struct numbers are double
-              case i2: Int => i2.toDouble
-              case d: Double => d
-              case b: Boolean => b
-              case s: String => s
-              case other => throw new IllegalArgumentException(
-                s"field ${f.name}: no Struct representation for ${other.getClass.getName}")
-            })
-          }
-        }.toMap[String, Any]
-        CoreDataset(uniqueId = i + 1L, userId = r.get(0).toString,
-          vector = r.getSeq[Float](scalarFields.size + 1).toArray, meta = metaMap)
-      }
-    }
     val dirPath = new Path(walDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
     val out = fs.create(new Path(dirPath, "000000001.SEG"), true)
-    try writeWalFixture(out,
-      batches = Seq(1L -> datasets.toSeq.map(d =>
-        Left(s"${name}_${d.uniqueId}" -> encodeDataset(d)))),
-      directPuts = Seq(s"${name}_archive" -> encodeCollectionConfig(
-        CoreCollectionConfig(name, meta.dim, distance, "None"))))
-    finally out.close()
-    datasets.length.toLong
+    var n = 0L
+    try {
+      val w = new SegmentWriter(out)
+      // merge-style config record at batch id 0 (same framing as
+      // writeWalFixture's directPuts)
+      w.write(encodeLogRecord(WalRecord(RecNormal, 0L, 0L,
+        s"${name}_archive".getBytes(StandardCharsets.UTF_8),
+        encodeCollectionConfig(CoreCollectionConfig(name, meta.dim, distance, "None")))))
+      val it = proj.toLocalIterator()
+      while (it.hasNext) {
+        n += 1
+        val ds = toDataset(it.next(), n)
+        require(ds.vector.length == meta.dim,
+          s"row ${ds.userId}: vector dim ${ds.vector.length} != collection dim ${meta.dim}")
+        w.write(encodeLogRecord(WalRecord(RecNormal, 1L, 0L,
+          s"${name}_$n".getBytes(StandardCharsets.UTF_8), encodeDataset(ds))))
+      }
+      // batch-finished record commits the batch — written LAST, so a crash
+      // mid-export leaves an uncommitted batch the reference's own replay
+      // (and ours) drops atomically
+      w.write(encodeLogRecord(WalRecord(RecBatchFinished, 1L, 0L,
+        "1".getBytes(StandardCharsets.UTF_8), Array.emptyByteArray)))
+      w.flush()
+    } finally out.close()
+    n
   }
 
   /** Write a complete single-segment WAL fixture (`000000001.SEG`) with the

@@ -315,6 +315,35 @@ class ColttCoreImportSpec extends SparkSpec {
     }.getMessage.contains("multi-vector"))
   }
 
+  test("export streams a MULTI-partition snapshot through toLocalIterator — " +
+    "round-trips row-for-row with no full driver materialization (r8 verdict #6)") {
+    val src = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-big").toString)
+    src.createCollection(CollectionMeta("big", dim = dim, distance = "cosine",
+      fields = Seq(IndexField("_id", "string", primaryKey = true),
+        IndexField("score", "float", enableNull = true))))
+    src.loadCollection("big")
+    // 16 input partitions so the export's partition-at-a-time iterator
+    // actually crosses partition boundaries (and interleaves row order
+    // differently from a single collect)
+    src.insert("big", spark.range(0, 2000).repartition(16)
+      .selectExpr("cast(id as string) as _id", "cast(id as double) * 0.5 as score",
+        s"transform(sequence(1, $dim), j -> cast(sin(id * j) as float)) as vector"))
+    src.flush("big")
+    assert(src.snapshot("big").rdd.getNumPartitions > 1,
+      "fixture must exercise the multi-partition path")
+    val walDir = Files.createTempDirectory("core-wal-exp-big").toString
+    assert(ColttCoreImport.exportCoreCollection(spark, src, "big", walDir) === 2000L)
+    val dst = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-big-dst").toString)
+    assert(ColttCoreImport.importCoreCollection(spark, dst, "big", walDir) === 2000L)
+    def state(c: GraftCatalog) = c.snapshot("big")
+      .select("_id", "score").collect().map(_.toString).toSet
+    assert(state(dst) === state(src))
+    // vectors survive byte-exactly: same top-k under the same query
+    val q = vec(7)
+    assert(dst.search("big", q, 10).collect().map(_.toString).toSeq ===
+      src.search("big", q, 10).collect().map(_.toString).toSeq)
+  }
+
   test("schemaless (core-mode) collection exports its MAP metadata, not an empty Struct") {
     import org.apache.spark.sql.functions.col
     val src = new GraftCatalog(spark, Files.createTempDirectory("graft-core-sless").toString)
