@@ -1019,7 +1019,10 @@ class GraftCatalog(spark: SparkSession, root: String,
     * (FileNotFoundException at evaluation), never silently and never
     * corrupted. Deployments with long-lived cross-driver readers size
     * `keepLast` above the longest reader horizon (the Delta-Lake-style
-    * retention answer); the same applies to the unversioned flush prune. */
+    * retention answer); the same applies to the unversioned flush prune.
+    * The HTTP serving layer softens this for search requests only: one
+    * bounded re-anchor on the published head before surfacing the failure
+    * (GraftServer.withVacuumRecovery). */
   def vacuum(name: String, keepLast: Int = 1): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val meta = getMeta(name)

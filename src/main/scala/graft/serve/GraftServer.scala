@@ -126,6 +126,41 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
+  /** Reader-under-vacuum recovery (vacuum's documented cross-driver
+    * contract is immediate deletion + LOUD reader failure): a resident plan
+    * anchored on a version another driver's vacuum removed fails with
+    * FileNotFoundException at evaluation. To an HTTP client that's a
+    * retryable race it cannot even observe — so the serving path re-anchors
+    * ONCE on the current published head (the same re-load the flush path's
+    * StaleResidentException demands) and re-runs the request. Bounded: one
+    * retry, only on the file-gone signature, only while the collection is
+    * actually loaded; unflushed resident mutations the re-load discards
+    * were already unpublishable (anchor below head). If the re-load itself
+    * fails (collection dropped mid-race), the ORIGINAL failure surfaces
+    * with the re-load failure suppressed. */
+  private def withVacuumRecovery[A](name: String)(body: => A): A =
+    try body catch {
+      case e: Throwable if isFileGone(e) && catalog.isLoaded(name) =>
+        try catalog.loadCollection(name)
+        catch { case re: Throwable => e.addSuppressed(re); throw e }
+        body
+    }
+
+  /** FileNotFoundException anywhere in the cause chain, or Spark's wrapped
+    * rendering of one (task failures sometimes carry only the message). */
+  private def isFileGone(e: Throwable): Boolean = {
+    var c: Throwable = e; var n = 0
+    while (c != null && n < 32) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null && m.contains("FileNotFoundException")) return true
+      val next = c.getCause
+      c = if (next eq c) null else next
+      n += 1
+    }
+    false
+  }
+
   /** Validation/analyzer failure shapes: engine `require`/state-machine
     * errors and `raise_error` (SparkRuntimeException, matched by name — a
     * private[spark] type). */
@@ -205,8 +240,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // query vector into a compiled physical plan instead of paying
         // ~22-43 ms of Catalyst re-analysis per request (PLANS.md r8 probe);
         // rows come back driver-side, so serialization is also job-free
-        val (schema, rows) = catalog.searchPrepared(name, vector, topK, filter, offset, minScore)
-        rowsJson(schema, rows)
+        withVacuumRecovery(name) {
+          val (schema, rows) = catalog.searchPrepared(name, vector, topK, filter, offset, minScore)
+          rowsJson(schema, rows)
+        }
       // hybrid search (v3 HybridSearch RPC): ANN over-fetch intersected
       // with the metadata-filter candidates
       case ("POST", "collections" :: name :: "searchHybrid" :: Nil) =>
@@ -219,14 +256,15 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             "searchHybrid requires \"filter\" (use search for pure similarity)")
           case f => parseFilter(f)
         }
-        rowsJson(catalog.searchHybrid(name, vector, topK, filter, overFetch))
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchHybrid(name, vector, topK, filter, overFetch)))
       // IVF probes over the flushed cell-partitioned snapshot: the
       // distributed directory-pruned scan, and the driver-local in-process
       // index (the point-latency path; see LocalIvfIndex)
       case ("POST", "collections" :: name :: "searchIvf" :: Nil) =>
         val req = JsonMethods.parse(body)
         val (vector, topK, nprobe) = parseProbe(req, "searchIvf")
-        rowsJson(catalog.searchIvf(name, vector, topK, nprobe))
+        withVacuumRecovery(name)(rowsJson(catalog.searchIvf(name, vector, topK, nprobe)))
       // Batch retrieval (the knnJoin primitive over the IVF layout): the k
       // nearest rows for EVERY query of a batch in ONE Spark plan — the
       // retrieval-augmentation shape, amortizing the per-job dispatch floor
@@ -260,7 +298,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           "searchBatch query ids must be unique")
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
-        rowsJson(catalog.searchBatch(name, queries, topK, nprobe))
+        withVacuumRecovery(name)(rowsJson(catalog.searchBatch(name, queries, topK, nprobe)))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>
@@ -270,7 +308,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val rerank = (req \ "rerank").toOption.collect { case JBool(b) => b }.getOrElse(true)
         val overFetch = intOr(req, "overFetch", 4)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
-        rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe))
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe)))
       // two-pass binary search: Hamming prefilter over the packed
       // sign-code column, exact rerank on the stored vectors
       case ("POST", "collections" :: name :: "searchBinary" :: Nil) =>
@@ -278,7 +317,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val vector = parseVector(req, "searchBinary")
         val topK = intOr(req, "topK", 10)
         val overFetch = intOr(req, "overFetch", 3)
-        rowsJson(catalog.searchBinary(name, vector, topK, overFetch))
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchBinary(name, vector, topK, overFetch)))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
@@ -326,7 +366,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case _ => throw new IllegalArgumentException("searchMulti requires \"fields\": [..]")
         }
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        rowsJson(catalog.searchMulti(name, fields, topK))
+        withVacuumRecovery(name)(rowsJson(catalog.searchMulti(name, fields, topK)))
       // Version CDC: net changes between two snapshot versions. mode=log is
       // the O(changes) ledger fold (delta windows only), mode=diff the
       // exact state diff; auto (default) tries the cheap path and falls

@@ -430,4 +430,76 @@ class GraftServerSpec extends SparkSpec {
     assert(c === 200)
     assert(b.contains("\"_id\":\"b\"") && !b.contains("\"_id\":\"a\""), b)
   }
+
+  test("search during cross-driver vacuum: the serving path re-anchors ONCE on " +
+    "the published head and answers; a dead head surfaces the original failure") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft-serve-vac").toString
+    val s2 = new GraftServer(spark, root)
+    s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}"
+      def h(method: String, path: String, body: String = ""): (Int, String) = {
+        val conn = URI.create(b2 + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) { conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8)) }
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        conn.disconnect(); (code, resp)
+      }
+      assert(h("POST", "/collections",
+        """{"name":"vac","dim":4,"distance":"euclidean","versioning":true,"fields":[
+           {"name":"id","fieldType":"string","primaryKey":true}]}""")._1 === 200)
+      assert(h("POST", "/collections/vac/load")._1 === 200)
+      assert(h("POST", "/collections/vac/insert",
+        """{"rows":[""" + (1 to 10).map(i =>
+          s"""{"id":"r$i","vector":[$i,0,0,0]}""").mkString(",") + "]}")._1 === 200)
+      assert(h("POST", "/collections/vac/flush")._2 === """{"version":1}""")
+      // re-anchor the server resident on v1 LAZILY (release+load, no search
+      // yet): the cache must not be materialized, or evaluation would never
+      // touch the files the vacuum deletes
+      assert(h("POST", "/collections/vac/release")._1 === 200)
+      assert(h("POST", "/collections/vac/load")._1 === 200)
+
+      // another "driver" on the same root: advance to v2 and vacuum v1 away
+      val cat2 = new graft.collection.GraftCatalog(spark, root)
+      cat2.loadCollection("vac")
+      cat2.insert("vac", Seq(("zz", Seq(100f, 0f, 0f, 0f))).toDF("id", "vector"))
+      cat2.flush("vac")
+      assert(cat2.vacuum("vac", keepLast = 1) === Seq(1), "v1 must actually be removed")
+      // a REAL cross-driver reader shares no CacheManager with the vacuuming
+      // driver — in this single-JVM fixture the resident cache (materialized
+      // by the load route's info count) must be dropped explicitly so the
+      // search actually evaluates against the deleted files
+      spark.catalog.clearCache()
+
+      // the server's resident plan is anchored on the vacuumed v1 — without
+      // recovery this request dies with FileNotFoundException; with it, the
+      // path re-loads the published head and the answer even contains the
+      // v2-only row (proof it re-anchored rather than retried a stale plan)
+      val (code, resp) = h("POST", "/collections/vac/search",
+        """{"vector":[100,0,0,0],"topK":1}""")
+      assert(code === 200, resp)
+      assert(resp.contains("\"id\":\"zz\""), resp)
+
+      // bounded: ONE retry, and a re-load that cannot succeed surfaces the
+      // failure loudly. Re-anchor lazily on v2, then delete v2 out from
+      // under the server WITHOUT updating meta (a dead head — nothing to
+      // recover onto).
+      assert(h("POST", "/collections/vac/release")._1 === 200)
+      assert(h("POST", "/collections/vac/load")._1 === 200)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(root, "vac/v2"), true))
+      spark.catalog.clearCache() // same cross-driver simulation as above
+      val (code2, resp2) = h("POST", "/collections/vac/search",
+        """{"vector":[100,0,0,0],"topK":1}""")
+      assert(code2 >= 400, s"dead head must fail loudly, got $code2: $resp2")
+      assert(resp2.contains("error"), resp2)
+    } finally s2.stop()
+  }
 }
