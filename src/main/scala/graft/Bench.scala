@@ -871,6 +871,59 @@ object Bench {
       Seq.empty[(String, Double)]
     }
 
+    // ---- distributed serving rungs at 1M, per-REQUEST (r9): searchIvf /
+    // searchPq / searchBinary through the catalog with a FRESH vector per
+    // call — what an HTTP client of those routes sees. Unlike /search
+    // (prepared plan) these paths rebuild their DataFrame per request by
+    // design (query-dependent partition pruning); the per-version artifact
+    // cache removes the sidecar-collect jobs and snapshot re-listing, and
+    // this row is the measured evidence. One 1M collection with all three
+    // layouts, flushed once (train sampled, untimed setup); min + p50 over
+    // 12 requests each, same convention as serve_search_1m.
+    val serveDist1m = try {
+      val e = spark.read.parquet(benchDir)
+      val cat = new graft.collection.GraftCatalog(
+        spark, TempRoots.create("bench-servedist").toString)
+      cat.createCollection(graft.collection.CollectionMeta("sv", dim = 128,
+        distance = "cosine",
+        fields = Seq(graft.collection.IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(256), ivfTrainIterations = Some(2),
+        ivfTrainSampleMod = Some(16L),
+        pqSubspaces = Some(16), pqCodewords = Some(256),
+        pqTrainIterations = Some(0), pqTrainSampleMod = Some(64L),
+        binaryIndex = Some(true)))
+      cat.loadCollection("sv")
+      cat.insert("sv", e.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector")))
+      try {
+        cat.flush("sv")
+        val rnd = new scala.util.Random(11)
+        def freshVec() = Array.fill(128)(rnd.nextFloat() * 2 - 1)
+        def perReq(name: String, warm: Int = 2, reps: Int = 12)(
+            fn: Array[Float] => Unit): Seq[(String, Double)] =
+          try {
+            (0 until warm).foreach(_ => fn(freshVec()))
+            val ts = (0 until reps).map { _ =>
+              val v = freshVec()
+              val t0 = System.nanoTime(); fn(v)
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            Seq(name -> ts.head, s"${name}_p50" -> ts(ts.length / 2))
+          } catch { case ex: Throwable =>
+            errors(name) = Option(ex.getMessage).getOrElse(ex.getClass.getName)
+              .linesIterator.take(1).mkString
+            Seq.empty
+          }
+        perReq("serve_ivf_1m")(v => cat.searchIvf("sv", v, 10, nprobe = 8).collect(): Unit) ++
+          perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
+          perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit)
+      } finally cat.dropCollection("sv")
+    } catch { case ex: Throwable =>
+      errors("serve_dist_1m") = Option(ex.getMessage)
+        .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
     val vsBaseline =
@@ -922,7 +975,7 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m) +
+      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++ serveDist1m) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000,\"bench_bin_rows\":100000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +

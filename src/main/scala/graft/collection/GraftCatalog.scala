@@ -82,8 +82,51 @@ class GraftCatalog(spark: SparkSession, root: String,
   /** Drop every prepared plan of `name` — called where the resident object
     * is swapped or retired so retired plan trees (and the unpersisted cache
     * relations they reference) don't linger until LRU eviction. */
-  private def invalidatePrepared(name: String): Unit =
+  private def invalidatePrepared(name: String): Unit = {
     preparedSearches.keySet().removeIf(_.name == name)
+    versionArtifacts.keySet().removeIf(_._1 == name)
+  }
+
+  /** Per-(name, version) cache of the IMMUTABLE per-version artifacts the
+    * distributed index rungs otherwise re-derive on EVERY request — the
+    * snapshot DataFrame (file listing + parquet schema resolved once) and
+    * the driver-sized sidecars (centroids, PQ codebook, binary
+    * thresholds), each of whose reads is a full collect() job (~tens of ms
+    * that dominate a served searchIvf/searchPq/searchBinary request the
+    * same way Catalyst re-analysis dominated /search before the prepared
+    * path). A published version dir never changes — publish is an atomic
+    * rename and vacuum removes whole versions — so a version-keyed entry
+    * cannot silently go stale while the name exists; [[invalidatePrepared]]
+    * (drop/release/flush/load call sites) purges a name's entries, since a
+    * re-created collection legitimately reuses version numbers. A
+    * CROSS-driver drop+recreate is outside this instance's view, same as
+    * the resident cache: reads against the deleted files fail LOUDLY (the
+    * vacuum reader contract), never silently serve the old bytes. Entries
+    * are driver-sized (the snapshot entry is the unevaluated plan, not
+    * data); LRU-bounded like [[preparedSearches]]. */
+  private val versionArtifacts =
+    new java.util.LinkedHashMap[(String, Int, String), AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, String), AnyRef]): Boolean =
+        size() > GraftCatalog.VersionArtifactCacheMax
+    }
+
+  private def versionArtifact[A <: AnyRef](name: String, v: Int, kind: String)(
+      build: => A): A = versionArtifacts.synchronized {
+    val key = (name, v, kind)
+    versionArtifacts.get(key) match {
+      case a if a != null => a.asInstanceOf[A]
+      case _ =>
+        val a = build
+        versionArtifacts.put(key, a)
+        a
+    }
+  }
+
+  /** The snapshot DataFrame of version `v`, file listing resolved once. */
+  private def versionSnapshot(name: String, v: Int): DataFrame =
+    versionArtifact(name, v, "snap")(
+      spark.read.parquet(versionDir(name, v).toString))
 
   /** Every k-th mutation truncates lineage with an eager localCheckpoint:
     * without it, N inserts stack N anti-join/union plans and any cache
@@ -1436,7 +1479,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     val centroids = readCentroids(name, meta.currentVersion)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val snap = versionSnapshot(name, meta.currentVersion)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap
@@ -1505,7 +1548,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val qdf = queries.map { case (qid, v) =>
       (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
     }.toDF("__batch_qid", "__batch_qvec")
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val snap = versionSnapshot(name, meta.currentVersion)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap
@@ -1547,7 +1590,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
     val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val full = versionSnapshot(name, meta.currentVersion)
     nprobe.foreach { _ =>
       require(meta.ivfCells.isDefined,
         s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
@@ -1645,7 +1688,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(topK >= 1, "topK must be >= 1")
     require(overFetch >= 1, "overFetch must be >= 1")
     import spark.implicits._
-    val full = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val full = versionSnapshot(name, meta.currentVersion)
     if (!fs.exists(binDir(name, meta.currentVersion))) {
       // only an EMPTY flush legitimately lacks the sidecar — a populated
       // snapshot without one is a layout mismatch, not a no-result query
@@ -1654,8 +1697,7 @@ class GraftCatalog(spark: SparkSession, root: String,
           "the snapshot predates the binary layout; re-flush to build it")
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
     }
-    val th = spark.read.parquet(binDir(name, meta.currentVersion).toString)
-      .orderBy("d").collect().map(_.getAs[Double]("t"))
+    val th = readBinThresholds(name, meta.currentVersion)
     require(th.length == meta.dim,
       s"binary sidecar dimension mismatch: ${th.length} vs ${meta.dim}")
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
@@ -1676,10 +1718,20 @@ class GraftCatalog(spark: SparkSession, root: String,
       .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
   }
 
-  /** The centroid sidecar of version `v` — O(cells) rows, driver-sized. */
+  /** The centroid sidecar of version `v` — O(cells) rows, driver-sized.
+    * Cached per version ([[versionArtifact]]): the collect() is a full
+    * Spark job a served request should pay once, not every time. */
   private def readCentroids(name: String, v: Int): Seq[(Long, Array[Float])] =
-    spark.read.parquet(centroidDir(name, v).toString)
-      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq
+    versionArtifact(name, v, "centroids")(
+      spark.read.parquet(centroidDir(name, v).toString)
+        .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq)
+
+  /** The binary-threshold sidecar of version `v` — dim doubles, cached per
+    * version like [[readCentroids]]. */
+  private def readBinThresholds(name: String, v: Int): Array[Double] =
+    versionArtifact(name, v, "binth")(
+      spark.read.parquet(binDir(name, v).toString)
+        .orderBy("d").collect().map(_.getAs[Double]("t")))
 
   /** The PQ sidecar of version `v`: the codebook plus the recorded
     * residual-layout flag. `residual = None` on sidecars written before the
@@ -1689,18 +1741,19 @@ class GraftCatalog(spark: SparkSession, root: String,
     * residual flagless IVF+PQ snapshots exist and the layout cannot be
     * inferred. */
   private def readPqCodebook(name: String, v: Int,
-                             m: Int): (graft.ann.PqCodebook, Option[Boolean]) = {
-    val sidecar = spark.read.parquet(pqDir(name, v).toString)
-    val rows = sidecar.collect()
-    val residual =
-      if (sidecar.columns.contains("residual") && rows.nonEmpty)
-        Some(rows(0).getAs[Boolean]("residual"))
-      else None
-    val byJ = rows.groupBy(_.getAs[Int]("j"))
-    (graft.ann.PqCodebook((0 until m).map { j =>
-      byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
-    }.toArray), residual)
-  }
+                             m: Int): (graft.ann.PqCodebook, Option[Boolean]) =
+    versionArtifact(name, v, "pqcb") {
+      val sidecar = spark.read.parquet(pqDir(name, v).toString)
+      val rows = sidecar.collect()
+      val residual =
+        if (sidecar.columns.contains("residual") && rows.nonEmpty)
+          Some(rows(0).getAs[Boolean]("residual"))
+        else None
+      val byJ = rows.groupBy(_.getAs[Int]("j"))
+      (graft.ann.PqCodebook((0 until m).map { j =>
+        byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
+      }.toArray), residual)
+    }
 
   /** Load the flushed binary sign-code layout into a driver-local Hamming
     * serving index ([[graft.ann.LocalBinIndex]]): ceil(dim/8) bytes per
@@ -1713,9 +1766,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(fs.exists(binDir(name, meta.currentVersion)),
       s"collection $name was flushed empty — nothing to serve")
-    val th = spark.read.parquet(binDir(name, meta.currentVersion).toString)
-      .orderBy("d").collect().map(_.getAs[Double]("t"))
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val th = readBinThresholds(name, meta.currentVersion)
+    val snap = versionSnapshot(name, meta.currentVersion)
     graft.ann.LocalBinIndex.fromCodes(snap, meta.idColumn, GraftCatalog.BinCol,
       meta.dim, th)
   }
@@ -1731,7 +1783,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(fs.exists(centroidDir(name, meta.currentVersion)),
       s"collection $name was flushed empty — nothing to serve")
     val centroids = readCentroids(name, meta.currentVersion)
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val snap = versionSnapshot(name, meta.currentVersion)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap.withColumn(GraftCatalog.SearchVecCol, col(VectorCol))
@@ -1754,7 +1806,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(fs.exists(pqDir(name, meta.currentVersion)),
       s"collection $name was flushed empty — nothing to serve")
     val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
-    val snap = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val snap = versionSnapshot(name, meta.currentVersion)
     val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, meta.currentVersion))
     val centroids =
@@ -1853,6 +1905,10 @@ object GraftCatalog {
   /** Prepared-search plan cache bound (per catalog): a serving workload has
     * a handful of live shapes; each entry is one physical plan tree (KB). */
   val PreparedCacheMax: Int = 64
+
+  /** Bound on cached per-version artifacts (snapshot plan + sidecars);
+    * entries are driver-sized by construction. */
+  val VersionArtifactCacheMax: Int = 64
 
   /** SAFETY check, enforced on EVERY path derivation ([[colDir]]): the name
     * must be exactly one path segment — no separators, no `.`/`..`, no NUL,

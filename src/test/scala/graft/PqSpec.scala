@@ -60,6 +60,55 @@ class PqSpec extends SparkSpec {
     composed.foreach { case (id, codes) => assert(kernel(id) === codes, s"vec_id $id") }
   }
 
+  test("one-pass band argmin: adversarial 6-decimal ties agree with the " +
+    "composed arg_min_distance oracle (r9 kernel band logic)") {
+    // The r9 kernel rounds ONLY the candidates inside the running min's
+    // rounding band; its failure modes are all tie-shaped: a candidate
+    // admitted early must survive gate tightening when it can still round
+    // equal, and the final strict-< scan must yield lowest-rounded then
+    // lowest-INDEX even when the unrounded minimum sits at a higher index.
+    // Build codebooks whose codewords sit on radii packed 5e-7 apart around
+    // the query slice (well inside the 1e-6 rounding quantum, so round6
+    // collapses whole groups into exact ties), decoys interleaved, index
+    // order shuffled; jitter the query per row so the true min rotates.
+    val dim = 4; val m = 2; val dsub = 2; val ksub = 32
+    val rnd = new scala.util.Random(5)
+    val q0 = Array(0.25f, -0.5f, 0.75f, 0.125f)
+    def ring(cx: Float, cy: Float): Array[Array[Float]] = {
+      val radii = Array.tabulate(ksub) { i =>
+        if (i % 4 == 3) 1.5 + rnd.nextDouble()            // decoys outside the band
+        else 1.0 + (rnd.nextInt(13) - 6) * 5e-7           // ±3e-6 around 1.0
+      }
+      rnd.shuffle(radii.toSeq).map { t =>
+        val th = rnd.nextDouble() * math.Pi * 2
+        Array((cx + t * math.cos(th)).toFloat, (cy + t * math.sin(th)).toFloat)
+      }.toArray
+    }
+    val cb = graft.ann.PqCodebook(Array(ring(q0(0), q0(1)), ring(q0(2), q0(3))))
+    val rows = (0 until 300).map { i =>
+      (i.toLong, q0.map(x => x + (rnd.nextFloat() - 0.5f) * 2e-7f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val composed = rows.select(col("vec_id"),
+      array((0 until m).map { j =>
+        val cs = cb.cents(j).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        arg_min_distance(slice(col("embedding"), j * dsub + 1, dsub), cs, "euclidean")
+      }: _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toSeq).toMap
+    val kernel = graft.ann.Pq.encode(rows, "embedding", cb).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(_ & 0xFF).toSeq).toMap
+    assert(kernel.size === composed.size)
+    composed.foreach { case (id, codes) => assert(kernel(id) === codes, s"vec_id $id") }
+    // sanity: the fixture actually produced rounding-band ties (a codebook
+    // where no ties occur would pass vacuously)
+    val q = q0.take(dsub).map(_.toDouble)
+    val rounded = cb.cents(0).map { c =>
+      val d = math.sqrt(c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(rounded.groupBy(identity).values.exists(_.length >= 2),
+      "fixture defect: no 6-decimal ties in subspace 0")
+  }
+
   test("pq_encode_cells (trainer form) == pq_encode byte codes") {
     val cb = Pq.seedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 16)
     val both = emb.select(col("vec_id"),

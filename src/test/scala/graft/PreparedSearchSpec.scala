@@ -146,4 +146,43 @@ class PreparedSearchSpec extends SparkSpec {
     for (k <- Seq(1, 2, 3))
       assert(viaPrepared(cat, "plru", q, k) === viaSearch(cat, "plru", q, k))
   }
+
+  test("version-artifact cache: drop + recreate reusing version numbers never " +
+    "serves the old snapshot or sidecars (searchIvf / searchPq / searchBinary)") {
+    val cat = newCatalog()
+    def build(tag: String): Unit = {
+      cat.createCollection(CollectionMeta("va", dim = dim, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(4), pqSubspaces = Some(4), pqCodewords = Some(16),
+        binaryIndex = Some(true)))
+      cat.loadCollection("va")
+      // deterministic per-tag content: vectors near the axes, ids carry the tag
+      val rnd = new Random(if (tag == "a") 1 else 2)
+      cat.insert("va", (0 until 200).map { i =>
+        (s"$tag$i", Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+      }.toDF("id", "vector"))
+      cat.flush("va") // v1 both times — the cache key collision under test
+    }
+    build("a")
+    val q = vecs(1, 99).head
+    // populate every per-version artifact: snapshot plan, centroids,
+    // codebook, binary thresholds
+    val ivfA = cat.searchIvf("va", q, 5, nprobe = 4).collect().map(_.getString(0)).toSeq
+    val pqA = cat.searchPq("va", q, 5).collect().map(_.getString(0)).toSeq
+    val binA = cat.searchBinary("va", q, 5).collect().map(_.getString(0)).toSeq
+    assert((ivfA ++ pqA ++ binA).forall(_.startsWith("a")))
+
+    cat.dropCollection("va")
+    build("b")
+    assert(cat.getMeta("va").currentVersion === 1, "the recreated collection must reuse v1")
+    val ivfB = cat.searchIvf("va", q, 5, nprobe = 4).collect().map(_.getString(0)).toSeq
+    val pqB = cat.searchPq("va", q, 5).collect().map(_.getString(0)).toSeq
+    val binB = cat.searchBinary("va", q, 5).collect().map(_.getString(0)).toSeq
+    assert((ivfB ++ pqB ++ binB).nonEmpty)
+    assert((ivfB ++ pqB ++ binB).forall(_.startsWith("b")),
+      s"stale artifacts served: $ivfB / $pqB / $binB")
+    // and the local serving loaders share the same cache safely
+    val local = cat.localBinIndex("va").search(q, 5).map(_._1.toString)
+    assert(local.nonEmpty && local.forall(_.startsWith("b")), local.toString)
+  }
 }
