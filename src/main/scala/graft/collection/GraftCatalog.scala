@@ -391,6 +391,18 @@ class GraftCatalog(spark: SparkSession, root: String,
     clearPending(name)
   }
 
+  /** Serving-layer recovery hook for a reader that lost a vacuum race:
+    * drop every cached derivation for `name` (prepared plans + per-version
+    * artifacts) and, if a resident copy is loaded, re-anchor it on the
+    * published head — the same re-load [[StaleResidentException]] demands.
+    * The snapshot rungs (searchIvf/searchPq/searchBinary) don't need
+    * residency: their next call re-reads meta and picks the new head, so
+    * for them the purge alone is the recovery. */
+  def recoverAfterVacuumRace(name: String): Unit = {
+    invalidatePrepared(name)
+    if (isLoaded(name)) { loadCollection(name); () }
+  }
+
   /** The current RESIDENT state (mutations applied, possibly unflushed) —
     * unlike [[loadCollection]], which re-anchors on the latest snapshot.
     * Fails if the collection is not loaded. */

@@ -133,15 +133,16 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * retryable race it cannot even observe — so the serving path re-anchors
     * ONCE on the current published head (the same re-load the flush path's
     * StaleResidentException demands) and re-runs the request. Bounded: one
-    * retry, only on the file-gone signature, only while the collection is
-    * actually loaded; unflushed resident mutations the re-load discards
-    * were already unpublishable (anchor below head). If the re-load itself
-    * fails (collection dropped mid-race), the ORIGINAL failure surfaces
-    * with the re-load failure suppressed. */
+    * retry, only on the file-gone signature; unflushed resident mutations
+    * the re-load discards were already unpublishable (anchor below head),
+    * and the snapshot rungs (ivf/pq/binary — no residency required) recover
+    * via the cache purge alone, their re-run reading the fresh head's meta.
+    * If the recovery itself fails (collection dropped mid-race), the
+    * ORIGINAL failure surfaces with the recovery failure suppressed. */
   private def withVacuumRecovery[A](name: String)(body: => A): A =
     try body catch {
-      case e: Throwable if isFileGone(e) && catalog.isLoaded(name) =>
-        try catalog.loadCollection(name)
+      case e: Throwable if isFileGone(e) =>
+        try catalog.recoverAfterVacuumRace(name)
         catch { case re: Throwable => e.addSuppressed(re); throw e }
         body
     }

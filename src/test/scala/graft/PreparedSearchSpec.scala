@@ -184,5 +184,17 @@ class PreparedSearchSpec extends SparkSpec {
     // and the local serving loaders share the same cache safely
     val local = cat.localBinIndex("va").search(q, 5).map(_._1.toString)
     assert(local.nonEmpty && local.forall(_.startsWith("b")), local.toString)
+
+    // the serving-layer recovery hook: on an UNLOADED collection it must
+    // purge caches without side-loading a resident copy the client never
+    // asked for; on a loaded one it re-anchors (still loaded after)
+    cat.releaseCollection("va")
+    cat.recoverAfterVacuumRace("va")
+    assert(!cat.isLoaded("va"), "recovery must not load an unloaded collection")
+    cat.loadCollection("va")
+    cat.recoverAfterVacuumRace("va")
+    assert(cat.isLoaded("va"), "recovery must keep a loaded collection resident")
+    val pqAfter = cat.searchPq("va", q, 5).collect().map(_.getString(0)).toSeq
+    assert(pqAfter === pqB, "recovery must not change answers")
   }
 }
