@@ -37,6 +37,34 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("snap", qv, topK = 10)
     }),
+    // Prepared (plan-once/execute-many) serving path under the hash gate:
+    // the same collection shape as snapshot_roundtrip, searched through
+    // searchPrepared — the exact code path HTTP /search serves. A first
+    // call with a DIFFERENT vector compiles the shape, so the returned
+    // rows come from a cache hit executing a swapped vector literal (the
+    // per-request mechanics), not a fresh compile; the oracle is the
+    // plain exact scan, so any drift in the literal swap or the
+    // driver-side row conversion breaks the hash.
+    "prepared_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-prep-q").toString)
+      cat.createCollection(CollectionMeta("prep", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"))))
+      cat.loadCollection("prep")
+      cat.insert("prep", e.select(
+        col("vec_id").cast("string").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      def vec(id: Long) =
+        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchPrepared("prep", vec(1), topK = 10) // compile the shape
+      val (schema, rows) = cat.searchPrepared("prep", vec(0), topK = 10)
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }),
     // Migration path: round-trip the embeddings table THROUGH the reference
     // engine's persisted bucket format — encode a coltt meta.json + 16-shard
     // binary vertex blob (edge/none_vectorstore.go:308-423), import it with
@@ -392,6 +420,14 @@ object PersistenceQueries {
 
   val oracles: Map[String, String] = Map(
     "snapshot_roundtrip" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM embeddings e, q
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the prepared path must equal the plan-per-call exact scan bit for bit
+    "prepared_search" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
         |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
