@@ -825,22 +825,28 @@ object Bench {
         // Catalyst re-analysis (r9; the r8 verdict's top task). min is the
         // gate-comparable convention of the scan rows; p50 is the honest
         // serving percentile.
-        val serveTimes = {
+        // own failure domain: a searchPrepared failure must neither discard
+        // the three flush rows already measured nor masquerade as a
+        // delta_flush_1m error
+        val serveRows = try {
           val rnd = new scala.util.Random(7)
           def freshVec() = Array.fill(128)(rnd.nextFloat() * 2 - 1)
           cat.searchPrepared("bd", freshVec(), 10) // compile + codegen, once
-          (0 until 24).map { _ =>
+          val ts = (0 until 24).map { _ =>
             val v = freshVec()
             val t0 = System.nanoTime()
             cat.searchPrepared("bd", v, 10)
             (System.nanoTime() - t0) / 1e9
           }.sorted
+          Seq("serve_search_1m" -> ts.head, "serve_search_1m_p50" -> ts(ts.length / 2))
+        } catch { case ex: Throwable =>
+          errors("serve_search_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
         }
         Seq("catalog_flush_full_1m" -> tFull,
           "catalog_flush_delta_10k" -> tDelta,
-          "catalog_fold_load_1m" -> tFold,
-          "serve_search_1m" -> serveTimes.head,
-          "serve_search_1m_p50" -> serveTimes(serveTimes.length / 2))
+          "catalog_fold_load_1m" -> tFold) ++ serveRows
       } finally cat.dropCollection("bd")
     } catch { case e: Throwable =>
       errors("delta_flush_1m") = Option(e.getMessage)
@@ -892,10 +898,13 @@ object Bench {
         pqSubspaces = Some(16), pqCodewords = Some(256),
         pqTrainIterations = Some(0), pqTrainSampleMod = Some(64L),
         binaryIndex = Some(true)))
-      cat.loadCollection("sv")
-      cat.insert("sv", e.select(col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector")))
+      // load/insert INSIDE the drop-guarded block: an insert failure must
+      // not leak the created collection (and its persisted resident copy)
+      // into the rest of the run
       try {
+        cat.loadCollection("sv")
+        cat.insert("sv", e.select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector")))
         cat.flush("sv")
         val rnd = new scala.util.Random(11)
         def freshVec() = Array.fill(128)(rnd.nextFloat() * 2 - 1)

@@ -70,8 +70,18 @@ class GraftCatalog(spark: SparkSession, root: String,
     * distinct shapes and age out. */
   private case class PreparedKey(name: String, topK: Int, filter: Option[FilterExpr],
                                  offset: Int, minScore: Option[Double])
-  private case class PreparedEntry(df: DataFrame,
-                                   prepared: org.apache.spark.sql.graft.PreparedPlan.Prepared)
+  /** `prepared = None` is a NEGATIVE entry: the shape's placeholder folded
+    * away during planning, so it can never be parameterized — cached so a
+    * request of that shape pays the plan-per-call fallback once per
+    * resident object, not a full failed compile PLUS the fallback on every
+    * call. */
+  private case class PreparedEntry(
+      df: DataFrame,
+      prepared: Option[org.apache.spark.sql.graft.PreparedPlan.Prepared])
+  // access-ordered LinkedHashMap mutates its links even on get(), so every
+  // touch synchronizes on the map — the catalog is public API and must not
+  // corrupt under a multi-threaded caller even though the bundled HTTP
+  // server serializes requests
   private val preparedSearches =
     new java.util.LinkedHashMap[PreparedKey, PreparedEntry](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -83,8 +93,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     * is swapped or retired so retired plan trees (and the unpersisted cache
     * relations they reference) don't linger until LRU eviction. */
   private def invalidatePrepared(name: String): Unit = {
-    preparedSearches.keySet().removeIf(_.name == name)
-    versionArtifacts.keySet().removeIf(_._1 == name)
+    preparedSearches.synchronized { preparedSearches.keySet().removeIf(_.name == name) }
+    versionArtifacts.synchronized { versionArtifacts.keySet().removeIf(_._1 == name) }
   }
 
   /** Per-(name, version) cache of the IMMUTABLE per-version artifacts the
@@ -790,9 +800,13 @@ class GraftCatalog(spark: SparkSession, root: String,
       }
     }
     // Re-anchor residency on the written snapshot: lineage collapses to a
-    // parquet scan and the pre-flush cached copy is released.
+    // parquet scan and the pre-flush cached copy is released. Prepared
+    // plans over the pre-flush object are purged here too — the identity
+    // check already keeps them from being SERVED, but a retired plan tree
+    // pins the just-unpersisted relation until LRU eviction otherwise.
     val prev = loaded.get(name)
     loaded(name) = reread.persist(StorageLevel.MEMORY_AND_DISK)
+    invalidatePrepared(name)
     prev.foreach(_.unpersist(false))
     mutationCount(name) = 0
     clearPending(name) // the full snapshot subsumes the ledger
@@ -1396,18 +1410,26 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val key = PreparedKey(name, topK, filter, offset, minScore)
-    val entry = Option(preparedSearches.get(key)).filter(_.df eq df).orElse {
-      try {
-        val e = PreparedEntry(df, compileSearch(df, meta, topK, filter, offset, minScore))
-        preparedSearches.put(key, e)
-        Some(e)
-      } catch {
-        // placeholder folded away during planning — shape not parameterizable
-        case _: IllegalStateException => None
-      }
+    val cached = preparedSearches.synchronized {
+      Option(preparedSearches.get(key)).filter(_.df eq df)
     }
-    entry match {
-      case Some(e) => (e.prepared.schema, e.prepared.run(qv))
+    val entry = cached.getOrElse {
+      // compile OUTSIDE the lock — a duplicate compile under a rare race is
+      // benign, holding the lock through Catalyst planning is not
+      val e =
+        try PreparedEntry(df,
+          Some(compileSearch(df, meta, topK, filter, offset, minScore)))
+        catch {
+          // placeholder folded away during planning — shape not
+          // parameterizable; cache the negative so the shape doesn't pay a
+          // full failed compile on every request
+          case _: IllegalStateException => PreparedEntry(df, None)
+        }
+      preparedSearches.synchronized { preparedSearches.put(key, e) }
+      e
+    }
+    entry.prepared match {
+      case Some(p) => (p.schema, p.run(qv))
       case None =>
         val out = search(name, queryVector, topK, filter, offset, minScore)
         (out.schema, out.collect().toIndexedSeq)

@@ -450,9 +450,15 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     case i: Int                     => JInt(BigInt(i))
     case l: Long                    => JInt(BigInt(l))
     // shortest-decimal text, matching Jackson's float/double rendering in
-    // df.toJSON (JDouble(f.toDouble) would print 0.1f as 0.100000001…)
-    case f: Float                   => JDecimal(BigDecimal(f.toString))
-    case d: Double                  => JDecimal(BigDecimal(d.toString))
+    // df.toJSON (JDouble(f.toDouble) would print 0.1f as 0.100000001…).
+    // Non-finite values have no BigDecimal (NumberFormatException → a 500
+    // where the old toJSON path answered): Jackson quotes them
+    // (QUOTE_NON_NUMERIC_NUMBERS default), so "NaN"/"Infinity" strings
+    // keep the wire shape — reachable via cosine's zero-norm NaN distance.
+    case f: Float                   =>
+      if (java.lang.Float.isFinite(f)) JDecimal(BigDecimal(f.toString)) else JString(f.toString)
+    case d: Double                  =>
+      if (java.lang.Double.isFinite(d)) JDecimal(BigDecimal(d.toString)) else JString(d.toString)
     case d: java.math.BigDecimal    => JDecimal(BigDecimal(d))
     case d: BigDecimal              => JDecimal(d)
     case seq: Seq[_]                => JArray(seq.toList.map(valueJson))

@@ -77,6 +77,15 @@ object PreparedPlan {
     (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
   }
 
+  /** Compiles serialize on this lock: the AQE toggle below mutates the
+    * SESSION-global conf for the planning window, and two interleaved
+    * compiles could cross-restore each other's value and leave AQE off for
+    * everyone. Unrelated queries planned by OTHER threads during a compile
+    * still see AQE off for that brief window — compiles run once per
+    * (shape, resident object), so the exposure is rare and bounded; full
+    * isolation needs a cloned session, disproportionate here. */
+  private[this] val compileLock = new Object
+
   /** Compile `df` once (all Catalyst phases), verifying the placeholder
     * literal survived into the physical plan by reference. Throws
     * IllegalStateException if a rewrite folded/copied it away — callers fall
@@ -85,16 +94,17 @@ object PreparedPlan {
   def compile(df: DataFrame, placeholder: AnyRef): Prepared = {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
     // executedPlan is lazy — force it INSIDE the conf window so the
     // InsertAdaptiveSparkPlan preparation rule sees AQE off for this plan
-    val plan =
+    val plan = compileLock.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
       try df.queryExecution.executedPlan
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
+    }
     var hits = 0
     plan.foreach(_.expressions.foreach(_.foreach {
       case l: Literal if l.value.asInstanceOf[AnyRef] eq placeholder => hits += 1

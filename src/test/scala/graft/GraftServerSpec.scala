@@ -431,6 +431,28 @@ class GraftServerSpec extends SparkSpec {
     assert(b.contains("\"_id\":\"b\"") && !b.contains("\"_id\":\"a\""), b)
   }
 
+  test("non-finite values serve as Jackson-quoted strings, not a 500 " +
+    "(cosine zero-norm vector yields a NaN distance)") {
+    val meta = """{"name":"nanv","dim":3,"distance":"cosine","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/nanv/load")._1 === 200)
+    assert(http("POST", "/collections/nanv/insert",
+      """{"rows":[
+        {"id":"z","vector":[0,0,0]},
+        {"id":"a","vector":[1,0,0]},
+        {"id":"b","vector":[0,1,0]}]}""")._1 === 200)
+    val (code, resp) = http("POST", "/collections/nanv/search",
+      """{"vector":[1,0,0],"topK":3}""")
+    assert(code === 200, resp)
+    // finite hits first; the zero-norm row's NaN distance rides along as
+    // the quoted string Jackson (df.toJSON) would emit, keeping the wire
+    // shape identical between the prepared and plan-per-call paths
+    assert(resp.contains("\"id\":\"a\""), resp)
+    assert(resp.contains("\"NaN\""), resp)
+    assert(http("DELETE", "/collections/nanv")._1 === 200)
+  }
+
   test("search during cross-driver vacuum: the serving path re-anchors ONCE on " +
     "the published head and answers; a dead head surfaces the original failure") {
     import org.apache.spark.sql.functions._
