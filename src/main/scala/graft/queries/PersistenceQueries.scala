@@ -398,6 +398,30 @@ object PersistenceQueries {
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
     }),
+    // Batch retrieval over the flushed IVF layout through the full
+    // Collection API — /searchBatch's scale path: probe cells chosen
+    // row-locally against the flushed centroid sidecar, ONE cell equi-join
+    // against the cell-partitioned snapshot, per-qid bounded window.
+    // ivfTrainIterations=0 keeps the trained centroids at the
+    // deterministic seed (the 8 id-smallest rows), so the oracle replays
+    // assignment, per-query probe selection AND ranking in SQL — any drift
+    // in the flush's cell layout or the batch join breaks the hash.
+    "catalog_batch_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sbi").toString)
+      cat.createCollection(CollectionMeta("sbi", dim = dim, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("sbi")
+      cat.insert("sbi", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("embedding").as("vector")))
+      cat.flush("sbi")
+      val qs = e.where(col("vec_id") % 101 === 0).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1).toArray)).toSeq
+      cat.searchBatch("sbi", qs, topK = 5, nprobe = 3)
+    }),
     // Batch retrieval over a FLAT collection — searchBatch's no-IVF
     // fallback: the query set broadcasts over ONE resident-corpus scan,
     // per-qid bounded window (partial WindowGroupLimit below the exchange),
@@ -569,6 +593,35 @@ object PersistenceQueries {
          |ORDER BY ROUND($w, 8) DESC, _key
          |LIMIT 10""".stripMargin
     },
+    // the flushed IVF layout replayed in SQL: seed centroids are the 8
+    // id-smallest rows (ivfTrainIterations=0), assignment is round6-argmin
+    // with lowest-cid ties, probe is each query's 3 nearest cells, ranking
+    // is (dist, id) per qid — same construction as the knn_join oracle but
+    // THROUGH the collection API's flushed cell layout
+    "catalog_batch_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, embedding FROM embeddings),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT e.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM emb e, cents c) WHERE rn = 1),
+        |q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv
+        |      FROM embeddings WHERE vec_id % 101 = 0),
+        |probe AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM q, cents c) WHERE rn <= 3),
+        |cand AS (SELECT q.qid, e.id,
+        |    ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |  FROM q JOIN probe p ON p.qid = q.qid
+        |    JOIN asg a ON a.cid = p.cid
+        |    JOIN emb e ON e.id = a.id),
+        |r AS (SELECT qid, id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM cand)
+        |SELECT qid, id, dist, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     // per-query exact top-5 recomputed independently (same construction as
     // ann_brute_topk, but THROUGH the collection API's flat fallback)
     "search_batch_flat" ->
