@@ -923,9 +923,25 @@ object Bench {
               .linesIterator.take(1).mkString
             Seq.empty
           }
+        // batch amortization, measured: 256 queries in ONE searchBatch call
+        // vs 256 single-probe requests — the dispatch floor and plan cost
+        // divide across the batch (the claim on the /searchBatch route)
+        val batchRows = try {
+          def qs() = (0 until 256).map(i => (s"q$i", freshVec()))
+          cat.searchBatch("sv", qs(), 10, nprobe = 8).collect() // warm
+          val t0 = System.nanoTime()
+          cat.searchBatch("sv", qs(), 10, nprobe = 8).collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Seq("serve_batch256_1m" -> dt, "serve_batch256_1m_per_query" -> dt / 256)
+        } catch { case ex: Throwable =>
+          errors("serve_batch256_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
         perReq("serve_ivf_1m")(v => cat.searchIvf("sv", v, 10, nprobe = 8).collect(): Unit) ++
           perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
-          perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit)
+          perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit) ++
+          batchRows
       } finally cat.dropCollection("sv")
     } catch { case ex: Throwable =>
       errors("serve_dist_1m") = Option(ex.getMessage)
