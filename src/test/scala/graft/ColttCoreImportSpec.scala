@@ -344,6 +344,21 @@ class ColttCoreImportSpec extends SparkSpec {
       src.search("big", q, 10).collect().map(_.toString).toSeq)
   }
 
+  test("EMPTY collection round-trips: export writes config + a zero-member " +
+    "committed batch, import replays it to an empty searchable collection") {
+    val src = new GraftCatalog(spark, Files.createTempDirectory("graft-core-exp-empty").toString)
+    src.createCollection(CollectionMeta("emp", dim = dim, distance = "euclidean",
+      fields = Seq(IndexField("_id", "string", primaryKey = true))))
+    src.loadCollection("emp")
+    src.flush("emp") // v1 with zero rows
+    val walDir = Files.createTempDirectory("core-wal-empty").toString
+    assert(ColttCoreImport.exportCoreCollection(spark, src, "emp", walDir) === 0L)
+    val dst = new GraftCatalog(spark, Files.createTempDirectory("graft-core-emp-dst").toString)
+    assert(ColttCoreImport.importCoreCollection(spark, dst, "emp", walDir) === 0L)
+    assert(dst.search("emp", vec(1), 5).collect().isEmpty)
+    assert(dst.getMeta("emp").dim === dim)
+  }
+
   test("schemaless (core-mode) collection exports its MAP metadata, not an empty Struct") {
     import org.apache.spark.sql.functions.col
     val src = new GraftCatalog(spark, Files.createTempDirectory("graft-core-sless").toString)
