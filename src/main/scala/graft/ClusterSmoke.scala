@@ -39,6 +39,10 @@ object ClusterSmoke {
     // lifecycle: flush/claim/publish/fold with executors in other JVMs
     "snapshot_roundtrip", "delta_flush_roundtrip", "wal_replay",
     "upsert_merge",
+    // r9 serving paths: the prepared plan's swapped literal must reach
+    // executor JVMs per execution; the batch join runs over the flushed
+    // cell-partitioned layout
+    "prepared_search", "catalog_batch_ivf",
     // dedup family (banded LSH joins, bloom sketch as plan constant,
     // sign-LSH corpus screen)
     "dedup_minhash_lsh", "dedup_incremental", "dedup_semantic_incremental",
