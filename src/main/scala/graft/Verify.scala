@@ -7,12 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,3072] runs the WHOLE harness
+    // with real executor JVMs (the full-strength ClusterSmoke): needs
+    // SPARK_HOME + SPARK_SCALA_VERSION set, see ClusterSmoke's scaladoc
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.memory", "2g")
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
