@@ -89,11 +89,25 @@ class GraftCatalog(spark: SparkSession, root: String,
         size() > GraftCatalog.PreparedCacheMax
     }
 
+  /** Multi-vector prepared shapes: the (field, ratio, include) list plus
+    * topK — everything that changes the plan except the query vectors. */
+  private case class MultiPreparedKey(name: String,
+                                      shape: Seq[(String, Double, Boolean)], topK: Int)
+  private val preparedMultiSearches =
+    new java.util.LinkedHashMap[MultiPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[MultiPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
   /** Drop every prepared plan of `name` — called where the resident object
     * is swapped or retired so retired plan trees (and the unpersisted cache
     * relations they reference) don't linger until LRU eviction. */
   private def invalidatePrepared(name: String): Unit = {
     preparedSearches.synchronized { preparedSearches.keySet().removeIf(_.name == name) }
+    preparedMultiSearches.synchronized {
+      preparedMultiSearches.keySet().removeIf(_.name == name)
+    }
     versionArtifacts.synchronized { versionArtifacts.keySet().removeIf(_._1 == name) }
   }
 
@@ -1890,6 +1904,16 @@ class GraftCatalog(spark: SparkSession, root: String,
       name: String,
       fields: Seq[MultiVectorSearch.FieldQuery],
       topK: Int): DataFrame = {
+    val (searchable, routed, meta) = multiSearchParts(name, fields)
+    MultiVectorSearch.search(searchable, routed, topK,
+      metric = meta.distance, idCol = meta.idColumn)
+  }
+
+  /** Shared prep for the multi-vector paths: validates the queried fields
+    * against the declared schema, prepares each query vector, and routes
+    * through decoded columns when storage is quantized. */
+  private def multiSearchParts(name: String, fields: Seq[MultiVectorSearch.FieldQuery])
+      : (DataFrame, Seq[MultiVectorSearch.FieldQuery], CollectionMeta) = {
     val meta = getMeta(name)
     require(meta.isMultiVector, s"collection $name is single-vector; use search")
     val df = loadedOrThrow(name)
@@ -1911,8 +1935,46 @@ class GraftCatalog(spark: SparkSession, root: String,
         }
         (withDecoded, prepared.map(fq => fq.copy(vectorCol = s"__sv_${fq.vectorCol}")))
     }
-    MultiVectorSearch.search(searchable, routed, topK,
-      metric = meta.distance, idCol = meta.idColumn)
+    (searchable, routed, meta)
+  }
+
+  /** [[searchMulti]] through the prepared (plan-once/execute-many) path:
+    * the shape — (field, ratio, include) list + topK — compiles once with
+    * one placeholder literal per INCLUDED field, and each request swaps
+    * the query vectors into the compiled physical plan ([[searchPrepared]]
+    * semantics; same staleness-by-resident-identity contract, same
+    * negative-cache fallback for unparameterizable shapes). */
+  def searchMultiPrepared(name: String, fields: Seq[MultiVectorSearch.FieldQuery],
+                          topK: Int)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val (searchable, routed, meta) = multiSearchParts(name, fields)
+    val anchor = loadedOrThrow(name) // the resident object, the staleness key
+    val included = routed.filter(_.include)
+    require(included.nonEmpty, "at least one field must be included")
+    val key = MultiPreparedKey(name, routed.map(f => (f.vectorCol, f.ratio, f.include)), topK)
+    val cached = preparedMultiSearches.synchronized {
+      Option(preparedMultiSearches.get(key)).filter(_.df eq anchor)
+    }
+    val entry = cached.getOrElse {
+      import org.apache.spark.sql.graft.PreparedPlan
+      val e =
+        try {
+          val phs = included.map(f => PreparedPlan.placeholder(f.queryVector.length))
+          val searchDf = MultiVectorSearch.searchWith(
+            searchable, routed, phs.map(_._1), topK, meta.distance, meta.idColumn)
+          PreparedEntry(anchor, Some(PreparedPlan.compileMulti(searchDf, phs.map(_._2))))
+        } catch {
+          case _: IllegalStateException => PreparedEntry(anchor, None)
+        }
+      preparedMultiSearches.synchronized { preparedMultiSearches.put(key, e) }
+      e
+    }
+    entry.prepared match {
+      case Some(p) => (p.schema, p.run(included.map(_.queryVector)))
+      case None =>
+        val out = searchMulti(name, fields, topK)
+        (out.schema, out.collect().toIndexedSeq)
+    }
   }
 }
 

@@ -133,12 +133,28 @@ object MultiVectorSearch {
       idCol: String = "id",
       roundDp: Int = 6): DataFrame = {
     val included = fields.filter(_.include)
+    searchWith(df, fields, included.map(f => lit(f.queryVector)), topK, metric, idCol)
+  }
+
+  /** [[search]] with the query vectors as raw Columns aligned with the
+    * INCLUDED fields — the seam the prepared (plan-once/execute-many)
+    * serving path uses to plant swappable placeholder literals. */
+  def searchWith(
+      df: DataFrame,
+      fields: Seq[FieldQuery],
+      queryCols: Seq[Column],
+      topK: Int,
+      metric: String = "cosine",
+      idCol: String = "id"): DataFrame = {
+    val included = fields.filter(_.include)
     require(included.nonEmpty, "at least one field must be included")
+    require(queryCols.length == included.length,
+      s"queryCols must align with the included fields: ${queryCols.length} vs ${included.length}")
     val ratioSum = included.map(_.ratio).sum
     require(math.abs(ratioSum - 100.0) < 1e-9,
       s"included ratios must sum to 100, got $ratioSum") // experimental_analyzer.go:143-154
-    val weighted: Column = included.map { f =>
-      val d = distance(col(f.vectorCol), lit(f.queryVector), metric)
+    val weighted: Column = included.zip(queryCols).map { case (f, qc) =>
+      val d = distance(col(f.vectorCol), qc, metric)
       score_from_distance(d, if (metric == "cosine") "cosine" else "euclidean") * lit(f.ratio / 100.0)
     }.reduce(_ + _)
     // Rank on an 8-dp rounding of the raw weighted score (finer than the

@@ -367,7 +367,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case _ => throw new IllegalArgumentException("searchMulti requires \"fields\": [..]")
         }
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
-        withVacuumRecovery(name)(rowsJson(catalog.searchMulti(name, fields, topK)))
+        // same plan-once/execute-many model as /search: the (field, ratio,
+        // include) shape compiles once, each request swaps the vectors
+        withVacuumRecovery(name) {
+          val (schema, rows) = catalog.searchMultiPrepared(name, fields, topK)
+          rowsJson(schema, rows)
+        }
       // Version CDC: net changes between two snapshot versions. mode=log is
       // the O(changes) ledger fold (delta windows only), mode=diff the
       // exact state diff; auto (default) tries the cheap path and falls

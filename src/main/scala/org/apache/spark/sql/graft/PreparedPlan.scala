@@ -45,12 +45,13 @@ object PreparedPlan {
   /** Query vectors are float arrays end-to-end (edge parity). */
   val VectorType: ArrayType = ArrayType(FloatType, containsNull = false)
 
-  /** A compiled physical plan with one identified swappable vector literal. */
+  /** A compiled physical plan with one-or-more identified swappable vector
+    * literals (one per query vector of the shape). */
   final class Prepared private[PreparedPlan] (
       val schema: StructType,
       session: org.apache.spark.sql.SparkSession,
       plan: SparkPlan,
-      placeholder: AnyRef) {
+      placeholders: Seq[AnyRef]) {
     private[this] val toScala = CatalystTypeConverters.createToScalaConverter(schema)
 
     /** Execute the prepared plan against `vector` (already prepared —
@@ -59,11 +60,21 @@ object PreparedPlan {
       * active for the calling thread first: SparkPlan.makeCopy (under the
       * literal swap) reads the thread-local active session, and serving
       * threads (the HTTP executor) don't inherit the driver main thread's. */
-    def run(vector: Array[Float]): Seq[Row] = {
+    def run(vector: Array[Float]): Seq[Row] = run(Seq(vector))
+
+    /** Multi-vector variant: `vectors` align positionally with the
+      * placeholders the plan was compiled with. */
+    def run(vectors: Seq[Array[Float]]): Seq[Row] = {
+      require(vectors.length == placeholders.length,
+        s"prepared plan expects ${placeholders.length} vectors, got ${vectors.length}")
       org.apache.spark.sql.SparkSession.setActiveSession(session)
-      val fresh = Literal.create(vector, VectorType)
+      val repl = new java.util.IdentityHashMap[AnyRef, Literal]()
+      placeholders.zip(vectors).foreach { case (p, v) =>
+        repl.put(p, Literal.create(v, VectorType))
+      }
       val swapped = plan.transformAllExpressions {
-        case l: Literal if l.value.asInstanceOf[AnyRef] eq placeholder => fresh
+        case l: Literal if repl.containsKey(l.value.asInstanceOf[AnyRef]) =>
+          repl.get(l.value.asInstanceOf[AnyRef])
       }
       swapped.executeCollect().toIndexedSeq.map(r => toScala(r).asInstanceOf[Row])
     }
@@ -86,12 +97,18 @@ object PreparedPlan {
     * isolation needs a cloned session, disproportionate here. */
   private[this] val compileLock = new Object
 
-  /** Compile `df` once (all Catalyst phases), verifying the placeholder
+  /** Compile `df` once (all Catalyst phases), verifying EVERY placeholder
     * literal survived into the physical plan by reference. Throws
-    * IllegalStateException if a rewrite folded/copied it away — callers fall
-    * back to the plan-per-call path rather than silently serving the
+    * IllegalStateException if a rewrite folded/copied any away — callers
+    * fall back to the plan-per-call path rather than silently serving a
     * placeholder's zeros. */
-  def compile(df: DataFrame, placeholder: AnyRef): Prepared = {
+  def compile(df: DataFrame, placeholder: AnyRef): Prepared =
+    compileMulti(df, Seq(placeholder))
+
+  /** [[compile]] for shapes with several query vectors (multi-vector
+    * weighted search): one placeholder per included field, swapped
+    * positionally by [[Prepared.run]]. */
+  def compileMulti(df: DataFrame, placeholders: Seq[AnyRef]): Prepared = {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
     // executedPlan is lazy — force it INSIDE the conf window so the
@@ -105,15 +122,21 @@ object PreparedPlan {
         case None    => spark.conf.unset(key)
       }
     }
-    var hits = 0
+    val hits = new Array[Int](placeholders.length)
     plan.foreach(_.expressions.foreach(_.foreach {
-      case l: Literal if l.value.asInstanceOf[AnyRef] eq placeholder => hits += 1
+      case l: Literal =>
+        val v = l.value.asInstanceOf[AnyRef]
+        var i = 0
+        while (i < placeholders.length) {
+          if (v eq placeholders(i)) hits(i) += 1
+          i += 1
+        }
       case _ => ()
     }))
-    if (hits == 0)
+    if (hits.exists(_ == 0))
       throw new IllegalStateException(
         "prepared-plan placeholder did not survive planning — this query shape cannot be " +
           "parameterized; use the plan-per-call path")
-    new Prepared(df.schema, spark, plan, placeholder)
+    new Prepared(df.schema, spark, plan, placeholders)
   }
 }

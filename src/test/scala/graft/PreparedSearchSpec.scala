@@ -147,6 +147,54 @@ class PreparedSearchSpec extends SparkSpec {
       assert(viaPrepared(cat, "plru", q, k) === viaSearch(cat, "plru", q, k))
   }
 
+  test("multi-vector prepared path: equals searchMulti across random vectors, " +
+    "shapes keyed by (field, ratio, include), stale on mutation, quantized decode compiled in") {
+    import graft.operators.MultiVectorSearch.FieldQuery
+    def mk(quant: String): GraftCatalog = {
+      val cat = newCatalog()
+      cat.createCollection(CollectionMeta("mv", dim = dim, distance = "euclidean",
+        quantization = quant,
+        fields = Seq(IndexField("_key", "string", primaryKey = true),
+          IndexField("v0", "vector"), IndexField("v1", "vector"))))
+      cat.loadCollection("mv")
+      val rnd = new Random(3)
+      cat.insert("mv", (0 until 120).map { i =>
+        (f"k$i%03d", Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq,
+          Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+      }.toDF("_key", "v0", "v1"))
+      cat
+    }
+    def fq(q0: Array[Float], q1: Array[Float], r0: Double = 60, include1: Boolean = true) =
+      Seq(FieldQuery("v0", q0, r0), FieldQuery("v1", q1, if (include1) 100 - r0 else 40, include1))
+
+    for (quant <- Seq("none", "f16")) {
+      val cat = mk(quant)
+      // vectors vary, shape fixed → every call after the first is a cache
+      // hit executing swapped literals; results must equal plan-per-call
+      for (seed <- 10 to 14) {
+        val Seq(q0, q1) = vecs(2, seed)
+        val (schema, rows) = cat.searchMultiPrepared("mv", fq(q0, q1), 7)
+        val exact = cat.searchMulti("mv", fq(q0, q1), 7)
+        assert(canon(schema, rows) === canon(exact.schema, exact.collect().toIndexedSeq),
+          s"quant=$quant seed=$seed")
+      }
+      // different ratio / exclusion = different shapes, still correct
+      val Seq(q0, q1) = vecs(2, 42)
+      for (shape <- Seq(fq(q0, q1, r0 = 25), Seq(FieldQuery("v0", q0, 100),
+          FieldQuery("v1", q1, 40, include = false)))) {
+        val (schema, rows) = cat.searchMultiPrepared("mv", shape, 5)
+        val exact = cat.searchMulti("mv", shape, 5)
+        assert(canon(schema, rows) === canon(exact.schema, exact.collect().toIndexedSeq))
+      }
+      // staleness: a mutation swaps the resident object — the prepared
+      // plan must answer from the NEW state
+      cat.insert("mv", Seq(("zzz", q0.toSeq, q1.toSeq)).toDF("_key", "v0", "v1"))
+      val (_, after) = cat.searchMultiPrepared("mv", fq(q0, q1), 1)
+      assert(after.head.getString(0) === "zzz",
+        s"quant=$quant: the just-inserted exact-match row must win")
+    }
+  }
+
   test("version-artifact cache: drop + recreate reusing version numbers never " +
     "serves the old snapshot or sidecars (searchIvf / searchPq / searchBinary)") {
     val cat = newCatalog()
