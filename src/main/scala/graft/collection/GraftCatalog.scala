@@ -136,14 +136,23 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
 
   private def versionArtifact[A <: AnyRef](name: String, v: Int, kind: String)(
-      build: => A): A = versionArtifacts.synchronized {
+      build: => A): A = {
     val key = (name, v, kind)
-    versionArtifacts.get(key) match {
-      case a if a != null => a.asInstanceOf[A]
-      case _ =>
-        val a = build
-        versionArtifacts.put(key, a)
-        a
+    // read under the lock, BUILD OUTSIDE it (the preparedSearches pattern):
+    // a sidecar build is a full collect() Spark job, and holding the global
+    // lock through it would serialize every searchIvf/searchPq/searchBinary
+    // across all collections (r9 advice). A duplicate build under a rare
+    // race is benign — the first PUBLISHED entry wins so callers converge
+    // on one object.
+    val cached = versionArtifacts.synchronized { versionArtifacts.get(key) }
+    if (cached != null) cached.asInstanceOf[A]
+    else {
+      val a = build
+      versionArtifacts.synchronized {
+        val raced = versionArtifacts.get(key)
+        if (raced != null) raced.asInstanceOf[A]
+        else { versionArtifacts.put(key, a); a }
+      }
     }
   }
 
@@ -458,7 +467,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     * snapshot, and the full [[flush]] that creates one clears the ledger —
     * so a ledger built before v1 is unreachable by construction, and
     * tracking it would only double-cache the initial bulk load. Index-layout
-    * collections skip tracking too — [[flushDelta]] refuses them.
+    * collections track like any other — [[flushDelta]] encodes their put
+    * rows against the base snapshot's persisted sidecars at segment-write
+    * time (no retrain; see [[decorateSegment]]).
     *
     * Laziness contract (the standard Spark one, same as [[rebind]]): put
     * batches are held as plans over the caller's DataFrame and evaluated at
@@ -474,8 +485,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * writes. Materialize such batches first (`.localCheckpoint(true)`, or
     * write/read a scratch table) and pass the materialized frame. */
   private def tracksPending(meta: CollectionMeta): Boolean =
-    meta.currentVersion > 0 && meta.ivfCells.isEmpty &&
-      meta.pqConfig.isEmpty && !meta.hasBinaryIndex
+    meta.currentVersion > 0
 
   private def appendPending(name: String, meta: CollectionMeta,
                             rows: DataFrame, op: String): Unit = {
@@ -841,25 +851,32 @@ class GraftCatalog(spark: SparkSession, root: String,
     * not a corpus rewrite. A later full [[flush]] COMPACTS the chain (and,
     * for unversioned collections, prunes the superseded segments).
     *
-    * Contract: index layouts (ivfCells / PQ / binaryIndex) refuse delta
-    * flushes — their sidecar artifacts are corpus-derived, so only a full
-    * flush can publish them consistently. Storage quantization (f16/bf16/f8)
-    * is row-local and composes fine. Requires an existing base snapshot
-    * (run [[flush]] once first) and a non-empty ledger.
+    * Index layouts (ivfCells / PQ / binaryIndex) COMPOSE with delta
+    * segments: the put rows are assigned to the chain base's PERSISTED
+    * centroids and encoded with its persisted PQ codebook / binary
+    * thresholds at segment-write time ([[decorateSegment]] — the same
+    * kernels [[flush]] runs, with zero training), so ingest on an indexed
+    * collection stays O(batch) and the snapshot rungs
+    * ([[searchIvf]]/[[searchPq]]/[[searchBinary]]) fold base + segments at
+    * read ([[indexedState]]). Sidecars retrain only at the next full
+    * [[flush]] (compaction) — the reference shape: diskv appends feed the
+    * live index, writes never rebuild it (core/core.go:398-469). Storage
+    * quantization (f16/bf16/f8) is row-local and composes fine. Requires an
+    * existing base snapshot (run [[flush]] once first) and a non-empty
+    * ledger; an indexed base that was flushed EMPTY has no sidecars to
+    * extend and demands a full flush instead.
     *
     * Same concurrent-writer discipline as [[flush]]: staged write, O_EXCL
     * version claim, re-read before the meta swap. */
   def flushDelta(name: String): Int = {
     val meta = getMeta(name)
-    require(meta.ivfCells.isEmpty && meta.pqConfig.isEmpty && !meta.hasBinaryIndex,
-      s"collection $name: index layouts (ivfCells/pq/binaryIndex) require a full " +
-        "flush — their sidecars are corpus-derived and cannot ride a delta segment")
     loadedOrThrow(name) // mutations imply residency; keep the error shape uniform
     requireFreshAnchor(name, meta)
     require(meta.currentVersion > 0,
       s"collection $name has no base snapshot — run a full flush before delta flushes")
-    val log = pending.getOrElse(name, throw new IllegalStateException(
+    val log0 = pending.getOrElse(name, throw new IllegalStateException(
       s"collection $name has no pending changes to delta-flush"))
+    val log = decorateSegment(name, meta, log0)
     val v = meta.currentVersion + 1
     val staging = new Path(colDir(name),
       s".staging-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -891,6 +908,77 @@ class GraftCatalog(spark: SparkSession, root: String,
     // (compaction) may prune them
     clearPending(name)
     v
+  }
+
+  /** Encode a pending-change ledger against the chain base's PERSISTED
+    * index sidecars — the O(batch) half of the indexed-delta contract: put
+    * rows get the SAME layout columns a full [[flush]] would compute (cell
+    * assignment against the persisted centroids, PQ codes from the
+    * persisted codebook — residual codes when the base records a residual
+    * layout — packed sign codes from the persisted thresholds) with ZERO
+    * training jobs; delete markers (NULL vector) keep NULL layout columns
+    * (the fold only reads their keys). Non-indexed collections pass
+    * through untouched.
+    *
+    * The segment stays UNPARTITIONED with `__cell` as a data column
+    * (cast to int — the type the base's partition directories read back
+    * as, so [[indexedState]]'s union needs no coercion): a segment is
+    * O(changes) rows, and partitionBy would shatter each one into up-to-k
+    * tiny files (the small-file explosion flush's rebalance hint exists to
+    * avoid) for a pruning win that's negligible on a batch-sized side
+    * input — parquet row-group stats still skip non-probed cells inside
+    * the segment, and the O(corpus) base keeps true directory pruning. */
+  private def decorateSegment(name: String, meta: CollectionMeta,
+                              log: DataFrame): DataFrame = {
+    if (meta.ivfCells.isEmpty && meta.pqConfig.isEmpty && !meta.hasBinaryIndex) return log
+    val base = chainBase(name, meta.currentVersion)
+    def missing(kind: String) = new IllegalStateException(
+      s"collection $name: $kind sidecar missing at chain base v$base (the base was " +
+        "flushed empty or predates the layout) — run a full flush instead of a delta")
+    val decoded: Column = meta.quantization match {
+      case "none" => col(VectorCol)
+      case q      => dequantize(col(VectorCol), q)
+    }
+    val vecPresent = col(VectorCol).isNotNull
+    // cell assignment first: a residual PQ encode reads the assigned cell
+    val withCell = meta.ivfCells match {
+      case Some(_) =>
+        if (!fs.exists(centroidDir(name, base))) throw missing("centroid")
+        val centroids = readCentroids(name, base)
+        log.withColumn(GraftCatalog.CellCol,
+          when(vecPresent,
+            graft.functions.arg_min_distance(decoded, centroids, meta.distance))
+            .cast("int"))
+      case None => log
+    }
+    val withPq = meta.pqConfig match {
+      case Some((m, _)) =>
+        if (!fs.exists(pqDir(name, base))) throw missing("PQ codebook")
+        val (cb, residFlag) = readPqCodebook(name, base, m)
+        val hasCells = meta.ivfCells.isDefined && fs.exists(centroidDir(name, base))
+        // flagless + IVF is ambiguous (raw and residual cohorts both
+        // exist pre-flag) — same re-flush demand as searchPq
+        val residual = residFlag.getOrElse {
+          require(!hasCells,
+            s"collection $name: pre-flag PQ sidecar over an IVF layout — raw vs " +
+              "residual codes are unrecorded; re-flush before delta-flushing")
+          false
+        }
+        val enc =
+          if (residual)
+            graft.functions.pq_encode(graft.ann.Pq.residual(
+              decoded, col(GraftCatalog.CellCol).cast("long"),
+              readCentroids(name, base)), cb.cents)
+          else graft.functions.pq_encode(decoded, cb.cents)
+        withCell.withColumn(GraftCatalog.PqCodeCol, when(vecPresent, enc))
+      case None => withCell
+    }
+    if (meta.hasBinaryIndex) {
+      if (!fs.exists(binDir(name, base))) throw missing("binary threshold")
+      val th = readBinThresholds(name, base)
+      withPq.withColumn(GraftCatalog.BinCol,
+        when(vecPresent, graft.ann.Bin.encode(decoded, th)))
+    } else withPq
   }
 
   /** Atomic claim of the version slot, shared by [[flush]] and
@@ -1067,10 +1155,47 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (base == upTo) return df
     val pk = meta.idColumn
     val winners = ledgerWinners(name, pk, base + 1 to upTo)
-    val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
-      .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
+    // indexed segments carry layout columns (cell / PQ / bin codes) — index
+    // artifacts, not data, stripped from the user-facing fold like the
+    // base's (dropCellCol above)
+    val puts = dropCellCol(winners.where(col(GraftCatalog.DeltaOpCol) === "put")
+      .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol))
     Mutations.deleteByKeys(df, winners.select(col(pk)), pk).unionByName(puts)
   }
+
+  /** The current on-disk state of an INDEXED collection WITH its layout
+    * columns (`__cell` / `__pq_code` / `__bin_code`) — [[versionSnapshot]]
+    * for a full head; for a delta head, the base snapshot folded with the
+    * decorated segments: every winner key struck from the base (one
+    * broadcast anti-join on O(changes) keys — a put that MOVED a row to
+    * another cell strikes its stale base row even when that cell isn't
+    * probed), put winners unioned back WITH the layout columns
+    * [[decorateSegment]] encoded at segment-write time. Filter pushdown
+    * SURVIVES the fold: a `__cell isin …` or pk `isin` predicate on the
+    * result pushes through the union into both sides and through the
+    * anti-join into the base child, so the base scan keeps its
+    * partition-directory pruning (pinned by CatalogDeltaIndexedSpec) and
+    * the segments are O(changes) side reads. Cached per head version like
+    * every per-version artifact. */
+  private def indexedState(name: String, meta: CollectionMeta): DataFrame = {
+    val head = meta.currentVersion
+    val base = chainBase(name, head)
+    if (base == head) versionSnapshot(name, head)
+    else versionArtifact(name, head, "istate") {
+      val df = versionSnapshot(name, base)
+      val pk = meta.idColumn
+      val winners = ledgerWinners(name, pk, base + 1 to head)
+      val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
+        .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
+      Mutations.deleteByKeys(df, winners.select(col(pk)), pk)
+        .unionByName(puts.select(df.columns.toIndexedSeq.map(col): _*))
+    }
+  }
+
+  /** The version whose index sidecars govern the current head: sidecars
+    * only ride full snapshots, so a delta head reads the chain base's. */
+  private def sidecarVersion(name: String, meta: CollectionMeta): Int =
+    chainBase(name, meta.currentVersion)
 
   /** Collection count/byte-size info (A2 — edge/edge.go:283-284, snapshot
     * sizes core/vectorindex/hnsw.go:476-490): rows of the resident state (or
@@ -1298,7 +1423,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(window.forall(isDeltaVersion(name, _)),
       s"collection $name: versions (${fromV}, $toV] contain a full snapshot — " +
         "there is no change ledger across a compaction boundary; use stateDiff")
-    val winners0 = ledgerWinners(name, meta.idColumn, window)
+    // dropCellCol: indexed segments carry layout columns — index
+    // artifacts, never CDC payload
+    val winners0 = dropCellCol(ledgerWinners(name, meta.idColumn, window))
     GraftCatalog.requireNoOpColumn(name, winners0.columns)
     val winners = winners0
       .withColumnRenamed(GraftCatalog.DeltaOpCol, "op")
@@ -1436,8 +1563,11 @@ class GraftCatalog(spark: SparkSession, root: String,
         catch {
           // placeholder folded away during planning — shape not
           // parameterizable; cache the negative so the shape doesn't pay a
-          // full failed compile on every request
-          case _: IllegalStateException => PreparedEntry(df, None)
+          // full failed compile on every request. ONLY the typed signal:
+          // an unrelated ISE (stopped session, codegen fault) must surface,
+          // never be cached as "unparameterizable" (r9 advice)
+          case _: org.apache.spark.sql.graft.PreparedPlan.PlaceholderFoldedException =>
+            PreparedEntry(df, None)
         }
       preparedSearches.synchronized { preparedSearches.put(key, e) }
       e
@@ -1520,14 +1650,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(queryVector.length == meta.dim,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
-    if (!fs.exists(centroidDir(name, meta.currentVersion))) {
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) {
       // collection was flushed empty → unpartitioned fallback, no sidecar
+      // (an empty base also can't have delta segments — flushDelta refuses)
       import spark.implicits._
       return Seq.empty[(String, Long, Double)].toDF(meta.idColumn, "cell", "dist")
     }
-    val centroids = readCentroids(name, meta.currentVersion)
+    val centroids = readCentroids(name, sv)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val snap = versionSnapshot(name, meta.currentVersion)
+    val snap = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap
@@ -1585,18 +1717,19 @@ class GraftCatalog(spark: SparkSession, root: String,
         .select(col("__batch_qid").as("qid"), col(meta.idColumn), col("dist"), col("rn"))
     }
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
-    if (!fs.exists(centroidDir(name, meta.currentVersion))) {
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) {
       // flushed empty → no cells, no neighbors (same contract as knnJoin:
       // a query with no candidates produces no rows)
       return Seq.empty[(String, String, Double, Int)]
         .toDF("qid", meta.idColumn, "dist", "rn")
     }
-    val centroids = readCentroids(name, meta.currentVersion)
+    val centroids = readCentroids(name, sv)
     // internal query-column names that cannot collide with a declared pk
     val qdf = queries.map { case (qid, v) =>
       (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
     }.toDF("__batch_qid", "__batch_qvec")
-    val snap = versionSnapshot(name, meta.currentVersion)
+    val snap = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap
@@ -1606,6 +1739,57 @@ class GraftCatalog(spark: SparkSession, root: String,
     graft.ann.Ann.knnJoin(decoded, qdf, topK,
       meta.idColumn, vecCol, "__batch_qid", "__batch_qvec", centroids, nprobe, meta.distance)
       .select(col("__batch_qid").as("qid"), col(meta.idColumn), col("dist"), col("rn"))
+  }
+
+  /** Recall audit of the IVF probe as a CATALOG call (the `ann_recall`
+    * discipline made an API — the reference's e2e recall eyeballing,
+    * e2e/edge/2025-03-07, made programmatic for index rollouts): per
+    * sampled query row, |exact top-k ∩ nprobe-probed top-k| / k. BOTH arms
+    * run the same audited [[graft.ann.Ann.knnJoin]] path — the exact arm
+    * is nprobe = |cells|, the spec-pinned degeneration to brute force — so
+    * the audit cannot drift from the serving plan it certifies. The query
+    * set is the content-deterministic id-hash sample
+    * `xxhash64(pk) % sampleMod == 0` of the collection itself: at 100 TB a
+    * recall audit SAMPLES (sampleMod sizes the cost); every stage stays
+    * the bounded cell-join + partial-WindowGroupLimit shape, never
+    * corpus × corpus. Works over delta chains like every snapshot rung
+    * ([[indexedState]]). Output: (qid, hits, recall) per sampled query. */
+  def auditRecall(name: String, sampleMod: Long, nprobe: Int, k: Int = 10): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.ivfCells.isDefined,
+      s"collection $name has no IVF layout — auditRecall certifies the IVF probe")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(meta.idColumn != "qid",
+      "auditRecall reserves the output column name 'qid'; the collection pk shadows it")
+    import spark.implicits._
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv)))
+      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
+    val centroids = readCentroids(name, sv)
+    val snap = indexedState(name, meta)
+      .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val decoded = meta.quantization match {
+      case "none" => snap
+      case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+    val pk = meta.idColumn
+    val qdf = decoded
+      .where(pmod(xxhash64(col(pk)), lit(sampleMod)) === 0)
+      .select(col(pk).cast("string").as("__audit_qid"), col(vecCol).as("__audit_qvec"))
+    def arm(np: Int) = graft.ann.Ann.knnJoin(decoded, qdf, k, pk, vecCol,
+      "__audit_qid", "__audit_qvec", centroids, np, meta.distance)
+      .select(col("__audit_qid").as("qid"), col(pk))
+    val hitCount = org.apache.spark.sql.functions.count(col("__hit")) // the
+    // member method `count(name)` shadows functions.count here
+    arm(centroids.size)
+      .join(arm(nprobe).withColumn("__hit", lit(1)), Seq("qid", pk), "left")
+      .groupBy("qid")
+      .agg(hitCount.as("hits"), (hitCount / lit(k.toDouble)).as("recall"))
+      .orderBy("qid")
   }
 
   /** ADC (product-quantization) search over the PQ code layout of the
@@ -1633,16 +1817,17 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
     require(overFetch >= 1, "overFetch must be >= 1")
     import spark.implicits._
-    if (!fs.exists(pqDir(name, meta.currentVersion)))
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(pqDir(name, sv)))
       // collection was flushed empty → no code layout, nothing to rank
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
-    val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
+    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val full = versionSnapshot(name, meta.currentVersion)
+    val full = indexedState(name, meta)
     nprobe.foreach { _ =>
       require(meta.ivfCells.isDefined,
         s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
-      require(fs.exists(centroidDir(name, meta.currentVersion)),
+      require(fs.exists(centroidDir(name, sv)),
         s"collection $name has no centroid sidecar")
     }
     // IVF collections store RESIDUAL codes (vec − cellCentroid — see flush),
@@ -1659,7 +1844,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     // codes — and guessing either way silently mis-scores the other, so
     // that case demands a re-flush instead of an inference.
     val hasCells = meta.ivfCells.isDefined &&
-      fs.exists(centroidDir(name, meta.currentVersion))
+      fs.exists(centroidDir(name, sv))
     val residualLayout = residFlag.getOrElse {
       require(!hasCells,
         s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
@@ -1671,7 +1856,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
     val (snap, adcExpr) =
       if (residualLayout) {
-        val centroids = readCentroids(name, meta.currentVersion)
+        val centroids = readCentroids(name, sv)
         val kept = nprobe match {
           case Some(np) =>
             val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance).toSet
@@ -1690,7 +1875,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         // is cell-partitioned) still prunes partition directories
         val restricted = nprobe match {
           case Some(np) =>
-            val centroids = readCentroids(name, meta.currentVersion)
+            val centroids = readCentroids(name, sv)
             val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance)
             full.where(col(GraftCatalog.CellCol).isin(probed: _*))
           case None => full
@@ -1736,16 +1921,17 @@ class GraftCatalog(spark: SparkSession, root: String,
     require(topK >= 1, "topK must be >= 1")
     require(overFetch >= 1, "overFetch must be >= 1")
     import spark.implicits._
-    val full = versionSnapshot(name, meta.currentVersion)
-    if (!fs.exists(binDir(name, meta.currentVersion))) {
+    val sv = sidecarVersion(name, meta)
+    val full = indexedState(name, meta)
+    if (!fs.exists(binDir(name, sv))) {
       // only an EMPTY flush legitimately lacks the sidecar — a populated
       // snapshot without one is a layout mismatch, not a no-result query
       require(full.isEmpty,
-        s"collection $name: binary sidecar missing for version ${meta.currentVersion} — " +
+        s"collection $name: binary sidecar missing for version $sv — " +
           "the snapshot predates the binary layout; re-flush to build it")
       return Seq.empty[(String, Double)].toDF(meta.idColumn, "dist")
     }
-    val th = readBinThresholds(name, meta.currentVersion)
+    val th = readBinThresholds(name, sv)
     require(th.length == meta.dim,
       s"binary sidecar dimension mismatch: ${th.length} vs ${meta.dim}")
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
@@ -1812,10 +1998,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
-    require(fs.exists(binDir(name, meta.currentVersion)),
+    val sv = sidecarVersion(name, meta)
+    require(fs.exists(binDir(name, sv)),
       s"collection $name was flushed empty — nothing to serve")
-    val th = readBinThresholds(name, meta.currentVersion)
-    val snap = versionSnapshot(name, meta.currentVersion)
+    val th = readBinThresholds(name, sv)
+    val snap = indexedState(name, meta)
     graft.ann.LocalBinIndex.fromCodes(snap, meta.idColumn, GraftCatalog.BinCol,
       meta.dim, th)
   }
@@ -1828,10 +2015,11 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
-    require(fs.exists(centroidDir(name, meta.currentVersion)),
+    val sv = sidecarVersion(name, meta)
+    require(fs.exists(centroidDir(name, sv)),
       s"collection $name was flushed empty — nothing to serve")
-    val centroids = readCentroids(name, meta.currentVersion)
-    val snap = versionSnapshot(name, meta.currentVersion)
+    val centroids = readCentroids(name, sv)
+    val snap = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
     val decoded = meta.quantization match {
       case "none" => snap.withColumn(GraftCatalog.SearchVecCol, col(VectorCol))
@@ -1851,14 +2039,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
-    require(fs.exists(pqDir(name, meta.currentVersion)),
+    val sv = sidecarVersion(name, meta)
+    require(fs.exists(pqDir(name, sv)),
       s"collection $name was flushed empty — nothing to serve")
-    val (cb, residFlag) = readPqCodebook(name, meta.currentVersion, meta.pqSubspaces.get)
-    val snap = versionSnapshot(name, meta.currentVersion)
+    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
+    val snap = indexedState(name, meta)
     val hasCells = meta.ivfCells.isDefined &&
-      fs.exists(centroidDir(name, meta.currentVersion))
+      fs.exists(centroidDir(name, sv))
     val centroids =
-      if (hasCells) readCentroids(name, meta.currentVersion)
+      if (hasCells) readCentroids(name, sv)
       else Seq.empty[(Long, Array[Float])]
     // flagless + IVF is ambiguous (raw and residual cohorts both exist
     // pre-flag) — same re-flush demand as searchPq; flagless without IVF
@@ -1883,10 +2072,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     * The spec asserts this shrinks with nprobe. */
   def ivfProbedFiles(name: String, queryVector: Array[Float], nprobe: Int): Array[String] = {
     val meta = getMeta(name)
-    val centroids = readCentroids(name, meta.currentVersion)
+    // the BASE snapshot's files — the O(corpus) side whose directory
+    // pruning the spec audits; delta segments are O(changes) side reads
+    val sv = sidecarVersion(name, meta)
+    val centroids = readCentroids(name, sv)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance)
-    val df = spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    val df = spark.read.parquet(versionDir(name, sv).toString)
       .where(col(GraftCatalog.CellCol).isin(probed: _*))
     df.queryExecution.sparkPlan
       .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
@@ -1904,16 +2096,21 @@ class GraftCatalog(spark: SparkSession, root: String,
       name: String,
       fields: Seq[MultiVectorSearch.FieldQuery],
       topK: Int): DataFrame = {
-    val (searchable, routed, meta) = multiSearchParts(name, fields)
+    val (searchable, routed, meta, fused) = multiSearchParts(name, fields)
     MultiVectorSearch.search(searchable, routed, topK,
-      metric = meta.distance, idCol = meta.idColumn)
+      metric = meta.distance, idCol = meta.idColumn, distanceOf = fused)
   }
 
   /** Shared prep for the multi-vector paths: validates the queried fields
-    * against the declared schema, prepares each query vector, and routes
-    * through decoded columns when storage is quantized. */
+    * against the declared schema, prepares each query vector, and — when
+    * storage is quantized — returns the FUSED per-field distance kernel
+    * (`distance_quant`, decode-in-loop) instead of materializing a
+    * dequantized array column per field per row (one pass over the stored
+    * shorts/bytes, same as the single-vector hot path; bit-equal to
+    * `distance(dequantize(field), query)` per QuantizationSpec). */
   private def multiSearchParts(name: String, fields: Seq[MultiVectorSearch.FieldQuery])
-      : (DataFrame, Seq[MultiVectorSearch.FieldQuery], CollectionMeta) = {
+      : (DataFrame, Seq[MultiVectorSearch.FieldQuery], CollectionMeta,
+         Option[(MultiVectorSearch.FieldQuery, Column) => Column]) = {
     val meta = getMeta(name)
     require(meta.isMultiVector, s"collection $name is single-vector; use search")
     val df = loadedOrThrow(name)
@@ -1926,16 +2123,13 @@ class GraftCatalog(spark: SparkSession, root: String,
         s"vector dimension mismatch on ${vf.name}: expected ${meta.dimOf(vf)}, got ${fq.queryVector.length}")
       fq.copy(queryVector = GraftCatalog.prepareQueryVector(fq.queryVector, meta))
     }
-    val (searchable, routed) = meta.quantization match {
-      case "none" => (df, prepared)
-      case q =>
-        val decodedCols = meta.vectorFields.map(f => s"__sv_${f.name}")
-        val withDecoded = meta.vectorFields.zip(decodedCols).foldLeft(df) {
-          case (d, (f, out)) => d.withColumn(out, dequantize(col(f.name), q))
-        }
-        (withDecoded, prepared.map(fq => fq.copy(vectorCol = s"__sv_${fq.vectorCol}")))
-    }
-    (searchable, routed, meta)
+    val fused: Option[(MultiVectorSearch.FieldQuery, Column) => Column] =
+      meta.quantization match {
+        case "none" => None
+        case q => Some((fq, qc) =>
+          graft.functions.distance_quant(col(fq.vectorCol), qc, q, meta.distance))
+      }
+    (df, prepared, meta, fused)
   }
 
   /** [[searchMulti]] through the prepared (plan-once/execute-many) path:
@@ -1947,7 +2141,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def searchMultiPrepared(name: String, fields: Seq[MultiVectorSearch.FieldQuery],
                           topK: Int)
       : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
-    val (searchable, routed, meta) = multiSearchParts(name, fields)
+    val (searchable, routed, meta, fused) = multiSearchParts(name, fields)
     val anchor = loadedOrThrow(name) // the resident object, the staleness key
     val included = routed.filter(_.include)
     require(included.nonEmpty, "at least one field must be included")
@@ -1961,10 +2155,12 @@ class GraftCatalog(spark: SparkSession, root: String,
         try {
           val phs = included.map(f => PreparedPlan.placeholder(f.queryVector.length))
           val searchDf = MultiVectorSearch.searchWith(
-            searchable, routed, phs.map(_._1), topK, meta.distance, meta.idColumn)
+            searchable, routed, phs.map(_._1), topK, meta.distance, meta.idColumn,
+            fused)
           PreparedEntry(anchor, Some(PreparedPlan.compileMulti(searchDf, phs.map(_._2))))
         } catch {
-          case _: IllegalStateException => PreparedEntry(anchor, None)
+          // typed negative-cache signal only — see searchPrepared
+          case _: PreparedPlan.PlaceholderFoldedException => PreparedEntry(anchor, None)
         }
       preparedMultiSearches.synchronized { preparedMultiSearches.put(key, e) }
       e

@@ -68,25 +68,35 @@ object VectorSearch {
     if (req.offset > 0) sorted.offset(req.offset).limit(req.topK) else sorted.limit(req.topK)
   }
 
-  /** Hybrid search (J1): over-fetch `overFetch`×topK by pure similarity, then
-    * semi-join the candidate ids that survive the metadata filter, then final
-    * top-K. Implements the documented INTENT of the reference
+  /** Hybrid search (J1): over-fetch `overFetch`×topK by pure similarity,
+    * intersect with the ids surviving the metadata filter, final top-K.
+    * Implements the documented INTENT of the reference
     * (/root/reference/core/core.go:760-839 over-fetches ×3 then intersects —
-    * its final loop drops the intersection, a recorded bug we don't copy).
-    * The ANN side is ≤ overFetch·topK rows, so Catalyst broadcasts it;
-    * the filter side stays a pushed-down scan — no big-table shuffle. */
+    * its final loop drops the intersection, a recorded bug we don't copy). */
   def hybridSearch(df: DataFrame, req: SearchRequest, filter: FilterExpr, overFetch: Int = 3): DataFrame =
     hybridSearchWith(df, req, filter.toColumn, overFetch)
 
   /** [[hybridSearch]] with the candidate predicate as a raw Column — the
     * seam that lets schemaless (string-coerced map) collections route their
-    * own filter semantics through the same over-fetch + semi-join shape. */
+    * own filter semantics through the same over-fetch + intersect shape.
+    *
+    * Join direction matters at scale: the ANN result is ≤ overFetch·topK
+    * rows BY CONSTRUCTION, while the filter survivors can be ~corpus-sized
+    * at permissive selectivity — so the ANN side is the EXPLICIT broadcast
+    * build side of an inner join against the filtered corpus (a LEFT SEMI
+    * could only build/broadcast its right side, i.e. the unbounded
+    * candidates; the reference's small 3k-id list drives its intersection
+    * the same way, core/core.go:795-814). One row per id relies on the
+    * engine-wide pk-uniqueness contract (upsert by pk), which makes the
+    * inner join exactly the semi-join intersection. Pinned by
+    * PlanShapeSpec ("bounded ANN side is the build side"). */
   def hybridSearchWith(df: DataFrame, req: SearchRequest, candidatePred: Column,
                        overFetch: Int = 3): DataFrame = {
     require(overFetch >= 1, "overFetch must be >= 1")
     val ann = search(df, req.copy(filter = None, topK = req.topK * overFetch, offset = 0))
     val candidates = df.where(candidatePred).select(col(req.idCol))
-    ann.join(candidates, Seq(req.idCol), "left_semi")
+    candidates.join(broadcast(ann), Seq(req.idCol))
+      .select(ann.columns.toIndexedSeq.map(col): _*)
       .orderBy(col("dist").asc, col(req.idCol).asc)
       .limit(req.topK)
   }
@@ -131,21 +141,31 @@ object MultiVectorSearch {
       topK: Int,
       metric: String = "cosine",
       idCol: String = "id",
-      roundDp: Int = 6): DataFrame = {
+      roundDp: Int = 6,
+      distanceOf: Option[(FieldQuery, Column) => Column] = None): DataFrame = {
     val included = fields.filter(_.include)
-    searchWith(df, fields, included.map(f => lit(f.queryVector)), topK, metric, idCol)
+    searchWith(df, fields, included.map(f => lit(f.queryVector)), topK, metric, idCol,
+      distanceOf)
   }
 
   /** [[search]] with the query vectors as raw Columns aligned with the
     * INCLUDED fields — the seam the prepared (plan-once/execute-many)
-    * serving path uses to plant swappable placeholder literals. */
+    * serving path uses to plant swappable placeholder literals.
+    *
+    * `distanceOf` overrides the per-field raw-distance expression — the
+    * quantized-storage seam: the catalog routes each field through the
+    * FUSED decode-in-loop kernel (`distance_quant`) instead of
+    * materializing a dequantized array column per field per row (the same
+    * single-pass discipline as the single-vector path; must equal
+    * `distance(dequantize(field), query)` bit-for-bit). */
   def searchWith(
       df: DataFrame,
       fields: Seq[FieldQuery],
       queryCols: Seq[Column],
       topK: Int,
       metric: String = "cosine",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id",
+      distanceOf: Option[(FieldQuery, Column) => Column] = None): DataFrame = {
     val included = fields.filter(_.include)
     require(included.nonEmpty, "at least one field must be included")
     require(queryCols.length == included.length,
@@ -154,7 +174,8 @@ object MultiVectorSearch {
     require(math.abs(ratioSum - 100.0) < 1e-9,
       s"included ratios must sum to 100, got $ratioSum") // experimental_analyzer.go:143-154
     val weighted: Column = included.zip(queryCols).map { case (f, qc) =>
-      val d = distance(col(f.vectorCol), qc, metric)
+      val d = distanceOf.map(_(f, qc))
+        .getOrElse(distance(col(f.vectorCol), qc, metric))
       score_from_distance(d, if (metric == "cosine") "cosine" else "euclidean") * lit(f.ratio / 100.0)
     }.reduce(_ + _)
     // Rank on an 8-dp rounding of the raw weighted score (finer than the

@@ -228,6 +228,100 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.search("dlt", qv, topK = 10)
     }),
+    // Delta flush on an INDEXED collection (r9 verdict #1 — the 100 TB
+    // ingest answer where it matters): base flush builds the IVF layout
+    // (8 deterministic seed centroids, cell-partitioned snapshot), then an
+    // update batch that MOVES vectors (reversed embeddings → different
+    // cells) plus a cross-batch predicate delete ride ONE O(changes) delta
+    // segment whose put rows were assigned to the PERSISTED centroids at
+    // segment-write time (zero retraining). searchIvf folds base + segment
+    // at read — the oracle replays seed centroids, the fold, per-row
+    // re-assignment of the updated vectors, probe selection, and ranking,
+    // so a hash match proves the delta encode AND the indexed fold.
+    "delta_flush_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-divf").toString)
+      cat.createCollection(CollectionMeta("dvi", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("dvi")
+      cat.insert("dvi", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("dvi") // v1: base snapshot + centroid sidecar
+      cat.insert("dvi", e.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("embedding")).as("vector")))
+      cat.delete("dvi", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("dvi") // v2: O(changes) segment, cells from v1's sidecar
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchIvf("dvi", qv, topK = 10, nprobe = 3)
+    }),
+    // Same lifecycle over the PQ code layout: the delta segment's put rows
+    // are encoded with the BASE flush's codebook (seeded from the 16
+    // pk-smallest original rows, pqTrainIterations=0), so the folded ADC
+    // scan ranks base codes and delta codes in one pass. rerank=false
+    // exposes the raw ADC distances — the oracle recomputes the codebook,
+    // re-encodes the FOLDED state (updated vectors included), and replays
+    // the ADC ranking.
+    "delta_flush_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-dpqd").toString)
+      cat.createCollection(CollectionMeta("dpqd", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        pqSubspaces = Some(4), pqCodewords = Some(16), pqTrainIterations = Some(0)))
+      cat.loadCollection("dpqd")
+      cat.insert("dpqd", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("dpqd") // v1: codes + codebook sidecar
+      cat.insert("dpqd", e.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("embedding")).as("vector")))
+      cat.delete("dpqd", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("dpqd") // v2: delta codes from v1's codebook
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchPq("dpqd", qv, topK = 10, rerank = false)
+    }),
+    // And over the binary sign-code layout: delta codes packed with the
+    // BASE flush's midrange thresholds (trained on the original corpus),
+    // two-pass search over the folded chain — the oracle re-trains the
+    // thresholds on the ORIGINAL corpus, re-encodes the folded state, and
+    // replays Hamming top-30 + exact rerank.
+    "delta_flush_bin" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-dbnd").toString)
+      cat.createCollection(CollectionMeta("dbnd", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        binaryIndex = Some(true)))
+      cat.loadCollection("dbnd")
+      cat.insert("dbnd", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("dbnd") // v1: packed codes + threshold sidecar
+      cat.insert("dbnd", e.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("embedding")).as("vector")))
+      cat.delete("dbnd", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("dbnd") // v2: delta codes from v1's thresholds
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchBinary("dbnd", qv, topK = 10, overFetch = 3)
+    }),
     // Streaming ingest with per-batch durability: a 2-batch change-log file
     // stream drives ChangeFeed.runIntoCollection(deltaFlushEachBatch=true) —
     // every micro-batch is applyChanges-folded into the resident state AND
@@ -398,6 +492,37 @@ object PersistenceQueries {
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
     }),
+    // Quantized CFLAT (r9 verdict #4): a multi-vector collection with f16
+    // STORAGE — two declared vector fields, each stored as f16 shorts —
+    // searched through searchMulti, whose per-field distances run the
+    // FUSED decode-in-loop kernel (distance_quant) instead of
+    // materializing decoded arrays. The oracle replays the f16 round trip
+    // numerically (the flat_scan_f16 construction) on both fields AND the
+    // query vectors, then the weighted euclidean display-score ranking —
+    // a hash match proves encode-at-ingest, the fused kernel, and the
+    // weighted fold agree bit-for-bit.
+    "multi_vector_search_f16" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mvq").toString)
+      cat.createCollection(CollectionMeta("mvq", dim = dim, distance = "euclidean",
+        quantization = "f16",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector", dim = Some(dim)),
+          IndexField("v1", "vector", dim = Some(dim)))))
+      cat.loadCollection("mvq")
+      cat.insert("mvq",
+        e.select(lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+            col("embedding").as("v0"))
+          .join(e.select(lpad((col("vec_id") - 1).cast("string"), 3, "0").as("id"),
+            col("embedding").as("v1")), "id"))
+      def qv(id: Long) = e.where(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toArray
+      cat.searchMulti("mvq", Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
+    }),
     // Batch retrieval over the flushed IVF layout through the full
     // Collection API — /searchBatch's scale path: probe cells chosen
     // row-locally against the flushed centroid sidecar, ONE cell equi-join
@@ -532,6 +657,107 @@ object PersistenceQueries {
         |  ROUND(GREATEST(0, 100 - list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
         |FROM fin f, q
         |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the f16 CFLAT replay: both stored fields and both query vectors go
+    // through the numeric f16 round trip (flat_scan_f16's construction),
+    // then the weighted euclidean display scores rank by the 8-dp fold
+    "multi_vector_search_f16" -> {
+      val f16e = QuantizedQueries.f16ListSql("embedding")
+      s"""WITH s AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+         |    $f16e AS ev FROM embeddings),
+         |mv AS (SELECT s1.id, s1.ev AS v0, s2.ev AS v1
+         |       FROM s s1 JOIN s s2 ON s2.vec_id = s1.vec_id + 1),
+         |q0 AS (SELECT $f16e AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT $f16e AS qv FROM embeddings WHERE vec_id = 1),
+         |w AS (SELECT mv.id,
+         |    GREATEST(0, 100 - list_distance(mv.v0, q0.qv)) * 0.6
+         |  + GREATEST(0, 100 - list_distance(mv.v1, q1.qv)) * 0.4 AS ws
+         |  FROM mv, q0, q1)
+         |SELECT id, ROUND(ws, 4) AS score FROM w
+         |ORDER BY ROUND(ws, 8) DESC, id LIMIT 10""".stripMargin
+    },
+    // the indexed delta chain replayed in SQL: seed centroids from the 8
+    // id-smallest ORIGINAL rows (the base flush trained them), the folded
+    // state re-assigned per row (updated rows land in their NEW cells —
+    // exactly what decorateSegment encoded), probe + rank as in ivf_search
+    "delta_flush_ivf" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |upd AS (SELECT id, vec_id, label + 100 AS label,
+        |    list_reverse(embedding) AS embedding FROM emb WHERE vec_id % 7 = 3),
+        |merged AS (SELECT id, vec_id, label, embedding FROM emb WHERE vec_id % 7 <> 3
+        |           UNION ALL SELECT id, vec_id, label, embedding FROM upd),
+        |fin AS (SELECT * FROM merged WHERE label < 107),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT f.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY f.id
+        |      ORDER BY ROUND(list_distance(f.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM fin f, cents c) WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |SELECT f.id, CAST(a.cid AS INTEGER) AS cell,
+        |  ROUND(list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM fin f JOIN asg a ON a.id = f.id, q
+        |WHERE a.cid IN (SELECT cid FROM probe)
+        |ORDER BY dist, f.id LIMIT 10""".stripMargin,
+    // the PQ chain: codebook from the 16 id-smallest ORIGINAL rows (base
+    // flush, pqTrainIterations=0), the FOLDED state re-encoded against it
+    // (updated vectors get their post-update codes — the segment's), ADC
+    // ranking as in catalog_pq_search
+    "delta_flush_pq" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |upd AS (SELECT id, vec_id, label + 100 AS label,
+        |    list_reverse(embedding) AS embedding FROM emb WHERE vec_id % 7 = 3),
+        |merged AS (SELECT id, vec_id, label, embedding FROM emb WHERE vec_id % 7 <> 3
+        |           UNION ALL SELECT id, vec_id, label, embedding FROM upd),
+        |fin AS (SELECT * FROM merged WHERE label < 107),
+        |sp AS (SELECT j FROM range(0, 4) r(j)),
+        |cb AS (SELECT sp.j, e.vec_id AS cid, e.embedding[sp.j*16+1 : sp.j*16+16] AS cv
+        |  FROM emb e, sp WHERE e.vec_id < 16),
+        |q AS (SELECT sp.j, e.embedding[sp.j*16+1 : sp.j*16+16] AS qv
+        |  FROM emb e, sp WHERE e.vec_id = 0),
+        |asg AS (SELECT id, j, cid FROM (
+        |  SELECT f.id, c.j, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY f.id, c.j
+        |      ORDER BY ROUND(list_distance(f.embedding[c.j*16+1 : c.j*16+16]::DOUBLE[],
+        |                                   c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM fin f, cb c) WHERE rn = 1),
+        |adc AS (SELECT a.id,
+        |    SQRT(SUM(POWER(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 2))) AS d
+        |  FROM asg a JOIN cb c ON c.j = a.j AND c.cid = a.cid JOIN q ON q.j = a.j
+        |  GROUP BY a.id)
+        |SELECT adc.id, ROUND(adc.d, 6) AS dist FROM adc
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the binary chain: midrange thresholds from the ORIGINAL corpus (base
+    // flush trained them over all 500 rows), the folded state re-encoded,
+    // Hamming top-30 + exact rerank as in catalog_bin_search
+    "delta_flush_bin" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |upd AS (SELECT id, vec_id, label + 100 AS label,
+        |    list_reverse(embedding) AS embedding FROM emb WHERE vec_id % 7 = 3),
+        |merged AS (SELECT id, vec_id, label, embedding FROM emb WHERE vec_id % 7 <> 3
+        |           UNION ALL SELECT id, vec_id, label, embedding FROM upd),
+        |fin AS (SELECT * FROM merged WHERE label < 107),
+        |s0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM s0),
+        |th0 AS (SELECT dim, (min(x) + max(x)) / 2.0 AS t FROM d GROUP BY dim),
+        |th AS (SELECT list(t ORDER BY dim) AS ts FROM th0),
+        |b AS (SELECT f.id, f.embedding::DOUBLE[] AS v,
+        |        list_transform(range(1, len(f.embedding) + 1),
+        |          i -> CASE WHEN f.embedding[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits
+        |      FROM fin f, th),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT list_transform(range(1, len(q.qv) + 1),
+        |        i -> CASE WHEN q.qv[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits FROM q, th),
+        |c AS (SELECT b.id, b.v,
+        |        list_sum(list_transform(range(1, len(b.bits) + 1),
+        |          i -> CASE WHEN b.bits[i] <> qb.bits[i] THEN 1 ELSE 0 END)) AS h
+        |      FROM b, qb ORDER BY h, id LIMIT 30)
+        |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
+        |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
     "version_diff" ->
       """SELECT 'put' AS op, CAST(vec_id AS VARCHAR) AS id,
         |  CAST(label + 70 AS BIGINT) AS label

@@ -166,6 +166,11 @@ object QuantizedQueries {
     s"(CASE WHEN $x = 0 THEN 0.0 ELSE sign($x) * $rne * $step END)"
   }
 
+  /** The f16 round trip of a float list, as DOUBLE[] SQL — shared with the
+    * multi-vector f16 oracle (PersistenceQueries.multi_vector_search_f16). */
+  private[queries] def f16ListSql(c: String): String =
+    s"list_transform($c::DOUBLE[], x -> ${qqSql("x", mbits = 10, emin = -14)})"
+
   private def oracleScan(mbits: Int, emin: Int): String = {
     val qq = qqSql("x", mbits, emin)
     s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> $qq) AS qv

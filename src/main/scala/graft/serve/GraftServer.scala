@@ -300,6 +300,16 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
         withVacuumRecovery(name)(rowsJson(catalog.searchBatch(name, queries, topK, nprobe)))
+      // Recall audit of the IVF probe (ann_recall as an API): both arms run
+      // the SAME knnJoin path (exact = nprobe at all cells), queries are
+      // the id-hash 1/sampleMod sample of the collection — the caller
+      // sizes sampleMod so the audit (and this response) stays bounded
+      case ("POST", "collections" :: name :: "audit" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        val sampleMod = intOr(req, "sampleMod", 101).toLong
+        val nprobe = intOr(req, "nprobe", 4)
+        val k = intOr(req, "k", 10)
+        withVacuumRecovery(name)(rowsJson(catalog.auditRecall(name, sampleMod, nprobe, k)))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>
@@ -468,6 +478,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     case d: BigDecimal              => JDecimal(d)
     case seq: Seq[_]                => JArray(seq.toList.map(valueJson))
     case m: Map[_, _]               => JObject(m.toList.map { case (k, x) => k.toString -> valueJson(x) })
+    // struct fields serialize as nested objects (df.toJSON's wire shape) —
+    // the toString fallthrough would silently quote them (r9 advice)
+    case r: Row                     =>
+      JObject(r.schema.fields.toList.zipWithIndex.map { case (f, i) =>
+        f.name -> (if (r.isNullAt(i)) JNull else valueJson(r.get(i))) })
     case other                      => JString(other.toString) // timestamps/dates — not in search schemas
   }
 

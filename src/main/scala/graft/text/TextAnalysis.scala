@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens (`\s+` runs collapse) — THE one token definition of
+    * this module: tokenCount, stopwordRatio, qualityScore and
+    * repetitionStats all derive from it (pinned by TextAnalysisSpec), so a
+    * document with tabs/newlines/double spaces scores consistently across
+    * every text operator. Oracle lockstep: DuckDB
+    * `string_split_regex(text, '\s+')`. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Whitespace token count. */
@@ -28,17 +33,17 @@ object TextAnalysis {
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / length(text)
 
-  /** Stopword-hit ratio over whitespace tokens. Built from Column
-    * combinators (typedlit + array_contains), not interpolated SQL text, so
-    * stopwords containing quotes or SQL metacharacters are plain data. */
+  /** Stopword-hit ratio over [[tokens]]. Built from Column combinators
+    * (typedlit + array_contains), not interpolated SQL text, so stopwords
+    * containing quotes or SQL metacharacters are plain data. */
   def stopwordRatio(textColName: String, stopwords: Seq[String]): Column =
     hitCount(col(textColName), stopwords).cast("double") /
-      size(split(col(textColName), " "))
+      size(tokens(col(textColName)))
 
-  /** Count of whitespace tokens that appear in `words` (injection-safe:
-    * the word list travels as an array literal, never as SQL text). */
+  /** Count of [[tokens]] that appear in `words` (injection-safe: the word
+    * list travels as an array literal, never as SQL text). */
   def hitCount(text: Column, words: Seq[String]): Column =
-    size(filter(split(text, " "), t => array_contains(typedlit(words), t)))
+    size(filter(tokens(text), t => array_contains(typedlit(words), t)))
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
@@ -47,7 +52,7 @@ object TextAnalysis {
     * by C4/Gopher-style corpus filters. */
   def qualityScore(textColName: String): Column = {
     val t = col(textColName)
-    val meanTokLen = length(t).cast("double") / size(split(t, " "))
+    val meanTokLen = length(t).cast("double") / size(tokens(t))
     val lenBand = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.0)
     alphaRatio(t) * 0.5 + stopwordRatio(textColName, defaultStopwords) * 0.3 + lenBand * 0.2
   }
@@ -64,7 +69,7 @@ object TextAnalysis {
     // token array lambda-bound once (see shingles note in Dedup.scala);
     // < 2 tokens → no bigrams (sequence(0,-1) would count DOWN, not empty)
     val bigrams = element_at(
-      transform(array(split(col(textColName), " ")), t =>
+      transform(array(tokens(col(textColName))), t =>
         when(size(t) >= 2,
           transform(sequence(lit(0), size(t) - 2),
             i => concat_ws(" ", get(t, i), get(t, i + 1))))

@@ -88,20 +88,41 @@ object PreparedPlan {
     (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
   }
 
-  /** Compiles serialize on this lock: the AQE toggle below mutates the
-    * SESSION-global conf for the planning window, and two interleaved
-    * compiles could cross-restore each other's value and leave AQE off for
-    * everyone. Unrelated queries planned by OTHER threads during a compile
-    * still see AQE off for that brief window — compiles run once per
-    * (shape, resident object), so the exposure is rare and bounded; full
-    * isolation needs a cloned session, disproportionate here. */
-  private[this] val compileLock = new Object
+  /** Thrown when a placeholder literal did not survive planning (folded or
+    * copied away by a rewrite) — the ONE signal GraftCatalog's negative
+    * cache may act on. A dedicated type so an unrelated Spark-internal
+    * IllegalStateException (stopped session, codegen fault) can never be
+    * mistaken for "shape not parameterizable" and permanently cached
+    * against the resident object (r9 advice). */
+  final class PlaceholderFoldedException(msg: String) extends IllegalStateException(msg)
+
+  /** One AQE-off PLANNING session per base session, cloned lazily: clones
+    * share the SparkContext, catalog and cache manager but own their
+    * SQLConf, so disabling AQE here is invisible to every other planner
+    * thread — the pre-r10 form toggled the session-global conf for the
+    * compile window and unrelated concurrent queries silently planned with
+    * AQE off (r9 advice). WeakHashMap: a retired base session must not be
+    * pinned by its planning clone. */
+  private[this] val planningSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.classic.SparkSession]
+
+  private def planningSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.classic.SparkSession = planningSessions.synchronized {
+    var s = planningSessions.get(spark)
+    if (s == null) {
+      s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      planningSessions.put(spark, s)
+    }
+    s
+  }
 
   /** Compile `df` once (all Catalyst phases), verifying EVERY placeholder
     * literal survived into the physical plan by reference. Throws
-    * IllegalStateException if a rewrite folded/copied any away — callers
-    * fall back to the plan-per-call path rather than silently serving a
-    * placeholder's zeros. */
+    * [[PlaceholderFoldedException]] if a rewrite folded/copied any away —
+    * callers fall back to the plan-per-call path rather than silently
+    * serving a placeholder's zeros. */
   def compile(df: DataFrame, placeholder: AnyRef): Prepared =
     compileMulti(df, Seq(placeholder))
 
@@ -110,18 +131,13 @@ object PreparedPlan {
     * positionally by [[Prepared.run]]. */
   def compileMulti(df: DataFrame, placeholders: Seq[AnyRef]): Prepared = {
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    // executedPlan is lazy — force it INSIDE the conf window so the
-    // InsertAdaptiveSparkPlan preparation rule sees AQE off for this plan
-    val plan = compileLock.synchronized {
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "false")
-      try df.queryExecution.executedPlan
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    // re-plan the logical plan under the AQE-off clone: the
+    // InsertAdaptiveSparkPlan preparation rule reads the PLANNING session's
+    // conf, and the clone's cache manager is the shared one, so the
+    // resident InMemoryRelation substitution still applies. Concurrent
+    // compiles need no lock — nothing session-global is mutated anymore.
+    val plan = planningSession(spark).sessionState
+      .executePlan(df.queryExecution.logical).executedPlan
     val hits = new Array[Int](placeholders.length)
     plan.foreach(_.expressions.foreach(_.foreach {
       case l: Literal =>
@@ -134,7 +150,7 @@ object PreparedPlan {
       case _ => ()
     }))
     if (hits.exists(_ == 0))
-      throw new IllegalStateException(
+      throw new PlaceholderFoldedException(
         "prepared-plan placeholder did not survive planning — this query shape cannot be " +
           "parameterized; use the plan-per-call path")
     new Prepared(df.schema, spark, plan, placeholders)

@@ -169,16 +169,18 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(state(cat.resident("d4")).contains("id-1:99"))
   }
 
-  test("index layouts, missing base, and empty ledger all refuse loudly") {
+  test("empty indexed base, missing base, and empty ledger all refuse loudly") {
     val cat = newCatalog()
+    // an indexed base flushed EMPTY has no sidecars to encode against —
+    // the delta path demands a full flush instead (populated indexed bases
+    // take deltas: CatalogDeltaIndexedSpec)
     cat.createCollection(CollectionMeta("ivfd", dim = 4, distance = "euclidean",
       fields = fields, ivfCells = Some(4)))
     cat.loadCollection("ivfd")
+    cat.flush("ivfd") // v1: empty — no centroid sidecar
     cat.insert("ivfd", rows(1 to 10))
-    cat.flush("ivfd")
-    cat.insert("ivfd", rows(Seq(1), _ => 99L))
-    val e1 = intercept[IllegalArgumentException](cat.flushDelta("ivfd"))
-    assert(e1.getMessage.contains("full"))
+    val e1 = intercept[IllegalStateException](cat.flushDelta("ivfd"))
+    assert(e1.getMessage.contains("sidecar missing"))
     // no base snapshot yet
     cat.createCollection(meta("nob"))
     cat.loadCollection("nob")

@@ -291,6 +291,30 @@ class GraftServerSpec extends SparkSpec {
     assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
   }
 
+  test("audit route: recall audit of the IVF probe; all-cells probe certifies 1.0") {
+    val meta = """{"name":"aud","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/aud/load")._1 === 200)
+    val rows = (0 until 40).map(i => s"""{"id":"d$i","vector":[$i,${i % 5},1]}""").mkString(",")
+    assert(http("POST", "/collections/aud/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/aud/flush")._1 === 200)
+    // nprobe = all cells → both arms identical → recall 1.0 on every row
+    val (c1, b1) = http("POST", "/collections/aud/audit",
+      """{"sampleMod":3,"nprobe":2,"k":5}""")
+    assert(c1 === 200 && b1.contains("\"recall\""), s"$c1 $b1")
+    val recalls = "\"recall\":([0-9.]+)".r.findAllMatchIn(b1).map(_.group(1).toDouble).toSeq
+    assert(recalls.nonEmpty && recalls.forall(_ === 1.0), s"recalls $recalls")
+    // a pruned probe reports recall in [0, 1] for the same sampled queries
+    val (c2, b2) = http("POST", "/collections/aud/audit",
+      """{"sampleMod":3,"nprobe":1,"k":5}""")
+    val pruned = "\"recall\":([0-9.]+)".r.findAllMatchIn(b2).map(_.group(1).toDouble).toSeq
+    assert(c2 === 200 && pruned.length === recalls.length)
+    assert(pruned.forall(r => r >= 0.0 && r <= 1.0))
+    // invalid parameters are client errors, not 500s
+    assert(http("POST", "/collections/aud/audit", """{"nprobe":0}""")._1 === 400)
+  }
+
   test("batch retrieval over HTTP: searchBatch returns per-query top-k agreeing " +
     "with single-query searchIvf") {
     val meta = """{"name":"batch","dim":3,"distance":"euclidean","ivfCells":2,"fields":[

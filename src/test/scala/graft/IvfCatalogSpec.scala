@@ -38,6 +38,22 @@ class IvfCatalogSpec extends SparkSpec {
     cat
   }
 
+  test("auditRecall: both arms the knnJoin path; all-cells probe certifies recall 1.0") {
+    val cat = mkCat(4)
+    val all = cat.auditRecall("ivf", sampleMod = 7, nprobe = 4, k = 5).collect()
+    assert(all.nonEmpty, "the id-hash sample selected no queries")
+    // nprobe = |cells| degenerates both arms to the same exact scan
+    assert(all.forall(_.getAs[Double]("recall") === 1.0),
+      s"exact-vs-exact recall must be 1.0: ${all.mkString(",")}")
+    // the pruned probe audits the SAME sampled queries, recall ∈ [0, 1];
+    // on 4 well-separated clusters a query's neighbors share its cell
+    val one = cat.auditRecall("ivf", sampleMod = 7, nprobe = 1, k = 5).collect()
+    assert(one.length === all.length)
+    assert(one.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
+    assert(one.forall(_.getAs[Long]("hits") <= 5))
+  }
+
   test("flush writes a cell-partitioned snapshot; load drops the layout column") {
     val cat = mkCat(4)
     assert(cat.count("ivf") === 200)

@@ -100,6 +100,34 @@ class MultiVectorCollectionSpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") === 100.0) // unit basis vectors are f16-exact
   }
 
+  test("f16 searchMulti (fused kernel) equals decode-then-distance on random vectors") {
+    val rnd = new scala.util.Random(41)
+    def vec() = Seq.fill(4)(rnd.nextFloat() * 8f - 4f)
+    val data = (0 until 64).map(i => (f"r$i%03d", i.toLong, vec(), vec()))
+      .toDF("id", "tag", "v0", "v1")
+    val cat = newCat
+    cat.createCollection(mkMeta(quant = "f16"))
+    cat.loadCollection("mv")
+    cat.insert("mv", data)
+    val q0 = Array.fill(4)(rnd.nextFloat() * 8f - 4f)
+    val q1 = Array.fill(4)(rnd.nextFloat() * 8f - 4f)
+    val fq = Seq(FieldQuery("v0", q0, ratio = 55), FieldQuery("v1", q1, ratio = 45))
+    val got = cat.searchMulti("mv", fq, topK = 10).collect().map(_.toString).toSeq
+    // reference arm: materialize dequantized columns and run the plain
+    // (unfused) distance routing over them — the pre-r10 plan shape
+    val meta = cat.getMeta("mv")
+    val decoded = cat.resident("mv")
+      .withColumn("d0", graft.functions.dequantize(col("v0"), "f16"))
+      .withColumn("d1", graft.functions.dequantize(col("v1"), "f16"))
+    val routed = fq.map(f => f.copy(
+      vectorCol = if (f.vectorCol == "v0") "d0" else "d1",
+      queryVector = GraftCatalog.prepareQueryVector(f.queryVector, meta)))
+    val want = graft.operators.MultiVectorSearch.search(
+      decoded, routed, topK = 10, metric = "euclidean", idCol = "id")
+      .collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("single-vector collections reject searchMulti and vice versa") {
     val cat = newCat
     cat.createCollection(mkMeta()); cat.loadCollection("mv")

@@ -34,11 +34,21 @@ class PlanShapeSpec extends SparkSpec {
       s"filter not pushed to the scan:\n$p")
   }
 
-  test("hybrid search: candidate set broadcast, never a shuffle join of the corpus") {
+  test("hybrid search: the BOUNDED ANN side is the broadcast build side") {
     val p = plan("hybrid_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"hybrid candidates must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
+    // the subtree UNDER the BroadcastExchange (printed after it) must be
+    // the ≤ overFetch·topK ANN result (its bounded TakeOrderedAndProject),
+    // never the unbounded filter-survivor side — at permissive selectivity
+    // broadcasting the candidates ships ~the corpus to every executor. In
+    // the plan text the build subtree prints BELOW its exchange, so a
+    // TakeOrderedAndProject after "BroadcastExchange" pins the direction
+    // (the outer final top-K prints above the join).
+    val ex = p.indexOf("BroadcastExchange")
+    assert(ex >= 0 && p.indexOf("TakeOrderedAndProject", ex) > ex,
+      s"the broadcast build side is not the bounded ANN top-K:\n$p")
   }
 
   test("aggregation queries: one data shuffle with map-side partial aggregation") {

@@ -59,6 +59,46 @@ class PreparedSearchSpec extends SparkSpec {
     canon(schema, rs)
   }
 
+  test("compile isolation: concurrent compiles never toggle AQE for other " +
+    "planner threads (cloned planning session)") {
+    val cat = newCatalog()
+    cat.createCollection(meta("iso"))
+    cat.loadCollection("iso")
+    cat.insert("iso", rows(200, seed = 5))
+    val key = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(key) === "true", "precondition: session plans with AQE on")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sawToggle = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the bystander: keeps planning unrelated queries and watching the
+    // SESSION conf — pre-r10 the compile window set it to false globally
+    val watcher = new Thread(() => {
+      while (!stop.get()) {
+        if (spark.conf.get(key) != "true") sawToggle.set(true)
+        val p = rows(3, seed = 99).groupBy("label").count()
+          .queryExecution.executedPlan
+        if (!p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+          sawToggle.set(true)
+      }
+    })
+    watcher.start()
+    try {
+      // compile-heavy callers: distinct shapes so every call truly compiles
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          for (k <- 1 to 6)
+            cat.searchPrepared("iso", vecs(1, seed = t * 10 + k).head, topK = 4 * t + k)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    } finally { stop.set(true); watcher.join() }
+    assert(!sawToggle.get(),
+      "a concurrent compile leaked its AQE-off planning conf to another thread")
+    assert(spark.conf.get(key) === "true", "session conf must be untouched after compiles")
+    // and the compiled plans still serve correct results
+    val q = vecs(1, seed = 77).head
+    assert(viaPrepared(cat, "iso", q, 5) === viaSearch(cat, "iso", q, 5))
+  }
+
   test("prepared equals plan-per-call across random vectors (cosine, float)") {
     val cat = newCatalog()
     cat.createCollection(meta("pfa"))

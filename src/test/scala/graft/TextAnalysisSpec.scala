@@ -19,6 +19,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) === 5)          // hello world , foo !
   }
 
+  test("ONE token definition (\\s+) across every operator: multi-whitespace " +
+    "text scores identically to its single-space normalization") {
+    // "the  a\tand" has double spaces + a tab: under the \s+ definition it
+    // must behave exactly like "the a and" in EVERY derived metric —
+    // pre-r10, stopwordRatio/qualityScore/repetitionStats split on a
+    // single space and silently counted phantom empty tokens
+    val messy = "the  a\tand of\n to word"
+    val clean = "the a and of to word"
+    val df = Seq((0, messy), (1, clean)).toDF("doc_id", "text")
+    val r = df.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      round(TextAnalysis.stopwordRatio("text", TextAnalysis.defaultStopwords), 6).as("sr"),
+      round(TextAnalysis.qualityScore("text"), 6).as("q"))
+      .collect().sortBy(_.getInt(0))
+    assert(r(0).getInt(1) === 6 && r(1).getInt(1) === 6)
+    assert(r(0).getDouble(2) === r(1).getDouble(2), "stopwordRatio must use tokens()")
+    // quality differs only through length(text) (alpha + lenBand see the
+    // raw string), never through phantom empty tokens: recompute both
+    // scores from the \s+ token count and the raw lengths
+    def expectQ(text: String): Double = {
+      val toks = text.split("\\s+")
+      val alpha = text.count(_.isLetter).toDouble / text.length
+      val sr = toks.count(TextAnalysis.defaultStopwords.contains).toDouble / toks.length
+      val band = if (text.length.toDouble / toks.length >= 3.0 &&
+        text.length.toDouble / toks.length <= 10.0) 1.0 else 0.0
+      BigDecimal(alpha * 0.5 + sr * 0.3 + band * 0.2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r(0).getDouble(3) === expectQ(messy))
+    assert(r(1).getDouble(3) === expectQ(clean))
+    // repetitionStats bigrams come from the same definition: the tab/double
+    // spaces produce the identical bigram multiset
+    val reps = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().sortBy(_.getInt(0))
+    assert(reps(0).getLong(1) === reps(1).getLong(1))
+    assert(reps(0).getDouble(2) === reps(1).getDouble(2))
+  }
+
   test("alphaRatio counts only ascii letters") {
     val r = Seq("ab12").toDF("text")
       .select(TextAnalysis.alphaRatio(col("text"))).head().getDouble(0)
