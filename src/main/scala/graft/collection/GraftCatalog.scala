@@ -1184,7 +1184,17 @@ class GraftCatalog(spark: SparkSession, root: String,
     else versionArtifact(name, head, "istate") {
       val df = versionSnapshot(name, base)
       val pk = meta.idColumn
+      // PERSIST the ledger winners: they are O(changes) rows, and every
+      // probe over the chain otherwise re-reads the segments and re-runs
+      // the LWW window per request (measured 0.44 s vs 0.05 s per
+      // searchIvf at 1M+10k — the fold agg, not the data, was the cost).
+      // With the winners cached a chain probe pays base pruned scan +
+      // broadcast anti-join + union of cached rows. Lifecycle: the cache
+      // entry holds the only reference; when invalidatePrepared (flush /
+      // load / release / drop) or LRU eviction drops it, the ContextCleaner
+      // releases the blocks once the plan is unreachable.
       val winners = ledgerWinners(name, pk, base + 1 to head)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
         .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
       Mutations.deleteByKeys(df, winners.select(col(pk)), pk)
