@@ -108,7 +108,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     preparedMultiSearches.synchronized {
       preparedMultiSearches.keySet().removeIf(_.name == name)
     }
-    versionArtifacts.synchronized { versionArtifacts.keySet().removeIf(_._1 == name) }
+    versionArtifacts.synchronized {
+      val it = versionArtifacts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == name) { GraftCatalog.releaseArtifact(e.getValue); it.remove() }
+      }
+    }
   }
 
   /** Per-(name, version) cache of the IMMUTABLE per-version artifacts the
@@ -131,8 +137,18 @@ class GraftCatalog(spark: SparkSession, root: String,
   private val versionArtifacts =
     new java.util.LinkedHashMap[(String, Int, String), AnyRef](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, String), AnyRef]): Boolean =
-        size() > GraftCatalog.VersionArtifactCacheMax
+          e: java.util.Map.Entry[(String, Int, String), AnyRef]): Boolean = {
+        val evict = size() > GraftCatalog.VersionArtifactCacheMax
+        // persisted entries (the chain-winners DataFrame) must be
+        // UNPERSISTED on eviction: Dataset.persist registers the plan in
+        // the shared CacheManager, which holds it strongly until an
+        // explicit unpersist — dropping only the map reference would leak
+        // the cached blocks forever AND let a later sameResult plan (a
+        // re-created collection reusing version numbers over the same
+        // paths) silently serve the dropped collection's cached rows
+        if (evict) GraftCatalog.releaseArtifact(e.getValue)
+        evict
+      }
     }
 
   private def versionArtifact[A <: AnyRef](name: String, v: Int, kind: String)(
@@ -910,6 +926,23 @@ class GraftCatalog(spark: SparkSession, root: String,
     v
   }
 
+  /** Validate that `name` can take delta flushes NOW — a flushed base
+    * snapshot, with readable index sidecars where the meta declares
+    * layouts (an indexed base flushed empty refuses; flagless-with-IVF PQ
+    * sidecars refuse). The upfront check streaming per-batch durability
+    * runs at START, so a violation surfaces at the call site instead of
+    * as an async StreamingQueryException after batch 1 already mutated
+    * resident state. Implemented by dry-running [[decorateSegment]] on an
+    * empty frame — the ONE copy of the sidecar requirements. */
+  def requireDeltaReady(name: String): Unit = {
+    val meta = getMeta(name)
+    require(meta.currentVersion > 0,
+      s"collection $name: delta flushes require a flushed base snapshot — " +
+        "run a full flush first")
+    decorateSegment(name, meta, loadedOrThrow(name).limit(0))
+    ()
+  }
+
   /** Encode a pending-change ledger against the chain base's PERSISTED
     * index sidecars — the O(batch) half of the indexed-delta contract: put
     * rows get the SAME layout columns a full [[flush]] would compute (cell
@@ -1193,8 +1226,12 @@ class GraftCatalog(spark: SparkSession, root: String,
       // entry holds the only reference; when invalidatePrepared (flush /
       // load / release / drop) or LRU eviction drops it, the ContextCleaner
       // releases the blocks once the plan is unreachable.
-      val winners = ledgerWinners(name, pk, base + 1 to head)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // its OWN artifact entry so the release hooks (invalidatePrepared /
+      // LRU eviction) can reach and unpersist it — nested inside the
+      // istate plan it would outlive every map reference
+      val winners = versionArtifact(name, head, "iwinners")(
+        ledgerWinners(name, pk, base + 1 to head)
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val puts = winners.where(col(GraftCatalog.DeltaOpCol) === "put")
         .drop(GraftCatalog.DeltaOpCol, GraftCatalog.DeltaSeqCol, GraftCatalog.DeltaVerCol)
       Mutations.deleteByKeys(df, winners.select(col(pk)), pk)
@@ -1795,10 +1832,14 @@ class GraftCatalog(spark: SparkSession, root: String,
       .select(col("__audit_qid").as("qid"), col(pk))
     val hitCount = org.apache.spark.sql.functions.count(col("__hit")) // the
     // member method `count(name)` shadows functions.count here
+    // recall divides by the EXACT arm's actual row count, not the constant
+    // k: a collection (or probed state) with fewer than k rows would
+    // otherwise report a perfect probe as recall < 1
+    val exactCount = org.apache.spark.sql.functions.count(lit(1))
     arm(centroids.size)
       .join(arm(nprobe).withColumn("__hit", lit(1)), Seq("qid", pk), "left")
       .groupBy("qid")
-      .agg(hitCount.as("hits"), (hitCount / lit(k.toDouble)).as("recall"))
+      .agg(hitCount.as("hits"), (hitCount / exactCount).as("recall"))
       .orderBy("qid")
   }
 
@@ -2211,6 +2252,20 @@ object GraftCatalog {
   /** Bound on cached per-version artifacts (snapshot plan + sidecars);
     * entries are driver-sized by construction. */
   val VersionArtifactCacheMax: Int = 64
+
+  /** Unpersist a cached-artifact value as its cache entry is dropped:
+    * persisted DataFrames (the chain winners) are registered in the shared
+    * CacheManager, which holds them STRONGLY until an explicit unpersist —
+    * dropping only the map reference leaks the blocks and lets a later
+    * sameResult plan (a re-created collection reusing version numbers over
+    * the same paths) silently read the dropped collection's cached rows.
+    * Non-DataFrame artifacts (driver-side sidecars) and never-persisted
+    * plans are no-ops; `unpersist(false)` only removes the exact-plan
+    * cache entry, so the resident copy's (projected) entry is untouched. */
+  private[collection] def releaseArtifact(v: AnyRef): Unit = v match {
+    case df: DataFrame => try { df.unpersist(false); () } catch { case _: Throwable => () }
+    case _ => ()
+  }
 
   /** SAFETY check, enforced on EVERY path derivation ([[colDir]]): the name
     * must be exactly one path segment — no separators, no `.`/`..`, no NUL,

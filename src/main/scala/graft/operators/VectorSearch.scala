@@ -89,7 +89,13 @@ object VectorSearch {
     * the same way, core/core.go:795-814). One row per id relies on the
     * engine-wide pk-uniqueness contract (upsert by pk), which makes the
     * inner join exactly the semi-join intersection. Pinned by
-    * PlanShapeSpec ("bounded ANN side is the build side"). */
+    * PlanShapeSpec ("bounded ANN side is the build side").
+    *
+    * Duplicate-id frames: output is ONE row per id regardless of input
+    * multiplicity — the post-join dropDuplicates operates on the join
+    * OUTPUT (≤ overFetch·topK · dup-factor rows, output-bound), so the
+    * well-definedness costs a shuffle of a result-sized set, never of the
+    * corpus. */
   def hybridSearchWith(df: DataFrame, req: SearchRequest, candidatePred: Column,
                        overFetch: Int = 3): DataFrame = {
     require(overFetch >= 1, "overFetch must be >= 1")
@@ -97,6 +103,7 @@ object VectorSearch {
     val candidates = df.where(candidatePred).select(col(req.idCol))
     candidates.join(broadcast(ann), Seq(req.idCol))
       .select(ann.columns.toIndexedSeq.map(col): _*)
+      .dropDuplicates(req.idCol)
       .orderBy(col("dist").asc, col(req.idCol).asc)
       .limit(req.topK)
   }

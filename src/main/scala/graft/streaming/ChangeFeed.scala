@@ -134,13 +134,12 @@ object ChangeFeed {
     // and the per-batch durability path needs flushDelta's preconditions
     catalog.resident(name)
     if (deltaFlushEachBatch) {
-      val meta = catalog.getMeta(name)
-      require(meta.ivfCells.isEmpty && meta.pqConfig.isEmpty && !meta.hasBinaryIndex,
-        s"collection $name: deltaFlushEachBatch requires a non-index layout " +
-          "(flushDelta's contract — corpus-derived sidecars cannot ride delta segments)")
-      require(meta.currentVersion > 0,
-        s"collection $name: deltaFlushEachBatch requires a flushed base snapshot — " +
-          "run a full flush before starting the stream")
+      // index layouts COMPOSE with per-batch segments (r10): each batch's
+      // put rows are encoded against the base's persisted sidecars at
+      // segment-write time. The upfront requirement is flushDelta's own —
+      // a base snapshot whose sidecars exist (indexed-but-flushed-empty
+      // refuses here, not mid-stream)
+      catalog.requireDeltaReady(name)
     } else {
       val off = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
       val cpFs = off.getFileSystem(spark.sparkContext.hadoopConfiguration)

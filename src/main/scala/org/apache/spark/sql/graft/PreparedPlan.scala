@@ -96,25 +96,22 @@ object PreparedPlan {
     * against the resident object (r9 advice). */
   final class PlaceholderFoldedException(msg: String) extends IllegalStateException(msg)
 
-  /** One AQE-off PLANNING session per base session, cloned lazily: clones
-    * share the SparkContext, catalog and cache manager but own their
-    * SQLConf, so disabling AQE here is invisible to every other planner
-    * thread — the pre-r10 form toggled the session-global conf for the
-    * compile window and unrelated concurrent queries silently planned with
-    * AQE off (r9 advice). WeakHashMap: a retired base session must not be
-    * pinned by its planning clone. */
-  private[this] val planningSessions =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.classic.SparkSession]
-
+  /** A fresh AQE-off PLANNING session per compile: the clone shares the
+    * SparkContext, catalog and cache manager but owns its SQLConf, so
+    * disabling AQE here is invisible to every other planner thread — the
+    * pre-r10 form toggled the session-global conf for the compile window
+    * and unrelated concurrent queries silently planned with AQE off (r9
+    * advice). Cloned PER COMPILE, not cached: a cached clone (a) pins the
+    * base session forever (its parentSessionState closures reference it —
+    * a WeakHashMap keyed on the base cannot collect) and (b) freezes the
+    * base conf at first-compile time, so later spark.conf.set changes
+    * would silently diverge prepared plans from the plan-per-call path.
+    * cloneSession is milliseconds and compiles run once per (shape,
+    * resident object) — the clone is GC'd with the compile. */
   private def planningSession(spark: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.classic.SparkSession = planningSessions.synchronized {
-    var s = planningSessions.get(spark)
-    if (s == null) {
-      s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      planningSessions.put(spark, s)
-    }
+      : org.apache.spark.sql.classic.SparkSession = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     s
   }
 

@@ -235,6 +235,39 @@ class PreparedSearchSpec extends SparkSpec {
     }
   }
 
+  test("chain-winners cache: drop + recreate over the SAME version paths never " +
+    "serves the dropped collection's persisted ledger winners") {
+    val cat = newCatalog()
+    def buildChain(tag: String): Unit = {
+      cat.createCollection(CollectionMeta("cw", dim = dim, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(2), ivfTrainIterations = Some(0)))
+      cat.loadCollection("cw")
+      val rnd = new Random(if (tag == "a") 3 else 4)
+      cat.insert("cw", (0 until 100).map { i =>
+        (f"$tag$i%03d", Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+      }.toDF("id", "vector"))
+      cat.flush("cw") // v1
+      cat.insert("cw", (100 until 120).map { i =>
+        (f"$tag$i%03d", Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+      }.toDF("id", "vector"))
+      cat.flushDelta("cw") // v2 — same version PATH both times
+    }
+    buildChain("a")
+    val q = vecs(1, 98).head
+    // populate + MATERIALIZE the persisted winners cache (the probe
+    // executes the fold)
+    val a = cat.searchIvf("cw", q, 50, nprobe = 2).collect().map(_.getString(0))
+    assert(a.nonEmpty && a.forall(_.startsWith("a")))
+    cat.dropCollection("cw")
+    buildChain("b")
+    val b = cat.searchIvf("cw", q, 50, nprobe = 2).collect().map(_.getString(0))
+    assert(b.nonEmpty && b.forall(_.startsWith("b")),
+      s"stale cached chain winners served: ${b.filterNot(_.startsWith("b")).take(5).toSeq}")
+    // the delta rows specifically (the winners' content) must be tag-b
+    assert(b.exists(id => id.startsWith("b1")), "segment rows missing from the fold")
+  }
+
   test("version-artifact cache: drop + recreate reusing version numbers never " +
     "serves the old snapshot or sidecars (searchIvf / searchPq / searchBinary)") {
     val cat = newCatalog()

@@ -137,6 +137,57 @@ class StreamingReplaySpec extends SparkSpec {
     assert(ids(cat, "pre") === Map.empty, "refusal must leave resident state untouched")
   }
 
+  test("streaming per-batch segments into an INDEXED (IVF) collection: batches " +
+    "encode against the base sidecars and the chain probe serves them") {
+    // the r10 composition: deltaFlushEachBatch on an ivfCells collection —
+    // each micro-batch's puts are cell-assigned against the PERSISTED v1
+    // centroids at segment-write time; searchIvf folds base + segments
+    val logDir = Files.createTempDirectory("graft-six-log").toString
+    val ckpt = Files.createTempDirectory("graft-six-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-six").toString)
+    cat.createCollection(CollectionMeta("six", dim = 2, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("payload", "string")),
+      ivfCells = Some(2), ivfTrainIterations = Some(0)))
+    cat.loadCollection("six")
+    // seeds s0/s1 are the 2 pk-smallest rows → one centroid per cluster
+    cat.insert("six", Seq(
+      ("s0", "base", Seq(0f, 0f)), ("s1", "base", Seq(10f, 10f)),
+      ("x2", "base", Seq(0f, 1f)), ("x3", "base", Seq(10f, 11f)),
+      ("x4", "base", Seq(0f, 2f)), ("x5", "base", Seq(10f, 9f))
+    ).toDF("id", "payload", "vector"))
+    cat.flush("six") // v1: base + centroid sidecar
+    def batch(rows: Seq[(String, String, Long, String, Seq[Float])], f: String): Unit =
+      rows.toDF("op", "id", "version", "payload", "vector")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$logDir/$f")
+    // batch 1: a put into cluster B's cell + a delete of a B member
+    batch(Seq(
+      ("put", "n6", 1L, "b1", Seq(10f, 10.5f)),
+      ("del", "x3", 2L, null, null)), "b1")
+    // batch 2: a put into cluster A + x5 MOVES from B's cell to A's
+    batch(Seq(
+      ("put", "n7", 3L, "b2", Seq(0f, 0.5f)),
+      ("put", "x5", 4L, "b2", Seq(0f, 3f))), "b2")
+    val schema = spark.read.parquet(s"$logDir/b1").schema
+    val q = ChangeFeed.runIntoCollection(cat, "six", spark, logDir + "/*", schema,
+      versionCol = "version", checkpointDir = ckpt,
+      deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    assert(cat.getMeta("six").currentVersion === 3, "two streamed segments expected")
+    // probe ONLY cluster B's cell over the chain: the streamed put is
+    // there, the streamed delete and the moved row are not
+    val bCell = cat.searchIvf("six", Array(10f, 10f), topK = 10, nprobe = 1)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(bCell === Set("s1", "n6"), s"B-cell fold over streamed segments: $bCell")
+    // cold load folds the same state
+    cat.releaseCollection("six")
+    cat.loadCollection("six")
+    val all = ids(cat, "six")
+    assert(!all.contains("x3") && all.contains("n6") && all.contains("n7"))
+    assert(all("x5") === "b2")
+  }
+
   test("applyChanges rejects ops outside {put, del} loudly instead of dropping the key") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-op").toString)
     cat.createCollection(feedMeta("op"))
