@@ -1933,20 +1933,37 @@ class GraftCatalog(spark: SparkSession, root: String,
         }
         (restricted, graft.ann.Pq.adcDist(col(GraftCatalog.PqCodeCol), cb, qv))
       }
-    val adc = snap.select(col(meta.idColumn), adcExpr.as("__adc"))
+    // carry the cell through the ADC ranking (when the layout has one) so
+    // the rerank scan can be restricted to the CANDIDATES' OWN partition
+    // directories — without it the id-isin pushdown still opens every cell
+    // dir's footers (measured as the bulk of serve_pq_1m's 0.43 s; the ADC
+    // pass itself is ~0.04 s)
+    val adcCols =
+      if (hasCells) Seq(col(meta.idColumn), col(GraftCatalog.CellCol), adcExpr.as("__adc"))
+      else Seq(col(meta.idColumn), adcExpr.as("__adc"))
+    val adc = snap.select(adcCols: _*)
     if (!rerank)
       adc.select(col(meta.idColumn), round(col("__adc"), 6).as("dist"))
         .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
     else {
-      // candidate ids are O(topK·overFetch) — driver-size, like centroid
-      // sidecars; the isin pushes into the rerank scan as a parquet filter
-      val candIds = adc.orderBy(col("__adc").asc, col(meta.idColumn).asc)
-        .limit(topK * overFetch).select(meta.idColumn).collect().map(_.get(0))
+      // candidates are O(topK·overFetch) — driver-size, like centroid
+      // sidecars; id + cell both push into the rerank scan (the cell as
+      // partition-directory pruning, the id as a parquet filter)
+      val cand = adc.orderBy(col("__adc").asc, col(meta.idColumn).asc)
+        .limit(topK * overFetch)
+        .select(adcCols.init.map(c => c): _*).collect()
+      val candIds = cand.map(_.get(0)).toIndexedSeq
       val vec = meta.quantization match {
         case "none" => col(VectorCol)
         case q      => dequantize(col(VectorCol), q)
       }
-      snap.where(col(meta.idColumn).isin(candIds.toIndexedSeq: _*))
+      val pruned =
+        if (hasCells) {
+          val candCells = cand.map(_.get(1)).distinct.toIndexedSeq
+          snap.where(col(GraftCatalog.CellCol).isin(candCells: _*) &&
+            col(meta.idColumn).isin(candIds: _*))
+        } else snap.where(col(meta.idColumn).isin(candIds: _*))
+      pruned
         .select(col(meta.idColumn),
           round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
         .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
@@ -1987,17 +2004,31 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"binary sidecar dimension mismatch: ${th.length} vs ${meta.dim}")
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val qc = graft.ann.Bin.encodeOne(qv, th)
-    // candidate ids are O(topK·overFetch) — driver-sized; the isin pushes
-    // into the rerank scan as a parquet filter (same as searchPq's rerank)
-    val candIds = full.select(col(meta.idColumn),
-        graft.ann.Bin.hamming(col(GraftCatalog.BinCol), qc).as("__h"))
+    // candidates are O(topK·overFetch) — driver-sized; on a
+    // cell-partitioned layout (binary composed with ivfCells) the
+    // candidates' own cells restrict the rerank to THEIR partition
+    // directories, the searchPq discipline — an id-only isin still opens
+    // every cell dir's footers
+    val withCell = full.columns.contains(GraftCatalog.CellCol)
+    val p1 =
+      if (withCell) Seq(col(meta.idColumn), col(GraftCatalog.CellCol))
+      else Seq(col(meta.idColumn))
+    val cand = full.select(p1 :+
+        graft.ann.Bin.hamming(col(GraftCatalog.BinCol), qc).as("__h"): _*)
       .orderBy(col("__h").asc, col(meta.idColumn).asc)
-      .limit(topK * overFetch).select(meta.idColumn).collect().map(_.get(0))
+      .limit(topK * overFetch).select(p1: _*).collect()
+    val candIds = cand.map(_.get(0)).toIndexedSeq
     val vec = meta.quantization match {
       case "none" => col(VectorCol)
       case q      => dequantize(col(VectorCol), q)
     }
-    full.where(col(meta.idColumn).isin(candIds.toIndexedSeq: _*))
+    val pruned =
+      if (withCell) {
+        val candCells = cand.map(_.get(1)).distinct.toIndexedSeq
+        full.where(col(GraftCatalog.CellCol).isin(candCells: _*) &&
+          col(meta.idColumn).isin(candIds: _*))
+      } else full.where(col(meta.idColumn).isin(candIds: _*))
+    pruned
       .select(col(meta.idColumn),
         round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
       .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)

@@ -32,6 +32,40 @@ class CatalogPqSpec extends SparkSpec {
       ivfCells = ivf,
       pqSubspaces = Some(4), pqCodewords = Some(8), pqTrainIterations = Some(1))
 
+  test("IVF-PQ rerank scan reads ONLY the candidates' cell directories (r10)") {
+    // 4 well-separated 16-d clusters (seeds A0..A3 are the pk-smallest
+    // rows → one centroid per cluster); a query at cluster 1's center
+    // draws all its ADC candidates from that cluster, so the rerank scan
+    // must open exactly ONE of the 4 cell directories — an id-only isin
+    // opened all 4 dirs' footers (the pre-r10 serve_pq cost)
+    val centers = Seq.tabulate(4)(c => Array.tabulate(16)(j =>
+      if (j == c) 100f else 0f))
+    val rows = centers.zipWithIndex.flatMap { case (cv, ci) =>
+      (s"A$ci", ci, cv.toSeq) +: (1 until 30).map { j =>
+        (s"B${ci}_$j", ci, cv.map(x => x + (j % 5) - 2f).toSeq)
+      }
+    }.toDF("id", "label", "vector")
+    val cat = newCatalog()
+    cat.createCollection(pqMeta("pqprune", ivf = Some(4)))
+    cat.loadCollection("pqprune")
+    cat.insert("pqprune", rows)
+    cat.flush("pqprune")
+    val q = centers(1)
+    val res = cat.searchPq("pqprune", q, topK = 3, rerank = true, overFetch = 2)
+    val scans = res.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val cellsRead = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).filter(_.contains("__cell="))
+      .map(_.split("__cell=")(1).split("/")(0))).distinct
+    assert(cellsRead.length === 1,
+      s"rerank must read only the candidates' cell dir, read: $cellsRead")
+    // and the reranked result equals the exact search
+    val exact = cat.search("pqprune", q, topK = 3)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(res.select("id").collect().map(_.getString(0)).toSeq === exact)
+  }
+
   test("flush writes codes + sidecar; resident view and search stay clean") {
     val cat = newCatalog()
     cat.createCollection(pqMeta("pqa"))
