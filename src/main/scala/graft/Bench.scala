@@ -919,7 +919,9 @@ object Bench {
         spark, TempRoots.create("bench-servedist").toString)
       cat.createCollection(graft.collection.CollectionMeta("sv", dim = 128,
         distance = "cosine",
-        fields = Seq(graft.collection.IndexField("id", "string", primaryKey = true)),
+        fields = Seq(
+          graft.collection.IndexField("id", "string", primaryKey = true),
+          graft.collection.IndexField("label", "integer")),
         ivfCells = Some(256), ivfTrainIterations = Some(2),
         ivfTrainSampleMod = Some(16L),
         pqSubspaces = Some(16), pqCodewords = Some(256),
@@ -931,6 +933,7 @@ object Bench {
       try {
         cat.loadCollection("sv")
         cat.insert("sv", e.select(col("vec_id").cast("string").as("id"),
+          (col("vec_id") % 100).cast("long").as("label"),
           col("embedding").as("vector")))
         cat.flush("sv")
         val rnd = new scala.util.Random(11)
@@ -965,8 +968,15 @@ object Bench {
             .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
           Seq.empty[(String, Double)]
         }
+        // r10: the filtered probe (S3 pre-filter on the index rung) must
+        // cost ~the unfiltered one — the predicate is one more conjunct
+        // pushed into the SAME pruned scan, not a fallback to a flat scan
+        val ivfFilter = Some(graft.FilterExpr.Single(
+          "label", graft.FilterExpr.Lt, 50L): graft.FilterExpr)
         val probeRows =
           perReq("serve_ivf_1m")(v => cat.searchIvf("sv", v, 10, nprobe = 8).collect(): Unit) ++
+            perReq("serve_ivf_filtered_1m")(v =>
+              cat.searchIvf("sv", v, 10, nprobe = 8, filter = ivfFilter).collect(): Unit) ++
             perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
             perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit) ++
             batchRows
@@ -984,6 +994,7 @@ object Bench {
         val indexedDeltaRows = try {
           cat.insert("sv", e.where(col("vec_id") < 10000)
             .select((col("vec_id") + 2000000L).cast("string").as("id"),
+              (col("vec_id") % 100).cast("long").as("label"),
               col("embedding").as("vector")))
           val t0 = System.nanoTime()
           cat.flushDelta("sv")

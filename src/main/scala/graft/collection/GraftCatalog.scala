@@ -1561,12 +1561,11 @@ class GraftCatalog(spark: SparkSession, root: String,
         col(VectorCol), lit(qv), q, meta.distance))
     }
     // Schema-less collections evaluate the SAME filter AST through the
-    // string-coerced map (CoreMeta parse-compare semantics) — applied
-    // before scoring, like the typed path's pushed predicate.
+    // string-coerced map (CoreMeta parse-compare semantics,
+    // [[applyFilter]]) — applied before scoring, like the typed path's
+    // pushed predicate.
     val (base, pushFilter) =
-      if (meta.isSchemaless)
-        (filter.map(f => df.where(graft.core.CoreMeta.filterColumn(
-          col(CollectionMeta.MetaCol), col(meta.idColumn), f))).getOrElse(df), None)
+      if (meta.isSchemaless) (applyFilter(df, meta, filter), None)
       else (df, filter)
     VectorSearch.search(base,
         SearchRequest(qv, topK, metric = meta.distance, filter = pushFilter, offset = offset,
@@ -1641,9 +1640,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       case q      => graft.functions.distance_quant(col(VectorCol), phCol, q, meta.distance)
     }
     val (base, pushFilter) =
-      if (meta.isSchemaless)
-        (filter.map(f => df.where(graft.core.CoreMeta.filterColumn(
-          col(CollectionMeta.MetaCol), col(meta.idColumn), f))).getOrElse(df), None)
+      if (meta.isSchemaless) (applyFilter(df, meta, filter), None)
       else (df, filter)
     val searchDf = VectorSearch.search(base,
       SearchRequest(new Array[Float](meta.dim), topK, metric = meta.distance,
@@ -1672,10 +1669,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       case q      => Some(graft.functions.distance_quant(
         col(VectorCol), lit(qv), q, meta.distance))
     }
-    val pred =
-      if (meta.isSchemaless)
-        graft.core.CoreMeta.filterColumn(col(CollectionMeta.MetaCol), col(meta.idColumn), filter)
-      else filter.toColumn
+    val pred = metaFilterColumn(meta, filter)
     VectorSearch.hybridSearchWith(df,
       SearchRequest(qv, topK, metric = meta.distance, idCol = meta.idColumn,
         vectorCol = VectorCol, customDistance = fused),
@@ -1684,14 +1678,45 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   def count(name: String): Long = loadedOrThrow(name).count()
 
+  /** The filter AST as a predicate over this collection's rows — typed
+    * collections compare the declared columns directly (the predicate
+    * pushes into parquet); schemaless collections route the SAME tree
+    * through the string-coerced map semantics ([[graft.core.CoreMeta]]),
+    * exactly as [[search]] does. One definition so the flat and indexed
+    * paths cannot drift. */
+  private def metaFilterColumn(meta: CollectionMeta, filter: FilterExpr): Column =
+    if (meta.isSchemaless)
+      graft.core.CoreMeta.filterColumn(col(CollectionMeta.MetaCol), col(meta.idColumn), filter)
+    else filter.toColumn
+
+  /** `df` restricted to `filter` survivors (no-op when absent) — the one
+    * seam every search path applies its pre-filter through. */
+  private def applyFilter(df: DataFrame, meta: CollectionMeta,
+                          filter: Option[FilterExpr]): DataFrame =
+    filter.map(f => df.where(metaFilterColumn(meta, f))).getOrElse(df)
+
   /** IVF (cell-probed) search over the PARTITIONED ON-DISK snapshot of an
     * `ivfCells` collection: the `nprobe` centroids nearest the query select
     * cells, and the `__cell` predicate prunes whole partition directories
     * before any file is opened — the batch-scale stand-in for the
     * reference's HNSW index scan (S4), trading bounded recall for a scan
     * that touches nprobe/k of the data. Exact search over the loaded
-    * collection ([[search]]) remains the recall-1.0 path. */
-  def searchIvf(name: String, queryVector: Array[Float], topK: Int, nprobe: Int): DataFrame = {
+    * collection ([[search]]) remains the recall-1.0 path.
+    *
+    * `filter` is the reference's candidate-list semantics (S3, rpc.go
+    * Search: the metadata predicate builds the candidate set the scan
+    * ranks — filter BEFORE scoring) carried onto the indexed path: the
+    * predicate conjoins with the probed-cell restriction on the SAME
+    * snapshot scan, so partition-directory pruning stays intact and the
+    * metadata comparison pushes into the parquet row groups
+    * (IvfCatalogSpec pins both in the physical plan). Without it a
+    * filtered query on an indexed collection would be forced off the
+    * index onto the resident flat scan — exactly wrong at 100 TB. Note
+    * the recall trade is the standard pre-filter one: matches living
+    * outside the probed cells are not recovered; raise `nprobe` for
+    * selective filters. */
+  def searchIvf(name: String, queryVector: Array[Float], topK: Int, nprobe: Int,
+                filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -1706,8 +1731,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     val centroids = readCentroids(name, sv)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
-    val snap = indexedState(name, meta)
+    val snap0 = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val snap = applyFilter(snap0, meta, filter)
     val decoded = meta.quantization match {
       case "none" => snap
       case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
@@ -1729,9 +1755,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     * back to the exact flat batch ([[graft.ann.Ann.bruteForceTopK]]): the
     * query set broadcasts over ONE resident-corpus scan, per-qid bounded
     * window — recall 1 by construction, `nprobe` ignored. Output:
-    * (qid, idColumn, dist, rn). */
+    * (qid, idColumn, dist, rn).
+    *
+    * `filter` restricts the corpus side for EVERY query of the batch (the
+    * [[searchIvf]] pre-filter semantics, S3): one predicate conjoined with
+    * the cell equi-join's scan — partition pruning and parquet pushdown
+    * intact, never a per-query re-scan. */
   def searchBatch(name: String, queries: Seq[(String, Array[Float])],
-                  topK: Int, nprobe: Int): DataFrame = {
+                  topK: Int, nprobe: Int,
+                  filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
     require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMulti")
     require(queries.nonEmpty, "searchBatch requires at least one query")
@@ -1750,7 +1782,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (meta.ivfCells.isEmpty) {
       // flat fallback over the loaded collection (same residency contract
       // as single-query search — no flush required)
-      val df = loadedOrThrow(name)
+      val df0 = loadedOrThrow(name)
+      val df = applyFilter(df0, meta, filter)
       val qdfFlat = queries.map { case (qid, v) =>
         (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
       }.toDF("__batch_qid", "__batch_qvec")
@@ -1776,8 +1809,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     val qdf = queries.map { case (qid, v) =>
       (qid, GraftCatalog.prepareQueryVector(v, meta).toSeq)
     }.toDF("__batch_qid", "__batch_qvec")
-    val snap = indexedState(name, meta)
+    val snap0 = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val snap = applyFilter(snap0, meta, filter)
     val decoded = meta.quantization match {
       case "none" => snap
       case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
@@ -1801,7 +1835,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     * the bounded cell-join + partial-WindowGroupLimit shape, never
     * corpus × corpus. Works over delta chains like every snapshot rung
     * ([[indexedState]]). Output: (qid, hits, recall) per sampled query. */
-  def auditRecall(name: String, sampleMod: Long, nprobe: Int, k: Int = 10): DataFrame = {
+  def auditRecall(name: String, sampleMod: Long, nprobe: Int, k: Int = 10,
+                  filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.ivfCells.isDefined,
       s"collection $name has no IVF layout — auditRecall certifies the IVF probe")
@@ -1816,8 +1851,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     if (!fs.exists(centroidDir(name, sv)))
       return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
     val centroids = readCentroids(name, sv)
-    val snap = indexedState(name, meta)
+    // `filter` audits the FILTERED probe ([[searchIvf]]'s pre-filter):
+    // both arms see the same filtered corpus, so the number measures what
+    // a selective predicate does to IVF recall (survivors of a selective
+    // filter scatter across cells — exactly the rollout question). Queries
+    // are sampled from the filtered set too: they are the queries that
+    // serving path answers.
+    val snap0 = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val snap = applyFilter(snap0, meta, filter)
     val decoded = meta.quantization match {
       case "none" => snap
       case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
@@ -1857,10 +1899,16 @@ class GraftCatalog(spark: SparkSession, root: String,
     *
     * Composes with the IVF layout: a collection with both `ivfCells` and
     * `pqSubspaces` stores cell-partitioned code columns, so a
-    * cell-restricted ADC scan is exactly IVF-PQ. */
+    * cell-restricted ADC scan is exactly IVF-PQ.
+    *
+    * `filter` pre-filters the pass-1 code scan ([[searchIvf]]'s S3
+    * semantics — filter before scoring): one more conjunct on the same
+    * pruned read, candidates are survivors by construction, the rerank
+    * pass is unchanged. */
   def searchPq(name: String, queryVector: Array[Float], topK: Int,
                rerank: Boolean = true, overFetch: Int = 4,
-               nprobe: Option[Int] = None): DataFrame = {
+               nprobe: Option[Int] = None,
+               filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -1941,7 +1989,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     val adcCols =
       if (hasCells) Seq(col(meta.idColumn), col(GraftCatalog.CellCol), adcExpr.as("__adc"))
       else Seq(col(meta.idColumn), adcExpr.as("__adc"))
-    val adc = snap.select(adcCols: _*)
+    // pre-filter semantics (S3, as in searchIvf): the predicate restricts
+    // the PASS-1 code scan — one conjunct on the same pruned read — so
+    // every ADC candidate is a filter survivor; the rerank pass needs no
+    // re-check (candidate ids are pk-unique survivors by construction)
+    val adcSnap = applyFilter(snap, meta, filter)
+    val adc = adcSnap.select(adcCols: _*)
     if (!rerank)
       adc.select(col(meta.idColumn), round(col("__adc"), 6).as("dist"))
         .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
@@ -1978,9 +2031,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     * id-pruned read of O(topK·overFetch) rows, the [[searchPq]] rerank
     * shape). At 100 TB the first pass is the cheapest possible full scan
     * and the second never grows with the corpus. Recall is the standard
-    * sign-sketch trade, tunable via `overFetch`. */
+    * sign-sketch trade, tunable via `overFetch`.
+    *
+    * `filter` pre-filters the pass-1 Hamming scan ([[searchIvf]]'s S3
+    * semantics): every candidate entering the exact rerank is a filter
+    * survivor; the rerank pass is unchanged. */
   def searchBinary(name: String, queryVector: Array[Float], topK: Int,
-                   overFetch: Int = 3): DataFrame = {
+                   overFetch: Int = 3,
+                   filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -2013,7 +2071,10 @@ class GraftCatalog(spark: SparkSession, root: String,
     val p1 =
       if (withCell) Seq(col(meta.idColumn), col(GraftCatalog.CellCol))
       else Seq(col(meta.idColumn))
-    val cand = full.select(p1 :+
+    // pre-filter the Hamming pass (S3 semantics, as in searchIvf): the
+    // candidates the rerank re-scores are filter survivors by construction
+    val p1snap = applyFilter(full, meta, filter)
+    val cand = p1snap.select(p1 :+
         graft.ann.Bin.hamming(col(GraftCatalog.BinCol), qc).as("__h"): _*)
       .orderBy(col("__h").asc, col(meta.idColumn).asc)
       .limit(topK * overFetch).select(p1: _*).collect()

@@ -191,6 +191,79 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.searchBinary("binc", qv, topK = 10, overFetch = 3)
     }),
+    // Filtered search ON THE INDEX RUNGS (the reference's S3 candidate-list
+    // semantics — filter BEFORE scoring, rpc.go Search — carried onto the
+    // flushed layouts): without this, any query with a metadata predicate
+    // would be forced off the index onto the flat resident scan. The
+    // predicate conjoins with the probed-cell restriction on the SAME
+    // snapshot scan (partition pruning + parquet pushdown intact). The
+    // oracle replays seed training, assignment, probe, FILTER, ranking.
+    "ivf_search_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-ivff").toString)
+      cat.createCollection(CollectionMeta("ivff", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("ivff")
+      cat.insert("ivff", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("ivff")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchIvf("ivff", qv, topK = 10, nprobe = 3,
+        filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
+    }),
+    // Filtered ADC: the predicate restricts the PASS-1 code scan, so every
+    // ADC candidate is a filter survivor. rerank=false makes the raw ADC
+    // ordering itself the checked output (the reranked two-pass shape is
+    // bin_search_filtered's territory).
+    "pq_search_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pqf").toString)
+      cat.createCollection(CollectionMeta("pqf", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        pqSubspaces = Some(4), pqCodewords = Some(16), pqTrainIterations = Some(0)))
+      cat.loadCollection("pqf")
+      cat.insert("pqf", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("pqf")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchPq("pqf", qv, topK = 10, rerank = false,
+        filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
+    }),
+    // Filtered two-pass binary search: the predicate restricts the pass-1
+    // Hamming scan, the exact rerank re-scores survivors only. The oracle
+    // replays thresholds (trained at flush over the FULL corpus — the
+    // filter is query-time), the FILTERED Hamming top-30, and the rerank,
+    // so prefilter membership AND ranking must agree bit-for-bit.
+    "bin_search_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-binf").toString)
+      cat.createCollection(CollectionMeta("binf", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        binaryIndex = Some(true)))
+      cat.loadCollection("binf")
+      cat.insert("binf", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("binf")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchBinary("binf", qv, topK = 10, overFetch = 3,
+        filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
+    }),
     // Delta-flush lifecycle (S7's O(changes) segment shape) end to end:
     // base flush → a relabel-update batch (vec_id%7==0 → label+100) and a
     // predicate delete (label >= 105, striking some of the just-updated
@@ -643,6 +716,71 @@ object PersistenceQueries {
         |      FROM b, q ORDER BY h, id LIMIT 30)
         |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
         |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
+    // seed centroids (8 id-smallest rows), per-row argmin assignment, probe
+    // the query's 3 nearest cells, then rank ONLY rows passing the filter —
+    // cell membership, filter semantics, and ranking all checked at once
+    "ivf_search_filtered" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    label, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT e.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM emb e, cents c) WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |SELECT e.id, CAST(a.cid AS INTEGER) AS cell,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM emb e JOIN asg a ON a.id = e.id, q
+        |WHERE a.cid IN (SELECT cid FROM probe) AND e.label < 5
+        |ORDER BY dist, e.id LIMIT 10""".stripMargin,
+    // catalog_pq_search with the scored set restricted to filter survivors;
+    // the codebook stays trained on the FULL corpus (flush-time), only the
+    // query-time scan is filtered
+    "pq_search_filtered" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    label, embedding FROM embeddings),
+        |fin AS (SELECT * FROM emb WHERE label < 5),
+        |sp AS (SELECT j FROM range(0, 4) r(j)),
+        |cb AS (SELECT sp.j, e.vec_id AS cid, e.embedding[sp.j*16+1 : sp.j*16+16] AS cv
+        |  FROM emb e, sp WHERE e.vec_id < 16),
+        |q AS (SELECT sp.j, e.embedding[sp.j*16+1 : sp.j*16+16] AS qv
+        |  FROM emb e, sp WHERE e.vec_id = 0),
+        |asg AS (SELECT id, j, cid FROM (
+        |  SELECT f.id, c.j, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY f.id, c.j
+        |      ORDER BY ROUND(list_distance(f.embedding[c.j*16+1 : c.j*16+16]::DOUBLE[],
+        |                                   c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM fin f, cb c) WHERE rn = 1),
+        |adc AS (SELECT a.id,
+        |    SQRT(SUM(POWER(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 2))) AS d
+        |  FROM asg a JOIN cb c ON c.j = a.j AND c.cid = a.cid JOIN q ON q.j = a.j
+        |  GROUP BY a.id)
+        |SELECT adc.id, ROUND(adc.d, 6) AS dist FROM adc
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // catalog_bin_search with the Hamming pass restricted to filter
+    // survivors; thresholds stay trained on the FULL corpus (flush-time)
+    "bin_search_filtered" ->
+      """WITH s0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM s0),
+        |th0 AS (SELECT dim, (min(x) + max(x)) / 2.0 AS t FROM d GROUP BY dim),
+        |th AS (SELECT list(t ORDER BY dim) AS ts FROM th0),
+        |s AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id,
+        |    embedding::DOUBLE[] AS v FROM embeddings WHERE label < 5),
+        |b AS (SELECT id, v, list_transform(range(1, len(v) + 1),
+        |        i -> CASE WHEN v[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits
+        |      FROM s, th),
+        |q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT list_transform(range(1, len(q0.qv) + 1),
+        |        i -> CASE WHEN q0.qv[i] > th.ts[i] THEN 1 ELSE 0 END) AS bits FROM q0, th),
+        |c AS (SELECT b.id, b.v,
+        |        list_sum(list_transform(range(1, len(b.bits) + 1),
+        |          i -> CASE WHEN b.bits[i] <> qb.bits[i] THEN 1 ELSE 0 END)) AS h
+        |      FROM b, qb ORDER BY h, id LIMIT 30)
+        |SELECT c.id, ROUND(list_distance(c.v, q0.qv), 6) AS dist
+        |FROM c, q0 ORDER BY dist, id LIMIT 10""".stripMargin,
     "delta_flush_roundtrip" ->
       """WITH base AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
         |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),

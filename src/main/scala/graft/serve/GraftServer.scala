@@ -234,7 +234,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val req = JsonMethods.parse(body)
         val vector = parseVector(req, "search")
         val topK = intOr(req, "topK", 10)
-        val filter = (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
+        val filter = optFilter(req)
         val offset = intOr(req, "offset", 0)
         val minScore = (req \ "minScore").toOption.map(num)
         // plan-once/execute-many: repeated requests of one shape swap the
@@ -265,7 +265,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("POST", "collections" :: name :: "searchIvf" :: Nil) =>
         val req = JsonMethods.parse(body)
         val (vector, topK, nprobe) = parseProbe(req, "searchIvf")
-        withVacuumRecovery(name)(rowsJson(catalog.searchIvf(name, vector, topK, nprobe)))
+        val filter = optFilter(req)
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchIvf(name, vector, topK, nprobe, filter)))
       // Batch retrieval (the knnJoin primitive over the IVF layout): the k
       // nearest rows for EVERY query of a batch in ONE Spark plan — the
       // retrieval-augmentation shape, amortizing the per-job dispatch floor
@@ -299,7 +301,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           "searchBatch query ids must be unique")
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
-        withVacuumRecovery(name)(rowsJson(catalog.searchBatch(name, queries, topK, nprobe)))
+        val batchFilter = optFilter(req)
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchBatch(name, queries, topK, nprobe, batchFilter)))
       // Recall audit of the IVF probe (ann_recall as an API): both arms run
       // the SAME knnJoin path (exact = nprobe at all cells), queries are
       // the id-hash 1/sampleMod sample of the collection — the caller
@@ -309,7 +313,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val sampleMod = intOr(req, "sampleMod", 101).toLong
         val nprobe = intOr(req, "nprobe", 4)
         val k = intOr(req, "k", 10)
-        withVacuumRecovery(name)(rowsJson(catalog.auditRecall(name, sampleMod, nprobe, k)))
+        val auditFilter = optFilter(req)
+        withVacuumRecovery(name)(
+          rowsJson(catalog.auditRecall(name, sampleMod, nprobe, k, auditFilter)))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>
@@ -319,8 +325,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val rerank = (req \ "rerank").toOption.collect { case JBool(b) => b }.getOrElse(true)
         val overFetch = intOr(req, "overFetch", 4)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
+        val pqFilter = optFilter(req)
         withVacuumRecovery(name)(
-          rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe)))
+          rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe, pqFilter)))
       // two-pass binary search: Hamming prefilter over the packed
       // sign-code column, exact rerank on the stored vectors
       case ("POST", "collections" :: name :: "searchBinary" :: Nil) =>
@@ -328,10 +335,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val vector = parseVector(req, "searchBinary")
         val topK = intOr(req, "topK", 10)
         val overFetch = intOr(req, "overFetch", 3)
+        val binFilter = optFilter(req)
         withVacuumRecovery(name)(
-          rowsJson(catalog.searchBinary(name, vector, topK, overFetch)))
+          rowsJson(catalog.searchBinary(name, vector, topK, overFetch, binFilter)))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchLocal")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
         val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
         // The SAME query prep as the distributed probes (normalize when
@@ -345,6 +354,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // answers go through searchPq's rerank)
       case ("POST", "collections" :: name :: "searchLocalPq" :: Nil) =>
         val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchLocalPq")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocalPq")
         val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
@@ -354,6 +364,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // through searchBinary's rerank)
       case ("POST", "collections" :: name :: "searchLocalBin" :: Nil) =>
         val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchLocalBin")
         val vector = parseVector(req, "searchLocalBin")
         val topK = intOr(req, "topK", 10)
         val idx = localBinIndexes.getOrElseUpdate(name, catalog.localBinIndex(name))
@@ -363,6 +374,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
       case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>
         val req = JsonMethods.parse(body)
+        // the experimental CFLAT engine defines no filtered multi-vector
+        // search (no FilterExpression in experimental.proto) — refuse
+        // rather than silently return unfiltered hits
+        requireNoFilter(req, "searchMulti")
         val fields = req \ "fields" match {
           case JArray(fs) => fs.map { f =>
             graft.operators.MultiVectorSearch.FieldQuery(
@@ -570,6 +585,21 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       pqTrainSampleMod = (j \ "pqTrainSampleMod").extractOpt[Long],
       binaryIndex = (j \ "binaryIndex").extractOpt[Boolean])
   }
+
+  /** The request's optional `"filter"` field, parsed — one definition for
+    * every route that serves filtered results. */
+  private def optFilter(req: JValue): Option[FilterExpr] =
+    (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
+
+  /** Routes that serve UNFILTERED results (driver-local indexes hold no
+    * metadata; multi-vector search has no reference filter semantics)
+    * would SILENTLY ignore a `filter` body field, returning unfiltered
+    * hits to a caller who asked for filtered ones. Refuse loudly and
+    * point at the rungs that do serve filters. */
+  private def requireNoFilter(req: JValue, route: String): Unit =
+    require((req \ "filter").toOption.forall(_ == JNothing),
+      s"$route serves unfiltered probes and would ignore the filter; filtered " +
+        "search is served by search/searchIvf/searchPq/searchBinary/searchBatch")
 
   /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |
     * `{"or":[..]}` — the proto FilterExpression tree (edge.proto:139-154). */

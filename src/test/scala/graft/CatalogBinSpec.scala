@@ -78,6 +78,30 @@ class CatalogBinSpec extends SparkSpec {
     assert(top.head.getString(0) === want.head._1)
   }
 
+  test("filtered searchBinary: the predicate pre-filters the Hamming pass; " +
+    "full over-fetch equals the exact filtered top-k") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("binfl"))
+    cat.loadCollection("binfl")
+    cat.insert("binfl", fixtureRows(60, 16))
+    cat.flush("binfl")
+    val q = fixtureRows(60, 16).where(col("id") === "017")
+      .select("vector").head().getSeq[Float](0).toArray
+    // labels are the row index: label >= 10 drops 004 — the exact duplicate
+    // of the 017 query — so the filtered winner must be 017 itself at
+    // distance 0 (a filtered-OUT duplicate cannot shadow a survivor)
+    val f = Some(FilterExpr.Single("label", FilterExpr.Gte, 10))
+    val top = cat.searchBinary("binfl", q, topK = 1, filter = f).collect()
+    assert(top.head.getString(0) === "017" && top.head.getDouble(1) === 0.0)
+    // over-fetch big enough to drain the filtered set → the rerank IS the
+    // exact filtered scan, so agreement with search(filter) must be total
+    val got = cat.searchBinary("binfl", q, topK = 5, overFetch = 12, filter = f)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = cat.search("binfl", q, topK = 5, filter = f)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
   test("binary layout composes with quantized storage and the IVF layout") {
     val cat = newCatalog()
     cat.createCollection(binMeta("binq", quant = "f16", ivf = Some(4)))

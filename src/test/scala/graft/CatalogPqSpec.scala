@@ -104,6 +104,30 @@ class CatalogPqSpec extends SparkSpec {
     assert(pq === exact)
   }
 
+  test("filtered searchPq: the predicate pre-filters the PASS-1 code scan; " +
+    "draining over-fetch equals the exact filtered top-k") {
+    val cat = newCatalog()
+    cat.createCollection(pqMeta("pqfl"))
+    cat.loadCollection("pqfl")
+    cat.insert("pqfl", fixtureRows(60, 16))
+    cat.flush("pqfl")
+    val q = fixtureRows(7, 16).where(col("label") === 6)
+      .select("vector").head().getSeq[Float](0).toArray
+    val f = Some(FilterExpr.Single("label", FilterExpr.Gte, 10))
+    // overFetch 12 ⇒ 60 candidates ≥ the 50 survivors: the rerank IS the
+    // exact filtered scan, so agreement with search(filter) must be total
+    val got = cat.searchPq("pqfl", q, topK = 5, rerank = true, overFetch = 12, filter = f)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = cat.search("pqfl", q, topK = 5, filter = f)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // raw ADC (rerank=false): every returned id is a filter survivor —
+    // labels are the row index, so survivor ⇔ id ≥ "010" in the pk order
+    val raw = cat.searchPq("pqfl", q, topK = 10, rerank = false, filter = f)
+      .collect().map(_.getString(0)).toSeq
+    assert(raw.nonEmpty && raw.forall(_ >= "010"), raw.mkString(","))
+  }
+
   test("quantized (f16) PQ collection: codebook trains on decoded vectors, search works") {
     val cat = newCatalog()
     cat.createCollection(pqMeta("pqq", quant = "f16"))

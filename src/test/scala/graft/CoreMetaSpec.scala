@@ -56,6 +56,28 @@ class CoreMetaSpec extends SparkSpec {
     assert(df.where(CoreMeta.compare(col("meta"), "absent", Gte, "0")).count() === 0)
   }
 
+  test("schemaless + ivfCells: filtered searchIvf routes the AST through the " +
+    "coerced map (full probe == exact filtered search, numeric coercion intact)") {
+    import graft.collection._
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-core-ivf").toString)
+    cat.createCollection(CollectionMeta("ci", dim = 2, distance = "euclidean",
+      schemaless = Some(true), ivfCells = Some(2)))
+    cat.loadCollection("ci")
+    cat.insert("ci", (0 until 40).map(i =>
+      (s"r$i", Seq(i.toFloat, (i % 5).toFloat), i.toLong)).toDF("_id", "vector", "n"))
+    cat.flush("ci")
+    // n > 9 must compare NUMERICALLY through the coerced map ("10" > "9"
+    // numerically, but "10" < "9" lexicographically) on the INDEXED path
+    val f = Some(Single("n", Gt, 9))
+    val got = cat.searchIvf("ci", Array(9f, 4f), topK = 6, nprobe = 2, filter = f)
+      .select("_id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = cat.search("ci", Array(9f, 4f), topK = 6, filter = f)
+      .select("_id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got === want)
+    assert(got.forall { case (id, _) => id.drop(1).toInt > 9 })
+  }
+
   test("schema-less collection lifecycle: ingest, filtered search, delete, _id filter") {
     import graft.collection._
     val cat = new GraftCatalog(spark,

@@ -291,6 +291,50 @@ class GraftServerSpec extends SparkSpec {
     assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
   }
 
+  test("filtered search on the index rungs over HTTP: searchIvf/searchPq/searchBinary " +
+    "honor the filter body field") {
+    val meta = """{"name":"fidx","dim":4,"distance":"euclidean","ivfCells":2,
+      "pqSubspaces":2,"pqCodewords":8,"pqTrainIterations":1,"binaryIndex":true,
+      "fields":[
+        {"name":"id","fieldType":"string","primaryKey":true},
+        {"name":"label","fieldType":"integer"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/fidx/load")._1 === 200)
+    val rows = (0 until 30).map(i =>
+      s"""{"id":"d$i","label":${i % 3},"vector":[$i,${i % 5},1,2]}""").mkString(",")
+    assert(http("POST", "/collections/fidx/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/fidx/flush")._2 === """{"version":1}""")
+    val filterJson = """{"col":"label","op":"eq","value":1}"""
+    def ids(body: String): Seq[String] =
+      "\"id\":\"(d\\d+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    val survivors = (0 until 30).filter(_ % 3 == 1).map(i => s"d$i").toSet
+    for (route <- Seq("searchIvf", "searchPq", "searchBinary")) {
+      val (c, b) = http("POST", s"/collections/fidx/$route",
+        s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
+      assert(c === 200, s"$route: $c $b")
+      val got = ids(b)
+      assert(got.nonEmpty && got.forall(survivors), s"$route returned non-survivors: $got ($b)")
+      // nearest survivor to [7,2,1,2] is d7 itself (label 1)
+      assert(got.head === "d7", s"$route top hit: $got")
+    }
+    // searchBatch carries one filter for the whole batch
+    val (bc, bb) = http("POST", "/collections/fidx/searchBatch",
+      s"""{"queries":[{"id":"qA","vector":[7,2,1,2]}],"topK":4,"nprobe":2,"filter":$filterJson}""")
+    assert(bc === 200 && ids(bb).nonEmpty && ids(bb).forall(survivors), s"$bc $bb")
+    // the audit route carries the filter too (recall of the FILTERED probe)
+    val (ac, ab) = http("POST", "/collections/fidx/audit",
+      s"""{"sampleMod":3,"nprobe":2,"k":3,"filter":$filterJson}""")
+    assert(ac === 200 && ab.contains("\"recall\""), s"$ac $ab")
+    // routes serving unfiltered results (driver-local rungs hold no
+    // metadata; multi has no reference filter semantics): a filter there
+    // would be SILENTLY ignored — they must refuse it loudly instead
+    for (route <- Seq("searchLocal", "searchLocalPq", "searchLocalBin", "searchMulti")) {
+      val (lc, lb) = http("POST", s"/collections/fidx/$route",
+        s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
+      assert(lc === 400 && lb.contains("searchIvf"), s"$route: $lc $lb")
+    }
+  }
+
   test("audit route: recall audit of the IVF probe; all-cells probe certifies 1.0") {
     val meta = """{"name":"aud","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
       {"name":"id","fieldType":"string","primaryKey":true}]}"""

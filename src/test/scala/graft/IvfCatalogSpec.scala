@@ -240,4 +240,150 @@ class IvfCatalogSpec extends SparkSpec {
       cat.searchBatch("ivf", Seq("q" -> qs.head._2, "q" -> qs(1)._2), 5, 2))
       .getMessage.contains("unique"))
   }
+
+  // ---- filtered indexed search (S3 pre-filter semantics on the index rungs) ----
+
+  /** [[clustered]] with a deterministic metadata label (crc32(id) % 3). */
+  private def labeled =
+    clustered.select(col("id"),
+      (crc32(col("id")) % 3).cast("integer").as("label"), col("vector"))
+
+  private def mkCatLabeled(cells: Int) = {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-ivfl").toString)
+    cat.createCollection(CollectionMeta("ivfl", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer")),
+      ivfCells = Some(cells)))
+    cat.loadCollection("ivfl")
+    cat.insert("ivfl", labeled)
+    cat.flush("ivfl")
+    cat
+  }
+
+  test("filtered searchIvf: full probe equals the exact filtered search; " +
+    "the predicate pushes into the SAME pruned scan") {
+    val cat = mkCatLabeled(4)
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lt, 2))
+    val q = Array(1f, 0f, 99f, 0f)
+    // full probe = no pruning loss → must equal the exact filtered search
+    val got = cat.searchIvf("ivfl", q, topK = 12, nprobe = 4, filter = f)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val want = cat.search("ivfl", q, topK = 12, filter = f)
+      .select("id", "dist").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // pruned probe: the metadata comparison reaches the parquet scan as a
+    // pushed filter AND nprobe=1 still prunes to one cell directory — the
+    // pre-filter costs no pruning (the whole point of putting it on the
+    // index rung instead of falling back to the flat resident scan)
+    val pruned = cat.searchIvf("ivfl", q, topK = 12, nprobe = 1, filter = f)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata("PushedFilters").contains("LessThan(label,2)")),
+      scans.map(_.metadata("PushedFilters")).mkString("; "))
+    val cells = scans
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+      .flatMap(p => "__cell=(\\d+)".r.findFirstMatchIn(p).map(_.group(1))).distinct
+    assert(cells.length === 1, s"expected one probed cell dir, got $cells")
+    // survivors only
+    val labelOf = labeled.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val hits = pruned.collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(labelOf(r.getString(0)) < 2, r.toString))
+  }
+
+  test("searchBatch honors the filter on both the IVF path and the flat fallback") {
+    val cat = mkCatLabeled(4)
+    val f = Some(FilterExpr.Single("label", FilterExpr.Gte, 1))
+    val qs = Seq("qa" -> Array(0f, 0f, 99f, 1f), "qb" -> Array(99f, 1f, 0f, 0f))
+    val rows = cat.searchBatch("ivfl", qs, topK = 5, nprobe = 2, filter = f).collect()
+    qs.foreach { case (qid, v) =>
+      val got = rows.filter(_.getString(0) == qid).sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+      val want = cat.searchIvf("ivfl", v, topK = 5, nprobe = 2, filter = f)
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(got === want, s"$qid: batch $got vs single $want")
+    }
+    // flat fallback (no IVF layout): the filter restricts the resident
+    // corpus scan — per query, exactly the exact filtered search
+    val flat = new GraftCatalog(spark, Files.createTempDirectory("graft-flatf").toString)
+    flat.createCollection(CollectionMeta("fl", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer"))))
+    flat.loadCollection("fl")
+    flat.insert("fl", labeled)
+    val frows = flat.searchBatch("fl", qs, topK = 5, nprobe = 1, filter = f).collect()
+    qs.foreach { case (qid, v) =>
+      val got = frows.filter(_.getString(0) == qid).sortBy(_.getInt(3)).map(_.getString(1)).toSeq
+      val want = flat.search("fl", v, topK = 5, filter = f)
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(got === want, s"flat $qid: batch $got vs exact $want")
+    }
+  }
+
+  test("15 random filter trees: searchIvf at full probe equals the exact filtered search") {
+    val cat = mkCatLabeled(4)
+    val r = new scala.util.Random(7)
+    val ops = Seq(FilterExpr.Eq, FilterExpr.Neq, FilterExpr.Gt,
+      FilterExpr.Gte, FilterExpr.Lt, FilterExpr.Lte)
+    def tree(depth: Int): FilterExpr =
+      if (depth == 0 || r.nextInt(3) == 0)
+        FilterExpr.Single("label", ops(r.nextInt(ops.length)), r.nextInt(4).toLong)
+      else {
+        val kids = Seq.fill(1 + r.nextInt(2))(tree(depth - 1))
+        if (r.nextBoolean()) FilterExpr.And(kids) else FilterExpr.Or(kids)
+      }
+    (0 until 15).foreach { i =>
+      val f = Some(tree(2))
+      val q = Array.fill(4)(r.nextFloat() * 100)
+      // nprobe = |cells| removes the pruning variable: any disagreement is
+      // a FILTER-semantics divergence between the indexed and flat paths
+      val got = cat.searchIvf("ivfl", q, topK = 8, nprobe = 4, filter = f)
+        .collect().map(r0 => (r0.getString(0), r0.getDouble(2))).toSeq
+      val want = cat.search("ivfl", q, topK = 8, filter = f)
+        .select("id", "dist").collect().map(r0 => (r0.getString(0), r0.getDouble(1))).toSeq
+      assert(got === want, s"tree #$i: ${f.get}")
+    }
+  }
+
+  test("auditRecall with a filter: both arms see the filtered corpus; " +
+    "all-cells probe still certifies 1.0") {
+    val cat = mkCatLabeled(4)
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lt, 2))
+    val all = cat.auditRecall("ivfl", sampleMod = 7, nprobe = 4, k = 5, filter = f).collect()
+    assert(all.nonEmpty, "the id-hash sample selected no filtered queries")
+    assert(all.forall(_.getAs[Double]("recall") === 1.0),
+      s"exact-vs-exact filtered recall must be 1.0: ${all.mkString(",")}")
+    // every sampled query id is itself a filter survivor (the audit asks
+    // about the queries that serving path answers)
+    val labelOf = labeled.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    all.foreach(r => assert(labelOf(r.getAs[String]("qid")) < 2, r.toString))
+    // pruned filtered probe: recall ∈ [0, 1] over the same sample
+    val one = cat.auditRecall("ivfl", sampleMod = 7, nprobe = 1, k = 5, filter = f).collect()
+    assert(one.length === all.length)
+    assert(one.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0 })
+  }
+
+  test("filtered searchIvf over a delta chain sees post-fold labels") {
+    val cat = mkCatLabeled(4)
+    val q = Array(1f, 0f, 99f, 0f)
+    // flip the top in-cluster hit's label via a delta segment (same vector,
+    // so it stays in its cell — only the metadata changes)
+    val first = cat.searchIvf("ivfl", q, topK = 1, nprobe = 1).head().getString(0)
+    val vec = labeled.where(col("id") === first).select("vector").head().getSeq[Float](0)
+    cat.insert("ivfl", Seq((first, 99, vec)).toDF("id", "label", "vector"))
+    cat.flushDelta("ivfl")
+    // the new label is visible to the filtered probe (post-fold, not base)
+    val eq99 = cat.searchIvf("ivfl", q, topK = 5, nprobe = 1,
+      filter = Some(FilterExpr.Single("label", FilterExpr.Eq, 99)))
+      .collect().map(_.getString(0)).toSeq
+    assert(eq99 === Seq(first))
+    // and the complementary filter no longer returns the row
+    val rest = cat.searchIvf("ivfl", q, topK = 50, nprobe = 1,
+      filter = Some(FilterExpr.Single("label", FilterExpr.Neq, 99)))
+      .collect().map(_.getString(0)).toSeq
+    assert(rest.nonEmpty && !rest.contains(first))
+  }
 }
