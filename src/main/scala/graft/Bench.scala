@@ -980,6 +980,27 @@ object Bench {
             perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
             perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit) ++
             batchRows
+        // r10: the audit ladder's own cost at 1M — a recall-audit API is
+        // only used routinely if it's cheap. sampleMod sizes the query set
+        // (~1M/40009 ≈ 25 sampled queries); every stage is sample-bounded
+        // (cross join broadcasts the sample over ONE corpus scan).
+        val auditRows = try {
+          def t1(name: String)(fn: => Unit): Seq[(String, Double)] = {
+            fn // warm: codegen + snapshot listing
+            val t0 = System.nanoTime(); fn
+            Seq(name -> (System.nanoTime() - t0) / 1e9)
+          }
+          t1("audit_ivf_1m")(
+            cat.auditRecall("sv", sampleMod = 40009L, nprobe = 8, k = 10).collect(): Unit) ++
+            t1("audit_pq_1m")(
+              cat.auditRecallPq("sv", sampleMod = 40009L, k = 10, overFetch = 4).collect(): Unit) ++
+            t1("audit_bin_1m")(
+              cat.auditRecallBin("sv", sampleMod = 40009L, k = 10, overFetch = 3).collect(): Unit)
+        } catch { case ex: Throwable =>
+          errors("audit_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
         // ---- indexed delta ingest (r10): a 10k batch on THIS indexed 1M
         // collection (IVF-256 + residual PQ + binary) rides one O(batch)
         // segment — assignment/encode against the PERSISTED v1 sidecars,
@@ -1007,7 +1028,7 @@ object Bench {
             .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
           Seq.empty[(String, Double)]
         }
-        probeRows ++ indexedDeltaRows
+        probeRows ++ auditRows ++ indexedDeltaRows
       } finally cat.dropCollection("sv")
     } catch { case ex: Throwable =>
       errors("serve_dist_1m") = Option(ex.getMessage)

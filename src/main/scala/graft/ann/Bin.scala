@@ -3,7 +3,7 @@ package graft.ann
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge.{column, expression}
-import org.apache.spark.sql.graft.{BinEncode, HammingDistanceBin}
+import org.apache.spark.sql.graft.{BinEncode, HammingDistanceBin, HammingDistanceCols}
 
 /** Binary (1-bit/dim) quantization — training + Column-API surface; see
   * BinExpressions.scala for the code format and scale rationale.
@@ -57,4 +57,9 @@ object Bin {
     * and a pre-encoded query code. Long-typed for oracle schema parity. */
   def hamming(codes: Column, queryCode: Array[Byte]): Column =
     column(HammingDistanceBin(expression(codes), queryCode))
+
+  /** Hamming distance between two packed-code COLUMNS — the multi-query
+    * form (query codes are a broadcast table side, not a plan constant). */
+  def hammingCols(a: Column, b: Column): Column =
+    column(HammingDistanceCols(expression(a), expression(b)))
 }

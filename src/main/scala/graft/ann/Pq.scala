@@ -193,6 +193,23 @@ object Pq {
     (ids, luts)
   }
 
+  /** The reconstruction x̂ of each code (concat of the selected
+    * sub-codewords — [[graft.functions.pq_decode]]). euclidean(q, decode)
+    * IS the ADC distance arithmetically, which is what a MULTI-query ADC
+    * ranking uses (query side a table, so no per-query LUT constant);
+    * single-query serving stays on the LUT kernels. */
+  def decode(code: Column, cb: PqCodebook): Column = pq_decode(code, cb.cents)
+
+  /** Inverse of [[residual]]: add the row's cell centroid back — turns a
+    * residual-code reconstruction into the full-vector reconstruction. */
+  def addCentroid(vec: Column, cell: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
+      "centroid ids must be dense 0..k-1 (the trainer's convention)")
+    val table = typedlit(sorted.map(_._2.toSeq))
+    zip_with(vec, element_at(table, (cell + lit(1)).cast("int")), (x, c) => x + c)
+  }
+
   /** ADC distance of every code against `query` (LUT built driver-side). */
   def adcDist(code: Column, cb: PqCodebook, query: Array[Float]): Column =
     pq_adc_distance(code, cb.adcLut(query), cb.ksub)

@@ -1885,6 +1885,143 @@ class GraftCatalog(spark: SparkSession, root: String,
       .orderBy("qid")
   }
 
+  /** Shared two-pass audit core for the approximate rungs: cap `scored`
+    * (__audit_qid, pk, __s — pass-1 ordering value) to `candCount` rows per
+    * query (partial WindowGroupLimit below the exchange, the knnJoin
+    * discipline), re-score candidates EXACTLY on the stored vectors, keep
+    * top-k, and compare against the bounded brute-force arm
+    * ([[graft.ann.Ann.bruteForceTopK]]: queries broadcast over ONE corpus
+    * scan). Every stage is sample-bounded; nothing is corpus × corpus. */
+  private def auditTwoPassRecall(decoded: DataFrame, qdf: DataFrame, scored: DataFrame,
+      pk: String, vecCol: String, metric: String, candCount: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy(col("__audit_qid")).orderBy(col("__s").asc, col(pk).asc)
+    val cand = scored.withColumn("__rn", row_number().over(wh))
+      .where(col("__rn") <= candCount).select(col("__audit_qid"), col(pk))
+    val rer = cand.join(decoded.select(col(pk), col(vecCol)), Seq(pk))
+      .join(broadcast(qdf.select(col("__audit_qid"), col("__audit_qvec"))), Seq("__audit_qid"))
+      .select(col("__audit_qid"), col(pk),
+        round(graft.functions.distance(col(vecCol), col("__audit_qvec"), metric), 6).as("__d"))
+    val wr = Window.partitionBy(col("__audit_qid")).orderBy(col("__d").asc, col(pk).asc)
+    val approx = rer.withColumn("__rn", row_number().over(wr)).where(col("__rn") <= k)
+      .select(col("__audit_qid").as("qid"), col(pk), lit(1).as("__hit"))
+    val exact = graft.ann.Ann.bruteForceTopK(decoded,
+        qdf.select(col("__audit_qid"), col("__audit_qvec")), k, pk, vecCol,
+        "__audit_qid", "__audit_qvec", metric)
+      .select(col("__audit_qid").as("qid"), col(pk))
+    val hitCount = org.apache.spark.sql.functions.count(col("__hit"))
+    val exactCount = org.apache.spark.sql.functions.count(lit(1))
+    exact.join(approx, Seq("qid", pk), "left")
+      .groupBy("qid")
+      .agg(hitCount.as("hits"), (hitCount / exactCount).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** Recall audit of the BINARY rung ([[searchBinary]]'s two-pass shape,
+    * multi-query): per sampled query, |exact top-k ∩ (Hamming top k·overFetch
+    * → exact rerank top-k)| / k. The overFetch dial is exactly what this
+    * audit certifies before a rollout trusts the sign-sketch trade. The
+    * query side is the id-hash 1/sampleMod sample of the (optionally
+    * filtered) collection itself; its pass-1 codes are the rows' own stored
+    * codes — what [[searchBinary]] would compute for those vectors. Pass 1
+    * is one broadcast cross join over the codes-only projection with a
+    * per-query bounded window — at 100 TB the audit SAMPLES, and every
+    * stage is bounded by sample × candCount. */
+  def auditRecallBin(name: String, sampleMod: Long, k: Int = 10, overFetch: Int = 3,
+                     filter: Option[FilterExpr] = None): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    require(meta.idColumn != "qid",
+      "auditRecallBin reserves the output column name 'qid'; the collection pk shadows it")
+    import spark.implicits._
+    val sv = sidecarVersion(name, meta)
+    val full0 = indexedState(name, meta)
+    if (!fs.exists(binDir(name, sv))) {
+      require(full0.isEmpty,
+        s"collection $name: binary sidecar missing for version $sv — " +
+          "the snapshot predates the binary layout; re-flush to build it")
+      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
+    }
+    val full = applyFilter(full0, meta, filter)
+    val decoded = meta.quantization match {
+      case "none" => full
+      case q      => full.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+    val pk = meta.idColumn
+    val qdf = decoded.where(pmod(xxhash64(col(pk)), lit(sampleMod)) === 0)
+      .select(col(pk).cast("string").as("__audit_qid"),
+        col(vecCol).as("__audit_qvec"),
+        col(GraftCatalog.BinCol).as("__audit_qcode"))
+    val scored = decoded.select(col(pk), col(GraftCatalog.BinCol))
+      .crossJoin(broadcast(qdf.select(col("__audit_qid"), col("__audit_qcode"))))
+      .select(col("__audit_qid"), col(pk),
+        graft.ann.Bin.hammingCols(col(GraftCatalog.BinCol), col("__audit_qcode")).as("__s"))
+    auditTwoPassRecall(decoded, qdf, scored, pk, vecCol, meta.distance, k * overFetch, k)
+  }
+
+  /** Recall audit of the PQ rung ([[searchPq]]'s reranked shape,
+    * multi-query): per sampled query, |exact top-k ∩ (ADC top k·overFetch →
+    * exact rerank top-k)| / k. Pass-1 ordering is euclidean(query,
+    * reconstruction) — arithmetically THE ADC distance (√Σ_j ‖q_j − c_j‖²),
+    * computed per (row, query) pair via one [[graft.functions.pq_decode]]
+    * column so the multi-query form needs no per-query LUT plan constants;
+    * residual (IVF-PQ) layouts add the row's cell centroid back
+    * ([[graft.ann.Pq.addCentroid]]) before the distance. Sidecar-flag
+    * handling (raw vs residual, flagless cohorts) is [[searchPq]]'s,
+    * verbatim. */
+  def auditRecallPq(name: String, sampleMod: Long, k: Int = 10, overFetch: Int = 4,
+                    filter: Option[FilterExpr] = None): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    require(meta.idColumn != "qid",
+      "auditRecallPq reserves the output column name 'qid'; the collection pk shadows it")
+    import spark.implicits._
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(pqDir(name, sv)))
+      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
+    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
+    val full0 = indexedState(name, meta)
+    val full = applyFilter(full0, meta, filter)
+    val hasCells = meta.ivfCells.isDefined && fs.exists(centroidDir(name, sv))
+    val residualLayout = residFlag.getOrElse {
+      require(!hasCells,
+        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
+          "the codes are raw or residual is unrecorded and cannot be " +
+          "inferred; re-flush the collection to write a flagged sidecar")
+      false
+    }
+    require(!residualLayout || hasCells,
+      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
+    val decoded = meta.quantization match {
+      case "none" => full
+      case q      => full.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
+    }
+    val vecCol = if (meta.quantization == "none") VectorCol else GraftCatalog.SearchVecCol
+    val pk = meta.idColumn
+    val recon0 = graft.ann.Pq.decode(col(GraftCatalog.PqCodeCol), cb)
+    val recon =
+      if (residualLayout)
+        graft.ann.Pq.addCentroid(recon0, col(GraftCatalog.CellCol).cast("long"),
+          readCentroids(name, sv))
+      else recon0
+    val qdf = decoded.where(pmod(xxhash64(col(pk)), lit(sampleMod)) === 0)
+      .select(col(pk).cast("string").as("__audit_qid"), col(vecCol).as("__audit_qvec"))
+    val scored = decoded.select(col(pk), recon.as("__recon"))
+      .crossJoin(broadcast(qdf.select(col("__audit_qid"), col("__audit_qvec"))))
+      .select(col("__audit_qid"), col(pk),
+        graft.functions.euclidean_distance(col("__recon"), col("__audit_qvec")).as("__s"))
+    auditTwoPassRecall(decoded, qdf, scored, pk, vecCol, meta.distance, k * overFetch, k)
+  }
+
   /** ADC (product-quantization) search over the PQ code layout of the
     * on-disk snapshot: the scan touches ONLY the m-byte `__pq_code` column
     * (parquet column pruning) plus the pk — at 100 TB that is a 32-64×

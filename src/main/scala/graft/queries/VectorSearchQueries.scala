@@ -71,6 +71,22 @@ object VectorSearchQueries {
             .as("score"))
         .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)
+    }),
+    // §2.8 as PLAIN SQL: the kernels registered in the session's function
+    // registry (graft.functions.registerSqlFunctions — the same codegen'd
+    // Catalyst expressions as the Column API, no UDF indirection), the
+    // whole flat scan driven from one spark.sql string. Gates the SQL
+    // surface a warehouse user would actually type.
+    "sql_surface_scan" -> ((s, dir) => {
+      graft.functions.registerSqlFunctions(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("""
+        SELECT e.vec_id,
+               ROUND(cosine_distance(e.embedding, q.qv), 6) AS dist,
+               ROUND(l2_norm(e.embedding), 6) AS norm
+        FROM graft_sql_embeddings e,
+             (SELECT embedding AS qv FROM graft_sql_embeddings WHERE vec_id = 0) q
+        ORDER BY dist, vec_id LIMIT 10""")
     })
   )
 
@@ -101,6 +117,11 @@ object VectorSearchQueries {
     "score_display_cosine" ->
       s"""SELECT e.vec_id, ROUND((2 - $cosineDistSql) / 2 * 100, 4) AS score
          |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "sql_surface_scan" ->
+      s"""SELECT e.vec_id, ROUND($cosineDistSql, 6) AS dist,
+         |  ROUND(SQRT(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS norm
+         |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin
   )
 }

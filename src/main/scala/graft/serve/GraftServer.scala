@@ -311,11 +311,22 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("POST", "collections" :: name :: "audit" :: Nil) =>
         val req = JsonMethods.parse(body)
         val sampleMod = intOr(req, "sampleMod", 101).toLong
-        val nprobe = intOr(req, "nprobe", 4)
         val k = intOr(req, "k", 10)
         val auditFilter = optFilter(req)
-        withVacuumRecovery(name)(
-          rowsJson(catalog.auditRecall(name, sampleMod, nprobe, k, auditFilter)))
+        // "rung" picks the approximate path being certified: the IVF probe
+        // (nprobe dial), the PQ ADC+rerank (overFetch dial), or the binary
+        // Hamming+rerank (overFetch dial) — one audit route for the ladder
+        val rung = (req \ "rung").toOption.collect { case JString(s) => s }.getOrElse("ivf")
+        withVacuumRecovery(name)(rowsJson(rung match {
+          case "ivf" =>
+            catalog.auditRecall(name, sampleMod, intOr(req, "nprobe", 4), k, auditFilter)
+          case "pq" =>
+            catalog.auditRecallPq(name, sampleMod, k, intOr(req, "overFetch", 4), auditFilter)
+          case "bin" =>
+            catalog.auditRecallBin(name, sampleMod, k, intOr(req, "overFetch", 3), auditFilter)
+          case other => throw new IllegalArgumentException(
+            s"unknown audit rung: $other (expected ivf, pq, or bin)")
+        }))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
       case ("POST", "collections" :: name :: "searchPq" :: Nil) =>

@@ -133,3 +133,44 @@ object HammingDistanceBin {
     acc
   }
 }
+
+/** Hamming distance between TWO packed code columns — the set-returning
+  * form of [[HammingDistanceBin]] (whose query code is a plan constant):
+  * the shape a multi-query audit or a binary code-join needs, where the
+  * query code is itself a column (e.g. the broadcast query side of a
+  * cross join). Same integer-only XOR + popcount loop, 8 bytes per
+  * POPCNT. */
+case class HammingDistanceCols(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hamming_distance_cols"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistanceBin.hamming(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.length;
+         |if ($n != $b.length) {
+         |  throw new IllegalArgumentException("code length mismatch: " + $n + " vs " + $b.length);
+         |}
+         |long $acc = 0L;
+         |int $i = 0;
+         |for (; $i + 8 <= $n; $i += 8) {
+         |  $acc += Long.bitCount(
+         |    (org.apache.spark.unsafe.Platform.getLong($a, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + $i)) ^
+         |    (org.apache.spark.unsafe.Platform.getLong($b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + $i)));
+         |}
+         |for (; $i < $n; $i++) {
+         |  $acc += Integer.bitCount(($a[$i] ^ $b[$i]) & 0xFF);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -337,3 +337,60 @@ case class PqAdcDistanceCells(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** pq_decode(code): the reconstruction x̂ = concat_j cents(j)(code_j) — the
+  * decode side of [[PqEncode]]. Arithmetically, euclidean(q, pq_decode(code))
+  * IS the ADC distance (√Σ_j ‖q_j − c_j‖²), which makes a MULTI-query ADC
+  * ranking expressible without per-query LUT kernels: reconstruct once per
+  * row (a column), distance per (row, query) pair — the shape the PQ-rung
+  * recall audit needs, where the query side is a sampled table rather than
+  * one plan-constant vector. Single-query serving stays on the LUT kernels
+  * ([[PqAdcDistance]]): m table lookups beat dim multiply-adds. */
+case class PqDecode(child: Expression, cents: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty && cents.forall(_.nonEmpty), "codebook must be non-empty")
+  private val m = cents.length
+  private val dim = cents.map(_(0).length).sum
+
+  override def prettyName: String = "pq_decode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[Array[Byte]]
+    if (code.length != m)
+      throw new IllegalArgumentException(s"code length mismatch: ${code.length} vs $m")
+    val out = new Array[Float](dim)
+    var off = 0; var j = 0
+    while (j < m) {
+      val cw = cents(j)(code(j) & 0xFF)
+      System.arraycopy(cw, 0, out, off, cw.length)
+      off += cw.length; j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+      val code = ctx.freshName("code"); val out = ctx.freshName("out")
+      val off = ctx.freshName("off"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw")
+      s"""
+         |final byte[] $code = $v;
+         |if ($code.length != $m) {
+         |  throw new IllegalArgumentException("code length mismatch: " + $code.length + " vs " + $m);
+         |}
+         |final float[] $out = new float[$dim];
+         |int $off = 0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final float[] $cw = $centsRef[$j][$code[$j] & 0xFF];
+         |  System.arraycopy($cw, 0, $out, $off, $cw.length);
+         |  $off += $cw.length;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

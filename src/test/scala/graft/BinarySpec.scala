@@ -54,6 +54,23 @@ class BinarySpec extends SparkSpec {
     for ((id, v) <- rows) assert(got(id) === naiveHamming(v, q, th), s"row $id")
   }
 
+  test("hammingCols (two-column form) == the plan-constant fused hamming") {
+    val rnd = new scala.util.Random(13)
+    val dim = 37 // not a multiple of 8: exercises the byte tail after the 8-byte loop
+    val rows = (0 until 48).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "vec")
+    val th = Bin.trainThresholds(df, "vec")
+    val coded = df.select(col("id"), Bin.encode(col("vec"), th).as("c"))
+    val q = rows(5)._2
+    val qdf = Seq(("q5", Bin.encodeOne(q, th))).toDF("qid", "qc")
+    val got = coded.crossJoin(org.apache.spark.sql.functions.broadcast(qdf))
+      .select(col("id"), Bin.hammingCols(col("c"), col("qc")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = coded.select(col("id"), Bin.hamming(col("c"), Bin.encodeOne(q, th)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("trainThresholds: midrange per dimension, exact") {
     val df = Seq(
       (1L, Array(0f, -2f, 5f)),

@@ -119,6 +119,33 @@ class CatalogBinSpec extends SparkSpec {
     assert(got === want, "rerank on f16-decoded vectors must match the fused exact search")
   }
 
+  test("auditRecallBin: draining over-fetch certifies recall 1.0; tight over-fetch " +
+    "stays in [0,1]; a filter samples survivors only") {
+    val cat = newCatalog()
+    cat.createCollection(binMeta("binaud"))
+    cat.loadCollection("binaud")
+    cat.insert("binaud", fixtureRows(60, 16))
+    cat.flush("binaud")
+    // k·overFetch = 60 ≥ corpus: the rerank IS the exact scan → 1.0 everywhere
+    val all = cat.auditRecallBin("binaud", sampleMod = 7, k = 5, overFetch = 12).collect()
+    assert(all.nonEmpty, "the id-hash sample selected no queries")
+    assert(all.forall(_.getAs[Double]("recall") === 1.0), all.mkString(","))
+    // the tight dial audits the real sign-sketch trade on the SAME sample
+    val tight = cat.auditRecallBin("binaud", sampleMod = 7, k = 5, overFetch = 1).collect()
+    assert(tight.length === all.length)
+    assert(tight.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0 })
+    // filtered audit: queries sampled from survivors, both arms filtered
+    val f = Some(FilterExpr.Single("label", FilterExpr.Gte, 10))
+    val filt = cat.auditRecallBin("binaud", sampleMod = 3, k = 5, overFetch = 12,
+      filter = f).collect()
+    assert(filt.nonEmpty && filt.forall(_.getAs[Double]("recall") === 1.0))
+    filt.foreach(r => assert(r.getAs[String]("qid").toInt >= 10, r.toString))
+    // contract: no binary layout → loud
+    cat.createCollection(binMeta("nobin").copy(binaryIndex = None))
+    intercept[IllegalArgumentException](cat.auditRecallBin("nobin", 7, 5, 3))
+  }
+
   test("sidecar follows the version lifecycle; contract errors are loud") {
     val root = Files.createTempDirectory("graft-bincat").toString
     val cat = new GraftCatalog(spark, root)

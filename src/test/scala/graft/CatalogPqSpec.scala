@@ -221,6 +221,36 @@ class CatalogPqSpec extends SparkSpec {
     intercept[IllegalArgumentException](pqMeta("bad2").copy(pqTrainSampleMod = Some(1L)))
   }
 
+  test("auditRecallPq: draining over-fetch certifies recall 1.0 on raw AND " +
+    "residual (IVF-PQ) layouts; tight over-fetch stays in [0,1]") {
+    val cat = newCatalog()
+    // raw-code layout
+    cat.createCollection(pqMeta("pqaud"))
+    cat.loadCollection("pqaud")
+    cat.insert("pqaud", fixtureRows(60, 16))
+    cat.flush("pqaud")
+    val all = cat.auditRecallPq("pqaud", sampleMod = 7, k = 5, overFetch = 12).collect()
+    assert(all.nonEmpty, "the id-hash sample selected no queries")
+    assert(all.forall(_.getAs[Double]("recall") === 1.0), all.mkString(","))
+    val tight = cat.auditRecallPq("pqaud", sampleMod = 7, k = 5, overFetch = 1).collect()
+    assert(tight.length === all.length)
+    assert(tight.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0 })
+    // residual layout (IVF-PQ): the reconstruction adds the cell centroid back
+    cat.createCollection(pqMeta("pqaudr", ivf = Some(4)))
+    cat.loadCollection("pqaudr")
+    cat.insert("pqaudr", fixtureRows(60, 16))
+    cat.flush("pqaudr")
+    val res = cat.auditRecallPq("pqaudr", sampleMod = 7, k = 5, overFetch = 12).collect()
+    assert(res.nonEmpty && res.forall(_.getAs[Double]("recall") === 1.0), res.mkString(","))
+    // filtered audit over the residual layout
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lt, 30))
+    val filt = cat.auditRecallPq("pqaudr", sampleMod = 3, k = 5, overFetch = 12,
+      filter = f).collect()
+    assert(filt.nonEmpty && filt.forall(_.getAs[Double]("recall") === 1.0))
+    filt.foreach(r => assert(r.getAs[String]("qid").toInt < 30, r.toString))
+  }
+
   test("pq sidecar records the residual layout flag; legacy flagless sidecars read as raw") {
     val root = Files.createTempDirectory("graft-pqflag").toString
     val cat = new GraftCatalog(spark, root)

@@ -325,6 +325,16 @@ class GraftServerSpec extends SparkSpec {
     val (ac, ab) = http("POST", "/collections/fidx/audit",
       s"""{"sampleMod":3,"nprobe":2,"k":3,"filter":$filterJson}""")
     assert(ac === 200 && ab.contains("\"recall\""), s"$ac $ab")
+    // rung selection: the PQ (residual IVF-PQ layout here) and binary rungs
+    // audit through the same route; draining over-fetch certifies 1.0
+    for (rung <- Seq("pq", "bin")) {
+      val (rc, rb) = http("POST", "/collections/fidx/audit",
+        s"""{"sampleMod":3,"k":3,"overFetch":16,"rung":"$rung"}""")
+      assert(rc === 200 && rb.contains("\"recall\""), s"$rung: $rc $rb")
+      val recalls = "\"recall\":([0-9.]+)".r.findAllMatchIn(rb).map(_.group(1).toDouble).toSeq
+      assert(recalls.nonEmpty && recalls.forall(_ === 1.0), s"$rung drain recalls: $recalls")
+    }
+    assert(http("POST", "/collections/fidx/audit", """{"rung":"hnsw"}""")._1 === 400)
     // routes serving unfiltered results (driver-local rungs hold no
     // metadata; multi has no reference filter semantics): a filter there
     // would be SILENTLY ignored — they must refuse it loudly instead

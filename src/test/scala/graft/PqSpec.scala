@@ -143,6 +143,27 @@ class PqSpec extends SparkSpec {
     assert(adc === exact)
   }
 
+  test("pq_decode: reconstruction column == driver-side reconstruct; " +
+    "euclidean(q, decode) == the ADC distance") {
+    val cb = Pq.seedCodebook(emb, "vec_id", "embedding", m = 4, ksub = 16)
+    val enc = Pq.encode(emb, "embedding", cb)
+    val q = headVec(emb, 0)
+    val rows = enc.select(col("vec_id"), col("pq_code"),
+        Pq.decode(col("pq_code"), cb).as("rec"),
+        Pq.adcDist(col("pq_code"), cb, q).as("adc"),
+        euclidean_distance(Pq.decode(col("pq_code"), cb), lit(q)).as("ed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]]("pq_code")
+      assert(r.getSeq[Float](2).toArray.sameElements(cb.reconstruct(code)),
+        s"vec_id ${r.getLong(0)}: decode column != driver reconstruct")
+      // same terms, different association order → agree to FP noise, not bits
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-9,
+        s"vec_id ${r.getLong(0)}: adc ${r.getDouble(3)} vs euclidean(recon) ${r.getDouble(4)}")
+    }
+  }
+
   test("codegen == interpreted eval for pq_encode and pq_adc_distance") {
     val cb = Pq.seedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val q = headVec(emb, 3L)
