@@ -34,10 +34,15 @@ import graft.functions.QuantKernels
   *                           0 = i64 BE, 1 = string (u16 len + bytes),
   *                           2 = f64 BE, 3 = bool byte. All big-endian.
   *   `<col>.inverted.raw`  — the serialized roaring-bitmap inverted index.
-  *                           NOT read: it is derived data (rebuilt from the
-  *                           metadata on every reference load), and this
-  *                           engine's filters run on parquet
-  *                           pushdown/statistics instead of posting lists.
+  *                           NOT read on IMPORT: its postings are derivable
+  *                           from the vertex metadata, and this engine's
+  *                           filters run on parquet pushdown/statistics
+  *                           instead of posting lists. (The reference
+  *                           itself LOADS the file verbatim on its own
+  *                           startup path — edge/edge.go:374,
+  *                           none_vectorstore.go:279 — which is why the
+  *                           EXPORT side, [[ColttExport]], must write a
+  *                           real one.)
   *
   * The u64 vertex keys are the reference's internal snowflake commit ids
   * (`edge/id_generator.go:24-39`) — identity lives in the primary-key
@@ -395,28 +400,36 @@ object ColttImport {
           }
         }
         d.writeInt(v.meta.size)
-        v.meta.foreach { case (k, value) =>
-          val kb = k.getBytes(StandardCharsets.UTF_8)
-          require(kb.length <= 65535, s"metadata key too long: $k")
-          d.writeShort(kb.length)
-          d.write(kb)
-          value match {
-            case i: Long    => d.writeByte(0); d.writeLong(i)
-            case s0: String =>
-              d.writeByte(1)
-              val sb = s0.getBytes(StandardCharsets.UTF_8)
-              require(sb.length <= 65535, s"metadata string too long: $s0")
-              d.writeShort(sb.length); d.write(sb)
-            case x: Double  => d.writeByte(2); d.writeDouble(x)
-            case b: Boolean => d.writeByte(3); d.writeByte(if (b) 1 else 0)
-            case other => throw new IllegalArgumentException(
-              s"unsupported metadata type: ${other.getClass.getName}")
-          }
-        }
+        v.meta.foreach { case (k, value) => writeMetaEntry(d, k, value) }
       }
     }
     d.flush()
     bos.toByteArray
+  }
+
+  /** One vertex metadata wire entry (u16 keyLen + key, then type tag +
+    * payload: 0 = i64 BE, 1 = string u16+bytes, 2 = f64 BE, 3 = bool) —
+    * THE single writer shared by [[encodeVertexBlob]] and
+    * [[ColttExport]], so the two encoders of this byte format cannot
+    * drift. */
+  private[interop] def writeMetaEntry(d: java.io.DataOutputStream, key: String,
+                                      value: Any): Unit = {
+    val kb = key.getBytes(StandardCharsets.UTF_8)
+    require(kb.length <= 65535, s"metadata key too long: $key")
+    d.writeShort(kb.length)
+    d.write(kb)
+    value match {
+      case i: Long    => d.writeByte(0); d.writeLong(i)
+      case s0: String =>
+        d.writeByte(1)
+        val sb = s0.getBytes(StandardCharsets.UTF_8)
+        require(sb.length <= 65535, s"metadata string too long: $s0")
+        d.writeShort(sb.length); d.write(sb)
+      case x: Double  => d.writeByte(2); d.writeDouble(x)
+      case b: Boolean => d.writeByte(3); d.writeByte(if (b) 1 else 0)
+      case other => throw new IllegalArgumentException(
+        s"unsupported metadata type: ${other.getClass.getName}")
+    }
   }
 
   /** Full import: read `<name>.meta.json` + `<name>.vertex` from `srcDir`,

@@ -191,6 +191,33 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.searchBinary("binc", qv, topK = 10, overFetch = 3)
     }),
+    // Write half of the edge migration: the collection exports as a NATIVE
+    // edge bucket (meta.json + 16-shard vertex blob + roaring64 inverted
+    // index — the files a running coltt node loads verbatim) and a SECOND
+    // catalog imports that bucket back; the final search must equal a
+    // direct scan, so the exporter's shard routing, type tags, key
+    // synthesis, enum mapping, and vector encoding all have to be right.
+    "coltt_export_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-cexp-src").toString)
+      cat.createCollection(CollectionMeta("exp", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"))))
+      cat.loadCollection("exp")
+      cat.insert("exp", e.select(
+        col("vec_id").cast("string").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("exp")
+      val bucket = graft.TempRoots.create("graft-cexp-bucket")
+      graft.interop.ColttExport.exportEdgeCollection(s, cat, "exp", bucket.toString)
+      val cat2 = new GraftCatalog(s, graft.TempRoots.create("graft-cexp-dst").toString)
+      graft.interop.ColttImport.importSnapshotDistributed(s, cat2, "exp", bucket.toString)
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      cat2.search("exp", qv, topK = 10)
+    }),
     // Filtered search ON THE INDEX RUNGS (the reference's S3 candidate-list
     // semantics — filter BEFORE scoring, rpc.go Search — carried onto the
     // flushed layouts): without this, any query with a metadata predicate
@@ -716,6 +743,15 @@ object PersistenceQueries {
         |      FROM b, q ORDER BY h, id LIMIT 30)
         |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
         |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the export→import chain is float-lossless, so results equal a direct
+    // scan (the snapshot_roundtrip shape)
+    "coltt_export_roundtrip" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.label AS BIGINT) AS label,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  ROUND(GREATEST(0, 100 - list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])), 4) AS score
+        |FROM embeddings e, q
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
     // seed centroids (8 id-smallest rows), per-row argmin assignment, probe
     // the query's 3 nearest cells, then rank ONLY rows passing the filter —
     // cell membership, filter semantics, and ranking all checked at once

@@ -29,6 +29,7 @@ import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
   * POST   /collections/:name/flushDelta      Flush (O(changes) delta segment)
   * POST   /collections/:name/changes         Version CDC (changeLog/stateDiff)
   * POST   /collections/:name/export          Copy chain+sidecars to another root
+  * POST   /collections/:name/exportColtt     Write a native coltt edge bucket
   * POST   /collections/:name/insert {rows}   Index (upsert changes)
   * POST   /collections/:name/delete {filter} Index (delete changes)
   * POST   /collections/:name/search {query}  Search / FilterSearch
@@ -219,6 +220,24 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         }
         catalog.exportCollection(name, dest)
         ok(JObject("exported" -> JString(name), "destRoot" -> JString(dest)))
+      // write half of the edge migration: the flushed snapshot as a NATIVE
+      // coltt edge bucket (meta.json + vertex blob + roaring64 inverted
+      // index) a running reference node loads verbatim
+      case ("POST", "collections" :: name :: "exportColtt" :: Nil) =>
+        val dest = JsonMethods.parse(body) \ "destDir" match {
+          case JString(p) if p.nonEmpty => p
+          case _ => throw new IllegalArgumentException(
+            "exportColtt requires {\"destDir\": \"<bucket dir>\"}")
+        }
+        // the export is the LONGEST snapshot read the server runs — the
+        // request most likely to race a cross-driver vacuum (the failed
+        // attempt cleans its partial output, so the re-anchored retry sees
+        // an empty destination again)
+        withVacuumRecovery(name) {
+          val n = graft.interop.ColttExport.exportEdgeCollection(spark, catalog, name, dest)
+          ok(JObject("exported" -> JString(name), "rows" -> JInt(n),
+            "destDir" -> JString(dest)))
+        }
       case ("POST", "collections" :: name :: "insert" :: Nil) =>
         val rows = JsonMethods.parse(body) \ "rows" match {
           case JArray(rs) => rs.collect { case o: JObject => o }

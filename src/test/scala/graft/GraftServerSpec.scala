@@ -345,6 +345,22 @@ class GraftServerSpec extends SparkSpec {
     }
   }
 
+  test("exportColtt route writes the three native edge-bucket files") {
+    val meta = """{"name":"xb","dim":3,"distance":"euclidean","fields":[
+      {"name":"id","fieldType":"string","primaryKey":true}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/xb/load")._1 === 200)
+    val rows = (0 until 12).map(i => s"""{"id":"d$i","vector":[$i,1,2]}""").mkString(",")
+    assert(http("POST", "/collections/xb/insert", s"""{"rows":[$rows]}""")._1 === 200)
+    assert(http("POST", "/collections/xb/flush", "")._1 === 200)
+    val dest = Files.createTempDirectory("graft-cexp-http-out").toString
+    val (c, b) = http("POST", "/collections/xb/exportColtt", s"""{"destDir":"$dest"}""")
+    assert(c === 200 && b.contains("\"rows\":12"), s"$c $b")
+    for (f <- Seq("xb.meta.json", "xb.vertex", "xb.inverted.raw"))
+      assert(Files.exists(java.nio.file.Paths.get(dest, f)), s"missing $f")
+    assert(http("POST", "/collections/xb/exportColtt", "{}")._1 === 400)
+  }
+
   test("audit route: recall audit of the IVF probe; all-cells probe certifies 1.0") {
     val meta = """{"name":"aud","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
       {"name":"id","fieldType":"string","primaryKey":true}]}"""
