@@ -51,6 +51,13 @@ object ClusterSmoke {
     // structured-streaming ingest (state store + per-batch segments live
     // executor-side under local-cluster)
     "streaming_ingest_replay",
+    // r10: pre-filter on the index rungs (pushed predicate + partition
+    // pruning must compose in executor JVMs), the delta chain over an
+    // indexed layout, and the export→import round trips (toLocalIterator
+    // pulls partitions from executor JVMs; the importer's section scan
+    // runs IN executors)
+    "ivf_search_filtered", "bin_search_filtered", "delta_flush_ivf",
+    "coltt_export_roundtrip", "coltt_export_mv_roundtrip",
   )
 
   private def canon(v: Any): String = v match {

@@ -6,16 +6,18 @@ import java.nio.file.Files
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.Row
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.collection.{CollectionMeta, GraftCatalog}
+import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
 
-/** Write half of the edge-bucket migration ([[ColttImport]] is the read
-  * half): export a collection as the reference engine's persisted bucket —
-  * `<col>.meta.json`, `<col>.vertex`, `<col>.inverted.raw` — so a user can
-  * move data BACK under a running coltt edge node. Mirrors the reference's
-  * own writers byte-for-byte:
+/** Write half of the bucket migrations ([[ColttImport]] is the read half):
+  * export collections BACK as the reference engines' native persisted
+  * buckets, so a user can move data under a running coltt node again.
+  *
+  * [[exportEdgeCollection]] (single-vector) mirrors the edge writers
+  * byte-for-byte:
   *
   *   meta.json      — edge/edge_metadata.go:22-35 (`dim`, `distance` /
   *                    `quantization` enum ints, `index_type` feature map,
@@ -42,24 +44,29 @@ import graft.collection.{CollectionMeta, GraftCatalog}
   *                    export writes real bitmaps in the public 64-bit
   *                    Roaring interchange format ([[Roaring64]]).
   *
-  * Vertex keys are the reference's internal snowflakes; snapshot rows are
-  * already identity-resolved by pk, so a strictly increasing counter in pk
-  * order is a valid stand-in (the import side re-keys by pk anyway, and the
-  * reference's own upsert path resolves identity through the pk metadata
-  * field). Shard placement follows the reference's `ShardVertex` routing
-  * (FNV-1a over the key's little-endian bytes, pkg/sharding/shard.go:34-41)
-  * so a loaded bucket spreads across its 16 shards exactly as a native one.
+  * Edge vertex keys are the reference's internal snowflakes; snapshot rows
+  * are already identity-resolved by pk, so a strictly increasing counter in
+  * pk order is a valid stand-in (the import side re-keys by pk anyway, and
+  * the reference's own upsert path resolves identity through the pk
+  * metadata field). Shard placement follows the reference's `ShardVertex`
+  * routing (FNV-1a over the key's little-endian bytes,
+  * pkg/sharding/shard.go:34-41): the engine loads sections into shard maps
+  * AS STORED and addresses entries by that hash, so placement is semantic.
   *
-  * Scale shape: like [[ColttCoreImport.exportCoreCollection]], the sink
-  * format is inherently driver-sequential; rows stream through
+  * [[exportExperimentalCollection]] (CFLAT multi-vector) writes the
+  * experimental bucket — meta.json + `<col>.vertex` only
+  * (experimental_helper.go:84-89; no inverted file on that engine).
+  *
+  * Scale shape (both): like [[ColttCoreImport.exportCoreCollection]], the
+  * sink formats are inherently driver-sequential; rows stream through
   * `toLocalIterator` in pk order (one partition resident at a time) into 16
-  * shard spill files that are concatenated at the end, so the collection is
-  * never materialized on the driver heap. The posting-list accumulator IS
+  * shard spill files concatenated at the end, so the collection is never
+  * materialized on the driver heap. The edge posting-list accumulator IS
   * O(rows × fields) driver memory — the same envelope the reference's own
   * in-RAM BitmapIndex occupies for the identical data, i.e. anything a
-  * coltt edge node can hold, this export can write. NULL metadata values
-  * export as ABSENT keys (the reference's "absent key = no postings"
-  * semantics, the same contract our filters honor). */
+  * coltt node can hold, this export can write. NULL metadata values export
+  * as ABSENT keys (the reference's "absent key = no postings" semantics,
+  * the same contract our filters honor). */
 object ColttExport {
 
   private val distanceEnums = Map("cosine" -> 0, "euclidean" -> 1)
@@ -80,16 +87,34 @@ object ColttExport {
     java.lang.Long.remainderUnsigned(h, ShardCount.toLong).toInt
   }
 
-  /** `<col>.meta.json` exactly as edge_metadata.go marshals it. */
-  private def metaJson(meta: CollectionMeta): String = {
+  /** `ShardVertexV2(key, 16)`: FNV-1a-64 over the raw key bytes,
+    * unsigned-mod the shard count (pkg/sharding/shard.go:43-48) — the
+    * EXPERIMENTAL engine's routing (string keys, multi_vector_vertex.go:70). */
+  private[graft] def shardOfKey(key: String): Int = {
+    var h = 0xcbf29ce484222325L
+    val bytes = key.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xFFL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    java.lang.Long.remainderUnsigned(h, ShardCount.toLong).toInt
+  }
+
+  /** `<col>.meta.json` exactly as edge_metadata.go marshals it (the
+    * experimental engine shares the layout; declared vector fields carry
+    * index_type 4, experimental_metadata.go). */
+  private def metaJson(meta: CollectionMeta, includePk: Boolean = true): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val features = meta.fields.map { f =>
+    val declared = if (includePk) meta.fields else meta.fields.filterNot(_.primaryKey)
+    val features = declared.map { f =>
       f.name -> (
         ("index_name" -> f.name) ~
-          ("index_type" -> fieldTypeEnums.getOrElse(f.fieldType,
+          ("index_type" -> (if (f.isVector) 4 else fieldTypeEnums.getOrElse(f.fieldType,
             throw new IllegalArgumentException(
-              s"field ${f.name}: no edge representation for type ${f.fieldType}"))) ~
+              s"field ${f.name}: no edge representation for type ${f.fieldType}")))) ~
           ("enable_null" -> f.enableNull) ~
           ("primary_key" -> f.primaryKey))
     }
@@ -101,94 +126,50 @@ object ColttExport {
         ("versioning" -> meta.versioning)))
   }
 
-  /** Export `name`'s flushed snapshot as an edge bucket under `destDir`
-    * (resolved through the Hadoop FileSystem API like the engine-format
-    * `exportCollection` — an `s3a://`/`hdfs://` destination writes where it
-    * says, not into a local directory that happens to spell the URI).
-    * Refuses a non-empty destination (mixing this export with a partial or
-    * previous bucket would hand a reference node a meta.json / vertex /
-    * inverted.raw combination that never existed together), and best-effort
-    * deletes its own partial output on failure so a retry sees an empty
-    * directory again. Returns the number of exported rows. Round-trips
-    * through [[ColttImport.importSnapshotDistributed]] (spec-pinned, all
-    * four quantizations). */
-  def exportEdgeCollection(spark: org.apache.spark.sql.SparkSession, catalog: GraftCatalog,
-                           name: String, destDir: String): Long = {
-    val meta = catalog.getMeta(name)
-    require(!meta.isMultiVector,
-      "multi-vector collections have no edge representation (they are the " +
-        "experimental engine's CFLAT records)")
-    require(!meta.isSchemaless,
-      "schemaless (core v3) collections export through " +
-        "ColttCoreImport.exportCoreCollection, not the edge bucket format")
-    require(distanceEnums.contains(meta.distance),
-      s"edge buckets support cosine/euclidean, collection declares ${meta.distance}")
-    val destPath = new org.apache.hadoop.fs.Path(destDir)
+  /** Shared bucket-writing scaffold for both engines: refuse a non-empty
+    * destination (mixing this export with a partial or previous bucket
+    * would hand a reference node files that never existed together),
+    * stream `snap` through 16 LOCAL temp shard spill files (sections need
+    * their counts up front, so the blob cannot be written single-pass),
+    * concatenate them under their `u64` counts as `<name>.vertex`, write
+    * `<name>.meta.json`, run `extra` for format-specific files, and
+    * best-effort delete partial output on failure so a retry sees the
+    * empty directory again. The destination resolves through the Hadoop
+    * FileSystem (an `s3a://`/`hdfs://` URI writes where it says, not into
+    * a local directory that happens to spell the URI). Returns the row
+    * count. */
+  private def writeBucket(spark: SparkSession, name: String, destDir: String,
+                          snap: DataFrame, metaJsonStr: String, extraFiles: Seq[String],
+                          shardFor: (Row, Long) => Int,
+                          writeEntry: (DataOutputStream, Row, Long) => Unit,
+                          extra: (FileSystem, Path) => Unit): Long = {
+    val destPath = new Path(destDir)
     val dfs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dfs.exists(destPath))
       require(dfs.listStatus(destPath).isEmpty,
         s"export destination $destDir is not empty — refusing to mix this " +
           "bucket with existing files")
     else dfs.mkdirs(destPath)
-    val pk = meta.idColumn
-    val scalarFields = meta.fields // pk included: identity lives in the metadata map
-    val snap = catalog.snapshot(name)
-      .select((scalarFields.map(f => col(f.name)) :+
-        col(CollectionMeta.VectorCol)): _*)
-      .orderBy(col(pk)) // deterministic keys: counter in pk order
-
-    // one streaming pass: entries spill into 16 LOCAL temp shard files
-    // (sections need their counts up front, so the blob cannot be written
-    // single-pass), postings accumulate per (field, value)
     val shardFiles = Array.tabulate(ShardCount)(i =>
-      File.createTempFile(s"graft-coltt-export-$i-", ".shard"))
+      File.createTempFile(s"graft-bucket-export-$i-", ".shard"))
     try {
       val shardOuts = shardFiles.map(f =>
         new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f))))
       val counts = new Array[Long](ShardCount)
-      // insertion-ordered so the written shard order is deterministic
-      val postings = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Long]]]
       var rows = 0L
       try {
         val it = snap.toLocalIterator()
         while (it.hasNext) {
           val r = it.next()
           rows += 1
-          val key = rows // 1-based counter = valid snowflake stand-in
-          val s = shardOf(key)
+          val s = shardFor(r, rows)
           counts(s) += 1
-          writeVertexEntry(shardOuts(s), key, r, meta, scalarFields.size)
-          var fi = 0
-          while (fi < scalarFields.size) {
-            val f = scalarFields(fi)
-            val v = r.get(fi)
-            if (v != null) {
-              val norm: Any = v match {
-                case l: Long => l
-                case i: Int => i.toLong
-                // −0.0 folds into +0.0: the reference's in-RAM index keys
-                // values by Go interface equality, where +0 == −0 selects
-                // ONE map entry — two separate exported entries would let
-                // the second silently overwrite the first on load
-                case d: Double => if (d == 0.0) 0.0 else d
-                case fl: Float => if (fl == 0.0f) 0.0 else fl.toDouble
-                case b: Boolean => b
-                case s0: String => s0
-                case other => throw new IllegalArgumentException(
-                  s"field ${f.name}: no edge metadata representation for ${other.getClass.getName}")
-              }
-              postings.getOrElseUpdate(f.name, mutable.LinkedHashMap.empty)
-                .getOrElseUpdate(norm, mutable.ArrayBuffer.empty[Long]) += key
-            }
-            fi += 1
-          }
+          writeEntry(shardOuts(s), r, rows)
         }
       } finally shardOuts.foreach(_.close())
-
       try {
-        // <col>.vertex: 16 sections in shard order, u64 count + spilled bytes
         val vOut = new DataOutputStream(new BufferedOutputStream(
-          dfs.create(new org.apache.hadoop.fs.Path(destPath, s"$name.vertex"), true)))
+          dfs.create(new Path(destPath, s"$name.vertex"), true)))
         try {
           var s = 0
           while (s < ShardCount) {
@@ -197,16 +178,16 @@ object ColttExport {
             s += 1
           }
         } finally vOut.close()
-        val mOut = dfs.create(new org.apache.hadoop.fs.Path(destPath, s"$name.meta.json"), true)
-        try mOut.write(metaJson(meta).getBytes(StandardCharsets.UTF_8))
+        val mOut = dfs.create(new Path(destPath, s"$name.meta.json"), true)
+        try mOut.write(metaJsonStr.getBytes(StandardCharsets.UTF_8))
         finally mOut.close()
-        writeInverted(dfs, new org.apache.hadoop.fs.Path(destPath, s"$name.inverted.raw"), postings)
+        extra(dfs, destPath)
       } catch {
         case t: Throwable =>
           // a partial bucket is worse than no bucket: best-effort cleanup so
           // a retry sees the empty directory again, then surface the failure
-          Seq(s"$name.vertex", s"$name.meta.json", s"$name.inverted.raw").foreach { f =>
-            try dfs.delete(new org.apache.hadoop.fs.Path(destPath, f), false)
+          (Seq(s"$name.vertex", s"$name.meta.json") ++ extraFiles).foreach { f =>
+            try dfs.delete(new Path(destPath, f), false)
             catch { case _: Throwable => () }
           }
           throw t
@@ -215,8 +196,155 @@ object ColttExport {
     } finally shardFiles.foreach(_.delete())
   }
 
-  /** One vertex entry (the body of a shard section), none_vectorstore.go
-    * SaveVertex: key, vecLen, stored elements, metaCount, tagged metadata. */
+  /** Export `name`'s flushed snapshot as an EDGE bucket under `destDir`.
+    * Returns the number of exported rows. Round-trips through
+    * [[ColttImport.importSnapshotDistributed]] (spec-pinned, all four
+    * quantizations). */
+  def exportEdgeCollection(spark: SparkSession, catalog: GraftCatalog,
+                           name: String, destDir: String): Long = {
+    val meta = catalog.getMeta(name)
+    require(!meta.isMultiVector,
+      "multi-vector collections have no edge representation — use " +
+        "exportExperimentalCollection (the CFLAT bucket format)")
+    require(!meta.isSchemaless,
+      "schemaless (core v3) collections export through " +
+        "ColttCoreImport.exportCoreCollection, not the edge bucket format")
+    require(distanceEnums.contains(meta.distance),
+      s"edge buckets support cosine/euclidean, collection declares ${meta.distance}")
+    val pk = meta.idColumn
+    val scalarFields = meta.fields // pk included: identity lives in the metadata map
+    val snap = catalog.snapshot(name)
+      .select((scalarFields.map(f => col(f.name)) :+
+        col(CollectionMeta.VectorCol)): _*)
+      .orderBy(col(pk)) // deterministic keys: counter in pk order
+    // insertion-ordered so the written shard order is deterministic
+    val postings = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Long]]]
+    writeBucket(spark, name, destDir, snap, metaJson(meta),
+      extraFiles = Seq(s"$name.inverted.raw"),
+      shardFor = (_, rowIdx) => shardOf(rowIdx), // 1-based counter = snowflake stand-in
+      writeEntry = (out, r, rowIdx) => {
+        writeVertexEntry(out, rowIdx, r, meta, scalarFields.size)
+        var fi = 0
+        while (fi < scalarFields.size) {
+          val f = scalarFields(fi)
+          val v = r.get(fi)
+          if (v != null) {
+            val norm: Any = v match {
+              case l: Long => l
+              case i: Int => i.toLong
+              // −0.0 folds into +0.0: the reference's in-RAM index keys
+              // values by Go interface equality, where +0 == −0 selects
+              // ONE map entry — two separate exported entries would let
+              // the second silently overwrite the first on load
+              case d: Double => if (d == 0.0) 0.0 else d
+              case fl: Float => if (fl == 0.0f) 0.0 else fl.toDouble
+              case b: Boolean => b
+              case s0: String => s0
+              case other => throw new IllegalArgumentException(
+                s"field ${f.name}: no edge metadata representation for ${other.getClass.getName}")
+            }
+            postings.getOrElseUpdate(f.name, mutable.LinkedHashMap.empty)
+              .getOrElseUpdate(norm, mutable.ArrayBuffer.empty[Long]) += rowIdx
+          }
+          fi += 1
+        }
+      },
+      extra = (dfs, destPath) =>
+        writeInverted(dfs, new Path(destPath, s"$name.inverted.raw"), postings))
+  }
+
+  /** Export a MULTI-VECTOR collection as an experimental (CFLAT) bucket —
+    * the THIRD engine's write half (edge and core have theirs).
+    *
+    * Keys are the pk strings THEMSELVES (the experimental vertex key IS the
+    * user key — identity preserved, nothing synthesized), routed by the
+    * reference's `ShardVertexV2` FNV-1a string hash. Placement is semantic,
+    * not cosmetic: the engine loads sections into shard maps AS STORED and
+    * looks keys up by that same hash (multi_vector_vertex.go:70-78, 279),
+    * so a mis-sharded entry would be unreachable for updates/deletes on a
+    * live node (the fixture encoder's hashCode routing is import-only for
+    * exactly this reason). Elements are ALWAYS f32 on this wire — quantized
+    * storage decodes first, and the declared quantization enum rides the
+    * metadata for the engine's in-memory store variant. Metadata carries
+    * only i64/string tags (multi_vector_vertex.go:245-271): integers export
+    * as i64, booleans as 0/1 i64 (the importer's documented coercion),
+    * strings as strings, and FLOAT fields refuse loudly — the wire cannot
+    * hold them. Per-field dim overrides refuse too: the experimental
+    * metadata JSON carries ONE collection-level dim, and the reference's
+    * own update path checks every vector against it
+    * (multi_vector_vertex.go ChangedVertex) — a mixed-dim bucket would be
+    * un-updatable on a live node and un-importable back. The pk is NOT in
+    * index_type (identity is the vertex key;
+    * [[ColttImport.parseExperimentalMetadata]] re-synthesizes the pk column
+    * on import — pass the original pk name as its `pkName`). NULLs export
+    * as absent keys. */
+  def exportExperimentalCollection(spark: SparkSession, catalog: GraftCatalog,
+                                   name: String, destDir: String): Long = {
+    val meta = catalog.getMeta(name)
+    require(meta.isMultiVector,
+      "exportExperimentalCollection writes CFLAT multi-vector buckets; " +
+        "single-vector collections export through exportEdgeCollection")
+    require(distanceEnums.contains(meta.distance),
+      s"experimental buckets support cosine/euclidean, collection declares ${meta.distance}")
+    val floatFields = meta.fields.filter(f => !f.isVector && f.fieldType == "float")
+    require(floatFields.isEmpty,
+      s"the experimental metadata wire holds only i64/string — float " +
+        s"field(s) ${floatFields.map(_.name).mkString(", ")} have no representation")
+    val vecFields = meta.vectorFields
+    val offDim = vecFields.filter(f => meta.dimOf(f) != meta.dim)
+    require(offDim.isEmpty,
+      s"the experimental metadata JSON carries ONE collection-level dim (${meta.dim}) — " +
+        s"per-field overrides (${offDim.map(f => s"${f.name}=${meta.dimOf(f)}").mkString(", ")}) " +
+        "have no representation and would be un-updatable on a reference node")
+    val pk = meta.idColumn
+    val scalars = meta.fields.filter(f => !f.isVector && !f.primaryKey)
+    val vecCols = vecFields.map { f =>
+      val stored = col(f.name)
+      (meta.quantization match {
+        case "none" => stored
+        case q      => graft.functions.dequantize(stored, q)
+      }).as(f.name)
+    }
+    val snap = catalog.snapshot(name)
+      .select((col(pk) +: scalars.map(f => col(f.name))) ++ vecCols: _*)
+      .orderBy(col(pk))
+    writeBucket(spark, name, destDir, snap, metaJson(meta, includePk = false),
+      extraFiles = Seq.empty,
+      shardFor = (r, _) => shardOfKey(r.getString(0)),
+      writeEntry = (out, r, _) => writeMvEntry(out, r, scalars, vecFields),
+      extra = (_, _) => ())
+  }
+
+  /** One experimental vertex entry from a snapshot row (pk, scalars…,
+    * vectors…) — the byte encoding itself is
+    * [[ColttImport.writeMvVertexEntry]], ONE writer for this format shared
+    * with the fixture encoder, so they cannot drift. */
+  private def writeMvEntry(out: DataOutputStream, r: Row,
+                           scalars: Seq[IndexField],
+                           vecFields: Seq[IndexField]): Unit = {
+    val vectors = vecFields.zipWithIndex.map { case (f, vi) =>
+      f.name -> r.getSeq[Float](1 + scalars.size + vi).toArray
+    }
+    val metaEntries = scalars.zipWithIndex.flatMap { case (f, i) =>
+      Option(r.get(1 + i)).map { v =>
+        val norm: Any = v match {
+          case l: Long    => l
+          case i2: Int    => i2.toLong
+          case b: Boolean => if (b) 1L else 0L
+          case s: String  => s
+          case other => throw new IllegalArgumentException(
+            s"field ${f.name}: the experimental wire holds only i64/string, " +
+              s"got ${other.getClass.getName}")
+        }
+        f.name -> norm
+      }
+    }
+    ColttImport.writeMvVertexEntry(out, r.getString(0), vectors, metaEntries)
+  }
+
+  /** One EDGE vertex entry (the body of a shard section),
+    * none_vectorstore.go SaveVertex: key, vecLen, stored elements,
+    * metaCount, tagged metadata. */
   private def writeVertexEntry(out: DataOutputStream, key: Long, r: Row,
                                meta: CollectionMeta, vecIdx: Int): Unit = {
     out.writeLong(key)
@@ -262,7 +390,7 @@ object ColttExport {
     * tag order (0 = i64, 1 = f64, 2 = string, 3 = bool) that differs from
     * the vertex blob's. */
   private def writeInverted(
-      dfs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+      dfs: FileSystem, path: Path,
       postings: mutable.LinkedHashMap[String, mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Long]]])
       : Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(dfs.create(path, true)))

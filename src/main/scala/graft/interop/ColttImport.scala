@@ -564,37 +564,45 @@ object ColttImport {
   def encodeMultiVectorBlob(vertices: Seq[ColttMvVertex]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(bos)
+    val byShard = vertices.groupBy(v => math.floorMod(v.key.hashCode, ShardCount))
+    (0 until ShardCount).foreach { s =>
+      val entries = byShard.getOrElse(s, Seq.empty)
+      d.writeLong(entries.size.toLong)
+      entries.foreach(v => writeMvVertexEntry(d, v.key, v.vectors.toSeq, v.meta.toSeq))
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** One experimental vertex wire entry (u16 keyLen + key, u32 mvCount of
+    * named f32 vectors, u32 metaCount of tagged i64/string entries) — THE
+    * single writer shared by [[encodeMultiVectorBlob]] and
+    * [[ColttExport]], the [[writeMetaEntry]] discipline for this format. */
+  private[interop] def writeMvVertexEntry(d: java.io.DataOutputStream, key: String,
+                                          vectors: Seq[(String, Array[Float])],
+                                          meta: Seq[(String, Any)]): Unit = {
     def writeString(s: String): Unit = {
       val b = s.getBytes(StandardCharsets.UTF_8)
       require(b.length <= 65535, s"string too long: $s")
       d.writeShort(b.length); d.write(b)
     }
-    val byShard = vertices.groupBy(v => math.floorMod(v.key.hashCode, ShardCount))
-    (0 until ShardCount).foreach { s =>
-      val entries = byShard.getOrElse(s, Seq.empty)
-      d.writeLong(entries.size.toLong)
-      entries.foreach { v =>
-        writeString(v.key)
-        d.writeInt(v.vectors.size)
-        v.vectors.foreach { case (vname, vec) =>
-          writeString(vname)
-          d.writeInt(vec.length)
-          vec.foreach(f => d.writeInt(java.lang.Float.floatToIntBits(f)))
-        }
-        d.writeInt(v.meta.size)
-        v.meta.foreach { case (k, value) =>
-          writeString(k)
-          value match {
-            case i: Long    => d.writeByte(0); d.writeLong(i)
-            case s0: String => d.writeByte(1); writeString(s0)
-            case other => throw new IllegalArgumentException(
-              s"experimental metadata supports i64/string only, got: ${other.getClass.getName}")
-          }
-        }
+    writeString(key)
+    d.writeInt(vectors.size)
+    vectors.foreach { case (vname, vec) =>
+      writeString(vname)
+      d.writeInt(vec.length)
+      vec.foreach(f => d.writeInt(java.lang.Float.floatToIntBits(f)))
+    }
+    d.writeInt(meta.size)
+    meta.foreach { case (k, value) =>
+      writeString(k)
+      value match {
+        case i: Long    => d.writeByte(0); d.writeLong(i)
+        case s0: String => d.writeByte(1); writeString(s0)
+        case other => throw new IllegalArgumentException(
+          s"experimental metadata supports i64/string only, got: ${other.getClass.getName}")
       }
     }
-    d.flush()
-    bos.toByteArray
   }
 
   /** Full experimental (multi-vector) import: meta.json + vertex blob →

@@ -218,6 +218,35 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat2.search("exp", qv, topK = 10)
     }),
+    // The third engine's write half: a CFLAT multi-vector collection
+    // exports as a native experimental bucket (string-keyed vertices
+    // routed by ShardVertexV2, f32 elements) and a SECOND catalog imports
+    // it back; the weighted multi-vector search over the re-imported
+    // collection must rank identically to a direct replay.
+    "coltt_export_mv_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-cexpmv-src").toString)
+      cat.createCollection(CollectionMeta("mvex", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("_key", "string", primaryKey = true),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector"))))
+      cat.loadCollection("mvex")
+      cat.insert("mvex", e.select(col("vec_id"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+        .select(col("vec_id").cast("string").as("_key"), col("v0"), col("v1")))
+      cat.flush("mvex")
+      val bucket = graft.TempRoots.create("graft-cexpmv-bucket")
+      graft.interop.ColttExport.exportExperimentalCollection(s, cat, "mvex", bucket.toString)
+      val cat2 = new GraftCatalog(s, graft.TempRoots.create("graft-cexpmv-dst").toString)
+      graft.interop.ColttImport.importExperimentalSnapshot(s, cat2, "mvex", bucket.toString)
+      def qv(id: Long) = e.where(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toArray
+      cat2.searchMulti("mvex", Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
+    }),
     // Filtered search ON THE INDEX RUNGS (the reference's S3 candidate-list
     // semantics — filter BEFORE scoring, rpc.go Search — carried onto the
     // flushed layouts): without this, any query with a metadata predicate
@@ -743,6 +772,20 @@ object PersistenceQueries {
         |      FROM b, q ORDER BY h, id LIMIT 30)
         |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
         |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
+    // f32 CFLAT export→import is lossless, so the weighted search equals
+    // the direct replay (the coltt_import_mv_roundtrip shape)
+    "coltt_export_mv_roundtrip" -> {
+      val w = """GREATEST(0, 100 - list_distance(mv.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(mv.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |mv AS (SELECT e1.vec_id, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1)
+         |SELECT CAST(mv.vec_id AS VARCHAR) AS _key, ROUND($w, 4) AS score
+         |FROM mv, q0, q1
+         |ORDER BY ROUND($w, 8) DESC, _key
+         |LIMIT 10""".stripMargin
+    },
     // the export→import chain is float-lossless, so results equal a direct
     // scan (the snapshot_roundtrip shape)
     "coltt_export_roundtrip" ->

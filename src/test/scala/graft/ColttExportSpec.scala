@@ -243,6 +243,148 @@ class ColttExportSpec extends SparkSpec {
   /** decode64 wrapper for postings (single pass, asserts full consumption). */
   private def decode32Outer(bm: Array[Byte]): Seq[Long] = decode64(bm)
 
+  // ---- experimental (CFLAT multi-vector) bucket export ----
+
+  private def mvFixture(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      val v0 = Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6).toFloat / 6f)
+      val v1 = Array.tabulate(dim)(j => ((i * 17 + j * 3) % 11 - 5).toFloat / 5f)
+      (f"k$i%03d",
+        if (i % 9 == 4) Option.empty[Long] else Some((i % 4).toLong),
+        s"t${i % 3}", i % 2 == 0, v0.toSeq, v1.toSeq)
+    }.toDF("id", "label", "tag", "flag", "v0", "v1")
+
+  private def mvMeta(name: String, dim: Int, quant: String = "none") =
+    CollectionMeta(name, dim = dim, distance = "euclidean", quantization = quant,
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer", enableNull = true),
+        IndexField("tag", "string"),
+        IndexField("flag", "boolean"),
+        IndexField("v0", "vector"),
+        IndexField("v1", "vector")))
+
+  test("experimental (CFLAT) export → import round-trip: named vectors, " +
+    "i64/string/boolean metadata, NULL-as-absent — none and f16 storage") {
+    for (quant <- Seq("none", "f16")) {
+      val name = s"mvrt$quant"
+      val cat = newCatalog()
+      cat.createCollection(mvMeta(name, 6, quant))
+      cat.loadCollection(name)
+      cat.insert(name, mvFixture(30, 6))
+      cat.flush(name)
+      val dest = Files.createTempDirectory("graft-cflat-out").toString
+      assert(ColttExport.exportExperimentalCollection(spark, cat, name, dest) === 30)
+      val cat2 = newCatalog()
+      assert(ColttImport.importExperimentalSnapshot(spark, cat2, name, dest,
+        pkName = "id") === 30)
+      def canon(df: org.apache.spark.sql.DataFrame) = {
+        def vec(c: String) = (quant match {
+          case "none" => col(c)
+          case q      => graft.functions.dequantize(col(c), q)
+        }).cast("array<double>")
+        df.select(col("id"), col("label"), col("tag"), col("flag"),
+            vec("v0").as("w0"), vec("v1").as("w1"))
+          .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2),
+            r.getBoolean(3), r.getSeq[Double](4), r.getSeq[Double](5))).sortBy(_._1)
+      }
+      val src = canon(cat.loadCollection(name))
+      val got = canon(cat2.loadCollection(name))
+      assert(got === src, s"$quant: CFLAT round-trip diverged")
+      val m2 = cat2.getMeta(name)
+      assert(m2.isMultiVector && m2.quantization === quant && m2.idColumn === "id")
+    }
+  }
+
+  test("experimental export: ShardVertexV2 routing parity; blob sections follow it; " +
+    "single-vector and float-field collections refuse") {
+    def independentShard(s: String): Int = {
+      var h = BigInt("cbf29ce484222325", 16)
+      val mask = (BigInt(1) << 64) - 1
+      s.getBytes("UTF-8").foreach { b =>
+        h = ((h ^ BigInt(b & 0xFF)) * BigInt("100000001b3", 16)) & mask
+      }
+      (h mod BigInt(16)).toInt
+    }
+    val rnd = new scala.util.Random(17)
+    (1 to 300).foreach { _ =>
+      val s = rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString
+      assert(ColttExport.shardOfKey(s) === independentShard(s), s"key '$s'")
+    }
+    val cat = newCatalog()
+    cat.createCollection(mvMeta("mvsh", 6))
+    cat.loadCollection("mvsh")
+    cat.insert("mvsh", mvFixture(30, 6))
+    cat.flush("mvsh")
+    val dest = Files.createTempDirectory("graft-cflat-sh").toString
+    ColttExport.exportExperimentalCollection(spark, cat, "mvsh", dest)
+    // hand-walk the 16 sections: every key must sit in ITS FNV shard (the
+    // reference loads sections as stored and looks up by this hash — a
+    // mis-sharded entry is unreachable on a live node)
+    val d = new DataInputStream(new ByteArrayInputStream(
+      Files.readAllBytes(Paths.get(dest, "mvsh.vertex"))))
+    def readStr(): String = {
+      val b = new Array[Byte](d.readUnsignedShort()); d.readFully(b); new String(b, "UTF-8")
+    }
+    var seen = 0
+    (0 until 16).foreach { s =>
+      val count = d.readLong()
+      (0L until count).foreach { _ =>
+        val key = readStr()
+        assert(ColttExport.shardOfKey(key) === s, s"key $key placed in shard $s")
+        seen += 1
+        (0 until d.readInt()).foreach { _ =>
+          readStr(); val dim = d.readInt(); d.skipBytes(dim * 4)
+        }
+        (0 until d.readInt()).foreach { _ =>
+          readStr()
+          d.readByte() match {
+            case 0 => d.skipBytes(8)
+            case 1 => d.skipBytes(d.readUnsignedShort())
+            case t => fail(s"unknown experimental meta tag $t")
+          }
+        }
+      }
+    }
+    assert(seen === 30 && d.read() === -1)
+    // contracts: a single-vector collection has no CFLAT representation …
+    val sv = newCatalog()
+    sv.createCollection(exMeta("plain", 8))
+    sv.loadCollection("plain")
+    sv.insert("plain", fixture(5, 8))
+    sv.flush("plain")
+    intercept[IllegalArgumentException](ColttExport.exportExperimentalCollection(
+      spark, sv, "plain", Files.createTempDirectory("graft-cflat-e1").toString))
+    // … and a float field has no experimental wire representation
+    val fl = newCatalog()
+    fl.createCollection(CollectionMeta("mvf", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("score", "float"),
+        IndexField("v0", "vector"),
+        IndexField("v1", "vector"))))
+    fl.loadCollection("mvf")
+    fl.insert("mvf", Seq(("a", 1.5, Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f)))
+      .toDF("id", "score", "v0", "v1"))
+    fl.flush("mvf")
+    intercept[IllegalArgumentException](ColttExport.exportExperimentalCollection(
+      spark, fl, "mvf", Files.createTempDirectory("graft-cflat-e2").toString))
+    // … and a per-field dim override cannot ride the single collection-level
+    // dim of the experimental metadata JSON (a mixed-dim bucket would be
+    // un-updatable on a reference node and un-importable back)
+    val od = newCatalog()
+    od.createCollection(CollectionMeta("mvod", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("v0", "vector", dim = Some(2)),
+        IndexField("v1", "vector"))))
+    od.loadCollection("mvod")
+    od.insert("mvod", Seq(("a", Seq(1f, 0f), Seq(0f, 1f, 0f, 0f))).toDF("id", "v0", "v1"))
+    od.flush("mvod")
+    intercept[IllegalArgumentException](ColttExport.exportExperimentalCollection(
+      spark, od, "mvod", Files.createTempDirectory("graft-cflat-e3").toString))
+  }
+
   test("contracts: multi-vector, schemaless, and dot-distance collections refuse loudly") {
     val cat = newCatalog()
     cat.createCollection(CollectionMeta("dot", dim = 4, distance = "dot",
