@@ -56,7 +56,8 @@ object ClusterSmoke {
     // indexed layout, and the export→import round trips (toLocalIterator
     // pulls partitions from executor JVMs; the importer's section scan
     // runs IN executors)
-    "ivf_search_filtered", "bin_search_filtered", "delta_flush_ivf",
+    "ivf_search_filtered", "pq_search_filtered", "bin_search_filtered",
+    "delta_flush_ivf",
     "coltt_export_roundtrip", "coltt_export_mv_roundtrip",
   )
 

@@ -201,7 +201,12 @@ object Pq {
   def decode(code: Column, cb: PqCodebook): Column = pq_decode(code, cb.cents)
 
   /** Inverse of [[residual]]: add the row's cell centroid back — turns a
-    * residual-code reconstruction into the full-vector reconstruction. */
+    * residual-code reconstruction into the full-vector reconstruction.
+    * Like [[residual]] (the flush-path encoder this inverts), the centroid
+    * table rides the plan as a typedlit array literal — cells×dim floats,
+    * e.g. 128 KB at the 256×128 serving config; a configuration big enough
+    * for this to matter (4096×1024 ≈ 16 MB) should move BOTH functions to
+    * an `addReferenceObj` kernel together. */
   def addCentroid(vec: Column, cell: Column, centroids: Seq[(Long, Array[Float])]): Column = {
     val sorted = centroids.sortBy(_._1)
     require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },

@@ -989,14 +989,7 @@ class GraftCatalog(spark: SparkSession, root: String,
         if (!fs.exists(pqDir(name, base))) throw missing("PQ codebook")
         val (cb, residFlag) = readPqCodebook(name, base, m)
         val hasCells = meta.ivfCells.isDefined && fs.exists(centroidDir(name, base))
-        // flagless + IVF is ambiguous (raw and residual cohorts both
-        // exist pre-flag) — same re-flush demand as searchPq
-        val residual = residFlag.getOrElse {
-          require(!hasCells,
-            s"collection $name: pre-flag PQ sidecar over an IVF layout — raw vs " +
-              "residual codes are unrecorded; re-flush before delta-flushing")
-          false
-        }
+        val residual = resolveResidualLayout(name, residFlag, hasCells)
         val enc =
           if (residual)
             graft.functions.pq_encode(graft.ann.Pq.residual(
@@ -1986,21 +1979,20 @@ class GraftCatalog(spark: SparkSession, root: String,
       "auditRecallPq reserves the output column name 'qid'; the collection pk shadows it")
     import spark.implicits._
     val sv = sidecarVersion(name, meta)
-    if (!fs.exists(pqDir(name, sv)))
-      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
-    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
     val full0 = indexedState(name, meta)
+    if (!fs.exists(pqDir(name, sv))) {
+      // only an EMPTY flush legitimately lacks the sidecar — a populated
+      // snapshot without one must ERROR, not return a vacuous green audit
+      // (the auditRecallBin contract)
+      require(full0.isEmpty,
+        s"collection $name: PQ sidecar missing for version $sv — " +
+          "the snapshot predates the PQ layout; re-flush to build it")
+      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
+    }
+    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
     val full = applyFilter(full0, meta, filter)
     val hasCells = meta.ivfCells.isDefined && fs.exists(centroidDir(name, sv))
-    val residualLayout = residFlag.getOrElse {
-      require(!hasCells,
-        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
-          "the codes are raw or residual is unrecorded and cannot be " +
-          "inferred; re-flush the collection to write a flagged sidecar")
-      false
-    }
-    require(!residualLayout || hasCells,
-      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
+    val residualLayout = resolveResidualLayout(name, residFlag, hasCells)
     val decoded = meta.quantization match {
       case "none" => full
       case q      => full.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
@@ -2081,15 +2073,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     // that case demands a re-flush instead of an inference.
     val hasCells = meta.ivfCells.isDefined &&
       fs.exists(centroidDir(name, sv))
-    val residualLayout = residFlag.getOrElse {
-      require(!hasCells,
-        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
-          "the codes are raw or residual is unrecorded and cannot be " +
-          "inferred; re-flush the collection to write a flagged sidecar")
-      false
-    }
-    require(!residualLayout || hasCells,
-      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
+    val residualLayout = resolveResidualLayout(name, residFlag, hasCells)
     val (snap, adcExpr) =
       if (residualLayout) {
         val centroids = readCentroids(name, sv)
@@ -2247,13 +2231,33 @@ class GraftCatalog(spark: SparkSession, root: String,
       spark.read.parquet(binDir(name, v).toString)
         .orderBy("d").collect().map(_.getAs[Double]("t")))
 
+  /** Resolve whether a PQ sidecar holds RAW or RESIDUAL codes — ONE
+    * implementation of the flag/legacy-cohort rule every PQ reader and
+    * writer must apply identically (searchPq, auditRecallPq,
+    * localPqIndex, decorateSegment): flagless WITHOUT an IVF layout is
+    * unambiguously raw (the only layout that cohort could hold); flagless
+    * WITH one is genuinely ambiguous — raw and residual pre-flag cohorts
+    * both exist, a wrong guess silently mis-scores the other, so that
+    * case demands a re-flush; a recorded residual flag without the
+    * centroid sidecar is a layout mismatch. */
+  private def resolveResidualLayout(name: String, residFlag: Option[Boolean],
+                                    hasCells: Boolean): Boolean = {
+    val residual = residFlag.getOrElse {
+      require(!hasCells,
+        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
+          "the codes are raw or residual is unrecorded and cannot be " +
+          "inferred; re-flush the collection to write a flagged sidecar")
+      false
+    }
+    require(!residual || hasCells,
+      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
+    residual
+  }
+
   /** The PQ sidecar of version `v`: the codebook plus the recorded
     * residual-layout flag. `residual = None` on sidecars written before the
-    * flag existed; callers treat flagless-without-IVF as RAW (the only
-    * layout that cohort could hold) and must REFUSE flagless-with-IVF —
-    * residual encoding landed before the flag did, so both raw and
-    * residual flagless IVF+PQ snapshots exist and the layout cannot be
-    * inferred. */
+    * flag existed; callers resolve the cohort through
+    * [[resolveResidualLayout]]. */
   private def readPqCodebook(name: String, v: Int,
                              m: Int): (graft.ann.PqCodebook, Option[Boolean]) =
     versionArtifact(name, v, "pqcb") {
@@ -2329,18 +2333,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids =
       if (hasCells) readCentroids(name, sv)
       else Seq.empty[(Long, Array[Float])]
-    // flagless + IVF is ambiguous (raw and residual cohorts both exist
-    // pre-flag) — same re-flush demand as searchPq; flagless without IVF
-    // is unambiguously raw
-    val residual = residFlag.getOrElse {
-      require(!hasCells,
-        s"collection $name: pre-flag PQ sidecar over an IVF layout — whether " +
-          "the codes are raw or residual is unrecorded and cannot be " +
-          "inferred; re-flush the collection to write a flagged sidecar")
-      false
-    }
-    require(!residual || hasCells,
-      s"collection $name: sidecar records a residual layout but the centroid sidecar is missing")
+    val residual = resolveResidualLayout(name, residFlag, hasCells)
     graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,
       centroids, meta.distance, if (hasCells) Some(GraftCatalog.CellCol) else None,
       residual = residual)

@@ -128,15 +128,15 @@ package object functions {
   def pq_encode_cells(v: Column, codebook: Array[Array[Array[Float]]]): Column =
     column(PqEncode(expression(v), codebook, asInts = true))
 
-  /** Asymmetric PQ distance: `sqrt(Σⱼ lutSq[j·ksub + code[j]])` over an
-    * m-byte code column — `lutSq` holds per-query SQUARED sub-distances
-    * (built by [[graft.ann.PqCodebook.adcLut]]). */
   /** pq_decode(code): the reconstruction (concat of selected sub-codewords)
     * — euclidean(query, pq_decode(code)) equals the ADC distance, the shape
     * multi-query ADC rankings use (see PqExpressions.PqDecode). */
   def pq_decode(code: Column, codebook: Array[Array[Array[Float]]]): Column =
     column(PqDecode(expression(code), codebook))
 
+  /** Asymmetric PQ distance: `sqrt(Σⱼ lutSq[j·ksub + code[j]])` over an
+    * m-byte code column — `lutSq` holds per-query SQUARED sub-distances
+    * (built by [[graft.ann.PqCodebook.adcLut]]). */
   def pq_adc_distance(code: Column, lutSq: Array[Double], ksub: Int): Column =
     column(PqAdcDistance(expression(code), lutSq, ksub))
 

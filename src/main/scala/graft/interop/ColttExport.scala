@@ -150,11 +150,18 @@ object ColttExport {
         s"export destination $destDir is not empty — refusing to mix this " +
           "bucket with existing files")
     else dfs.mkdirs(destPath)
-    val shardFiles = Array.tabulate(ShardCount)(i =>
-      File.createTempFile(s"graft-bucket-export-$i-", ".shard"))
+    // files and streams are created INSIDE the guarded region so a failure
+    // midway (temp dir full, fd exhaustion) still deletes what was created
+    val shardFiles = new Array[File](ShardCount)
+    val shardOuts = new Array[DataOutputStream](ShardCount)
     try {
-      val shardOuts = shardFiles.map(f =>
-        new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f))))
+      var i = 0
+      while (i < ShardCount) {
+        shardFiles(i) = File.createTempFile(s"graft-bucket-export-$i-", ".shard")
+        shardOuts(i) = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(shardFiles(i))))
+        i += 1
+      }
       val counts = new Array[Long](ShardCount)
       var rows = 0L
       try {
@@ -166,7 +173,7 @@ object ColttExport {
           counts(s) += 1
           writeEntry(shardOuts(s), r, rows)
         }
-      } finally shardOuts.foreach(_.close())
+      } finally shardOuts.foreach(o => if (o != null) o.close())
       try {
         val vOut = new DataOutputStream(new BufferedOutputStream(
           dfs.create(new Path(destPath, s"$name.vertex"), true)))
@@ -193,7 +200,7 @@ object ColttExport {
           throw t
       }
       rows
-    } finally shardFiles.foreach(_.delete())
+    } finally shardFiles.foreach(f => if (f != null) { f.delete(); () })
   }
 
   /** Export `name`'s flushed snapshot as an EDGE bucket under `destDir`.
@@ -217,8 +224,11 @@ object ColttExport {
       .select((scalarFields.map(f => col(f.name)) :+
         col(CollectionMeta.VectorCol)): _*)
       .orderBy(col(pk)) // deterministic keys: counter in pk order
-    // insertion-ordered so the written shard order is deterministic
-    val postings = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Long]]]
+    // insertion-ordered so the written shard order is deterministic;
+    // postings accumulate in PRIMITIVE long vectors — boxed Longs at one
+    // object per posting would put the driver an order of magnitude above
+    // the reference's own in-RAM index envelope on big collections
+    val postings = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[Any, LongVec]]
     writeBucket(spark, name, destDir, snap, metaJson(meta),
       extraFiles = Seq(s"$name.inverted.raw"),
       shardFor = (_, rowIdx) => shardOf(rowIdx), // 1-based counter = snowflake stand-in
@@ -244,7 +254,7 @@ object ColttExport {
                 s"field ${f.name}: no edge metadata representation for ${other.getClass.getName}")
             }
             postings.getOrElseUpdate(f.name, mutable.LinkedHashMap.empty)
-              .getOrElseUpdate(norm, mutable.ArrayBuffer.empty[Long]) += rowIdx
+              .getOrElseUpdate(norm, new LongVec) += rowIdx
           }
           fi += 1
         }
@@ -389,9 +399,20 @@ object ColttExport {
     * little-endian framing around BIG-endian value payloads, and the value
     * tag order (0 = i64, 1 = f64, 2 = string, 3 = bool) that differs from
     * the vertex blob's. */
+  /** Growable primitive long vector (the posting accumulator). */
+  private final class LongVec {
+    private var a = new Array[Long](4)
+    private var n = 0
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Long] = java.util.Arrays.copyOf(a, n)
+  }
+
   private def writeInverted(
       dfs: FileSystem, path: Path,
-      postings: mutable.LinkedHashMap[String, mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Long]]])
+      postings: mutable.LinkedHashMap[String, mutable.LinkedHashMap[Any, LongVec]])
       : Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(dfs.create(path, true)))
     def writeIntLE(v: Int): Unit = {
