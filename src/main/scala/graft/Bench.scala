@@ -973,7 +973,13 @@ object Bench {
         // pushed into the SAME pruned scan, not a fallback to a flat scan
         val ivfFilter = Some(graft.FilterExpr.Single(
           "label", graft.FilterExpr.Lt, 50L): graft.FilterExpr)
+        // r10: hybrid through the prepared path — the last request route
+        // that paid plan-per-call re-analysis; should sit near serve_search
+        // (one compiled shape, vector swapped, ANN broadcast rebuilt)
+        val hybridFilter = graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 50L)
         val probeRows =
+          perReq("serve_hybrid_1m")(v =>
+            cat.searchHybridPrepared("sv", v, 10, hybridFilter): Unit) ++
           perReq("serve_ivf_1m")(v => cat.searchIvf("sv", v, 10, nprobe = 8).collect(): Unit) ++
             perReq("serve_ivf_filtered_1m")(v =>
               cat.searchIvf("sv", v, 10, nprobe = 8, filter = ivfFilter).collect(): Unit) ++

@@ -100,6 +100,17 @@ class GraftCatalog(spark: SparkSession, root: String,
         size() > GraftCatalog.PreparedCacheMax
     }
 
+  /** Hybrid prepared shapes: the filter tree and the over-fetch factor are
+    * part of the plan; only the query vector swaps per request. */
+  private case class HybridPreparedKey(name: String, topK: Int,
+                                       filter: FilterExpr, overFetch: Int)
+  private val preparedHybrids =
+    new java.util.LinkedHashMap[HybridPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[HybridPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
   /** Drop every prepared plan of `name` — called where the resident object
     * is swapped or retired so retired plan trees (and the unpersisted cache
     * relations they reference) don't linger until LRU eviction. */
@@ -108,6 +119,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     preparedMultiSearches.synchronized {
       preparedMultiSearches.keySet().removeIf(_.name == name)
     }
+    preparedHybrids.synchronized { preparedHybrids.keySet().removeIf(_.name == name) }
     versionArtifacts.synchronized {
       val it = versionArtifacts.entrySet().iterator()
       while (it.hasNext) {
@@ -1667,6 +1679,66 @@ class GraftCatalog(spark: SparkSession, root: String,
       SearchRequest(qv, topK, metric = meta.distance, idCol = meta.idColumn,
         vectorCol = VectorCol, customDistance = fused),
       pred, overFetch)
+  }
+
+  /** [[searchHybrid]] through a prepared plan — the last request route that
+    * still paid plan-per-call Catalyst re-analysis (the [[searchPrepared]]
+    * model; shape key = topK + filter tree + overFetch, only the query
+    * vector swaps per request). The hybrid plan carries a broadcast
+    * exchange (the bounded ANN side is the build side); the literal swap
+    * COPIES every node on the changed path, so each run gets a fresh
+    * BroadcastExchange node whose relation rebuilds with the new vector —
+    * a stale cached broadcast is unreachable by construction
+    * (PreparedSearchSpec pins prepared == plan-per-call on fresh vectors
+    * back to back). Same staleness/negative-cache contract as
+    * [[searchPrepared]]. */
+  def searchHybridPrepared(name: String, queryVector: Array[Float], topK: Int,
+                           filter: FilterExpr, overFetch: Int = 3)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMulti")
+    val df = loadedOrThrow(name)
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val key = HybridPreparedKey(name, topK, filter, overFetch)
+    val cached = preparedHybrids.synchronized {
+      Option(preparedHybrids.get(key)).filter(_.df eq df)
+    }
+    val entry = cached.getOrElse {
+      val e =
+        try PreparedEntry(df, Some(compileHybrid(df, meta, topK, filter, overFetch)))
+        catch {
+          case _: org.apache.spark.sql.graft.PreparedPlan.PlaceholderFoldedException =>
+            PreparedEntry(df, None)
+        }
+      preparedHybrids.synchronized { preparedHybrids.put(key, e) }
+      e
+    }
+    entry.prepared match {
+      case Some(p) => (p.schema, p.run(qv))
+      case None =>
+        val out = searchHybrid(name, queryVector, topK, filter, overFetch)
+        (out.schema, out.collect().toIndexedSeq)
+    }
+  }
+
+  /** Build the EXACT [[searchHybrid]] plan with a placeholder vector and
+    * compile it — the [[compileSearch]] discipline for the hybrid shape. */
+  private def compileHybrid(df: DataFrame, meta: CollectionMeta, topK: Int,
+                            filter: FilterExpr, overFetch: Int)
+      : org.apache.spark.sql.graft.PreparedPlan.Prepared = {
+    import org.apache.spark.sql.graft.PreparedPlan
+    val (phCol, ph) = PreparedPlan.placeholder(meta.dim)
+    val raw = meta.quantization match {
+      case "none" => graft.functions.distance(col(VectorCol), phCol, meta.distance)
+      case q      => graft.functions.distance_quant(col(VectorCol), phCol, q, meta.distance)
+    }
+    val hybridDf = VectorSearch.hybridSearchWith(df,
+      SearchRequest(new Array[Float](meta.dim), topK, metric = meta.distance,
+        idCol = meta.idColumn, vectorCol = VectorCol, customDistance = Some(raw)),
+      metaFilterColumn(meta, filter), overFetch)
+    PreparedPlan.compile(hybridDf, ph)
   }
 
   def count(name: String): Long = loadedOrThrow(name).count()

@@ -276,8 +276,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             "searchHybrid requires \"filter\" (use search for pure similarity)")
           case f => parseFilter(f)
         }
-        withVacuumRecovery(name)(
-          rowsJson(catalog.searchHybrid(name, vector, topK, filter, overFetch)))
+        // plan-once/execute-many like /search — the hybrid shape (topK +
+        // filter tree + overFetch) compiles once, the vector swaps per
+        // request (this was the last request route paying plan-per-call)
+        withVacuumRecovery(name) {
+          val (schema, rows) =
+            catalog.searchHybridPrepared(name, vector, topK, filter, overFetch)
+          rowsJson(schema, rows)
+        }
       // IVF probes over the flushed cell-partitioned snapshot: the
       // distributed directory-pruned scan, and the driver-local in-process
       // index (the point-latency path; see LocalIvfIndex)

@@ -137,6 +137,38 @@ class PreparedSearchSpec extends SparkSpec {
     }
   }
 
+  test("hybrid prepared path: equals searchHybrid across random vectors and " +
+    "filters (the broadcast rebuilds per swapped vector); mutations never go stale") {
+    val cat = newCatalog()
+    cat.createCollection(meta("hyb"))
+    cat.loadCollection("hyb")
+    cat.insert("hyb", rows(300, seed = 21))
+    val filters = Seq(
+      FilterExpr.Single("label", FilterExpr.Lt, 4L),
+      FilterExpr.And(Seq(
+        FilterExpr.Single("label", FilterExpr.Gte, 1L),
+        FilterExpr.Single("label", FilterExpr.Neq, 3L))))
+    // fresh vector per request against ONE cached shape: if the literal
+    // swap did not rebuild the ANN broadcast, request 2+ would serve
+    // request 1's candidates
+    for (f <- filters; q <- vecs(4, seed = 31)) {
+      val want = {
+        val df = cat.searchHybrid("hyb", q, topK = 7, f, overFetch = 3)
+        canon(df.schema, df.collect().toIndexedSeq)
+      }
+      val (schema, rs) = cat.searchHybridPrepared("hyb", q, topK = 7, f, overFetch = 3)
+      assert(canon(schema, rs) === want, s"filter $f")
+    }
+    // staleness: a mutation swaps the resident object → recompile, never stale
+    val q0 = vecs(1, seed = 41).head
+    val f0 = filters.head
+    val before = canon _ tupled cat.searchHybridPrepared("hyb", q0, 7, f0)
+    cat.insert("hyb", Seq(("zzzz", 0, q0.toSeq)).toDF("id", "label", "vector"))
+    val after = canon _ tupled cat.searchHybridPrepared("hyb", q0, 7, f0)
+    assert(after !== before, "the upserted exact-match row must appear")
+    assert(after.exists(_.contains("zzzz")))
+  }
+
   test("a cached plan never serves a stale resident state (insert/delete invalidate)") {
     val cat = newCatalog()
     cat.createCollection(meta("pst"))
