@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1092,14 +1094,57 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val total = results.map(_._2).filter(_ > 0).sum
-    println("{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++ pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++ serveDist1m) +
+    val allQueries = results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++
+      pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++ serveDist1m
+
+    // ---- Output contract (r11). The driver captures only the LAST 2000
+    // characters of stdout: the pre-r11 single ~5 KB JSON line lost its head
+    // to that window and BENCH_r10.json recorded `parsed: null`. So: the
+    // COMPLETE results object (every row, full precision) is written to
+    // BENCH_full.json in the working directory, and stdout carries a compact
+    // line sized to the window — headline rows at 4 dp plus both ratio maps
+    // and the errors. If the line would still overflow, rows drop from the
+    // END of the priority list and a "queries_dropped" count records it
+    // (never a silent cut).
+    val fullJson = "{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
+      ",\"queries\":" + jmap(allQueries) +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000,\"bench_bin_rows\":100000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +
       ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
       ",\"errors\":" + jmap(errors.toSeq) +
-      ",\"sf\":\"" + sfDir + "\"}")
+      ",\"sf\":\"" + sfDir + "\"}"
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+
+    def jnum(t: Double, dp: Int): String = {
+      val p = math.pow(10, dp)
+      (math.round(t * p) / p).toString
+    }
+    // serving/catalog/audit rows lead (vs_baseline already carries the scan
+    // gates as ratios); the sf-scale suite comes last — it is fully covered
+    // by the correctness harness and lives in BENCH_full.json regardless
+    val priority = (deltaFlush1m ++ serveDist1m ++ nearDup1m ++ semantic1m ++
+      ivf1m ++ pq1m ++ bin1m ++ big1m ++ big10m ++ pq10m ++ bin100m ++
+      docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
+    val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
+    val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
+      ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
+      ",\"errors\":" + jmap(errors.toSeq) +
+      ",\"full\":\"BENCH_full.json\",\"sf\":\"" + sfDir + "\"}"
+    val budget = 1850 - head.length - tail.length - 40
+    val kept = mutable.ArrayBuffer.empty[String]
+    var used = 0
+    val entryIt = priority.iterator.map { case (n, t) => jstr(n) + ":" + jnum(t, 4) }
+    var full = false
+    while (entryIt.hasNext && !full) {
+      val e = entryIt.next()
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      else full = true
+    }
+    val dropped = priority.length - kept.length
+    println(head + ",\"queries\":{" + kept.mkString(",") + "}" +
+      (if (dropped > 0) ",\"queries_dropped\":" + dropped else "") + tail)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

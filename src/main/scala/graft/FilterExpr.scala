@@ -52,4 +52,18 @@ object FilterExpr {
     def toColumn: Column = children.map(_.toColumn).reduce(_ || _)
   }
   object Or { def apply(cs: FilterExpr*)(implicit d: DummyImplicit): Or = Or(cs) }
+
+  /** Flatten `f` into its conjunctive-EQ form — (column, value) terms —
+    * when the tree is ANDs of Eq Singles and nothing else; None otherwise.
+    * This is the shape the driver-local serving rungs can answer from
+    * their typed-array EQ store ([[graft.ann.LocalMeta]]), mirroring the
+    * reference's inverted-index EQ fast path
+    * (pkg/inverted/search.go:32-46). */
+  def conjunctiveEq(f: FilterExpr): Option[Seq[(String, Any)]] = f match {
+    case Single(c, Eq, v) => Some(Seq(c -> v))
+    case And(cs) =>
+      val parts = cs.map(conjunctiveEq)
+      if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+    case _ => None
+  }
 }

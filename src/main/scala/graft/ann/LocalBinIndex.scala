@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
 final class LocalBinIndex private (
     ids: Array[AnyRef],
     words: Array[Long], // n·w packed code words, vector i at [i·w, i·w+w)
+    meta: LocalMeta,
     val dim: Int,
     thresholds: Array[Double],
     stripes: Int) extends Serializable {
@@ -32,18 +33,31 @@ final class LocalBinIndex private (
   def size: Long = ids.length.toLong
   /** Resident bytes of the code payload (the density-scale claim). */
   def codeBytes: Long = words.length.toLong * 8
+  /** Columns available to [[search]]'s EQ filter (empty unless the index
+    * was built with `metaCols`). */
+  def filterableColumns: Set[String] = meta.columns
 
   /** Hamming top-k over all vectors (no cells — the whole scan is cheaper
     * than one ADC cell probe). Returns (id, hammingDistance) best-first:
     * candidates for an exact rerank, or the approximate answer. The query
     * is a FLOAT vector — encoded here against the trained thresholds, the
-    * same both-sides-quantized contract as the distributed scan. */
-  def search(q: Array[Float], topK: Int): Seq[(AnyRef, Double)] = {
+    * same both-sides-quantized contract as the distributed scan.
+    *
+    * `eqFilter` is the conjunctive-EQ pre-filter ([[LocalIvfIndex.search]]'s
+    * contract): failing rows skip BEFORE the XOR+POPCNT loop, so the result
+    * equals the distributed `searchBinary(filter)`'s pass 1 over the same
+    * snapshot. Needs the index built with the named columns — unknown
+    * columns refuse loudly. */
+  def search(q: Array[Float], topK: Int,
+             eqFilter: Seq[(String, Any)] = Nil): Seq[(AnyRef, Double)] = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
     val qw = LocalBinIndex.toWords(
       org.apache.spark.sql.graft.BinEncode.pack(q, thresholds))
     val n = ids.length
+    // the predicate compiles (and an unknown column REFUSES) even when the
+    // store is empty — never a silently-unfiltered answer
+    val pred: Int => Boolean = if (eqFilter.isEmpty) null else meta.predicate(eqFilter)
     if (n == 0) return Seq.empty
     val per = math.max(1, (n + stripes - 1) / stripes)
     def scanStripe(s: Long): Array[(AnyRef, Double)] = {
@@ -56,18 +70,20 @@ final class LocalBinIndex private (
       var gate = Long.MaxValue
       var i = start
       while (i < end) {
-        var acc = 0L; var j = 0; val base = i * w
-        while (j < w) {
-          acc += java.lang.Long.bitCount(words(base + j) ^ qw(j)); j += 1
-        }
-        if (acc <= gate) {
-          val e = (ids(i), acc.toDouble)
-          if (heap.size < topK) {
-            heap.add(e)
-            if (heap.size == topK) gate = heap.peek()._2.toLong
-          } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
-            heap.poll(); heap.add(e)
-            gate = heap.peek()._2.toLong
+        if (pred == null || pred(i)) {
+          var acc = 0L; var j = 0; val base = i * w
+          while (j < w) {
+            acc += java.lang.Long.bitCount(words(base + j) ^ qw(j)); j += 1
+          }
+          if (acc <= gate) {
+            val e = (ids(i), acc.toDouble)
+            if (heap.size < topK) {
+              heap.add(e)
+              if (heap.size == topK) gate = heap.peek()._2.toLong
+            } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
+              heap.poll(); heap.add(e)
+              gate = heap.peek()._2.toLong
+            }
           }
         }
         i += 1
@@ -100,10 +116,13 @@ object LocalBinIndex {
   /** Build from a flushed binary snapshot's (id, packedCode) columns + the
     * threshold sidecar — streamed via toLocalIterator so the transient
     * footprint is one partition. `stripes` bounds the scan fan-out
-    * (default: the common-pool parallelism). */
+    * (default: the common-pool parallelism). `metaCols` = (columnName,
+    * declared fieldType) pairs loaded as typed arrays ([[LocalMeta]]) for
+    * [[LocalBinIndex.search]]'s conjunctive-EQ filter. */
   def fromCodes(snapshot: DataFrame, idCol: String, codeCol: String,
                 dim: Int, thresholds: Array[Double],
-                stripes: Int = Runtime.getRuntime.availableProcessors()): LocalBinIndex = {
+                stripes: Int = Runtime.getRuntime.availableProcessors(),
+                metaCols: Seq[(String, String)] = Nil): LocalBinIndex = {
     require(thresholds.length == dim,
       s"thresholds dimension mismatch: ${thresholds.length} vs $dim")
     require(stripes >= 1, "stripes must be >= 1")
@@ -111,7 +130,9 @@ object LocalBinIndex {
     val w = wordsPerVec(dim)
     val idsB = scala.collection.mutable.ArrayBuilder.make[AnyRef]
     val wordsB = scala.collection.mutable.ArrayBuilder.make[Long]
-    val it = snapshot.select(col(idCol), col(codeCol)).toLocalIterator()
+    val metaB = new LocalMeta.Builder(metaCols)
+    val it = snapshot.select(col(idCol) +: col(codeCol) +:
+      metaCols.map { case (n, _) => col(n) }: _*).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       val code = r.getAs[Array[Byte]](1)
@@ -120,7 +141,9 @@ object LocalBinIndex {
       val cw = toWords(code)
       var j = 0
       while (j < w) { wordsB += cw(j); j += 1 }
+      if (metaCols.nonEmpty) metaB.add(metaCols.indices.map(j2 => r.get(2 + j2)))
     }
-    new LocalBinIndex(idsB.result(), wordsB.result(), dim, thresholds, stripes)
+    new LocalBinIndex(idsB.result(), wordsB.result(), metaB.result(), dim,
+      thresholds, stripes)
   }
 }

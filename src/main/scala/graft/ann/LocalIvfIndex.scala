@@ -27,6 +27,7 @@ final class LocalIvfIndex private (
     centroids: Array[(Long, Array[Float])],
     cellIds: java.util.HashMap[Long, Array[AnyRef]],
     cellVecs: java.util.HashMap[Long, Array[Float]],
+    cellMeta: java.util.HashMap[Long, LocalMeta],
     val dim: Int,
     metric: String) extends Serializable {
 
@@ -34,20 +35,55 @@ final class LocalIvfIndex private (
   def size: Long = {
     var n = 0L; cellIds.values.forEach(a => n += a.length); n
   }
+  /** Columns available to [[search]]'s EQ filter (empty unless the index
+    * was built with `metaCols`). */
+  def filterableColumns: Set[String] = {
+    val it = cellMeta.values.iterator()
+    if (it.hasNext) it.next().columns else Set.empty
+  }
 
   /** Probe the `nprobe` nearest cells, exact top-k inside — all in-process.
     * Probed cells scan in parallel on the common pool (one task per cell,
     * local top-k, merged on the caller) — the in-process analog of the
     * reference's per-shard goroutine fan-out
-    * (edge/none_vectorstore.go:148-178). */
-  def search(q: Array[Float], topK: Int, nprobe: Int): Seq[(AnyRef, Double)] = {
+    * (edge/none_vectorstore.go:148-178).
+    *
+    * `eqFilter` is the conjunctive-EQ pre-filter (S3 semantics, the
+    * reference's inverted-index fast path, pkg/inverted/search.go:32-46):
+    * rows failing any (column = value) term are skipped BEFORE scoring, so
+    * the result equals the distributed `searchIvf(filter)` over the same
+    * snapshot at the same nprobe (probed cells depend only on the query —
+    * the filter never changes WHICH cells are probed, exactly like the
+    * distributed pre-filter conjunct). Requires the index to have been
+    * built with the named columns ([[LocalIvfIndex.fromAssigned]]'s
+    * `metaCols`) — an unknown column refuses loudly, never scans
+    * unfiltered. */
+  def search(q: Array[Float], topK: Int, nprobe: Int,
+             eqFilter: Seq[(String, Any)] = Nil): Seq[(AnyRef, Double)] = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
+    if (eqFilter.nonEmpty) {
+      // validate ONCE, synchronously — every cell shares the same column
+      // specs, so one representative store decides; a refusal raised inside
+      // the pool fan-out would surface wrapped in CompletionException
+      val it = cellMeta.values.iterator()
+      if (it.hasNext) it.next().predicate(eqFilter)
+      else if (!cellIds.isEmpty) LocalMeta.Empty.predicate(eqFilter)
+      // else: an EMPTY index answers any filter with the empty result below
+    }
     val probed = LocalIvfIndex.selectCells(centroids, q, nprobe, metric)
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
       val vecs = cellVecs.get(cid)
+      // compiled once per probed cell; null = unfiltered (zero per-row cost
+      // beyond one perfectly-predicted branch)
+      val pred: Int => Boolean =
+        if (eqFilter.isEmpty) null
+        else {
+          val m = cellMeta.get(cid)
+          (if (m == null) LocalMeta.Empty else m).predicate(eqFilter)
+        }
       val heap = LocalTopK.newHeap(topK)
       // Admission gate: once the heap is full, a vector can only displace
       // the head if d <= head + 2e-6 (beyond that, cmp resolves on the raw
@@ -56,15 +92,17 @@ final class LocalIvfIndex private (
       var gate = Double.MaxValue
       var i = 0
       while (i < ids.length) {
-        val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
-        if (d <= gate) {
-          val e = (ids(i), d)
-          if (heap.size < topK) {
-            heap.add(e)
-            if (heap.size == topK) gate = heap.peek()._2 + 2e-6
-          } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
-            heap.poll(); heap.add(e)
-            gate = heap.peek()._2 + 2e-6
+        if (pred == null || pred(i)) {
+          val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
+          if (d <= gate) {
+            val e = (ids(i), d)
+            if (heap.size < topK) {
+              heap.add(e)
+              if (heap.size == topK) gate = heap.peek()._2 + 2e-6
+            } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
+              heap.poll(); heap.add(e)
+              gate = heap.peek()._2 + 2e-6
+            }
           }
         }
         i += 1
@@ -117,13 +155,19 @@ object LocalIvfIndex {
 
   /** Build from an assigned DataFrame (columns: id, vector, cell) + the
     * trained centroids — streamed to the driver via toLocalIterator, so the
-    * transient footprint is one partition, not the whole collection. */
+    * transient footprint is one partition, not the whole collection.
+    *
+    * `metaCols` = (columnName, declared fieldType) pairs to load as typed
+    * per-cell arrays ([[LocalMeta]]) so [[LocalIvfIndex.search]]'s
+    * conjunctive-EQ filter can serve in-process — ~9 bytes/row/column next
+    * to the 4·dim the vectors cost. */
   def fromAssigned(assigned: DataFrame, idCol: String, vecCol: String,
-                   centroids: Seq[(Long, Array[Float])], metric: String): LocalIvfIndex = {
+                   centroids: Seq[(Long, Array[Float])], metric: String,
+                   metaCols: Seq[(String, String)] = Nil): LocalIvfIndex = {
     // `cell` comes back as Int when read from a partitionBy directory —
     // normalize to long
-    val rows = assigned.select(col(idCol), col(vecCol).cast("array<float>"),
-      col("cell").cast("long"))
+    val rows = assigned.select(col(idCol) +: col(vecCol).cast("array<float>") +:
+      col("cell").cast("long") +: metaCols.map { case (n, _) => col(n) }: _*)
     // dim comes from the trained centroids, not the first data row — an
     // empty (or fully-filtered) assigned set must build a searchable empty
     // index, not one whose every probe fails with "expected -1".
@@ -131,6 +175,7 @@ object LocalIvfIndex {
     val dim = centroids.head._2.length
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
     val vecsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofFloat]()
+    val metaB = new java.util.HashMap[Long, LocalMeta.Builder]()
     val it = rows.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -144,17 +189,22 @@ object LocalIvfIndex {
         ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
         idsB.put(cell, ib)
         vecsB.put(cell, new scala.collection.mutable.ArrayBuilder.ofFloat)
+        if (metaCols.nonEmpty) metaB.put(cell, new LocalMeta.Builder(metaCols))
       }
       ib += r.get(0).asInstanceOf[AnyRef]
       val vb = vecsB.get(cell)
       v.foreach(vb += _)
+      if (metaCols.nonEmpty)
+        metaB.get(cell).add(metaCols.indices.map(j => r.get(3 + j)))
     }
     val ids = new java.util.HashMap[Long, Array[AnyRef]]()
     val vecs = new java.util.HashMap[Long, Array[Float]]()
+    val metas = new java.util.HashMap[Long, LocalMeta]()
     idsB.forEach((k, b) => ids.put(k, b.result()))
     vecsB.forEach((k, b) => vecs.put(k, b.result()))
+    metaB.forEach((k, b) => metas.put(k, b.result()))
     val sorted = centroids.sortBy(_._1).toArray
-    new LocalIvfIndex(sorted, ids, vecs, dim, metric)
+    new LocalIvfIndex(sorted, ids, vecs, metas, dim, metric)
   }
 
   /** Exact scalar distance over a flat array slice — double accumulation in

@@ -1684,11 +1684,11 @@ class GraftCatalog(spark: SparkSession, root: String,
   /** [[searchHybrid]] through a prepared plan — the last request route that
     * still paid plan-per-call Catalyst re-analysis (the [[searchPrepared]]
     * model; shape key = topK + filter tree + overFetch, only the query
-    * vector swaps per request). The hybrid plan carries a broadcast
-    * exchange (the bounded ANN side is the build side); the literal swap
-    * COPIES every node on the changed path, so each run gets a fresh
-    * BroadcastExchange node whose relation rebuilds with the new vector —
-    * a stale cached broadcast is unreachable by construction
+    * vector swaps per request). Since the r11 one-scan hybrid shape
+    * (VectorSearch.hybridSearchWith: predicate carried in-scan, no join)
+    * the compiled plan is ONE bounded TakeOrderedAndProject job plus a
+    * result-sized dedup — the same literal-swap discipline as
+    * [[searchPrepared]], with no broadcast exchange left to worry about
     * (PreparedSearchSpec pins prepared == plan-per-call on fresh vectors
     * back to back). Same staleness/negative-cache contract as
     * [[searchPrepared]]. */
@@ -2038,15 +2038,25 @@ class GraftCatalog(spark: SparkSession, root: String,
     * residual (IVF-PQ) layouts add the row's cell centroid back
     * ([[graft.ann.Pq.addCentroid]]) before the distance. Sidecar-flag
     * handling (raw vs residual, flagless cohorts) is [[searchPq]]'s,
-    * verbatim. */
+    * verbatim. `nprobe` applies the same probed-cell restriction as
+    * [[searchPq]]'s nprobe (per query, against its own nearest cells), so
+    * the audit certifies the probed serving shape rather than the
+    * unprobed full ADC scan. */
   def auditRecallPq(name: String, sampleMod: Long, k: Int = 10, overFetch: Int = 4,
-                    filter: Option[FilterExpr] = None): DataFrame = {
+                    filter: Option[FilterExpr] = None,
+                    nprobe: Option[Int] = None): DataFrame = {
     val meta = getMeta(name)
     require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(sampleMod >= 1, "sampleMod must be >= 1")
     require(k >= 1, "k must be >= 1")
     require(overFetch >= 1, "overFetch must be >= 1")
+    nprobe.foreach { np =>
+      require(np >= 1, "nprobe must be >= 1")
+      require(meta.ivfCells.isDefined,
+        s"collection $name has no IVF layout — auditing a probed PQ path " +
+          "(nprobe) needs ivfCells + pqSubspaces")
+    }
     require(meta.idColumn != "qid",
       "auditRecallPq reserves the output column name 'qid'; the collection pk shadows it")
     import spark.implicits._
@@ -2079,10 +2089,33 @@ class GraftCatalog(spark: SparkSession, root: String,
       else recon0
     val qdf = decoded.where(pmod(xxhash64(col(pk)), lit(sampleMod)) === 0)
       .select(col(pk).cast("string").as("__audit_qid"), col(vecCol).as("__audit_qvec"))
-    val scored = decoded.select(col(pk), recon.as("__recon"))
-      .crossJoin(broadcast(qdf.select(col("__audit_qid"), col("__audit_qvec"))))
-      .select(col("__audit_qid"), col(pk),
-        graft.functions.euclidean_distance(col("__recon"), col("__audit_qvec")).as("__s"))
+    // `nprobe` audits the PROBED serving path ([[searchPq]] with nprobe):
+    // pass 1 restricts each query's candidates to its own nprobe nearest
+    // cells — per query, via the same top-cells selection the serving probe
+    // makes — so the recall number certifies exactly the path a probed
+    // rollout serves instead of overstating it with the unprobed full ADC
+    // scan. The exact arm stays unrestricted brute force (it is the truth
+    // the probe is measured against).
+    nprobe.foreach { _ =>
+      require(hasCells,
+        s"collection $name has no centroid sidecar — cannot audit a probed path")
+    }
+    val qprobe = nprobe match {
+      case Some(np) => qdf.withColumn("__audit_qcells",
+        graft.functions.top_cells(col("__audit_qvec"), readCentroids(name, sv),
+          meta.distance, np))
+      case None => qdf
+    }
+    val pass1 = decoded.select(
+      (Seq(col(pk), recon.as("__recon")) ++
+        (if (nprobe.isDefined) Seq(col(GraftCatalog.CellCol).cast("long").as("__cell"))
+         else Nil)): _*)
+      .crossJoin(broadcast(qprobe))
+    val scored0 =
+      if (nprobe.isDefined) pass1.where(array_contains(col("__audit_qcells"), col("__cell")))
+      else pass1
+    val scored = scored0.select(col("__audit_qid"), col(pk),
+      graft.functions.euclidean_distance(col("__recon"), col("__audit_qvec")).as("__s"))
     auditTwoPassRecall(decoded, qdf, scored, pk, vecCol, meta.distance, k * overFetch, k)
   }
 
@@ -2350,7 +2383,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     * vector — the densest serving rung (2× beyond [[localPqIndex]] at
     * dim=128/m=16) with a pure-integer scan; candidates feed
     * [[searchBinary]]-style exact reranks. */
-  def localBinIndex(name: String): graft.ann.LocalBinIndex = {
+  def localBinIndex(name: String,
+                    filterColumns: Seq[String] = Nil): graft.ann.LocalBinIndex = {
     val meta = getMeta(name)
     require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -2360,14 +2394,40 @@ class GraftCatalog(spark: SparkSession, root: String,
     val th = readBinThresholds(name, sv)
     val snap = indexedState(name, meta)
     graft.ann.LocalBinIndex.fromCodes(snap, meta.idColumn, GraftCatalog.BinCol,
-      meta.dim, th)
+      meta.dim, th, metaCols = localFilterSpecs(meta, filterColumns))
+  }
+
+  /** Resolve `filterColumns` against the collection's DECLARED scalar
+    * fields as (name, fieldType) pairs for the local rungs' typed EQ store
+    * ([[graft.ann.LocalMeta]]) — the one seam [[localIvfIndex]] and
+    * [[localBinIndex]] share so their loaded-column rules cannot drift.
+    * Undeclared / vector columns refuse loudly; schemaless collections have
+    * no typed columns to ship (their map-coerced filters stay on the
+    * distributed paths). */
+  private def localFilterSpecs(meta: CollectionMeta,
+                               filterColumns: Seq[String]): Seq[(String, String)] = {
+    if (filterColumns.isEmpty) return Nil
+    require(!meta.isSchemaless,
+      s"collection ${meta.name} is schemaless — its metadata lives in the " +
+        "string-coerced map, which the typed local-EQ store cannot hold; " +
+        "filtered searches go through search/searchIvf")
+    require(filterColumns.distinct.size == filterColumns.size,
+      s"duplicate filter columns: ${filterColumns.mkString(", ")}")
+    filterColumns.map { c =>
+      val f = meta.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"collection ${meta.name} declares no field '$c' — declared scalars: " +
+          meta.fields.filterNot(_.isVector).map(_.name).mkString(", ")))
+      require(!f.isVector, s"field '$c' is a vector — EQ filters apply to scalar metadata")
+      (f.name, f.fieldType)
+    }
   }
 
   /** Load the flushed IVF snapshot into a driver-local serving index
     * (sub-millisecond point probes, no Spark job — the serving-side
     * counterpart of the batch-built layout; see
     * [[graft.ann.LocalIvfIndex]]). */
-  def localIvfIndex(name: String): graft.ann.LocalIvfIndex = {
+  def localIvfIndex(name: String,
+                    filterColumns: Seq[String] = Nil): graft.ann.LocalIvfIndex = {
     val meta = getMeta(name)
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -2382,7 +2442,8 @@ class GraftCatalog(spark: SparkSession, root: String,
       case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
     }
     graft.ann.LocalIvfIndex.fromAssigned(decoded, meta.idColumn,
-      GraftCatalog.SearchVecCol, centroids, meta.distance)
+      GraftCatalog.SearchVecCol, centroids, meta.distance,
+      metaCols = localFilterSpecs(meta, filterColumns))
   }
 
   /** Load the flushed PQ code layout into a driver-local ADC serving index

@@ -73,6 +73,9 @@ object ColttExport {
   private val quantizationEnums = Map("none" -> 0, "f16" -> 1, "f8" -> 2, "bf16" -> 3)
   private val fieldTypeEnums = Map("string" -> 0, "integer" -> 1, "float" -> 2, "boolean" -> 3)
   private val ShardCount = 16 // EDGE_MAP_SHARD_COUNT, edge/constants.go
+  /** Dot-prefixed (invisible to the reference's bucket loader) atomic claim
+    * marker a running export holds on its destination directory. */
+  private[interop] val ExportLockFile = "._graft_export_lock"
 
   /** `ShardVertex(key, 16)`: FNV-1a-64 over the key's LITTLE-ENDIAN 8
     * bytes, unsigned-mod the shard count (pkg/sharding/shard.go:34-41). */
@@ -150,11 +153,24 @@ object ColttExport {
         s"export destination $destDir is not empty — refusing to mix this " +
           "bucket with existing files")
     else dfs.mkdirs(destPath)
+    // Atomic claim on the destination: the emptiness check above is
+    // check-then-act, so two concurrent exports could both pass it and
+    // interleave into a mixed bucket. FileSystem.create(overwrite = false)
+    // is atomic on HDFS/local — exactly one contender wins; the loser (or a
+    // retry racing a crashed export whose cleanup died) fails loudly. The
+    // marker is removed on every exit path below.
+    val lockPath = new Path(destPath, ExportLockFile)
+    try dfs.create(lockPath, false).close()
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"export destination $destDir is claimed by a concurrent (or crashed) " +
+          s"export — $ExportLockFile exists; remove it if no export is running", e)
+    }
     // files and streams are created INSIDE the guarded region so a failure
     // midway (temp dir full, fd exhaustion) still deletes what was created
     val shardFiles = new Array[File](ShardCount)
     val shardOuts = new Array[DataOutputStream](ShardCount)
-    try {
+    try { try {
       var i = 0
       while (i < ShardCount) {
         shardFiles(i) = File.createTempFile(s"graft-bucket-export-$i-", ".shard")
@@ -201,6 +217,12 @@ object ColttExport {
       }
       rows
     } finally shardFiles.foreach(f => if (f != null) { f.delete(); () })
+    } finally {
+      // release the claim on success AND failure — the failure path already
+      // best-effort-deleted partial output, and a retry re-runs the
+      // emptiness check either way
+      try { dfs.delete(lockPath, false); () } catch { case _: Throwable => () }
+    }
   }
 
   /** Export `name`'s flushed snapshot as an EDGE bucket under `destDir`.
@@ -384,9 +406,15 @@ object ColttExport {
     while (fi < vecIdx) {
       val v = r.get(fi)
       if (v != null) {
+        // −0.0 folds into +0.0 HERE TOO: the postings accumulator already
+        // folds it (Go map keys treat +0 == −0), and the vertex blob must
+        // write the SAME bytes for the same value — a raw −0.0 here would
+        // make the two writers of one value disagree byte-wise in a format
+        // that advertises bit-exact round-trips
         val norm: Any = v match {
           case i: Int => i.toLong
-          case f: Float => f.toDouble
+          case f: Float => if (f == 0.0f) 0.0 else f.toDouble
+          case d: Double => if (d == 0.0) 0.0 else d
           case other => other
         }
         ColttImport.writeMetaEntry(out, meta.fields(fi).name, norm)

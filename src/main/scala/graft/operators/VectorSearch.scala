@@ -80,29 +80,35 @@ object VectorSearch {
     * seam that lets schemaless (string-coerced map) collections route their
     * own filter semantics through the same over-fetch + intersect shape.
     *
-    * Join direction matters at scale: the ANN result is ≤ overFetch·topK
-    * rows BY CONSTRUCTION, while the filter survivors can be ~corpus-sized
-    * at permissive selectivity — so the ANN side is the EXPLICIT broadcast
-    * build side of an inner join against the filtered corpus (a LEFT SEMI
-    * could only build/broadcast its right side, i.e. the unbounded
-    * candidates; the reference's small 3k-id list drives its intersection
-    * the same way, core/core.go:795-814). One row per id relies on the
-    * engine-wide pk-uniqueness contract (upsert by pk), which makes the
-    * inner join exactly the semi-join intersection. Pinned by
-    * PlanShapeSpec ("bounded ANN side is the build side").
+    * ONE corpus pass (r11 — replacing the r10 two-scan broadcast-join
+    * shape): the candidate predicate is evaluated as a carried boolean
+    * column inside the SAME scan that scores the over-fetch window, so the
+    * whole request is a single bounded TakeOrderedAndProject job; the
+    * intersect + final top-K then operate on the ≤ overFetch·topK
+    * surviving rows — output-sized, no join, no second scan. The semantics
+    * are unchanged and exactly the reference's documented intent
+    * (core/core.go:760-839 over-fetches by pure similarity, then keeps the
+    * rows whose ids survive the metadata filter): membership of the
+    * over-fetch window depends only on distance, so testing the predicate
+    * per-row during the scan and filtering AFTER the window selection is
+    * equal to intersecting the window with the filter-survivor id set. At
+    * 100 TB this halves the request's I/O versus the join shape (which
+    * re-scanned the corpus to materialize survivors) and removes its
+    * broadcast exchange. Pinned by PlanShapeSpec ("one corpus scan, no
+    * join").
     *
     * Duplicate-id frames: output is ONE row per id regardless of input
-    * multiplicity — the post-join dropDuplicates operates on the join
-    * OUTPUT (≤ overFetch·topK · dup-factor rows, output-bound), so the
-    * well-definedness costs a shuffle of a result-sized set, never of the
-    * corpus. */
+    * multiplicity — the dropDuplicates operates on the post-window
+    * survivors (≤ overFetch·topK rows, output-bound), so well-definedness
+    * costs a shuffle of a result-sized set, never of the corpus. */
   def hybridSearchWith(df: DataFrame, req: SearchRequest, candidatePred: Column,
                        overFetch: Int = 3): DataFrame = {
     require(overFetch >= 1, "overFetch must be >= 1")
-    val ann = search(df, req.copy(filter = None, topK = req.topK * overFetch, offset = 0))
-    val candidates = df.where(candidatePred).select(col(req.idCol))
-    candidates.join(broadcast(ann), Seq(req.idCol))
-      .select(ann.columns.toIndexedSeq.map(col): _*)
+    val keep = "__graft_cand"
+    val over = search(df.withColumn(keep, candidatePred),
+      req.copy(filter = None, topK = req.topK * overFetch, offset = 0))
+    over.where(col(keep))
+      .drop(keep)
       .dropDuplicates(req.idCol)
       .orderBy(col("dist").asc, col(req.idCol).asc)
       .limit(req.topK)

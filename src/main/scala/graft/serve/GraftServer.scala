@@ -339,15 +339,27 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val k = intOr(req, "k", 10)
         val auditFilter = optFilter(req)
         // "rung" picks the approximate path being certified: the IVF probe
-        // (nprobe dial), the PQ ADC+rerank (overFetch dial), or the binary
-        // Hamming+rerank (overFetch dial) — one audit route for the ladder
+        // (nprobe dial), the PQ ADC+rerank (overFetch dial, optional nprobe
+        // for the probed IVF-PQ shape), or the binary Hamming+rerank
+        // (overFetch dial) — one audit route for the ladder. A dial the
+        // selected rung never reads is REJECTED, not ignored: a caller
+        // auditing with a dial that silently never took effect would trust
+        // a number that certifies a different path (the requireNoFilter
+        // loud-refusal discipline).
         val rung = (req \ "rung").toOption.collect { case JString(s) => s }.getOrElse("ivf")
+        def rejectDial(field: String): Unit =
+          require((req \ field).toOption.isEmpty,
+            s"audit rung '$rung' does not read \"$field\" — remove it " +
+              "(it would silently not take effect)")
         withVacuumRecovery(name)(rowsJson(rung match {
           case "ivf" =>
+            rejectDial("overFetch")
             catalog.auditRecall(name, sampleMod, intOr(req, "nprobe", 4), k, auditFilter)
           case "pq" =>
-            catalog.auditRecallPq(name, sampleMod, k, intOr(req, "overFetch", 4), auditFilter)
+            catalog.auditRecallPq(name, sampleMod, k, intOr(req, "overFetch", 4), auditFilter,
+              nprobe = (req \ "nprobe").toOption.map(num(_).toInt))
           case "bin" =>
+            rejectDial("nprobe")
             catalog.auditRecallBin(name, sampleMod, k, intOr(req, "overFetch", 3), auditFilter)
           case other => throw new IllegalArgumentException(
             s"unknown audit rung: $other (expected ivf, pq, or bin)")
@@ -376,15 +388,19 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           rowsJson(catalog.searchBinary(name, vector, topK, overFetch, binFilter)))
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
-        requireNoFilter(req, "searchLocal")
+        // r11: conjunctive-EQ filters serve from the index's typed local
+        // store (the reference's inverted-index EQ fast path at local-rung
+        // latency); every other filter shape still refuses loudly
+        val eq = localEqFilter(req, "searchLocal")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
-        val idx = localIndexes.getOrElseUpdate(name, catalog.localIvfIndex(name))
+        val idx = localIndexes.getOrElseUpdate(name,
+          catalog.localIvfIndex(name, localFilterableCols(name)))
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
         // differently on quantized collections.
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
-        200 -> hitsJson(idx.search(qv, topK, nprobe))
+        200 -> hitsJson(idx.search(qv, topK, nprobe, eq))
       // driver-local ADC probe over the PQ code layout (the memory-scale
       // serving rung: m bytes/vector resident; approximate ranking — exact
       // answers go through searchPq's rerank)
@@ -400,12 +416,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // through searchBinary's rerank)
       case ("POST", "collections" :: name :: "searchLocalBin" :: Nil) =>
         val req = JsonMethods.parse(body)
-        requireNoFilter(req, "searchLocalBin")
+        val eq = localEqFilter(req, "searchLocalBin")
         val vector = parseVector(req, "searchLocalBin")
         val topK = intOr(req, "topK", 10)
-        val idx = localBinIndexes.getOrElseUpdate(name, catalog.localBinIndex(name))
+        val idx = localBinIndexes.getOrElseUpdate(name,
+          catalog.localBinIndex(name, localFilterableCols(name)))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
-        200 -> hitsJson(idx.search(qv, topK))
+        200 -> hitsJson(idx.search(qv, topK, eq))
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
       case ("POST", "collections" :: name :: "searchMulti" :: Nil) =>
@@ -627,15 +644,41 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private def optFilter(req: JValue): Option[FilterExpr] =
     (req \ "filter").toOption.filter(_ != JNothing).map(parseFilter)
 
-  /** Routes that serve UNFILTERED results (driver-local indexes hold no
-    * metadata; multi-vector search has no reference filter semantics)
-    * would SILENTLY ignore a `filter` body field, returning unfiltered
-    * hits to a caller who asked for filtered ones. Refuse loudly and
-    * point at the rungs that do serve filters. */
+  /** Routes that serve UNFILTERED results (the PQ local rung holds only
+    * codes; multi-vector search has no reference filter semantics) would
+    * SILENTLY ignore a `filter` body field, returning unfiltered hits to a
+    * caller who asked for filtered ones. Refuse loudly and point at the
+    * rungs that do serve filters. */
   private def requireNoFilter(req: JValue, route: String): Unit =
     require((req \ "filter").toOption.forall(_ == JNothing),
       s"$route serves unfiltered probes and would ignore the filter; filtered " +
         "search is served by search/searchIvf/searchPq/searchBinary/searchBatch")
+
+  /** Every declared scalar field — the columns the IVF/binary local rungs
+    * load into their typed EQ store ([[graft.ann.LocalMeta]]; ~9
+    * bytes/row/column next to the vector payload, so loading all of them is
+    * the sane serving default). Schemaless collections have none (their
+    * metadata lives in the string-coerced map). */
+  private def localFilterableCols(name: String): Seq[String] = {
+    val m = catalog.getMeta(name)
+    if (m.isSchemaless) Nil else m.fields.filterNot(_.isVector).map(_.name)
+  }
+
+  /** The request filter in the one shape the local rungs can answer from
+    * their typed store: conjunctive EQ terms (the reference's
+    * inverted-index fast path, pkg/inverted/search.go:32-46). Any other
+    * tree refuses loudly, pointing at the distributed rungs — the
+    * [[requireNoFilter]] contract narrowed to exactly what the store
+    * cannot serve. */
+  private def localEqFilter(req: JValue, route: String): Seq[(String, Any)] =
+    optFilter(req) match {
+      case None => Nil
+      case Some(f) => FilterExpr.conjunctiveEq(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"$route serves only conjunctive EQ filters (ANDs of '=' terms) from " +
+            "its typed local store; range/OR/NEQ filters are served by " +
+            "searchIvf/searchPq/searchBinary"))
+    }
 
   /** Filter AST from JSON: `{"col","op","value"}` | `{"and":[..]}` |
     * `{"or":[..]}` — the proto FilterExpression tree (edge.proto:139-154). */

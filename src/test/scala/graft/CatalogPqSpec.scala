@@ -249,6 +249,24 @@ class CatalogPqSpec extends SparkSpec {
       filter = f).collect()
     assert(filt.nonEmpty && filt.forall(_.getAs[Double]("recall") === 1.0))
     filt.foreach(r => assert(r.getAs[String]("qid").toInt < 30, r.toString))
+    // r11: nprobe audits the PROBED IVF-PQ serving shape. All cells probed
+    // = the unprobed audit (the degeneration contract); a 1-cell probe
+    // stays well-formed and can only lose recall vs the all-cells audit.
+    val allCells = cat.auditRecallPq("pqaudr", sampleMod = 7, k = 5, overFetch = 12,
+      nprobe = Some(4)).collect()
+    assert(allCells.map(r => (r.getString(0), r.getAs[Double]("recall"))).toSeq ===
+      res.map(r => (r.getString(0), r.getAs[Double]("recall"))).toSeq)
+    val probed = cat.auditRecallPq("pqaudr", sampleMod = 7, k = 5, overFetch = 12,
+      nprobe = Some(1)).collect()
+    assert(probed.length === res.length)
+    probed.zip(res).foreach { case (p, e) =>
+      val pr = p.getAs[Double]("recall")
+      assert(pr >= 0.0 && pr <= e.getAs[Double]("recall"), s"$p vs $e") }
+    // a probed audit needs the IVF layout — the raw-code collection refuses
+    val ex = intercept[IllegalArgumentException] {
+      cat.auditRecallPq("pqaud", sampleMod = 7, k = 5, nprobe = Some(2))
+    }
+    assert(ex.getMessage.contains("IVF"))
   }
 
   test("pq sidecar records the residual layout flag; legacy flagless sidecars read as raw") {

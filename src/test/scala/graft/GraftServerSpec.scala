@@ -335,12 +335,47 @@ class GraftServerSpec extends SparkSpec {
       assert(recalls.nonEmpty && recalls.forall(_ === 1.0), s"$rung drain recalls: $recalls")
     }
     assert(http("POST", "/collections/fidx/audit", """{"rung":"hnsw"}""")._1 === 400)
-    // routes serving unfiltered results (driver-local rungs hold no
-    // metadata; multi has no reference filter semantics): a filter there
+    // r11: a dial the selected rung never reads is REJECTED, not silently
+    // ignored (the requireNoFilter loud-refusal discipline) — a caller
+    // auditing with a dead dial would trust a number certifying another path
+    assert(http("POST", "/collections/fidx/audit",
+      """{"rung":"ivf","overFetch":4}""")._1 === 400)
+    assert(http("POST", "/collections/fidx/audit",
+      """{"rung":"bin","nprobe":2}""")._1 === 400)
+    // r11: the PQ rung reads nprobe — the audit of the PROBED IVF-PQ shape
+    // (searchPq with nprobe); draining both dials still certifies 1.0 here
+    val (pc, pb) = http("POST", "/collections/fidx/audit",
+      """{"sampleMod":3,"k":3,"overFetch":16,"rung":"pq","nprobe":4}""")
+    assert(pc === 200 && pb.contains("\"recall\""), s"$pc $pb")
+    // routes serving unfiltered results (the PQ local rung holds only
+    // codes; multi has no reference filter semantics): a filter there
     // would be SILENTLY ignored — they must refuse it loudly instead
-    for (route <- Seq("searchLocal", "searchLocalPq", "searchLocalBin", "searchMulti")) {
+    for (route <- Seq("searchLocalPq", "searchMulti")) {
       val (lc, lb) = http("POST", s"/collections/fidx/$route",
         s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
+      assert(lc === 400 && lb.contains("searchIvf"), s"$route: $lc $lb")
+    }
+    // r11: the IVF and binary local rungs serve conjunctive-EQ filters from
+    // their typed store — survivors only, nearest survivor first, at
+    // local-rung latency (the reference's inverted-index EQ fast path)
+    for (route <- Seq("searchLocal", "searchLocalBin")) {
+      val (lc, lb) = http("POST", s"/collections/fidx/$route",
+        s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
+      assert(lc === 200, s"$route: $lc $lb")
+      val got = ids(lb)
+      assert(got.nonEmpty && got.forall(survivors), s"$route returned non-survivors: $got ($lb)")
+    }
+    // the IVF local rung is exact inside probed cells → nearest survivor first
+    // (the binary rung ranks by raw Hamming, where a 4-bit code ties heavily —
+    // survivors-only is its contract; exact order comes from the rerank rungs)
+    val (lc7, lb7) = http("POST", "/collections/fidx/searchLocal",
+      s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
+    assert(lc7 === 200 && ids(lb7).head === "d7", s"searchLocal top hit: $lb7")
+    // …but any non-EQ shape still refuses loudly on the local rungs
+    val rangeJson = """{"col":"label","op":"gte","value":1}"""
+    for (route <- Seq("searchLocal", "searchLocalBin")) {
+      val (lc, lb) = http("POST", s"/collections/fidx/$route",
+        s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$rangeJson}""")
       assert(lc === 400 && lb.contains("searchIvf"), s"$route: $lc $lb")
     }
   }

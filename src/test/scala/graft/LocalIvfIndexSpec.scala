@@ -77,6 +77,85 @@ class LocalIvfIndexSpec extends SparkSpec {
     assert(idx.search(q, topK = 5, nprobe = 3).isEmpty)
   }
 
+  test("EQ-filtered local probe equals searchIvf(filter) on the same snapshot " +
+      "(r11: the local rung serves the reference's EQ fast path)") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-leq").toString)
+    cat.createCollection(CollectionMeta("leq", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer"),
+        IndexField("tag", "string", enableNull = true)),
+      ivfCells = Some(4)))
+    cat.loadCollection("leq")
+    val rows = (0 until 120).map { i =>
+      (s"id-$i", (i % 5).toLong, if (i % 7 == 0) null else s"t${i % 3}",
+        Seq(i.toFloat, (i % 7).toFloat, (i % 13).toFloat, 1f))
+    }
+    cat.insert("leq", rows.toDF("id", "label", "tag", "vector"))
+    cat.flush("leq")
+    val idx = cat.localIvfIndex("leq", filterColumns = Seq("label", "tag"))
+    assert(idx.filterableColumns === Set("label", "tag"))
+    val q = Array(50f, 1f, 11f, 1f)
+    // single EQ: full probe == the distributed filtered probe, id for id
+    val f1 = FilterExpr.Single("label", FilterExpr.Eq, 2L)
+    val local1 = idx.search(q, topK = 8, nprobe = 4, eqFilter = Seq("label" -> 2L))
+      .map(_._1.toString)
+    val dist1 = cat.searchIvf("leq", q, topK = 8, nprobe = 4, filter = Some(f1))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(local1 === dist1, s"local $local1 vs distributed $dist1")
+    // conjunctive EQ incl. a NULLable string column (NULL never matches)
+    val f2 = FilterExpr.And(
+      FilterExpr.Single("label", FilterExpr.Eq, 2L),
+      FilterExpr.Single("tag", FilterExpr.Eq, "t1"))
+    val local2 = idx.search(q, topK = 8, nprobe = 4,
+      eqFilter = Seq("label" -> 2L, "tag" -> "t1")).map(_._1.toString)
+    val dist2 = cat.searchIvf("leq", q, topK = 8, nprobe = 4, filter = Some(f2))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(local2 === dist2, s"local $local2 vs distributed $dist2")
+    // PRUNED probe: the filter must not change WHICH cells are probed —
+    // parity holds at nprobe=1 too (both sides skip survivors outside the cell)
+    val localP = idx.search(q, topK = 8, nprobe = 1, eqFilter = Seq("label" -> 2L))
+      .map(_._1.toString)
+    val distP = cat.searchIvf("leq", q, topK = 8, nprobe = 1, filter = Some(f1))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(localP === distP, s"local $localP vs distributed $distP")
+    // a draining filter returns empty, never errors
+    assert(idx.search(q, 5, 4, Seq("label" -> 99L)).isEmpty)
+    // loud refusals: unknown column; column not loaded; incomparable type
+    assert(intercept[IllegalArgumentException](
+      idx.search(q, 5, 4, Seq("nope" -> 1L))).getMessage.contains("not loaded"))
+    val bare = cat.localIvfIndex("leq")
+    assert(intercept[IllegalArgumentException](
+      bare.search(q, 5, 4, Seq("label" -> 2L))).getMessage.contains("filterColumns"))
+    assert(intercept[IllegalArgumentException](
+      idx.search(q, 5, 4, Seq("label" -> "two"))).getMessage.contains("cannot compare"))
+    // catalog-side refusals: undeclared column / vector column
+    assert(intercept[IllegalArgumentException](
+      cat.localIvfIndex("leq", Seq("missing"))).getMessage.contains("declares no field"))
+    // binary rung: the same store semantics over the flat layout
+    cat.createCollection(CollectionMeta("leqb", dim = 4, distance = "euclidean",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer")),
+      binaryIndex = Some(true)))
+    cat.loadCollection("leqb")
+    cat.insert("leqb", rows.map(r => (r._1, r._2, r._4)).toDF("id", "label", "vector"))
+    cat.flush("leqb")
+    val bidx = cat.localBinIndex("leqb", filterColumns = Seq("label"))
+    val bhits = bidx.search(q, topK = 20, eqFilter = Seq("label" -> 2L))
+    assert(bhits.nonEmpty)
+    assert(bhits.forall { case (id, _) =>
+      id.toString.stripPrefix("id-").toInt % 5 == 2 }, s"non-survivors in $bhits")
+    // survivors-set parity with the distributed pass-1 (searchBinary's
+    // filtered Hamming scan ranks the same survivor population)
+    val dbin = cat.searchBinary("leqb", q, topK = 20,
+        filter = Some(FilterExpr.Single("label", FilterExpr.Eq, 2L)))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(bhits.map(_._1.toString).toSet.subsetOf(
+      rows.filter(_._2 == 2L).map(_._1).toSet))
+    assert(dbin.subsetOf(rows.filter(_._2 == 2L).map(_._1).toSet))
+  }
+
   test("point latency: in-process probe is far below the Spark job dispatch floor") {
     val cents = (0 until 16).map(i =>
       (i.toLong, emb.where(col("vec_id") === i).head().getSeq[Float](1).toArray)).toSeq

@@ -34,21 +34,19 @@ class PlanShapeSpec extends SparkSpec {
       s"filter not pushed to the scan:\n$p")
   }
 
-  test("hybrid search: the BOUNDED ANN side is the broadcast build side") {
+  test("hybrid search: ONE corpus scan — predicate carried in-scan, no join") {
     val p = plan("hybrid_search")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"hybrid candidates must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
-    // the subtree UNDER the BroadcastExchange (printed after it) must be
-    // the ≤ overFetch·topK ANN result (its bounded TakeOrderedAndProject),
-    // never the unbounded filter-survivor side — at permissive selectivity
-    // broadcasting the candidates ships ~the corpus to every executor. In
-    // the plan text the build subtree prints BELOW its exchange, so a
-    // TakeOrderedAndProject after "BroadcastExchange" pins the direction
-    // (the outer final top-K prints above the join).
-    val ex = p.indexOf("BroadcastExchange")
-    assert(ex >= 0 && p.indexOf("TakeOrderedAndProject", ex) > ex,
-      s"the broadcast build side is not the bounded ANN top-K:\n$p")
+    // r11 shape: the candidate predicate is a boolean column evaluated in
+    // the SAME scan that scores the over-fetch window, so the request is a
+    // single bounded TakeOrderedAndProject pass over the corpus plus a
+    // result-sized dedup. The pre-r11 shape re-scanned the corpus to
+    // materialize filter survivors and broadcast-joined them — exactly the
+    // regression this pins out: any join operator or second corpus scan
+    // here doubles the request's I/O at 100 TB.
+    assert(!p.contains("Join"), s"hybrid must not join — one-scan shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"hybrid lost the bounded top-K:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"hybrid must read the corpus exactly once, saw $scans scans:\n$p")
   }
 
   test("aggregation queries: one data shuffle with map-side partial aggregation") {

@@ -94,6 +94,42 @@ class StreamingReplaySpec extends SparkSpec {
     assert(once === Map("z" -> "seed", "a" -> "a-v1"))
   }
 
+  test("auto-compaction cadence: 40 micro-batches with compactEverySegments=4 " +
+      "keep the chain bounded (10 compactions, arithmetic-provable)") {
+    // r11 (VERDICT #5): a long-running runIntoCollection(deltaFlushEachBatch)
+    // stream must not grow an unbounded segment chain. One put per file ×
+    // 40 files × maxFilesPerTrigger=1 = 40 micro-batches, one segment each;
+    // compactIfNeeded(4) folds the chain into a fresh base after every 4th
+    // segment. The proof is version arithmetic, not sampling: each 4-batch
+    // cycle writes exactly 4 segment versions + 1 compaction base, so the
+    // final head is 1 (seed base) + 40 (segments) + 10 (compactions) = 51,
+    // and any batch that skipped its compaction (or compacted early) breaks
+    // the equality. The chain is empty at the end because batch 40's own
+    // compaction just ran.
+    val logDir = Files.createTempDirectory("graft-cmp-log").toString
+    val ckpt = Files.createTempDirectory("graft-cmp-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-cmp").toString)
+    cat.createCollection(feedMeta("cmp"))
+    cat.loadCollection("cmp")
+    cat.insert("cmp", log(Seq(("put", "z", 0L, "seed"))).drop("op", "version"))
+    assert(cat.flush("cmp") === 1)
+    val batches = (1 to 40).map(i => Seq(("put", s"k$i", i.toLong, s"v$i")))
+    batches.foreach(b => log(b).write.mode(SaveMode.Append).parquet(logDir))
+    val schema = log(batches.head).schema
+    val q = ChangeFeed.runIntoCollection(cat, "cmp", spark, logDir, schema,
+      "version", ckpt, deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1),
+      compactEverySegments = Some(4))
+    q.awaitTermination(300000)
+    assert(cat.getMeta("cmp").currentVersion === 51,
+      "1 seed base + 40 segments + 10 compaction bases")
+    assert(cat.segmentCount("cmp") === 0, "batch 40's compaction just folded the chain")
+    val want = (1 to 40).map(i => s"k$i" -> s"v$i").toMap + ("z" -> "seed")
+    assert(ids(cat, "cmp") === want)
+    // the durable chain folds to the same state on a cold load
+    assert(cat.loadCollection("cmp").select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap === want)
+  }
+
   test("resuming a checkpoint WITHOUT per-batch durability is refused at the call site") {
     val logDir = Files.createTempDirectory("graft-ref-log").toString
     val ckpt = Files.createTempDirectory("graft-ref-ckpt").toString
