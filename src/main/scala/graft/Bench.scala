@@ -843,7 +843,13 @@ object Bench {
             (col("label") + 100).cast("long").as("label"), col("embedding").as("vector")))
         val tDelta = timed("catalog_flush_delta_10k", runs = 1)(cat.flushDelta("bd"))
         cat.releaseCollection("bd")
-        val tFold = timed("catalog_fold_load_1m", runs = 1) {
+        // 3 reps, min (the other rows' convention): a single cold
+        // release→load→count run spans 1.2-3.6 s on an idle machine
+        // (FoldProbe, r11) — the r9 1.83 s vs r10 2.62 s "regression" was
+        // runs=1 sampling noise, not a code change. releaseCollection is
+        // idempotent, so each rep pays the full fold from a cold resident.
+        val tFold = timed("catalog_fold_load_1m", runs = 3) {
+          cat.releaseCollection("bd")
           cat.loadCollection("bd"); cat.resident("bd").count(): Unit
         }
         // ---- serving path at 1M: per-REQUEST latency of the catalog's
@@ -1044,6 +1050,66 @@ object Bench {
       Seq.empty[(String, Double)]
     }
 
+    // ---- multi-vector (CFLAT) serving at 1M (r11): the pruned layout the
+    // reference's experimental engine lacks (multi_vector_vertex.go scans
+    // every vertex). Two 128-d fields (v1 = the reversed embedding —
+    // distinct content, identical scale), IVF-256 routed on v0 with sampled
+    // training. multi_ivf_flush_1m prices the layout build;
+    // serve_multi_flat_1m is the full two-field weighted scan (the
+    // reference's only shape); serve_multi_ivf_1m probes 8/256 cells — the
+    // flat/probed ratio is the 100 TB claim for multi-vector search,
+    // measured.
+    val multiIvf1m = try {
+      val e = spark.read.parquet(benchDir)
+      val cat = new graft.collection.GraftCatalog(
+        spark, TempRoots.create("bench-multiivf").toString)
+      cat.createCollection(graft.collection.CollectionMeta("mvb", dim = 128,
+        distance = "cosine",
+        fields = Seq(
+          graft.collection.IndexField("id", "string", primaryKey = true),
+          graft.collection.IndexField("v0", "vector"),
+          graft.collection.IndexField("v1", "vector")),
+        ivfCells = Some(256), ivfTrainIterations = Some(2),
+        ivfTrainSampleMod = Some(16L)))
+      try {
+        cat.loadCollection("mvb")
+        cat.insert("mvb", e.select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("v0"), reverse(col("embedding")).as("v1")))
+        val tFlush = timed("multi_ivf_flush_1m", runs = 1)(cat.flush("mvb"))
+        val rnd = new scala.util.Random(13)
+        def freshFields() = Seq(
+          graft.operators.MultiVectorSearch.FieldQuery("v0",
+            Array.fill(128)(rnd.nextFloat() * 2 - 1), ratio = 60),
+          graft.operators.MultiVectorSearch.FieldQuery("v1",
+            Array.fill(128)(rnd.nextFloat() * 2 - 1), ratio = 40))
+        def perReq(name: String, warm: Int = 2, reps: Int = 12)(
+            fn: Seq[graft.operators.MultiVectorSearch.FieldQuery] => Unit)
+            : Seq[(String, Double)] =
+          try {
+            (0 until warm).foreach(_ => fn(freshFields()))
+            val ts = (0 until reps).map { _ =>
+              val fs = freshFields()
+              val t0 = System.nanoTime(); fn(fs)
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            Seq(name -> ts.head, s"${name}_p50" -> ts(ts.length / 2))
+          } catch { case ex: Throwable =>
+            errors(name) = Option(ex.getMessage).getOrElse(ex.getClass.getName)
+              .linesIterator.take(1).mkString
+            Seq.empty
+          }
+        Seq("multi_ivf_flush_1m" -> tFlush) ++
+          perReq("serve_multi_flat_1m")(fs =>
+            cat.searchMulti("mvb", fs, 10).collect(): Unit) ++
+          perReq("serve_multi_ivf_1m")(fs =>
+            cat.searchMultiIvf("mvb", fs, 10, nprobe = 8).collect(): Unit)
+      } finally cat.dropCollection("mvb")
+    } catch { case ex: Throwable =>
+      errors("multi_ivf_1m") = Option(ex.getMessage)
+        .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+      Seq.empty[(String, Double)]
+    }
+
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
     val vsBaseline =
@@ -1095,7 +1161,8 @@ object Bench {
 
     val total = results.map(_._2).filter(_ > 0).sum
     val allQueries = results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++
-      pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++ serveDist1m
+      pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++
+      serveDist1m ++ multiIvf1m
 
     // ---- Output contract (r11). The driver captures only the LAST 2000
     // characters of stdout: the pre-r11 single ~5 KB JSON line lost its head
@@ -1124,9 +1191,9 @@ object Bench {
     // serving/catalog/audit rows lead (vs_baseline already carries the scan
     // gates as ratios); the sf-scale suite comes last — it is fully covered
     // by the correctness harness and lives in BENCH_full.json regardless
-    val priority = (deltaFlush1m ++ serveDist1m ++ nearDup1m ++ semantic1m ++
-      ivf1m ++ pq1m ++ bin1m ++ big1m ++ big10m ++ pq10m ++ bin100m ++
-      docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
+    val priority = (deltaFlush1m ++ serveDist1m ++ multiIvf1m ++ nearDup1m ++
+      semantic1m ++ ivf1m ++ pq1m ++ bin1m ++ big1m ++ big10m ++ pq10m ++
+      bin100m ++ docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
     val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
     val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
       ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +

@@ -58,6 +58,9 @@ object ClusterSmoke {
     // runs IN executors)
     "ivf_search_filtered", "pq_search_filtered", "bin_search_filtered",
     "delta_flush_ivf",
+    // r11: the multi-vector IVF chain — routing-field cell assignment at
+    // segment-encode time + the weighted probe both run in executor JVMs
+    "multi_vector_ivf",
     "coltt_export_roundtrip", "coltt_export_mv_roundtrip",
   )
 

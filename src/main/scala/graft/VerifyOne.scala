@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Single-query slice of [[Verify]] for fast iteration: dump only the NAMED
+  * queries (+ their oracle SQL) so `scripts/local_verify.py` can gate one
+  * new row in seconds instead of re-dumping all ~120.
+  * Usage: runMain graft.VerifyOne <sfDir> <outDir> <query> [<query> ...] */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: VerifyOne <sfDir> <outDir> <query> [...]")
+    val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query: $name"))
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

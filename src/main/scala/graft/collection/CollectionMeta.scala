@@ -78,7 +78,8 @@ case class CollectionMeta(
     pqTrainIterations: Option[Int] = None,
     ivfTrainSampleMod: Option[Long] = None,
     pqTrainSampleMod: Option[Long] = None,
-    binaryIndex: Option[Boolean] = None) {
+    binaryIndex: Option[Boolean] = None,
+    routingField: Option[String] = None) {
   require(dim > 0, "dim must be positive")
   require(ivfCells.forall(_ > 0), "ivfCells must be positive")
   require(ivfTrainIterations.forall(_ >= 0), "ivfTrainIterations must be >= 0")
@@ -116,8 +117,17 @@ case class CollectionMeta(
   require(Set("cosine", "euclidean", "manhattan", "dot").contains(distance), s"unknown distance: $distance")
   require(Set("none", "f16", "bf16", "f8").contains(quantization), s"unknown quantization: $quantization")
   require(fields.count(_.primaryKey) <= 1, "at most one primary key")
-  require(ivfCells.isEmpty || !fields.exists(_.isVector),
-    "ivfCells is not supported on multi-vector collections (flush would not build the IVF layout)")
+  // Multi-vector IVF routes on ONE designated vector field (`routingField`,
+  // default: the first declared vector field): flush trains centroids on it
+  // and partitions the snapshot by its cell, so probed multi-vector searches
+  // prune partition directories exactly like the single-vector rung. The
+  // other fields ride along unindexed — they score only within probed cells.
+  require(routingField.isEmpty || ivfCells.isDefined,
+    "routingField requires ivfCells (it designates the IVF routing vector)")
+  require(routingField.isEmpty || fields.exists(_.isVector),
+    "routingField is only valid on multi-vector collections")
+  require(routingField.forall(r => fields.exists(f => f.isVector && f.name == r)),
+    s"routingField ${routingField.getOrElse("")} must name a declared vector field")
   fields.find(f => f.primaryKey && f.fieldType != "string").foreach { f =>
     // pk must be a string (edge_analyzer.go:46-52)
     throw new IllegalArgumentException(s"primary key ${f.name} must be of type string")
@@ -154,6 +164,17 @@ case class CollectionMeta(
 
   /** Per-field dimension (field override, else collection dim). */
   def dimOf(f: IndexField): Int = f.dim.getOrElse(dim)
+
+  /** The vector field the IVF layout routes on, for a multi-vector
+    * collection with `ivfCells`: the declared `routingField`, defaulting to
+    * the FIRST declared vector field. None on single-vector collections
+    * (their routing vector is the implicit `__vector` column) and on
+    * multi-vector collections without an IVF layout. */
+  def routingVector: Option[IndexField] =
+    if (isMultiVector && ivfCells.isDefined)
+      routingField.flatMap(r => vectorFields.find(_.name == r))
+        .orElse(vectorFields.headOption)
+    else None
 
   /** Storage type of one (possibly quantized) vector column (§1.4). */
   def vectorStorageType: DataType = quantization match {

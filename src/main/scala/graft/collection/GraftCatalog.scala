@@ -712,15 +712,27 @@ class GraftCatalog(spark: SparkSession, root: String,
       var pqResidual = false
       val pqIters = meta.pqTrainIterations.getOrElse(2)
       meta.ivfCells match {
-        case Some(k) if !meta.isMultiVector =>
+        case Some(k) =>
           // IVF layout (the scale answer to the reference's HNSW, SURVEY.md
           // §2.1 S4 / §7): assign each row to its nearest centroid and
           // write the snapshot PARTITIONED BY CELL, so probed searches become
           // directory-pruned scans — at 100 TB only nprobe/k of the files are
           // even opened. Centroids are k-means-refined from a deterministic
           // pk-ordered seed (Ann.trainCentroids); they live in a tiny sidecar
-          // read once per search.
-          val withVec = df.withColumn(GraftCatalog.SearchVecCol, decoded)
+          // read once per search. Multi-vector collections route on ONE
+          // designated vector field (meta.routingVector) — train, assign and
+          // partition on it; the other fields ride along and score only
+          // within probed cells ([[searchMultiIvf]]). PQ/binary layouts are
+          // single-vector-only (meta requires), so for multi-vector `withBin`
+          // is identity and the pqConfig branch below is unreachable.
+          val routedVec: Column = meta.routingVector match {
+            case Some(r) => meta.quantization match {
+              case "none" => col(r.name)
+              case q      => dequantize(col(r.name), q)
+            }
+            case None => decoded
+          }
+          val withVec = df.withColumn(GraftCatalog.SearchVecCol, routedVec)
           // each Lloyd iteration is one corpus scan — the default 2 is the
           // quality/cost balance; 0 = raw pk-ordered seeds (cheapest
           // flush), more when cluster structure warrants it. With
@@ -985,14 +997,26 @@ class GraftCatalog(spark: SparkSession, root: String,
       case q      => dequantize(col(VectorCol), q)
     }
     val vecPresent = col(VectorCol).isNotNull
-    // cell assignment first: a residual PQ encode reads the assigned cell
+    // cell assignment first: a residual PQ encode reads the assigned cell.
+    // Multi-vector segments assign by the ROUTING field — the same column
+    // flush trained the base's centroids on (delete markers carry NULL in
+    // every data column, routing included, so the vec-present gate holds).
+    val (routedVec, routedPresent) = meta.routingVector match {
+      case Some(r) =>
+        val rv: Column = meta.quantization match {
+          case "none" => col(r.name)
+          case q      => dequantize(col(r.name), q)
+        }
+        (rv, col(r.name).isNotNull)
+      case None => (decoded, vecPresent)
+    }
     val withCell = meta.ivfCells match {
       case Some(_) =>
         if (!fs.exists(centroidDir(name, base))) throw missing("centroid")
         val centroids = readCentroids(name, base)
         log.withColumn(GraftCatalog.CellCol,
-          when(vecPresent,
-            graft.functions.arg_min_distance(decoded, centroids, meta.distance))
+          when(routedPresent,
+            graft.functions.arg_min_distance(routedVec, centroids, meta.distance))
             .cast("int"))
       case None => log
     }
@@ -1783,6 +1807,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def searchIvf(name: String, queryVector: Array[Float], topK: Int, nprobe: Int,
                 filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMultiIvf")
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     require(queryVector.length == meta.dim,
@@ -1903,6 +1928,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   def auditRecall(name: String, sampleMod: Long, nprobe: Int, k: Int = 10,
                   filter: Option[FilterExpr] = None): DataFrame = {
     val meta = getMeta(name)
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use auditRecallMulti")
     require(meta.ivfCells.isDefined,
       s"collection $name has no IVF layout — auditRecall certifies the IVF probe")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -2429,6 +2455,8 @@ class GraftCatalog(spark: SparkSession, root: String,
   def localIvfIndex(name: String,
                     filterColumns: Seq[String] = Nil): graft.ann.LocalIvfIndex = {
     val meta = getMeta(name)
+    require(!meta.isMultiVector,
+      s"collection $name is multi-vector — the driver-local rungs serve single-vector layouts")
     require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     val sv = sidecarVersion(name, meta)
@@ -2507,6 +2535,139 @@ class GraftCatalog(spark: SparkSession, root: String,
       metric = meta.distance, idCol = meta.idColumn, distanceOf = fused)
   }
 
+  /** Probed (IVF) multi-vector search — the PRUNED layout for the CFLAT
+    * shape (the reference's experimental engine scans every vertex,
+    * multi_vector_vertex.go:111-124; at 100 TB that full scan is the
+    * bottleneck). A multi-vector collection flushed with `ivfCells` is
+    * cell-partitioned on its ROUTING field ([[CollectionMeta.routingVector]]
+    * — declared `routingField`, default the first vector field): the
+    * `nprobe` centroids nearest the routing QUERY select cells, the
+    * `__cell isin` predicate prunes whole partition directories, and the
+    * weighted multi-field score runs only inside probed cells. Recall
+    * follows the routing field's IVF recall (the standard single-probe
+    * trade — fields weighted heavily but uncorrelated with the routing
+    * field lower it; [[auditRecallMulti]] measures exactly that before a
+    * rollout trusts the probe). `nprobe = cells` degenerates to the exact
+    * [[searchMulti]] ranking over the flushed state. Delta chains compose:
+    * segment puts were assigned to the base's centroids by the ROUTING
+    * field at write time ([[decorateSegment]]). Requires a query for the
+    * routing field (probing needs it); output (pk, cell, score). */
+  def searchMultiIvf(name: String, fields: Seq[MultiVectorSearch.FieldQuery],
+                     topK: Int, nprobe: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector, s"collection $name is single-vector; use searchIvf")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) {
+      // flushed empty → unpartitioned fallback, no sidecar (and no segments:
+      // flushDelta refuses on an indexed base flushed empty)
+      import spark.implicits._
+      return Seq.empty[(String, Int, Double)].toDF(meta.idColumn, "cell", "score")
+    }
+    val snap = indexedState(name, meta).withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val (searchable, routed, _, fused) = multiSearchParts(name, fields, Some(snap))
+    val routing = meta.routingVector.get
+    val rq = routed.find(_.vectorCol == routing.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"probed multi-vector search needs a query for the routing field ${routing.name}"))
+    val centroids = readCentroids(name, sv)
+    val probed = graft.ann.Ann.probeCells(centroids, rq.queryVector, nprobe, meta.distance)
+    MultiVectorSearch.search(searchable.where(col("cell").isin(probed: _*)), routed, topK,
+      metric = meta.distance, idCol = meta.idColumn, distanceOf = fused,
+      keepCols = Seq("cell"))
+  }
+
+  /** Recall audit of the multi-vector IVF probe ([[auditRecall]]'s
+    * discipline on the [[searchMultiIvf]] rung): per sampled query row,
+    * |exact weighted top-k ∩ nprobe-probed weighted top-k| / k, where the
+    * query vectors are the sampled rows' OWN field vectors and `fields`
+    * gives the (field, ratio) weighting under audit. This is the number
+    * that tells a rollout how much the single-field routing probe costs
+    * the MULTI-field ranking — the failure mode specific to this rung
+    * (a heavily-weighted field uncorrelated with the routing field pulls
+    * true winners into unprobed cells). Both arms run the same plan shape
+    * — row-local top_cells probe, ONE cell equi-join, per-qid bounded
+    * window — the exact arm at nprobe = |cells| (the spec-pinned
+    * degeneration to brute force), so the audit cannot drift from the
+    * serving plan. At 100 TB the query set SAMPLES (`sampleMod` sizes the
+    * cost) and every stage stays sample-bounded. Output: (qid, hits,
+    * recall). */
+  def auditRecallMulti(name: String, sampleMod: Long, nprobe: Int,
+                       fields: Seq[(String, Double)], k: Int = 10): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector, s"collection $name is single-vector; use auditRecall")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(fields.nonEmpty, "at least one (field, ratio) to audit")
+    require(meta.idColumn != "qid",
+      "auditRecallMulti reserves the output column name 'qid'; the collection pk shadows it")
+    val declared = meta.vectorFields.map(_.name).toSet
+    fields.foreach { case (f, _) =>
+      require(declared(f), s"$f is not a declared vector field of $name") }
+    require(fields.map(_._1).distinct.size == fields.size, "duplicate field in audit weights")
+    val ratioSum = fields.map(_._2).sum
+    require(math.abs(ratioSum - 100.0) < 1e-9,
+      s"ratios must sum to 100, got $ratioSum")
+    import spark.implicits._
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv)))
+      return Seq.empty[(String, Long, Double)].toDF("qid", "hits", "recall")
+    val centroids = readCentroids(name, sv)
+    val routing = meta.routingVector.get
+    val pk = meta.idColumn
+    val snap = indexedState(name, meta).withColumnRenamed(GraftCatalog.CellCol, "cell")
+    def dec(c: Column): Column = meta.quantization match {
+      case "none" => c
+      case q      => dequantize(c, q)
+    }
+    // query side: the sampled rows' own vectors, decoded once — the stored
+    // routing vector probes, the stored field vectors score (what
+    // searchMultiIvf would compute for those query vectors, post-prep)
+    val qdf = snap.where(pmod(xxhash64(col(pk)), lit(sampleMod)) === 0)
+      .select(col(pk).cast("string").as("__audit_qid") +:
+        dec(col(routing.name)).as("__audit_qr") +:
+        fields.map { case (f, _) => dec(col(f)).as(s"__audit_q_$f") }: _*)
+    // weighted score of a corpus row against the joined query row — the
+    // quantized-storage path runs the fused decode-in-loop kernel, same as
+    // searchMulti (one pass over the stored shorts/bytes per field)
+    val weighted: Column = fields.map { case (f, r) =>
+      val d = meta.quantization match {
+        case "none" => graft.functions.distance(col(f), col(s"__audit_q_$f"), meta.distance)
+        case q      => graft.functions.distance_quant(col(f), col(s"__audit_q_$f"), q, meta.distance)
+      }
+      graft.functions.score_from_distance(d,
+        if (meta.distance == "cosine") "cosine" else "euclidean") * lit(r / 100.0)
+    }.reduce(_ + _)
+    def arm(np: Int): DataFrame = {
+      val probed = qdf.select(
+        col("__audit_qid") +: fields.map { case (f, _) => col(s"__audit_q_$f") } :+
+          explode(graft.functions.top_cells(
+            col("__audit_qr"), centroids, meta.distance, np)).as("cell"): _*)
+      val scored = probed
+        .join(snap.select(col(pk) +: col("cell") +: fields.map { case (f, _) => col(f) }: _*),
+          Seq("cell"))
+        .select(col("__audit_qid"), col(pk), round(weighted, 8).as("__s"))
+      // higher-is-better polarity; row_number + filter keeps the partial
+      // WindowGroupLimit below the exchange (the knnJoin discipline)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__audit_qid")).orderBy(col("__s").desc, col(pk).asc)
+      scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+        .select(col("__audit_qid").as("qid"), col(pk))
+    }
+    val hitCount = org.apache.spark.sql.functions.count(col("__hit"))
+    val exactCount = org.apache.spark.sql.functions.count(lit(1))
+    arm(centroids.size)
+      .join(arm(nprobe).withColumn("__hit", lit(1)), Seq("qid", pk), "left")
+      .groupBy("qid")
+      .agg(hitCount.as("hits"), (hitCount / exactCount).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Shared prep for the multi-vector paths: validates the queried fields
     * against the declared schema, prepares each query vector, and — when
     * storage is quantized — returns the FUSED per-field distance kernel
@@ -2514,12 +2675,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     * dequantized array column per field per row (one pass over the stored
     * shorts/bytes, same as the single-vector hot path; bit-equal to
     * `distance(dequantize(field), query)` per QuantizationSpec). */
-  private def multiSearchParts(name: String, fields: Seq[MultiVectorSearch.FieldQuery])
+  private def multiSearchParts(name: String, fields: Seq[MultiVectorSearch.FieldQuery],
+                               source: Option[DataFrame] = None)
       : (DataFrame, Seq[MultiVectorSearch.FieldQuery], CollectionMeta,
          Option[(MultiVectorSearch.FieldQuery, Column) => Column]) = {
     val meta = getMeta(name)
     require(meta.isMultiVector, s"collection $name is single-vector; use search")
-    val df = loadedOrThrow(name)
+    val df = source.getOrElse(loadedOrThrow(name))
     val declared = meta.vectorFields.map(f => f.name -> f).toMap
     val prepared = fields.map { fq =>
       val vf = declared.getOrElse(fq.vectorCol,

@@ -155,10 +155,11 @@ object MultiVectorSearch {
       metric: String = "cosine",
       idCol: String = "id",
       roundDp: Int = 6,
-      distanceOf: Option[(FieldQuery, Column) => Column] = None): DataFrame = {
+      distanceOf: Option[(FieldQuery, Column) => Column] = None,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val included = fields.filter(_.include)
     searchWith(df, fields, included.map(f => lit(f.queryVector)), topK, metric, idCol,
-      distanceOf)
+      distanceOf, keepCols)
   }
 
   /** [[search]] with the query vectors as raw Columns aligned with the
@@ -178,7 +179,10 @@ object MultiVectorSearch {
       topK: Int,
       metric: String = "cosine",
       idCol: String = "id",
-      distanceOf: Option[(FieldQuery, Column) => Column] = None): DataFrame = {
+      distanceOf: Option[(FieldQuery, Column) => Column] = None,
+      /** Extra input columns carried into the output between the id and
+        * the score (e.g. the IVF rung's `cell`). */
+      keepCols: Seq[String] = Nil): DataFrame = {
     val included = fields.filter(_.include)
     require(included.nonEmpty, "at least one field must be included")
     require(queryCols.length == included.length,
@@ -195,9 +199,11 @@ object MultiVectorSearch {
     // 4-dp display score, coarse enough to absorb summation-order ulps), so
     // rows whose display scores tie at 4 dp still order by true score —
     // engine-independently — before the id tiebreak.
-    df.select(col(idCol), round(weighted, 4).as("score"), round(weighted, 8).as("__rank"))
+    val carried = keepCols.map(col)
+    df.select(col(idCol) +: carried :+ round(weighted, 4).as("score") :+
+        round(weighted, 8).as("__rank"): _*)
       .orderBy(col("__rank").desc, col(idCol).asc) // higher-is-better polarity (multi_priority_queue.go:27-30)
       .limit(topK)
-      .select(col(idCol), col("score"))
+      .select(col(idCol) +: carried :+ col("score"): _*)
   }
 }

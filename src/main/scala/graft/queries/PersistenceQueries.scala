@@ -451,6 +451,49 @@ object PersistenceQueries {
       val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       cat.searchBinary("dbnd", qv, topK = 10, overFetch = 3)
     }),
+    // Multi-vector (CFLAT) collection over the IVF layout (r11 — the
+    // pruned layout the reference's experimental engine lacks): two named
+    // vector fields, centroids seeded from the ROUTING field v0 of the 8
+    // pk-smallest rows (ivfTrainIterations=0), snapshot cell-partitioned on
+    // v0. A delta batch MOVES routing vectors (reversed v0 → different
+    // cells, v1 updated in the same put) and a predicate delete rides the
+    // same segment. searchMultiIvf probes the 3 cells nearest the v0 query
+    // and ranks the 60/40 weighted two-field score inside them — the
+    // oracle replays seed centroids, the chain fold, per-row re-assignment
+    // by the CURRENT v0, probe selection, and the weighted ranking, so a
+    // hash match proves routing-field assignment, the indexed fold AND the
+    // multi-field scoring in one row.
+    "multi_vector_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mvivf").toString)
+      cat.createCollection(CollectionMeta("mvv", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("mvv")
+      val pairs = e.select(col("vec_id"), col("label"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+      cat.insert("mvv", pairs.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"), col("v0"), col("v1")))
+      cat.flush("mvv") // v1: v0-routed cell layout + centroid sidecar
+      cat.insert("mvv", pairs.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("v0")).as("v0"), reverse(col("v1")).as("v1")))
+      cat.delete("mvv", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("mvv") // v2: O(changes) segment, cells from v1's sidecar
+      def qv(id: Long) =
+        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      cat.searchMultiIvf("mvv", Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)),
+        topK = 10, nprobe = 3)
+    }),
     // Streaming ingest with per-batch durability: a 2-batch change-log file
     // stream drives ChangeFeed.runIntoCollection(deltaFlushEachBatch=true) —
     // every micro-batch is applyChanges-folded into the resident state AND
@@ -975,6 +1018,39 @@ object PersistenceQueries {
         |      FROM b, qb ORDER BY h, id LIMIT 30)
         |SELECT c.id, ROUND(list_distance(c.v, q.qv), 6) AS dist
         |FROM c, q ORDER BY dist, id LIMIT 10""".stripMargin,
+    // the multi-vector IVF chain: seed centroids = v0 of the 8 id-smallest
+    // rows, the folded state re-assigned by its CURRENT v0 (updated rows by
+    // their reversed vector — what decorateSegment encoded at segment-write
+    // time), probe = the 3 cells nearest the v0 query, ranking = the 60/40
+    // weighted euclidean display score at 8dp with id tiebreak (the
+    // searchMulti polarity), exactly searchMultiIvf's plan replayed in SQL
+    "multi_vector_ivf" -> {
+      val w = """GREATEST(0, 100 - list_distance(f.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(f.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+         |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+         |mv AS (SELECT e1.id, e1.vec_id, e1.label, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM emb e1 JOIN emb e2 ON e2.vec_id = e1.vec_id + 1),
+         |upd AS (SELECT id, vec_id, label + 100 AS label,
+         |    list_reverse(v0) AS v0, list_reverse(v1) AS v1 FROM mv WHERE vec_id % 7 = 3),
+         |merged AS (SELECT id, vec_id, label, v0, v1 FROM mv WHERE vec_id % 7 <> 3
+         |           UNION ALL SELECT id, vec_id, label, v0, v1 FROM upd),
+         |fin AS (SELECT * FROM merged WHERE label < 107),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT f.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY f.id
+         |      ORDER BY ROUND(list_distance(f.v0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+         |  FROM fin f, cents c) WHERE rn = 1),
+         |probe AS (SELECT c.cid FROM cents c, q0
+         |  ORDER BY list_distance(c.cv::DOUBLE[], q0.qv::DOUBLE[]), c.cid LIMIT 3)
+         |SELECT f.id, CAST(a.cid AS INTEGER) AS cell, ROUND($w, 4) AS score
+         |FROM fin f JOIN asg a ON a.id = f.id, q0, q1
+         |WHERE a.cid IN (SELECT cid FROM probe)
+         |ORDER BY ROUND($w, 8) DESC, f.id LIMIT 10""".stripMargin
+    },
     "version_diff" ->
       """SELECT 'put' AS op, CAST(vec_id AS VARCHAR) AS id,
         |  CAST(label + 70 AS BIGINT) AS label

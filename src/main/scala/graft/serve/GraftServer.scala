@@ -361,8 +361,25 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           case "bin" =>
             rejectDial("nprobe")
             catalog.auditRecallBin(name, sampleMod, k, intOr(req, "overFetch", 3), auditFilter)
+          case "multi" =>
+            // the multi-vector IVF probe: weights give the (field, ratio)
+            // scoring under audit (the ratios a serving client would use);
+            // no filter — searchMultiIvf defines none (CFLAT parity)
+            rejectDial("overFetch")
+            rejectDial("filter")
+            val weights = req \ "weights" match {
+              case JArray(ws) => ws.map { w =>
+                (w \ "field" match {
+                  case JString(s) => s
+                  case _ => throw new IllegalArgumentException("weight requires \"field\"")
+                }, num(w \ "ratio"))
+              }
+              case _ => throw new IllegalArgumentException(
+                "audit rung 'multi' requires \"weights\": [{\"field\":..,\"ratio\":..}]")
+            }
+            catalog.auditRecallMulti(name, sampleMod, intOr(req, "nprobe", 4), weights, k)
           case other => throw new IllegalArgumentException(
-            s"unknown audit rung: $other (expected ivf, pq, or bin)")
+            s"unknown audit rung: $other (expected ivf, pq, bin, or multi)")
         }))
       // PQ ADC search over the flushed code layout (optionally reranked
       // exactly over the stored vectors)
@@ -431,19 +448,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // search (no FilterExpression in experimental.proto) — refuse
         // rather than silently return unfiltered hits
         requireNoFilter(req, "searchMulti")
-        val fields = req \ "fields" match {
-          case JArray(fs) => fs.map { f =>
-            graft.operators.MultiVectorSearch.FieldQuery(
-              vectorCol = f \ "vectorCol" match {
-                case JString(s) => s
-                case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
-              },
-              queryVector = parseVector(f, "field"),
-              ratio = num(f \ "ratio").toInt,
-              include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
-          }
-          case _ => throw new IllegalArgumentException("searchMulti requires \"fields\": [..]")
-        }
+        val fields = parseMultiFields(req, "searchMulti")
         val topK = (req \ "topK").toOption.map(num(_).toInt).getOrElse(10)
         // same plan-once/execute-many model as /search: the (field, ratio,
         // include) shape compiles once, each request swaps the vectors
@@ -451,6 +456,19 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           val (schema, rows) = catalog.searchMultiPrepared(name, fields, topK)
           rowsJson(schema, rows)
         }
+      // Probed multi-vector search over the routing-field IVF layout — the
+      // pruned CFLAT path (GraftCatalog.searchMultiIvf): nprobe cells
+      // selected by the ROUTING field's query, the weighted multi-field
+      // score ranked inside them. Unprepared by design: the probed cell
+      // set is a per-query literal, so there is no stable shape to cache.
+      case ("POST", "collections" :: name :: "searchMultiIvf" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchMultiIvf")
+        val fields = parseMultiFields(req, "searchMultiIvf")
+        val topK = intOr(req, "topK", 10)
+        val nprobe = intOr(req, "nprobe", 4)
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchMultiIvf(name, fields, topK, nprobe)))
       // Version CDC: net changes between two snapshot versions. mode=log is
       // the O(changes) ledger fold (delta windows only), mode=diff the
       // exact state diff; auto (default) tries the cheap path and falls
@@ -591,6 +609,24 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private def intOr(req: JValue, field: String, default: Int): Int =
     (req \ field).toOption.map(num(_).toInt).getOrElse(default)
 
+  /** The multi-vector request's field list — ONE parser for the flat and
+    * probed routes (`/searchMulti`, `/searchMultiIvf`). */
+  private def parseMultiFields(req: JValue, route: String)
+      : Seq[graft.operators.MultiVectorSearch.FieldQuery] =
+    req \ "fields" match {
+      case JArray(fs) => fs.map { f =>
+        graft.operators.MultiVectorSearch.FieldQuery(
+          vectorCol = f \ "vectorCol" match {
+            case JString(s) => s
+            case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
+          },
+          queryVector = parseVector(f, "field"),
+          ratio = num(f \ "ratio").toInt,
+          include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
+      }
+      case _ => throw new IllegalArgumentException(s"$route requires \"fields\": [..]")
+    }
+
   private def parseProbe(req: JValue, route: String): (Array[Float], Int, Int) =
     (parseVector(req, route), intOr(req, "topK", 10), intOr(req, "nprobe", 4))
 
@@ -636,7 +672,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       pqTrainIterations = (j \ "pqTrainIterations").extractOpt[Int],
       ivfTrainSampleMod = (j \ "ivfTrainSampleMod").extractOpt[Long],
       pqTrainSampleMod = (j \ "pqTrainSampleMod").extractOpt[Long],
-      binaryIndex = (j \ "binaryIndex").extractOpt[Boolean])
+      binaryIndex = (j \ "binaryIndex").extractOpt[Boolean],
+      routingField = (j \ "routingField").extractOpt[String])
   }
 
   /** The request's optional `"filter"` field, parsed — one definition for

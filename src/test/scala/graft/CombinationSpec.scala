@@ -45,16 +45,22 @@ class CombinationSpec extends SparkSpec {
     assert(local === exact)
   }
 
-  test("ivfCells on a multi-vector collection is rejected at meta construction") {
-    // round-2 ADVICE: the combination passed requires but failed at search
-    // with an opaque missing-sidecar error — now rejected up front
+  test("ivfCells on a multi-vector collection routes on the first vector field (r11)") {
+    // round-2 ADVICE rejected this combination (it failed at search with an
+    // opaque missing-sidecar error); r11 IMPLEMENTS it — the IVF layout
+    // routes on routingField (default: the first declared vector field).
+    // MultiIvfSpec drives the full lifecycle; here just the meta contract.
+    val meta = CollectionMeta("mv", dim = 2, ivfCells = Some(4),
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("v0", "vector"),
+        IndexField("v1", "vector")))
+    assert(meta.routingVector.map(_.name) === Some("v0"))
+    // but a routingField naming a non-vector (or undeclared) field refuses
     val ex = intercept[IllegalArgumentException] {
-      CollectionMeta("bad", dim = 2, ivfCells = Some(4),
-        fields = Seq(
-          IndexField("id", "string", primaryKey = true),
-          IndexField("v0", "vector")))
+      meta.copy(routingField = Some("id"))
     }
-    assert(ex.getMessage.contains("multi-vector"))
+    assert(ex.getMessage.contains("vector field"))
   }
 
   test("schema-less + quantized (bf16): coerced map metadata over encoded vectors") {

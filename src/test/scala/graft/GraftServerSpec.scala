@@ -266,6 +266,55 @@ class GraftServerSpec extends SparkSpec {
     assert(dc2 === 200 && db2.contains("\"dist\":1.414214"), db2)
   }
 
+  test("multi-vector IVF over HTTP: probed search + the multi audit rung") {
+    val meta = """{"name":"mvp","dim":2,"distance":"euclidean","ivfCells":2,"fields":[
+      {"name":"id","fieldType":"string","primaryKey":true},
+      {"name":"v0","fieldType":"vector"},
+      {"name":"v1","fieldType":"vector"}]}"""
+    assert(http("POST", "/collections", meta)._1 === 200)
+    assert(http("POST", "/collections/mvp/load")._1 === 200)
+    // two well-separated v0 clusters (seed centroids = the 2 id-smallest
+    // rows, one per cluster); v1 is the reversed pattern
+    assert(http("POST", "/collections/mvp/insert",
+      """{"rows":[
+        {"id":"a1","v0":[10,0],"v1":[0,10]},
+        {"id":"b1","v0":[0,10],"v1":[10,0]},
+        {"id":"a2","v0":[11,0],"v1":[0,11]},
+        {"id":"b2","v0":[0,11],"v1":[11,0]}]}""")._1 === 200)
+    assert(http("POST", "/collections/mvp/flush")._2 === """{"version":1}""")
+    val q = """"fields":[
+      {"vectorCol":"v0","vector":[10,0],"ratio":60},
+      {"vectorCol":"v1","vector":[0,10],"ratio":40}]"""
+    // nprobe=1 probes only the a-cluster's cell
+    val (pc, pb) = http("POST", "/collections/mvp/searchMultiIvf",
+      s"""{"topK":4,"nprobe":1,$q}""")
+    assert(pc === 200, s"$pc $pb")
+    val ids = "\"id\":\"(\\w+)\"".r.findAllMatchIn(pb).map(_.group(1)).toSet
+    assert(ids === Set("a1", "a2"), pb)
+    // nprobe=2 covers both cells
+    val (ac, ab) = http("POST", "/collections/mvp/searchMultiIvf",
+      s"""{"topK":4,"nprobe":2,$q}""")
+    assert(ac === 200 && "\"id\"".r.findAllIn(ab).size === 4, s"$ac $ab")
+    // no filter semantics on the CFLAT rungs
+    assert(http("POST", "/collections/mvp/searchMultiIvf",
+      s"""{"topK":2,"nprobe":1,$q,"filter":{"column":"id","op":"eq","value":"a1"}}""")._1 === 400)
+    // the multi audit rung: all-cells probe certifies recall 1.0
+    val (rc, rb) = http("POST", "/collections/mvp/audit",
+      """{"rung":"multi","sampleMod":1,"nprobe":2,"k":2,
+         "weights":[{"field":"v0","ratio":60},{"field":"v1","ratio":40}]}""")
+    assert(rc === 200 && rb.contains("\"recall\""), s"$rc $rb")
+    val recalls = "\"recall\":([0-9.]+)".r.findAllMatchIn(rb).map(_.group(1).toDouble).toSeq
+    assert(recalls.length === 4 && recalls.forall(_ === 1.0), rb)
+    // rung-irrelevant dials are rejected, not ignored
+    assert(http("POST", "/collections/mvp/audit",
+      """{"rung":"multi","overFetch":3,"weights":[{"field":"v0","ratio":100}]}""")._1 === 400)
+    assert(http("POST", "/collections/mvp/audit",
+      """{"rung":"multi","weights":[{"field":"v0","ratio":100}],
+         "filter":{"column":"id","op":"eq","value":"a1"}}""")._1 === 400)
+    // missing weights refuses loudly
+    assert(http("POST", "/collections/mvp/audit", """{"rung":"multi"}""")._1 === 400)
+  }
+
   test("IVF probes over HTTP: distributed searchIvf and the driver-local index agree") {
     val meta = """{"name":"ivfh","dim":3,"distance":"euclidean","ivfCells":2,"fields":[
       {"name":"id","fieldType":"string","primaryKey":true}]}"""
