@@ -1098,11 +1098,39 @@ object Bench {
               .linesIterator.take(1).mkString
             Seq.empty
           }
+        // the driver-local CFLAT rung: one load (timed — toLocalIterator
+        // over the snapshot), then in-process probes with no job dispatch;
+        // per-request timing over 200 reps (sub-ms latencies need more
+        // samples than the 12-rep Spark rows)
+        val localRows = try {
+          var idx: graft.ann.LocalMultiIndex = null
+          val tLoad = timed("multi_local_load_1m", runs = 1) {
+            idx = cat.localMultiIndex("mvb")
+          }
+          def prep(fs: Seq[graft.operators.MultiVectorSearch.FieldQuery]) =
+            fs.map(f => graft.ann.LocalMultiIndex.FieldQ(f.vectorCol,
+              graft.collection.GraftCatalog.prepareQueryVector(
+                f.queryVector, cat.getMeta("mvb")), f.ratio))
+          (0 until 50).foreach(_ => idx.search(prep(freshFields()), 10, 8))
+          val ts = (0 until 200).map { _ =>
+            val fs = prep(freshFields())
+            val t0 = System.nanoTime(); idx.search(fs, 10, 8)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          Seq("multi_local_load_1m" -> tLoad,
+            "serve_multi_local_1m" -> ts.head,
+            "serve_multi_local_1m_p50" -> ts(ts.length / 2))
+        } catch { case ex: Throwable =>
+          errors("serve_multi_local_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
         Seq("multi_ivf_flush_1m" -> tFlush) ++
           perReq("serve_multi_flat_1m")(fs =>
             cat.searchMulti("mvb", fs, 10).collect(): Unit) ++
           perReq("serve_multi_ivf_1m")(fs =>
-            cat.searchMultiIvf("mvb", fs, 10, nprobe = 8).collect(): Unit)
+            cat.searchMultiIvf("mvb", fs, 10, nprobe = 8).collect(): Unit) ++
+          localRows
       } finally cat.dropCollection("mvb")
     } catch { case ex: Throwable =>
       errors("multi_ivf_1m") = Option(ex.getMessage)

@@ -1,0 +1,192 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-local multi-vector (CFLAT) serving index — the point-latency rung
+  * for collections with several named vector fields, completing the serving
+  * ladder the single-vector layouts already have ([[LocalIvfIndex]] /
+  * [[LocalPqIndex]] / [[LocalBinIndex]]). The reference's experimental
+  * engine answers these queries from an in-process linear scan over every
+  * vertex (multi_vector_vertex.go:111-124); here the CLUSTER builds the
+  * routed IVF layout (`GraftCatalog.flush` on a multi-vector collection
+  * with `ivfCells`) and this class loads the snapshot into flat primitive
+  * arrays — probes select cells by the ROUTING field, the weighted
+  * multi-field score runs exactly only inside them, no Spark job, no
+  * dispatch floor.
+  *
+  * Ranking parity: the same total order as the distributed
+  * [[graft.operators.MultiVectorSearch]] — weighted display score summed in
+  * included-field order with double accumulation, ranked on its 8-dp
+  * rounding DESCENDING with the id ascending tiebreak ([[LocalTopK.cmp8]]
+  * over the NEGATED score), displayed at 4 dp. Recall vs the exact scan is
+  * the routing-field nprobe/k trade, identical to
+  * `GraftCatalog.searchMultiIvf` over the same layout (and certified by
+  * `auditRecallMulti`).
+  *
+  * Memory: one float[] per (cell, field) — Σ_f 4·dim_f bytes per row
+  * (1 GB per 1M rows × two 128-d fields); ids as parallel arrays. */
+final class LocalMultiIndex private (
+    centroids: Array[(Long, Array[Float])],
+    fieldNames: Array[String],
+    fieldDims: Array[Int],
+    routingIdx: Int,
+    cellIds: java.util.HashMap[Long, Array[AnyRef]],
+    cellVecs: java.util.HashMap[Long, Array[Array[Float]]],
+    metric: String) extends Serializable {
+
+  def cellCount: Int = cellIds.size()
+  def size: Long = {
+    var n = 0L; cellIds.values.forEach(a => n += a.length); n
+  }
+  def routingField: String = fieldNames(routingIdx)
+
+  /** Probe the `nprobe` cells nearest the ROUTING field's query, exact
+    * weighted top-k inside — all in-process. `fields` mirrors the
+    * searchMulti request: every queried field needs a declared name and a
+    * dim-matched vector; only `include = true` fields score, and their
+    * ratios must sum to 100 (experimental_analyzer.go:143-154). The
+    * routing field must be among the queried fields — probing needs its
+    * query vector (same contract as searchMultiIvf). Query vectors must
+    * be PRE-PREPARED (`GraftCatalog.prepareQueryVector`) like every local
+    * rung. Output: (id, score) best-first, score at 4 dp. */
+  def search(fields: Seq[LocalMultiIndex.FieldQ], topK: Int, nprobe: Int)
+      : Seq[(AnyRef, Double)] = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val byName = fieldNames.zipWithIndex.toMap
+    fields.foreach { f =>
+      val idx = byName.getOrElse(f.name, throw new IllegalArgumentException(
+        s"${f.name} is not a declared vector field of this index"))
+      require(f.query.length == fieldDims(idx),
+        s"vector dimension mismatch on ${f.name}: expected ${fieldDims(idx)}, " +
+          s"got ${f.query.length}")
+    }
+    val included = fields.filter(_.include)
+    require(included.nonEmpty, "at least one field must be included")
+    val ratioSum = included.map(_.ratio).sum
+    require(math.abs(ratioSum - 100.0) < 1e-9,
+      s"included ratios must sum to 100, got $ratioSum")
+    val routingQ = fields.find(_.name == fieldNames(routingIdx)).getOrElse(
+      throw new IllegalArgumentException(
+        s"probed multi-vector search needs a query for the routing field " +
+          fieldNames(routingIdx))).query
+    // resolved once per request: (field slot, query, weight) in INCLUDED
+    // order — the summation order of the distributed expression
+    val slots = included.map(f => byName(f.name)).toArray
+    val queries = included.map(_.query).toArray
+    val weights = included.map(_.ratio / 100.0).toArray
+    val scoreMetric = if (metric == "cosine") "cosine" else "euclidean"
+    val probed = LocalIvfIndex.selectCells(centroids, routingQ, nprobe, metric)
+    def scanCell(cid: Long): Array[(AnyRef, Double)] = {
+      val ids = cellIds.get(cid)
+      if (ids == null) return Array.empty
+      val vecs = cellVecs.get(cid)
+      val heap = LocalTopK.newHeap(topK, LocalTopK.cmp8)
+      // admission gate on the NEGATED score (lower = better), same
+      // discipline as LocalIvfIndex but at the 8-dp near-tie window
+      var gate = Double.MaxValue
+      var i = 0
+      while (i < ids.length) {
+        var s = 0.0
+        var fi = 0
+        while (fi < slots.length) {
+          val slot = slots(fi)
+          val d = LocalIvfIndex.dist(vecs(slot), i * fieldDims(slot), queries(fi), metric)
+          val term = scoreMetric match {
+            case "cosine" => (2.0 - d) / 2.0 * 100.0
+            case _        => math.max(0.0, 100.0 - d)
+          }
+          s += term * weights(fi)
+          fi += 1
+        }
+        val neg = -s
+        if (neg <= gate) {
+          val e = (ids(i), neg)
+          if (heap.size < topK) {
+            heap.add(e)
+            if (heap.size == topK) gate = heap.peek()._2 + 2e-8
+          } else if (LocalTopK.cmp8(e, heap.peek()) < 0) {
+            heap.poll(); heap.add(e)
+            gate = heap.peek()._2 + 2e-8
+          }
+        }
+        i += 1
+      }
+      heap.toArray(new Array[(AnyRef, Double)](0))
+    }
+    LocalTopK.scanAndMerge(probed, scanCell, topK, LocalTopK.cmp8)
+      .map { case (id, neg) => (id, LocalMultiIndex.round4(-neg)) }
+  }
+}
+
+object LocalMultiIndex {
+
+  /** One queried field: name, PRE-PREPARED query vector, weight ratio —
+    * the [[graft.operators.MultiVectorSearch.FieldQuery]] shape without a
+    * dependency on the operators package. */
+  case class FieldQ(name: String, query: Array[Float], ratio: Double,
+                    include: Boolean = true)
+
+  /** Spark's `round(x, 8)` — BigDecimal HALF_UP, the rank rounding of
+    * MultiVectorSearch's `__rank` column. */
+  def round8(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else new java.math.BigDecimal(d).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's `round(x, 4)` — the display-score rounding. */
+  def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else new java.math.BigDecimal(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Build from the assigned snapshot (columns: id, cell, one DECODED
+    * array<float> column per declared vector field) + the routing-field
+    * centroids — streamed to the driver via toLocalIterator like every
+    * local-rung loader (transient footprint = one partition). `fields`
+    * gives (name, dim) in DECLARED order; `routingName` must be one of
+    * them. */
+  def fromAssigned(assigned: DataFrame, idCol: String,
+                   fields: Seq[(String, Int)],
+                   centroids: Seq[(Long, Array[Float])], metric: String,
+                   routingName: String): LocalMultiIndex = {
+    require(centroids.nonEmpty, "fromAssigned requires at least one centroid")
+    require(fields.nonEmpty, "fromAssigned requires at least one vector field")
+    val routingIdx = fields.indexWhere(_._1 == routingName)
+    require(routingIdx >= 0, s"routing field $routingName is not among ${fields.map(_._1)}")
+    val names = fields.map(_._1).toArray
+    val dims = fields.map(_._2).toArray
+    val rows = assigned.select(col(idCol) +: col("cell").cast("long") +:
+      names.toSeq.map(n => col(n).cast("array<float>")): _*)
+    val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
+    val vecsB = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuilder.ofFloat]]()
+    val it = rows.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val cell = r.getLong(1)
+      var ib = idsB.get(cell)
+      if (ib == null) {
+        ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
+        idsB.put(cell, ib)
+        vecsB.put(cell, Array.fill(names.length)(
+          new scala.collection.mutable.ArrayBuilder.ofFloat))
+      }
+      ib += r.get(0).asInstanceOf[AnyRef]
+      val vb = vecsB.get(cell)
+      var fi = 0
+      while (fi < names.length) {
+        val v = r.getSeq[Float](2 + fi)
+        require(v != null && v.length == dims(fi),
+          s"row ${r.get(0)}: ${names(fi)} is ${if (v == null) "null" else s"${v.length}-dim"}, " +
+            s"declared dim is ${dims(fi)}")
+        v.foreach(vb(fi) += _)
+        fi += 1
+      }
+    }
+    val ids = new java.util.HashMap[Long, Array[AnyRef]]()
+    val vecs = new java.util.HashMap[Long, Array[Array[Float]]]()
+    idsB.forEach((k, b) => ids.put(k, b.result()))
+    vecsB.forEach((k, bs) => vecs.put(k, bs.map(_.result())))
+    new LocalMultiIndex(centroids.sortBy(_._1).toArray, names, dims, routingIdx,
+      ids, vecs, metric)
+  }
+}

@@ -2474,6 +2474,37 @@ class GraftCatalog(spark: SparkSession, root: String,
       metaCols = localFilterSpecs(meta, filterColumns))
   }
 
+  /** Load a multi-vector collection's routed IVF snapshot into the
+    * driver-local serving index ([[graft.ann.LocalMultiIndex]]) — the CFLAT
+    * point-latency rung: probes select cells by the ROUTING field
+    * in-process, the weighted multi-field score runs only inside them, no
+    * Spark job. Ranking parity with [[searchMultiIvf]] over the same
+    * layout at the same nprobe (LocalMultiIndexSpec pins it); delta chains
+    * fold at load like every local-rung loader. Memory: Σ_f 4·dim_f bytes
+    * per row — size serving nodes accordingly or stay on the distributed
+    * probe. */
+  def localMultiIndex(name: String): graft.ann.LocalMultiIndex = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector,
+      s"collection $name is single-vector; use localIvfIndex")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    val sv = sidecarVersion(name, meta)
+    require(fs.exists(centroidDir(name, sv)),
+      s"collection $name was flushed empty — nothing to serve")
+    val centroids = readCentroids(name, sv)
+    val snap = indexedState(name, meta)
+      .withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val decoded = meta.quantization match {
+      case "none" => snap
+      case q => meta.vectorFields.foldLeft(snap)(
+        (df, f) => df.withColumn(f.name, dequantize(col(f.name), q)))
+    }
+    graft.ann.LocalMultiIndex.fromAssigned(decoded, meta.idColumn,
+      meta.vectorFields.map(f => f.name -> meta.dimOf(f)),
+      centroids, meta.distance, meta.routingVector.get.name)
+  }
+
   /** Load the flushed PQ code layout into a driver-local ADC serving index
     * ([[graft.ann.LocalPqIndex]]): m bytes per vector instead of 4·dim —
     * 32-64× more collection per serving node than [[localIvfIndex]]'s

@@ -89,6 +89,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * rung: ceil(dim/8) bytes/vector. Same flush/drop invalidation. */
   private val localBinIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalBinIndex]
 
+  /** Driver-local multi-vector (CFLAT) indexes — the point-latency rung for
+    * routed multi-vector IVF layouts. Same flush/drop invalidation. */
+  private val localMultiIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalMultiIndex]
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
@@ -195,6 +199,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("DELETE", "collections" :: name :: Nil) =>
         requireExists(name); catalog.dropCollection(name)
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
+        localMultiIndexes.remove(name)
         ok(JObject("dropped" -> JString(name)))
       case ("POST", "collections" :: name :: "load" :: Nil) =>
         catalog.loadCollection(name); ok(infoJson(name))
@@ -205,12 +210,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val v = catalog.flush(name)
         // a new snapshot version supersedes the cached serving indexes
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
+        localMultiIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "flushDelta" :: Nil) =>
         val v = catalog.flushDelta(name)
         // serving indexes track flushed versions; a delta head has none
         // (flushDelta rejects index layouts), but stay defensive
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
+        localMultiIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "export" :: Nil) =>
         val dest = JsonMethods.parse(body) \ "destRoot" match {
@@ -469,6 +476,23 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val nprobe = intOr(req, "nprobe", 4)
         withVacuumRecovery(name)(
           rowsJson(catalog.searchMultiIvf(name, fields, topK, nprobe)))
+      // driver-local multi-vector probe over the routed IVF layout — the
+      // CFLAT point-latency rung (no Spark job; ranking parity with
+      // searchMultiIvf at the same nprobe)
+      case ("POST", "collections" :: name :: "searchLocalMulti" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchLocalMulti")
+        val fields = parseMultiFields(req, "searchLocalMulti")
+        val topK = intOr(req, "topK", 10)
+        val nprobe = intOr(req, "nprobe", 4)
+        val idx = localMultiIndexes.getOrElseUpdate(name, catalog.localMultiIndex(name))
+        val cmeta = catalog.getMeta(name)
+        // same query prep as the distributed probes (normalize when cosine,
+        // quantize round-trip when quantized) — the local index serves
+        // decoded vectors
+        val fq = fields.map(f => graft.ann.LocalMultiIndex.FieldQ(f.vectorCol,
+          GraftCatalog.prepareQueryVector(f.queryVector, cmeta), f.ratio, f.include))
+        200 -> scoresJson(idx.search(fq, topK, nprobe))
       // Version CDC: net changes between two snapshot versions. mode=log is
       // the O(changes) ledger fold (delta windows only), mode=diff the
       // exact state diff; auto (default) tries the cheap path and falls
@@ -640,6 +664,18 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         case other => other.toString
       }
       s"""{"id":$idJson,"dist":${graft.ann.LocalIvfIndex.round6(d)}}"""
+    }.mkString(",") + "]}"
+
+  /** The multi-vector hit wire format: a SCORE (higher-better display
+    * value, already 4-dp), not a distance — same id escaping as
+    * [[hitsJson]]. */
+  private def scoresJson(hits: Seq[(AnyRef, Double)]): String =
+    "{\"rows\":[" + hits.map { case (id, s) =>
+      val idJson = id match {
+        case str: String => JsonMethods.compact(JString(str))
+        case other => other.toString
+      }
+      s"""{"id":$idJson,"score":$s}"""
     }.mkString(",") + "]}"
 
   /** Collection meta from the create-request JSON (mirrors proto

@@ -313,6 +313,20 @@ class GraftServerSpec extends SparkSpec {
          "filter":{"column":"id","op":"eq","value":"a1"}}""")._1 === 400)
     // missing weights refuses loudly
     assert(http("POST", "/collections/mvp/audit", """{"rung":"multi"}""")._1 === 400)
+    // driver-local rung: same ids in the same order as the distributed
+    // probe at the same nprobe (scores ride as "score", not "dist")
+    val (lc, lb) = http("POST", "/collections/mvp/searchLocalMulti",
+      s"""{"topK":4,"nprobe":2,$q}""")
+    assert(lc === 200 && lb.contains("\"score\""), s"$lc $lb")
+    def idSeq(s: String) = "\"id\":\"(\\w+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(idSeq(lb) === idSeq(ab), s"local ${idSeq(lb)} vs distributed ${idSeq(ab)}")
+    // a new flush supersedes the cached local index
+    assert(http("POST", "/collections/mvp/insert",
+      """{"rows":[{"id":"a3","v0":[10,1],"v1":[1,10]}]}""")._1 === 200)
+    assert(http("POST", "/collections/mvp/flush")._2 === """{"version":2}""")
+    val (_, after) = http("POST", "/collections/mvp/searchLocalMulti",
+      s"""{"topK":5,"nprobe":2,$q}""")
+    assert(after.contains("\"a3\""), s"stale local multi index after flush: $after")
   }
 
   test("IVF probes over HTTP: distributed searchIvf and the driver-local index agree") {
