@@ -1128,6 +1128,11 @@ object Bench {
         Seq("multi_ivf_flush_1m" -> tFlush) ++
           perReq("serve_multi_flat_1m")(fs =>
             cat.searchMulti("mvb", fs, 10).collect(): Unit) ++
+          // what the /searchMulti route actually serves: the prepared
+          // (plan-once/execute-many) flat path — no per-request Catalyst
+          // re-analysis, unlike the raw searchMulti row above
+          perReq("serve_multi_prepared_1m")(fs =>
+            cat.searchMultiPrepared("mvb", fs, 10): Unit) ++
           perReq("serve_multi_ivf_1m")(fs =>
             cat.searchMultiIvf("mvb", fs, 10, nprobe = 8).collect(): Unit) ++
           localRows

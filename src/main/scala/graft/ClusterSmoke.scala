@@ -59,8 +59,9 @@ object ClusterSmoke {
     "ivf_search_filtered", "pq_search_filtered", "bin_search_filtered",
     "delta_flush_ivf",
     // r11: the multi-vector IVF chain — routing-field cell assignment at
-    // segment-encode time + the weighted probe both run in executor JVMs
-    "multi_vector_ivf",
+    // segment-encode time + the weighted probe both run in executor JVMs —
+    // and the batch shape (top_cells explode + cell equi-join + window)
+    "multi_vector_ivf", "multi_batch_ivf",
     "coltt_export_roundtrip", "coltt_export_mv_roundtrip",
   )
 

@@ -2663,9 +2663,35 @@ class GraftCatalog(spark: SparkSession, root: String,
       .select(col(pk).cast("string").as("__audit_qid") +:
         dec(col(routing.name)).as("__audit_qr") +:
         fields.map { case (f, _) => dec(col(f)).as(s"__audit_q_$f") }: _*)
-    // weighted score of a corpus row against the joined query row — the
-    // quantized-storage path runs the fused decode-in-loop kernel, same as
-    // searchMulti (one pass over the stored shorts/bytes per field)
+    def arm(np: Int): DataFrame =
+      multiProbedTopK(meta, snap, qdf, fields, centroids, np, k)
+        .select(col("qid"), col(pk))
+    val hitCount = org.apache.spark.sql.functions.count(col("__hit"))
+    val exactCount = org.apache.spark.sql.functions.count(lit(1))
+    arm(centroids.size)
+      .join(arm(nprobe).withColumn("__hit", lit(1)), Seq("qid", pk), "left")
+      .groupBy("qid")
+      .agg(hitCount.as("hits"), (hitCount / exactCount).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** Shared probe arm of the multi-vector batch shapes ([[auditRecallMulti]]
+    * / [[searchBatchMulti]]): `qdf` carries one row per query —
+    * `__audit_qid`, `__audit_qr` (the PREPARED routing query vector) and
+    * `__audit_q_<field>` per weighted field — probe-cell selection is one
+    * row-local top_cells kernel call, ONE equi-join on `cell` pairs queries
+    * with candidates (partition-pruned on the cell-partitioned snapshot),
+    * the weighted score runs only inside probed cells (fused decode-in-loop
+    * kernel on quantized storage, same as searchMulti), and a per-qid
+    * bounded window keeps k (higher-score-first, id tiebreak — the
+    * MultiVectorSearch polarity; row_number + filter keeps the partial
+    * WindowGroupLimit below the exchange, the knnJoin discipline).
+    * Output: (qid, pk, score, rn). */
+  private def multiProbedTopK(meta: CollectionMeta, snap: DataFrame, qdf: DataFrame,
+                              fields: Seq[(String, Double)],
+                              centroids: Seq[(Long, Array[Float])],
+                              nprobe: Int, k: Int): DataFrame = {
+    val pk = meta.idColumn
     val weighted: Column = fields.map { case (f, r) =>
       val d = meta.quantization match {
         case "none" => graft.functions.distance(col(f), col(s"__audit_q_$f"), meta.distance)
@@ -2674,29 +2700,90 @@ class GraftCatalog(spark: SparkSession, root: String,
       graft.functions.score_from_distance(d,
         if (meta.distance == "cosine") "cosine" else "euclidean") * lit(r / 100.0)
     }.reduce(_ + _)
-    def arm(np: Int): DataFrame = {
-      val probed = qdf.select(
-        col("__audit_qid") +: fields.map { case (f, _) => col(s"__audit_q_$f") } :+
-          explode(graft.functions.top_cells(
-            col("__audit_qr"), centroids, meta.distance, np)).as("cell"): _*)
-      val scored = probed
-        .join(snap.select(col(pk) +: col("cell") +: fields.map { case (f, _) => col(f) }: _*),
-          Seq("cell"))
-        .select(col("__audit_qid"), col(pk), round(weighted, 8).as("__s"))
-      // higher-is-better polarity; row_number + filter keeps the partial
-      // WindowGroupLimit below the exchange (the knnJoin discipline)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__audit_qid")).orderBy(col("__s").desc, col(pk).asc)
-      scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
-        .select(col("__audit_qid").as("qid"), col(pk))
+    val probed = qdf.select(
+      col("__audit_qid") +: fields.map { case (f, _) => col(s"__audit_q_$f") } :+
+        explode(graft.functions.top_cells(
+          col("__audit_qr"), centroids, meta.distance, nprobe)).as("cell"): _*)
+    val scored = probed
+      .join(snap.select(col(pk) +: col("cell") +: fields.map { case (f, _) => col(f) }: _*),
+        Seq("cell"))
+      .select(col("__audit_qid"), col(pk),
+        round(weighted, 4).as("score"), round(weighted, 8).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__audit_qid")).orderBy(col("__s").desc, col(pk).asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("__audit_qid").as("qid"), col(pk), col("score"), col("rn"))
+  }
+
+  /** Batch retrieval over the multi-vector IVF layout: the weighted top-k
+    * for EVERY query of a batch in ONE plan — [[searchMultiIvf]] is this
+    * with a single-row query side, and the multi-vector completion of
+    * [[searchBatch]] (which refuses CFLAT collections). `weights` fixes the
+    * (field, ratio) scoring for the whole batch (ratios sum to 100);
+    * each query supplies one vector per weighted field PLUS the routing
+    * field (probing needs it — it may itself be unweighted). Query vectors
+    * get the collection's standard prep. Output: (qid, pk, score, rn),
+    * best-score-first per query; a query whose probed cells hold no rows
+    * produces no rows (the searchBatch contract). */
+  def searchBatchMulti(name: String, weights: Seq[(String, Double)],
+                       queries: Seq[(String, Map[String, Array[Float]])],
+                       topK: Int, nprobe: Int): DataFrame = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector, s"collection $name is single-vector; use searchBatch")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    require(queries.nonEmpty, "searchBatchMulti requires at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "searchBatchMulti query ids must be unique")
+    require(meta.idColumn != "qid",
+      "searchBatchMulti reserves the output column name 'qid'; the collection pk shadows it")
+    require(weights.nonEmpty, "at least one (field, ratio) weight")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate field in weights")
+    val declared = meta.vectorFields.map(f => f.name -> meta.dimOf(f)).toMap
+    weights.foreach { case (f, _) =>
+      require(declared.contains(f), s"$f is not a declared vector field of $name") }
+    val ratioSum = weights.map(_._2).sum
+    require(math.abs(ratioSum - 100.0) < 1e-9, s"ratios must sum to 100, got $ratioSum")
+    val routing = meta.routingVector.get
+    val needed = (weights.map(_._1) :+ routing.name).distinct
+    queries.foreach { case (qid, m) =>
+      needed.foreach { f =>
+        val v = m.getOrElse(f, throw new IllegalArgumentException(
+          s"query $qid is missing a vector for field $f" +
+            (if (f == routing.name) " (the routing field — probing needs it)" else "")))
+        require(v.length == declared(f),
+          s"query $qid dimension mismatch on $f: expected ${declared(f)}, got ${v.length}")
+      }
     }
-    val hitCount = org.apache.spark.sql.functions.count(col("__hit"))
-    val exactCount = org.apache.spark.sql.functions.count(lit(1))
-    arm(centroids.size)
-      .join(arm(nprobe).withColumn("__hit", lit(1)), Seq("qid", pk), "left")
-      .groupBy("qid")
-      .agg(hitCount.as("hits"), (hitCount / exactCount).as("recall"))
-      .orderBy("qid")
+    import spark.implicits._
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv)))
+      return Seq.empty[(String, String, Double, Int)]
+        .toDF("qid", meta.idColumn, "score", "rn")
+    val centroids = readCentroids(name, sv)
+    val snap = indexedState(name, meta).withColumnRenamed(GraftCatalog.CellCol, "cell")
+    def prep(v: Array[Float]) = GraftCatalog.prepareQueryVector(v, meta).toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__audit_qid",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("__audit_qr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false) +:
+      weights.map { case (f, _) =>
+        org.apache.spark.sql.types.StructField(s"__audit_q_$f",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false)
+      })
+    val rows = queries.map { case (qid, m) =>
+      org.apache.spark.sql.Row.fromSeq(
+        qid +: prep(m(routing.name)) +: weights.map { case (f, _) => prep(m(f)) })
+    }
+    val qdf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    multiProbedTopK(meta, snap, qdf, weights, centroids, nprobe, topK)
+      .orderBy(col("qid"), col("rn"))
   }
 
   /** Shared prep for the multi-vector paths: validates the queried fields

@@ -494,6 +494,35 @@ object PersistenceQueries {
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)),
         topK = 10, nprobe = 3)
     }),
+    // Batch retrieval over the multi-vector IVF layout: every query of the
+    // batch gets its weighted top-5, candidates from the query's 3 nearest
+    // routing-field cells — one row-local top_cells call, ONE cell
+    // equi-join, the 60/40 weighted score only inside probed cells. The
+    // oracle replays per-qid probe selection (round6 + cid ties, the
+    // top_cells kernel's order) and the weighted ranking.
+    "multi_batch_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mbi").toString)
+      cat.createCollection(CollectionMeta("mbi", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("mbi")
+      val pairs = e.select(col("vec_id"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+      cat.insert("mbi", pairs.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"), col("v0"), col("v1")))
+      cat.flush("mbi")
+      val qs = pairs.where(col("vec_id") % 101 === 0).select("vec_id", "v0", "v1").collect()
+        .map(r => (r.getLong(0).toString, Map(
+          "v0" -> r.getSeq[Float](1).toArray,
+          "v1" -> r.getSeq[Float](2).toArray))).toSeq
+      cat.searchBatchMulti("mbi", Seq("v0" -> 60.0, "v1" -> 40.0), qs,
+        topK = 5, nprobe = 3)
+    }),
     // Streaming ingest with per-batch durability: a 2-batch change-log file
     // stream drives ChangeFeed.runIntoCollection(deltaFlushEachBatch=true) —
     // every micro-batch is applyChanges-folded into the resident state AND
@@ -1051,6 +1080,37 @@ object PersistenceQueries {
          |WHERE a.cid IN (SELECT cid FROM probe)
          |ORDER BY ROUND($w, 8) DESC, f.id LIMIT 10""".stripMargin
     },
+    // the multi-vector batch: per-qid probe (round6 + cid ties — the
+    // top_cells kernel), weighted ranking, rn <= 5 per query
+    "multi_batch_ivf" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    embedding FROM embeddings),
+        |mv AS (SELECT e1.id, e1.vec_id, e1.embedding AS v0, e2.embedding AS v1
+        |       FROM emb e1 JOIN emb e2 ON e2.vec_id = e1.vec_id + 1),
+        |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT m.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY m.id
+        |      ORDER BY ROUND(list_distance(m.v0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM mv m, cents c) WHERE rn = 1),
+        |q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, v0 AS q0, v1 AS q1
+        |      FROM mv WHERE vec_id % 101 = 0),
+        |probe AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY ROUND(list_distance(q.q0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM q, cents c) WHERE rn <= 3),
+        |cand AS (SELECT q.qid, m.id,
+        |    GREATEST(0, 100 - list_distance(m.v0::DOUBLE[], q.q0::DOUBLE[])) * 0.6
+        |  + GREATEST(0, 100 - list_distance(m.v1::DOUBLE[], q.q1::DOUBLE[])) * 0.4 AS w
+        |  FROM q JOIN probe p ON p.qid = q.qid
+        |    JOIN asg a ON a.cid = p.cid
+        |    JOIN mv m ON m.id = a.id),
+        |r AS (SELECT qid, id, ROUND(w, 4) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(w, 8) DESC, id) AS rn
+        |  FROM cand)
+        |SELECT qid, id, score, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "version_diff" ->
       """SELECT 'put' AS op, CAST(vec_id AS VARCHAR) AS id,
         |  CAST(label + 70 AS BIGINT) AS label

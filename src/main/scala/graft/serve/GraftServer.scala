@@ -476,6 +476,48 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val nprobe = intOr(req, "nprobe", 4)
         withVacuumRecovery(name)(
           rowsJson(catalog.searchMultiIvf(name, fields, topK, nprobe)))
+      // batch retrieval over the multi-vector IVF layout: one plan for the
+      // whole batch — weights fix the (field, ratio) scoring; each query
+      // carries one vector per weighted field plus the routing field
+      case ("POST", "collections" :: name :: "searchBatchMulti" :: Nil) =>
+        val req = JsonMethods.parse(body)
+        requireNoFilter(req, "searchBatchMulti")
+        val weights = req \ "weights" match {
+          case JArray(ws) => ws.map { w =>
+            (w \ "field" match {
+              case JString(s) => s
+              case _ => throw new IllegalArgumentException("weight requires \"field\"")
+            }, num(w \ "ratio"))
+          }
+          case _ => throw new IllegalArgumentException(
+            "searchBatchMulti requires \"weights\": [{\"field\":..,\"ratio\":..}]")
+        }
+        val queries = req \ "queries" match {
+          case JArray(qs) => qs.map { q =>
+            val qid = q \ "id" match {
+              case JString(s) => s
+              case _ => throw new IllegalArgumentException("query requires \"id\"")
+            }
+            val vecs = q \ "vectors" match {
+              case JObject(fs) => fs.map { case (f, v) => f -> (v match {
+                case JArray(xs) => xs.map(num(_).toFloat).toArray
+                case _ => throw new IllegalArgumentException(
+                  s"query $qid: field $f vector must be [..]")
+              })}.toMap
+              case _ => throw new IllegalArgumentException(
+                s"query $qid requires \"vectors\": {field: [..], ..}")
+            }
+            (qid, vecs)
+          }
+          case _ => throw new IllegalArgumentException(
+            "searchBatchMulti requires \"queries\": [{\"id\":..,\"vectors\":{..}}]")
+        }
+        require(queries.size <= 1024,
+          s"searchBatchMulti is capped at 1024 queries per call, got ${queries.size}")
+        val topK = intOr(req, "topK", 10)
+        val nprobe = intOr(req, "nprobe", 4)
+        withVacuumRecovery(name)(
+          rowsJson(catalog.searchBatchMulti(name, weights, queries, topK, nprobe)))
       // driver-local multi-vector probe over the routed IVF layout — the
       // CFLAT point-latency rung (no Spark job; ranking parity with
       // searchMultiIvf at the same nprobe)

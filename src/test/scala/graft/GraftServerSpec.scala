@@ -320,6 +320,20 @@ class GraftServerSpec extends SparkSpec {
     assert(lc === 200 && lb.contains("\"score\""), s"$lc $lb")
     def idSeq(s: String) = "\"id\":\"(\\w+)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
     assert(idSeq(lb) === idSeq(ab), s"local ${idSeq(lb)} vs distributed ${idSeq(ab)}")
+    // batch route: each query's block matches the single-query probe ids
+    val (bc, bb) = http("POST", "/collections/mvp/searchBatchMulti",
+      """{"topK":4,"nprobe":1,
+         "weights":[{"field":"v0","ratio":60},{"field":"v1","ratio":40}],
+         "queries":[
+           {"id":"qa","vectors":{"v0":[10,0],"v1":[0,10]}},
+           {"id":"qb","vectors":{"v0":[0,10],"v1":[10,0]}}]}""")
+    assert(bc === 200, s"$bc $bb")
+    assert("\"qid\":\"qa\"".r.findAllIn(bb).size === 2 &&
+      "\"qid\":\"qb\"".r.findAllIn(bb).size === 2, bb)
+    // a query missing the routing vector refuses loudly
+    assert(http("POST", "/collections/mvp/searchBatchMulti",
+      """{"weights":[{"field":"v0","ratio":100}],
+         "queries":[{"id":"q","vectors":{"v1":[1,0]}}]}""")._1 === 400)
     // a new flush supersedes the cached local index
     assert(http("POST", "/collections/mvp/insert",
       """{"rows":[{"id":"a3","v0":[10,1],"v1":[1,10]}]}""")._1 === 200)

@@ -192,6 +192,39 @@ class MultiIvfSpec extends SparkSpec {
     assert(ex.getMessage.contains("routing field"))
   }
 
+  test("searchBatchMulti: every query's block equals its single-query searchMultiIvf") {
+    val cat = mkCat(4)
+    val queries = Seq(
+      "q0" -> Map("v0" -> Array(100f, 1f, 0f, 0f), "v1" -> Array(0f, 99f, 1f, 0f)),
+      "q1" -> Map("v0" -> Array(0f, 1f, 99f, 0f), "v1" -> Array(1f, 0f, 0f, 100f)))
+    val weights = Seq("v0" -> 60.0, "v1" -> 40.0)
+    val out = cat.searchBatchMulti("mvi", weights, queries, topK = 5, nprobe = 2)
+    // plan shape: a partial WindowGroupLimit bounds each query below the
+    // exchange; no cartesian product anywhere
+    val plan = out.queryExecution.executedPlan
+    assert(plan.toString.contains("WindowGroupLimit"), plan.toString.take(2000))
+    assert(!plan.toString.contains("Cartesian"), "batch probe must never be all-pairs")
+    val rows = out.collect()
+    for ((qid, m) <- queries) {
+      val single = cat.searchMultiIvf("mvi", fq(m("v0"), m("v1")), topK = 5, nprobe = 2)
+        .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+      val block = rows.filter(_.getAs[String]("qid") == qid).sortBy(_.getAs[Int]("rn"))
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+      assert(block.toSeq === single.toSeq, qid)
+    }
+    // refusals: a query missing the routing vector, bad ratios, dup qids
+    assert(intercept[IllegalArgumentException] {
+      cat.searchBatchMulti("mvi", weights,
+        Seq("q" -> Map("v1" -> Array(1f, 0f, 0f, 0f))), 5, 1)
+    }.getMessage.contains("routing field"))
+    assert(intercept[IllegalArgumentException] {
+      cat.searchBatchMulti("mvi", Seq("v0" -> 50.0), queries, 5, 1)
+    }.getMessage.contains("sum to 100"))
+    assert(intercept[IllegalArgumentException] {
+      cat.searchBatchMulti("mvi", weights, queries ++ queries.take(1), 5, 1)
+    }.getMessage.contains("unique"))
+  }
+
   test("single-vector rungs refuse multi-vector collections (and vice versa)") {
     val cat = mkCat(4)
     assert(intercept[IllegalArgumentException] {
