@@ -842,15 +842,23 @@ object Bench {
           .select(col("vec_id").cast("string").as("id"),
             (col("label") + 100).cast("long").as("label"), col("embedding").as("vector")))
         val tDelta = timed("catalog_flush_delta_10k", runs = 1)(cat.flushDelta("bd"))
-        cat.releaseCollection("bd")
         // 3 reps, min (the other rows' convention): a single cold
         // release→load→count run spans 1.2-3.6 s on an idle machine
         // (FoldProbe, r11) — the r9 1.83 s vs r10 2.62 s "regression" was
-        // runs=1 sampling noise, not a code change. releaseCollection is
-        // idempotent, so each rep pays the full fold from a cold resident.
-        val tFold = timed("catalog_fold_load_1m", runs = 3) {
-          cat.releaseCollection("bd")
-          cat.loadCollection("bd"); cat.resident("bd").count(): Unit
+        // runs=1 sampling noise, not a code change. The release happens
+        // BETWEEN reps, OUTSIDE the timed window, so the number measures
+        // exactly what r9/r10 and FoldProbe measure: load + count.
+        val tFold = try {
+          (1 to 3).map { _ =>
+            cat.releaseCollection("bd")
+            val t0 = System.nanoTime()
+            cat.loadCollection("bd"); cat.resident("bd").count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case e: Throwable =>
+          errors("catalog_fold_load_1m") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+          -1.0
         }
         // ---- serving path at 1M: per-REQUEST latency of the catalog's
         // prepared (plan-once/execute-many) search — the HTTP /search
@@ -1178,15 +1186,7 @@ object Bench {
     // full JSON string escaping (backslash, quote, control chars): error
     // messages carry paths and multiline job-abort text — quote-only
     // replacement left the single-line output unparseable
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonStr.quote(s)
     def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
       case (k, v: String) => jstr(k) + ":" + jstr(v)
       case (k, v)         => jstr(k) + ":" + v

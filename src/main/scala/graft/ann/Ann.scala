@@ -208,10 +208,18 @@ object Ann {
     * partition-pruned scan. */
   /** The `nprobe` centroid ids nearest the query (driver-side: centroid
     * lists are tiny and the result drives partition pruning). */
+  /** The `(round(dist, 6), cid)` total order is THE probe contract — the
+    * same order as the `top_cells` kernel (knnJoin / the multi batch
+    * shapes) and the `arg_min_distance` assignment kernel, so every probe
+    * path (driver-side single query, kernel-side batch, driver-local
+    * serving) selects identical cells for identical queries (r11 review:
+    * the raw-distance tie-break here could disagree with top_cells inside
+    * the 6-dp rounding window). */
   def probeCells(centroids: Seq[(Long, Array[Float])], queryVec: Array[Float],
                  nprobe: Int, metric: String = "euclidean"): Seq[Long] =
     centroids
-      .map { case (cid, cvec) => (cid, distLocal(cvec, queryVec, metric)) }
+      .map { case (cid, cvec) =>
+        (cid, LocalIvfIndex.round6(distLocal(cvec, queryVec, metric))) }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
 

@@ -28,6 +28,11 @@ final class LocalIvfIndex private (
     cellIds: java.util.HashMap[Long, Array[AnyRef]],
     cellVecs: java.util.HashMap[Long, Array[Float]],
     cellMeta: java.util.HashMap[Long, LocalMeta],
+    /** Zero-row store carrying the BUILT column spec — the validation
+      * authority, so an unknown filter column refuses even when every cell
+      * is empty (a delta chain can delete the whole collection; the typo
+      * must not hide until data returns). */
+    specMeta: LocalMeta,
     val dim: Int,
     metric: String) extends Serializable {
 
@@ -37,10 +42,7 @@ final class LocalIvfIndex private (
   }
   /** Columns available to [[search]]'s EQ filter (empty unless the index
     * was built with `metaCols`). */
-  def filterableColumns: Set[String] = {
-    val it = cellMeta.values.iterator()
-    if (it.hasNext) it.next().columns else Set.empty
-  }
+  def filterableColumns: Set[String] = specMeta.columns
 
   /** Probe the `nprobe` nearest cells, exact top-k inside — all in-process.
     * Probed cells scan in parallel on the common pool (one task per cell,
@@ -62,15 +64,11 @@ final class LocalIvfIndex private (
              eqFilter: Seq[(String, Any)] = Nil): Seq[(AnyRef, Double)] = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
-    if (eqFilter.nonEmpty) {
-      // validate ONCE, synchronously — every cell shares the same column
-      // specs, so one representative store decides; a refusal raised inside
-      // the pool fan-out would surface wrapped in CompletionException
-      val it = cellMeta.values.iterator()
-      if (it.hasNext) it.next().predicate(eqFilter)
-      else if (!cellIds.isEmpty) LocalMeta.Empty.predicate(eqFilter)
-      // else: an EMPTY index answers any filter with the empty result below
-    }
+    // validate ONCE, synchronously, against the BUILT spec — refuses
+    // unknown columns/bad value types even on a fully-empty store (a
+    // refusal raised inside the pool fan-out would surface wrapped in
+    // CompletionException)
+    if (eqFilter.nonEmpty) specMeta.predicate(eqFilter)
     val probed = LocalIvfIndex.selectCells(centroids, q, nprobe, metric)
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
@@ -116,8 +114,9 @@ final class LocalIvfIndex private (
 object LocalIvfIndex {
 
   /** The `nprobe` nearest cell ids by insertion into primitive parallel
-    * arrays — no tuple boxing, no full sort of k cells; ties break on the
-    * lower cid, matching the distributed probe's sortBy((dist, cid)). */
+    * arrays — no tuple boxing, no full sort of k cells; the
+    * `(round(dist, 6), cid)` order, matching [[graft.ann.Ann.probeCells]]
+    * and the `top_cells` kernel (the ONE probe contract). */
   private[ann] def selectCells(centroids: Array[(Long, Array[Float])],
                                q: Array[Float], nprobe: Int, metric: String): Seq[Long] = {
     val np = math.min(nprobe, centroids.length)
@@ -130,7 +129,7 @@ object LocalIvfIndex {
     var ci = 0
     while (ci < centroids.length) {
       val (cid, cv) = centroids(ci)
-      val d = dist(cv, 0, q, metric)
+      val d = round6(dist(cv, 0, q, metric))
       if (d < bestD(np - 1) || (d == bestD(np - 1) && cid < bestIds(np - 1))) {
         var ins = np - 1
         while (ins > 0 && (d < bestD(ins - 1) || (d == bestD(ins - 1) && cid < bestIds(ins - 1)))) {
@@ -204,7 +203,10 @@ object LocalIvfIndex {
     vecsB.forEach((k, b) => vecs.put(k, b.result()))
     metaB.forEach((k, b) => metas.put(k, b.result()))
     val sorted = centroids.sortBy(_._1).toArray
-    new LocalIvfIndex(sorted, ids, vecs, metas, dim, metric)
+    val specMeta =
+      if (metaCols.nonEmpty) new LocalMeta.Builder(metaCols).result()
+      else LocalMeta.Empty
+    new LocalIvfIndex(sorted, ids, vecs, metas, specMeta, dim, metric)
   }
 
   /** Exact scalar distance over a flat array slice — double accumulation in

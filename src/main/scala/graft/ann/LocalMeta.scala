@@ -72,9 +72,14 @@ object LocalMeta {
   }
 
   private final class DoubleCol(vals: Array[Double], nulls: Array[Boolean]) extends Col {
+    // Spark SQL's EqualTo on doubles: NaN = NaN is TRUE (and -0.0 = 0.0 is
+    // TRUE, which IEEE == already gives) — `eqD` mirrors both so a NaN
+    // metadata row filters identically on the local and distributed rungs
+    private def eqD(a: Double, b: Double): Boolean =
+      a == b || (a != a && b != b)
     def eqTest(name: String, v: Any): Int => Boolean = v match {
-      case n: Double  => i => !nulls(i) && vals(i) == n
-      case n: Float   => val x = n.toDouble; i => !nulls(i) && vals(i) == x
+      case n: Double  => i => !nulls(i) && eqD(vals(i), n)
+      case n: Float   => val x = n.toDouble; i => !nulls(i) && eqD(vals(i), x)
       case n: Long    => val x = n.toDouble; i => !nulls(i) && vals(i) == x
       case n: Int     => val x = n.toDouble; i => !nulls(i) && vals(i) == x
       case other      => badProbe(name, other, "float")

@@ -881,7 +881,7 @@ object PersistenceQueries {
         |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
         |  FROM emb e, cents c) WHERE rn = 1),
         |probe AS (SELECT c.cid FROM cents c, q
-        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), 6), c.cid LIMIT 3)
         |SELECT e.id, CAST(a.cid AS INTEGER) AS cell,
         |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
         |FROM emb e JOIN asg a ON a.id = e.id, q
@@ -984,7 +984,7 @@ object PersistenceQueries {
         |      ORDER BY ROUND(list_distance(f.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
         |  FROM fin f, cents c) WHERE rn = 1),
         |probe AS (SELECT c.cid FROM cents c, q
-        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), 6), c.cid LIMIT 3)
         |SELECT f.id, CAST(a.cid AS INTEGER) AS cell,
         |  ROUND(list_distance(f.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
         |FROM fin f JOIN asg a ON a.id = f.id, q
@@ -1074,7 +1074,7 @@ object PersistenceQueries {
          |      ORDER BY ROUND(list_distance(f.v0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
          |  FROM fin f, cents c) WHERE rn = 1),
          |probe AS (SELECT c.cid FROM cents c, q0
-         |  ORDER BY list_distance(c.cv::DOUBLE[], q0.qv::DOUBLE[]), c.cid LIMIT 3)
+         |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q0.qv::DOUBLE[]), 6), c.cid LIMIT 3)
          |SELECT f.id, CAST(a.cid AS INTEGER) AS cell, ROUND($w, 4) AS score
          |FROM fin f JOIN asg a ON a.id = f.id, q0, q1
          |WHERE a.cid IN (SELECT cid FROM probe)

@@ -1421,7 +1421,7 @@ object PipelineQueries {
         |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
         |  FROM embeddings e, cents c) WHERE rn = 1),
         |probe AS (SELECT c.cid FROM cents c, q
-        |  ORDER BY list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3)
+        |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), 6), c.cid LIMIT 3)
         |SELECT e.vec_id, CAST(a.cid AS BIGINT) AS cell,
         |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
         |FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q

@@ -374,16 +374,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             // no filter — searchMultiIvf defines none (CFLAT parity)
             rejectDial("overFetch")
             rejectDial("filter")
-            val weights = req \ "weights" match {
-              case JArray(ws) => ws.map { w =>
-                (w \ "field" match {
-                  case JString(s) => s
-                  case _ => throw new IllegalArgumentException("weight requires \"field\"")
-                }, num(w \ "ratio"))
-              }
-              case _ => throw new IllegalArgumentException(
-                "audit rung 'multi' requires \"weights\": [{\"field\":..,\"ratio\":..}]")
-            }
+            val weights = parseWeights(req, "audit rung 'multi'")
             catalog.auditRecallMulti(name, sampleMod, intOr(req, "nprobe", 4), weights, k)
           case other => throw new IllegalArgumentException(
             s"unknown audit rung: $other (expected ivf, pq, bin, or multi)")
@@ -417,8 +408,23 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // latency); every other filter shape still refuses loudly
         val eq = localEqFilter(req, "searchLocal")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
-        val idx = localIndexes.getOrElseUpdate(name,
-          catalog.localIvfIndex(name, localFilterableCols(name)))
+        // metadata columns load LAZILY: an unfiltered client never pays the
+        // per-row string/scalar resident cost (r11 review — string columns
+        // are ~40-60 bytes/row each, multi-GB at 10M rows); the first
+        // FILTERED request upgrades the cached index to the typed store
+        // (which serves unfiltered probes identically from then on)
+        val idx = localIndexes.get(name) match {
+          // a cached index serves unless this request needs the typed store
+          // it wasn't built with (a collection with NO filterable columns
+          // never upgrades — the filter refuses in search, don't loop
+          // rebuilds on every doomed request)
+          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
+              localFilterableCols(name).isEmpty => i
+          case _ =>
+            val built = catalog.localIvfIndex(name,
+              if (eq.isEmpty) Nil else localFilterableCols(name))
+            localIndexes(name) = built; built
+        }
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
@@ -443,8 +449,15 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val eq = localEqFilter(req, "searchLocalBin")
         val vector = parseVector(req, "searchLocalBin")
         val topK = intOr(req, "topK", 10)
-        val idx = localBinIndexes.getOrElseUpdate(name,
-          catalog.localBinIndex(name, localFilterableCols(name)))
+        // lazy metadata load + filtered-request upgrade — see searchLocal
+        val idx = localBinIndexes.get(name) match {
+          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
+              localFilterableCols(name).isEmpty => i
+          case _ =>
+            val built = catalog.localBinIndex(name,
+              if (eq.isEmpty) Nil else localFilterableCols(name))
+            localBinIndexes(name) = built; built
+        }
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK, eq))
       // experimental CFLAT weighted multi-vector search
@@ -482,16 +495,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       case ("POST", "collections" :: name :: "searchBatchMulti" :: Nil) =>
         val req = JsonMethods.parse(body)
         requireNoFilter(req, "searchBatchMulti")
-        val weights = req \ "weights" match {
-          case JArray(ws) => ws.map { w =>
-            (w \ "field" match {
-              case JString(s) => s
-              case _ => throw new IllegalArgumentException("weight requires \"field\"")
-            }, num(w \ "ratio"))
-          }
-          case _ => throw new IllegalArgumentException(
-            "searchBatchMulti requires \"weights\": [{\"field\":..,\"ratio\":..}]")
-        }
+        val weights = parseWeights(req, "searchBatchMulti")
         val queries = req \ "queries" match {
           case JArray(qs) => qs.map { q =>
             val qid = q \ "id" match {
@@ -674,6 +678,20 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   /** Defaulted optional integer field (topK / nprobe / overFetch / …). */
   private def intOr(req: JValue, field: String, default: Int): Int =
     (req \ field).toOption.map(num(_).toInt).getOrElse(default)
+
+  /** The (field, ratio) weight list — ONE parser for the multi audit rung
+    * and `/searchBatchMulti`. */
+  private def parseWeights(req: JValue, route: String): Seq[(String, Double)] =
+    req \ "weights" match {
+      case JArray(ws) => ws.map { w =>
+        (w \ "field" match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException("weight requires \"field\"")
+        }, num(w \ "ratio"))
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$route requires " + "\"weights\": [{\"field\":..,\"ratio\":..}]")
+    }
 
   /** The multi-vector request's field list — ONE parser for the flat and
     * probed routes (`/searchMulti`, `/searchMultiIvf`). */

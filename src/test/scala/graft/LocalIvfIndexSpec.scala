@@ -63,6 +63,34 @@ class LocalIvfIndexSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       LocalIvfIndex.fromAssigned(empty, "vec_id", "embedding", Seq.empty, "euclidean"))
     assert(ex.getMessage.contains("centroid"))
+    // an EMPTY store still validates the filter against the BUILT spec —
+    // a misspelled column refuses loudly instead of hiding in [] until
+    // data returns (r11 review)
+    val emptyMeta = emb.where(lit(false))
+      .select(col("vec_id"), col("embedding"), lit(0L).as("cell"), col("label"))
+    val idxMeta = LocalIvfIndex.fromAssigned(emptyMeta, "vec_id", "embedding",
+      cents, "euclidean", metaCols = Seq("label" -> "integer"))
+    assert(idxMeta.filterableColumns === Set("label"))
+    val exCol = intercept[IllegalArgumentException](
+      idxMeta.search(Array(0f, 0f, 0f, 0f), 5, 2, eqFilter = Seq("labl" -> 3L)))
+    assert(exCol.getMessage.contains("not loaded"))
+    assert(idxMeta.search(Array(0f, 0f, 0f, 0f), 5, 2, eqFilter = Seq("label" -> 3L)).isEmpty)
+  }
+
+  test("float EQ filter follows Spark SQL semantics: NaN = NaN true, -0.0 = 0.0 true") {
+    val cents = Seq((0L, Array(0f, 0f, 0f, 0f)))
+    val rows = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f), Double.NaN),
+      (2L, Seq(1f, 0f, 0f, 0f), -0.0),
+      (3L, Seq(0f, 1f, 0f, 0f), 2.5)
+    ).toDF("vec_id", "embedding", "f").withColumn("cell", lit(0L))
+    val idx = LocalIvfIndex.fromAssigned(rows, "vec_id", "embedding",
+      cents, "euclidean", metaCols = Seq("f" -> "float"))
+    def ids(v: Double) = idx.search(Array(0f, 0f, 0f, 0f), 5, 1, Seq("f" -> v))
+      .map(_._1.asInstanceOf[Long])
+    assert(ids(Double.NaN) === Seq(1L)) // Spark's EqualTo: NaN = NaN is TRUE
+    assert(ids(0.0) === Seq(2L))        // and -0.0 = 0.0 is TRUE
+    assert(ids(2.5) === Seq(3L))
   }
 
   test("NaN query vector: probe returns empty, never duplicate filler cells") {
