@@ -584,6 +584,56 @@ object Bench {
     // Thresholds come from the same 1/16 sample of the 1M collection the
     // 1M suite trains on (identical distribution, deterministic), so the
     // query-side encodeOne and the corpus codes agree by construction.
+    // ---- multi-vector IVF at 10M (r11): the scale point where directory
+    // pruning clears the job-dispatch floor that hides it at 1M. Both arms
+    // run the SAME snapshot path with NO resident state — the full-probe
+    // arm (nprobe = all 256 cells) scans the whole ~10 GB two-field
+    // snapshot, the 8/256 probe opens ~3% of its files — so the ratio
+    // isolates partition pruning, not caching. This is the measured 100 TB
+    // claim for the multi-vector layout: probe cost follows nprobe/cells,
+    // not the corpus.
+    val multiIvf10m = if (only1m) Seq.empty[(String, Double)] else guardSuite("multi_ivf_10m") {
+      val dir = benchDir + "-10m"
+      ensureBenchData(spark, dir, 10000000L)
+      val e = spark.read.parquet(dir)
+      val cat = new graft.collection.GraftCatalog(
+        spark, TempRoots.create("bench-multiivf10").toString)
+      cat.createCollection(graft.collection.CollectionMeta("mvt", dim = 128,
+        distance = "cosine",
+        fields = Seq(
+          graft.collection.IndexField("id", "string", primaryKey = true),
+          graft.collection.IndexField("v0", "vector"),
+          graft.collection.IndexField("v1", "vector")),
+        ivfCells = Some(256), ivfTrainIterations = Some(1),
+        ivfTrainSampleMod = Some(64L)))
+      try {
+        cat.loadCollection("mvt")
+        cat.insert("mvt", e.select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("v0"), reverse(col("embedding")).as("v1")))
+        val tFlush = timed("multi_ivf_flush_10m", runs = 1)(cat.flush("mvt"))
+        // the probes serve the SNAPSHOT (searchMultiIvf needs no residency)
+        // — release the ~10 GB resident copy so the probe rows measure
+        // pruned I/O, not a cache hit
+        cat.releaseCollection("mvt")
+        val rnd = new scala.util.Random(17)
+        def fqs() = Seq(
+          graft.operators.MultiVectorSearch.FieldQuery("v0",
+            Array.fill(128)(rnd.nextFloat() * 2 - 1), ratio = 60),
+          graft.operators.MultiVectorSearch.FieldQuery("v1",
+            Array.fill(128)(rnd.nextFloat() * 2 - 1), ratio = 40))
+        cat.searchMultiIvf("mvt", fqs(), 10, nprobe = 8).collect() // warm
+        val tProbe = timed("serve_multi_ivf_10m", runs = 3) {
+          cat.searchMultiIvf("mvt", fqs(), 10, nprobe = 8).collect(): Unit
+        }
+        val tFull = timed("serve_multi_full_10m", runs = 2) {
+          cat.searchMultiIvf("mvt", fqs(), 10, nprobe = 256).collect(): Unit
+        }
+        Seq("multi_ivf_flush_10m" -> tFlush,
+          "serve_multi_ivf_10m" -> tProbe,
+          "serve_multi_full_10m" -> tFull)
+      } finally cat.dropCollection("mvt")
+    }
+
     val bin100m = if (only1m) Seq.empty[(String, Double)] else try {
       val rows100m = 100000000L
       val th = graft.ann.Bin.trainThresholds(spark.read.parquet(benchDir),
@@ -1195,7 +1245,7 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum
     val allQueries = results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++
       pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++
-      serveDist1m ++ multiIvf1m
+      serveDist1m ++ multiIvf1m ++ multiIvf10m
 
     // ---- Output contract (r11). The driver captures only the LAST 2000
     // characters of stdout: the pre-r11 single ~5 KB JSON line lost its head
@@ -1224,9 +1274,9 @@ object Bench {
     // serving/catalog/audit rows lead (vs_baseline already carries the scan
     // gates as ratios); the sf-scale suite comes last — it is fully covered
     // by the correctness harness and lives in BENCH_full.json regardless
-    val priority = (deltaFlush1m ++ serveDist1m ++ multiIvf1m ++ nearDup1m ++
-      semantic1m ++ ivf1m ++ pq1m ++ bin1m ++ big1m ++ big10m ++ pq10m ++
-      bin100m ++ docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
+    val priority = (deltaFlush1m ++ serveDist1m ++ multiIvf1m ++ multiIvf10m ++
+      nearDup1m ++ semantic1m ++ ivf1m ++ pq1m ++ bin1m ++ big1m ++ big10m ++
+      pq10m ++ bin100m ++ docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
     val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
     val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
       ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
