@@ -109,6 +109,21 @@ class LocalMultiIndexSpec extends SparkSpec {
     assert(local === distributed(cat, q0, q1, topK = 10, nprobe = 4))
   }
 
+  test("randomized parity: 40 random queries at random nprobe — local == distributed") {
+    val cat = mkCat()
+    val idx = cat.localMultiIndex("lmv")
+    val rnd = new scala.util.Random(42)
+    for (i <- 1 to 40) {
+      val q0 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+      val q1 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+      val np = 1 + rnd.nextInt(4)
+      val local = idx.search(localQ(q0, q1), topK = 7, nprobe = np)
+        .map { case (id, s) => (id.toString, s) }
+      val dist = distributed(cat, q0, q1, topK = 7, nprobe = np)
+      assert(local === dist, s"query $i, nprobe=$np")
+    }
+  }
+
   test("refusals: unknown field, bad dim, missing routing query, bad ratios") {
     val cat = mkCat()
     val idx = cat.localMultiIndex("lmv")
