@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Driver-local multi-vector (CFLAT) serving index — the point-latency rung
@@ -24,15 +24,24 @@ import org.apache.spark.sql.functions._
   * `GraftCatalog.searchMultiIvf` over the same layout (and certified by
   * `auditRecallMulti`).
   *
-  * Memory: one float[] per (cell, field) — Σ_f 4·dim_f bytes per row
-  * (1 GB per 1M rows × two 128-d fields); ids as parallel arrays. */
+  * Memory: vectors stay resident in their STORED form — one flat array per
+  * (cell, field): float[] (4 B/dim) for unquantized collections, short[]
+  * (2 B/dim) for f16/bf16 storage, byte[] (1 B/dim) for f8 — so the
+  * serving node holds exactly what disk holds (1 GB per 1M rows × two
+  * 128-d float fields; half that on f16). Quantized rows decode per probe
+  * into a per-scan scratch buffer before the shared distance kernel (the
+  * distributed fused kernel's loop-fission discipline) — decode-to-float
+  * is exact, so results stay bit-identical to the decoded-resident form. */
 final class LocalMultiIndex private (
     centroids: Array[(Long, Array[Float])],
     fieldNames: Array[String],
     fieldDims: Array[Int],
     routingIdx: Int,
     cellIds: java.util.HashMap[Long, Array[AnyRef]],
-    cellVecs: java.util.HashMap[Long, Array[Array[Float]]],
+    /** Per cell: one stored-form flat array per field
+      * (float[] | short[] | byte[], by `quant`). */
+    cellVecs: java.util.HashMap[Long, Array[AnyRef]],
+    quant: String,
     metric: String) extends Serializable {
 
   def cellCount: Int = cellIds.size()
@@ -78,10 +87,40 @@ final class LocalMultiIndex private (
     val weights = included.map(_.ratio / 100.0).toArray
     val scoreMetric = if (metric == "cosine") "cosine" else "euclidean"
     val probed = LocalIvfIndex.selectCells(centroids, routingQ, nprobe, metric)
+    // 0 = float-resident, 1 = f16 shorts, 2 = bf16 shorts, 3 = f8 bytes
+    val qmode = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
       val vecs = cellVecs.get(cid)
+      // per-scan scratch: quantized rows decode here before the shared
+      // float kernel (loop fission — the fused kernel's codegen discipline;
+      // decode-to-float is exact so the result is bit-identical)
+      val scratch: Array[Array[Float]] =
+        if (qmode == 0) null else fieldDims.map(new Array[Float](_))
+      import graft.functions.QuantKernels
+      def fieldDist(slot: Int, i: Int, q: Array[Float]): Double = {
+        val dimF = fieldDims(slot)
+        qmode match {
+          case 0 =>
+            LocalIvfIndex.dist(vecs(slot).asInstanceOf[Array[Float]], i * dimF, q, metric)
+          case 3 =>
+            val bs = vecs(slot).asInstanceOf[Array[Byte]]
+            val buf = scratch(slot); val off = i * dimF
+            var j = 0
+            while (j < dimF) { buf(j) = QuantKernels.f8ToFloat(bs(off + j)); j += 1 }
+            LocalIvfIndex.dist(buf, 0, q, metric)
+          case m =>
+            val ss = vecs(slot).asInstanceOf[Array[Short]]
+            val buf = scratch(slot); val off = i * dimF
+            var j = 0
+            if (m == 1) while (j < dimF) { buf(j) = QuantKernels.f16ToFloat(ss(off + j)); j += 1 }
+            else        while (j < dimF) { buf(j) = QuantKernels.bf16ToFloat(ss(off + j)); j += 1 }
+            LocalIvfIndex.dist(buf, 0, q, metric)
+        }
+      }
       val heap = LocalTopK.newHeap(topK, LocalTopK.cmp8)
       // admission gate on the NEGATED score (lower = better), same
       // discipline as LocalIvfIndex but at the 8-dp near-tie window
@@ -91,8 +130,7 @@ final class LocalMultiIndex private (
         var s = 0.0
         var fi = 0
         while (fi < slots.length) {
-          val slot = slots(fi)
-          val d = LocalIvfIndex.dist(vecs(slot), i * fieldDims(slot), queries(fi), metric)
+          val d = fieldDist(slots(fi), i, queries(fi))
           val term = scoreMetric match {
             case "cosine" => (2.0 - d) / 2.0 * 100.0
             case _        => math.max(0.0, 100.0 - d)
@@ -139,8 +177,9 @@ object LocalMultiIndex {
     if (d.isNaN || d.isInfinite) d
     else new java.math.BigDecimal(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Build from the assigned snapshot (columns: id, cell, one DECODED
-    * array<float> column per declared vector field) + the routing-field
+  /** Build from the assigned snapshot (columns: id, cell, one vector
+    * column per declared field in its STORED form — array<float>,
+    * f16/bf16 shorts, or f8 bytes per `quant`) + the routing-field
     * centroids — streamed to the driver via toLocalIterator like every
     * local-rung loader (transient footprint = one partition). `fields`
     * gives (name, dim) in DECLARED order; `routingName` must be one of
@@ -148,17 +187,30 @@ object LocalMultiIndex {
   def fromAssigned(assigned: DataFrame, idCol: String,
                    fields: Seq[(String, Int)],
                    centroids: Seq[(Long, Array[Float])], metric: String,
-                   routingName: String): LocalMultiIndex = {
+                   routingName: String, quant: String = "none"): LocalMultiIndex = {
     require(centroids.nonEmpty, "fromAssigned requires at least one centroid")
     require(fields.nonEmpty, "fromAssigned requires at least one vector field")
+    require(Set("none", "f16", "bf16", "f8").contains(quant), s"unknown quantization: $quant")
     val routingIdx = fields.indexWhere(_._1 == routingName)
     require(routingIdx >= 0, s"routing field $routingName is not among ${fields.map(_._1)}")
     val names = fields.map(_._1).toArray
     val dims = fields.map(_._2).toArray
+    val vecCol: String => Column = quant match {
+      case "none"         => n => col(n).cast("array<float>")
+      case "f16" | "bf16" => n => col(n).cast("array<short>")
+      case "f8"           => n => col(n) // binary
+    }
     val rows = assigned.select(col(idCol) +: col("cell").cast("long") +:
-      names.toSeq.map(n => col(n).cast("array<float>")): _*)
+      names.toSeq.map(vecCol): _*)
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
-    val vecsB = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuilder.ofFloat]]()
+    // per cell: one stored-form builder per field (ofFloat / ofShort / ofByte)
+    val vecsB = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuilder[_]]]()
+    def newBuilders(): Array[scala.collection.mutable.ArrayBuilder[_]] =
+      Array.fill[scala.collection.mutable.ArrayBuilder[_]](names.length)(quant match {
+        case "none"         => new scala.collection.mutable.ArrayBuilder.ofFloat
+        case "f16" | "bf16" => new scala.collection.mutable.ArrayBuilder.ofShort
+        case "f8"           => new scala.collection.mutable.ArrayBuilder.ofByte
+      })
     val it = rows.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -167,26 +219,42 @@ object LocalMultiIndex {
       if (ib == null) {
         ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
         idsB.put(cell, ib)
-        vecsB.put(cell, Array.fill(names.length)(
-          new scala.collection.mutable.ArrayBuilder.ofFloat))
+        vecsB.put(cell, newBuilders())
       }
       ib += r.get(0).asInstanceOf[AnyRef]
       val vb = vecsB.get(cell)
       var fi = 0
       while (fi < names.length) {
-        val v = r.getSeq[Float](2 + fi)
-        require(v != null && v.length == dims(fi),
-          s"row ${r.get(0)}: ${names(fi)} is ${if (v == null) "null" else s"${v.length}-dim"}, " +
-            s"declared dim is ${dims(fi)}")
-        v.foreach(vb(fi) += _)
+        def badDim(len: Any): Nothing = throw new IllegalArgumentException(
+          s"row ${r.get(0)}: ${names(fi)} is $len, declared dim is ${dims(fi)}")
+        quant match {
+          case "f8" =>
+            val v = r.getAs[Array[Byte]](2 + fi)
+            if (v == null || v.length != dims(fi))
+              badDim(if (v == null) "null" else s"${v.length}-dim")
+            val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofByte]
+            v.foreach(b += _)
+          case "f16" | "bf16" =>
+            val v = r.getSeq[Short](2 + fi)
+            if (v == null || v.length != dims(fi))
+              badDim(if (v == null) "null" else s"${v.length}-dim")
+            val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofShort]
+            v.foreach(b += _)
+          case _ =>
+            val v = r.getSeq[Float](2 + fi)
+            if (v == null || v.length != dims(fi))
+              badDim(if (v == null) "null" else s"${v.length}-dim")
+            val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofFloat]
+            v.foreach(b += _)
+        }
         fi += 1
       }
     }
     val ids = new java.util.HashMap[Long, Array[AnyRef]]()
-    val vecs = new java.util.HashMap[Long, Array[Array[Float]]]()
+    val vecs = new java.util.HashMap[Long, Array[AnyRef]]()
     idsB.forEach((k, b) => ids.put(k, b.result()))
-    vecsB.forEach((k, bs) => vecs.put(k, bs.map(_.result())))
+    vecsB.forEach((k, bs) => vecs.put(k, bs.map(_.result().asInstanceOf[AnyRef])))
     new LocalMultiIndex(centroids.sortBy(_._1).toArray, names, dims, routingIdx,
-      ids, vecs, metric)
+      ids, vecs, quant, metric)
   }
 }

@@ -2480,9 +2480,10 @@ class GraftCatalog(spark: SparkSession, root: String,
     * in-process, the weighted multi-field score runs only inside them, no
     * Spark job. Ranking parity with [[searchMultiIvf]] over the same
     * layout at the same nprobe (LocalMultiIndexSpec pins it); delta chains
-    * fold at load like every local-rung loader. Memory: Σ_f 4·dim_f bytes
-    * per row — size serving nodes accordingly or stay on the distributed
-    * probe. */
+    * fold at load like every local-rung loader. Memory: the STORED form
+    * per row — Σ_f 4·dim_f bytes unquantized, half on f16/bf16, a quarter
+    * on f8 (quantized rows decode per probe, bit-identically) — size
+    * serving nodes accordingly or stay on the distributed probe. */
   def localMultiIndex(name: String): graft.ann.LocalMultiIndex = {
     val meta = getMeta(name)
     require(meta.isMultiVector,
@@ -2495,14 +2496,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids = readCentroids(name, sv)
     val snap = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
-    val decoded = meta.quantization match {
-      case "none" => snap
-      case q => meta.vectorFields.foldLeft(snap)(
-        (df, f) => df.withColumn(f.name, dequantize(col(f.name), q)))
-    }
-    graft.ann.LocalMultiIndex.fromAssigned(decoded, meta.idColumn,
+    // vectors load in their STORED form (floats / f16 shorts / f8 bytes) —
+    // the serving node holds what disk holds; probes decode per scan
+    graft.ann.LocalMultiIndex.fromAssigned(snap, meta.idColumn,
       meta.vectorFields.map(f => f.name -> meta.dimOf(f)),
-      centroids, meta.distance, meta.routingVector.get.name)
+      centroids, meta.distance, meta.routingVector.get.name,
+      quant = meta.quantization)
   }
 
   /** Load the flushed PQ code layout into a driver-local ADC serving index
