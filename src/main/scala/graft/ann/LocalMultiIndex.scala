@@ -95,30 +95,39 @@ final class LocalMultiIndex private (
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
       val vecs = cellVecs.get(cid)
-      // per-scan scratch: quantized rows decode here before the shared
-      // float kernel (loop fission — the fused kernel's codegen discipline;
+      // typed views + scratch resolved ONCE per cell: the unquantized hot
+      // path indexes plain float arrays with no per-row dispatch or cast;
+      // quantized rows decode into the scratch before the shared float
+      // kernel (loop fission — the fused kernel's codegen discipline;
       // decode-to-float is exact so the result is bit-identical)
+      val fvecs: Array[Array[Float]] =
+        if (qmode == 0) vecs.map(_.asInstanceOf[Array[Float]]) else null
+      val svecs: Array[Array[Short]] =
+        if (qmode == 1 || qmode == 2) vecs.map(_.asInstanceOf[Array[Short]]) else null
+      val bvecs: Array[Array[Byte]] =
+        if (qmode == 3) vecs.map(_.asInstanceOf[Array[Byte]]) else null
       val scratch: Array[Array[Float]] =
         if (qmode == 0) null else fieldDims.map(new Array[Float](_))
       import graft.functions.QuantKernels
       def fieldDist(slot: Int, i: Int, q: Array[Float]): Double = {
         val dimF = fieldDims(slot)
-        qmode match {
-          case 0 =>
-            LocalIvfIndex.dist(vecs(slot).asInstanceOf[Array[Float]], i * dimF, q, metric)
-          case 3 =>
-            val bs = vecs(slot).asInstanceOf[Array[Byte]]
-            val buf = scratch(slot); val off = i * dimF
-            var j = 0
-            while (j < dimF) { buf(j) = QuantKernels.f8ToFloat(bs(off + j)); j += 1 }
-            LocalIvfIndex.dist(buf, 0, q, metric)
-          case m =>
-            val ss = vecs(slot).asInstanceOf[Array[Short]]
-            val buf = scratch(slot); val off = i * dimF
-            var j = 0
-            if (m == 1) while (j < dimF) { buf(j) = QuantKernels.f16ToFloat(ss(off + j)); j += 1 }
-            else        while (j < dimF) { buf(j) = QuantKernels.bf16ToFloat(ss(off + j)); j += 1 }
-            LocalIvfIndex.dist(buf, 0, q, metric)
+        if (qmode == 0)
+          LocalIvfIndex.dist(fvecs(slot), i * dimF, q, metric)
+        else {
+          val buf = scratch(slot); val off = i * dimF
+          var j = 0
+          qmode match {
+            case 1 =>
+              val ss = svecs(slot)
+              while (j < dimF) { buf(j) = QuantKernels.f16ToFloat(ss(off + j)); j += 1 }
+            case 2 =>
+              val ss = svecs(slot)
+              while (j < dimF) { buf(j) = QuantKernels.bf16ToFloat(ss(off + j)); j += 1 }
+            case _ =>
+              val bs = bvecs(slot)
+              while (j < dimF) { buf(j) = QuantKernels.f8ToFloat(bs(off + j)); j += 1 }
+          }
+          LocalIvfIndex.dist(buf, 0, q, metric)
         }
       }
       val heap = LocalTopK.newHeap(topK, LocalTopK.cmp8)
@@ -202,6 +211,10 @@ object LocalMultiIndex {
     }
     val rows = assigned.select(col(idCol) +: col("cell").cast("long") +:
       names.toSeq.map(vecCol): _*)
+    // 0 = floats, 1 = f16 shorts, 2 = bf16 shorts, 3 = f8 bytes
+    val qm = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
     // per cell: one stored-form builder per field (ofFloat / ofShort / ofByte)
     val vecsB = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuilder[_]]]()
@@ -227,14 +240,16 @@ object LocalMultiIndex {
       while (fi < names.length) {
         def badDim(len: Any): Nothing = throw new IllegalArgumentException(
           s"row ${r.get(0)}: ${names(fi)} is $len, declared dim is ${dims(fi)}")
-        quant match {
-          case "f8" =>
+        // qm hoisted above the row loop — no per-(row, field) string match
+        // in a load the bench times (multi_local_load)
+        qm match {
+          case 3 =>
             val v = r.getAs[Array[Byte]](2 + fi)
             if (v == null || v.length != dims(fi))
               badDim(if (v == null) "null" else s"${v.length}-dim")
             val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofByte]
             v.foreach(b += _)
-          case "f16" | "bf16" =>
+          case 1 | 2 =>
             val v = r.getSeq[Short](2 + fi)
             if (v == null || v.length != dims(fi))
               badDim(if (v == null) "null" else s"${v.length}-dim")

@@ -90,6 +90,19 @@ class LocalMultiIndexSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("bf16 storage: short-resident index, parity with the distributed probe") {
+    val cat = mkCat(quant = "bf16")
+    val idx = cat.localMultiIndex("lmv")
+    val q0raw = Array(100f, 1f, 0f, 0f)
+    val q1raw = Array(0f, 99f, 1f, 0f)
+    val meta = cat.getMeta("lmv")
+    val q0 = GraftCatalog.prepareQueryVector(q0raw, meta)
+    val q1 = GraftCatalog.prepareQueryVector(q1raw, meta)
+    val local = idx.search(localQ(q0, q1), topK = 10, nprobe = 4)
+      .map { case (id, s) => (id.toString, s) }
+    assert(local === distributed(cat, q0raw, q1raw, topK = 10, nprobe = 4))
+  }
+
   test("f8 storage: byte-resident index, parity with the distributed probe") {
     val cat = mkCat(quant = "f8")
     val idx = cat.localMultiIndex("lmv")
