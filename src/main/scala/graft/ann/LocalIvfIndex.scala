@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   * no ~40-60 ms dispatch floor, sub-millisecond at 1M×128 with nprobe=8
   * (measured in LocalIvfIndexSpec / BENCH `ivf_local_search_1m`).
   *
-  * Memory: vectors live as one float[] per cell (4·dim bytes/vector — 512 MB
-  * per 1M×128), ids as parallel arrays. Fits a driver/serving node for the
-  * collection sizes the reference targets (1-10M); beyond that, shard cells
-  * across serving replicas or fall back to the distributed probe
-  * (`GraftCatalog.searchIvf`).
+  * Memory: vectors stay resident in their STORED form — one flat array per
+  * cell: float[] (4 B/dim — 512 MB per 1M×128) for unquantized collections,
+  * short[] (2 B/dim) for f16/bf16 storage, byte[] (1 B/dim) for f8 — so the
+  * serving node holds exactly what disk holds, like [[LocalMultiIndex]].
+  * Quantized rows decode per probe into a per-scan scratch buffer before the
+  * shared distance kernel (loop fission, the fused kernel's discipline);
+  * decode-to-float is exact, so results are bit-identical to the
+  * decoded-resident form (LocalIvfIndexSpec pins all three modes). Beyond
+  * what a serving node holds, shard cells across serving replicas or fall
+  * back to the distributed probe (`GraftCatalog.searchIvf`).
   *
   * Exactness contract: inside the probed cells the scan is exact (same
   * double-accumulation distance as the engine expressions); recall vs the
@@ -26,7 +31,9 @@ import org.apache.spark.sql.functions._
 final class LocalIvfIndex private (
     centroids: Array[(Long, Array[Float])],
     cellIds: java.util.HashMap[Long, Array[AnyRef]],
-    cellVecs: java.util.HashMap[Long, Array[Float]],
+    /** Per cell: one stored-form flat array (float[] | short[] | byte[],
+      * by `quant`). */
+    cellVecs: java.util.HashMap[Long, AnyRef],
     cellMeta: java.util.HashMap[Long, LocalMeta],
     /** Zero-row store carrying the BUILT column spec — the validation
       * authority, so an unknown filter column refuses even when every cell
@@ -34,7 +41,8 @@ final class LocalIvfIndex private (
       * must not hide until data returns). */
     specMeta: LocalMeta,
     val dim: Int,
-    metric: String) extends Serializable {
+    metric: String,
+    quant: String) extends Serializable {
 
   def cellCount: Int = cellIds.size()
   def size: Long = {
@@ -70,10 +78,40 @@ final class LocalIvfIndex private (
     // CompletionException)
     if (eqFilter.nonEmpty) specMeta.predicate(eqFilter)
     val probed = LocalIvfIndex.selectCells(centroids, q, nprobe, metric)
+    // 0 = float-resident, 1 = f16 shorts, 2 = bf16 shorts, 3 = f8 bytes
+    val qmode = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
     def scanCell(cid: Long): Array[(AnyRef, Double)] = {
       val ids = cellIds.get(cid)
       if (ids == null) return Array.empty
-      val vecs = cellVecs.get(cid)
+      // typed view + scratch resolved ONCE per cell: the unquantized hot
+      // path indexes a plain float array with no per-row dispatch or cast;
+      // quantized rows decode into the scratch before the shared float
+      // kernel (loop fission — decode-to-float is exact, so the result is
+      // bit-identical to the decoded-resident form)
+      val raw = cellVecs.get(cid)
+      val fvecs: Array[Float] = if (qmode == 0) raw.asInstanceOf[Array[Float]] else null
+      val svecs: Array[Short] =
+        if (qmode == 1 || qmode == 2) raw.asInstanceOf[Array[Short]] else null
+      val bvecs: Array[Byte] = if (qmode == 3) raw.asInstanceOf[Array[Byte]] else null
+      val scratch: Array[Float] = if (qmode == 0) null else new Array[Float](dim)
+      import graft.functions.QuantKernels
+      def rowDist(i: Int): Double =
+        if (qmode == 0) LocalIvfIndex.dist(fvecs, i * dim, q, metric)
+        else {
+          val off = i * dim
+          var j = 0
+          qmode match {
+            case 1 =>
+              while (j < dim) { scratch(j) = QuantKernels.f16ToFloat(svecs(off + j)); j += 1 }
+            case 2 =>
+              while (j < dim) { scratch(j) = QuantKernels.bf16ToFloat(svecs(off + j)); j += 1 }
+            case _ =>
+              while (j < dim) { scratch(j) = QuantKernels.f8ToFloat(bvecs(off + j)); j += 1 }
+          }
+          LocalIvfIndex.dist(scratch, 0, q, metric)
+        }
       // compiled once per probed cell; null = unfiltered (zero per-row cost
       // beyond one perfectly-predicted branch)
       val pred: Int => Boolean =
@@ -91,7 +129,7 @@ final class LocalIvfIndex private (
       var i = 0
       while (i < ids.length) {
         if (pred == null || pred(i)) {
-          val d = LocalIvfIndex.dist(vecs, i * dim, q, metric)
+          val d = rowDist(i)
           if (d <= gate) {
             val e = (ids(i), d)
             if (heap.size < topK) {
@@ -152,61 +190,95 @@ object LocalIvfIndex {
   // ordering + heap + fan-out live in [[LocalTopK]], shared with
   // LocalPqIndex so the two serving rungs cannot drift apart
 
-  /** Build from an assigned DataFrame (columns: id, vector, cell) + the
-    * trained centroids — streamed to the driver via toLocalIterator, so the
-    * transient footprint is one partition, not the whole collection.
+  /** Build from an assigned DataFrame (columns: id, vector in its STORED
+    * form — array<float>, f16/bf16 shorts, or f8 bytes per `quant` —, cell)
+    * + the trained centroids — streamed to the driver via toLocalIterator,
+    * so the transient footprint is one partition, not the whole collection.
     *
     * `metaCols` = (columnName, declared fieldType) pairs to load as typed
     * per-cell arrays ([[LocalMeta]]) so [[LocalIvfIndex.search]]'s
     * conjunctive-EQ filter can serve in-process — ~9 bytes/row/column next
-    * to the 4·dim the vectors cost. */
+    * to the ≤4·dim the vectors cost. Quantized loads take PRE-PREPARED
+    * query vectors at search time like every local rung. */
   def fromAssigned(assigned: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Long, Array[Float])], metric: String,
-                   metaCols: Seq[(String, String)] = Nil): LocalIvfIndex = {
+                   metaCols: Seq[(String, String)] = Nil,
+                   quant: String = "none"): LocalIvfIndex = {
+    require(Set("none", "f16", "bf16", "f8").contains(quant), s"unknown quantization: $quant")
+    val storedCol = quant match {
+      case "none"         => col(vecCol).cast("array<float>")
+      case "f16" | "bf16" => col(vecCol).cast("array<short>")
+      case "f8"           => col(vecCol) // binary
+    }
     // `cell` comes back as Int when read from a partitionBy directory —
     // normalize to long
-    val rows = assigned.select(col(idCol) +: col(vecCol).cast("array<float>") +:
+    val rows = assigned.select(col(idCol) +: storedCol +:
       col("cell").cast("long") +: metaCols.map { case (n, _) => col(n) }: _*)
     // dim comes from the trained centroids, not the first data row — an
     // empty (or fully-filtered) assigned set must build a searchable empty
     // index, not one whose every probe fails with "expected -1".
     require(centroids.nonEmpty, "fromAssigned requires at least one centroid")
     val dim = centroids.head._2.length
+    // 0 = floats, 1/2 = shorts, 3 = bytes — hoisted above the row loop
+    val qm = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
-    val vecsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofFloat]()
+    val vecsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[_]]()
+    def newVecBuilder(): scala.collection.mutable.ArrayBuilder[_] = qm match {
+      case 0     => new scala.collection.mutable.ArrayBuilder.ofFloat
+      case 1 | 2 => new scala.collection.mutable.ArrayBuilder.ofShort
+      case _     => new scala.collection.mutable.ArrayBuilder.ofByte
+    }
     val metaB = new java.util.HashMap[Long, LocalMeta.Builder]()
     val it = rows.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
-      val v = r.getSeq[Float](1)
-      require(v != null && v.length == dim,
-        s"row ${r.get(0)}: vector is ${if (v == null) "null" else s"${v.length}-dim"}, " +
-          s"index dim is $dim")
       val cell = r.getLong(2)
       var ib = idsB.get(cell)
       if (ib == null) {
         ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
         idsB.put(cell, ib)
-        vecsB.put(cell, new scala.collection.mutable.ArrayBuilder.ofFloat)
+        vecsB.put(cell, newVecBuilder())
         if (metaCols.nonEmpty) metaB.put(cell, new LocalMeta.Builder(metaCols))
       }
+      def badDim(len: Any): Nothing = throw new IllegalArgumentException(
+        s"row ${r.get(0)}: vector is $len, index dim is $dim")
+      qm match {
+        case 3 =>
+          val v = r.getAs[Array[Byte]](1)
+          if (v == null || v.length != dim)
+            badDim(if (v == null) "null" else s"${v.length}-dim")
+          val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofByte]
+          v.foreach(b += _)
+        case 1 | 2 =>
+          val v = r.getSeq[Short](1)
+          if (v == null || v.length != dim)
+            badDim(if (v == null) "null" else s"${v.length}-dim")
+          val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofShort]
+          v.foreach(b += _)
+        case _ =>
+          val v = r.getSeq[Float](1)
+          if (v == null || v.length != dim)
+            badDim(if (v == null) "null" else s"${v.length}-dim")
+          val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofFloat]
+          v.foreach(b += _)
+      }
       ib += r.get(0).asInstanceOf[AnyRef]
-      val vb = vecsB.get(cell)
-      v.foreach(vb += _)
       if (metaCols.nonEmpty)
         metaB.get(cell).add(metaCols.indices.map(j => r.get(3 + j)))
     }
     val ids = new java.util.HashMap[Long, Array[AnyRef]]()
-    val vecs = new java.util.HashMap[Long, Array[Float]]()
+    val vecs = new java.util.HashMap[Long, AnyRef]()
     val metas = new java.util.HashMap[Long, LocalMeta]()
     idsB.forEach((k, b) => ids.put(k, b.result()))
-    vecsB.forEach((k, b) => vecs.put(k, b.result()))
+    vecsB.forEach((k, b) => vecs.put(k, b.result().asInstanceOf[AnyRef]))
     metaB.forEach((k, b) => metas.put(k, b.result()))
     val sorted = centroids.sortBy(_._1).toArray
     val specMeta =
       if (metaCols.nonEmpty) new LocalMeta.Builder(metaCols).result()
       else LocalMeta.Empty
-    new LocalIvfIndex(sorted, ids, vecs, metas, specMeta, dim, metric)
+    new LocalIvfIndex(sorted, ids, vecs, metas, specMeta, dim, metric, quant)
   }
 
   /** Exact scalar distance over a flat array slice — double accumulation in

@@ -204,6 +204,13 @@ object LocalMultiIndex {
     require(routingIdx >= 0, s"routing field $routingName is not among ${fields.map(_._1)}")
     val names = fields.map(_._1).toArray
     val dims = fields.map(_._2).toArray
+    // a mismatched centroid sidecar must refuse at build time, not surface
+    // as an index error (or a silently truncated distance) inside
+    // selectCells — LocalIvfIndex.fromAssigned gets this for free by
+    // deriving dim from the centroids
+    require(centroids.head._2.length == dims(routingIdx),
+      s"centroid dim ${centroids.head._2.length} does not match routing field " +
+        s"$routingName's declared dim ${dims(routingIdx)}")
     val vecCol: String => Column = quant match {
       case "none"         => n => col(n).cast("array<float>")
       case "f16" | "bf16" => n => col(n).cast("array<short>")

@@ -27,6 +27,11 @@ final class LocalPqIndex private (
     centroids: Array[(Long, Array[Float])], // empty for a cells-less layout
     cellIds: java.util.HashMap[Long, Array[AnyRef]],
     cellCodes: java.util.HashMap[Long, Array[Byte]],
+    cellMeta: java.util.HashMap[Long, LocalMeta],
+    /** Zero-row store carrying the BUILT column spec — the validation
+      * authority, so an unknown filter column refuses even when every cell
+      * is empty ([[LocalIvfIndex]]'s discipline). */
+    specMeta: LocalMeta,
     cb: PqCodebook,
     val dim: Int,
     metric: String,
@@ -40,6 +45,9 @@ final class LocalPqIndex private (
   def codeBytes: Long = {
     var n = 0L; cellCodes.values.forEach(a => n += a.length); n
   }
+  /** Columns available to [[search]]'s EQ filter (empty unless the index
+    * was built with `metaCols`). */
+  def filterableColumns: Set[String] = specMeta.columns
 
   /** O(1) centroid lookup for per-cell residual tables (the linear
     * `centroids.find` was O(k) per probed cell). */
@@ -58,10 +66,23 @@ final class LocalPqIndex private (
     * BEFORE the sqrt + tuple allocation — the hot loop allocates nothing
     * for the overwhelming majority of scanned codes. Returns
     * (id, adcDistance) best-first — candidates for an exact rerank, or
-    * directly the approximate answer. */
-  def search(q: Array[Float], topK: Int, nprobe: Int): Seq[(AnyRef, Double)] = {
+    * directly the approximate answer.
+    *
+    * `eqFilter` is the conjunctive-EQ pre-filter ([[LocalIvfIndex.search]]'s
+    * contract, the reference's inverted-index fast path): rows failing any
+    * (column = value) term skip BEFORE the ADC loop, so the result equals
+    * the distributed `searchPq(rerank = false, filter)` over the same
+    * snapshot at the same nprobe (the filter never changes WHICH cells are
+    * probed). Needs the index built with the named columns
+    * ([[LocalPqIndex.fromCodes]]'s `metaCols`) — unknown columns refuse
+    * loudly, never scan unfiltered. */
+  def search(q: Array[Float], topK: Int, nprobe: Int,
+             eqFilter: Seq[(String, Any)] = Nil): Seq[(AnyRef, Double)] = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(q.length == dim, s"vector dimension mismatch: expected $dim, got ${q.length}")
+    // validate ONCE, synchronously, against the BUILT spec (refusals must
+    // not surface wrapped in CompletionException from the pool fan-out)
+    if (eqFilter.nonEmpty) specMeta.predicate(eqFilter)
     val m = cb.m
     val ksub = cb.ksub
     val probed: Seq[Long] =
@@ -72,6 +93,13 @@ final class LocalPqIndex private (
       if (ids == null) return Array.empty
       val codes = cellCodes.get(cid)
       val lut = lutFor(cid, q)
+      // compiled once per probed cell; null = unfiltered
+      val pred: Int => Boolean =
+        if (eqFilter.isEmpty) null
+        else {
+          val mm = cellMeta.get(cid)
+          (if (mm == null) LocalMeta.Empty else mm).predicate(eqFilter)
+        }
       val heap = LocalTopK.newHeap(topK)
       // Admission bound in the SQUARED domain: an element can only displace
       // the heap head if dist <= head + 2e-6 (beyond that, cmp resolves on
@@ -80,18 +108,20 @@ final class LocalPqIndex private (
       var gate = Double.MaxValue
       var i = 0
       while (i < ids.length) {
-        var acc = 0.0; var j = 0; val base = i * m; var lutOff = 0
-        while (j < m) {
-          acc += lut(lutOff + (codes(base + j) & 0xFF)); lutOff += ksub; j += 1
-        }
-        if (acc <= gate) {
-          val e = (ids(i), math.sqrt(acc))
-          if (heap.size < topK) {
-            heap.add(e)
-            if (heap.size == topK) { val w = heap.peek()._2 + 2e-6; gate = w * w }
-          } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
-            heap.poll(); heap.add(e)
-            val w = heap.peek()._2 + 2e-6; gate = w * w
+        if (pred == null || pred(i)) {
+          var acc = 0.0; var j = 0; val base = i * m; var lutOff = 0
+          while (j < m) {
+            acc += lut(lutOff + (codes(base + j) & 0xFF)); lutOff += ksub; j += 1
+          }
+          if (acc <= gate) {
+            val e = (ids(i), math.sqrt(acc))
+            if (heap.size < topK) {
+              heap.add(e)
+              if (heap.size == topK) { val w = heap.peek()._2 + 2e-6; gate = w * w }
+            } else if (LocalTopK.cmp(e, heap.peek()) < 0) {
+              heap.poll(); heap.add(e)
+              val w = heap.peek()._2 + 2e-6; gate = w * w
+            }
           }
         }
         i += 1
@@ -125,18 +155,26 @@ object LocalPqIndex {
     * vec − cellCentroid and probes use per-cell tables; false ⇒ raw codes,
     * one plain query LUT (cells, when present, still direct probing).
     * Defaults to the flush convention (cells ⇒ residual) for callers
-    * outside the catalog. */
+    * outside the catalog.
+    *
+    * `metaCols` = (columnName, declared fieldType) pairs loaded as typed
+    * per-cell arrays ([[LocalMeta]]) for [[LocalPqIndex.search]]'s
+    * conjunctive-EQ filter — ~9 bytes/row/column next to the m bytes the
+    * codes cost. */
   def fromCodes(snapshot: DataFrame, idCol: String, codeCol: String,
                 cb: PqCodebook, centroids: Seq[(Long, Array[Float])],
                 metric: String, cellCol: Option[String],
-                residual: Boolean = true): LocalPqIndex = {
+                residual: Boolean = true,
+                metaCols: Seq[(String, String)] = Nil): LocalPqIndex = {
     val m = cb.m
-    val rows = cellCol match {
-      case Some(cc) => snapshot.select(col(idCol), col(codeCol), col(cc).cast("long"))
-      case None     => snapshot.select(col(idCol), col(codeCol), lit(NoCell))
+    val baseCols = cellCol match {
+      case Some(cc) => Seq(col(idCol), col(codeCol), col(cc).cast("long"))
+      case None     => Seq(col(idCol), col(codeCol), lit(NoCell))
     }
+    val rows = snapshot.select(baseCols ++ metaCols.map { case (n, _) => col(n) }: _*)
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
     val codesB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofByte]()
+    val metaB = new java.util.HashMap[Long, LocalMeta.Builder]()
     val it = rows.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -148,18 +186,26 @@ object LocalPqIndex {
         ib = scala.collection.mutable.ArrayBuilder.make[AnyRef]
         idsB.put(cell, ib)
         codesB.put(cell, new scala.collection.mutable.ArrayBuilder.ofByte)
+        if (metaCols.nonEmpty) metaB.put(cell, new LocalMeta.Builder(metaCols))
       }
       ib += r.get(0).asInstanceOf[AnyRef]
       val vb = codesB.get(cell)
       code.foreach(vb += _)
+      if (metaCols.nonEmpty)
+        metaB.get(cell).add(metaCols.indices.map(j => r.get(3 + j)))
     }
     val ids = new java.util.HashMap[Long, Array[AnyRef]]()
     val codes = new java.util.HashMap[Long, Array[Byte]]()
+    val metas = new java.util.HashMap[Long, LocalMeta]()
     idsB.forEach((k, b) => ids.put(k, b.result()))
     codesB.forEach((k, b) => codes.put(k, b.result()))
+    metaB.forEach((k, b) => metas.put(k, b.result()))
     val dim = cb.dim
+    val specMeta =
+      if (metaCols.nonEmpty) new LocalMeta.Builder(metaCols).result()
+      else LocalMeta.Empty
     // residual tables need centroids; a cells-less layout is always raw
-    new LocalPqIndex(centroids.sortBy(_._1).toArray, ids, codes, cb, dim, metric,
-      residual = residual && centroids.nonEmpty)
+    new LocalPqIndex(centroids.sortBy(_._1).toArray, ids, codes, metas, specMeta,
+      cb, dim, metric, residual = residual && centroids.nonEmpty)
   }
 }

@@ -2465,13 +2465,13 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids = readCentroids(name, sv)
     val snap = indexedState(name, meta)
       .withColumnRenamed(GraftCatalog.CellCol, "cell")
-    val decoded = meta.quantization match {
-      case "none" => snap.withColumn(GraftCatalog.SearchVecCol, col(VectorCol))
-      case q      => snap.withColumn(GraftCatalog.SearchVecCol, dequantize(col(VectorCol), q))
-    }
-    graft.ann.LocalIvfIndex.fromAssigned(decoded, meta.idColumn,
-      GraftCatalog.SearchVecCol, centroids, meta.distance,
-      metaCols = localFilterSpecs(meta, filterColumns))
+    // vectors load in their STORED form (floats / f16|bf16 shorts / f8
+    // bytes) — the serving node holds what disk holds (½ memory on f16,
+    // ¼ on f8); probes decode per scan, bit-identically
+    graft.ann.LocalIvfIndex.fromAssigned(snap, meta.idColumn,
+      VectorCol, centroids, meta.distance,
+      metaCols = localFilterSpecs(meta, filterColumns),
+      quant = meta.quantization)
   }
 
   /** Load a multi-vector collection's routed IVF snapshot into the
@@ -2509,8 +2509,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     * 32-64× more collection per serving node than [[localIvfIndex]]'s
     * float arrays, probes still in-process with no Spark job. On an IVF-PQ
     * snapshot the index probes cells against per-cell residual tables;
-    * exact top-k needs the rerank repair ([[searchPq]]). */
-  def localPqIndex(name: String): graft.ann.LocalPqIndex = {
+    * exact top-k needs the rerank repair ([[searchPq]]). `filterColumns`
+    * ships the named declared scalars as the typed local-EQ store
+    * ([[localFilterSpecs]] — the same seam as [[localIvfIndex]] /
+    * [[localBinIndex]]). */
+  def localPqIndex(name: String,
+                   filterColumns: Seq[String] = Nil): graft.ann.LocalPqIndex = {
     val meta = getMeta(name)
     require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
@@ -2527,7 +2531,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val residual = resolveResidualLayout(name, residFlag, hasCells)
     graft.ann.LocalPqIndex.fromCodes(snap, meta.idColumn, GraftCatalog.PqCodeCol, cb,
       centroids, meta.distance, if (hasCells) Some(GraftCatalog.CellCol) else None,
-      residual = residual)
+      residual = residual, metaCols = localFilterSpecs(meta, filterColumns))
   }
 
   /** Files the probed cells actually read, from the PHYSICAL scan's

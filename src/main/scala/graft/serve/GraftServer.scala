@@ -436,11 +436,21 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // answers go through searchPq's rerank)
       case ("POST", "collections" :: name :: "searchLocalPq" :: Nil) =>
         val req = JsonMethods.parse(body)
-        requireNoFilter(req, "searchLocalPq")
+        // r12: conjunctive-EQ filters serve from the code layout's typed
+        // local store, parity with searchPq(rerank=false, filter)
+        val eq = localEqFilter(req, "searchLocalPq")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocalPq")
-        val idx = localPqIndexes.getOrElseUpdate(name, catalog.localPqIndex(name))
+        // lazy metadata load + filtered-request upgrade — see searchLocal
+        val idx = localPqIndexes.get(name) match {
+          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
+              localFilterableCols(name).isEmpty => i
+          case _ =>
+            val built = catalog.localPqIndex(name,
+              if (eq.isEmpty) Nil else localFilterableCols(name))
+            localPqIndexes(name) = built; built
+        }
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
-        200 -> hitsJson(idx.search(qv, topK, nprobe))
+        200 -> hitsJson(idx.search(qv, topK, nprobe, eq))
       // driver-local Hamming probe over the packed sign-code layout (the
       // density-scale serving rung; approximate ranking — exact answers go
       // through searchBinary's rerank)
@@ -705,7 +715,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
           },
           queryVector = parseVector(f, "field"),
-          ratio = num(f \ "ratio").toInt,
+          ratio = num(f \ "ratio"),
           include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
       }
       case _ => throw new IllegalArgumentException(s"$route requires \"fields\": [..]")

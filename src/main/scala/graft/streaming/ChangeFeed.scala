@@ -111,9 +111,14 @@ object ChangeFeed {
     *     one batch — the duplicate segment is harmless, the LWW fold is
     *     idempotent). The streaming WAL shape at 100 TB, where flushing
     *     the corpus per micro-batch is unthinkable. Requires a flushed
-    *     base snapshot and a non-index layout (flushDelta's contract,
-    *     checked HERE at call time, not inside the first micro-batch);
-    *     `compactEverySegments` bounds the chain.
+    *     base snapshot whose layout flushDelta supports (checked HERE at
+    *     call time, not inside the first micro-batch).
+    *     `compactEverySegments` bounds the chain; left unset it defaults
+    *     to the catalog's 16-segment compaction policy (r12) — a caller
+    *     who forgets it would otherwise grow an unbounded delta chain on
+    *     exactly the collections big enough to hurt (fold width grows per
+    *     segment). Pass a larger cadence to trade fold width for rarer
+    *     O(corpus) compactions.
     *   - `deltaFlushEachBatch = false` with a FRESH checkpoint dir: a
     *     one-shot drain into resident state; flush when done. Re-using a
     *     checkpoint in this mode is REFUSED at start: committed offsets
@@ -159,8 +164,9 @@ object ChangeFeed {
           if (deltaFlushEachBatch) {
             catalog.flushDelta(name)
             // bound the fold width: one full flush every N segments — the
-            // LSM compaction cadence (amortized O(corpus/N) per batch)
-            compactEverySegments.foreach(n => catalog.compactIfNeeded(name, n): Unit)
+            // LSM compaction cadence (amortized O(corpus/N) per batch).
+            // Unset = the catalog's default policy, never unbounded.
+            catalog.compactIfNeeded(name, compactEverySegments.getOrElse(16)): Unit
           }
         }
       }

@@ -254,6 +254,13 @@ class GraftServerSpec extends SparkSpec {
         {"vectorCol":"v1","vector":[0,1],"ratio":30}]}""")
     assert(mc === 200)
     assert(mb.indexOf("\"id\":\"a\"") >= 0 && mb.indexOf("\"id\":\"a\"") < mb.indexOf("\"id\":\"b\""), mb)
+    // fractional ratios parse as Double (FieldQuery.ratio) — 60.5/39.5 must
+    // not truncate to 60/39 and then refuse with "sum to 100"
+    val (fc, fb) = http("POST", "/collections/mv/searchMulti",
+      """{"topK":2,"fields":[
+        {"vectorCol":"v0","vector":[1,0],"ratio":60.5},
+        {"vectorCol":"v1","vector":[0,1],"ratio":39.5}]}""")
+    assert(fc === 200, s"$fc $fb")
     // ratios must sum to 100 (experimental_analyzer.go:143-154)
     val (rc, rb) = http("POST", "/collections/mv/searchMulti",
       """{"fields":[{"vectorCol":"v0","vector":[1,0],"ratio":50}]}""")
@@ -424,18 +431,17 @@ class GraftServerSpec extends SparkSpec {
     val (pc, pb) = http("POST", "/collections/fidx/audit",
       """{"sampleMod":3,"k":3,"overFetch":16,"rung":"pq","nprobe":4}""")
     assert(pc === 200 && pb.contains("\"recall\""), s"$pc $pb")
-    // routes serving unfiltered results (the PQ local rung holds only
-    // codes; multi has no reference filter semantics): a filter there
-    // would be SILENTLY ignored — they must refuse it loudly instead
-    for (route <- Seq("searchLocalPq", "searchMulti")) {
-      val (lc, lb) = http("POST", s"/collections/fidx/$route",
+    // multi has no reference filter semantics: a filter there would be
+    // SILENTLY ignored — it must refuse loudly instead
+    locally {
+      val (lc, lb) = http("POST", "/collections/fidx/searchMulti",
         s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
-      assert(lc === 400 && lb.contains("searchIvf"), s"$route: $lc $lb")
+      assert(lc === 400 && lb.contains("searchIvf"), s"searchMulti: $lc $lb")
     }
-    // r11: the IVF and binary local rungs serve conjunctive-EQ filters from
-    // their typed store — survivors only, nearest survivor first, at
-    // local-rung latency (the reference's inverted-index EQ fast path)
-    for (route <- Seq("searchLocal", "searchLocalBin")) {
+    // r11/r12: the IVF, binary, and PQ local rungs serve conjunctive-EQ
+    // filters from their typed store — survivors only, at local-rung
+    // latency (the reference's inverted-index EQ fast path)
+    for (route <- Seq("searchLocal", "searchLocalBin", "searchLocalPq")) {
       val (lc, lb) = http("POST", s"/collections/fidx/$route",
         s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$filterJson}""")
       assert(lc === 200, s"$route: $lc $lb")
@@ -450,7 +456,7 @@ class GraftServerSpec extends SparkSpec {
     assert(lc7 === 200 && ids(lb7).head === "d7", s"searchLocal top hit: $lb7")
     // …but any non-EQ shape still refuses loudly on the local rungs
     val rangeJson = """{"col":"label","op":"gte","value":1}"""
-    for (route <- Seq("searchLocal", "searchLocalBin")) {
+    for (route <- Seq("searchLocal", "searchLocalBin", "searchLocalPq")) {
       val (lc, lb) = http("POST", s"/collections/fidx/$route",
         s"""{"vector":[7,2,1,2],"topK":5,"nprobe":2,"filter":$rangeJson}""")
       assert(lc === 400 && lb.contains("searchIvf"), s"$route: $lc $lb")

@@ -184,6 +184,72 @@ class LocalIvfIndexSpec extends SparkSpec {
     assert(dbin.subsetOf(rows.filter(_._2 == 2L).map(_._1).toSet))
   }
 
+  // r12: stored-form residency — the local rung holds what disk holds
+  // (shorts on f16/bf16, bytes on f8; ½ / ¼ the decoded-float memory) and
+  // decodes per scan. Decode-to-float is exact, so every probe must be
+  // BIT-IDENTICAL to a float-resident index over the decoded vectors.
+  for (quant <- Seq("f16", "bf16", "f8")) {
+    test(s"$quant storage: quantized-resident index is bit-identical to the " +
+        "float-resident form and the distributed probe") {
+      import graft.functions.{quantize, dequantize}
+      val cents = (0 until 8).map(i =>
+        (i.toLong, emb.where(col("vec_id") === i * 3).head().getSeq[Float](1).toArray)).toSeq
+      // the stored form a flushed snapshot holds, plus its exact decode
+      val stored = Ann.ivfAssign(emb, "vec_id", "embedding", cents, "euclidean")
+        .withColumn("stored", quantize(col("embedding"), quant))
+        .withColumn("decoded", dequantize(quantize(col("embedding"), quant), quant))
+      val qIdx = LocalIvfIndex.fromAssigned(stored, "vec_id", "stored",
+        cents, "euclidean", quant = quant)
+      val fIdx = LocalIvfIndex.fromAssigned(stored, "vec_id", "decoded",
+        cents, "euclidean")
+      assert(qIdx.size === fIdx.size)
+      val rnd = new scala.util.Random(12)
+      for (i <- 1 to 10) {
+        val qRaw = emb.where(col("vec_id") === i * 7).head().getSeq[Float](1).toArray
+        // local rungs take PRE-PREPARED queries: the quantize round-trip the
+        // distributed path applies inside its kernels
+        val q = qRaw.map(x => {
+          import graft.functions.QuantKernels._
+          quant match {
+            case "f16"  => f16ToFloat(floatToF16(x))
+            case "bf16" => bf16ToFloat(floatToBf16(x))
+            case _      => f8ToFloat(floatToF8(x))
+          }
+        })
+        val np = 1 + rnd.nextInt(8)
+        val a = qIdx.search(q, topK = 10, nprobe = np)
+        val b = fIdx.search(q, topK = 10, nprobe = np)
+        assert(a === b, s"$quant query $i nprobe=$np") // bit-identical, not ~=
+      }
+    }
+  }
+
+  test("quantized catalog round trip: localIvfIndex serves the stored form, " +
+      "parity with the distributed searchIvf") {
+    for (quant <- Seq("f16", "bf16", "f8")) {
+      val cat = new GraftCatalog(spark, Files.createTempDirectory(s"graft-lq$quant").toString)
+      cat.createCollection(CollectionMeta("lq", dim = 4, distance = "euclidean",
+        quantization = quant,
+        fields = Seq(IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(4)))
+      cat.loadCollection("lq")
+      val rows = (0 until 120).map { i =>
+        (s"id-$i", Seq(i.toFloat, (i % 7).toFloat, (i % 13).toFloat, 1f))
+      }
+      cat.insert("lq", rows.toDF("id", "vector"))
+      cat.flush("lq")
+      val idx = cat.localIvfIndex("lq")
+      assert(idx.size === 120L)
+      val meta = cat.getMeta("lq")
+      val qRaw = Array(50f, 1f, 11f, 1f)
+      val q = GraftCatalog.prepareQueryVector(qRaw, meta)
+      val local = idx.search(q, topK = 8, nprobe = 4).map(_._1.toString)
+      val dist = cat.searchIvf("lq", qRaw, topK = 8, nprobe = 4)
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(local === dist, s"$quant: local $local vs distributed $dist")
+    }
+  }
+
   test("point latency: in-process probe is far below the Spark job dispatch floor") {
     val cents = (0 until 16).map(i =>
       (i.toLong, emb.where(col("vec_id") === i).head().getSeq[Float](1).toArray)).toSeq

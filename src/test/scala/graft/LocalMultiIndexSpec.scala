@@ -31,9 +31,9 @@ class LocalMultiIndexSpec extends SparkSpec {
     rows.toDF("id", "v0", "v1")
   }
 
-  private def mkCat(quant: String = "none") = {
+  private def mkCat(quant: String = "none", distance: String = "euclidean") = {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-lmv").toString)
-    cat.createCollection(CollectionMeta("lmv", dim = 4, distance = "euclidean",
+    cat.createCollection(CollectionMeta("lmv", dim = 4, distance = distance,
       quantization = quant,
       fields = Seq(
         IndexField("id", "string", primaryKey = true),
@@ -147,6 +147,31 @@ class LocalMultiIndexSpec extends SparkSpec {
         .map { case (id, s) => (id.toString, s) }
       val dist = distributed(cat, q0, q1, topK = 7, nprobe = np)
       assert(local === dist, s"query $i, nprobe=$np")
+    }
+  }
+
+  // The euclidean fixtures above exercise the shared ranking machinery; the
+  // remaining risk is the metric kernels themselves — LocalIvfIndex.dist must
+  // match the codegen kernels at the ulp level or near-ties reorder above the
+  // 2e-8 rank window. Pin cosine and dot with the same randomized discipline.
+  for (metric <- Seq("cosine", "dot")) {
+    test(s"$metric metric: randomized local-vs-distributed parity") {
+      val cat = mkCat(distance = metric)
+      val idx = cat.localMultiIndex("lmv")
+      val meta = cat.getMeta("lmv")
+      val rnd = new scala.util.Random(7)
+      for (i <- 1 to 25) {
+        val q0 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+        val q1 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+        val np = 1 + rnd.nextInt(4)
+        // local rung takes PRE-PREPARED queries (cosine normalizes)
+        val p0 = GraftCatalog.prepareQueryVector(q0, meta)
+        val p1 = GraftCatalog.prepareQueryVector(q1, meta)
+        val local = idx.search(localQ(p0, p1), topK = 7, nprobe = np)
+          .map { case (id, s) => (id.toString, s) }
+        val dist = distributed(cat, q0, q1, topK = 7, nprobe = np)
+        assert(local === dist, s"metric=$metric query $i, nprobe=$np")
+      }
     }
   }
 

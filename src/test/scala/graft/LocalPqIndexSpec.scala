@@ -74,6 +74,53 @@ class LocalPqIndexSpec extends SparkSpec {
     assert(local1 === dist1)
   }
 
+  // r12: the PQ rung serves the reference's EQ fast path like the IVF and
+  // binary local rungs — survivors skip BEFORE the ADC loop, parity with
+  // the distributed filtered pass over the same snapshot
+  for (ivf <- Seq(None, Some(4))) {
+    test(s"EQ-filtered local ADC equals searchPq(rerank=false, filter), ivf=$ivf") {
+      val name = s"fpq${ivf.fold("flat")(_.toString)}"
+      val cat = newCatalog()
+      cat.createCollection(pqMeta(name, ivf))
+      cat.loadCollection(name)
+      // label = i % 5 → 12 survivors per class, spread across cells
+      cat.insert(name, fixtureRows(60, 16)
+        .withColumn("label", (col("label") % 5).cast("int")))
+      cat.flush(name)
+      val idx = cat.localPqIndex(name, filterColumns = Seq("label"))
+      assert(idx.filterableColumns === Set("label"))
+      val query = q(5)
+      val np = ivf.getOrElse(1)
+      val f = FilterExpr.Single("label", FilterExpr.Eq, 2L)
+      val local = idx.search(query, topK = 8, nprobe = np, eqFilter = Seq("label" -> 2L))
+        .map { case (id, d) => (id.toString, graft.ann.LocalIvfIndex.round6(d)) }
+      val dist = cat.searchPq(name, query, topK = 8, rerank = false,
+          nprobe = ivf.map(_ => np), filter = Some(f))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(local === dist, s"local $local vs distributed $dist")
+      // pruned probe on the IVF layout: the filter must not change WHICH
+      // cells are probed — parity holds at nprobe=1 too
+      if (ivf.isDefined) {
+        val l1 = idx.search(query, topK = 8, nprobe = 1, eqFilter = Seq("label" -> 2L))
+          .map { case (id, d) => (id.toString, graft.ann.LocalIvfIndex.round6(d)) }
+        val d1 = cat.searchPq(name, query, topK = 8, rerank = false,
+            nprobe = Some(1), filter = Some(f))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(l1 === d1, s"nprobe=1: local $l1 vs distributed $d1")
+      }
+      // a draining filter returns empty, never errors
+      assert(idx.search(query, 5, np, Seq("label" -> 999L)).isEmpty)
+      // loud refusals: unknown column; bare index (no typed store); bad type
+      assert(intercept[IllegalArgumentException](
+        idx.search(query, 5, np, Seq("nope" -> 1L))).getMessage.contains("not loaded"))
+      val bare = cat.localPqIndex(name)
+      assert(intercept[IllegalArgumentException](
+        bare.search(query, 5, np, Seq("label" -> 2L))).getMessage.contains("filterColumns"))
+      assert(intercept[IllegalArgumentException](
+        idx.search(query, 5, np, Seq("label" -> "seven"))).getMessage.contains("cannot compare"))
+    }
+  }
+
   test("contracts: no PQ layout / empty collection / dimension mismatch") {
     val cat = newCatalog()
     cat.createCollection(CollectionMeta("plain", dim = 16, distance = "euclidean",

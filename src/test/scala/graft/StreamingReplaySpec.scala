@@ -130,6 +130,34 @@ class StreamingReplaySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap === want)
   }
 
+  test("auto-compaction DEFAULT: 40 micro-batches with compactEverySegments " +
+      "unset stay bounded by the catalog's 16-segment policy") {
+    // r12 (VERDICT #6): a caller who forgets the cadence must not grow an
+    // unbounded delta chain. Same arithmetic proof as above at the default
+    // cadence: compactions fire after batches 16 and 32, so the head is
+    // 1 (seed) + 40 (segments) + 2 (compactions) = 43 and the final chain
+    // holds batches 33-40 = 8 segments — any unbounded-growth regression
+    // ends at 41 versions with a 40-segment chain instead.
+    val logDir = Files.createTempDirectory("graft-dcp-log").toString
+    val ckpt = Files.createTempDirectory("graft-dcp-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-dcp").toString)
+    cat.createCollection(feedMeta("dcp"))
+    cat.loadCollection("dcp")
+    cat.insert("dcp", log(Seq(("put", "z", 0L, "seed"))).drop("op", "version"))
+    assert(cat.flush("dcp") === 1)
+    val batches = (1 to 40).map(i => Seq(("put", s"k$i", i.toLong, s"v$i")))
+    batches.foreach(b => log(b).write.mode(SaveMode.Append).parquet(logDir))
+    val schema = log(batches.head).schema
+    val q = ChangeFeed.runIntoCollection(cat, "dcp", spark, logDir, schema,
+      "version", ckpt, deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(300000)
+    assert(cat.getMeta("dcp").currentVersion === 43,
+      "1 seed base + 40 segments + 2 default-policy compactions")
+    assert(cat.segmentCount("dcp") === 8, "batches 33-40 since the last compaction")
+    val want = (1 to 40).map(i => s"k$i" -> s"v$i").toMap + ("z" -> "seed")
+    assert(ids(cat, "dcp") === want)
+  }
+
   test("resuming a checkpoint WITHOUT per-batch durability is refused at the call site") {
     val logDir = Files.createTempDirectory("graft-ref-log").toString
     val ckpt = Files.createTempDirectory("graft-ref-ckpt").toString
