@@ -46,6 +46,8 @@ object FoldProbe {
       .select(col("vec_id").cast("string").as("id"),
         (col("label") + 100).cast("long").as("label"), col("embedding").as("vector")))
     println(f"flush_delta_10k ${timed(cat.flushDelta("bd"))}%.3f")
+    // fold loads over the 1-segment chain FIRST — the r9-r11 protocol, kept
+    // comparable before the chain grows below
     val ts = (1 to reps).map { i =>
       cat.releaseCollection("bd")
       val t = timed { cat.loadCollection("bd"); cat.resident("bd").count(): Unit }
@@ -53,6 +55,20 @@ object FoldProbe {
       t
     }
     println(f"fold_load_1m min ${ts.min}%.3f med ${ts.sorted.apply(ts.length / 2)}%.3f")
+    // flush_delta_10k is runs=1 in the full suite (a flushDelta consumes its
+    // pending ledger, so it can't naively re-run); here each rep inserts a
+    // FRESH 10k batch and times its own segment write — the production
+    // shape of successive delta flushes, min/med over reps (r12, the
+    // 0.72→0.92 s settle ask)
+    val dts = (1 to reps).map { i =>
+      cat.insert("bd", e.where(col("vec_id") >= i * 10000L && col("vec_id") < (i + 1) * 10000L)
+        .select(col("vec_id").cast("string").as("id"),
+          (col("label") + 100 + i).cast("long").as("label"), col("embedding").as("vector")))
+      val t = timed(cat.flushDelta("bd"))
+      println(f"flush_delta_10k rep$i $t%.3f")
+      t
+    }
+    println(f"flush_delta_10k min ${dts.min}%.3f med ${dts.sorted.apply(dts.length / 2)}%.3f")
     cat.dropCollection("bd")
     spark.stop()
   }

@@ -111,6 +111,36 @@ class GraftCatalog(spark: SparkSession, root: String,
         size() > GraftCatalog.PreparedCacheMax
     }
 
+  /** Probed-IVF prepared shapes (r12): topK and the filter tree are part of
+    * the plan; the query VECTOR and the probed CELL SET both swap per
+    * request (the cell set is one array literal inside the scan's partition
+    * filter, so every swapped copy re-prunes the snapshot's partitions
+    * under the new set — nprobe is NOT part of the shape, any probe width
+    * serves from one compiled plan). Entries are valid only for the exact
+    * snapshot object they compiled against ([[indexedState]]'s memoized
+    * artifact — a new version is a new object, same staleness-by-
+    * construction as [[preparedSearches]]). */
+  private case class IvfPreparedKey(name: String, topK: Int, filter: Option[FilterExpr])
+  private val preparedIvfSearches =
+    new java.util.LinkedHashMap[IvfPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[IvfPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
+  /** Probed MULTI-vector prepared shapes (r12): the (field, ratio, include)
+    * list + topK compile once; every included field's query vector and the
+    * probed cell set swap per request — [[preparedIvfSearches]]' contract
+    * on the CFLAT rung, anchored on the same snapshot artifact. */
+  private case class MultiIvfPreparedKey(name: String,
+                                         shape: Seq[(String, Double, Boolean)], topK: Int)
+  private val preparedMultiIvfSearches =
+    new java.util.LinkedHashMap[MultiIvfPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[MultiIvfPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
   /** Drop every prepared plan of `name` — called where the resident object
     * is swapped or retired so retired plan trees (and the unpersisted cache
     * relations they reference) don't linger until LRU eviction. */
@@ -120,6 +150,12 @@ class GraftCatalog(spark: SparkSession, root: String,
       preparedMultiSearches.keySet().removeIf(_.name == name)
     }
     preparedHybrids.synchronized { preparedHybrids.keySet().removeIf(_.name == name) }
+    preparedIvfSearches.synchronized {
+      preparedIvfSearches.keySet().removeIf(_.name == name)
+    }
+    preparedMultiIvfSearches.synchronized {
+      preparedMultiIvfSearches.keySet().removeIf(_.name == name)
+    }
     versionArtifacts.synchronized {
       val it = versionArtifacts.entrySet().iterator()
       while (it.hasNext) {
@@ -1833,6 +1869,111 @@ class GraftCatalog(spark: SparkSession, root: String,
       centroids, qv, nprobe, topK, meta.distance)
   }
 
+  /** [[searchIvf]] through a prepared (plan-once/execute-many) physical
+    * plan — the r12 answer to the point route's ~50 ms dispatch floor: the
+    * probed cell set was a per-query `isin` literal, so every request paid
+    * full Catalyst re-analysis (PLANS.md r11 recorded the route as
+    * unprepared BY DESIGN). The fix keeps the set a literal but makes it
+    * ONE swappable array inside the scan's partition filter
+    * (`array_contains(cells, cell)`): the compiled physical tree is reused
+    * and each request's swap produces a fresh scan node whose partition
+    * pruning re-evaluates under the new cell set — the pruning guarantee is
+    * unchanged (IvfCatalogSpec pins records-read shrinking with nprobe on
+    * THIS path). Same results as [[searchIvf]] bit-for-bit
+    * (PreparedSearchSpec: randomized queries × nprobe × quantization ×
+    * filter × delta chains). Falls back to the plan-per-call path when the
+    * shape cannot be parameterized. */
+  def searchIvfPrepared(name: String, queryVector: Array[Float], topK: Int, nprobe: Int,
+                        filter: Option[FilterExpr] = None)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMultiIvf")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) {
+      // flushed-empty fallback — same empty frame as searchIvf
+      val out = searchIvf(name, queryVector, topK, nprobe, filter)
+      return (out.schema, out.collect().toIndexedSeq)
+    }
+    val centroids = readCentroids(name, sv)
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance).toArray
+    val entry = ivfPreparedEntry(name, meta, topK, filter)
+    entry.prepared match {
+      case Some(p) => (p.schema, p.runValues(Seq(qv, probed)))
+      case None =>
+        val out = searchIvf(name, queryVector, topK, nprobe, filter)
+        (out.schema, out.collect().toIndexedSeq)
+    }
+  }
+
+  /** The cached-or-compiled prepared entry for the probed-IVF shape —
+    * shared by [[searchIvfPrepared]] and the [[ivfPreparedProbedFiles]]
+    * diagnostic so they cannot diverge on compile/staleness rules. */
+  private def ivfPreparedEntry(name: String, meta: CollectionMeta, topK: Int,
+                               filter: Option[FilterExpr]): PreparedEntry = {
+    val snap = indexedState(name, meta)
+    val key = IvfPreparedKey(name, topK, filter)
+    val cached = preparedIvfSearches.synchronized {
+      Option(preparedIvfSearches.get(key)).filter(_.df eq snap)
+    }
+    cached.getOrElse {
+      // compile OUTSIDE the lock (the preparedSearches discipline)
+      val e =
+        try PreparedEntry(snap, Some(compileSearchIvf(snap, meta, topK, filter)))
+        catch {
+          case _: org.apache.spark.sql.graft.PreparedPlan.PlaceholderFoldedException =>
+            PreparedEntry(snap, None)
+        }
+      preparedIvfSearches.synchronized { preparedIvfSearches.put(key, e) }
+      e
+    }
+  }
+
+  /** [[ivfProbedFiles]] for the PREPARED probe: the files the swapped
+    * plan's scan selects for this query — pins that partition pruning
+    * re-evaluates per request on the compiled path (IvfCatalogSpec).
+    * Empty when the shape fell back to plan-per-call. */
+  def ivfPreparedProbedFiles(name: String, queryVector: Array[Float], topK: Int,
+                             nprobe: Int): Array[String] = {
+    val meta = getMeta(name)
+    val sv = sidecarVersion(name, meta)
+    val centroids = readCentroids(name, sv)
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance).toArray
+    ivfPreparedEntry(name, meta, topK, None).prepared
+      .map(_.swappedSelectedFiles(Seq(qv, probed)))
+      .getOrElse(Array.empty)
+  }
+
+  /** Build the EXACT [[searchIvf]] plan with TWO placeholders — the query
+    * vector (distance expression) and the probed cell array (partition
+    * filter) — and compile it. The quantized path routes through the FUSED
+    * kernel (`distance_quant` ≡ `distance(dequantize(...))` bit-for-bit —
+    * the engine's pinned contract), same as [[compileSearch]]. */
+  private def compileSearchIvf(snap: DataFrame, meta: CollectionMeta, topK: Int,
+                               filter: Option[FilterExpr])
+      : org.apache.spark.sql.graft.PreparedPlan.Prepared = {
+    import org.apache.spark.sql.graft.PreparedPlan
+    val (phV, hV) = PreparedPlan.placeholder(meta.dim)
+    val (phC, hC) = PreparedPlan.placeholderLongArray()
+    val snap1 = snap.withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val filtered = applyFilter(snap1, meta, filter)
+    val dist = meta.quantization match {
+      case "none" => graft.functions.distance(col(VectorCol), phV, meta.distance)
+      case q      => graft.functions.distance_quant(col(VectorCol), phV, q, meta.distance)
+    }
+    val planDf = filtered
+      .where(array_contains(phC, col("cell").cast("long")))
+      .select(col(meta.idColumn), col("cell"), round(dist, 6).as("dist"))
+      .orderBy(col("dist").asc, col(meta.idColumn).asc)
+      .limit(topK)
+    PreparedPlan.compileMulti(planDf, Seq(hV, hC))
+  }
+
   /** Batch retrieval over the IVF layout: the k nearest rows for EVERY
     * query of a batch, in one plan — [[searchIvf]] is this with a
     * single-row query side. The retrieval-augmentation primitive
@@ -2611,6 +2752,70 @@ class GraftCatalog(spark: SparkSession, root: String,
     MultiVectorSearch.search(searchable.where(col("cell").isin(probed: _*)), routed, topK,
       metric = meta.distance, idCol = meta.idColumn, distanceOf = fused,
       keepCols = Seq("cell"))
+  }
+
+  /** [[searchMultiIvf]] through a prepared (plan-once/execute-many) plan —
+    * r12, closing the "unprepared BY DESIGN" note of PLANS.md r11: the
+    * probed cell set is no longer a per-query `isin` literal but ONE
+    * swappable array inside the scan's partition filter, so the (field,
+    * ratio, include)+topK shape compiles once and each request swaps every
+    * included field's query vector plus the cell set — partition pruning
+    * re-evaluates per swapped copy, exactly like [[searchIvfPrepared]].
+    * Results equal [[searchMultiIvf]] bit-for-bit (MultiIvfSpec pins it);
+    * falls back to plan-per-call when the shape cannot be parameterized. */
+  def searchMultiIvfPrepared(name: String, fields: Seq[MultiVectorSearch.FieldQuery],
+                             topK: Int, nprobe: Int)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(meta.isMultiVector, s"collection $name is single-vector; use searchIvf")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) {
+      val out = searchMultiIvf(name, fields, topK, nprobe)
+      return (out.schema, out.collect().toIndexedSeq)
+    }
+    val anchor = indexedState(name, meta) // memoized per version — the staleness key
+    val snap = anchor.withColumnRenamed(GraftCatalog.CellCol, "cell")
+    val (searchable, routed, _, fused) = multiSearchParts(name, fields, Some(snap))
+    val routing = meta.routingVector.get
+    val rq = routed.find(_.vectorCol == routing.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"probed multi-vector search needs a query for the routing field ${routing.name}"))
+    val included = routed.filter(_.include)
+    require(included.nonEmpty, "at least one field must be included")
+    val centroids = readCentroids(name, sv)
+    val probed = graft.ann.Ann.probeCells(centroids, rq.queryVector, nprobe, meta.distance).toArray
+    val key = MultiIvfPreparedKey(name, routed.map(f => (f.vectorCol, f.ratio, f.include)), topK)
+    val cached = preparedMultiIvfSearches.synchronized {
+      Option(preparedMultiIvfSearches.get(key)).filter(_.df eq anchor)
+    }
+    val entry = cached.getOrElse {
+      import org.apache.spark.sql.graft.PreparedPlan
+      val e =
+        try {
+          val phs = included.map(f => PreparedPlan.placeholder(f.queryVector.length))
+          val (phC, hC) = PreparedPlan.placeholderLongArray()
+          val planDf = MultiVectorSearch.searchWith(
+            searchable.where(array_contains(phC, col("cell").cast("long"))),
+            routed, phs.map(_._1), topK, meta.distance, meta.idColumn, fused,
+            keepCols = Seq("cell"))
+          PreparedEntry(anchor,
+            Some(PreparedPlan.compileMulti(planDf, phs.map(_._2) :+ hC)))
+        } catch {
+          case _: PreparedPlan.PlaceholderFoldedException => PreparedEntry(anchor, None)
+        }
+      preparedMultiIvfSearches.synchronized { preparedMultiIvfSearches.put(key, e) }
+      e
+    }
+    entry.prepared match {
+      case Some(p) =>
+        (p.schema, p.runValues(included.map(_.queryVector) :+ probed))
+      case None =>
+        val out = searchMultiIvf(name, fields, topK, nprobe)
+        (out.schema, out.collect().toIndexedSeq)
+    }
   }
 
   /** Recall audit of the multi-vector IVF probe ([[auditRecall]]'s

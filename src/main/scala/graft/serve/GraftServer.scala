@@ -298,8 +298,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val req = JsonMethods.parse(body)
         val (vector, topK, nprobe) = parseProbe(req, "searchIvf")
         val filter = optFilter(req)
-        withVacuumRecovery(name)(
-          rowsJson(catalog.searchIvf(name, vector, topK, nprobe, filter)))
+        // r12: plan-once/execute-many — the query vector AND the probed
+        // cell set swap into the compiled plan (partition pruning
+        // re-evaluates per request); falls back to plan-per-call inside
+        withVacuumRecovery(name) {
+          val (schema, rows) = catalog.searchIvfPrepared(name, vector, topK, nprobe, filter)
+          rowsJson(schema, rows)
+        }
       // Batch retrieval (the knnJoin primitive over the IVF layout): the k
       // nearest rows for EVERY query of a batch in ONE Spark plan — the
       // retrieval-augmentation shape, amortizing the per-job dispatch floor
@@ -489,16 +494,19 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       // Probed multi-vector search over the routing-field IVF layout — the
       // pruned CFLAT path (GraftCatalog.searchMultiIvf): nprobe cells
       // selected by the ROUTING field's query, the weighted multi-field
-      // score ranked inside them. Unprepared by design: the probed cell
-      // set is a per-query literal, so there is no stable shape to cache.
+      // score ranked inside them. r12: plan-once/execute-many — the probed
+      // cell set swaps as ONE array literal in the scan's partition filter,
+      // so the shape is cacheable now (pruning re-evaluates per request).
       case ("POST", "collections" :: name :: "searchMultiIvf" :: Nil) =>
         val req = JsonMethods.parse(body)
         requireNoFilter(req, "searchMultiIvf")
         val fields = parseMultiFields(req, "searchMultiIvf")
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
-        withVacuumRecovery(name)(
-          rowsJson(catalog.searchMultiIvf(name, fields, topK, nprobe)))
+        withVacuumRecovery(name) {
+          val (schema, rows) = catalog.searchMultiIvfPrepared(name, fields, topK, nprobe)
+          rowsJson(schema, rows)
+        }
       // batch retrieval over the multi-vector IVF layout: one plan for the
       // whole batch — weights fix the (field, ratio) scoring; each query
       // carries one vector per weighted field plus the routing field

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.types.{ArrayType, FloatType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StructType}
 
 /** Plan-once / execute-many ("prepared statement") support for the serving
   * path. An r8 probe (PLANS.md "1M dispatch floor") measured ~22-43 ms of
@@ -51,7 +51,12 @@ object PreparedPlan {
       val schema: StructType,
       session: org.apache.spark.sql.SparkSession,
       plan: SparkPlan,
-      placeholders: Seq[AnyRef]) {
+      placeholders: Seq[AnyRef],
+      /** Each placeholder literal's dataType, recorded from the surviving
+        * plan literal at compile — the swap re-creates a Literal of the
+        * SAME Catalyst type, whatever the slot holds (query vectors,
+        * probed-cell arrays). */
+      types: Seq[DataType]) {
     private[this] val toScala = CatalystTypeConverters.createToScalaConverter(schema)
 
     /** Execute the prepared plan against `vector` (already prepared —
@@ -64,20 +69,44 @@ object PreparedPlan {
 
     /** Multi-vector variant: `vectors` align positionally with the
       * placeholders the plan was compiled with. */
-    def run(vectors: Seq[Array[Float]]): Seq[Row] = {
-      require(vectors.length == placeholders.length,
-        s"prepared plan expects ${placeholders.length} vectors, got ${vectors.length}")
+    def run(vectors: Seq[Array[Float]]): Seq[Row] = runValues(vectors)
+
+    /** Fully general swap: `values` align positionally with the compiled
+      * placeholders and convert under each slot's recorded Catalyst type
+      * (a probed-cell Array[Long] swaps exactly like a query vector; array
+      * slots may change LENGTH between requests — only the type is
+      * pinned). A swapped copy is a fresh physical tree, so per-execution
+      * lazy state recomputes: a FileSourceScan's selected partitions
+      * re-prune under the NEW literal (IvfCatalogSpec pins this for the
+      * prepared probe). */
+    def runValues(values: Seq[Any]): Seq[Row] = {
+      swap(values).executeCollect().toIndexedSeq.map(r => toScala(r).asInstanceOf[Row])
+    }
+
+    private def swap(values: Seq[Any]): SparkPlan = {
+      require(values.length == placeholders.length,
+        s"prepared plan expects ${placeholders.length} values, got ${values.length}")
       org.apache.spark.sql.SparkSession.setActiveSession(session)
       val repl = new java.util.IdentityHashMap[AnyRef, Literal]()
-      placeholders.zip(vectors).foreach { case (p, v) =>
-        repl.put(p, Literal.create(v, VectorType))
+      placeholders.lazyZip(values).lazyZip(types).foreach { case (p, v, t) =>
+        repl.put(p, Literal.create(v, t))
       }
-      val swapped = plan.transformAllExpressions {
+      plan.transformAllExpressions {
         case l: Literal if repl.containsKey(l.value.asInstanceOf[AnyRef]) =>
           repl.get(l.value.asInstanceOf[AnyRef])
       }
-      swapped.executeCollect().toIndexedSeq.map(r => toScala(r).asInstanceOf[Row])
     }
+
+    /** Diagnostic (no execution): the files the SWAPPED plan's scans
+      * select — each swapped copy is a fresh scan node, so its partition
+      * pruning re-evaluates under the swapped literals; callers pin that
+      * the selected set follows the request (GraftCatalog.
+      * ivfPreparedProbedFiles / IvfCatalogSpec). */
+    def swappedSelectedFiles(values: Seq[Any]): Array[String] =
+      swap(values)
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+        .toArray
   }
 
   /** A placeholder query-vector Column plus the identity handle used to find
@@ -85,6 +114,14 @@ object PreparedPlan {
     * row — [[Prepared.run]] replaces them before any execution. */
   def placeholder(dim: Int): (Column, AnyRef) = {
     val ph = Literal.create(Array.fill(dim)(0.0f), VectorType)
+    (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
+  }
+
+  /** A placeholder long-array Column (probed cell ids) — same identity-swap
+    * contract as [[placeholder]]; the array LENGTH may differ per request
+    * (each swap ships a fresh literal), only the element type is fixed. */
+  def placeholderLongArray(): (Column, AnyRef) = {
+    val ph = Literal.create(Array(-1L), ArrayType(LongType, containsNull = false))
     (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
   }
 
@@ -136,12 +173,13 @@ object PreparedPlan {
     val plan = planningSession(spark).sessionState
       .executePlan(df.queryExecution.logical).executedPlan
     val hits = new Array[Int](placeholders.length)
+    val types = new Array[DataType](placeholders.length)
     plan.foreach(_.expressions.foreach(_.foreach {
       case l: Literal =>
         val v = l.value.asInstanceOf[AnyRef]
         var i = 0
         while (i < placeholders.length) {
-          if (v eq placeholders(i)) hits(i) += 1
+          if (v eq placeholders(i)) { hits(i) += 1; types(i) = l.dataType }
           i += 1
         }
       case _ => ()
@@ -150,6 +188,6 @@ object PreparedPlan {
       throw new PlaceholderFoldedException(
         "prepared-plan placeholder did not survive planning — this query shape cannot be " +
           "parameterized; use the plan-per-call path")
-    new Prepared(df.schema, spark, plan, placeholders)
+    new Prepared(df.schema, spark, plan, placeholders, types.toIndexedSeq)
   }
 }

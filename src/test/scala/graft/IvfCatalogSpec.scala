@@ -98,6 +98,31 @@ class IvfCatalogSpec extends SparkSpec {
     assert(one.length < all.length, s"${one.length} vs ${all.length}")
   }
 
+  test("PREPARED probe: every swapped request re-prunes the scan's partitions " +
+      "(r12 — the pruning guarantee survives plan-once/execute-many)") {
+    val cat = mkCat(4)
+    val q = Array(0f, 0f, 100f, 0f)
+    // fewer probed cells → strictly fewer selected files, on the SWAPPED
+    // plan of one compiled shape (same topK → same prepared entry)
+    val one = cat.ivfPreparedProbedFiles("ivf", q, topK = 5, nprobe = 1)
+    val all = cat.ivfPreparedProbedFiles("ivf", q, topK = 5, nprobe = 4)
+    assert(one.nonEmpty && all.nonEmpty, "shape must compile (no fallback)")
+    assert(one.length < all.length, s"${one.length} vs ${all.length}")
+    assert(one.toSet.subsetOf(all.toSet))
+    // a DIFFERENT query's swap prunes to DIFFERENT directories — pruning
+    // follows each request, not the first swap's literal
+    val q2 = Array(100f, 0f, 0f, 0f)
+    val other = cat.ivfPreparedProbedFiles("ivf", q2, topK = 5, nprobe = 1)
+    assert(other.nonEmpty && other.toSet != one.toSet,
+      s"swap did not re-prune: ${other.toSeq} vs ${one.toSeq}")
+    // and the served results agree with the plan-per-call path on both
+    for (qq <- Seq(q, q2); np <- 1 to 4) {
+      val (schema, rs) = cat.searchIvfPrepared("ivf", qq, 5, np)
+      val want = cat.searchIvf("ivf", qq, 5, np).collect().toIndexedSeq
+      assert(rs.map(_.toSeq) === want.map(_.toSeq), s"nprobe=$np")
+    }
+  }
+
   test("searchIvf at nprobe=1 on clustered data: recall 1.0 vs exact for an in-cluster query") {
     val cat = mkCat(4)
     val q = Array(1f, 0f, 99f, 0f) // near cluster 0's center

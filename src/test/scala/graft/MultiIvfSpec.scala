@@ -225,6 +225,37 @@ class MultiIvfSpec extends SparkSpec {
     }.getMessage.contains("unique"))
   }
 
+  test("PREPARED probed search equals searchMultiIvf: random queries × nprobe, " +
+      "quantized storage, delta chains (r12 — the route's plan-once shape)") {
+    for (quant <- Seq("none", "f16")) {
+      val cat = mkCat(4, quant = quant)
+      val rnd = new scala.util.Random(19)
+      def cmp(q0: Array[Float], q1: Array[Float], np: Int, tag: String): Unit = {
+        val want = cat.searchMultiIvf("mvi", fq(q0, q1), topK = 8, nprobe = np)
+          .collect().map(_.toSeq).toSeq
+        val (schema, rows) = cat.searchMultiIvfPrepared("mvi", fq(q0, q1), topK = 8, nprobe = np)
+        assert(schema.fieldNames.toSeq === Seq("id", "cell", "score"), tag)
+        assert(rows.map(_.toSeq) === want, tag)
+      }
+      for (i <- 1 to 12) {
+        val q0 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+        val q1 = Array.fill(4)(rnd.nextFloat() * 200 - 50)
+        cmp(q0, q1, 1 + rnd.nextInt(4), s"quant=$quant query $i")
+      }
+      // a delta fold publishes a new version → a new snapshot anchor → the
+      // cached plan is stale-by-construction and recompiles
+      cat.insert("mvi", Seq(("B0_1", Seq(99f, 1f, 0f, 0f), Seq(1f, 99f, 0f, 1f)))
+        .toDF("id", "v0", "v1"))
+      cat.flushDelta("mvi")
+      val q0 = Array(100f, 0f, 0f, 0f)
+      val q1 = Array(0f, 100f, 0f, 0f)
+      cmp(q0, q1, 4, s"quant=$quant post-fold full probe")
+      val (_, oneCell) = cat.searchMultiIvfPrepared("mvi", fq(q0, q1), topK = 40, nprobe = 1)
+      assert(oneCell.count(_.getAs[String]("id") == "B0_1") === 1,
+        s"quant=$quant: the moved row must serve from its NEW cell on the prepared path")
+    }
+  }
+
   test("single-vector rungs refuse multi-vector collections (and vice versa)") {
     val cat = mkCat(4)
     assert(intercept[IllegalArgumentException] {

@@ -350,4 +350,76 @@ class PreparedSearchSpec extends SparkSpec {
     val pqAfter = cat.searchPq("va", q, 5).collect().map(_.getString(0)).toSeq
     assert(pqAfter === pqB, "recovery must not change answers")
   }
+
+  // ---- r12: the prepared PROBED route (searchIvfPrepared) — the query
+  // vector AND the probed cell set swap into one compiled plan; results
+  // must equal plan-per-call searchIvf bit-for-bit on every shape knob.
+
+  private def ivfMeta(name: String, quant: String = "none") =
+    CollectionMeta(name, dim = dim, distance = "euclidean", quantization = quant,
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("label", "integer")),
+      ivfCells = Some(4))
+
+  private def viaIvf(cat: GraftCatalog, name: String, q: Array[Float], topK: Int,
+                     nprobe: Int, filter: Option[FilterExpr] = None): Seq[Seq[Any]] = {
+    val df = cat.searchIvf(name, q, topK, nprobe, filter)
+    canon(df.schema, df.collect().toIndexedSeq)
+  }
+
+  private def viaIvfPrepared(cat: GraftCatalog, name: String, q: Array[Float], topK: Int,
+                             nprobe: Int, filter: Option[FilterExpr] = None): Seq[Seq[Any]] = {
+    val (schema, rs) = cat.searchIvfPrepared(name, q, topK, nprobe, filter)
+    canon(schema, rs)
+  }
+
+  for (quant <- Seq("none", "f16", "f8")) {
+    test(s"prepared probed search equals searchIvf across random queries × nprobe ($quant)") {
+      val cat = newCatalog()
+      cat.createCollection(ivfMeta(s"pvi$quant", quant))
+      cat.loadCollection(s"pvi$quant")
+      cat.insert(s"pvi$quant", rows(300, seed = 7))
+      cat.flush(s"pvi$quant")
+      val rnd = new Random(71)
+      for (q <- vecs(10, seed = 72)) {
+        val np = 1 + rnd.nextInt(4)
+        assert(viaIvfPrepared(cat, s"pvi$quant", q, 8, np) ===
+          viaIvf(cat, s"pvi$quant", q, 8, np), s"nprobe=$np")
+      }
+    }
+  }
+
+  test("prepared probed search honors the filter tree; distinct values are distinct shapes") {
+    val cat = newCatalog()
+    cat.createCollection(ivfMeta("pvf"))
+    cat.loadCollection("pvf")
+    cat.insert("pvf", rows(400, seed = 8))
+    cat.flush("pvf")
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lte, 3): FilterExpr)
+    val g = Some(FilterExpr.And(
+      FilterExpr.Single("label", FilterExpr.Gte, 1L),
+      FilterExpr.Single("label", FilterExpr.Neq, 3L)): FilterExpr)
+    for (q <- vecs(4, seed = 81); filt <- Seq(f, g, None))
+      assert(viaIvfPrepared(cat, "pvf", q, 10, 4, filt) ===
+        viaIvf(cat, "pvf", q, 10, 4, filt), s"filter $filt")
+  }
+
+  test("prepared probed search over a delta chain: post-fold rows serve; " +
+      "a new version invalidates by construction") {
+    val cat = newCatalog()
+    cat.createCollection(ivfMeta("pvd"))
+    cat.loadCollection("pvd")
+    cat.insert("pvd", rows(200, seed = 9))
+    cat.flush("pvd")
+    val q = vecs(1, seed = 91).head
+    val before = viaIvfPrepared(cat, "pvd", q, 5, 4) // compiles against v1
+    assert(before === viaIvf(cat, "pvd", q, 5, 4))
+    // an exact-match put through the delta path must appear after the fold
+    cat.insert("pvd", Seq(("zzzz", 0, q.toSeq)).toDF("id", "label", "vector"))
+    cat.flushDelta("pvd")
+    val after = viaIvfPrepared(cat, "pvd", q, 5, 4)
+    assert(after.head.head === "zzzz", s"post-fold row missing: $after")
+    assert(after === viaIvf(cat, "pvd", q, 5, 4))
+  }
 }
