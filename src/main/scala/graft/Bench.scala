@@ -1333,13 +1333,20 @@ object Bench {
     // r12 (VERDICT #5): the full object ALSO lands in a per-round tracked
     // file — BENCH_full.json is gitignored (the driver's scratch contract),
     // so without this the complete row set of each round is lost to
-    // history. Round = 1 + the highest committed BENCH_r<N>.json.
+    // history. Round = 1 + the highest driver-committed BENCH_r<N>.json
+    // (the driver writes one per round close); runs WITHIN a round
+    // intentionally overwrite each other's file — the last pre-close run
+    // is the round's record. If a round ever closes without its
+    // BENCH_r<N>.json, the next round's first run would reuse the number;
+    // acceptable residual risk for a best-effort archive.
     try {
       val rx = "BENCH_r(\\d+)\\.json".r
-      val dir = java.nio.file.Paths.get(".")
-      val prior = java.nio.file.Files.list(dir).iterator().asScala
-        .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
-        .map(_.group(1).toInt).foldLeft(0)(math.max)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val prior =
+        try listing.iterator().asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).foldLeft(0)(math.max)
+        finally listing.close()
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"BENCH_full_r${prior + 1}%02d.json"),
         (fullJson + "\n").getBytes(StandardCharsets.UTF_8))

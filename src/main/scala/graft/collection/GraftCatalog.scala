@@ -1940,7 +1940,13 @@ class GraftCatalog(spark: SparkSession, root: String,
   def ivfPreparedProbedFiles(name: String, queryVector: Array[Float], topK: Int,
                              nprobe: Int): Array[String] = {
     val meta = getMeta(name)
+    // the sibling searchIvfPrepared's guards — a diagnostic must refuse
+    // as loudly as the route it diagnoses, not throw a raw FS error
+    require(!meta.isMultiVector, s"collection $name is multi-vector; use searchMultiIvf")
+    require(meta.ivfCells.isDefined, s"collection $name has no IVF layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
     val sv = sidecarVersion(name, meta)
+    if (!fs.exists(centroidDir(name, sv))) return Array.empty // flushed empty
     val centroids = readCentroids(name, sv)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance).toArray

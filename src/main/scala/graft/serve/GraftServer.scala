@@ -413,23 +413,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // latency); every other filter shape still refuses loudly
         val eq = localEqFilter(req, "searchLocal")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
-        // metadata columns load LAZILY: an unfiltered client never pays the
-        // per-row string/scalar resident cost (r11 review — string columns
-        // are ~40-60 bytes/row each, multi-GB at 10M rows); the first
-        // FILTERED request upgrades the cached index to the typed store
-        // (which serves unfiltered probes identically from then on)
-        val idx = localIndexes.get(name) match {
-          // a cached index serves unless this request needs the typed store
-          // it wasn't built with (a collection with NO filterable columns
-          // never upgrades — the filter refuses in search, don't loop
-          // rebuilds on every doomed request)
-          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
-              localFilterableCols(name).isEmpty => i
-          case _ =>
-            val built = catalog.localIvfIndex(name,
-              if (eq.isEmpty) Nil else localFilterableCols(name))
-            localIndexes(name) = built; built
-        }
+        val idx = localIndexFor(localIndexes, name, eq)(_.filterableColumns)(
+          catalog.localIvfIndex(name, _))
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
@@ -445,15 +430,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // local store, parity with searchPq(rerank=false, filter)
         val eq = localEqFilter(req, "searchLocalPq")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocalPq")
-        // lazy metadata load + filtered-request upgrade — see searchLocal
-        val idx = localPqIndexes.get(name) match {
-          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
-              localFilterableCols(name).isEmpty => i
-          case _ =>
-            val built = catalog.localPqIndex(name,
-              if (eq.isEmpty) Nil else localFilterableCols(name))
-            localPqIndexes(name) = built; built
-        }
+        val idx = localIndexFor(localPqIndexes, name, eq)(_.filterableColumns)(
+          catalog.localPqIndex(name, _))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK, nprobe, eq))
       // driver-local Hamming probe over the packed sign-code layout (the
@@ -464,15 +442,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val eq = localEqFilter(req, "searchLocalBin")
         val vector = parseVector(req, "searchLocalBin")
         val topK = intOr(req, "topK", 10)
-        // lazy metadata load + filtered-request upgrade — see searchLocal
-        val idx = localBinIndexes.get(name) match {
-          case Some(i) if eq.isEmpty || i.filterableColumns.nonEmpty ||
-              localFilterableCols(name).isEmpty => i
-          case _ =>
-            val built = catalog.localBinIndex(name,
-              if (eq.isEmpty) Nil else localFilterableCols(name))
-            localBinIndexes(name) = built; built
-        }
+        val idx = localIndexFor(localBinIndexes, name, eq)(_.filterableColumns)(
+          catalog.localBinIndex(name, _))
         val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
         200 -> hitsJson(idx.search(qv, topK, eq))
       // experimental CFLAT weighted multi-vector search
@@ -814,6 +785,27 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     val m = catalog.getMeta(name)
     if (m.isSchemaless) Nil else m.fields.filterNot(_.isVector).map(_.name)
   }
+
+  /** The ONE lazy-metadata / filtered-request-upgrade cache rule of the
+    * local serving rungs (searchLocal / searchLocalPq / searchLocalBin —
+    * r11 review, factored r12): metadata columns load LAZILY, so an
+    * unfiltered client never pays the typed store's per-row resident cost
+    * (string columns are ~40-60 bytes/row each — multi-GB at 10M rows);
+    * the first FILTERED request upgrades the cached index to the typed
+    * store, which serves unfiltered probes identically from then on. A
+    * collection with NO filterable columns never upgrades — the filter
+    * refuses inside search, so doomed requests don't loop rebuilds. */
+  private def localIndexFor[A](cache: scala.collection.mutable.Map[String, A],
+                               name: String, eq: Seq[(String, Any)])(
+                               filterable: A => Set[String])(
+                               build: Seq[String] => A): A =
+    cache.get(name) match {
+      case Some(i) if eq.isEmpty || filterable(i).nonEmpty ||
+          localFilterableCols(name).isEmpty => i
+      case _ =>
+        val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
+        cache(name) = built; built
+    }
 
   /** The request filter in the one shape the local rungs can answer from
     * their typed store: conjunctive EQ terms (the reference's
