@@ -273,6 +273,37 @@ object PersistenceQueries {
       cat.searchIvf("ivff", qv, topK = 10, nprobe = 3,
         filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
     }),
+    // The PREPARED probed route under the hash gate (r12): the same
+    // filtered IVF fixture served through searchIvfPrepared — a first call
+    // with a DIFFERENT vector compiles the shape, so the checked rows come
+    // from a cache hit executing SWAPPED literals: the query vector in the
+    // distance expression AND the probed cell set in the scan's partition
+    // filter. Any drift in the literal swap, the per-request re-pruning,
+    // or the recorded slot types breaks the hash against the same oracle
+    // replay as ivf_search_filtered.
+    "prepared_ivf_search" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pivf").toString)
+      cat.createCollection(CollectionMeta("pivf", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("pivf")
+      cat.insert("pivf", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("pivf")
+      def qv(id: Long) =
+        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      val f = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5): graft.FilterExpr)
+      cat.searchIvfPrepared("pivf", qv(1), topK = 10, nprobe = 3, f) // compile the shape
+      val (schema, rows) = cat.searchIvfPrepared("pivf", qv(0), topK = 10, nprobe = 3, f)
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }),
     // Filtered ADC: the predicate restricts the PASS-1 code scan, so every
     // ADC candidate is a filter survivor. rerank=false makes the raw ADC
     // ordering itself the checked output (the reranked two-pass shape is
@@ -493,6 +524,38 @@ object PersistenceQueries {
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)),
         topK = 10, nprobe = 3)
+    }),
+    // The PREPARED multi-vector probed route under the hash gate (r12):
+    // the same routed layout served through searchMultiIvfPrepared — the
+    // warm-up compile runs on DIFFERENT vectors, so the checked rows come
+    // from a cache hit swapping BOTH included field vectors and the probed
+    // cell set into the compiled plan. Oracle = the standard seed-cents /
+    // v0-assignment / 3-cell probe / 60/40 weighted-rank replay.
+    "prepared_multi_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pmvi").toString)
+      cat.createCollection(CollectionMeta("pmvi", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("pmvi")
+      val pairs = e.select(col("vec_id"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+      cat.insert("pmvi", pairs.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"), col("v0"), col("v1")))
+      cat.flush("pmvi")
+      def qv(id: Long) =
+        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def fq(a: Long, b: Long) = Seq(
+        graft.operators.MultiVectorSearch.FieldQuery("v0", qv(a), ratio = 60),
+        graft.operators.MultiVectorSearch.FieldQuery("v1", qv(b), ratio = 40))
+      cat.searchMultiIvfPrepared("pmvi", fq(2, 3), topK = 10, nprobe = 3) // compile
+      val (schema, rows) = cat.searchMultiIvfPrepared("pmvi", fq(0, 1), topK = 10, nprobe = 3)
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     }),
     // Batch retrieval over the multi-vector IVF layout: every query of the
     // batch gets its weighted top-5, candidates from the query's 3 nearest
@@ -887,6 +950,26 @@ object PersistenceQueries {
         |FROM emb e JOIN asg a ON a.id = e.id, q
         |WHERE a.cid IN (SELECT cid FROM probe) AND e.label < 5
         |ORDER BY dist, e.id LIMIT 10""".stripMargin,
+    // identical replay to ivf_search_filtered — the prepared path must be
+    // bit-identical to the plan-per-call one; the warm-up compile on a
+    // different vector changes nothing the oracle can see
+    "prepared_ivf_search" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    label, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg AS (SELECT id, cid FROM (
+        |  SELECT e.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM emb e, cents c) WHERE rn = 1),
+        |probe AS (SELECT c.cid FROM cents c, q
+        |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q.qv::DOUBLE[]), 6), c.cid LIMIT 3)
+        |SELECT e.id, CAST(a.cid AS INTEGER) AS cell,
+        |  ROUND(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM emb e JOIN asg a ON a.id = e.id, q
+        |WHERE a.cid IN (SELECT cid FROM probe) AND e.label < 5
+        |ORDER BY dist, e.id LIMIT 10""".stripMargin,
     // catalog_pq_search with the scored set restricted to filter survivors;
     // the codebook stays trained on the FULL corpus (flush-time), only the
     // query-time scan is filtered
@@ -1079,6 +1162,31 @@ object PersistenceQueries {
          |FROM fin f JOIN asg a ON a.id = f.id, q0, q1
          |WHERE a.cid IN (SELECT cid FROM probe)
          |ORDER BY ROUND($w, 8) DESC, f.id LIMIT 10""".stripMargin
+    },
+    // the prepared multi probe must equal the plan-per-call replay: seed
+    // cents, v0 assignment, 3-cell probe, 60/40 weighted rank (no fold —
+    // the plain flushed layout)
+    "prepared_multi_ivf" -> {
+      val w = """GREATEST(0, 100 - list_distance(m.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(m.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+         |    embedding FROM embeddings),
+         |mv AS (SELECT e1.id, e1.vec_id, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM emb e1 JOIN emb e2 ON e2.vec_id = e1.vec_id + 1),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT m.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY m.id
+         |      ORDER BY ROUND(list_distance(m.v0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+         |  FROM mv m, cents c) WHERE rn = 1),
+         |probe AS (SELECT c.cid FROM cents c, q0
+         |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q0.qv::DOUBLE[]), 6), c.cid LIMIT 3)
+         |SELECT m.id, CAST(a.cid AS INTEGER) AS cell, ROUND($w, 4) AS score
+         |FROM mv m JOIN asg a ON a.id = m.id, q0, q1
+         |WHERE a.cid IN (SELECT cid FROM probe)
+         |ORDER BY ROUND($w, 8) DESC, m.id LIMIT 10""".stripMargin
     },
     // the multi-vector batch: per-qid probe (round6 + cid ties — the
     // top_cells kernel), weighted ranking, rn <= 5 per query
