@@ -1111,6 +1111,9 @@ object Bench {
               cat.searchIvf("sv", v, 10, nprobe = 8, filter = ivfFilter).collect(): Unit) ++
             perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
             perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit) ++
+            // r12: pass-1 plan-once (what /searchBinary serves now)
+            perReq("serve_bin_prepared_1m")(v =>
+              cat.searchBinaryPrepared("sv", v, 10): Unit) ++
             batchRows
         // r10: the audit ladder's own cost at 1M — a recall-audit API is
         // only used routinely if it's cheap. sampleMod sizes the query set

@@ -45,7 +45,8 @@ object IvfServeProbe {
       fields = Seq(
         graft.collection.IndexField("id", "string", primaryKey = true),
         graft.collection.IndexField("label", "integer")),
-      ivfCells = Some(256), ivfTrainIterations = Some(2), ivfTrainSampleMod = Some(16L)))
+      ivfCells = Some(256), ivfTrainIterations = Some(2), ivfTrainSampleMod = Some(16L),
+      binaryIndex = Some(true)))
     cat.loadCollection("sv")
     cat.insert("sv", e.select(col("vec_id").cast("string").as("id"),
       (col("vec_id") % 100).cast("long").as("label"), col("embedding").as("vector")))
@@ -57,6 +58,8 @@ object IvfServeProbe {
       cat.searchIvf("sv", v, 10, nprobe = 8, filter = f).collect(): Unit)
     measure("serve_ivf_filtered_prepared_1m")(v =>
       cat.searchIvfPrepared("sv", v, 10, nprobe = 8, filter = f): Unit)
+    measure("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit)
+    measure("serve_bin_prepared_1m")(v => cat.searchBinaryPrepared("sv", v, 10): Unit)
     cat.dropCollection("sv")
 
     // multi-vector probed layout

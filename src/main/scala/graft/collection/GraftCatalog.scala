@@ -128,6 +128,19 @@ class GraftCatalog(spark: SparkSession, root: String,
         size() > GraftCatalog.PreparedCacheMax
     }
 
+  /** Binary pass-1 prepared shapes (r12): topK·overFetch and the filter
+    * tree fix the Hamming-scan plan; the query CODE (one binary literal)
+    * swaps per request. Anchored on the snapshot artifact like
+    * [[preparedIvfSearches]]. */
+  private case class BinPreparedKey(name: String, topK: Int, overFetch: Int,
+                                    filter: Option[FilterExpr])
+  private val preparedBinSearches =
+    new java.util.LinkedHashMap[BinPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[BinPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
   /** Probed MULTI-vector prepared shapes (r12): the (field, ratio, include)
     * list + topK compile once; every included field's query vector and the
     * probed cell set swap per request — [[preparedIvfSearches]]' contract
@@ -155,6 +168,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     preparedMultiIvfSearches.synchronized {
       preparedMultiIvfSearches.keySet().removeIf(_.name == name)
+    }
+    preparedBinSearches.synchronized {
+      preparedBinSearches.keySet().removeIf(_.name == name)
     }
     versionArtifacts.synchronized {
       val it = versionArtifacts.entrySet().iterator()
@@ -2476,15 +2492,28 @@ class GraftCatalog(spark: SparkSession, root: String,
     val cand = p1snap.select(p1 :+
         graft.ann.Bin.hamming(col(GraftCatalog.BinCol), qc).as("__h"): _*)
       .orderBy(col("__h").asc, col(meta.idColumn).asc)
-      .limit(topK * overFetch).select(p1: _*).collect()
-    val candIds = cand.map(_.get(0)).toIndexedSeq
+      .limit(topK * overFetch).select(p1: _*).collect().toIndexedSeq
+    binaryRerank(full, meta, cand, withCell, qv, topK)
+  }
+
+  /** [[searchBinary]]'s PASS 2 — the exact rerank over the pass-1
+    * candidates, ONE implementation shared with [[searchBinaryPrepared]] so
+    * the two routes cannot drift. Stays plan-per-call ON PURPOSE: the
+    * candidate ids/cells are per-request literals whose parquet row-group
+    * pushdown (`In` on the pk) and partition pruning matter more at scale
+    * than the analysis a prepared pass-2 would save — an array-literal
+    * filter does not push into parquet. */
+  private def binaryRerank(full: DataFrame, meta: CollectionMeta,
+                           cand: Seq[org.apache.spark.sql.Row], withCell: Boolean,
+                           qv: Array[Float], topK: Int): DataFrame = {
+    val candIds = cand.map(_.get(0))
     val vec = meta.quantization match {
       case "none" => col(VectorCol)
       case q      => dequantize(col(VectorCol), q)
     }
     val pruned =
       if (withCell) {
-        val candCells = cand.map(_.get(1)).distinct.toIndexedSeq
+        val candCells = cand.map(_.get(1)).distinct
         full.where(col(GraftCatalog.CellCol).isin(candCells: _*) &&
           col(meta.idColumn).isin(candIds: _*))
       } else full.where(col(meta.idColumn).isin(candIds: _*))
@@ -2492,6 +2521,66 @@ class GraftCatalog(spark: SparkSession, root: String,
       .select(col(meta.idColumn),
         round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
       .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+  }
+
+  /** [[searchBinary]] with PASS 1 through a prepared plan (r12): the
+    * corpus-sized Hamming scan compiles once per (topK, overFetch, filter)
+    * shape; each request swaps the QUERY CODE — one binary literal, scored
+    * by the generic two-operand kernel, which generates the same
+    * XOR+POPCNT loop as the plan-constant form, so candidates are
+    * bit-identical. Pass 2 rides [[binaryRerank]] unchanged (see its note
+    * on why it stays plan-per-call). */
+  def searchBinaryPrepared(name: String, queryVector: Array[Float], topK: Int,
+                           overFetch: Int = 3, filter: Option[FilterExpr] = None)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(meta.hasBinaryIndex, s"collection $name has no binary index layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    require(topK >= 1, "topK must be >= 1")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    val sv = sidecarVersion(name, meta)
+    val full = indexedState(name, meta) // memoized — the staleness anchor
+    if (!fs.exists(binDir(name, sv))) {
+      val out = searchBinary(name, queryVector, topK, overFetch, filter)
+      return (out.schema, out.collect().toIndexedSeq)
+    }
+    val th = readBinThresholds(name, sv)
+    require(th.length == meta.dim,
+      s"binary sidecar dimension mismatch: ${th.length} vs ${meta.dim}")
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val qc = graft.ann.Bin.encodeOne(qv, th)
+    val withCell = full.columns.contains(GraftCatalog.CellCol)
+    val key = BinPreparedKey(name, topK, overFetch, filter)
+    val cached = preparedBinSearches.synchronized {
+      Option(preparedBinSearches.get(key)).filter(_.df eq full)
+    }
+    val entry = cached.getOrElse {
+      import org.apache.spark.sql.graft.PreparedPlan
+      val e =
+        try {
+          val (phB, hB) = PreparedPlan.placeholderBinary()
+          val p1 =
+            if (withCell) Seq(col(meta.idColumn), col(GraftCatalog.CellCol))
+            else Seq(col(meta.idColumn))
+          val df = applyFilter(full, meta, filter).select(p1 :+
+              graft.ann.Bin.hammingCols(col(GraftCatalog.BinCol), phB).as("__h"): _*)
+            .orderBy(col("__h").asc, col(meta.idColumn).asc)
+            .limit(topK * overFetch).select(p1: _*)
+          PreparedEntry(full, Some(PreparedPlan.compile(df, hB)))
+        } catch {
+          case _: org.apache.spark.sql.graft.PreparedPlan.PlaceholderFoldedException =>
+            PreparedEntry(full, None)
+        }
+      preparedBinSearches.synchronized { preparedBinSearches.put(key, e) }
+      e
+    }
+    val out = entry.prepared match {
+      case Some(p) => binaryRerank(full, meta, p.runValues(Seq(qc)), withCell, qv, topK)
+      case None    => searchBinary(name, queryVector, topK, overFetch, filter)
+    }
+    (out.schema, out.collect().toIndexedSeq)
   }
 
   /** The centroid sidecar of version `v` — O(cells) rows, driver-sized.

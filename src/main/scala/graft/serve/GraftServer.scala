@@ -404,8 +404,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val topK = intOr(req, "topK", 10)
         val overFetch = intOr(req, "overFetch", 3)
         val binFilter = optFilter(req)
-        withVacuumRecovery(name)(
-          rowsJson(catalog.searchBinary(name, vector, topK, overFetch, binFilter)))
+        // r12: the corpus-sized Hamming pass is plan-once (query code
+        // swaps); the bounded rerank stays plan-per-call for its parquet
+        // pushdown — see GraftCatalog.binaryRerank
+        withVacuumRecovery(name) {
+          val (schema, rows) =
+            catalog.searchBinaryPrepared(name, vector, topK, overFetch, binFilter)
+          rowsJson(schema, rows)
+        }
       case ("POST", "collections" :: name :: "searchLocal" :: Nil) =>
         val req = JsonMethods.parse(body)
         // r11: conjunctive-EQ filters serve from the index's typed local

@@ -125,6 +125,13 @@ object PreparedPlan {
     (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
   }
 
+  /** A placeholder binary Column (a packed query CODE) — the identity-swap
+    * contract over a byte-array literal; length may differ per request. */
+  def placeholderBinary(): (Column, AnyRef) = {
+    val ph = Literal.create(Array[Byte](0), org.apache.spark.sql.types.BinaryType)
+    (GraftBridge.column(ph), ph.value.asInstanceOf[AnyRef])
+  }
+
   /** Thrown when a placeholder literal did not survive planning (folded or
     * copied away by a rewrite) — the ONE signal GraftCatalog's negative
     * cache may act on. A dedicated type so an unrelated Spark-internal

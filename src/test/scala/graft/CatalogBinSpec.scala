@@ -180,4 +180,37 @@ class CatalogBinSpec extends SparkSpec {
     cat.flush("bine")
     assert(cat.searchBinary("bine", Array.fill(16)(0.5f), topK = 3).count() === 0L)
   }
+
+  test("PREPARED pass-1 equals searchBinary bit-for-bit: random queries × " +
+      "filters × IVF composition × delta chains (r12 — the route's shape)") {
+    for (ivf <- Seq(None, Some(4))) {
+      val name = s"binp${ivf.fold("flat")(_.toString)}"
+      val cat = newCatalog()
+      cat.createCollection(binMeta(name, ivf = ivf))
+      cat.loadCollection(name)
+      cat.insert(name, fixtureRows(80, 16))
+      cat.flush(name)
+      val rnd = new scala.util.Random(13)
+      def cmp(q: Array[Float], f: Option[FilterExpr], tag: String): Unit = {
+        val want = cat.searchBinary(name, q, topK = 8, overFetch = 3, filter = f)
+          .collect().map(_.toSeq).toSeq
+        val (schema, rows) = cat.searchBinaryPrepared(name, q, topK = 8,
+          overFetch = 3, filter = f)
+        assert(schema.fieldNames.toSeq === Seq("id", "dist"), tag)
+        assert(rows.map(_.toSeq) === want, tag)
+      }
+      val filters = Seq(None,
+        Some(FilterExpr.Single("label", FilterExpr.Lt, 40L): FilterExpr))
+      for (i <- 1 to 8; f <- filters)
+        cmp(Array.fill(16)(rnd.nextFloat() * 2 - 1), f, s"ivf=$ivf query $i filter=$f")
+      // a delta fold publishes a new version → new anchor → recompile (and
+      // pass-1 codes for the put rows were encoded against the base's
+      // persisted thresholds)
+      cat.insert(name, Seq(("042", 42, Seq.fill(16)(0.9f))).toDF("id", "label", "vector"))
+      cat.flushDelta(name)
+      cmp(Array.fill(16)(0.9f), None, s"ivf=$ivf post-fold")
+      val (_, top) = cat.searchBinaryPrepared(name, Array.fill(16)(0.9f), topK = 1)
+      assert(top.head.getString(0) === "042", s"ivf=$ivf: the moved row must rank first")
+    }
+  }
 }
