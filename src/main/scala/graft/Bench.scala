@@ -1110,6 +1110,10 @@ object Bench {
             perReq("serve_ivf_filtered_1m")(v =>
               cat.searchIvf("sv", v, 10, nprobe = 8, filter = ivfFilter).collect(): Unit) ++
             perReq("serve_pq_1m")(v => cat.searchPq("sv", v, 10).collect(): Unit) ++
+            // r12: broadcast-LUT ADC + plan-once pass-1 (what /searchPq
+            // serves now on residual layouts)
+            perReq("serve_pq_prepared_1m")(v =>
+              cat.searchPqPrepared("sv", v, 10): Unit) ++
             perReq("serve_bin_1m")(v => cat.searchBinary("sv", v, 10).collect(): Unit) ++
             // r12: pass-1 plan-once (what /searchBinary serves now)
             perReq("serve_bin_prepared_1m")(v =>

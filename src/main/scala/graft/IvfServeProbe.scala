@@ -62,6 +62,35 @@ object IvfServeProbe {
     measure("serve_bin_prepared_1m")(v => cat.searchBinaryPrepared("sv", v, 10): Unit)
     cat.dropCollection("sv")
 
+    // PQ cost decomposition: the default route shape (all-cells residual
+    // ADC — 256 LUTs ≈ 8 MB shipped per request) vs the probed shape
+    // (nprobe=8 → 8 LUTs ≈ 256 KB) vs the ADC pass alone (rerank off) —
+    // tells us whether serve_pq's cost is the LUT ship, the analysis, or
+    // the rerank job, BEFORE any prepared-PQ machinery is built.
+    cat.createCollection(graft.collection.CollectionMeta("pv", dim = 128,
+      distance = "cosine",
+      fields = Seq(graft.collection.IndexField("id", "string", primaryKey = true)),
+      ivfCells = Some(256), ivfTrainIterations = Some(2), ivfTrainSampleMod = Some(16L),
+      pqSubspaces = Some(16), pqCodewords = Some(256),
+      pqTrainIterations = Some(0), pqTrainSampleMod = Some(64L)))
+    cat.loadCollection("pv")
+    cat.insert("pv", e.select(col("vec_id").cast("string").as("id"),
+      col("embedding").as("vector")))
+    cat.flush("pv")
+    measure("serve_pq_1m")(v => cat.searchPq("pv", v, 10).collect(): Unit)
+    measure("serve_pq_probed_1m")(v =>
+      cat.searchPq("pv", v, 10, nprobe = Some(8)).collect(): Unit)
+    measure("serve_pq_adc_only_1m")(v =>
+      cat.searchPq("pv", v, 10, rerank = false).collect(): Unit)
+    measure("serve_pq_adc_probed_1m")(v =>
+      cat.searchPq("pv", v, 10, rerank = false, nprobe = Some(8)).collect(): Unit)
+    measure("serve_pq_prepared_1m")(v => cat.searchPqPrepared("pv", v, 10): Unit)
+    measure("serve_pq_prepared_probed_1m")(v =>
+      cat.searchPqPrepared("pv", v, 10, nprobe = Some(8)): Unit)
+    measure("serve_pq_adc_prepared_1m")(v =>
+      cat.searchPqPrepared("pv", v, 10, rerank = false): Unit)
+    cat.dropCollection("pv")
+
     // multi-vector probed layout
     cat.createCollection(graft.collection.CollectionMeta("mv", dim = 128,
       distance = "cosine",

@@ -141,6 +141,20 @@ class GraftCatalog(spark: SparkSession, root: String,
         size() > GraftCatalog.PreparedCacheMax
     }
 
+  /** PQ pass-1 prepared shapes (r12, residual layouts only): topK, rerank,
+    * overFetch, whether the scan is probed, and the filter tree fix the ADC
+    * plan; the query vector and (when probed) the cell set swap per
+    * request. Anchored on the snapshot artifact. */
+  private case class PqPreparedKey(name: String, topK: Int, rerank: Boolean,
+                                   overFetch: Int, probed: Boolean,
+                                   filter: Option[FilterExpr])
+  private val preparedPqSearches =
+    new java.util.LinkedHashMap[PqPreparedKey, PreparedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[PqPreparedKey, PreparedEntry]): Boolean =
+        size() > GraftCatalog.PreparedCacheMax
+    }
+
   /** Probed MULTI-vector prepared shapes (r12): the (field, ratio, include)
     * list + topK compile once; every included field's query vector and the
     * probed cell set swap per request — [[preparedIvfSearches]]' contract
@@ -171,6 +185,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
     preparedBinSearches.synchronized {
       preparedBinSearches.keySet().removeIf(_.name == name)
+    }
+    preparedPqSearches.synchronized {
+      preparedPqSearches.keySet().removeIf(_.name == name)
     }
     versionArtifacts.synchronized {
       val it = versionArtifacts.entrySet().iterator()
@@ -2371,19 +2388,22 @@ class GraftCatalog(spark: SparkSession, root: String,
     val (snap, adcExpr) =
       if (residualLayout) {
         val centroids = readCentroids(name, sv)
-        val kept = nprobe match {
+        // r12: the per-cell tables are EXECUTOR-BUILT from the per-version
+        // broadcast sidecar — the request ships dim floats, not
+        // cells·m·ksub doubles (8 MB/request at the 256/16/256 serving
+        // config, 128 MB at 4096 cells — measured as ~60% of
+        // serve_pq_1m). Bit-identical tables (PqSpec pins the kernel;
+        // the pq oracle rows gate it end-to-end).
+        val bcSide = pqBroadcast(name, sv, cb, centroids)
+        val restricted = nprobe match {
           case Some(np) =>
-            val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance).toSet
-            centroids.filter { case (cid, _) => probed(cid) }
-          case None => centroids
+            val probed = graft.ann.Ann.probeCells(centroids, qv, np, meta.distance)
+            full.where(col(GraftCatalog.CellCol).isin(probed: _*))
+          case None => full
         }
-        val (cellIds, luts) = graft.ann.Pq.residualLuts(cb, qv, kept)
-        val restricted =
-          if (nprobe.isDefined) full.where(col(GraftCatalog.CellCol).isin(cellIds.toIndexedSeq: _*))
-          else full
-        (restricted, graft.functions.pq_adc_distance_cells(
+        (restricted, graft.functions.pq_adc_distance_cells_bc(
           col(GraftCatalog.PqCodeCol), col(GraftCatalog.CellCol).cast("long"),
-          cellIds, luts, cb.ksub))
+          lit(qv), bcSide))
       } else {
         // raw-code layout: one plain query LUT; nprobe (when the snapshot
         // is cell-partitioned) still prunes partition directories
@@ -2419,22 +2439,123 @@ class GraftCatalog(spark: SparkSession, root: String,
       // partition-directory pruning, the id as a parquet filter)
       val cand = adc.orderBy(col("__adc").asc, col(meta.idColumn).asc)
         .limit(topK * overFetch)
-        .select(adcCols.init.map(c => c): _*).collect()
-      val candIds = cand.map(_.get(0)).toIndexedSeq
-      val vec = meta.quantization match {
-        case "none" => col(VectorCol)
-        case q      => dequantize(col(VectorCol), q)
-      }
-      val pruned =
-        if (hasCells) {
-          val candCells = cand.map(_.get(1)).distinct.toIndexedSeq
-          snap.where(col(GraftCatalog.CellCol).isin(candCells: _*) &&
-            col(meta.idColumn).isin(candIds: _*))
-        } else snap.where(col(meta.idColumn).isin(candIds: _*))
-      pruned
-        .select(col(meta.idColumn),
-          round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
-        .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+        .select(adcCols.init.map(c => c): _*).collect().toIndexedSeq
+      pqRerank(snap, meta, cand, hasCells, qv, topK)
+    }
+  }
+
+  /** [[searchPq]]'s exact-rerank pass over the pass-1 ADC candidates — ONE
+    * implementation shared with [[searchPqPrepared]] ([[binaryRerank]]'s
+    * discipline, and the same reason it stays plan-per-call: candidate
+    * ids/cells are per-request literals whose parquet pushdown + partition
+    * pruning beat the analysis a prepared pass-2 would save). */
+  private def pqRerank(frame: DataFrame, meta: CollectionMeta,
+                       cand: Seq[org.apache.spark.sql.Row], hasCells: Boolean,
+                       qv: Array[Float], topK: Int): DataFrame = {
+    val candIds = cand.map(_.get(0))
+    val vec = meta.quantization match {
+      case "none" => col(VectorCol)
+      case q      => dequantize(col(VectorCol), q)
+    }
+    val pruned =
+      if (hasCells) {
+        val candCells = cand.map(_.get(1)).distinct
+        frame.where(col(GraftCatalog.CellCol).isin(candCells: _*) &&
+          col(meta.idColumn).isin(candIds: _*))
+      } else frame.where(col(meta.idColumn).isin(candIds: _*))
+    pruned
+      .select(col(meta.idColumn),
+        round(graft.functions.distance(vec, lit(qv), meta.distance), 6).as("dist"))
+      .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+  }
+
+  /** [[searchPq]] with PASS 1 through a prepared plan (r12): on a RESIDUAL
+    * IVF-PQ layout the broadcast-LUT kernel makes the ADC scan's only
+    * per-request constants the query vector and (with `nprobe`) the probed
+    * cell set — both swappable, so the (topK, rerank, overFetch, probed?,
+    * filter) shape compiles once and re-prunes per request like
+    * [[searchIvfPrepared]]. Raw-code layouts fall back to the plan-per-call
+    * path: their single query LUT is a codegen constant by design (32 KB —
+    * nothing to save). Pass 2 rides [[pqRerank]] unchanged. */
+  def searchPqPrepared(name: String, queryVector: Array[Float], topK: Int,
+                       rerank: Boolean = true, overFetch: Int = 4,
+                       nprobe: Option[Int] = None,
+                       filter: Option[FilterExpr] = None)
+      : (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    val meta = getMeta(name)
+    require(meta.pqConfig.isDefined, s"collection $name has no PQ layout")
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    require(queryVector.length == meta.dim,
+      s"vector dimension mismatch: expected ${meta.dim}, got ${queryVector.length}")
+    require(overFetch >= 1, "overFetch must be >= 1")
+    def fallback(): (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+      val out = searchPq(name, queryVector, topK, rerank, overFetch, nprobe, filter)
+      (out.schema, out.collect().toIndexedSeq)
+    }
+    val sv = sidecarVersion(name, meta)
+    if (!fs.exists(pqDir(name, sv))) return fallback() // flushed empty
+    val (cb, residFlag) = readPqCodebook(name, sv, meta.pqSubspaces.get)
+    nprobe.foreach { _ =>
+      require(meta.ivfCells.isDefined,
+        s"collection $name has no IVF layout — nprobe needs ivfCells + pqSubspaces")
+      require(fs.exists(centroidDir(name, sv)),
+        s"collection $name has no centroid sidecar")
+    }
+    val hasCells = meta.ivfCells.isDefined && fs.exists(centroidDir(name, sv))
+    if (!resolveResidualLayout(name, residFlag, hasCells)) return fallback()
+    val full = indexedState(name, meta) // memoized — the staleness anchor
+    val centroids = readCentroids(name, sv)
+    val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
+    val probed: Option[Array[Long]] =
+      nprobe.map(np => graft.ann.Ann.probeCells(centroids, qv, np, meta.distance).toArray)
+    val key = PqPreparedKey(name, topK, rerank, overFetch, nprobe.isDefined, filter)
+    val cached = preparedPqSearches.synchronized {
+      Option(preparedPqSearches.get(key)).filter(_.df eq full)
+    }
+    val entry = cached.getOrElse {
+      import org.apache.spark.sql.graft.PreparedPlan
+      val e =
+        try {
+          val (phV, hV) = PreparedPlan.placeholder(meta.dim)
+          val cellsPh = if (nprobe.isDefined) Some(PreparedPlan.placeholderLongArray()) else None
+          val bcSide = pqBroadcast(name, sv, cb, centroids)
+          val restricted = cellsPh match {
+            case Some((phC, _)) =>
+              full.where(array_contains(phC, col(GraftCatalog.CellCol).cast("long")))
+            case None => full
+          }
+          val adcExpr = graft.functions.pq_adc_distance_cells_bc(
+            col(GraftCatalog.PqCodeCol), col(GraftCatalog.CellCol).cast("long"),
+            phV, bcSide)
+          val adcSnap = applyFilter(restricted, meta, filter)
+          val df =
+            if (!rerank)
+              adcSnap.select(col(meta.idColumn), round(adcExpr, 6).as("dist"))
+                .orderBy(col("dist").asc, col(meta.idColumn).asc).limit(topK)
+            else
+              adcSnap.select(col(meta.idColumn), col(GraftCatalog.CellCol),
+                  adcExpr.as("__adc"))
+                .orderBy(col("__adc").asc, col(meta.idColumn).asc)
+                .limit(topK * overFetch)
+                .select(col(meta.idColumn), col(GraftCatalog.CellCol))
+          PreparedEntry(full,
+            Some(PreparedPlan.compileMulti(df, Seq(hV) ++ cellsPh.map(_._2))))
+        } catch {
+          case _: org.apache.spark.sql.graft.PreparedPlan.PlaceholderFoldedException =>
+            PreparedEntry(full, None)
+        }
+      preparedPqSearches.synchronized { preparedPqSearches.put(key, e) }
+      e
+    }
+    entry.prepared match {
+      case Some(p) =>
+        val values = Seq[Any](qv) ++ probed
+        if (!rerank) (p.schema, p.runValues(values))
+        else {
+          val out = pqRerank(full, meta, p.runValues(values), hasCells = true, qv, topK)
+          (out.schema, out.collect().toIndexedSeq)
+        }
+      case None => fallback()
     }
   }
 
@@ -2638,6 +2759,21 @@ class GraftCatalog(spark: SparkSession, root: String,
       (graft.ann.PqCodebook((0 until m).map { j =>
         byJ(j).sortBy(_.getAs[Int]("c")).map(_.getAs[Seq[Float]]("cvec").toArray)
       }.toArray), residual)
+    }
+
+  /** The per-version EXECUTOR-side PQ serving sidecar (sorted cell ids +
+    * centroids + codebook) as a real Spark broadcast — fetched once per
+    * executor via the block manager, NOT serialized into every query's
+    * task binary like a plan constant. Cached per (name, version) like the
+    * other sidecars; [[GraftCatalog.releaseArtifact]] destroys it on
+    * invalidation/eviction. */
+  private def pqBroadcast(name: String, v: Int, cb: graft.ann.PqCodebook,
+      centroids: Seq[(Long, Array[Float])])
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.PqBcSidecar] =
+    versionArtifact(name, v, "pqbc") {
+      val sorted = centroids.sortBy(_._1)
+      spark.sparkContext.broadcast(org.apache.spark.sql.graft.PqBcSidecar(
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray, cb.cents, cb.ksub))
     }
 
   /** Load the flushed binary sign-code layout into a driver-local Hamming
@@ -3202,6 +3338,10 @@ object GraftCatalog {
     * cache entry, so the resident copy's (projected) entry is untouched. */
   private[collection] def releaseArtifact(v: AnyRef): Unit = v match {
     case df: DataFrame => try { df.unpersist(false); () } catch { case _: Throwable => () }
+    // the per-version PQ serving sidecar: destroy() frees the executor-side
+    // blocks; a new version re-broadcasts its own entry
+    case b: org.apache.spark.broadcast.Broadcast[_] =>
+      try { b.destroy(); () } catch { case _: Throwable => () }
     case _ => ()
   }
 

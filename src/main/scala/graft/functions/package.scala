@@ -148,6 +148,17 @@ package object functions {
                             lutsSq: Array[Array[Double]], ksub: Int): Column =
     column(PqAdcDistanceCells(expression(code), expression(cell), cellIds, lutsSq, ksub))
 
+  /** Residual ADC with EXECUTOR-BUILT tables from a per-version broadcast
+    * sidecar — ships the query (dim floats) instead of cells·m·ksub
+    * doubles per request; tables bit-identical to
+    * [[pq_adc_distance_cells]]'s (PqSpec pins it). `query` must be a
+    * plan constant (literal / prepared placeholder). */
+  def pq_adc_distance_cells_bc(code: Column, cell: Column, query: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.PqBcSidecar]): Column =
+    column(PqAdcDistanceCellsBc(expression(code), expression(cell),
+      expression(query), bc))
+
   /** F6-F8: encode a float32 vector column as f16 / bf16 / f8. */
   def quantize(v: Column, format: String): Column =
     column(QuantizeVector(expression(v), format))

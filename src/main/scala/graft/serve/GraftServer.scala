@@ -394,8 +394,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val overFetch = intOr(req, "overFetch", 4)
         val nprobe = (req \ "nprobe").toOption.map(num(_).toInt)
         val pqFilter = optFilter(req)
-        withVacuumRecovery(name)(
-          rowsJson(catalog.searchPq(name, vector, topK, rerank, overFetch, nprobe, pqFilter)))
+        // r12: residual layouts serve the ADC pass plan-once (query vector
+        // + probed cell set swap); raw layouts fall back inside
+        withVacuumRecovery(name) {
+          val (schema, rows) =
+            catalog.searchPqPrepared(name, vector, topK, rerank, overFetch, nprobe, pqFilter)
+          rowsJson(schema, rows)
+        }
       // two-pass binary search: Hamming prefilter over the packed
       // sign-code column, exact rerank on the stored vectors
       case ("POST", "collections" :: name :: "searchBinary" :: Nil) =>

@@ -394,3 +394,159 @@ case class PqDecode(child: Expression, cents: Array[Array[Array[Float]]])
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** The per-version IVF-PQ serving sidecar an executor needs to build ADC
+  * tables ITSELF: sorted cell ids, their centroids, and the codebook —
+  * broadcast ONCE per (collection, version), fetched once per executor via
+  * the block manager. Total bytes: cells·dim + m·ksub·dsub floats (~256 KB
+  * at the 256-cell/128-d serving config), independent of query traffic. */
+case class PqBcSidecar(cellIds: Array[Long], cents: Array[Array[Float]],
+                       cb: Array[Array[Array[Float]]], ksub: Int) {
+  require(cellIds.length == cents.length, "cellIds/centroids length mismatch")
+  require((1 until cellIds.length).forall(i => cellIds(i - 1) < cellIds(i)),
+    "cellIds must be strictly ascending (binary-searched per row)")
+}
+
+object PqBcKernel {
+  /** One cell's residual ADC table — REPLICATES `PqCodebook.adcLut` over
+    * the float residual `q − cent` bit-for-bit (float subtraction first,
+    * then double accumulation in array order), so the executor-built table
+    * equals the driver-built one exactly (PqSpec pins it). */
+  def residualLut(cb: Array[Array[Array[Float]]], cent: Array[Float],
+                  q: Array[Float], ksub: Int): Array[Double] = {
+    val m = cb.length
+    val rq = new Array[Float](q.length)
+    var i0 = 0
+    while (i0 < q.length) { rq(i0) = q(i0) - cent(i0); i0 += 1 }
+    val lut = new Array[Double](m * ksub)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val sub = cb(j)
+      var c = 0
+      while (c < sub.length) {
+        val cc = sub(c)
+        var acc = 0.0; var i = 0
+        while (i < cc.length) {
+          val t = rq(off + i).toDouble - cc(i).toDouble; acc += t * t; i += 1
+        }
+        lut(j * ksub + c) = acc
+        c += 1
+      }
+      off += sub(0).length
+      j += 1
+    }
+    lut
+  }
+}
+
+/** pq_adc_distance_cells_bc(code, cell, query): [[PqAdcDistanceCells]] with
+  * the lookup tables computed EXECUTOR-SIDE — the 100 TB form. That kernel
+  * ships cells·m·ksub doubles as a per-REQUEST plan constant (8 MB at the
+  * 256/16/256 serving config, 128 MB at 4096 cells, serialized into every
+  * query's task binary); this one ships the QUERY VECTOR (dim floats) and
+  * reads the stable per-version sidecar from a broadcast (fetched once per
+  * executor, ever), building each cell's table lazily on first touch per
+  * partition-instance — with a cell-partitioned snapshot a task usually
+  * touches ONE cell, so the per-task build is m·ksub·dsub flops, not
+  * cells×that. Tables are bit-identical to the driver-built ones
+  * ([[PqBcKernel.residualLut]]; PqSpec pins exact equality).
+  *
+  * `query` is an EXPRESSION — a literal on the plan-per-call path, a
+  * swappable placeholder on the prepared one — resolved to float[] once
+  * per partition-instance alongside the broadcast value. */
+case class PqAdcDistanceCellsBc(code: Expression, cell: Expression, query: Expression,
+                                bc: org.apache.spark.broadcast.Broadcast[PqBcSidecar])
+    extends TernaryExpression with ExpectsInputTypes {
+  // the query resolves ONCE per partition-instance — a per-row query column
+  // would silently score every row against the first row's query. Checked
+  // at ANALYSIS (construction may see an unresolved column-bridge wrapper
+  // that only folds to a Literal during resolution).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!query.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pq_adc_distance_cells_bc requires a plan-constant query " +
+          "(literal or prepared placeholder)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def first: Expression = code
+  override def second: Expression = cell
+  override def third: Expression = query
+
+  override def prettyName: String = "pq_adc_distance_cells_bc"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, LongType, ArrayType(FloatType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, cellV: Any, qV: Any): Any = {
+    // interpreted fallback: correctness path only (codegen is the data
+    // path) — build the row's cell table on demand, no shared cache
+    val s = bc.value
+    val code = v.asInstanceOf[Array[Byte]]
+    val ksub = s.ksub
+    val m = s.cb.length
+    if (code.length != m)
+      throw new IllegalArgumentException(s"code length mismatch: ${code.length} vs $m")
+    val idx = java.util.Arrays.binarySearch(s.cellIds, cellV.asInstanceOf[Long])
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"row cell $cellV is not among the layout's cells")
+    val q = qV.asInstanceOf[ArrayData].toFloatArray()
+    val lut = PqBcKernel.residualLut(s.cb, s.cents(idx), q, ksub)
+    var acc = 0.0; var j = 0
+    while (j < m) { acc += lut(j * ksub + (code(j) & 0xFF)); j += 1 }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // per-partition-instance lazies: the broadcast value, the resolved
+    // query floats, and the per-cell LUT cache (each entry built on first
+    // touch — a new generated-class instance per execution, so a prepared
+    // plan's swapped query literal re-resolves cleanly)
+    val side = ctx.addMutableState("org.apache.spark.sql.graft.PqBcSidecar", "pqBcSide")
+    val qArr = ctx.addMutableState("float[]", "pqBcQuery")
+    val lutCache = ctx.addMutableState("double[][]", "pqBcLuts")
+    nullSafeCodeGen(ctx, ev, (v, cellV, qV) => {
+      val code = ctx.freshName("code"); val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val lut = ctx.freshName("lut"); val m = ctx.freshName("m")
+      val ks = ctx.freshName("ks")
+      s"""
+         |if ($side == null) {
+         |  $side = (org.apache.spark.sql.graft.PqBcSidecar) $bcRef.value();
+         |  $qArr = $qV.toFloatArray();
+         |  $lutCache = new double[$side.cellIds().length][];
+         |}
+         |final byte[] $code = $v;
+         |final int $m = $side.cb().length;
+         |final int $ks = $side.ksub();
+         |if ($code.length != $m) {
+         |  throw new IllegalArgumentException("code length mismatch: " + $code.length + " vs " + $m);
+         |}
+         |final int $idx = java.util.Arrays.binarySearch($side.cellIds(), $cellV);
+         |if ($idx < 0) {
+         |  throw new IllegalArgumentException("row cell " + $cellV + " is not among the layout's cells");
+         |}
+         |double[] $lut = $lutCache[$idx];
+         |if ($lut == null) {
+         |  $lut = org.apache.spark.sql.graft.PqBcKernel.residualLut(
+         |    $side.cb(), $side.cents()[$idx], $qArr, $ks);
+         |  $lutCache[$idx] = $lut;
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut[$j * $ks + ($code[$j] & 0xFF)];
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(code = f, cell = s, query = t)
+}

@@ -382,4 +382,42 @@ class CatalogPqSpec extends SparkSpec {
     cat.flush("pqe")
     assert(cat.searchPq("pqe", q, topK = 3).count() === 0)
   }
+
+  test("PREPARED pass-1 equals searchPq bit-for-bit: rerank on/off × probed/full × " +
+      "filters × delta chains on the residual layout; raw layouts fall back equal (r12)") {
+    def cmp(cat: GraftCatalog, name: String, q: Array[Float], rerank: Boolean,
+            nprobe: Option[Int], f: Option[FilterExpr], tag: String): Unit = {
+      val want = cat.searchPq(name, q, topK = 8, rerank = rerank, overFetch = 3,
+        nprobe = nprobe, filter = f).collect().map(_.toSeq).toSeq
+      val (schema, rows) = cat.searchPqPrepared(name, q, topK = 8, rerank = rerank,
+        overFetch = 3, nprobe = nprobe, filter = f)
+      assert(schema.fieldNames.toSeq === Seq("id", "dist"), tag)
+      assert(rows.map(_.toSeq) === want, tag)
+    }
+    // residual IVF-PQ layout — the prepared path proper
+    val cat = newCatalog()
+    cat.createCollection(pqMeta("pqprep", ivf = Some(4)))
+    cat.loadCollection("pqprep")
+    cat.insert("pqprep", fixtureRows(80, 16))
+    cat.flush("pqprep")
+    val rnd = new scala.util.Random(17)
+    def rq() = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val f = Some(FilterExpr.Single("label", FilterExpr.Lt, 40L): FilterExpr)
+    for (i <- 1 to 5; rerank <- Seq(true, false); np <- Seq(None, Some(2)); ff <- Seq(None, f))
+      cmp(cat, "pqprep", rq(), rerank, np, ff, s"q$i rerank=$rerank np=$np f=$ff")
+    // a delta fold publishes a new version → new anchor → recompile; the
+    // put's residual code came from the base's persisted sidecars
+    cat.insert("pqprep", fixtureRows(81, 16).where(col("id") === "080"))
+    cat.flushDelta("pqprep")
+    cmp(cat, "pqprep", rq(), rerank = true, nprobe = None, f = None, "post-fold")
+    // raw (cells-less) layout: the single query LUT is a plan constant by
+    // design — the prepared call must FALL BACK and still agree
+    val cat2 = newCatalog()
+    cat2.createCollection(pqMeta("pqraw"))
+    cat2.loadCollection("pqraw")
+    cat2.insert("pqraw", fixtureRows(60, 16))
+    cat2.flush("pqraw")
+    cmp(cat2, "pqraw", rq(), rerank = true, nprobe = None, f = None, "raw fallback")
+    cmp(cat2, "pqraw", rq(), rerank = false, nprobe = None, f = None, "raw adc fallback")
+  }
 }

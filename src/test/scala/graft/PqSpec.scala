@@ -357,4 +357,60 @@ class PqSpec extends SparkSpec {
     assert(out(1L) === false)
     assert(out(2L) === true)
   }
+
+  test("broadcast-LUT residual ADC == plan-constant residual ADC, bit-for-bit " +
+      "(r12 — the executor-built tables, codegen AND interpreted)") {
+    val r = new scala.util.Random(31)
+    val dim = 16; val m = 4; val dsub = dim / m; val ksub = 8; val cells = 5
+    val cents = (0 until m).map(_ => Array.fill(ksub)(Array.fill(dsub)(
+      r.nextFloat() * 4 - 2))).toArray
+    val cb = PqCodebook(cents)
+    val cellCents = (0 until cells).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 4 - 2))).toSeq
+    val q = Array.fill(dim)(r.nextFloat() * 4 - 2)
+    // kernel-level first: the executor-built table must equal the
+    // driver-built one EXACTLY (same float residual, same double order)
+    val (ids, luts) = Pq.residualLuts(cb, q, cellCents)
+    ids.indices.foreach { i =>
+      val built = org.apache.spark.sql.graft.PqBcKernel.residualLut(
+        cb.cents, cellCents.find(_._1 == ids(i)).get._2, q, ksub)
+      assert(java.util.Arrays.equals(built, luts(i)), s"cell ${ids(i)} LUT drifted")
+    }
+    // expression-level: per-row exact double equality over random codes
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (i % cells).toLong, Array.fill(m)((r.nextInt(ksub)).toByte))
+    }.toDF("id", "cell", "code")
+    val bc = spark.sparkContext.broadcast(org.apache.spark.sql.graft.PqBcSidecar(
+      ids, cellCents.sortBy(_._1).map(_._2).toArray, cb.cents, ksub))
+    try {
+      val both = rows.select(col("id"),
+        pq_adc_distance_cells(col("code"), col("cell"), ids, luts, ksub).as("a"),
+        pq_adc_distance_cells_bc(col("code"), col("cell"),
+          lit(q), bc).as("b"))
+      val got = both.collect()
+      got.foreach(r2 => assert(
+        java.lang.Double.doubleToRawLongBits(r2.getDouble(1)) ===
+          java.lang.Double.doubleToRawLongBits(r2.getDouble(2)), s"row ${r2.getLong(0)}"))
+      // interpreted parity (the non-codegen fallback path)
+      val wsBefore = spark.conf.get("spark.sql.codegen.wholeStage")
+      val fmBefore = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        val gotI = both.collect()
+        gotI.foreach(r2 => assert(
+          java.lang.Double.doubleToRawLongBits(r2.getDouble(1)) ===
+            java.lang.Double.doubleToRawLongBits(r2.getDouble(2)), s"interp ${r2.getLong(0)}"))
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", wsBefore)
+        spark.conf.set("spark.sql.codegen.factoryMode", fmBefore)
+      }
+      // a per-row (non-constant) query column refuses at analysis
+      val exQ = intercept[Exception] {
+        rows.select(pq_adc_distance_cells_bc(col("code"), col("cell"),
+          array_repeat(col("id").cast("float"), dim), bc)).collect()
+      }
+      assert(exQ.getMessage.contains("plan-constant query"), exQ.getMessage)
+    } finally { bc.destroy(); () }
+  }
 }
