@@ -1161,7 +1161,11 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           val chainProbe = perReq("serve_ivf_chain_1m")(
             v => cat.searchIvf("sv", v, 10, nprobe = 8).collect(): Unit)
-          Seq("indexed_delta_flush_10k_1m" -> dt) ++ chainProbe
+          // r12: the prepared probe anchors on the CHAIN's folded-state
+          // artifact, so plan-once composes with delta segments too
+          val chainPrepared = perReq("serve_ivf_chain_prepared_1m")(
+            v => cat.searchIvfPrepared("sv", v, 10, nprobe = 8): Unit)
+          Seq("indexed_delta_flush_10k_1m" -> dt) ++ chainProbe ++ chainPrepared
         } catch { case ex: Throwable =>
           errors("indexed_delta_flush_10k_1m") = Option(ex.getMessage)
             .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
