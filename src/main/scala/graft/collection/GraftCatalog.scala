@@ -3338,10 +3338,15 @@ object GraftCatalog {
     * cache entry, so the resident copy's (projected) entry is untouched. */
   private[collection] def releaseArtifact(v: AnyRef): Unit = v match {
     case df: DataFrame => try { df.unpersist(false); () } catch { case _: Throwable => () }
-    // the per-version PQ serving sidecar: destroy() frees the executor-side
-    // blocks; a new version re-broadcasts its own entry
+    // the per-version PQ serving sidecar: unpersist() (NOT destroy) — a
+    // cached prepared plan in the SEPARATE prepared-LRU may still reference
+    // this broadcast after an artifact-LRU eviction, and a destroyed
+    // broadcast throws on its next use where an unpersisted one re-ships
+    // from the driver copy (which the ContextCleaner destroys once the
+    // last plan referencing it is collected — the persisted-DataFrame
+    // lifecycle)
     case b: org.apache.spark.broadcast.Broadcast[_] =>
-      try { b.destroy(); () } catch { case _: Throwable => () }
+      try { b.unpersist(false); () } catch { case _: Throwable => () }
     case _ => ()
   }
 
