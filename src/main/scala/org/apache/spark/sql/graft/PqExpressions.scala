@@ -405,6 +405,14 @@ case class PqBcSidecar(cellIds: Array[Long], cents: Array[Array[Float]],
   require(cellIds.length == cents.length, "cellIds/centroids length mismatch")
   require((1 until cellIds.length).forall(i => cellIds(i - 1) < cellIds(i)),
     "cellIds must be strictly ascending (binary-searched per row)")
+  // the PqCodebook.adcLut contract, enforced ONCE at broadcast build: a
+  // truncated/over-full sidecar subspace must refuse loudly here, not
+  // leave zero (or corrupted) LUT regions that silently promote rows into
+  // the served top-K
+  require(cb.nonEmpty, "empty codebook")
+  cb.zipWithIndex.foreach { case (sub, j) =>
+    require(sub.length == ksub, s"subspace $j has ${sub.length} codewords, expected $ksub")
+  }
 }
 
 object PqBcKernel {
@@ -415,6 +423,12 @@ object PqBcKernel {
   def residualLut(cb: Array[Array[Array[Float]]], cent: Array[Float],
                   q: Array[Float], ksub: Int): Array[Double] = {
     val m = cb.length
+    var jv = 0 // adcLut's per-subspace count check (direct callers bypass
+    while (jv < m) { // the sidecar constructor's validation)
+      require(cb(jv).length == ksub,
+        s"subspace $jv has ${cb(jv).length} codewords, expected $ksub")
+      jv += 1
+    }
     val rq = new Array[Float](q.length)
     var i0 = 0
     while (i0 < q.length) { rq(i0) = q(i0) - cent(i0); i0 += 1 }
@@ -481,9 +495,16 @@ case class PqAdcDistanceCellsBc(code: Expression, cell: Expression, query: Expre
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // interpreted fallback's per-INSTANCE caches, mirroring the codegen
+  // path's mutable state — tasks deserialize their own expression tree, so
+  // these are per-task, never shared across threads. Without them the
+  // fallback rebuilds the full residual table per ROW (~33k flops at the
+  // 16/256/8 config — minutes over 1M rows where the cached form is the
+  // same m lookups as the plan-constant kernel). The query is enforced
+  // plan-constant (checkInputDataTypes), so caching it is sound.
+  @transient private[this] var evalLuts: Array[Array[Double]] = _
+
   override def nullSafeEval(v: Any, cellV: Any, qV: Any): Any = {
-    // interpreted fallback: correctness path only (codegen is the data
-    // path) — build the row's cell table on demand, no shared cache
     val s = bc.value
     val code = v.asInstanceOf[Array[Byte]]
     val ksub = s.ksub
@@ -494,8 +515,13 @@ case class PqAdcDistanceCellsBc(code: Expression, cell: Expression, query: Expre
     if (idx < 0)
       throw new IllegalArgumentException(
         s"row cell $cellV is not among the layout's cells")
-    val q = qV.asInstanceOf[ArrayData].toFloatArray()
-    val lut = PqBcKernel.residualLut(s.cb, s.cents(idx), q, ksub)
+    if (evalLuts == null) evalLuts = new Array[Array[Double]](s.cellIds.length)
+    var lut = evalLuts(idx)
+    if (lut == null) {
+      lut = PqBcKernel.residualLut(s.cb, s.cents(idx),
+        qV.asInstanceOf[ArrayData].toFloatArray(), ksub)
+      evalLuts(idx) = lut
+    }
     var acc = 0.0; var j = 0
     while (j < m) { acc += lut(j * ksub + (code(j) & 0xFF)); j += 1 }
     math.sqrt(acc)

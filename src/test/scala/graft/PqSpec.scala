@@ -411,6 +411,18 @@ class PqSpec extends SparkSpec {
           array_repeat(col("id").cast("float"), dim), bc)).collect()
       }
       assert(exQ.getMessage.contains("plan-constant query"), exQ.getMessage)
+      // a truncated codebook subspace refuses LOUDLY at sidecar build —
+      // never a zero LUT region silently promoting rows (review finding)
+      val exCb = intercept[IllegalArgumentException] {
+        org.apache.spark.sql.graft.PqBcSidecar(
+          ids, cellCents.sortBy(_._1).map(_._2).toArray,
+          cb.cents.updated(1, cb.cents(1).take(ksub - 2)), ksub)
+      }
+      assert(exCb.getMessage.contains("codewords"), exCb.getMessage)
+      assert(intercept[IllegalArgumentException] {
+        org.apache.spark.sql.graft.PqBcKernel.residualLut(
+          cb.cents.updated(0, cb.cents(0).take(1)), cellCents.head._2, q, ksub)
+      }.getMessage.contains("codewords"))
     } finally { bc.destroy(); () }
   }
 }
