@@ -220,6 +220,11 @@ object Ann {
     centroids
       .map { case (cid, cvec) =>
         (cid, LocalIvfIndex.round6(distLocal(cvec, queryVec, metric))) }
+      // a corrupt (NaN-distance) query admits NO centroid — empty result,
+      // never the nprobe id-smallest cells with meaningless NaN scores
+      // (LocalIvfIndex.selectCells' r11 contract, now ONE rule across all
+      // four probe implementations)
+      .filterNot(_._2.isNaN)
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
 

@@ -443,9 +443,11 @@ case class VecTopCells(child: Expression, cids: Array[Long],
         throw new IllegalArgumentException(
           s"vector dimension mismatch: ${a.length} vs ${cents(c).length}")
       val d = dist(a, cents(c))
+      // a NaN distance (corrupt query) admits nothing — the r11
+      // selectCells contract, ONE rule across all probe implementations;
       // rounding can only matter when d lands within the rounding window of
       // the current cut (the worst kept distance) — see VecArgMinDistance
-      if (filled < np || d < bestRd(filled - 1) + 1e-6 + 4.0 * Math.ulp(d)) {
+      if (!d.isNaN && (filled < np || d < bestRd(filled - 1) + 1e-6 + 4.0 * Math.ulp(d))) {
         val rd = round6(d)
         var pos = filled
         while (pos > 0 && rd < bestRd(pos - 1)) pos -= 1
@@ -490,7 +492,9 @@ case class VecTopCells(child: Expression, cids: Array[Long],
          |  {
          |    $distBody
          |  }
-         |  if ($filled < $np || $d < $bestRd[$filled - 1] + 1e-6 + 4.0 * Math.ulp($d)) {
+         |  // NaN admits nothing (the ONE probe contract; NaN would also
+         |  // throw inside BigDecimal.valueOf)
+         |  if (!Double.isNaN($d) && ($filled < $np || $d < $bestRd[$filled - 1] + 1e-6 + 4.0 * Math.ulp($d))) {
          |    final double $rd = java.math.BigDecimal.valueOf($d)
          |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
          |    int $pos = $filled;

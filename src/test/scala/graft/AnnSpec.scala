@@ -163,6 +163,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("NaN query admits NO cells on every probe path: top_cells kernel, " +
+      "probeCells, and a knnJoin row (r12 — one contract, matching selectCells)") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+    // kernel (codegen): empty array — pre-r12 this THREW inside
+    // BigDecimal.valueOf(NaN) on the codegen path and returned the
+    // id-smallest filler cells on the interpreted one
+    val out = Seq(Tuple1(Seq(Float.NaN, 0.0f))).toDF("v")
+      .select(graft.functions.top_cells(col("v"), cents, "euclidean", 2))
+      .head().getSeq[Long](0)
+    assert(out === Seq.empty)
+    // driver-side probe
+    assert(Ann.probeCells(cents, Array(Float.NaN, 0f), 2, "euclidean") === Seq.empty)
+    // a corrupt query ROW in a knnJoin probes nothing → contributes no
+    // output rows, instead of crashing the whole batch job
+    val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Ann.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val qs = Seq((100L, Seq(Float.NaN, 0.0f)), (101L, Seq(1.0f, 0.1f)))
+      .toDF("qid", "qvec")
+    val got = Ann.knnJoin(assigned, qs, k = 2, "vec_id", "embedding", "qid", "qvec",
+        cents, nprobe = 2).collect().map(_.getAs[Long]("qid")).toSet
+    assert(got === Set(101L), s"only the sane query may produce rows: $got")
+  }
+
   test("top_cells: exact rounded ties resolve to the lower cid") {
     import spark.implicits._
     // two IDENTICAL centroids under different cids: every distance ties

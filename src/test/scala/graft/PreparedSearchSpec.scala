@@ -405,6 +405,24 @@ class PreparedSearchSpec extends SparkSpec {
         viaIvf(cat, "pvf", q, 10, 4, filt), s"filter $filt")
   }
 
+  test("prepared probed search with a NaN query: the EMPTY probed set swaps in " +
+      "cleanly (no cells admitted → no rows, never an error or filler cells)") {
+    val cat = newCatalog()
+    cat.createCollection(ivfMeta("pvn"))
+    cat.loadCollection("pvn")
+    cat.insert("pvn", rows(100, seed = 6))
+    cat.flush("pvn")
+    // warm the shape with a real query so the NaN request is a cache HIT
+    // executing a swapped EMPTY cell array
+    viaIvfPrepared(cat, "pvn", vecs(1, seed = 61).head, 5, 2)
+    val nan = Array.fill(dim)(Float.NaN)
+    val (_, rs) = cat.searchIvfPrepared("pvn", nan, 5, 2)
+    assert(rs.isEmpty, s"NaN probe must admit no cells: $rs")
+    // ...and the plan-per-call path holds the same contract (r12: the
+    // NaN-admits-nothing rule unified across all four probe paths)
+    assert(cat.searchIvf("pvn", nan, 5, 2).count() === 0L)
+  }
+
   test("prepared probed search over a delta chain: post-fold rows serve; " +
       "a new version invalidates by construction") {
     val cat = newCatalog()
