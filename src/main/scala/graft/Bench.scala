@@ -36,6 +36,11 @@ import graft.functions._
 object Bench {
   private val Baseline1mFlatScanSec = 0.025 // UPDATE-LOG.md:107 midpoint (parallel)
 
+  /** Per-row dispersion + IO record for BENCH_full's `row_stats` (r12
+    * VERDICT #3). Bytes are the MEDIAN rep's task-level deltas. */
+  case class RowStat(reps: Int, minSec: Double, medSec: Double, maxSec: Double,
+                     bytesRead: Long, shuffleWrite: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,10 +79,38 @@ object Bench {
 
     val errors = mutable.LinkedHashMap.empty[String, String]
 
+    // r13 (r12 VERDICT #3): every row ships its dispersion + IO so the
+    // artifact is self-describing under host noise — a heavyweight row
+    // reading the SAME bytes 2× slower is a machine window; one reading
+    // MORE bytes is a plan regression. Keyed by row name; per-rep bytes
+    // are the MEDIAN rep's delta (a first-rep cold sidecar read must not
+    // masquerade as the row's steady IO).
+    val rowStats = mutable.LinkedHashMap.empty[String, Bench.RowStat]
+    val io = new org.apache.spark.sql.graft.BenchMetrics(spark.sparkContext)
+    def measured(fn: => Unit): (Double, Long, Long) = {
+      val (b0, s0) = io.snapshot()
+      val t0 = System.nanoTime(); fn
+      val t = (System.nanoTime() - t0) / 1e9
+      val (b1, s1) = io.snapshot()
+      (t, b1 - b0, s1 - s0)
+    }
+    def recordStats(name: String, ts: Seq[Double], bytes: Seq[Long],
+                    shuffle: Seq[Long]): Unit = {
+      val s = ts.sorted
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      def medLong(xs: Seq[Long]): Long =
+        if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+      rowStats(name) =
+        Bench.RowStat(s.size, s.head, med, s.last, medLong(bytes), medLong(shuffle))
+    }
+
     def timed(name: String, runs: Int = 2, stat: String = "min")(fn: => Unit): Double = {
-      def once(): Double = { val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
       try {
-        val ts = (1 to runs).map(_ => once()).sorted
+        val rs = (1 to runs).map(_ => measured(fn))
+        val ts = rs.map(_._1).sorted
+        recordStats(name, rs.map(_._1), rs.map(_._2), rs.map(_._3))
         stat match {
           // Median for the one-shot heavyweight stages (train/assign/encode):
           // min-of-2 still handed the number to whichever GC/compile window
@@ -246,11 +279,13 @@ object Bench {
       // slow windows the r6 ledger documents, at trivial wall cost); the
       // 10M suite's longer reps keep 16.
       val samples = Array.fill(suite.size)(mutable.ArrayBuffer.empty[Double])
+      val ioSamples = Array.fill(suite.size)(mutable.ArrayBuffer.empty[(Long, Long)])
       val failed = Array.fill(suite.size)(false)
       for (_ <- 0 until reps; ((name, fn), qi) <- suite.zipWithIndex if !failed(qi)) {
         try {
-          val t0 = System.nanoTime(); fn()
-          samples(qi) += (System.nanoTime() - t0) / 1e9
+          val (t, b, s) = measured(fn())
+          samples(qi) += t
+          ioSamples(qi) += ((b, s))
         } catch {
           case e: Throwable =>
             failed(qi) = true
@@ -265,6 +300,8 @@ object Bench {
           val med =
             if (sorted.size % 2 == 1) sorted(sorted.size / 2)
             else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+          recordStats(name, samples(qi).toSeq,
+            ioSamples(qi).map(_._1).toSeq, ioSamples(qi).map(_._2).toSeq)
           Seq(name -> sorted.head, s"${name}_med" -> med)
         }
       }
@@ -565,9 +602,9 @@ object Bench {
           if (t >= prev / 1.15 && t <= prev * 1.15) steady += 1 else steady = 0
           i += 1
         }
-        val ts = (1 to 8).map { _ =>
-          val t0 = System.nanoTime(); df.collect(); (System.nanoTime() - t0) / 1e9
-        }.sorted
+        val rs = (1 to 8).map(_ => measured { df.collect(): Unit })
+        recordStats(name, rs.map(_._1), rs.map(_._2), rs.map(_._3))
+        val ts = rs.map(_._1).sorted
         Seq(name -> ts.head, s"${name}_med" -> (ts(3) + ts(4)) / 2)
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage)
@@ -626,11 +663,26 @@ object Bench {
         val tProbe = timed("serve_multi_ivf_10m", runs = 3) {
           cat.searchMultiIvf("mvt", fqs(), 10, nprobe = 8).collect(): Unit
         }
+        // r13 (VERDICT #1): the prepared (plan-once) route beside the
+        // plan-per-call row. The r12 driver's 2.48 s probed reading vs the
+        // 0.163 s band decomposed to COLD PRUNED I/O, not a software fixed
+        // cost (MultiIvfServeProbe: build+analyze+optimize+plan ≈ 25 ms
+        // p50, exec1 ≈ exec2, no session-age growth — PLANS.md r13): each
+        // rep's fresh random query probes DIFFERENT cells (~300 MB of
+        // never-read files at 10M), while the full arm's min-of-2 gets one
+        // page-warm rep — an asymmetric protocol, now self-describing via
+        // row_stats bytes_read. The prepared row removes the remaining
+        // plan-per-call cost and is the serving layer's actual route.
+        cat.searchMultiIvfPrepared("mvt", fqs(), 10, nprobe = 8) // warm/compile
+        val tPrep = timed("serve_multi_ivf_prep_10m", runs = 3) {
+          cat.searchMultiIvfPrepared("mvt", fqs(), 10, nprobe = 8): Unit
+        }
         val tFull = timed("serve_multi_full_10m", runs = 2) {
           cat.searchMultiIvf("mvt", fqs(), 10, nprobe = 256).collect(): Unit
         }
         Seq("multi_ivf_flush_10m" -> tFlush,
           "serve_multi_ivf_10m" -> tProbe,
+          "serve_multi_ivf_prep_10m" -> tPrep,
           "serve_multi_full_10m" -> tFull)
       } finally cat.dropCollection("mvt")
     }
@@ -1178,11 +1230,12 @@ object Bench {
         // over the snapshot), then in-process probes with no job dispatch;
         // per-request timing over 200 reps (sub-ms latencies need more
         // samples than the 12-rep Spark rows)
+        var localIdx: graft.ann.LocalMultiIndex = null
         val localRows = try {
-          var idx: graft.ann.LocalMultiIndex = null
           val tLoad = timed("multi_local_load_1m", runs = 1) {
-            idx = cat.localMultiIndex("mvb")
+            localIdx = cat.localMultiIndex("mvb")
           }
+          val idx = localIdx
           def prep(fs: Seq[graft.operators.MultiVectorSearch.FieldQuery]) =
             fs.map(f => graft.ann.LocalMultiIndex.FieldQ(f.vectorCol,
               graft.collection.GraftCatalog.prepareQueryVector(
@@ -1201,6 +1254,27 @@ object Bench {
             .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
           Seq.empty[(String, Double)]
         }
+        // r13 (VERDICT #2): price the O(changes) fold of a 10k delta into
+        // the resident CFLAT rung against multi_local_load_1m's O(corpus)
+        // reload — the row that was 15-32 s. Runs LAST (it mutates the
+        // collection and turns the head into a delta chain, which must not
+        // contaminate the snapshot-serving rows above).
+        def refreshRows(): Seq[(String, Double)] = try {
+          if (localIdx == null) Seq.empty
+          else {
+            cat.insert("mvb", e.where(col("vec_id") < 10000)
+              .select(col("vec_id").cast("string").as("id"),
+                reverse(col("embedding")).as("v0"), col("embedding").as("v1")))
+            cat.flushDelta("mvb")
+            Seq("local_refresh_10k_1m" -> timed("local_refresh_10k_1m", runs = 1) {
+              localIdx = cat.refreshLocalMultiIndex("mvb", localIdx, 1)._1
+            })
+          }
+        } catch { case ex: Throwable =>
+          errors("local_refresh_10k_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
         Seq("multi_ivf_flush_1m" -> tFlush) ++
           perReq("serve_multi_flat_1m")(fs =>
             cat.searchMulti("mvb", fs, 10).collect(): Unit) ++
@@ -1215,7 +1289,7 @@ object Bench {
           // vectors and the probed cell set swap per request
           perReq("serve_multi_ivf_prepared_1m")(fs =>
             cat.searchMultiIvfPrepared("mvb", fs, 10, nprobe = 8): Unit) ++
-          localRows
+          localRows ++ refreshRows()
       } finally cat.dropCollection("mvb")
     } catch { case ex: Throwable =>
       errors("multi_ivf_1m") = Option(ex.getMessage)
@@ -1336,8 +1410,19 @@ object Bench {
     // and the errors. If the line would still overflow, rows drop from the
     // END of the priority list and a "queries_dropped" count records it
     // (never a silent cut).
+    // r13 (VERDICT #3): per-row dispersion + IO. Seconds at 4 dp (the
+    // row values' own precision); bytes exact.
+    val jrowStats = rowStats.map { case (k, s) =>
+      def sec(v: Double) = (math.round(v * 10000) / 10000.0).toString
+      jstr(k) + ":{\"reps\":" + s.reps + ",\"min\":" + sec(s.minSec) +
+        ",\"med\":" + sec(s.medSec) + ",\"max\":" + sec(s.maxSec) +
+        ",\"bytes_read\":" + s.bytesRead +
+        ",\"shuffle_write\":" + s.shuffleWrite + "}"
+    }.mkString("{", ",", "}")
+
     val fullJson = "{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
       ",\"queries\":" + jmap(allQueries) +
+      ",\"row_stats\":" + jrowStats +
       ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000,\"bench_bin_rows\":100000000" +
       ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
       ",\"vs_baseline\":" + jmap(vsBaseline) +
@@ -1352,19 +1437,27 @@ object Bench {
     // history. Round = 1 + the highest driver-committed BENCH_r<N>.json
     // (the driver writes one per round close); runs WITHIN a round
     // intentionally overwrite each other's file — the last pre-close run
-    // is the round's record. If a round ever closes without its
-    // BENCH_r<N>.json, the next round's first run would reuse the number;
-    // acceptable residual risk for a best-effort archive.
+    // is the round's record. r13 (ADVICE): the regexes anchor to the WHOLE
+    // filename (a stray "old_BENCH_r99.json" must not skew the round), and
+    // CORRECTNESS_r<N>.json counts as a second closed-round marker — the
+    // driver writes BOTH at round close and neither mid-round, so a round
+    // that closed with only its correctness artifact no longer gets its
+    // bench record clobbered by the next round's first run. (A round
+    // closing with NEITHER remains indistinguishable — accepted residual
+    // for a best-effort archive. Git-tracking of BENCH_full_r<N>.json is
+    // deliberately NOT a marker: the builder commits the current round's
+    // record mid-round, which would bump later same-round runs off it.)
     try {
-      val rx = "BENCH_r(\\d+)\\.json".r
+      val rx = "^(?:BENCH|CORRECTNESS)_r(\\d+)\\.json$".r
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      val prior =
+      val priorClosed =
         try listing.iterator().asScala
           .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
           .map(_.group(1).toInt).foldLeft(0)(math.max)
         finally listing.close()
+      val round = priorClosed + 1
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_full_r${prior + 1}%02d.json"),
+        java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
         (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
     } catch { case _: Exception => () } // best-effort; never fail the bench
 

@@ -93,9 +93,67 @@ final class LocalBinIndex private (
     val nStripes = math.min(stripes, ((n + per - 1) / per))
     LocalTopK.scanAndMerge((0 until nStripes).map(_.toLong), scanStripe, topK)
   }
+
+  /** O(changes) refresh — [[LocalIvfIndex.applyChanges]]'s contract on the
+    * flat Hamming rung (no cells: one filter-append compaction of the id /
+    * packed-word / meta arrays). `struck` = every winner pk; `puts` carry
+    * the segment-encoded packed byte code (ceil(dim/8) B, the chain base's
+    * thresholds — the sidecar this index already holds). Cost is one
+    * O(corpus) pass with no Spark read or re-encode, vs the full reload's
+    * snapshot stream. */
+  def applyChanges(struck: java.util.Set[AnyRef],
+                   puts: Seq[LocalBinIndex.Put]): LocalBinIndex = {
+    val specs = meta.specs
+    val nb = (dim + 7) >> 3
+    puts.foreach { p =>
+      require(p.code != null && p.code.length == nb,
+        s"put ${p.id}: code is ${if (p.code == null) "null" else s"${p.code.length} B"}, " +
+          s"layout needs ceil($dim/8)=$nb")
+      require(p.metaValues.length == specs.length,
+        s"put ${p.id}: expected ${specs.length} meta values, got ${p.metaValues.length}")
+    }
+    if (struck.isEmpty && puts.isEmpty) return this
+    val keep = Array.newBuilder[Int]
+    var i = 0
+    while (i < ids.length) {
+      if (!struck.contains(ids(i))) keep += i
+      i += 1
+    }
+    val kept = keep.result()
+    if (kept.length == ids.length && puts.isEmpty) return this
+    val n = kept.length + puts.length
+    val ids2 = new Array[AnyRef](n)
+    val words2 = new Array[Long](n * w)
+    var r = 0
+    while (r < kept.length) {
+      ids2(r) = ids(kept(r))
+      System.arraycopy(words, kept(r) * w, words2, r * w, w)
+      r += 1
+    }
+    puts.zipWithIndex.foreach { case (p, k) =>
+      ids2(kept.length + k) = p.id
+      System.arraycopy(LocalBinIndex.toWords(p.code), 0,
+        words2, (kept.length + k) * w, w)
+    }
+    val meta2 =
+      if (specs.isEmpty) meta
+      else {
+        val mb = new LocalMeta.Builder(specs)
+        kept.foreach(r2 => mb.add(meta.valuesAt(r2)))
+        puts.foreach(p => mb.add(p.metaValues))
+        mb.result()
+      }
+    new LocalBinIndex(ids2, words2, meta2, dim, thresholds, stripes)
+  }
 }
 
 object LocalBinIndex {
+
+  /** One put winner for [[LocalBinIndex.applyChanges]]: pk, the packed
+    * ceil(dim/8)-byte sign code in THIS layout's thresholds, and
+    * filter-column values aligned with the index's name-sorted
+    * [[LocalMeta.specs]]. */
+  case class Put(id: AnyRef, code: Array[Byte], metaValues: Seq[Any])
 
   private[ann] def wordsPerVec(dim: Int): Int = (((dim + 7) >> 3) + 7) >> 3
 

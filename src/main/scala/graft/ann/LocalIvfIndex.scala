@@ -147,9 +147,120 @@ final class LocalIvfIndex private (
     }
     LocalTopK.scanAndMerge(probed, scanCell, topK)
   }
+
+  /** O(changes) refresh (r13, r12 VERDICT #2): fold one delta window's LWW
+    * winners into the resident index instead of re-streaming the corpus —
+    * the in-process analog of the reference HNSW's online inserts
+    * (core/vectorindex/hnsw.go:104-167), rebuilt-index-identical
+    * (LocalRefreshSpec pins parity per storage mode).
+    *
+    * `struck` = EVERY winner pk of the window (dels AND puts — a put
+    * strikes its stale copy wherever it lives, including another cell when
+    * the row moved); `puts` = the put winners with their segment-decorated
+    * cell and STORED-form vector, meta values aligned with the name-sorted
+    * [[LocalMeta.specs]] of the built filter columns. Only cells holding a
+    * struck pk or receiving a put rebuild (copy-filter-append of flat
+    * arrays); untouched cells SHARE their arrays with the old index, so
+    * cost is O(corpus) hash probes + O(touched cells) copy — no Spark
+    * read, no decode. The centroids are the chain base's, which is exactly
+    * why the caller must only fold windows within one chain
+    * ([[graft.collection.GraftCatalog]]'s refresh seam enforces it). */
+  def applyChanges(struck: java.util.Set[AnyRef],
+                   puts: Seq[LocalIvfIndex.Put]): LocalIvfIndex = {
+    val specs = specMeta.specs
+    val qm = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
+    puts.foreach { p =>
+      val len = p.vec match {
+        case a: Array[Float] if qm == 0            => a.length
+        case a: Array[Short] if qm == 1 || qm == 2 => a.length
+        case a: Array[Byte] if qm == 3             => a.length
+        case other => throw new IllegalArgumentException(
+          s"put ${p.id}: stored form ${if (other == null) "null" else other.getClass.getSimpleName} " +
+            s"does not match index quantization '$quant'")
+      }
+      require(len == dim, s"put ${p.id}: vector is $len-dim, index dim is $dim")
+      require(p.metaValues.length == specs.length,
+        s"put ${p.id}: expected ${specs.length} meta values (${specs.map(_._1).mkString(", ")}), " +
+          s"got ${p.metaValues.length}")
+    }
+    val putsByCell = puts.groupBy(_.cell)
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (!struck.isEmpty) cellIds.forEach { (cid, ids) =>
+      if (ids.exists(struck.contains)) touched += cid: Unit
+    }
+    touched ++= putsByCell.keys
+    if (touched.isEmpty) return this
+    val newIds = new java.util.HashMap[Long, Array[AnyRef]](cellIds)
+    val newVecs = new java.util.HashMap[Long, AnyRef](cellVecs)
+    val newMeta = new java.util.HashMap[Long, LocalMeta](cellMeta)
+    touched.foreach { cid =>
+      val oldIds = Option(cellIds.get(cid)).getOrElse(Array.empty[AnyRef])
+      val oldVecs = cellVecs.get(cid)
+      val oldMeta = cellMeta.get(cid)
+      val keep = Array.newBuilder[Int]
+      var i = 0
+      while (i < oldIds.length) {
+        if (!struck.contains(oldIds(i))) keep += i
+        i += 1
+      }
+      val kept = keep.result()
+      val cellPuts = putsByCell.getOrElse(cid, Seq.empty)
+      val n = kept.length + cellPuts.length
+      if (n == 0) { newIds.remove(cid); newVecs.remove(cid); newMeta.remove(cid) }
+      else {
+        val ids2 = new Array[AnyRef](n)
+        var j = 0
+        while (j < kept.length) { ids2(j) = oldIds(kept(j)); j += 1 }
+        cellPuts.zipWithIndex.foreach { case (p, k) => ids2(kept.length + k) = p.id }
+        // generic is erasure-safe here: rows move only via System.arraycopy
+        // (no element reads), so no boxing on the primitive arrays
+        def copyRows[T](
+            old: Array[T], out: Array[T], putVec: Int => Array[T]): AnyRef = {
+          var r = 0
+          while (r < kept.length) {
+            System.arraycopy(old, kept(r) * dim, out, r * dim, dim); r += 1
+          }
+          var k = 0
+          while (k < cellPuts.length) {
+            System.arraycopy(putVec(k), 0, out, (kept.length + k) * dim, dim); k += 1
+          }
+          out.asInstanceOf[AnyRef]
+        }
+        val vecs2: AnyRef = qm match {
+          case 0 => copyRows(
+            if (oldVecs == null) Array.empty[Float] else oldVecs.asInstanceOf[Array[Float]],
+            new Array[Float](n * dim), k => cellPuts(k).vec.asInstanceOf[Array[Float]])
+          case 1 | 2 => copyRows(
+            if (oldVecs == null) Array.empty[Short] else oldVecs.asInstanceOf[Array[Short]],
+            new Array[Short](n * dim), k => cellPuts(k).vec.asInstanceOf[Array[Short]])
+          case _ => copyRows(
+            if (oldVecs == null) Array.empty[Byte] else oldVecs.asInstanceOf[Array[Byte]],
+            new Array[Byte](n * dim), k => cellPuts(k).vec.asInstanceOf[Array[Byte]])
+        }
+        newIds.put(cid, ids2)
+        newVecs.put(cid, vecs2)
+        if (specs.nonEmpty) {
+          val mb = new LocalMeta.Builder(specs)
+          val src = if (oldMeta == null) LocalMeta.Empty else oldMeta
+          kept.foreach(r => mb.add(src.valuesAt(r)))
+          cellPuts.foreach(p => mb.add(p.metaValues))
+          newMeta.put(cid, mb.result())
+        }
+      }
+    }
+    new LocalIvfIndex(centroids, newIds, newVecs, newMeta, specMeta, dim, metric, quant)
+  }
 }
 
 object LocalIvfIndex {
+
+  /** One put winner for [[LocalIvfIndex.applyChanges]]: pk, its
+    * segment-assigned cell, the STORED-form vector (float[]/short[]/byte[]
+    * matching the index quantization), and filter-column values aligned
+    * with the index's name-sorted [[LocalMeta.specs]]. */
+  case class Put(id: AnyRef, cell: Long, vec: AnyRef, metaValues: Seq[Any])
 
   /** The `nprobe` nearest cell ids by insertion into primitive parallel
     * arrays — no tuple boxing, no full sort of k cells; the

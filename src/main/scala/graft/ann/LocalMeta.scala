@@ -28,6 +28,22 @@ final class LocalMeta private (cols: Map[String, LocalMeta.Col]) extends Seriali
   def columns: Set[String] = cols.keySet
   def isEmpty: Boolean = cols.isEmpty
 
+  @transient private lazy val sortedCols: Seq[(String, LocalMeta.Col)] =
+    cols.toSeq.sortBy(_._1)
+
+  /** The built (column, fieldType) spec in a DETERMINISTIC (name-sorted)
+    * order — the contract for [[valuesAt]] and for the value order an
+    * incremental refresh must supply puts in ([[Builder]] built with this
+    * spec accepts exactly [[valuesAt]]'s row shape). */
+  private[ann] def specs: Seq[(String, String)] =
+    sortedCols.map { case (n, c) => (n, c.kind) }
+
+  /** Row `i`'s values aligned with [[specs]] (null for a null slot) — the
+    * read-back seam the incremental cell rebuild uses to re-feed a
+    * [[Builder]] without keeping the source rows around. */
+  private[ann] def valuesAt(i: Int): Seq[Any] =
+    sortedCols.map(_._2.valueAt(i))
+
   /** Compile a conjunctive-EQ filter into a row predicate over this store.
     * Unknown column or incomparable probe type → IllegalArgumentException
     * at compile time (once per request), never a wrong scan. */
@@ -58,9 +74,15 @@ object LocalMeta {
   sealed trait Col extends Serializable {
     /** A per-row EQ test for probe value `v`; throws on incomparable types. */
     def eqTest(name: String, v: Any): Int => Boolean
+    /** Declared field type this column was built as ([[LocalMeta.specs]]). */
+    def kind: String
+    /** Row `i`'s value (null when the slot is null) — [[LocalMeta.valuesAt]]. */
+    def valueAt(i: Int): Any
   }
 
   private final class LongCol(vals: Array[Long], nulls: Array[Boolean]) extends Col {
+    def kind = "integer"
+    def valueAt(i: Int): Any = if (nulls(i)) null else vals(i)
     def eqTest(name: String, v: Any): Int => Boolean = v match {
       case n: Long    => i => !nulls(i) && vals(i) == n
       case n: Int     => val x = n.toLong; i => !nulls(i) && vals(i) == x
@@ -72,6 +94,8 @@ object LocalMeta {
   }
 
   private final class DoubleCol(vals: Array[Double], nulls: Array[Boolean]) extends Col {
+    def kind = "float"
+    def valueAt(i: Int): Any = if (nulls(i)) null else vals(i)
     // Spark SQL's EqualTo on doubles: NaN = NaN is TRUE (and -0.0 = 0.0 is
     // TRUE, which IEEE == already gives) — `eqD` mirrors both so a NaN
     // metadata row filters identically on the local and distributed rungs
@@ -87,6 +111,8 @@ object LocalMeta {
   }
 
   private final class BoolCol(vals: Array[Boolean], nulls: Array[Boolean]) extends Col {
+    def kind = "boolean"
+    def valueAt(i: Int): Any = if (nulls(i)) null else vals(i)
     def eqTest(name: String, v: Any): Int => Boolean = v match {
       case b: Boolean => i => !nulls(i) && vals(i) == b
       case other      => badProbe(name, other, "boolean")
@@ -94,6 +120,8 @@ object LocalMeta {
   }
 
   private final class StrCol(vals: Array[String]) extends Col {
+    def kind = "string"
+    def valueAt(i: Int): Any = vals(i)
     def eqTest(name: String, v: Any): Int => Boolean = v match {
       case s: String => i => s.equals(vals(i)) // null slot → false
       case other     => badProbe(name, other, "string")

@@ -165,9 +165,106 @@ final class LocalMultiIndex private (
     LocalTopK.scanAndMerge(probed, scanCell, topK, LocalTopK.cmp8)
       .map { case (id, neg) => (id, LocalMultiIndex.round4(-neg)) }
   }
+
+  /** O(changes) refresh — [[LocalIvfIndex.applyChanges]]'s contract on the
+    * CFLAT rung: `struck` = every winner pk; `puts` carry the ROUTING
+    * field's segment-assigned cell plus one stored-form vector per
+    * declared field (aligned with this index's field order). Touched cells
+    * copy-filter-append each field's flat array; untouched cells share. */
+  def applyChanges(struck: java.util.Set[AnyRef],
+                   puts: Seq[LocalMultiIndex.Put]): LocalMultiIndex = {
+    val qm = quant match {
+      case "none" => 0; case "f16" => 1; case "bf16" => 2; case "f8" => 3
+    }
+    puts.foreach { p =>
+      require(p.vecs.length == fieldNames.length,
+        s"put ${p.id}: expected ${fieldNames.length} field vectors " +
+          s"(${fieldNames.mkString(", ")}), got ${p.vecs.length}")
+      p.vecs.zipWithIndex.foreach { case (v, fi) =>
+        val len = v match {
+          case a: Array[Float] if qm == 0            => a.length
+          case a: Array[Short] if qm == 1 || qm == 2 => a.length
+          case a: Array[Byte] if qm == 3             => a.length
+          case other => throw new IllegalArgumentException(
+            s"put ${p.id}: field ${fieldNames(fi)} stored form " +
+              s"${if (other == null) "null" else other.getClass.getSimpleName} " +
+              s"does not match index quantization '$quant'")
+        }
+        require(len == fieldDims(fi),
+          s"put ${p.id}: field ${fieldNames(fi)} is $len-dim, declared ${fieldDims(fi)}")
+      }
+    }
+    val putsByCell = puts.groupBy(_.cell)
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (!struck.isEmpty) cellIds.forEach { (cid, ids) =>
+      if (ids.exists(struck.contains)) touched += cid: Unit
+    }
+    touched ++= putsByCell.keys
+    if (touched.isEmpty) return this
+    val newIds = new java.util.HashMap[Long, Array[AnyRef]](cellIds)
+    val newVecs = new java.util.HashMap[Long, Array[AnyRef]](cellVecs)
+    touched.foreach { cid =>
+      val oldIds = Option(cellIds.get(cid)).getOrElse(Array.empty[AnyRef])
+      val oldVecs = cellVecs.get(cid)
+      val keep = Array.newBuilder[Int]
+      var i = 0
+      while (i < oldIds.length) {
+        if (!struck.contains(oldIds(i))) keep += i
+        i += 1
+      }
+      val kept = keep.result()
+      val cellPuts = putsByCell.getOrElse(cid, Seq.empty)
+      val n = kept.length + cellPuts.length
+      if (n == 0) { newIds.remove(cid); newVecs.remove(cid) }
+      else {
+        val ids2 = new Array[AnyRef](n)
+        var j = 0
+        while (j < kept.length) { ids2(j) = oldIds(kept(j)); j += 1 }
+        cellPuts.zipWithIndex.foreach { case (p, k) => ids2(kept.length + k) = p.id }
+        // rows move only via System.arraycopy — no element reads, no boxing
+        def copyField[T](fi: Int, old: Array[T], out: Array[T]): AnyRef = {
+          val dimF = fieldDims(fi)
+          var r = 0
+          while (r < kept.length) {
+            System.arraycopy(old, kept(r) * dimF, out, r * dimF, dimF); r += 1
+          }
+          var k = 0
+          while (k < cellPuts.length) {
+            System.arraycopy(cellPuts(k).vecs(fi), 0,
+              out, (kept.length + k) * dimF, dimF)
+            k += 1
+          }
+          out.asInstanceOf[AnyRef]
+        }
+        val vecs2 = Array.tabulate[AnyRef](fieldNames.length) { fi =>
+          val dimF = fieldDims(fi)
+          qm match {
+            case 0 => copyField(fi,
+              if (oldVecs == null) Array.empty[Float]
+              else oldVecs(fi).asInstanceOf[Array[Float]], new Array[Float](n * dimF))
+            case 1 | 2 => copyField(fi,
+              if (oldVecs == null) Array.empty[Short]
+              else oldVecs(fi).asInstanceOf[Array[Short]], new Array[Short](n * dimF))
+            case _ => copyField(fi,
+              if (oldVecs == null) Array.empty[Byte]
+              else oldVecs(fi).asInstanceOf[Array[Byte]], new Array[Byte](n * dimF))
+          }
+        }
+        newIds.put(cid, ids2)
+        newVecs.put(cid, vecs2)
+      }
+    }
+    new LocalMultiIndex(centroids, fieldNames, fieldDims, routingIdx,
+      newIds, newVecs, quant, metric)
+  }
 }
 
 object LocalMultiIndex {
+
+  /** One put winner for [[LocalMultiIndex.applyChanges]]: pk, the ROUTING
+    * field's segment-assigned cell, and one stored-form vector per declared
+    * field in index field order (float[]/short[]/byte[] per quantization). */
+  case class Put(id: AnyRef, cell: Long, vecs: Seq[AnyRef])
 
   /** One queried field: name, PRE-PREPARED query vector, weight ratio —
     * the [[graft.operators.MultiVectorSearch.FieldQuery]] shape without a

@@ -137,12 +137,87 @@ final class LocalPqIndex private (
       val cv = centroidByCid.get(cid)
       cb.adcLut(Array.tabulate(q.length)(i => q(i) - cv(i)))
     }
+
+  /** O(changes) refresh — [[LocalIvfIndex.applyChanges]]'s contract on the
+    * code rung: `struck` = every winner pk, `puts` = put winners with their
+    * segment-encoded m-byte code (already raw/residual per THIS layout —
+    * decorateSegment encodes against the chain base's codebook, the same
+    * sidecar this index holds) and cell (ignored on a cells-less layout).
+    * Touched cells copy-filter-append; untouched cells share arrays. */
+  def applyChanges(struck: java.util.Set[AnyRef],
+                   puts: Seq[LocalPqIndex.Put]): LocalPqIndex = {
+    val specs = specMeta.specs
+    val m = cb.m
+    puts.foreach { p =>
+      require(p.code != null && p.code.length == m,
+        s"put ${p.id}: code is ${if (p.code == null) "null" else s"${p.code.length} B"}, layout m=$m")
+      require(p.metaValues.length == specs.length,
+        s"put ${p.id}: expected ${specs.length} meta values, got ${p.metaValues.length}")
+    }
+    val putsByCell = puts.groupBy(p =>
+      if (centroids.isEmpty) LocalPqIndex.NoCell else p.cell)
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (!struck.isEmpty) cellIds.forEach { (cid, ids) =>
+      if (ids.exists(struck.contains)) touched += cid: Unit
+    }
+    touched ++= putsByCell.keys
+    if (touched.isEmpty) return this
+    val newIds = new java.util.HashMap[Long, Array[AnyRef]](cellIds)
+    val newCodes = new java.util.HashMap[Long, Array[Byte]](cellCodes)
+    val newMeta = new java.util.HashMap[Long, LocalMeta](cellMeta)
+    touched.foreach { cid =>
+      val oldIds = Option(cellIds.get(cid)).getOrElse(Array.empty[AnyRef])
+      val oldCodes = Option(cellCodes.get(cid)).getOrElse(Array.empty[Byte])
+      val oldMeta = cellMeta.get(cid)
+      val keep = Array.newBuilder[Int]
+      var i = 0
+      while (i < oldIds.length) {
+        if (!struck.contains(oldIds(i))) keep += i
+        i += 1
+      }
+      val kept = keep.result()
+      val cellPuts = putsByCell.getOrElse(cid, Seq.empty)
+      val n = kept.length + cellPuts.length
+      if (n == 0) { newIds.remove(cid); newCodes.remove(cid); newMeta.remove(cid) }
+      else {
+        val ids2 = new Array[AnyRef](n)
+        val codes2 = new Array[Byte](n * m)
+        var r = 0
+        while (r < kept.length) {
+          ids2(r) = oldIds(kept(r))
+          System.arraycopy(oldCodes, kept(r) * m, codes2, r * m, m)
+          r += 1
+        }
+        cellPuts.zipWithIndex.foreach { case (p, k) =>
+          ids2(kept.length + k) = p.id
+          System.arraycopy(p.code, 0, codes2, (kept.length + k) * m, m)
+        }
+        newIds.put(cid, ids2)
+        newCodes.put(cid, codes2)
+        if (specs.nonEmpty) {
+          val mb = new LocalMeta.Builder(specs)
+          val src = if (oldMeta == null) LocalMeta.Empty else oldMeta
+          kept.foreach(r2 => mb.add(src.valuesAt(r2)))
+          cellPuts.foreach(p => mb.add(p.metaValues))
+          newMeta.put(cid, mb.result())
+        }
+      }
+    }
+    new LocalPqIndex(centroids, newIds, newCodes, newMeta, specMeta,
+      cb, dim, metric, residual)
+  }
 }
 
 object LocalPqIndex {
 
   /** Cell key used when the layout has no IVF cells. */
   private val NoCell = -1L
+
+  /** One put winner for [[LocalPqIndex.applyChanges]]: pk, segment cell
+    * (any value on a cells-less layout), the m-byte code in THIS layout's
+    * encoding, and filter-column values aligned with the index's
+    * name-sorted [[LocalMeta.specs]]. */
+  case class Put(id: AnyRef, cell: Long, code: Array[Byte], metaValues: Seq[Any])
 
   // ordering + heap + fan-out live in [[LocalTopK]], shared with
   // LocalIvfIndex so the two serving rungs cannot drift apart

@@ -2906,6 +2906,189 @@ class GraftCatalog(spark: SparkSession, root: String,
       residual = residual, metaCols = localFilterSpecs(meta, filterColumns))
   }
 
+  // ---- O(changes) refresh of the driver-local serving rungs (r13, r12
+  // VERDICT #2). The reference HNSW takes single inserts online
+  // (core/vectorindex/hnsw.go:104-167); our batch-first split rebuilds
+  // indexes from flushed snapshots — which made every flushDelta
+  // invalidate a resident local rung into a full O(corpus) reload
+  // (multi_local_load_1m: 15-32 s; minutes at 10M). Delta segments are
+  // already O(changes) AND carry their layout columns (decorateSegment
+  // encodes cell / PQ / bin codes against the chain base's sidecars at
+  // segment-write time), so a resident index built at version P folds the
+  // (P, head] window's LWW winners in place of a reload: strike every
+  // winner pk, append put winners in stored form. Parity with the
+  // rebuilt index is pinned per rung and storage mode (LocalRefreshSpec).
+
+  /** The delta window an index built at `prevHead` can FOLD to reach
+    * `head`: defined only when both share one chain base (sidecars —
+    * centroids / codebook / thresholds — are the base's; a new base means
+    * new artifacts, so a fold would mis-encode) and `prevHead` is itself a
+    * state of that chain. None ⇒ the caller must rebuild. */
+  private def refreshWindow(name: String, prevHead: Int, head: Int): Option[Range] =
+    if (prevHead >= head) None
+    else chainBaseOpt(name, head) match {
+      case Some(base) if prevHead >= base &&
+          (prevHead == base || isDeltaVersion(name, prevHead)) =>
+        Some(prevHead + 1 to head)
+      case _ => None
+    }
+
+  /** One window's LWW winners for a local-rung fold: (struck pk set —
+    * EVERY winner, del and put, so a moved row's stale copy strikes
+    * wherever it lives —, put winner rows with `cols` starting at index 2). */
+  private def refreshWinners(name: String, meta: CollectionMeta, window: Range,
+                             cols: Seq[Column])
+      : (java.util.HashSet[AnyRef], Seq[org.apache.spark.sql.Row]) = {
+    val pk = meta.idColumn
+    val rows = ledgerWinners(name, pk, window)
+      .select(col(pk) +: col(GraftCatalog.DeltaOpCol) +: cols: _*)
+      .collect()
+    val struck = new java.util.HashSet[AnyRef](math.max(16, rows.length * 2))
+    rows.foreach(r => struck.add(r.get(0).asInstanceOf[AnyRef]))
+    (struck, rows.iterator.filter(_.getString(1) == "put").toSeq)
+  }
+
+  /** The stored-form read of a vector column, mirroring the local loaders'
+    * cast discipline (floats / f16|bf16 shorts / f8 bytes). */
+  private def storedVecCol(meta: CollectionMeta, name: String): Column =
+    meta.quantization match {
+      case "none"         => col(name).cast("array<float>")
+      case "f16" | "bf16" => col(name).cast("array<short>")
+      case _              => col(name)
+    }
+
+  private def storedVecOf(meta: CollectionMeta, r: org.apache.spark.sql.Row,
+                          i: Int): AnyRef = {
+    require(!r.isNullAt(i),
+      s"put winner ${r.get(0)} carries a null vector — segment corrupt")
+    meta.quantization match {
+      case "none"         => r.getSeq[Float](i).toArray
+      case "f16" | "bf16" => r.getSeq[Short](i).toArray
+      case _              => r.getAs[Array[Byte]](i)
+    }
+  }
+
+  private def segCellOf(r: org.apache.spark.sql.Row, i: Int): Long = {
+    require(!r.isNullAt(i),
+      s"put winner ${r.get(0)} carries a null cell — segment corrupt")
+    r.getLong(i)
+  }
+
+  /** Sorted specs for a refresh, REQUIRED to match what the index was
+    * built with — a drifted filter-column set would mis-align put meta
+    * values, so it refuses loudly (rebuild with the new columns instead). */
+  private def refreshSpecs(meta: CollectionMeta, filterColumns: Seq[String],
+                           built: Set[String]): Seq[(String, String)] = {
+    val specs = localFilterSpecs(meta, filterColumns).sortBy(_._1)
+    require(specs.map(_._1).toSet == built,
+      s"refresh filterColumns [${specs.map(_._1).mkString(", ")}] do not match the " +
+        s"built index's [${built.toSeq.sorted.mkString(", ")}] — rebuild instead")
+    specs
+  }
+
+  /** Fold the delta window since `prevVersion` into a resident
+    * [[graft.ann.LocalIvfIndex]] — O(changes) collect + touched-cell
+    * rebuild — or fall back to a full [[localIvfIndex]] when the chain
+    * base moved (flush / compaction). Returns (index, version it now
+    * serves); `prev` itself when nothing changed. */
+  def refreshLocalIvfIndex(name: String, prev: graft.ann.LocalIvfIndex,
+                           prevVersion: Int, filterColumns: Seq[String] = Nil)
+      : (graft.ann.LocalIvfIndex, Int) = {
+    val meta = getMeta(name)
+    val head = meta.currentVersion
+    if (head == prevVersion) return (prev, head)
+    refreshWindow(name, prevVersion, head) match {
+      case None => (localIvfIndex(name, filterColumns), head)
+      case Some(w) =>
+        val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
+        val payload = Seq(col(GraftCatalog.CellCol).cast("long"),
+          storedVecCol(meta, VectorCol)) ++ specs.map { case (n, _) => col(n) }
+        val (struck, putRows) = refreshWinners(name, meta, w, payload)
+        val puts = putRows.map { r =>
+          graft.ann.LocalIvfIndex.Put(r.get(0).asInstanceOf[AnyRef],
+            segCellOf(r, 2), storedVecOf(meta, r, 3),
+            specs.indices.map(j => r.get(4 + j)))
+        }
+        (prev.applyChanges(struck, puts), head)
+    }
+  }
+
+  /** [[refreshLocalIvfIndex]]'s contract on the ADC rung: put winners fold
+    * with their segment-encoded codes (raw/residual per THIS chain base's
+    * layout — the same codebook the index holds). */
+  def refreshLocalPqIndex(name: String, prev: graft.ann.LocalPqIndex,
+                          prevVersion: Int, filterColumns: Seq[String] = Nil)
+      : (graft.ann.LocalPqIndex, Int) = {
+    val meta = getMeta(name)
+    val head = meta.currentVersion
+    if (head == prevVersion) return (prev, head)
+    refreshWindow(name, prevVersion, head) match {
+      case None => (localPqIndex(name, filterColumns), head)
+      case Some(w) =>
+        val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
+        val hasCells = meta.ivfCells.isDefined &&
+          fs.exists(centroidDir(name, chainBase(name, head)))
+        val cellCol =
+          if (hasCells) col(GraftCatalog.CellCol).cast("long") else lit(-1L)
+        val payload = Seq(cellCol, col(GraftCatalog.PqCodeCol)) ++
+          specs.map { case (n, _) => col(n) }
+        val (struck, putRows) = refreshWinners(name, meta, w, payload)
+        val puts = putRows.map { r =>
+          graft.ann.LocalPqIndex.Put(r.get(0).asInstanceOf[AnyRef],
+            if (hasCells) segCellOf(r, 2) else -1L,
+            r.getAs[Array[Byte]](3), specs.indices.map(j => r.get(4 + j)))
+        }
+        (prev.applyChanges(struck, puts), head)
+    }
+  }
+
+  /** [[refreshLocalIvfIndex]]'s contract on the Hamming rung (flat — one
+    * compaction pass, no cells). */
+  def refreshLocalBinIndex(name: String, prev: graft.ann.LocalBinIndex,
+                           prevVersion: Int, filterColumns: Seq[String] = Nil)
+      : (graft.ann.LocalBinIndex, Int) = {
+    val meta = getMeta(name)
+    val head = meta.currentVersion
+    if (head == prevVersion) return (prev, head)
+    refreshWindow(name, prevVersion, head) match {
+      case None => (localBinIndex(name, filterColumns), head)
+      case Some(w) =>
+        val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
+        val payload = col(GraftCatalog.BinCol) +: specs.map { case (n, _) => col(n) }
+        val (struck, putRows) = refreshWinners(name, meta, w, payload)
+        val puts = putRows.map { r =>
+          graft.ann.LocalBinIndex.Put(r.get(0).asInstanceOf[AnyRef],
+            r.getAs[Array[Byte]](2), specs.indices.map(j => r.get(3 + j)))
+        }
+        (prev.applyChanges(struck, puts), head)
+    }
+  }
+
+  /** [[refreshLocalIvfIndex]]'s contract on the CFLAT rung: put winners
+    * fold with their ROUTING-field cell and every declared field's
+    * stored-form vector. */
+  def refreshLocalMultiIndex(name: String, prev: graft.ann.LocalMultiIndex,
+                             prevVersion: Int)
+      : (graft.ann.LocalMultiIndex, Int) = {
+    val meta = getMeta(name)
+    val head = meta.currentVersion
+    if (head == prevVersion) return (prev, head)
+    refreshWindow(name, prevVersion, head) match {
+      case None => (localMultiIndex(name), head)
+      case Some(w) =>
+        val fields = meta.vectorFields
+        val payload = col(GraftCatalog.CellCol).cast("long") +:
+          fields.map(f => storedVecCol(meta, f.name))
+        val (struck, putRows) = refreshWinners(name, meta, w, payload)
+        val puts = putRows.map { r =>
+          graft.ann.LocalMultiIndex.Put(r.get(0).asInstanceOf[AnyRef],
+            segCellOf(r, 2),
+            fields.indices.map(j => storedVecOf(meta, r, 3 + j)))
+        }
+        (prev.applyChanges(struck, puts), head)
+    }
+  }
+
   /** Files the probed cells actually read, from the PHYSICAL scan's
     * selected partitions — `inputFiles` would list the whole relation; only
     * the planned `FileSourceScanExec` reflects partition-directory pruning.

@@ -79,19 +79,23 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   /** Lazily-built driver-local serving indexes, keyed by collection —
     * serve the FLUSHED snapshot, so they invalidate on flush/drop (not on
     * resident-state mutations, which only a new flush publishes). */
-  private val localIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalIvfIndex]
+  private val localIndexes =
+    scala.collection.mutable.Map.empty[String, (Int, graft.ann.LocalIvfIndex)]
 
   /** Driver-local ADC (PQ code) indexes — the memory-scale serving rung:
     * m bytes/vector instead of 4·dim. Same flush/drop invalidation. */
-  private val localPqIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalPqIndex]
+  private val localPqIndexes =
+    scala.collection.mutable.Map.empty[String, (Int, graft.ann.LocalPqIndex)]
 
   /** Driver-local Hamming (sign-code) indexes — the density-scale serving
     * rung: ceil(dim/8) bytes/vector. Same flush/drop invalidation. */
-  private val localBinIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalBinIndex]
+  private val localBinIndexes =
+    scala.collection.mutable.Map.empty[String, (Int, graft.ann.LocalBinIndex)]
 
   /** Driver-local multi-vector (CFLAT) indexes — the point-latency rung for
     * routed multi-vector IVF layouts. Same flush/drop invalidation. */
-  private val localMultiIndexes = scala.collection.mutable.Map.empty[String, graft.ann.LocalMultiIndex]
+  private val localMultiIndexes =
+    scala.collection.mutable.Map.empty[String, (Int, graft.ann.LocalMultiIndex)]
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -214,10 +218,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "flushDelta" :: Nil) =>
         val v = catalog.flushDelta(name)
-        // serving indexes track flushed versions; a delta head has none
-        // (flushDelta rejects index layouts), but stay defensive
-        localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
-        localMultiIndexes.remove(name)
+        // r13: a delta segment is O(changes), so resident local rungs FOLD
+        // it (GraftCatalog.refreshLocal*Index) instead of being dropped
+        // into a full O(corpus) reload on the next probe — the reference
+        // HNSW's online-insert property on the batch-first split. A failed
+        // fold degrades to the old behavior (drop, lazy rebuild).
+        refreshLocalEntries(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "export" :: Nil) =>
         val dest = JsonMethods.parse(body) \ "destRoot" match {
@@ -531,7 +537,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val fields = parseMultiFields(req, "searchLocalMulti")
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
-        val idx = localMultiIndexes.getOrElseUpdate(name, catalog.localMultiIndex(name))
+        val idx = localMultiIndexes.get(name) match {
+          case Some((_, i)) => i
+          case None =>
+            // version BEFORE the build — localIndexFor's discipline
+            val version = catalog.getMeta(name).currentVersion
+            val i = catalog.localMultiIndex(name)
+            localMultiIndexes(name) = (version, i); i
+        }
         val cmeta = catalog.getMeta(name)
         // same query prep as the distributed probes (normalize when cosine,
         // quantize round-trip when quantized) — the local index serves
@@ -681,13 +694,22 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
 
   /** The (field, ratio) weight list — ONE parser for the multi audit rung
     * and `/searchBatchMulti`. */
+  /** Wire ratios accept fractions — a DOCUMENTED extension of the
+    * reference's integer contract (experimental_analyzer.go parses int) —
+    * but quantize to 2 dp at the parse boundary: the (field, ratio) list is
+    * part of every prepared-plan cache key, so a client sending computed
+    * floats (59.999999...) must land on ONE shape, not churn the LRU with
+    * per-request keys that differ only in ulps. */
+  private def parseRatio(j: JValue): Double =
+    math.rint(num(j) * 100.0) / 100.0
+
   private def parseWeights(req: JValue, route: String): Seq[(String, Double)] =
     req \ "weights" match {
       case JArray(ws) => ws.map { w =>
         (w \ "field" match {
           case JString(s) => s
           case _ => throw new IllegalArgumentException("weight requires \"field\"")
-        }, num(w \ "ratio"))
+        }, parseRatio(w \ "ratio"))
       }
       case _ => throw new IllegalArgumentException(
         s"$route requires " + "\"weights\": [{\"field\":..,\"ratio\":..}]")
@@ -705,7 +727,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             case _ => throw new IllegalArgumentException("field requires \"vectorCol\"")
           },
           queryVector = parseVector(f, "field"),
-          ratio = num(f \ "ratio"),
+          ratio = parseRatio(f \ "ratio"),
           include = (f \ "include").toOption.collect { case JBool(b) => b }.getOrElse(true))
       }
       case _ => throw new IllegalArgumentException(s"$route requires \"fields\": [..]")
@@ -806,17 +828,70 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * store, which serves unfiltered probes identically from then on. A
     * collection with NO filterable columns never upgrades — the filter
     * refuses inside search, so doomed requests don't loop rebuilds. */
-  private def localIndexFor[A](cache: scala.collection.mutable.Map[String, A],
+  /** One build lock per collection, shared by the three single-vector
+    * rung caches: a local-index (re)build is a multi-GB driver job, so two
+    * requests upgrading the SAME collection must not both run it (one
+    * build wasted + doubled peak memory), and serializing two DIFFERENT
+    * rungs of one collection is the deliberate lesser evil for the same
+    * memory reason. Today's executor is single-threaded so the lock is
+    * latent, but the cache contract should not depend on that knob. */
+  private val localBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Fold the just-published delta segment(s) into every resident local
+    * rung of `name` — O(changes) per rung — instead of dropping them into
+    * a full O(corpus) reload on the next probe. Refresh errors degrade to
+    * the pre-r13 behavior (drop the entry; the next request rebuilds) with
+    * a stderr note, never fail the flushDelta that already published. */
+  private def refreshLocalEntries(name: String): Unit = {
+    def upd[A](cache: scala.collection.mutable.Map[String, (Int, A)],
+               refresh: (A, Int) => (A, Int)): Unit =
+      cache.synchronized(cache.get(name)).foreach { case (v, idx) =>
+        try {
+          val (ni, nv) = refresh(idx, v)
+          cache.synchronized { cache(name) = (nv, ni) }
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
+                "dropping the resident index — next probe rebuilds")
+            cache.synchronized { cache.remove(name) }
+        }
+      }
+    upd(localIndexes, (i: graft.ann.LocalIvfIndex, v: Int) =>
+      catalog.refreshLocalIvfIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+    upd(localPqIndexes, (i: graft.ann.LocalPqIndex, v: Int) =>
+      catalog.refreshLocalPqIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+    upd(localBinIndexes, (i: graft.ann.LocalBinIndex, v: Int) =>
+      catalog.refreshLocalBinIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+    upd(localMultiIndexes, (i: graft.ann.LocalMultiIndex, v: Int) =>
+      catalog.refreshLocalMultiIndex(name, i, v))
+  }
+
+  private def localIndexFor[A](cache: scala.collection.mutable.Map[String, (Int, A)],
                                name: String, eq: Seq[(String, Any)])(
                                filterable: A => Set[String])(
-                               build: Seq[String] => A): A =
-    cache.get(name) match {
-      case Some(i) if eq.isEmpty || filterable(i).nonEmpty ||
-          localFilterableCols(name).isEmpty => i
-      case _ =>
-        val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
-        cache(name) = built; built
+                               build: Seq[String] => A): A = {
+    def cached: Option[A] = cache.synchronized(cache.get(name)) match {
+      case Some((_, i)) if eq.isEmpty || filterable(i).nonEmpty ||
+          localFilterableCols(name).isEmpty => Some(i)
+      case _ => None
     }
+    cached.getOrElse {
+      val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
+      lock.synchronized {
+        cached.getOrElse {
+          // version BEFORE the build: the index serves AT MOST this head,
+          // so a concurrent flushDelta (impossible on today's single
+          // thread, cheap insurance regardless) re-folds rather than skips
+          val version = catalog.getMeta(name).currentVersion
+          val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
+          cache.synchronized { cache(name) = (version, built) }
+          built
+        }
+      }
+    }
+  }
 
   /** The request filter in the one shape the local rungs can answer from
     * their typed store: conjunctive EQ terms (the reference's

@@ -34,6 +34,19 @@ object ChangeFeed {
   val OpPut = "put"
   val OpDel = "del"
 
+  /** The default auto-compaction cadence [[runIntoCollection]] applies when
+    * `compactEverySegments` is unset — mirrors
+    * [[graft.collection.GraftCatalog]]'s 16-segment policy, named here so
+    * the r12 default change (None used to mean "never compact") is
+    * discoverable at the call site. */
+  val DefaultCompactEverySegments = 16
+
+  /** Explicit opt-out from per-batch auto-compaction — the pre-r12 `None`
+    * semantics, spelled out: the delta chain then grows one segment per
+    * micro-batch until the caller's own flush, and the fold width grows
+    * with it. */
+  val NoCompaction: Option[Int] = Some(Int.MaxValue)
+
   /** Streaming source over the append-log directory. `maxFilesPerTrigger`
     * caps files per micro-batch (deterministic batch cuts for replays). */
   def readLog(spark: SparkSession, logDir: String, schema: StructType,
@@ -114,11 +127,14 @@ object ChangeFeed {
     *     base snapshot whose layout flushDelta supports (checked HERE at
     *     call time, not inside the first micro-batch).
     *     `compactEverySegments` bounds the chain; left unset it defaults
-    *     to the catalog's 16-segment compaction policy (r12) — a caller
-    *     who forgets it would otherwise grow an unbounded delta chain on
-    *     exactly the collections big enough to hurt (fold width grows per
-    *     segment). Pass a larger cadence to trade fold width for rarer
-    *     O(corpus) compactions.
+    *     to the catalog's 16-segment compaction policy
+    *     ([[DefaultCompactEverySegments]], r12) — a caller who forgets it
+    *     would otherwise grow an unbounded delta chain on exactly the
+    *     collections big enough to hurt (fold width grows per segment).
+    *     Pass a larger cadence to trade fold width for rarer O(corpus)
+    *     compactions, or [[NoCompaction]] to opt out entirely (pre-r12
+    *     `None` behavior — the caller then owns bounding the chain with
+    *     its own flush schedule, or fold width grows without limit).
     *   - `deltaFlushEachBatch = false` with a FRESH checkpoint dir: a
     *     one-shot drain into resident state; flush when done. Re-using a
     *     checkpoint in this mode is REFUSED at start: committed offsets
@@ -166,7 +182,8 @@ object ChangeFeed {
             // bound the fold width: one full flush every N segments — the
             // LSM compaction cadence (amortized O(corpus/N) per batch).
             // Unset = the catalog's default policy, never unbounded.
-            catalog.compactIfNeeded(name, compactEverySegments.getOrElse(16)): Unit
+            catalog.compactIfNeeded(name,
+              compactEverySegments.getOrElse(DefaultCompactEverySegments)): Unit
           }
         }
       }

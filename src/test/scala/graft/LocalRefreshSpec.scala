@@ -1,0 +1,251 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.FilterExpr._
+import graft.collection._
+
+/** O(changes) refresh of the driver-local serving rungs (r13, r12 VERDICT
+  * #2): folding a delta window's LWW winners into a resident index must
+  * equal the index REBUILT from the folded snapshot — per rung (ivf / pq /
+  * bin / multi), per storage mode, with filter columns, across cell-moving
+  * puts, deletes, fresh inserts, multi-segment windows, and the compaction
+  * fallback (new chain base ⇒ full rebuild).
+  *
+  * Determinism: parity needs none from training — refreshed and rebuilt
+  * read the SAME persisted sidecars — only the compaction test retrains,
+  * and there both sides rebuild from the same new base. */
+class LocalRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 well-separated clusters (dim configurable for the PQ layout), with
+    * TWO scalar fields — grp (integer) and tag (string) — so the
+    * name-sorted meta-value alignment of the refresh is exercised on more
+    * than one column. */
+  private def clustered(dim: Int): DataFrame = {
+    val centers = (0 until 4).map { ci =>
+      Array.tabulate(dim)(j => if (j % 4 == ci) 100f else 0f)
+    }
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (s"A$ci", -1L, "seed", c.toSeq) +: (1 until 50).map { j =>
+        (s"B${ci}_$j", (j % 7).toLong, s"t${j % 3}",
+          c.map(x => x + (j % 7) - 3f).toSeq)
+      }
+    }
+    rows.toDF("id", "grp", "tag", "vector")
+  }
+
+  private def fields = Seq(
+    IndexField("id", "string", primaryKey = true),
+    IndexField("grp", "integer"),
+    IndexField("tag", "string"))
+
+  private def mkCat(m: CollectionMeta, dim: Int): GraftCatalog = {
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-lrefresh").toString)
+    cat.createCollection(m)
+    cat.loadCollection(m.name)
+    cat.insert(m.name, clustered(dim))
+    cat.flush(m.name) // v1: the base the resident index loads
+    cat
+  }
+
+  /** Two delta segments: cluster-1 grp-3 rows MOVE to cluster 2's center
+    * (cell migration), grp-2 rows delete everywhere, five fresh rows land
+    * near cluster 3, and one seed-adjacent row updates in place. */
+  private def mutate(cat: GraftCatalog, name: String, dim: Int): Unit = {
+    def vec(f: Int => Float) = Seq.tabulate(dim)(f)
+    cat.insert(name, clustered(dim)
+      .where(col("id").startsWith("B1_") && col("grp") === 3)
+      .select(col("id"), col("grp"), lit("moved").as("tag"),
+        typedlit(vec(j => if (j % 4 == 2) 100f else 0f)).as("vector")))
+    cat.flushDelta(name) // v2
+    cat.delete(name, Single("grp", FilterExpr.Eq, 2L))
+    cat.insert(name, (200 to 204).map(i =>
+      (s"C$i", 9L, "new", vec(j => if (j % 4 == 2) 99f else if (j % 4 == 3) 1f else 0f)))
+      .toDF("id", "grp", "tag", "vector"))
+    cat.flushDelta(name) // v3
+  }
+
+  private def queries(dim: Int): Seq[Array[Float]] = Seq(
+    Array.tabulate(dim)(j => if (j % 4 == 2) 98f else 2f),
+    Array.tabulate(dim)(j => if (j % 4 == 0) 97f else 1f),
+    Array.tabulate(dim)(j => 25f))
+
+  private def r6(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  private def sameHits(a: Seq[(AnyRef, Double)], b: Seq[(AnyRef, Double)]): Unit =
+    assert(a.map { case (id, d) => (id.toString, r6(d)) } ===
+      b.map { case (id, d) => (id.toString, r6(d)) })
+
+  test("ivf refresh == rebuild (filter columns, cell moves, multi-segment window)") {
+    val cat = mkCat(CollectionMeta("ri", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val cols = Seq("grp", "tag")
+    val prev = cat.localIvfIndex("ri", cols)
+    mutate(cat, "ri", dim = 4)
+    val (refreshed, v) = cat.refreshLocalIvfIndex("ri", prev, 1, cols)
+    assert(v === 3)
+    val rebuilt = cat.localIvfIndex("ri", cols)
+    assert(refreshed.size === rebuilt.size)
+    for (q <- queries(4); np <- Seq(1, 2, 4)) {
+      sameHits(refreshed.search(q, 8, np), rebuilt.search(q, 8, np))
+      sameHits(refreshed.search(q, 8, np, eqFilter = Seq("grp" -> 9L)),
+        rebuilt.search(q, 8, np, eqFilter = Seq("grp" -> 9L)))
+      sameHits(
+        refreshed.search(q, 8, np, eqFilter = Seq("grp" -> 3L, "tag" -> "moved")),
+        rebuilt.search(q, 8, np, eqFilter = Seq("grp" -> 3L, "tag" -> "moved")))
+    }
+    // deleted rows are really gone from the folded store
+    assert(refreshed.search(queries(4).head, 200, 4)
+      .forall { case (id, _) => !id.toString.startsWith("B") ||
+        !clusteredDeleted.contains(id.toString) })
+    // no-change fast path: the SAME instance comes back
+    val (again, v2) = cat.refreshLocalIvfIndex("ri", refreshed, 3, cols)
+    assert(v2 === 3)
+    assert(again eq refreshed)
+  }
+
+  /** grp==2 ids of the base (deleted by mutate). */
+  private lazy val clusteredDeleted: Set[String] =
+    (0 until 4).flatMap(ci => (1 until 50).filter(_ % 7 == 2)
+      .map(j => s"B${ci}_$j")).toSet
+
+  test("ivf refresh steps segment-by-segment like one jump") {
+    val cat = mkCat(CollectionMeta("rs", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rs")
+    // segment 1 only
+    cat.insert("rs", clustered(4)
+      .where(col("id").startsWith("B1_") && col("grp") === 3)
+      .select(col("id"), col("grp"), lit("moved").as("tag"),
+        typedlit(Seq(0f, 0f, 100f, 0f)).as("vector")))
+    cat.flushDelta("rs") // v2
+    val (at2, _) = cat.refreshLocalIvfIndex("rs", prev, 1)
+    // segment 2
+    cat.delete("rs", Single("grp", FilterExpr.Eq, 2L))
+    cat.flushDelta("rs") // v3
+    val (stepped, _) = cat.refreshLocalIvfIndex("rs", at2, 2)
+    val (jumped, _) = cat.refreshLocalIvfIndex("rs", prev, 1)
+    val rebuilt = cat.localIvfIndex("rs")
+    for (q <- queries(4))
+      { sameHits(stepped.search(q, 8, 4), rebuilt.search(q, 8, 4))
+        sameHits(jumped.search(q, 8, 4), rebuilt.search(q, 8, 4)) }
+  }
+
+  test("compaction (new base) falls back to a full rebuild — still parity") {
+    val cat = mkCat(CollectionMeta("rc", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rc")
+    mutate(cat, "rc", dim = 4)
+    cat.flush("rc") // v4: compaction — prev's chain base is gone
+    val (refreshed, v) = cat.refreshLocalIvfIndex("rc", prev, 1)
+    assert(v === 4)
+    val rebuilt = cat.localIvfIndex("rc")
+    for (q <- queries(4))
+      sameHits(refreshed.search(q, 8, 4), rebuilt.search(q, 8, 4))
+  }
+
+  test("quantized (f8) ivf refresh == rebuild — stored-form puts fold exactly") {
+    val cat = mkCat(CollectionMeta("rq", dim = 4, distance = "euclidean",
+      quantization = "f8",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rq")
+    mutate(cat, "rq", dim = 4)
+    val (refreshed, _) = cat.refreshLocalIvfIndex("rq", prev, 1)
+    val rebuilt = cat.localIvfIndex("rq")
+    assert(refreshed.size === rebuilt.size)
+    for (q <- queries(4); np <- Seq(1, 4)) {
+      val pq = GraftCatalog.prepareQueryVector(q, cat.getMeta("rq"))
+      sameHits(refreshed.search(pq, 8, np), rebuilt.search(pq, 8, np))
+    }
+  }
+
+  test("pq refresh == rebuild (residual IVF-PQ codes fold as written)") {
+    val cat = mkCat(CollectionMeta("rp", dim = 16, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0),
+      pqSubspaces = Some(4), pqCodewords = Some(8), pqTrainIterations = Some(1)),
+      dim = 16)
+    val cols = Seq("grp")
+    val prev = cat.localPqIndex("rp", cols)
+    mutate(cat, "rp", dim = 16)
+    val (refreshed, v) = cat.refreshLocalPqIndex("rp", prev, 1, cols)
+    assert(v === 3)
+    val rebuilt = cat.localPqIndex("rp", cols)
+    assert(refreshed.size === rebuilt.size)
+    assert(refreshed.codeBytes === rebuilt.codeBytes)
+    for (q <- queries(16); np <- Seq(1, 4)) {
+      sameHits(refreshed.search(q, 8, np), rebuilt.search(q, 8, np))
+      sameHits(refreshed.search(q, 8, np, eqFilter = Seq("grp" -> 9L)),
+        rebuilt.search(q, 8, np, eqFilter = Seq("grp" -> 9L)))
+    }
+  }
+
+  test("bin refresh == rebuild (flat compaction of the packed words)") {
+    val cat = mkCat(CollectionMeta("rb", dim = 4, distance = "euclidean",
+      fields = fields, binaryIndex = Some(true)), dim = 4)
+    val cols = Seq("tag")
+    val prev = cat.localBinIndex("rb", cols)
+    mutate(cat, "rb", dim = 4)
+    val (refreshed, _) = cat.refreshLocalBinIndex("rb", prev, 1, cols)
+    val rebuilt = cat.localBinIndex("rb", cols)
+    assert(refreshed.size === rebuilt.size)
+    assert(refreshed.codeBytes === rebuilt.codeBytes)
+    for (q <- queries(4)) {
+      sameHits(refreshed.search(q, 8), rebuilt.search(q, 8))
+      sameHits(refreshed.search(q, 8, eqFilter = Seq("tag" -> "new")),
+        rebuilt.search(q, 8, eqFilter = Seq("tag" -> "new")))
+    }
+  }
+
+  test("multi refresh == rebuild (routing-cell puts, every field folds)") {
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-lrefresh").toString)
+    cat.createCollection(CollectionMeta("rm", dim = 4, distance = "cosine",
+      fields = Seq(
+        IndexField("id", "string", primaryKey = true),
+        IndexField("v0", "vector"),
+        IndexField("v1", "vector")),
+      ivfCells = Some(4), ivfTrainIterations = Some(0)))
+    cat.loadCollection("rm")
+    val base = clustered(4).select(col("id"), col("vector").as("v0"),
+      reverse(col("vector")).as("v1"))
+    cat.insert("rm", base)
+    cat.flush("rm") // v1
+    val prev = cat.localMultiIndex("rm")
+    // moves + deletes + inserts through the delta path
+    cat.insert("rm", base.where(col("id").startsWith("B1_1"))
+      .select(col("id"), typedlit(Seq(0f, 0f, 100f, 0f)).as("v0"), col("v1")))
+    cat.flushDelta("rm") // v2
+    cat.delete("rm", Single("id", FilterExpr.Eq, "B2_10"))
+    cat.insert("rm", Seq(("C9", Seq(0f, 99f, 1f, 0f), Seq(1f, 0f, 0f, 9f)))
+      .toDF("id", "v0", "v1"))
+    cat.flushDelta("rm") // v3
+    val (refreshed, v) = cat.refreshLocalMultiIndex("rm", prev, 1)
+    assert(v === 3)
+    val rebuilt = cat.localMultiIndex("rm")
+    assert(refreshed.size === rebuilt.size)
+    val meta = cat.getMeta("rm")
+    for (q <- queries(4); np <- Seq(1, 4)) {
+      def fq(w0: Double) = Seq(
+        graft.ann.LocalMultiIndex.FieldQ("v0",
+          GraftCatalog.prepareQueryVector(q, meta), w0),
+        graft.ann.LocalMultiIndex.FieldQ("v1",
+          GraftCatalog.prepareQueryVector(q.reverse, meta), 100.0 - w0))
+      sameHits(refreshed.search(fq(60), 8, np), rebuilt.search(fq(60), 8, np))
+    }
+  }
+
+  test("filter-column drift refuses loudly instead of mis-aligning meta") {
+    val cat = mkCat(CollectionMeta("rf", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rf", Seq("grp"))
+    mutate(cat, "rf", dim = 4)
+    val ex = intercept[IllegalArgumentException](
+      cat.refreshLocalIvfIndex("rf", prev, 1, Seq("tag")))
+    assert(ex.getMessage.contains("do not match"))
+  }
+}
