@@ -303,33 +303,15 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"${java.net.InetAddress.getLocalHost.getHostName}-" +
       s"${java.util.UUID.randomUUID().toString.take(8)} ${System.currentTimeMillis()}"
 
-  /** Atomic exclusive create of a version-claim file holding `token`.
-    * Hadoop's LocalFileSystem `create(…, false)` is check-then-create (NOT
-    * a CAS) — on a `file:` filesystem this uses NIO `CREATE_NEW` (a real
-    * O_EXCL); on HDFS-like stores the namenode makes exclusive create
-    * atomic already. A create that succeeds but whose WRITE fails deletes
-    * the torn claim before rethrowing — an empty claim would otherwise
-    * wedge the slot (no embedded timestamp) until the mtime fallback. */
-  private def tryCreateClaim(claim: Path, token: String): Boolean = {
-    val content = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (fs.getScheme == "file") {
-      val f = java.nio.file.Paths.get(claim.toUri.getPath)
-      java.nio.file.Files.createDirectories(f.getParent)
-      try { java.nio.file.Files.write(f, content, java.nio.file.StandardOpenOption.CREATE_NEW); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      val os =
-        try fs.create(claim, false)
-        catch { case _: java.io.IOException => return false } // lost the race
-      try { os.write(content); os.close(); true }
-      catch { case e: java.io.IOException =>
-        // the create SUCCEEDED — this is a torn write (transient FS fault),
-        // not a lost race; remove our own partial claim and surface the fault
-        try fs.delete(claim, false) catch { case _: java.io.IOException => () }
-        throw e
-      }
-    }
-  }
+  /** Atomic exclusive create of a version-claim file holding `token` —
+    * dispatched through the per-scheme [[GraftCatalog.ClaimProtocol]]
+    * registry (r13): `file:` uses NIO `CREATE_NEW` (real O_EXCL),
+    * HDFS-family the namenode-atomic `create(…, false)`, and any scheme
+    * WITHOUT a registered real CAS refuses loudly instead of silently
+    * racing (S3A's check-then-create would let two flushes both "win"). */
+  private def tryCreateClaim(claim: Path, token: String): Boolean =
+    GraftCatalog.claimProtocolFor(fs).tryExclusiveCreate(
+      fs, claim, token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** A claim whose embedded timestamp is older than `staleClaimMs` belongs
     * to a writer that crashed between claim and publish (every non-crash
@@ -437,29 +419,31 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def writeMeta(meta: CollectionMeta, exclusive: Boolean = false): Unit = {
     val dst = metaPath(meta.name)
     val bytes = meta.toJson.getBytes("UTF-8")
+    if (exclusive) {
+      // the createCollection CAS — same per-scheme atomic-create seam as
+      // the version claim (r13); a lost race surfaces as the loud
+      // already-exists the caller contracts on
+      if (!GraftCatalog.claimProtocolFor(fs).tryExclusiveCreate(fs, dst, bytes))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"collection ${meta.name} already exists: $dst")
+      return
+    }
     if (fs.getScheme == "file") {
       val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
-      if (exclusive)
-        java.nio.file.Files.write(dstNio, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
-      else {
-        require(fs.exists(colDir(meta.name)),
-          s"collection ${meta.name} was dropped concurrently — aborting the meta update")
-        val tmp = dstNio.resolveSibling(
-          s".meta-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        java.nio.file.Files.write(tmp, bytes)
-        try {
-          java.nio.file.Files.deleteIfExists(dstNio.resolveSibling(".meta.json.crc"))
-          java.nio.file.Files.move(tmp, dstNio,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } catch { case e: Throwable =>
-          try java.nio.file.Files.deleteIfExists(tmp) catch { case _: java.io.IOException => () }
-          throw e
-        }
+      require(fs.exists(colDir(meta.name)),
+        s"collection ${meta.name} was dropped concurrently — aborting the meta update")
+      val tmp = dstNio.resolveSibling(
+        s".meta-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.deleteIfExists(dstNio.resolveSibling(".meta.json.crc"))
+        java.nio.file.Files.move(tmp, dstNio,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(tmp) catch { case _: java.io.IOException => () }
+        throw e
       }
-    } else if (exclusive) {
-      val out = fs.create(dst, false)
-      try out.write(bytes) finally out.close()
     } else {
       require(fs.exists(colDir(meta.name)),
         s"collection ${meta.name} was dropped concurrently — aborting the meta update")
@@ -3501,6 +3485,98 @@ object GraftCatalog {
     * reclaim it as a crashed writer's leftover (30 min — far above any
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
+
+  // ---- atomic exclusive-create seam (r13, r12 VERDICT #4) ----
+  //
+  // Every multi-writer CAS in the catalog — the flush version claim and
+  // createCollection's meta publish — reduces to ONE primitive: create a
+  // file iff absent, atomically. Whether a store HAS that primitive is a
+  // per-scheme fact, and silently using Hadoop's default `create(…,
+  // overwrite=false)` where it is check-then-create (S3A and most object
+  // stores: a HEAD then a PUT — two racing drivers can both "win") turns
+  // the claim CAS into a data-loss hazard on exactly the storage the
+  // reference ships on (MinIO, edge/edge.go:36). So the primitive is a
+  // registered per-scheme protocol: known-atomic schemes are pre-wired,
+  // anything else REFUSES LOUDLY at claim time, and deployments on stores
+  // with a native conditional PUT (S3 If-None-Match, GCS
+  // x-goog-if-generation-match = 0, Azure If-None-Match: *) plug their
+  // implementation in. README "Durability & object stores" is the support
+  // matrix.
+
+  /** One scheme's atomic create-if-absent. Implementations MUST be a real
+    * CAS on the target store: of N concurrent calls for one absent path,
+    * exactly one returns true and the rest false. Returning false for a
+    * path the caller then observes absent (a racing delete) is benign; two
+    * trues for one path is the corruption this seam exists to prevent. */
+  trait ClaimProtocol {
+    def tryExclusiveCreate(fs: FileSystem, path: Path, content: Array[Byte]): Boolean
+  }
+
+  /** `file:` — NIO `CREATE_NEW`, a real O_EXCL on the local kernel. */
+  object NioExclusiveCreate extends ClaimProtocol {
+    def tryExclusiveCreate(fs: FileSystem, path: Path, content: Array[Byte]): Boolean = {
+      val f = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(f.getParent)
+      try {
+        java.nio.file.Files.write(f, content, java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** HDFS-family — the namenode serializes `create(…, overwrite=false)`,
+    * so the Hadoop call IS the CAS there. A create that succeeds but whose
+    * WRITE fails deletes the torn claim before rethrowing — an empty claim
+    * would otherwise wedge the slot (no embedded timestamp) until the
+    * mtime fallback. */
+  object HadoopAtomicCreate extends ClaimProtocol {
+    def tryExclusiveCreate(fs: FileSystem, path: Path, content: Array[Byte]): Boolean = {
+      val os =
+        try fs.create(path, false)
+        catch { case _: java.io.IOException => return false } // lost the race
+      try { os.write(content); os.close(); true }
+      catch { case e: java.io.IOException =>
+        // the create SUCCEEDED — torn write (transient fault), not a lost
+        // race; remove our own partial claim and surface the fault
+        try fs.delete(path, false) catch { case _: java.io.IOException => () }
+        throw e
+      }
+    }
+  }
+
+  private val claimProtocols =
+    new java.util.concurrent.ConcurrentHashMap[String, ClaimProtocol]()
+  claimProtocols.put("file", NioExclusiveCreate)
+  // namenode-arbitrated schemes (webhdfs/httpfs proxy the same namenode
+  // create; ofs/o3fs = Ozone, which implements atomic key create)
+  Seq("hdfs", "viewfs", "webhdfs", "httpfs", "ofs", "o3fs")
+    .foreach(claimProtocols.put(_, HadoopAtomicCreate))
+
+  /** Register (or override) the exclusive-create implementation for a
+    * scheme — the deployment seam for object stores with a conditional
+    * PUT. The registration is process-global (schemes are). */
+  def registerClaimProtocol(scheme: String, p: ClaimProtocol): Unit = {
+    require(scheme != null && scheme.nonEmpty, "scheme must be non-empty")
+    claimProtocols.put(scheme.toLowerCase(java.util.Locale.ROOT), p): Unit
+  }
+
+  /** The registered protocol for `fs`, or a LOUD refusal: a silent
+    * check-then-create here lets two drivers both win a version claim and
+    * one of them delete the other's published data in the orphan sweep. */
+  def claimProtocolFor(fs: FileSystem): ClaimProtocol = {
+    val scheme = fs.getScheme.toLowerCase(java.util.Locale.ROOT)
+    val p = claimProtocols.get(scheme)
+    if (p == null) throw new UnsupportedOperationException(
+      s"filesystem scheme '$scheme' has no registered atomic exclusive-create: " +
+        "Hadoop's create(overwrite=false) is check-then-create on most object " +
+        "stores, so two concurrent writers could both win a version claim " +
+        "(silent last-writer data loss). Register a conditional-PUT " +
+        "implementation via GraftCatalog.registerClaimProtocol(scheme, …) " +
+        "(e.g. S3 If-None-Match), or publish through a scheme in the README " +
+        "support matrix (file, hdfs, viewfs, webhdfs, httpfs, ofs, o3fs). " +
+        "Read-only serving from this store needs no claim and is unaffected.")
+    p
+  }
 
   /** Prepared-search plan cache bound (per catalog): a serving workload has
     * a handful of live shapes; each entry is one physical plan tree (KB). */
