@@ -201,6 +201,15 @@ object Bench {
       big.count() // materialize the cache (the reference loads before searching)
       System.gc() // settle allocation noise from the sf suite / generation
                   // before timing queries that sit at the dispatch floor
+      // r13 (VERDICT #7): the suite's queries are single-stage TakeOrdered
+      // scans over the cache — NO exchange, so AQE has nothing to re-plan
+      // and its per-execution stage coordination is pure floor: FloorProbe
+      // measured +5.6 ms on the hoisted point lookup (16.1 → 21.7 ms min)
+      // and +4.4 ms on the cosine scan (37.4 → 41.8). Off for the timed
+      // window only; joins/shuffles elsewhere keep the default.
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val q = big.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       val qF16 = q.map(x => graft.functions.QuantKernels.f16ToFloat(graft.functions.QuantKernels.floatToF16(x)))
       val qSq8 = graft.ann.Sq.roundTrip(q, sqMins, sqScales)
@@ -306,6 +315,7 @@ object Bench {
         }
       }
       out
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       } finally
         // Release this suite's multi-GB cache before the next suite runs —
         // even when setup/timing threw (guardSuite now survives those, and
@@ -1354,6 +1364,112 @@ object Bench {
         "serve_multi_full_100m" -> tFull)
     }
 
+    // ---- SINGLE-vector serving rungs at 100M (r13, r12 VERDICT #5):
+    // the decade the ladder still lacked — 100M evidence existed for the
+    // binary scan and the multi layout only. Same codes-only discipline:
+    // the f8 IVF snapshot is ~13.6 GB (vs 51 GB float), the residual
+    // IVF-PQ code table ~2.4 GB at m=16. Both serve arms run the raw
+    // snapshot with no resident state, so probed/full isolates partition
+    // pruning; the PQ full arm ships the per-version BROADCAST sidecar
+    // (the r12 kernel) — 256 executor-built tables, not an 8 MB plan
+    // constant. Centroids + codebook train on the 1M collection's 1/16
+    // sample (identical deterministic distribution — the bin-100m
+    // discipline). Declared after the multi suite: 100M stays LAST.
+    val singleIvf100m = if (only1m) Seq.empty[(String, Double)] else guardSuite("single_ivf_100m") {
+      val rows100m = 100000000L
+      val e1m = spark.read.parquet(benchDir)
+      val cents = graft.ann.Ann.trainCentroids(e1m,
+        "vec_id", "embedding", 256, "cosine", iterations = 1, sampleMod = Some(16L))
+      val embN = l2_normalize(col("embedding"))
+      val resid1m = e1m
+        .withColumn("cell",
+          arg_min_distance(embN, cents, "cosine").cast("long"))
+        .select(col("vec_id"),
+          graft.ann.Pq.residual(embN, col("cell"), cents).as("resid"))
+      val cb = graft.ann.Pq.train(resid1m, "vec_id", "resid", m = 16,
+        ksub = 256, iterations = 0, sampleMod = Some(16L))
+      val dirIvf = benchDir + "-ivf-f8-100m"
+      val dirPq = benchDir + "-pq-100m"
+      val mfs = new org.apache.hadoop.fs.Path(dirIvf, "_SUCCESS")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buildRows =
+        (if (mfs.exists(new org.apache.hadoop.fs.Path(dirIvf, "_SUCCESS")))
+           Seq.empty[(String, Double)]
+         else Seq("ivf_f8_build_100m" -> timed("ivf_f8_build_100m", runs = 1)(
+           ensureIvfF8BenchData(spark, dirIvf, rows100m, cents)))) ++
+        (if (mfs.exists(new org.apache.hadoop.fs.Path(dirPq, "_SUCCESS")))
+           Seq.empty[(String, Double)]
+         else Seq("pq_code_build_100m" -> timed("pq_code_build_100m", runs = 1)(
+           ensurePqCodeBenchData(spark, dirPq, rows100m, cents, cb))))
+      val snapIvf = spark.read.parquet(dirIvf)
+      val snapPq = spark.read.parquet(dirPq)
+      val centByCid = cents.toMap
+      val rnd = new scala.util.Random(29)
+      import graft.functions.QuantKernels
+      def prepF8(raw: Array[Float]): Array[Float] = {
+        val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+        raw.map(x => QuantKernels.f8ToFloat(QuantKernels.floatToF8(
+          if (n == 0) x else (x / n).toFloat)))
+      }
+      def prepF32(raw: Array[Float]): Array[Float] = {
+        val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+        raw.map(x => if (n == 0) x else (x / n).toFloat)
+      }
+      // searchIvf's plan shape over the f8 snapshot: cell-pruned scan,
+      // fused decode-in-loop cosine, TakeOrdered
+      def probeIvf(nprobe: Int): Unit = {
+        val q = prepF8(Array.fill(128)(rnd.nextFloat() * 2 - 1))
+        val probed = graft.ann.Ann.probeCells(cents, q, nprobe, "cosine")
+        snapIvf.where(col("cell").isin(probed: _*))
+          .select(col("vec_id"),
+            round(distance_quant(col("v"), lit(q), "f8", "cosine"), 6).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+          .collect(): Unit
+      }
+      // searchPq(rerank = false)'s plan shape: probed cells score against
+      // per-request residual LUTs (8 tables); the FULL arm uses the
+      // broadcast sidecar kernel (256 executor-built tables)
+      def probePq(nprobe: Int): Unit = {
+        val q = prepF32(Array.fill(128)(rnd.nextFloat() * 2 - 1))
+        val probed = graft.ann.Ann.probeCells(cents, q, nprobe, "cosine").sorted
+        val luts = probed.map { cid =>
+          val cv = centByCid(cid)
+          cb.adcLut(Array.tabulate(q.length)(i => q(i) - cv(i)))
+        }
+        snapPq.where(col("cell").isin(probed: _*))
+          .select(col("vec_id"),
+            round(pq_adc_distance_cells(col("pq_code"), col("cell").cast("long"),
+              probed.toArray, luts.toArray, cb.ksub), 6).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+          .collect(): Unit
+      }
+      val sortedCents = cents.sortBy(_._1)
+      val pqBc = spark.sparkContext.broadcast(org.apache.spark.sql.graft.PqBcSidecar(
+        sortedCents.map(_._1).toArray, sortedCents.map(_._2).toArray,
+        cb.cents, cb.ksub))
+      def probePqFull(): Unit = {
+        val q = prepF32(Array.fill(128)(rnd.nextFloat() * 2 - 1))
+        snapPq
+          .select(col("vec_id"),
+            round(pq_adc_distance_cells_bc(col("pq_code"), col("cell").cast("long"),
+              lit(q), pqBc), 6).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+          .collect(): Unit
+      }
+      try {
+        probeIvf(8) // warm (codegen + FS metadata)
+        val tIvf = timed("serve_ivf_100m", runs = 3)(probeIvf(8))
+        val tIvfFull = timed("serve_ivf_full_100m", runs = 1)(probeIvf(256))
+        probePq(8) // warm
+        val tPq = timed("serve_pq_100m", runs = 3)(probePq(8))
+        probePqFull() // warm (broadcast fetch + codegen)
+        val tPqFull = timed("serve_pq_full_100m", runs = 1)(probePqFull())
+        buildRows ++ Seq(
+          "serve_ivf_100m" -> tIvf, "serve_ivf_full_100m" -> tIvfFull,
+          "serve_pq_100m" -> tPq, "serve_pq_full_100m" -> tPqFull)
+      } finally pqBc.destroy()
+    }
+
 
     // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
     // 10M is the linear extrapolation of the same number.
@@ -1399,7 +1515,7 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum
     val allQueries = results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++
       pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++
-      serveDist1m ++ multiIvf1m ++ multiIvf10m ++ multiIvf100m
+      serveDist1m ++ multiIvf1m ++ multiIvf10m ++ multiIvf100m ++ singleIvf100m
 
     // ---- Output contract (r11). The driver captures only the LAST 2000
     // characters of stdout: the pre-r11 single ~5 KB JSON line lost its head
@@ -1469,7 +1585,7 @@ object Bench {
     // gates as ratios); the sf-scale suite comes last — it is fully covered
     // by the correctness harness and lives in BENCH_full.json regardless
     val priority = (deltaFlush1m ++ serveDist1m ++ multiIvf1m ++ multiIvf10m ++
-      multiIvf100m ++ nearDup1m ++ semantic1m ++ ivf1m ++ pq1m ++ bin1m ++
+      multiIvf100m ++ singleIvf100m ++ nearDup1m ++ semantic1m ++ ivf1m ++ pq1m ++ bin1m ++
       big1m ++ big10m ++
       pq10m ++ bin100m ++ docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
     val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
@@ -1570,6 +1686,42 @@ object Bench {
       .select(col("vec_id"), col("cell"),
         quantize(col("embedding"), "f8").as("v0"),
         quantize(reverse(col("embedding")), "f8").as("v1"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+  }
+
+  /** SINGLE-vector f8 IVF layout at N rows — the multi generator's
+    * discipline (deterministic hash embedding, normalize, assign to the
+    * trained cells, store f8) with one field: ~13.6 GB at 100M where the
+    * float corpus would be 51 GB. */
+  private[graft] def ensureIvfF8BenchData(spark: SparkSession, dir: String,
+      rows: Long, cents: Seq[(Long, Array[Float])]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    spark.range(0, rows, 1, 64).toDF("vec_id")
+      .withColumn("embedding", l2_normalize(
+        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+      .withColumn("cell", arg_min_distance(col("embedding"), cents, "cosine"))
+      .select(col("vec_id"), col("cell"), quantize(col("embedding"), "f8").as("v"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+  }
+
+  /** Residual IVF-PQ code layout at N rows — m-byte codes of
+    * (normalizedVec − cellCentroid) against `cb`, cell-partitioned:
+    * ~2.4 GB at 100M with m=16. The memory-scale rung's on-disk shape. */
+  private[graft] def ensurePqCodeBenchData(spark: SparkSession, dir: String,
+      rows: Long, cents: Seq[(Long, Array[Float])],
+      cb: graft.ann.PqCodebook): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    spark.range(0, rows, 1, 64).toDF("vec_id")
+      .withColumn("embedding", l2_normalize(
+        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+      .withColumn("cell", arg_min_distance(col("embedding"), cents, "cosine"))
+      .select(col("vec_id"), col("cell"),
+        pq_encode(graft.ann.Pq.residual(col("embedding"),
+          col("cell").cast("long"), cents), cb.cents).as("pq_code"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
   }
 

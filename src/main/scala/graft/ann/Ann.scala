@@ -254,7 +254,9 @@ object Ann {
     * layout this is a partition-pruned, co-located join — never all-pairs);
     * exact distances only inside probed cells; one qid-keyed window bounds
     * the result to k per query. Hot cells are ordinary join skew — AQE's
-    * skew-join split applies. Recall follows IVF recall (nprobe/k dial);
+    * skew-join split applies (pinned by KnnSkewSpec: a 30%-hot-cell corpus
+    * fires OptimizeSkewedJoin on the shuffled cell join, result-identical
+    * to the unsplit join). Recall follows IVF recall (nprobe/k dial);
     * `nprobe = centroids.size` degenerates to exact brute force.
     *
     * `queries` must expose `qidCol`/`qvecCol` under names distinct from the

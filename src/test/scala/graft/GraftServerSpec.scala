@@ -736,4 +736,70 @@ class GraftServerSpec extends SparkSpec {
       assert(resp2.contains("error"), resp2)
     } finally s2.stop()
   }
+
+  test("a PREPARED probed plan never serves a vacuumed version: the next request " +
+    "re-anchors on the published head; a dead head fails loudly (r12 verdict #8)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft-serve-pvac").toString
+    val s2 = new GraftServer(spark, root)
+    s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}"
+      def h(method: String, path: String, body: String = ""): (Int, String) = {
+        val conn = URI.create(b2 + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) { conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8)) }
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        conn.disconnect(); (code, resp)
+      }
+      assert(h("POST", "/collections",
+        """{"name":"pvac","dim":4,"distance":"euclidean","versioning":true,"ivfCells":2,
+           "fields":[{"name":"id","fieldType":"string","primaryKey":true}]}""")._1 === 200)
+      assert(h("POST", "/collections/pvac/load")._1 === 200)
+      assert(h("POST", "/collections/pvac/insert",
+        """{"rows":[""" + (1 to 10).map(i =>
+          s"""{"id":"r$i","vector":[$i,0,0,0]}""").mkString(",") + "]}")._1 === 200)
+      assert(h("POST", "/collections/pvac/flush")._2 === """{"version":1}""")
+      // compile + cache the PREPARED probed plan, anchored on v1's
+      // indexed state (the /searchIvf route is plan-once/execute-many)
+      assert(h("POST", "/collections/pvac/searchIvf",
+        """{"vector":[5,0,0,0],"topK":1,"nprobe":2}""")._1 === 200)
+
+      // another "driver": advance to v2 (with a distinctive row) and
+      // vacuum v1 — the version the server's prepared plan is anchored on
+      val cat2 = new graft.collection.GraftCatalog(spark, root)
+      cat2.loadCollection("pvac")
+      cat2.insert("pvac", Seq(("zz", Seq(100f, 0f, 0f, 0f))).toDF("id", "vector"))
+      cat2.flush("pvac")
+      assert(cat2.vacuum("pvac", keepLast = 1) === Seq(1), "v1 must actually be removed")
+      spark.catalog.clearCache() // cross-driver: no shared CacheManager
+
+      // The contract: the prepared cache keys on the per-version indexed
+      // state, and the route re-reads meta per request — so this request
+      // must RECOMPILE against v2 and answer (the v2-only row proves it),
+      // never execute the stale v1-anchored plan into deleted files.
+      val (code, resp) = h("POST", "/collections/pvac/searchIvf",
+        """{"vector":[100,0,0,0],"topK":1,"nprobe":2}""")
+      assert(code === 200, resp)
+      assert(resp.contains("\"id\":\"zz\""), resp)
+
+      // Dead head: v2's files deleted WITHOUT a meta update (what a
+      // mis-raced external sweep would do). The prepared plan for v2 is
+      // cached and warm — the request must surface the failure loudly,
+      // never return stale or empty rows silently.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(root, "pvac/v2"), true))
+      spark.catalog.clearCache()
+      val (code2, resp2) = h("POST", "/collections/pvac/searchIvf",
+        """{"vector":[100,0,0,0],"topK":1,"nprobe":2}""")
+      assert(code2 >= 400, s"dead head must fail loudly, got $code2: $resp2")
+      assert(resp2.contains("error"), resp2)
+    } finally s2.stop()
+  }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Pins Ann.knnJoin's scale claim "hot cells are ordinary join skew —
+  * AQE's skew-join split applies" (Ann.scala; r12 VERDICT #6): a corpus
+  * whose hottest cell holds ~30% of all rows — the deliberately skewed
+  * 10M layout scaled to a unit fixture via the AQE thresholds — must (a)
+  * actually fire the OptimizeSkewedJoin split on the shuffled cell join,
+  * and (b) return exactly the rows the unsplit join returns. The query
+  * side is large enough that it SHUFFLES (broadcast disabled — the big
+  * retrieval-batch shape; small batches broadcast and have no shuffle to
+  * skew in the first place). */
+class KnnSkewSpec extends SparkSpec {
+
+  private def withConf[A](kvs: Seq[(String, String)])(body: => A): A = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def vec(seedSql: String): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0,7), j -> cast((pmod(xxhash64($seedSql, j), 2001) - 1000) / 1000.0 as float))")
+
+  test("hot-cell knnJoin (one cell ~30% of the corpus): the AQE skew split " +
+    "fires on the shuffled cell join and the results equal the unsplit join") {
+    // 64 well-separated unit centroids (axis-ish), used only for the
+    // row-local top_cells probe — the SKEW lives in the corpus's assigned
+    // cell column, which this fixture controls directly: cell 0 holds 30%.
+    val centroids = (0 until 64).map { c =>
+      (c.toLong, Array.tabulate(8)(j => if (j == c % 8) 1f + c / 8 else 0f))
+    }
+    val corpus = spark.range(60000).toDF("vec_id")
+      .withColumn("vector", vec("vec_id"))
+      .withColumn("cell",
+        when(pmod(col("vec_id"), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")), lit(63)) + 1))
+    val queries = spark.range(500).toDF("qid")
+      .withColumn("qvec", vec("qid + 1000000"))
+
+    def run(skewEnabled: Boolean): (Seq[String], DataFrame) = {
+      val df = graft.ann.Ann.knnJoin(corpus, queries, k = 3,
+        "vec_id", "vector", "qid", "qvec", centroids, nprobe = 4)
+      val rows = df.collect().map(_.toString).toSeq
+      (rows, df)
+    }
+
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // scale the 10M thresholds down to the fixture: a ~MB hot partition
+      // must count as skewed and split into advisory-sized chunks
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
+      "spark.sql.shuffle.partitions" -> "16",
+      // the big-batch shape under test: both join sides shuffle
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+    val (withSplit, df) = withConf(conf)(run(skewEnabled = true))
+    // plan assertion: the FINAL adaptive plan's shuffled join is marked
+    // skew-split (OptimizeSkewedJoin fired)
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the SMJ lives inside an already-materialized ShuffleQueryStage, which
+    // TreeNode.collect does not descend into (stages are leaf wrappers) —
+    // the final plan's STRING rendering does, and is how isSkewJoin prints
+    val rendered = fin.toString
+    assert(rendered.contains("skew=true"),
+      s"expected an isSkewJoin=true shuffled join in the final adaptive plan:\n$rendered")
+    assert(rendered.contains("AQEShuffleRead skewed"),
+      s"expected a skew-split shuffle read on the hot-cell side:\n$rendered")
+
+    // result parity: the split changes the schedule, never the rows
+    val (withoutSplit, _) = withConf(
+      conf.map { case ("spark.sql.adaptive.skewJoin.enabled", _) =>
+        "spark.sql.adaptive.skewJoin.enabled" -> "false"
+      case kv => kv })(run(skewEnabled = false))
+    assert(withSplit === withoutSplit)
+    assert(withSplit.nonEmpty)
+  }
+}
