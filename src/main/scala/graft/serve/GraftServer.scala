@@ -77,8 +77,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
 
   /** Lazily-built driver-local serving indexes, keyed by collection —
-    * serve the FLUSHED snapshot, so they invalidate on flush/drop (not on
-    * resident-state mutations, which only a new flush publishes). */
+    * serve the FLUSHED snapshot at the PUBLISHED HEAD: every request
+    * version-compares the cached entry against the meta it already read
+    * and folds a lagging rung forward O(changes) ([[localIndexFor]]), so a
+    * flushDelta from another driver on the same root is visible at the
+    * next request. Flush/drop still invalidate eagerly (chain-base moves
+    * rebuild anyway; drop releases the memory). Resident-state mutations
+    * stay invisible until a flush publishes them — by contract. */
   private val localIndexes =
     scala.collection.mutable.Map.empty[String, (Int, graft.ann.LocalIvfIndex)]
 
@@ -430,13 +435,17 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // latency); every other filter shape still refuses loudly
         val eq = localEqFilter(req, "searchLocal")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocal")
-        val idx = localIndexFor(localIndexes, name, eq)(_.filterableColumns)(
-          catalog.localIvfIndex(name, _))
+        // ONE meta read serves both the freshness compare and the query
+        // prep (the read this route always paid)
+        val cmeta = catalog.getMeta(name)
+        val idx = localIndexFor(localIndexes, name, eq, cmeta.currentVersion)(
+          _.filterableColumns)(catalog.localIvfIndex(name, _))((i, v) =>
+          catalog.refreshLocalIvfIndex(name, i, v, i.filterableColumns.toSeq.sorted))
         // The SAME query prep as the distributed probes (normalize when
         // cosine, quantize round-trip when quantized) — the local index
         // serves decoded vectors, so an unprepared query would rank
         // differently on quantized collections.
-        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        val qv = GraftCatalog.prepareQueryVector(vector, cmeta)
         200 -> hitsJson(idx.search(qv, topK, nprobe, eq))
       // driver-local ADC probe over the PQ code layout (the memory-scale
       // serving rung: m bytes/vector resident; approximate ranking — exact
@@ -447,9 +456,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // local store, parity with searchPq(rerank=false, filter)
         val eq = localEqFilter(req, "searchLocalPq")
         val (vector, topK, nprobe) = parseProbe(req, "searchLocalPq")
-        val idx = localIndexFor(localPqIndexes, name, eq)(_.filterableColumns)(
-          catalog.localPqIndex(name, _))
-        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        val cmeta = catalog.getMeta(name)
+        val idx = localIndexFor(localPqIndexes, name, eq, cmeta.currentVersion)(
+          _.filterableColumns)(catalog.localPqIndex(name, _))((i, v) =>
+          catalog.refreshLocalPqIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+        val qv = GraftCatalog.prepareQueryVector(vector, cmeta)
         200 -> hitsJson(idx.search(qv, topK, nprobe, eq))
       // driver-local Hamming probe over the packed sign-code layout (the
       // density-scale serving rung; approximate ranking — exact answers go
@@ -459,9 +470,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val eq = localEqFilter(req, "searchLocalBin")
         val vector = parseVector(req, "searchLocalBin")
         val topK = intOr(req, "topK", 10)
-        val idx = localIndexFor(localBinIndexes, name, eq)(_.filterableColumns)(
-          catalog.localBinIndex(name, _))
-        val qv = GraftCatalog.prepareQueryVector(vector, catalog.getMeta(name))
+        val cmeta = catalog.getMeta(name)
+        val idx = localIndexFor(localBinIndexes, name, eq, cmeta.currentVersion)(
+          _.filterableColumns)(catalog.localBinIndex(name, _))((i, v) =>
+          catalog.refreshLocalBinIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+        val qv = GraftCatalog.prepareQueryVector(vector, cmeta)
         200 -> hitsJson(idx.search(qv, topK, eq))
       // experimental CFLAT weighted multi-vector search
       // (ExperimentalMultiVectorRpc/VectorSearch, experimental.proto:19)
@@ -537,15 +550,12 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         val fields = parseMultiFields(req, "searchLocalMulti")
         val topK = intOr(req, "topK", 10)
         val nprobe = intOr(req, "nprobe", 4)
-        val idx = localMultiIndexes.get(name) match {
-          case Some((_, i)) => i
-          case None =>
-            // version BEFORE the build — localIndexFor's discipline
-            val version = catalog.getMeta(name).currentVersion
-            val i = catalog.localMultiIndex(name)
-            localMultiIndexes(name) = (version, i); i
-        }
         val cmeta = catalog.getMeta(name)
+        // same head-freshness discipline as the single-vector local rungs
+        // (no EQ store on the CFLAT rung, so the shape check is vacuous)
+        val idx = localIndexFor(localMultiIndexes, name, Nil, cmeta.currentVersion)(
+          _ => Set.empty)(_ => catalog.localMultiIndex(name))((i, v) =>
+          catalog.refreshLocalMultiIndex(name, i, v))
         // same query prep as the distributed probes (normalize when cosine,
         // quantize round-trip when quantized) — the local index serves
         // decoded vectors
@@ -868,28 +878,60 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       catalog.refreshLocalMultiIndex(name, i, v))
   }
 
+  /** Resolve a driver-local serving rung that answers the PUBLISHED HEAD
+    * (r13): the route already read the collection meta for query prep, so
+    * an exact version compare against the cached entry is free — a cached
+    * rung whose version lags `head` (a flushDelta from THIS server that
+    * raced the eager fold, or from ANOTHER DRIVER on the same root) folds
+    * the missed delta window forward in place, O(changes)
+    * (GraftCatalog.refreshLocal*Index; internal fallback: full rebuild
+    * when the chain base moved). Before this, local rungs were the one row
+    * of the consistency table that kept answering their built version
+    * until this server's own flush routes fired — a cross-driver
+    * flushDelta was never seen. A failed fold degrades exactly like
+    * refreshLocalEntries: drop the resident entry and rebuild fresh. */
   private def localIndexFor[A](cache: scala.collection.mutable.Map[String, (Int, A)],
-                               name: String, eq: Seq[(String, Any)])(
+                               name: String, eq: Seq[(String, Any)], head: Int)(
                                filterable: A => Set[String])(
-                               build: Seq[String] => A): A = {
-    def cached: Option[A] = cache.synchronized(cache.get(name)) match {
-      case Some((_, i)) if eq.isEmpty || filterable(i).nonEmpty ||
-          localFilterableCols(name).isEmpty => Some(i)
-      case _ => None
-    }
-    cached.getOrElse {
-      val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
-      lock.synchronized {
-        cached.getOrElse {
-          // version BEFORE the build: the index serves AT MOST this head,
-          // so a concurrent flushDelta (impossible on today's single
-          // thread, cheap insurance regardless) re-folds rather than skips
-          val version = catalog.getMeta(name).currentVersion
-          val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
-          cache.synchronized { cache(name) = (version, built) }
-          built
+                               build: Seq[String] => A)(
+                               refresh: (A, Int) => (A, Int)): A = {
+    // an entry is the right SHAPE when the request needs no EQ columns, or
+    // the index carries its typed filter store, or the collection has no
+    // filterable columns to carry
+    def usable(i: A): Boolean =
+      eq.isEmpty || filterable(i).nonEmpty || localFilterableCols(name).isEmpty
+    cache.synchronized(cache.get(name)) match {
+      case Some((v, i)) if v == head && usable(i) => i
+      case _ =>
+        val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
+        lock.synchronized {
+          def buildAndCache(): A = {
+            // version BEFORE the build: the index serves AT MOST this head,
+            // so a concurrent flushDelta (impossible on today's single
+            // thread, cheap insurance regardless) re-folds rather than skips
+            val version = catalog.getMeta(name).currentVersion
+            val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
+            cache.synchronized { cache(name) = (version, built) }
+            built
+          }
+          cache.synchronized(cache.get(name)) match {
+            case Some((v, i)) if v == head && usable(i) => i
+            case Some((v, i)) if usable(i) =>
+              try {
+                val (ni, nv) = refresh(i, v)
+                cache.synchronized { cache(name) = (nv, ni) }
+                ni
+              } catch {
+                case e: Exception =>
+                  System.err.println(
+                    s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
+                      "rebuilding fresh")
+                  cache.synchronized { cache.remove(name) }
+                  buildAndCache()
+              }
+            case _ => buildAndCache()
+          }
         }
-      }
     }
   }
 

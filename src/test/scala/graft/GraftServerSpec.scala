@@ -802,4 +802,90 @@ class GraftServerSpec extends SparkSpec {
       assert(resp2.contains("error"), resp2)
     } finally s2.stop()
   }
+
+  test("local rungs serve the published head: a cross-driver flushDelta is " +
+    "folded into the resident rung at the next request (r13)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.collection.{CollectionMeta, GraftCatalog, IndexField}
+    val root = Files.createTempDirectory("graft-serve-fresh").toString
+    val s2 = new GraftServer(spark, root)
+    s2.start()
+    try {
+      val b2 = s"http://127.0.0.1:${s2.boundPort}"
+      def h(method: String, path: String, body: String = ""): (Int, String) = {
+        val conn = URI.create(b2 + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) { conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8)) }
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        conn.disconnect(); (code, resp)
+      }
+      // the "other driver": a separate catalog instance on the same root
+      val cat = new GraftCatalog(spark, root)
+      cat.createCollection(CollectionMeta("fr", dim = 4, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true),
+          IndexField("grp", "integer")),
+        ivfCells = Some(2), ivfTrainIterations = Some(0)))
+      cat.loadCollection("fr")
+      cat.insert("fr", Seq(("a", 1L, Seq(1f, 0f, 0f, 0f)),
+        ("b", 2L, Seq(0f, 1f, 0f, 0f)),
+        ("c", 3L, Seq(0f, 0f, 1f, 0f))).toDF("id", "grp", "vector"))
+      cat.flush("fr") // v1
+
+      // materialize the server's local rung at v1
+      val (c0, r0) = h("POST", "/collections/fr/searchLocal",
+        """{"vector":[1,0,0,0],"topK":1,"nprobe":2}""")
+      assert(c0 === 200, r0)
+      assert(r0.contains("\"id\":\"a\"") && !r0.contains("zz"), r0)
+
+      // cross-driver delta: a new row lands, an old row dies — the server
+      // never sees a flush/flushDelta route call for either
+      cat.insert("fr", Seq(("zz", 9L, Seq(0f, 0f, 0f, 100f))).toDF("id", "grp", "vector"))
+      cat.delete("fr", FilterExpr.Single("id", FilterExpr.Eq, "a"))
+      cat.flushDelta("fr") // v2, same chain base -> the rung FOLDS, not rebuilds
+
+      // next request answers the published head: the new row is findable...
+      val (c1, r1) = h("POST", "/collections/fr/searchLocal",
+        """{"vector":[0,0,0,100],"topK":1,"nprobe":2}""")
+      assert(c1 === 200, r1)
+      assert(r1.contains("\"id\":\"zz\""), s"cross-driver put must be visible: $r1")
+      // ...and the deleted row is gone even at full fan-out
+      val (c2, r2) = h("POST", "/collections/fr/searchLocal",
+        """{"vector":[1,0,0,0],"topK":10,"nprobe":2}""")
+      assert(c2 === 200, r2)
+      assert(!r2.contains("\"id\":\"a\""), s"cross-driver delete must strike: $r2")
+      // the EQ-filtered store folded with it
+      val (c3, r3) = h("POST", "/collections/fr/searchLocal",
+        """{"vector":[0,0,0,100],"topK":5,"nprobe":2,
+            "filter":{"col":"grp","op":"eq","value":9}}""")
+      assert(c3 === 200, r3)
+      assert(r3.contains("\"id\":\"zz\""), r3)
+
+      // the CFLAT rung follows the same discipline through its own route
+      cat.createCollection(CollectionMeta("frm", dim = 4, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true),
+          IndexField("v0", "vector"), IndexField("v1", "vector")),
+        ivfCells = Some(2), ivfTrainIterations = Some(0)))
+      cat.loadCollection("frm")
+      cat.insert("frm", Seq(
+        ("a", Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f)),
+        ("b", Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))).toDF("id", "v0", "v1"))
+      cat.flush("frm") // v1
+      val mq = """{"fields":[{"vectorCol":"v0","vector":[0,0,0,100],"ratio":60},
+                             {"vectorCol":"v1","vector":[100,0,0,0],"ratio":40}],
+                   "topK":1,"nprobe":2}"""
+      val (m0, mr0) = h("POST", "/collections/frm/searchLocalMulti", mq)
+      assert(m0 === 200, mr0)
+      assert(!mr0.contains("zz"), mr0)
+      cat.insert("frm", Seq(("zz", Seq(0f, 0f, 0f, 100f), Seq(100f, 0f, 0f, 0f)))
+        .toDF("id", "v0", "v1"))
+      cat.flushDelta("frm") // v2
+      val (m1, mr1) = h("POST", "/collections/frm/searchLocalMulti", mq)
+      assert(m1 === 200, mr1)
+      assert(mr1.contains("\"id\":\"zz\""), s"multi rung must fold the delta: $mr1")
+    } finally s2.stop()
+  }
 }

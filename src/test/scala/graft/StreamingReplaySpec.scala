@@ -72,6 +72,64 @@ class StreamingReplaySpec extends SparkSpec {
       === Map("z" -> "seed", "a" -> "a-v2", "c" -> "c-v1"))
   }
 
+  test("streaming producer on one catalog, serving node on another: the server's " +
+      "local rung answers the published delta windows at the next request " +
+      "with no server-side flush call (r13 head-freshness end-to-end)") {
+    val logDir = Files.createTempDirectory("graft-sfr-log").toString
+    val ckpt = Files.createTempDirectory("graft-sfr-ckpt").toString
+    val root = Files.createTempDirectory("graft-sfr").toString
+    val cat = new GraftCatalog(spark, root)
+    // the serving rung needs an IVF layout (localIvfIndex's contract)
+    cat.createCollection(feedMeta("sfr").copy(
+      ivfCells = Some(2), ivfTrainIterations = Some(0)))
+    cat.loadCollection("sfr")
+    cat.insert("sfr", log(Seq(("put", "z", 0L, "seed"))).drop("op", "version"))
+    assert(cat.flush("sfr") === 1)
+
+    val server = new graft.serve.GraftServer(spark, root)
+    server.start()
+    try {
+      def search(): String = {
+        val conn = java.net.URI.create(
+          s"http://127.0.0.1:${server.boundPort}/collections/sfr/searchLocal")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          """{"vector":[1,2],"topK":10,"nprobe":4}""".getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = new String(in.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        assert(code === 200, resp)
+        resp
+      }
+      // materialize the serving rung at v1 — sees only the seed
+      val before = search()
+      assert(before.contains("\"z\"") && !before.contains("\"a\""), before)
+
+      // the PRODUCER (a different catalog instance — a different "driver")
+      // streams two micro-batches, one durable delta segment each
+      val wal1 = Seq(("put", "a", 1L, "a-v1"), ("put", "b", 1L, "b-v1"))
+      val wal2 = Seq(("put", "a", 2L, "a-v2"), ("del", "b", 2L, ""))
+      Seq(wal1, wal2).foreach { b =>
+        log(b).write.mode(SaveMode.Append).parquet(logDir); Thread.sleep(150)
+      }
+      val q = ChangeFeed.runIntoCollection(cat, "sfr", spark, logDir,
+        log(wal1).schema, "version", ckpt,
+        deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+      q.awaitTermination(120000)
+      assert(cat.getMeta("sfr").currentVersion === 3)
+
+      // the server saw NO flush/flushDelta route call — its next request
+      // version-compares against the head and folds both windows forward:
+      // the put is visible, the del struck, the seed intact
+      val after = search()
+      assert(after.contains("\"a\""), s"streamed put must be served: $after")
+      assert(!after.contains("\"b\""), s"streamed del must strike: $after")
+      assert(after.contains("\"z\""), after)
+    } finally server.stop()
+  }
+
   test("a replayed micro-batch (crash between segment publish and offset commit) " +
       "is idempotent: the duplicate segment folds away") {
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-dup").toString)
