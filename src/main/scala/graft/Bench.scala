@@ -100,8 +100,11 @@ object Bench {
       val med =
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      // LOWER median: at the common runs=2 the upper element IS the cold
+      // rep's inflated delta — exactly the first-rep sidecar read the
+      // row_stats contract says must not masquerade as the row's steady IO
       def medLong(xs: Seq[Long]): Long =
-        if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
+        if (xs.isEmpty) 0L else xs.sorted.apply((xs.size - 1) / 2)
       rowStats(name) =
         Bench.RowStat(s.size, s.head, med, s.last, medLong(bytes), medLong(shuffle))
     }
@@ -1615,6 +1618,15 @@ object Bench {
     * reference stores normalized vectors for cosine collections —
     * edge/none_vectorstore.go:95-97), with a materialized f16 encoding and a
     * 100-value label column for filtered scans. Written once, 32 files. */
+  /** The ONE deterministic 128-d hash embedding every bench generator
+    * shares: xxhash64(vec_id, j) scaled to [-1, 1]. The 100M codes-only
+    * suites train centroids/codebooks on the 1M collection and apply them
+    * at 100M on the strength of this distribution being IDENTICAL across
+    * generators — keep it single-sourced so an edit cannot silently break
+    * that training discipline for one generator only. */
+  private def hashEmbedding128 =
+    expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")
+
   private[graft] def ensureBenchData(spark: SparkSession, dir: String, rows: Long): Unit = {
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1622,7 +1634,7 @@ object Bench {
     spark.range(0, rows).toDF("vec_id")
       .withColumn("label", pmod(xxhash64(col("vec_id")), lit(100)).cast("int"))
       .withColumn("embedding", l2_normalize(
-        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+        hashEmbedding128))
       .withColumn("emb_f16", quantize(col("embedding"), "f16"))
       .repartition(32)
       .write.mode("overwrite").parquet(dir)
@@ -1662,7 +1674,7 @@ object Bench {
     if (fs.exists(marker)) return
     spark.range(0, rows, 1, 64).toDF("vec_id")
       .withColumn("embedding", l2_normalize(
-        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+        hashEmbedding128))
       .select(col("vec_id"), graft.ann.Bin.encode(col("embedding"), th).as("bin_code"))
       .write.mode("overwrite").parquet(dir)
   }
@@ -1681,7 +1693,7 @@ object Bench {
     if (fs.exists(marker)) return
     spark.range(0, rows, 1, 64).toDF("vec_id")
       .withColumn("embedding", l2_normalize(
-        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+        hashEmbedding128))
       .withColumn("cell", arg_min_distance(col("embedding"), cents, "cosine"))
       .select(col("vec_id"), col("cell"),
         quantize(col("embedding"), "f8").as("v0"),
@@ -1700,7 +1712,7 @@ object Bench {
     if (fs.exists(marker)) return
     spark.range(0, rows, 1, 64).toDF("vec_id")
       .withColumn("embedding", l2_normalize(
-        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+        hashEmbedding128))
       .withColumn("cell", arg_min_distance(col("embedding"), cents, "cosine"))
       .select(col("vec_id"), col("cell"), quantize(col("embedding"), "f8").as("v"))
       .write.partitionBy("cell").mode("overwrite").parquet(dir)
@@ -1717,7 +1729,7 @@ object Bench {
     if (fs.exists(marker)) return
     spark.range(0, rows, 1, 64).toDF("vec_id")
       .withColumn("embedding", l2_normalize(
-        expr("transform(sequence(0,127), j -> cast((pmod(xxhash64(vec_id, j), 2000001) - 1000000) / 1000000.0 as float))")))
+        hashEmbedding128))
       .withColumn("cell", arg_min_distance(col("embedding"), cents, "cosine"))
       .select(col("vec_id"), col("cell"),
         pq_encode(graft.ann.Pq.residual(col("embedding"),

@@ -8,10 +8,14 @@ import graft.functions._
 
 /** Decompose the 1M-gate dispatch floor (r12 VERDICT #7): on the cached 1M
   * collection, time the hoisted point-lookup (the pure floor) and the
-  * hoisted cosine scan under (a) AQE on [the bench default], (b) AQE off,
-  * and (c) executeCollect on the memoized plan — to see which part of the
-  * ~40 ms end-to-end floor is schedulable away without touching the gate's
-  * semantics. Dedicated-machine probe, min/p50 of 48 interleaved reps. */
+  * hoisted cosine scan under (a) AQE on [the pre-r13 bench default] and
+  * (b) AQE off — to see which part of the ~40 ms end-to-end floor is
+  * schedulable away without touching the gate's semantics. Both arms
+  * execute-many on ONE memoized DataFrame per suite (plan-once is the
+  * baseline, so re-planning cost never enters). Measured: AQE pure
+  * stage-coordination overhead is +5.6 ms/rep on the point lookup and
+  * +4.4 ms on the cosine scan — the bench's 1M timed window now runs with
+  * AQE off. Dedicated-machine probe, min/p50 of 48 interleaved reps. */
 object FloorProbe {
   def main(args: Array[String]): Unit = {
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo/target/bench-1m")
@@ -52,9 +56,6 @@ object FloorProbe {
     suite("aqe_on")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     suite("aqe_off")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // task-count lever: same scan at 8 even partitions (floor trades
-    // against parallelism — the r8 probe said 32 wins for compute)
     spark.stop()
   }
 }

@@ -3533,7 +3533,15 @@ object GraftCatalog {
     def tryExclusiveCreate(fs: FileSystem, path: Path, content: Array[Byte]): Boolean = {
       val os =
         try fs.create(path, false)
-        catch { case _: java.io.IOException => return false } // lost the race
+        catch {
+          // ONLY already-exists means "lost the race" — a namenode in
+          // safemode, a quota breach, or a permission fault must surface
+          // as the fault it is, not as a phantom concurrent creator
+          // (createCollection would report "already exists" for a
+          // collection that was never written)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+        }
       try { os.write(content); os.close(); true }
       catch { case e: java.io.IOException =>
         // the create SUCCEEDED — torn write (transient fault), not a lost

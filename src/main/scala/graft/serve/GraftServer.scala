@@ -854,8 +854,13 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * the pre-r13 behavior (drop the entry; the next request rebuilds) with
     * a stderr note, never fail the flushDelta that already published. */
   private def refreshLocalEntries(name: String): Unit = {
+    // under the same per-collection lock as localIndexFor: a concurrent
+    // request must not rebuild/refresh the same collection while this
+    // eager fold runs (double peak memory), and a failed fold here must
+    // not cache.remove an entry a racing request just replaced
+    val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
     def upd[A](cache: scala.collection.mutable.Map[String, (Int, A)],
-               refresh: (A, Int) => (A, Int)): Unit =
+               refresh: (A, Int) => (A, Int)): Unit = lock.synchronized {
       cache.synchronized(cache.get(name)).foreach { case (v, idx) =>
         try {
           val (ni, nv) = refresh(idx, v)
@@ -868,6 +873,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
             cache.synchronized { cache.remove(name) }
         }
       }
+    }
     upd(localIndexes, (i: graft.ann.LocalIvfIndex, v: Int) =>
       catalog.refreshLocalIvfIndex(name, i, v, i.filterableColumns.toSeq.sorted))
     upd(localPqIndexes, (i: graft.ann.LocalPqIndex, v: Int) =>

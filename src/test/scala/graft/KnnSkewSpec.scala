@@ -44,7 +44,10 @@ class KnnSkewSpec extends SparkSpec {
     val queries = spark.range(500).toDF("qid")
       .withColumn("qvec", vec("qid + 1000000"))
 
-    def run(skewEnabled: Boolean): (Seq[String], DataFrame) = {
+    // the skew toggle lives in the surrounding withConf (the conf must be
+    // set BEFORE the DataFrame's QueryExecution is created) — run itself
+    // takes no flag so a caller cannot be misled into thinking it does
+    def run(): (Seq[String], DataFrame) = {
       val df = graft.ann.Ann.knnJoin(corpus, queries, k = 3,
         "vec_id", "vector", "qid", "qvec", centroids, nprobe = 4)
       val rows = df.collect().map(_.toString).toSeq
@@ -64,7 +67,7 @@ class KnnSkewSpec extends SparkSpec {
       // the big-batch shape under test: both join sides shuffle
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
-    val (withSplit, df) = withConf(conf)(run(skewEnabled = true))
+    val (withSplit, df) = withConf(conf)(run())
     // plan assertion: the FINAL adaptive plan's shuffled join is marked
     // skew-split (OptimizeSkewedJoin fired)
     val fin = df.queryExecution.executedPlan match {
@@ -84,7 +87,7 @@ class KnnSkewSpec extends SparkSpec {
     val (withoutSplit, _) = withConf(
       conf.map { case ("spark.sql.adaptive.skewJoin.enabled", _) =>
         "spark.sql.adaptive.skewJoin.enabled" -> "false"
-      case kv => kv })(run(skewEnabled = false))
+      case kv => kv })(run())
     assert(withSplit === withoutSplit)
     assert(withSplit.nonEmpty)
   }
