@@ -105,6 +105,28 @@ class ClaimProtocolSpec extends SparkSpec {
       .tryExclusiveCreate(fs, t2, Array[Byte](i.toByte)))
     assert(wins.count(identity) === 1)
   }
+
+  test("HadoopAtomicCreate: only already-exists means lost race — every other " +
+    "create fault surfaces as the fault it is") {
+    val dir = Files.createTempDirectory("graft-faultproto")
+    // a store throwing a transient fault at create time (safemode / quota /
+    // permission): must PROPAGATE, not read as a phantom concurrent creator
+    class FaultyFs extends RawLocalFileSystem {
+      override def create(f: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("namenode is in safe mode")
+    }
+    val faulty = new FaultyFs
+    faulty.initialize(new URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[java.io.IOException](GraftCatalog.HadoopAtomicCreate
+      .tryExclusiveCreate(faulty, new Path("file:" + dir.resolve("c1")), Array[Byte](1)))
+    assert(ex.getMessage.contains("safe mode"))
+    // already-exists still reports the lost race quietly (false, no throw)
+    val real = new Path("file:" + dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path("file:" + dir.resolve("c2"))
+    assert(GraftCatalog.HadoopAtomicCreate.tryExclusiveCreate(real, p, Array[Byte](1)))
+    assert(!GraftCatalog.HadoopAtomicCreate.tryExclusiveCreate(real, p, Array[Byte](2)))
+  }
 }
 
 /** RawLocalFileSystem wearing an object-store scheme — everything works

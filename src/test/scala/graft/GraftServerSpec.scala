@@ -864,6 +864,16 @@ class GraftServerSpec extends SparkSpec {
       assert(c3 === 200, r3)
       assert(r3.contains("\"id\":\"zz\""), r3)
 
+      // a cross-driver FLUSH moves the chain base (new sidecars): the
+      // refresh seam cannot fold across it — the fallback is a full
+      // rebuild, and the next request must still serve the new head
+      cat.insert("fr", Seq(("yy", 4L, Seq(0f, 100f, 0f, 0f))).toDF("id", "grp", "vector"))
+      cat.flush("fr") // v3, new chain base
+      val (c4, r4) = h("POST", "/collections/fr/searchLocal",
+        """{"vector":[0,100,0,0],"topK":1,"nprobe":2}""")
+      assert(c4 === 200, r4)
+      assert(r4.contains("\"id\":\"yy\""), s"cross-driver flush must rebuild: $r4")
+
       // the CFLAT rung follows the same discipline through its own route
       cat.createCollection(CollectionMeta("frm", dim = 4, distance = "euclidean",
         fields = Seq(IndexField("id", "string", primaryKey = true),
