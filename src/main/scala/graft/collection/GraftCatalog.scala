@@ -2919,17 +2919,30 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   /** One window's LWW winners for a local-rung fold: (struck pk set —
     * EVERY winner, del and put, so a moved row's stale copy strikes
-    * wherever it lives —, put winner rows with `cols` starting at index 2). */
+    * wherever it lives —, put winner rows with `cols` starting at index 2).
+    *
+    * BOUNDED collect: winners materialize on the driver as Spark Rows with
+    * vector payloads, so a window bigger than `maxChanges` returns None —
+    * the caller rebuilds via the streaming loader instead (toLocalIterator,
+    * one partition resident at a time). Fetching `maxChanges + 1` through
+    * `limit` answers "over the cap?" and delivers the complete winner set
+    * when not, in ONE job — a result of ≤ maxChanges rows means the limit
+    * never truncated. */
   private def refreshWinners(name: String, meta: CollectionMeta, window: Range,
-                             cols: Seq[Column])
-      : (java.util.HashSet[AnyRef], Seq[org.apache.spark.sql.Row]) = {
+                             cols: Seq[Column], maxChanges: Int)
+      : Option[(java.util.HashSet[AnyRef], Seq[org.apache.spark.sql.Row])] = {
+    require(maxChanges >= 1, s"maxChanges must be >= 1, got $maxChanges")
     val pk = meta.idColumn
+    val fetch = if (maxChanges == Int.MaxValue) maxChanges else maxChanges + 1
     val rows = ledgerWinners(name, pk, window)
       .select(col(pk) +: col(GraftCatalog.DeltaOpCol) +: cols: _*)
-      .collect()
-    val struck = new java.util.HashSet[AnyRef](math.max(16, rows.length * 2))
-    rows.foreach(r => struck.add(r.get(0).asInstanceOf[AnyRef]))
-    (struck, rows.iterator.filter(_.getString(1) == "put").toSeq)
+      .limit(fetch).collect()
+    if (rows.length > maxChanges) None
+    else {
+      val struck = new java.util.HashSet[AnyRef](math.max(16, rows.length * 2))
+      rows.foreach(r => struck.add(r.get(0).asInstanceOf[AnyRef]))
+      Some((struck, rows.iterator.filter(_.getString(1) == "put").toSeq))
+    }
   }
 
   /** The stored-form read of a vector column, mirroring the local loaders'
@@ -2958,6 +2971,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     r.getLong(i)
   }
 
+  private def oversizeRefusal(name: String, w: Range, maxChanges: Int) =
+    new GraftCatalog.RefreshTooLargeException(
+      s"local-rung refresh of '$name' over window v${w.start}..v${w.end} exceeds " +
+        s"maxChanges=$maxChanges LWW winners — drop the resident index and rebuild " +
+        "lazily, or call with oversizeRebuilds=true to rebuild now")
+
   /** Sorted specs for a refresh, REQUIRED to match what the index was
     * built with — a drifted filter-column set would mis-align put meta
     * values, so it refuses loudly (rebuild with the new columns instead). */
@@ -2974,9 +2993,17 @@ class GraftCatalog(spark: SparkSession, root: String,
     * [[graft.ann.LocalIvfIndex]] — O(changes) collect + touched-cell
     * rebuild — or fall back to a full [[localIvfIndex]] when the chain
     * base moved (flush / compaction). Returns (index, version it now
-    * serves); `prev` itself when nothing changed. */
+    * serves); `prev` itself when nothing changed. A window holding more
+    * than `maxChanges` LWW winners also rebuilds (bounded driver collect —
+    * see [[GraftCatalog.DefaultLocalRefreshMaxChanges]]) — unless
+    * `oversizeRebuilds` is false, in which case it throws
+    * [[GraftCatalog.RefreshTooLargeException]] so an EAGER caller on the
+    * write path (the flushDelta fold) can degrade to drop-and-lazy-rebuild
+    * instead of stalling the publish on an O(corpus) rebuild. */
   def refreshLocalIvfIndex(name: String, prev: graft.ann.LocalIvfIndex,
-                           prevVersion: Int, filterColumns: Seq[String] = Nil)
+                           prevVersion: Int, filterColumns: Seq[String] = Nil,
+                           maxChanges: Int = GraftCatalog.DefaultLocalRefreshMaxChanges,
+                           oversizeRebuilds: Boolean = true)
       : (graft.ann.LocalIvfIndex, Int) = {
     val meta = getMeta(name)
     val head = meta.currentVersion
@@ -2987,13 +3014,17 @@ class GraftCatalog(spark: SparkSession, root: String,
         val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
         val payload = Seq(col(GraftCatalog.CellCol).cast("long"),
           storedVecCol(meta, VectorCol)) ++ specs.map { case (n, _) => col(n) }
-        val (struck, putRows) = refreshWinners(name, meta, w, payload)
-        val puts = putRows.map { r =>
-          graft.ann.LocalIvfIndex.Put(r.get(0).asInstanceOf[AnyRef],
-            segCellOf(r, 2), storedVecOf(meta, r, 3),
-            specs.indices.map(j => r.get(4 + j)))
+        refreshWinners(name, meta, w, payload, maxChanges) match {
+          case None if !oversizeRebuilds => throw oversizeRefusal(name, w, maxChanges)
+          case None => (localIvfIndex(name, filterColumns), head)
+          case Some((struck, putRows)) =>
+            val puts = putRows.map { r =>
+              graft.ann.LocalIvfIndex.Put(r.get(0).asInstanceOf[AnyRef],
+                segCellOf(r, 2), storedVecOf(meta, r, 3),
+                specs.indices.map(j => r.get(4 + j)))
+            }
+            (prev.applyChanges(struck, puts), head)
         }
-        (prev.applyChanges(struck, puts), head)
     }
   }
 
@@ -3001,7 +3032,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     * with their segment-encoded codes (raw/residual per THIS chain base's
     * layout — the same codebook the index holds). */
   def refreshLocalPqIndex(name: String, prev: graft.ann.LocalPqIndex,
-                          prevVersion: Int, filterColumns: Seq[String] = Nil)
+                          prevVersion: Int, filterColumns: Seq[String] = Nil,
+                          maxChanges: Int = GraftCatalog.DefaultLocalRefreshMaxChanges,
+                          oversizeRebuilds: Boolean = true)
       : (graft.ann.LocalPqIndex, Int) = {
     val meta = getMeta(name)
     val head = meta.currentVersion
@@ -3016,20 +3049,26 @@ class GraftCatalog(spark: SparkSession, root: String,
           if (hasCells) col(GraftCatalog.CellCol).cast("long") else lit(-1L)
         val payload = Seq(cellCol, col(GraftCatalog.PqCodeCol)) ++
           specs.map { case (n, _) => col(n) }
-        val (struck, putRows) = refreshWinners(name, meta, w, payload)
-        val puts = putRows.map { r =>
-          graft.ann.LocalPqIndex.Put(r.get(0).asInstanceOf[AnyRef],
-            if (hasCells) segCellOf(r, 2) else -1L,
-            r.getAs[Array[Byte]](3), specs.indices.map(j => r.get(4 + j)))
+        refreshWinners(name, meta, w, payload, maxChanges) match {
+          case None if !oversizeRebuilds => throw oversizeRefusal(name, w, maxChanges)
+          case None => (localPqIndex(name, filterColumns), head)
+          case Some((struck, putRows)) =>
+            val puts = putRows.map { r =>
+              graft.ann.LocalPqIndex.Put(r.get(0).asInstanceOf[AnyRef],
+                if (hasCells) segCellOf(r, 2) else -1L,
+                r.getAs[Array[Byte]](3), specs.indices.map(j => r.get(4 + j)))
+            }
+            (prev.applyChanges(struck, puts), head)
         }
-        (prev.applyChanges(struck, puts), head)
     }
   }
 
   /** [[refreshLocalIvfIndex]]'s contract on the Hamming rung (flat — one
     * compaction pass, no cells). */
   def refreshLocalBinIndex(name: String, prev: graft.ann.LocalBinIndex,
-                           prevVersion: Int, filterColumns: Seq[String] = Nil)
+                           prevVersion: Int, filterColumns: Seq[String] = Nil,
+                           maxChanges: Int = GraftCatalog.DefaultLocalRefreshMaxChanges,
+                           oversizeRebuilds: Boolean = true)
       : (graft.ann.LocalBinIndex, Int) = {
     val meta = getMeta(name)
     val head = meta.currentVersion
@@ -3039,12 +3078,16 @@ class GraftCatalog(spark: SparkSession, root: String,
       case Some(w) =>
         val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
         val payload = col(GraftCatalog.BinCol) +: specs.map { case (n, _) => col(n) }
-        val (struck, putRows) = refreshWinners(name, meta, w, payload)
-        val puts = putRows.map { r =>
-          graft.ann.LocalBinIndex.Put(r.get(0).asInstanceOf[AnyRef],
-            r.getAs[Array[Byte]](2), specs.indices.map(j => r.get(3 + j)))
+        refreshWinners(name, meta, w, payload, maxChanges) match {
+          case None if !oversizeRebuilds => throw oversizeRefusal(name, w, maxChanges)
+          case None => (localBinIndex(name, filterColumns), head)
+          case Some((struck, putRows)) =>
+            val puts = putRows.map { r =>
+              graft.ann.LocalBinIndex.Put(r.get(0).asInstanceOf[AnyRef],
+                r.getAs[Array[Byte]](2), specs.indices.map(j => r.get(3 + j)))
+            }
+            (prev.applyChanges(struck, puts), head)
         }
-        (prev.applyChanges(struck, puts), head)
     }
   }
 
@@ -3052,7 +3095,9 @@ class GraftCatalog(spark: SparkSession, root: String,
     * fold with their ROUTING-field cell and every declared field's
     * stored-form vector. */
   def refreshLocalMultiIndex(name: String, prev: graft.ann.LocalMultiIndex,
-                             prevVersion: Int)
+                             prevVersion: Int,
+                             maxChanges: Int = GraftCatalog.DefaultLocalRefreshMaxChanges,
+                             oversizeRebuilds: Boolean = true)
       : (graft.ann.LocalMultiIndex, Int) = {
     val meta = getMeta(name)
     val head = meta.currentVersion
@@ -3063,13 +3108,17 @@ class GraftCatalog(spark: SparkSession, root: String,
         val fields = meta.vectorFields
         val payload = col(GraftCatalog.CellCol).cast("long") +:
           fields.map(f => storedVecCol(meta, f.name))
-        val (struck, putRows) = refreshWinners(name, meta, w, payload)
-        val puts = putRows.map { r =>
-          graft.ann.LocalMultiIndex.Put(r.get(0).asInstanceOf[AnyRef],
-            segCellOf(r, 2),
-            fields.indices.map(j => storedVecOf(meta, r, 3 + j)))
+        refreshWinners(name, meta, w, payload, maxChanges) match {
+          case None if !oversizeRebuilds => throw oversizeRefusal(name, w, maxChanges)
+          case None => (localMultiIndex(name), head)
+          case Some((struck, putRows)) =>
+            val puts = putRows.map { r =>
+              graft.ann.LocalMultiIndex.Put(r.get(0).asInstanceOf[AnyRef],
+                segCellOf(r, 2),
+                fields.indices.map(j => storedVecOf(meta, r, 3 + j)))
+            }
+            (prev.applyChanges(struck, puts), head)
         }
-        (prev.applyChanges(struck, puts), head)
     }
   }
 
@@ -3485,6 +3534,24 @@ object GraftCatalog {
     * reclaim it as a crashed writer's leftover (30 min — far above any
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
+
+  /** A local-rung refresh window exceeded its `maxChanges` cap and the
+    * caller asked NOT to rebuild inline (`oversizeRebuilds = false`) —
+    * thrown so eager write-path folds can degrade to drop-and-lazy-rebuild
+    * instead of stalling a publish on an O(corpus) rebuild. */
+  class RefreshTooLargeException(msg: String) extends RuntimeException(msg)
+
+  /** Largest delta window (LWW winner count) a local-rung refresh will
+    * COLLECT to the driver before falling back to a full rebuild. The fold
+    * materializes the window's winners as Spark Rows (vector payloads with
+    * Row boxing — several KB each at dim=128), so an unbounded window (a
+    * serving node stale across a huge chain) could transiently hold a
+    * multiple of the index's own footprint; the rebuild path streams
+    * partition-at-a-time instead, and past this scale the fold's
+    * touched-cell copying approaches rebuild cost anyway. 200k winners
+    * ≈ low hundreds of MB collected at dim=128 — small next to the
+    * resident index a driver holding this rung already carries. */
+  val DefaultLocalRefreshMaxChanges: Int = 200000
 
   // ---- atomic exclusive-create seam (r13, r12 VERDICT #4) ----
   //

@@ -874,14 +874,21 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         }
       }
     }
+    // oversizeRebuilds=false: this fold runs INSIDE the flushDelta route,
+    // so a window past the collect cap must not stall the publish on an
+    // O(corpus) rebuild — RefreshTooLargeException lands in the generic
+    // degrade above (drop the entry; the next probe rebuilds lazily)
     upd(localIndexes, (i: graft.ann.LocalIvfIndex, v: Int) =>
-      catalog.refreshLocalIvfIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+      catalog.refreshLocalIvfIndex(name, i, v, i.filterableColumns.toSeq.sorted,
+        oversizeRebuilds = false))
     upd(localPqIndexes, (i: graft.ann.LocalPqIndex, v: Int) =>
-      catalog.refreshLocalPqIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+      catalog.refreshLocalPqIndex(name, i, v, i.filterableColumns.toSeq.sorted,
+        oversizeRebuilds = false))
     upd(localBinIndexes, (i: graft.ann.LocalBinIndex, v: Int) =>
-      catalog.refreshLocalBinIndex(name, i, v, i.filterableColumns.toSeq.sorted))
+      catalog.refreshLocalBinIndex(name, i, v, i.filterableColumns.toSeq.sorted,
+        oversizeRebuilds = false))
     upd(localMultiIndexes, (i: graft.ann.LocalMultiIndex, v: Int) =>
-      catalog.refreshLocalMultiIndex(name, i, v))
+      catalog.refreshLocalMultiIndex(name, i, v, oversizeRebuilds = false))
   }
 
   /** Resolve a driver-local serving rung that answers the PUBLISHED HEAD

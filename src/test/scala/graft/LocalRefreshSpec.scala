@@ -149,6 +149,42 @@ class LocalRefreshSpec extends SparkSpec {
       sameHits(refreshed.search(q, 8, 4), rebuilt.search(q, 8, 4))
   }
 
+  test("a window over maxChanges falls back to a full rebuild — still parity") {
+    val cat = mkCat(CollectionMeta("rx", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val cols = Seq("grp", "tag")
+    val prev = cat.localIvfIndex("rx", cols)
+    mutate(cat, "rx", dim = 4) // window carries dozens of LWW winners
+    val rebuilt = cat.localIvfIndex("rx", cols)
+    // cap of 1 ⇒ bounded collect trips (limit(2) sees 2 rows) ⇒ rebuild path
+    val (viaRebuild, v1) = cat.refreshLocalIvfIndex("rx", prev, 1, cols, maxChanges = 1)
+    assert(v1 === 3)
+    // roomy cap ⇒ the fold path — both answers must be identical
+    val (viaFold, v2) = cat.refreshLocalIvfIndex("rx", prev, 1, cols,
+      maxChanges = Int.MaxValue)
+    assert(v2 === 3)
+    assert(viaRebuild.size === rebuilt.size)
+    assert(viaFold.size === rebuilt.size)
+    for (q <- queries(4); np <- Seq(1, 4)) {
+      sameHits(viaRebuild.search(q, 8, np), rebuilt.search(q, 8, np))
+      sameHits(viaFold.search(q, 8, np), rebuilt.search(q, 8, np))
+      sameHits(viaRebuild.search(q, 8, np, eqFilter = Seq("grp" -> 9L)),
+        rebuilt.search(q, 8, np, eqFilter = Seq("grp" -> 9L)))
+    }
+    // the cap is validated, not silently floored
+    val e = intercept[IllegalArgumentException] {
+      cat.refreshLocalIvfIndex("rx", prev, 1, cols, maxChanges = 0)
+    }
+    assert(e.getMessage.contains("maxChanges"))
+    // an EAGER caller (the flushDelta write path) opts out of the inline
+    // rebuild: over-cap throws so it can degrade to drop-and-lazy-rebuild
+    val r = intercept[GraftCatalog.RefreshTooLargeException] {
+      cat.refreshLocalIvfIndex("rx", prev, 1, cols, maxChanges = 1,
+        oversizeRebuilds = false)
+    }
+    assert(r.getMessage.contains("maxChanges=1"))
+  }
+
   test("quantized (f8) ivf refresh == rebuild — stored-form puts fold exactly") {
     val cat = mkCat(CollectionMeta("rq", dim = 4, distance = "euclidean",
       quantization = "f8",
@@ -160,6 +196,23 @@ class LocalRefreshSpec extends SparkSpec {
     assert(refreshed.size === rebuilt.size)
     for (q <- queries(4); np <- Seq(1, 4)) {
       val pq = GraftCatalog.prepareQueryVector(q, cat.getMeta("rq"))
+      sameHits(refreshed.search(pq, 8, np), rebuilt.search(pq, 8, np))
+    }
+  }
+
+  test("quantized (f16) ivf refresh == rebuild — the short-array stored form") {
+    // f8 above folds byte[] payloads; f16 rides the OTHER stored-form read
+    // (array<short> rows → short[]), so both halves of storedVecOf are pinned
+    val cat = mkCat(CollectionMeta("rh", dim = 4, distance = "euclidean",
+      quantization = "f16",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rh")
+    mutate(cat, "rh", dim = 4)
+    val (refreshed, _) = cat.refreshLocalIvfIndex("rh", prev, 1)
+    val rebuilt = cat.localIvfIndex("rh")
+    assert(refreshed.size === rebuilt.size)
+    for (q <- queries(4); np <- Seq(1, 4)) {
+      val pq = GraftCatalog.prepareQueryVector(q, cat.getMeta("rh"))
       sameHits(refreshed.search(pq, 8, np), rebuilt.search(pq, 8, np))
     }
   }
