@@ -292,6 +292,72 @@ class LocalRefreshSpec extends SparkSpec {
     }
   }
 
+  test("randomized fold parity: random put/del segments, stepped and jumped") {
+    // The deterministic fixtures above choose their mutations; this drives
+    // the fold seam with SEEDED random segments — updates that move cells,
+    // deletes of random survivors, re-inserts of deleted pks, fresh rows —
+    // and pins fold == rebuild at EVERY window, both one-jump from v1 and
+    // stepped segment-by-segment, on the ivf rung with filter columns.
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 4
+    def rvec() = Seq.tabulate(dim) { j =>
+      // cluster-ish: one dominant axis + noise, so cells stay meaningful
+      val axis = rnd.nextInt(4)
+      (if (j % 4 == axis) 90f else 0f) + rnd.nextFloat() * 8f - 4f
+    }
+    def rrow(id: String) = (id, rnd.nextInt(7).toLong, s"t${rnd.nextInt(3)}", rvec())
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-lrefresh").toString)
+    cat.createCollection(CollectionMeta("rr", dim = dim, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)))
+    cat.loadCollection("rr")
+    val live = scala.collection.mutable.Set.empty[String]
+    val dead = scala.collection.mutable.Set.empty[String]
+    cat.insert("rr", (0 until 80).map(i => rrow(s"R$i")).toDF("id", "grp", "tag", "vector"))
+    live ++= (0 until 80).map(i => s"R$i")
+    cat.flush("rr") // v1
+    val cols = Seq("grp", "tag")
+    val base = cat.localIvfIndex("rr", cols)
+    var stepped = base
+    var fresh = 80
+    for (seg <- 1 to 4) {
+      // random UPDATES of survivors (new vector ⇒ the row may change cells)
+      val upd = rnd.shuffle(live.toSeq).take(8)
+      // random RE-INSERTS of previously deleted pks (tombstone must clear)
+      val backs = rnd.shuffle(dead.toSeq).take(3)
+      dead --= backs; live ++= backs
+      // fresh pks
+      val news = (0 until 5).map { _ => fresh += 1; s"R$fresh" }
+      live ++= news
+      cat.insert("rr", (upd ++ backs ++ news).map(rrow)
+        .toDF("id", "grp", "tag", "vector"))
+      // random DELETES (after the insert, so same-segment LWW is exercised:
+      // a pk both put and deleted in one window resolves by sequence)
+      val dels = rnd.shuffle(live.toSeq).take(6)
+      live --= dels; dead ++= dels
+      cat.delete("rr", FilterExpr.Or(dels.map(d =>
+        Single("id", FilterExpr.Eq, d)).toList))
+      cat.flushDelta("rr") // v(1+seg)
+      val head = 1 + seg
+      val rebuilt = cat.localIvfIndex("rr", cols)
+      val (jumped, vj) = cat.refreshLocalIvfIndex("rr", base, 1, cols)
+      val (s2, vs) = cat.refreshLocalIvfIndex("rr", stepped, head - 1, cols)
+      stepped = s2
+      assert(vj === head); assert(vs === head)
+      assert(jumped.size === rebuilt.size)
+      assert(stepped.size === rebuilt.size)
+      assert(rebuilt.size === live.size.toLong)
+      for (_ <- 0 until 3; np <- Seq(1, 2, 4)) {
+        val q = rvec().toArray
+        sameHits(jumped.search(q, 10, np), rebuilt.search(q, 10, np))
+        sameHits(stepped.search(q, 10, np), rebuilt.search(q, 10, np))
+        val f = Seq("grp" -> rnd.nextInt(7).toLong)
+        sameHits(jumped.search(q, 10, np, eqFilter = f),
+          rebuilt.search(q, 10, np, eqFilter = f))
+      }
+    }
+  }
+
   test("filter-column drift refuses loudly instead of mis-aligning meta") {
     val cat = mkCat(CollectionMeta("rf", dim = 4, distance = "euclidean",
       fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
