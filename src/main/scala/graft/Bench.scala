@@ -722,7 +722,7 @@ object Bench {
         // per-query isolation (same contract as the 1M/10M suites): a
         // point-lookup failure must not discard an already-measured flat
         // scan, nor report under the wrong key
-        suite.flatMap { case (name, df) =>
+        val scanRows = suite.flatMap { case (name, df) =>
           try {
             var best = Double.MaxValue; var steady = 0; var i = 0
             while (steady < 2 && i < 10) { // warm until steady, same rule as bigSuite
@@ -743,6 +743,53 @@ object Bench {
             Seq.empty[(String, Double)]
           }
         }
+        // ---- 100M decade for the driver-local rungs (r14, r13 verdict
+        // #4): the Hamming rung is the density-scale story — 16 B/vector
+        // packed codes, so 100M vectors are ~1.6 GB of words (+ ~2.4 GB of
+        // boxed ids) resident, comfortably inside a serving driver; the f8
+        // IVF rung at ~13.6 GB also fits but the bin rung is the ceiling
+        // case worth measuring (documented per-rung in README).
+        //   local_bin_load_100m          one-shot O(corpus) load (toLocalIterator)
+        //   serve_local_bin_100m         per-probe latency (full in-process scan)
+        //   local_bin_refresh_10k_100m   applyChanges fold of a 10k window —
+        //                                the kernel the catalog fold wraps
+        //                                (the bounded collect on top is
+        //                                priced at 1M by local_refresh rows)
+        val localBinRows = try {
+          var idx: graft.ann.LocalBinIndex = null
+          val tLoad = timed("local_bin_load_100m", runs = 1) {
+            idx = graft.ann.LocalBinIndex.fromCodes(codes, "vec_id", "bin_code", 128, th)
+          }
+          if (idx == null) Seq("local_bin_load_100m" -> tLoad)
+          else {
+            val rnd = new scala.util.Random(31)
+            def freshQ() = Array.fill(128)(rnd.nextFloat() * 2 - 1)
+            (0 until 3).foreach(_ => idx.search(freshQ(), 10))
+            val ts = (0 until 12).map { _ =>
+              val q = freshQ()
+              val t0 = System.nanoTime(); idx.search(q, 10)
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            recordStats("serve_local_bin_100m", ts, Seq.fill(ts.size)(0L),
+              Seq.fill(ts.size)(0L))
+            val struck = new java.util.HashSet[AnyRef]()
+            (0 until 10000).foreach(i => struck.add(Long.box(i.toLong)))
+            val puts = (0 until 10000).map(i => graft.ann.LocalBinIndex.Put(
+              Long.box(200000000L + i), Array.fill(16)((i % 251).toByte), Nil))
+            val tRefresh = timed("local_bin_refresh_10k_100m", runs = 2) {
+              idx.applyChanges(struck, puts): Unit
+            }
+            Seq("local_bin_load_100m" -> tLoad,
+              "serve_local_bin_100m" -> ts.head,
+              "serve_local_bin_100m_p50" -> ts(ts.size / 2),
+              "local_bin_refresh_10k_100m" -> tRefresh)
+          }
+        } catch { case e: Throwable =>
+          errors("local_bin_load_100m") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
+        scanRows ++ localBinRows
       } finally codes.unpersist(false)
     } catch { case e: Throwable =>
       // setup failure (generator / threshold train / cache): both rows died
@@ -966,12 +1013,14 @@ object Bench {
         // BETWEEN reps, OUTSIDE the timed window, so the number measures
         // exactly what r9/r10 and FoldProbe measure: load + count.
         val tFold = try {
-          (1 to 3).map { _ =>
+          // r14: through measured() so the row carries row_stats (it had
+          // reps=3 but no dispersion record — r13 verdict #5)
+          val rs = (1 to 3).map { _ =>
             cat.releaseCollection("bd")
-            val t0 = System.nanoTime()
-            cat.loadCollection("bd"); cat.resident("bd").count()
-            (System.nanoTime() - t0) / 1e9
-          }.min
+            measured { cat.loadCollection("bd"); cat.resident("bd").count(): Unit }
+          }
+          recordStats("catalog_fold_load_1m", rs.map(_._1), rs.map(_._2), rs.map(_._3))
+          rs.map(_._1).min
         } catch { case e: Throwable =>
           errors("catalog_fold_load_1m") = Option(e.getMessage)
             .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
@@ -1051,8 +1100,8 @@ object Bench {
     // 12 requests each, same convention as serve_search_1m.
     val serveDist1m = try {
       val e = spark.read.parquet(benchDir)
-      val cat = new graft.collection.GraftCatalog(
-        spark, TempRoots.create("bench-servedist").toString)
+      val svRoot = TempRoots.create("bench-servedist").toString
+      val cat = new graft.collection.GraftCatalog(spark, svRoot)
       cat.createCollection(graft.collection.CollectionMeta("sv", dim = 128,
         distance = "cosine",
         fields = Seq(
@@ -1192,7 +1241,81 @@ object Bench {
             .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
           Seq.empty[(String, Double)]
         }
-        probeRows ++ auditRows ++ indexedDeltaRows
+        // ---- request latency DURING a local-rung refresh (r14, r13
+        // verdict #1's bench half): a real GraftServer on this collection's
+        // root warms its driver-local IVF rung over HTTP, the library
+        // handle (acting as "another driver") publishes a 10k delta, and
+        // one request triggers the O(changes) fold while this thread
+        // hammers the same route. Under build-beside-and-swap the hammered
+        // probes serve the resident previous version at normal in-process
+        // latency; before r14 they queued behind the fold.
+        //   local_rung_load_1m            first-probe rung build (O(corpus))
+        //   local_fold_request_1m         the folding request's own latency
+        //   serve_local_during_refresh_1m p50 probe latency while the fold
+        //                                 is in flight (row_stats carries
+        //                                 the full dispersion; bytes are 0 —
+        //                                 no Spark job in the probe path)
+        val serveStaleRows = try {
+          val server = new graft.serve.GraftServer(spark, svRoot)
+          server.start()
+          try {
+            val rnd2 = new scala.util.Random(23)
+            def reqBody() =
+              s"""{"vector":[${Array.fill(128)(rnd2.nextFloat() * 2 - 1).mkString(",")}],"topK":10,"nprobe":8}"""
+            def post(path: String, body: String): String = {
+              val conn = java.net.URI
+                .create(s"http://127.0.0.1:${server.boundPort}$path")
+                .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+              conn.setRequestMethod("POST")
+              conn.setDoOutput(true)
+              conn.getOutputStream.write(body.getBytes("UTF-8"))
+              require(conn.getResponseCode == 200, new String(
+                conn.getErrorStream.readAllBytes(), "UTF-8"))
+              val r = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+              conn.disconnect(); r
+            }
+            def probeOnce(): Double = {
+              val t0 = System.nanoTime()
+              post("/collections/sv/searchLocal", reqBody())
+              (System.nanoTime() - t0) / 1e9
+            }
+            val t0 = System.nanoTime()
+            post("/collections/sv/searchLocal", reqBody()) // builds the rung
+            val tLoad = (System.nanoTime() - t0) / 1e9
+            (0 until 20).foreach(_ => probeOnce()) // warm the probe path
+            // "another driver" publishes a 10k delta the server hasn't seen
+            cat.insert("sv", e.where(col("vec_id") < 10000)
+              .select((col("vec_id") + 3000000L).cast("string").as("id"),
+                (col("vec_id") % 100).cast("long").as("label"),
+                col("embedding").as("vector")))
+            cat.flushDelta("sv")
+            val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+            try {
+              val foldStart = System.nanoTime()
+              val fold = pool.submit(() => {
+                post("/collections/sv/searchLocal", reqBody())
+                (System.nanoTime() - foldStart) / 1e9
+              })
+              Thread.sleep(50) // let the folding request take the build lock
+              val during = scala.collection.mutable.ArrayBuffer[Double]()
+              while (!fold.isDone && during.size < 5000) during += probeOnce()
+              val tFold = fold.get(120, java.util.concurrent.TimeUnit.SECONDS)
+              val d = during.sorted.toSeq
+              Seq("local_rung_load_1m" -> tLoad, "local_fold_request_1m" -> tFold) ++
+                (if (d.nonEmpty) {
+                  recordStats("serve_local_during_refresh_1m", d,
+                    Seq.fill(d.size)(0L), Seq.fill(d.size)(0L))
+                  Seq("serve_local_during_refresh_1m" -> d(d.size / 2),
+                    "serve_local_during_refresh_1m_probes" -> d.size.toDouble)
+                } else Seq.empty)
+            } finally pool.shutdownNow()
+          } finally server.stop()
+        } catch { case ex: Throwable =>
+          errors("serve_local_during_refresh_1m") = Option(ex.getMessage)
+            .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
+          Seq.empty[(String, Double)]
+        }
+        probeRows ++ auditRows ++ indexedDeltaRows ++ serveStaleRows
       } finally cat.dropCollection("sv")
     } catch { case ex: Throwable =>
       errors("serve_dist_1m") = Option(ex.getMessage)
@@ -1373,7 +1496,8 @@ object Bench {
       }
       probe(8) // warm (codegen + FS metadata)
       val tProbe = timed("serve_multi_ivf_100m", runs = 3)(probe(8))
-      val tFull = timed("serve_multi_full_100m", runs = 1)(probe(256))
+      // r14: min-of-2 (r13 verdict #5 — in-run dispersion for the heavy arms)
+      val tFull = timed("serve_multi_full_100m", runs = 2)(probe(256))
       buildRow ++ Seq("serve_multi_ivf_100m" -> tProbe,
         "serve_multi_full_100m" -> tFull)
     }
@@ -1473,11 +1597,14 @@ object Bench {
       try {
         probeIvf(8) // warm (codegen + FS metadata)
         val tIvf = timed("serve_ivf_100m", runs = 3)(probeIvf(8))
-        val tIvfFull = timed("serve_ivf_full_100m", runs = 1)(probeIvf(256))
+        // r14: min-of-2 on the full arms — these were exactly the rows that
+        // swung 3-10× in the r13b slow-IO window with no in-run dispersion
+        // to attribute it from (r13 verdict #5)
+        val tIvfFull = timed("serve_ivf_full_100m", runs = 2)(probeIvf(256))
         probePq(8) // warm
         val tPq = timed("serve_pq_100m", runs = 3)(probePq(8))
         probePqFull() // warm (broadcast fetch + codegen)
-        val tPqFull = timed("serve_pq_full_100m", runs = 1)(probePqFull())
+        val tPqFull = timed("serve_pq_full_100m", runs = 2)(probePqFull())
         buildRows ++ Seq(
           "serve_ivf_100m" -> tIvf, "serve_ivf_full_100m" -> tIvfFull,
           "serve_pq_100m" -> tPq, "serve_pq_full_100m" -> tPqFull)
@@ -1542,12 +1669,17 @@ object Bench {
     // (never a silent cut).
     // r13 (VERDICT #3): per-row dispersion + IO. Seconds at 4 dp (the
     // row values' own precision); bytes exact.
+    // r14 (r13 VERDICT #5): rows that genuinely cannot re-run (one-time
+    // builds, state-mutating flushes) carry an EXPLICIT one_shot marker, so
+    // an artifact reader knows in-run dispersion is absent by construction
+    // (bytes_read stays the cross-run attribution anchor for them).
     val jrowStats = rowStats.map { case (k, s) =>
       def sec(v: Double) = (math.round(v * 10000) / 10000.0).toString
       jstr(k) + ":{\"reps\":" + s.reps + ",\"min\":" + sec(s.minSec) +
         ",\"med\":" + sec(s.medSec) + ",\"max\":" + sec(s.maxSec) +
         ",\"bytes_read\":" + s.bytesRead +
-        ",\"shuffle_write\":" + s.shuffleWrite + "}"
+        ",\"shuffle_write\":" + s.shuffleWrite +
+        (if (s.reps == 1) ",\"one_shot\":true" else "") + "}"
     }.mkString("{", ",", "}")
 
     val fullJson = "{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +

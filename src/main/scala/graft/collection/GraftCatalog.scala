@@ -2932,6 +2932,17 @@ class GraftCatalog(spark: SparkSession, root: String,
                              cols: Seq[Column], maxChanges: Int)
       : Option[(java.util.HashSet[AnyRef], Seq[org.apache.spark.sql.Row])] = {
     require(maxChanges >= 1, s"maxChanges must be >= 1, got $maxChanges")
+    // Footer pre-screen (r13 advice): the window's raw ledger row count —
+    // summed from parquet footers, no Spark job — upper-bounds its LWW
+    // winner count. When even the bound exceeds the cap, skip the probe:
+    // the bounded fetch would execute the FULL winner aggregation (union +
+    // latestByKey) only to return None, and the rebuild fallback then pays
+    // the same fold again inside foldChain. Conservative by construction —
+    // a window whose raw rows exceed the cap only through per-key
+    // duplicates rebuilds instead of folding, trading a rare missed fold
+    // for never paying the oversize aggregation twice.
+    if (maxChanges != Int.MaxValue && windowRowBound(name, window) > maxChanges)
+      return None
     val pk = meta.idColumn
     val fetch = if (maxChanges == Int.MaxValue) maxChanges else maxChanges + 1
     val rows = ledgerWinners(name, pk, window)
@@ -2943,6 +2954,25 @@ class GraftCatalog(spark: SparkSession, root: String,
       rows.foreach(r => struck.add(r.get(0).asInstanceOf[AnyRef]))
       Some((struck, rows.iterator.filter(_.getString(1) == "put").toSeq))
     }
+  }
+
+  /** Sum of parquet row counts across a delta window's segment files —
+    * read from file footers on the driver (tail-of-file metadata, no job,
+    * no row data). An upper bound on the window's LWW winner count: every
+    * winner is at least one ledger row. */
+  private def windowRowBound(name: String, window: Range): Long = {
+    var n = 0L
+    window.foreach { w =>
+      fs.listStatus(versionDir(name, w)).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try n += rdr.getRecordCount finally rdr.close()
+        }
+      }
+    }
+    n
   }
 
   /** The stored-form read of a vector column, mirroring the local loaders'
@@ -2977,6 +3007,21 @@ class GraftCatalog(spark: SparkSession, root: String,
         s"maxChanges=$maxChanges LWW winners — drop the resident index and rebuild " +
         "lazily, or call with oversizeRebuilds=true to rebuild now")
 
+  /** The OTHER inline-rebuild trigger `oversizeRebuilds=false` must cover
+    * (r13 advice): the chain base moved (a full flush / compaction —
+    * possibly by ANOTHER driver on the same root) between the caller's
+    * cache read and this refresh, so no foldable window exists and the only
+    * way forward is an O(corpus) rebuild. An eager write-path caller (the
+    * flushDelta-route fold) must degrade to drop-and-lazy-rebuild here
+    * exactly as on an oversize window — otherwise the cross-driver race
+    * stalls a publish on the rebuild the flag was added to prevent. */
+  private def rebaseRefusal(name: String, prevVersion: Int, head: Int) =
+    new GraftCatalog.RefreshTooLargeException(
+      s"local-rung refresh of '$name' from v$prevVersion to v$head has no " +
+        "foldable delta window (the chain base moved — flush/compaction) — " +
+        "an inline O(corpus) rebuild is required; drop the resident index " +
+        "and rebuild lazily, or call with oversizeRebuilds=true to rebuild now")
+
   /** Sorted specs for a refresh, REQUIRED to match what the index was
     * built with — a drifted filter-column set would mis-align put meta
     * values, so it refuses loudly (rebuild with the new columns instead). */
@@ -3009,6 +3054,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val head = meta.currentVersion
     if (head == prevVersion) return (prev, head)
     refreshWindow(name, prevVersion, head) match {
+      case None if !oversizeRebuilds => throw rebaseRefusal(name, prevVersion, head)
       case None => (localIvfIndex(name, filterColumns), head)
       case Some(w) =>
         val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
@@ -3040,6 +3086,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val head = meta.currentVersion
     if (head == prevVersion) return (prev, head)
     refreshWindow(name, prevVersion, head) match {
+      case None if !oversizeRebuilds => throw rebaseRefusal(name, prevVersion, head)
       case None => (localPqIndex(name, filterColumns), head)
       case Some(w) =>
         val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
@@ -3074,6 +3121,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val head = meta.currentVersion
     if (head == prevVersion) return (prev, head)
     refreshWindow(name, prevVersion, head) match {
+      case None if !oversizeRebuilds => throw rebaseRefusal(name, prevVersion, head)
       case None => (localBinIndex(name, filterColumns), head)
       case Some(w) =>
         val specs = refreshSpecs(meta, filterColumns, prev.filterableColumns)
@@ -3103,6 +3151,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val head = meta.currentVersion
     if (head == prevVersion) return (prev, head)
     refreshWindow(name, prevVersion, head) match {
+      case None if !oversizeRebuilds => throw rebaseRefusal(name, prevVersion, head)
       case None => (localMultiIndex(name), head)
       case Some(w) =>
         val fields = meta.vectorFields
@@ -3535,10 +3584,12 @@ object GraftCatalog {
     * sane flush duration, far below a human-debugging turnaround). */
   val DefaultStaleClaimMs: Long = 30L * 60 * 1000
 
-  /** A local-rung refresh window exceeded its `maxChanges` cap and the
-    * caller asked NOT to rebuild inline (`oversizeRebuilds = false`) —
-    * thrown so eager write-path folds can degrade to drop-and-lazy-rebuild
-    * instead of stalling a publish on an O(corpus) rebuild. */
+  /** A local-rung refresh needs an inline O(corpus) rebuild — the window
+    * exceeded its `maxChanges` cap, OR no foldable window exists because
+    * the chain base moved (flush/compaction, possibly by another driver) —
+    * and the caller asked NOT to rebuild inline (`oversizeRebuilds =
+    * false`): thrown so eager write-path folds can degrade to
+    * drop-and-lazy-rebuild instead of stalling a publish on the rebuild. */
   class RefreshTooLargeException(msg: String) extends RuntimeException(msg)
 
   /** Largest delta window (LWW winner count) a local-rung refresh will
@@ -3578,6 +3629,11 @@ object GraftCatalog {
   trait ClaimProtocol {
     def tryExclusiveCreate(fs: FileSystem, path: Path, content: Array[Byte]): Boolean
   }
+
+  /** A claim-protocol DEPLOYMENT fault (bad credentials, missing bucket,
+    * protocol violation) — never a race verdict, never retried: surfaces to
+    * the caller as the configuration error it is. */
+  class ClaimProtocolFault(msg: String) extends RuntimeException(msg)
 
   /** `file:` — NIO `CREATE_NEW`, a real O_EXCL on the local kernel. */
   object NioExclusiveCreate extends ClaimProtocol {

@@ -74,7 +74,34 @@ object Serve {
 class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private val catalog = new GraftCatalog(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+  // A small pool instead of the r13 single thread, gated by [[routeGate]]:
+  // driver-local probe routes run concurrently with each other (read lock —
+  // they touch only immutable resident indexes, the synchronized rung
+  // caches, and atomic-rename-published FS state), while every other route
+  // holds the write lock and so keeps exactly the single-threaded execution
+  // the catalog's resident-state maps assume. The concurrency this buys is
+  // precisely the serve-stale-during-refresh story: probe requests keep
+  // answering while one of them (or a flushDelta's eager fold) rebuilds a
+  // rung — see [[localIndexFor]].
+  private val requestPool = java.util.concurrent.Executors.newFixedThreadPool(16)
+  server.setExecutor(requestPool)
+
+  /** Two-lane request gate. Fair, so a burst of probes cannot starve a
+    * mutation (and vice versa). */
+  private val routeGate = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+
+  /** The read-lane routes: driver-local probes (plus ping). Everything
+    * else — lifecycle, ingest, flush, the DISTRIBUTED searches (whose
+    * prepared-plan and resident-state caches assume serialized access) —
+    * takes the write lane. */
+  private def isReadLane(method: String, parts: List[String]): Boolean =
+    (method, parts) match {
+      case ("POST", "collections" :: _ :: route :: Nil) =>
+        route == "searchLocal" || route == "searchLocalPq" ||
+          route == "searchLocalBin" || route == "searchLocalMulti"
+      case ("GET", "ping" :: Nil) => true
+      case _ => false
+    }
 
   /** Lazily-built driver-local serving indexes, keyed by collection —
     * serve the FLUSHED snapshot at the PUBLISHED HEAD: every request
@@ -105,7 +132,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
-  def stop(): Unit = server.stop(0)
+  // the request pool is NON-daemon: without the shutdown a stopped server
+  // would keep its host JVM alive (a library caller's main would hang)
+  def stop(): Unit = { server.stop(0); requestPool.shutdown() }
 
   // ---- routing ----
 
@@ -113,6 +142,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     val method = ex.getRequestMethod
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val isRead = isReadLane(method, parts)
+    val lock = if (isRead) routeGate.readLock() else routeGate.writeLock()
+    lock.lock()
     val (status, json) =
       try route(method, parts, body)
       catch {
@@ -134,10 +166,28 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           400 -> err(rootCause(e))
         case e: Throwable => 500 -> err(e)
       }
-    val bytes = json.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, bytes.length)
-    try ex.getResponseBody.write(bytes) finally ex.close()
+    // Deferred eager fold (r14): the flushDelta route publishes under the
+    // write lock, then DOWNGRADES (acquire read, release write) so the
+    // O(changes) fold of the just-published segment excludes only
+    // mutations — probe requests proceed and serve the resident previous
+    // version through the build-lock tryLock until the fold swaps the
+    // fresh rung in, and the flushDelta CLIENT gets its response before
+    // the fold runs (the publish is durable; the fold is a cache refresh).
+    // Without the downgrade, every probe of every collection queued at the
+    // route gate for the fold's duration. refreshLocalEntries never throws
+    // (it degrades to drop-and-lazy-rebuild internally).
+    val foldName = if (isRead) null else { val n = deferredFold.get(); deferredFold.remove(); n }
+    if (foldName != null) { routeGate.readLock().lock(); lock.unlock() }
+    else lock.unlock()
+    try {
+      val bytes = json.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    } finally if (foldName != null) {
+      try refreshLocalEntries(foldName)
+      finally routeGate.readLock().unlock()
+    }
   }
 
   /** Reader-under-vacuum recovery (vacuum's documented cross-driver
@@ -228,7 +278,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         // into a full O(corpus) reload on the next probe — the reference
         // HNSW's online-insert property on the batch-first split. A failed
         // fold degrades to the old behavior (drop, lazy rebuild).
-        refreshLocalEntries(name)
+        // r14: the fold runs AFTER this route's write lock DOWNGRADES to a
+        // read lock (the handler's deferred-fold seam) — probes arriving
+        // during the fold serve the resident previous version via the
+        // build-lock tryLock instead of queueing at the route gate.
+        deferredFold.set(name)
         ok(JObject("version" -> JInt(v)))
       case ("POST", "collections" :: name :: "export" :: Nil) =>
         val dest = JsonMethods.parse(body) \ "destRoot" match {
@@ -838,15 +892,33 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     * store, which serves unfiltered probes identically from then on. A
     * collection with NO filterable columns never upgrades — the filter
     * refuses inside search, so doomed requests don't loop rebuilds. */
-  /** One build lock per collection, shared by the three single-vector
-    * rung caches: a local-index (re)build is a multi-GB driver job, so two
-    * requests upgrading the SAME collection must not both run it (one
-    * build wasted + doubled peak memory), and serializing two DIFFERENT
-    * rungs of one collection is the deliberate lesser evil for the same
-    * memory reason. Today's executor is single-threaded so the lock is
-    * latent, but the cache contract should not depend on that knob. */
+  /** One build lock per collection, shared by the four rung caches: a
+    * local-index (re)build is a multi-GB driver job, so two requests
+    * upgrading the SAME collection must not both run it (one build wasted
+    * + doubled peak memory), and serializing two DIFFERENT rungs of one
+    * collection is the deliberate lesser evil for the same memory reason.
+    * A ReentrantLock (not a monitor) so [[localIndexFor]] can `tryLock`:
+    * a request that finds the lock HELD serves the resident stale entry
+    * instead of blocking behind the build (serve-stale-during-refresh,
+    * r13 verdict #1). */
   private val localBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private def buildLockFor(name: String): java.util.concurrent.locks.ReentrantLock =
+    localBuildLocks.computeIfAbsent(name, _ => new java.util.concurrent.locks.ReentrantLock)
+
+  /** Test seam: runs inside the build-lock critical section, immediately
+    * before a local-rung build or fold executes — lets a spec hold a
+    * "slow rebuild" in place while concurrent probes prove they serve the
+    * resident previous version without blocking. Never set in production. */
+  @volatile private[graft] var localBuildHook: () => Unit = () => ()
+
+  /** Set by the flushDelta route: the collection whose just-published delta
+    * segment the handler folds into the resident rungs AFTER downgrading
+    * the route gate from write to read (see the handler's deferred-fold
+    * seam). ThreadLocal because the route result and the deferred action
+    * must pair within one exchange. */
+  private val deferredFold = new ThreadLocal[String]
 
   /** Fold the just-published delta segment(s) into every resident local
     * rung of `name` — O(changes) per rung — instead of dropping them into
@@ -858,21 +930,25 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     // request must not rebuild/refresh the same collection while this
     // eager fold runs (double peak memory), and a failed fold here must
     // not cache.remove an entry a racing request just replaced
-    val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
+    val lock = buildLockFor(name)
     def upd[A](cache: scala.collection.mutable.Map[String, (Int, A)],
-               refresh: (A, Int) => (A, Int)): Unit = lock.synchronized {
-      cache.synchronized(cache.get(name)).foreach { case (v, idx) =>
-        try {
-          val (ni, nv) = refresh(idx, v)
-          cache.synchronized { cache(name) = (nv, ni) }
-        } catch {
-          case e: Exception =>
-            System.err.println(
-              s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
-                "dropping the resident index — next probe rebuilds")
-            cache.synchronized { cache.remove(name) }
+               refresh: (A, Int) => (A, Int)): Unit = {
+      lock.lock()
+      try {
+        cache.synchronized(cache.get(name)).foreach { case (v, idx) =>
+          try {
+            localBuildHook()
+            val (ni, nv) = refresh(idx, v)
+            cache.synchronized { cache(name) = (nv, ni) }
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
+                  "dropping the resident index — next probe rebuilds")
+              cache.synchronized { cache.remove(name) }
+          }
         }
-      }
+      } finally lock.unlock()
     }
     // oversizeRebuilds=false: this fold runs INSIDE the flushDelta route,
     // so a window past the collect cap must not stall the publish on an
@@ -913,39 +989,58 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
     // filterable columns to carry
     def usable(i: A): Boolean =
       eq.isEmpty || filterable(i).nonEmpty || localFilterableCols(name).isEmpty
-    cache.synchronized(cache.get(name)) match {
-      case Some((v, i)) if v == head && usable(i) => i
-      case _ =>
-        val lock = localBuildLocks.computeIfAbsent(name, _ => new Object)
-        lock.synchronized {
-          def buildAndCache(): A = {
-            // version BEFORE the build: the index serves AT MOST this head,
-            // so a concurrent flushDelta (impossible on today's single
-            // thread, cheap insurance regardless) re-folds rather than skips
-            val version = catalog.getMeta(name).currentVersion
-            val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
-            cache.synchronized { cache(name) = (version, built) }
-            built
-          }
-          cache.synchronized(cache.get(name)) match {
-            case Some((v, i)) if v == head && usable(i) => i
-            case Some((v, i)) if usable(i) =>
-              try {
-                val (ni, nv) = refresh(i, v)
-                cache.synchronized { cache(name) = (nv, ni) }
-                ni
-              } catch {
-                case e: Exception =>
-                  System.err.println(
-                    s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
-                      "rebuilding fresh")
-                  cache.synchronized { cache.remove(name) }
-                  buildAndCache()
-              }
-            case _ => buildAndCache()
-          }
-        }
+    val resident = cache.synchronized(cache.get(name))
+    resident match {
+      case Some((v, i)) if v == head && usable(i) => return i // fresh, lock-free
+      case _ => ()
     }
+    val lock = buildLockFor(name)
+    // Serve-stale-during-refresh (r13 verdict #1): when ANOTHER request is
+    // already folding/rebuilding a rung of this collection (the lock is
+    // held), a usable resident entry answers IMMEDIATELY at its built
+    // version — the adjacent previous head, exactly what the reader
+    // contract already promises under the meta-last publish ("the old head
+    // bit-for-bit") — instead of queueing O(fold) or O(corpus-rebuild)
+    // behind the builder. The builder swaps the fresh index in atomically
+    // (one cache write under the cache monitor) when done, so the next
+    // probe serves the new head. Only a request with NOTHING usable
+    // resident (cold cache, or a filtered request against an un-upgraded
+    // entry) waits for the builder — it has no adjacent version to serve.
+    if (!lock.tryLock()) {
+      resident match {
+        case Some((_, i)) if usable(i) => return i
+        case _ => lock.lock()
+      }
+    }
+    try {
+      def buildAndCache(): A = {
+        // version BEFORE the build: the index serves AT MOST this head, so
+        // a flushDelta published mid-build re-folds rather than skips
+        val version = catalog.getMeta(name).currentVersion
+        localBuildHook()
+        val built = build(if (eq.isEmpty) Nil else localFilterableCols(name))
+        cache.synchronized { cache(name) = (version, built) }
+        built
+      }
+      cache.synchronized(cache.get(name)) match {
+        case Some((v, i)) if v == head && usable(i) => i
+        case Some((v, i)) if usable(i) =>
+          try {
+            localBuildHook()
+            val (ni, nv) = refresh(i, v)
+            cache.synchronized { cache(name) = (nv, ni) }
+            ni
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"graft: local-rung refresh of '$name' failed (${e.getMessage}); " +
+                  "rebuilding fresh")
+              cache.synchronized { cache.remove(name) }
+              buildAndCache()
+          }
+        case _ => buildAndCache()
+      }
+    } finally lock.unlock()
   }
 
   /** The request filter in the one shape the local rungs can answer from

@@ -185,6 +185,72 @@ class LocalRefreshSpec extends SparkSpec {
     assert(r.getMessage.contains("maxChanges=1"))
   }
 
+  test("a moved chain base with oversizeRebuilds=false refuses — the eager " +
+    "write-path fold must never inline an O(corpus) rebuild (r13 advice)") {
+    val cat = mkCat(CollectionMeta("rz", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rz")
+    mutate(cat, "rz", dim = 4)
+    cat.flush("rz") // v4: compaction — no foldable window from v1 exists
+    // the cross-driver race: another flush moved the base between the
+    // cache read and the refresh; the eager flushDelta-route caller
+    // (oversizeRebuilds=false) must get a refusal it can degrade on, not
+    // silently pay the full rebuild inside a publish
+    val e = intercept[GraftCatalog.RefreshTooLargeException] {
+      cat.refreshLocalIvfIndex("rz", prev, 1, oversizeRebuilds = false)
+    }
+    assert(e.getMessage.contains("chain base moved"))
+    // all four rungs share the guard
+    val binCat = mkCat(CollectionMeta("rzb", dim = 4, distance = "euclidean",
+      fields = fields, binaryIndex = Some(true)), dim = 4)
+    val prevBin = binCat.localBinIndex("rzb")
+    mutate(binCat, "rzb", dim = 4)
+    binCat.flush("rzb")
+    intercept[GraftCatalog.RefreshTooLargeException] {
+      binCat.refreshLocalBinIndex("rzb", prevBin, 1, oversizeRebuilds = false)
+    }
+    // the lazy read-path caller (oversizeRebuilds=true) still rebuilds to parity
+    val (refreshed, v) = cat.refreshLocalIvfIndex("rz", prev, 1)
+    assert(v === 4)
+    val rebuilt = cat.localIvfIndex("rz")
+    for (q <- queries(4))
+      sameHits(refreshed.search(q, 8, 4), rebuilt.search(q, 8, 4))
+  }
+
+  test("footer pre-screen: a window whose RAW row bound exceeds the cap " +
+    "rebuilds without paying the winner aggregation (r13 advice)") {
+    val cat = mkCat(CollectionMeta("rf", dim = 4, distance = "euclidean",
+      fields = fields, ivfCells = Some(4), ivfTrainIterations = Some(0)), dim = 4)
+    val prev = cat.localIvfIndex("rf")
+    // the same five keys re-put in each of two segments: 10 raw ledger
+    // rows, 5 LWW winners — the footer bound (10) is deliberately coarser
+    // than the winner count (5)
+    def puts(tag: String, bump: Float) = (0 until 5).map(i =>
+      (s"B0_${i * 7 + 1}", 1L, tag, Seq.tabulate(4)(j => if (j == 0) 100f + bump else 0f)))
+    cat.insert("rf", puts("first", 1f).toDF("id", "grp", "tag", "vector"))
+    cat.flushDelta("rf") // v2
+    cat.insert("rf", puts("second", 2f).toDF("id", "grp", "tag", "vector"))
+    cat.flushDelta("rf") // v3
+    // cap 7: winners (5) would fit, the raw bound (10) does not — the
+    // pre-screen answers "over" from parquet footers alone, so the eager
+    // caller refuses (degradable) instead of running the aggregation twice
+    val e = intercept[GraftCatalog.RefreshTooLargeException] {
+      cat.refreshLocalIvfIndex("rf", prev, 1, maxChanges = 7,
+        oversizeRebuilds = false)
+    }
+    assert(e.getMessage.contains("maxChanges=7"))
+    // the lazy caller's rebuild fallback and a roomy-cap fold agree exactly
+    val (viaRebuild, _) = cat.refreshLocalIvfIndex("rf", prev, 1, maxChanges = 7)
+    val (viaFold, _) = cat.refreshLocalIvfIndex("rf", prev, 1, maxChanges = 20)
+    val rebuilt = cat.localIvfIndex("rf")
+    assert(viaRebuild.size === rebuilt.size)
+    assert(viaFold.size === rebuilt.size)
+    for (q <- queries(4); np <- Seq(1, 4)) {
+      sameHits(viaRebuild.search(q, 8, np), rebuilt.search(q, 8, np))
+      sameHits(viaFold.search(q, 8, np), rebuilt.search(q, 8, np))
+    }
+  }
+
   test("quantized (f8) ivf refresh == rebuild — stored-form puts fold exactly") {
     val cat = mkCat(CollectionMeta("rq", dim = 4, distance = "euclidean",
       quantization = "f8",
