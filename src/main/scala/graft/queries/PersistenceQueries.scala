@@ -558,6 +558,84 @@ object PersistenceQueries {
         .map { case (id, h) => (id.toString, h.toLong) }
         .toDF("id", "hamming").orderBy("hamming", "id")
     }),
+    // The fold contract on the ADC rung — the third stored form: put
+    // winners fold with the codes the segment encoded against the BASE
+    // codebook (the sidecar the resident index already holds), and the
+    // folded in-process ADC ranking must equal DuckDB's codebook +
+    // re-encode + ADC replay of the post-fold state.
+    "local_refresh_fold_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfpq").toString)
+      cat.createCollection(CollectionMeta("lrp", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer")),
+        pqSubspaces = Some(4), pqCodewords = Some(16), pqTrainIterations = Some(0)))
+      cat.loadCollection("lrp")
+      cat.insert("lrp", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"),
+        col("embedding").as("vector")))
+      cat.flush("lrp") // v1: codes + codebook sidecar
+      val prev = cat.localPqIndex("lrp")
+      cat.insert("lrp", e.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("embedding")).as("vector")))
+      cat.delete("lrp", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("lrp") // v2: delta codes from v1's codebook
+      val (idx, v) = cat.refreshLocalPqIndex("lrp", prev, 1, oversizeRebuilds = false)
+      require(v == 2, s"fold should land on v2, got v$v")
+      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      idx.search(qv, topK = 10, nprobe = 1)
+        .map { case (id, d) => (id.toString, graft.ann.LocalIvfIndex.round6(d)) }
+        .toDF("id", "dist").orderBy("dist", "id")
+    }),
+    // The fold contract on the CFLAT rung — the fourth serving form: put
+    // winners fold with their segment-assigned ROUTING cell and one
+    // stored-form vector per declared field; the folded in-process
+    // weighted probe must equal DuckDB's replay (fold + v0 re-assignment
+    // + 3-cell probe + 60/40 weighted rank at the 8-dp polarity). Rows
+    // keep the search's own (round8 desc, id) order — no 4-dp re-sort.
+    "local_refresh_fold_multi" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfmv").toString)
+      cat.createCollection(CollectionMeta("lrm", dim = dim, distance = "euclidean",
+        fields = Seq(
+          IndexField("id", "string", primaryKey = true),
+          IndexField("label", "integer"),
+          IndexField("v0", "vector"),
+          IndexField("v1", "vector")),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("lrm")
+      val pairs = e.select(col("vec_id"), col("label"), col("embedding").as("v0"))
+        .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
+      cat.insert("lrm", pairs.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("label"), col("v0"), col("v1")))
+      cat.flush("lrm") // v1: v0-routed cell layout + centroid sidecar
+      val prev = cat.localMultiIndex("lrm")
+      cat.insert("lrm", pairs.where(col("vec_id") % 7 === 3).select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        (col("label") + 100).as("label"),
+        reverse(col("v0")).as("v0"), reverse(col("v1")).as("v1")))
+      cat.delete("lrm", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
+      cat.flushDelta("lrm") // v2: routing cells from v1's sidecar
+      val (idx, v) = cat.refreshLocalMultiIndex("lrm", prev, 1, oversizeRebuilds = false)
+      require(v == 2, s"fold should land on v2, got v$v")
+      def qv(id: Long) =
+        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      idx.search(Seq(
+          graft.ann.LocalMultiIndex.FieldQ("v0", qv(0), 60),
+          graft.ann.LocalMultiIndex.FieldQ("v1", qv(1), 40)),
+          topK = 10, nprobe = 3)
+        .map { case (id, score) => (id.toString, score) }
+        .toDF("id", "score")
+    }),
     // Head-fresh serving under the oracle gate (r13 verdict #2, second
     // half): a delta segment PUBLISHED BY A SECOND CATALOG INSTANCE (the
     // cross-driver shape — no flush call ever reaches the server) must be
@@ -1292,6 +1370,34 @@ object PersistenceQueries {
         |FROM fin f JOIN asg a ON a.id = f.id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, f.id LIMIT 10""".stripMargin,
+    // the ADC rung's fold: delta_flush_pq's replay (codebook from the 16
+    // id-smallest ORIGINAL rows, the FOLDED state re-encoded, ADC rank)
+    // answered by the folded LocalPqIndex
+    "local_refresh_fold_pq" ->
+      """WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+        |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |upd AS (SELECT id, vec_id, label + 100 AS label,
+        |    list_reverse(embedding) AS embedding FROM emb WHERE vec_id % 7 = 3),
+        |merged AS (SELECT id, vec_id, label, embedding FROM emb WHERE vec_id % 7 <> 3
+        |           UNION ALL SELECT id, vec_id, label, embedding FROM upd),
+        |fin AS (SELECT * FROM merged WHERE label < 107),
+        |sp AS (SELECT j FROM range(0, 4) r(j)),
+        |cb AS (SELECT sp.j, e.vec_id AS cid, e.embedding[sp.j*16+1 : sp.j*16+16] AS cv
+        |  FROM emb e, sp WHERE e.vec_id < 16),
+        |q AS (SELECT sp.j, e.embedding[sp.j*16+1 : sp.j*16+16] AS qv
+        |  FROM emb e, sp WHERE e.vec_id = 0),
+        |asg AS (SELECT id, j, cid FROM (
+        |  SELECT f.id, c.j, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY f.id, c.j
+        |      ORDER BY ROUND(list_distance(f.embedding[c.j*16+1 : c.j*16+16]::DOUBLE[],
+        |                                   c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM fin f, cb c) WHERE rn = 1),
+        |adc AS (SELECT a.id,
+        |    SQRT(SUM(POWER(list_distance(q.qv::DOUBLE[], c.cv::DOUBLE[]), 2))) AS d
+        |  FROM asg a JOIN cb c ON c.j = a.j AND c.cid = a.cid JOIN q ON q.j = a.j
+        |  GROUP BY a.id)
+        |SELECT adc.id, ROUND(adc.d, 6) AS dist FROM adc
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
     // the Hamming rung's fold: midrange thresholds from the ORIGINAL
     // corpus (the base flush trained them), the FOLDED state re-encoded,
     // raw integer Hamming top-10 with id tiebreak — no rerank (the local
@@ -1318,6 +1424,35 @@ object PersistenceQueries {
         |SELECT b.id, CAST(list_sum(list_transform(range(1, len(b.bits) + 1),
         |    i -> CASE WHEN b.bits[i] <> qb.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |FROM b, qb ORDER BY hamming, b.id LIMIT 10""".stripMargin,
+    // the CFLAT rung's fold: multi_vector_ivf's replay without the cell
+    // column (the local rung reports id + score), same 8-dp rank polarity
+    "local_refresh_fold_multi" -> {
+      val w = """GREATEST(0, 100 - list_distance(f.v0::DOUBLE[], q0.qv::DOUBLE[])) * 0.6
+                | + GREATEST(0, 100 - list_distance(f.v1::DOUBLE[], q1.qv::DOUBLE[])) * 0.4""".stripMargin
+      s"""WITH emb AS (SELECT lpad(CAST(vec_id AS VARCHAR), 3, '0') AS id, vec_id,
+         |    CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+         |mv AS (SELECT e1.id, e1.vec_id, e1.label, e1.embedding AS v0, e2.embedding AS v1
+         |       FROM emb e1 JOIN emb e2 ON e2.vec_id = e1.vec_id + 1),
+         |upd AS (SELECT id, vec_id, label + 100 AS label,
+         |    list_reverse(v0) AS v0, list_reverse(v1) AS v1 FROM mv WHERE vec_id % 7 = 3),
+         |merged AS (SELECT id, vec_id, label, v0, v1 FROM mv WHERE vec_id % 7 <> 3
+         |           UNION ALL SELECT id, vec_id, label, v0, v1 FROM upd),
+         |fin AS (SELECT * FROM merged WHERE label < 107),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT f.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY f.id
+         |      ORDER BY ROUND(list_distance(f.v0::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+         |  FROM fin f, cents c) WHERE rn = 1),
+         |probe AS (SELECT c.cid FROM cents c, q0
+         |  ORDER BY ROUND(list_distance(c.cv::DOUBLE[], q0.qv::DOUBLE[]), 6), c.cid LIMIT 3)
+         |SELECT f.id, ROUND($w, 4) AS score
+         |FROM fin f JOIN asg a ON a.id = f.id, q0, q1
+         |WHERE a.cid IN (SELECT cid FROM probe)
+         |ORDER BY ROUND($w, 8) DESC, f.id LIMIT 10""".stripMargin
+    },
     // head-fresh serving replays the SAME post-fold state — the row's
     // strength is in the QUERY side (the segment was published by a second
     // catalog instance and served over HTTP with no flush on the server)
