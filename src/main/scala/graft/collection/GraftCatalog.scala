@@ -3191,6 +3191,35 @@ class GraftCatalog(spark: SparkSession, root: String,
       .toArray
   }
 
+  /** Pre-touch the serving layout for `cells` (every cell when empty):
+    * reads the vector/code BYTES of the selected cell partitions through
+    * one aggregate-only job, pulling their pages into the OS cache so the
+    * first probe against them pays page-warm I/O instead of the cold
+    * envelope (README "Cold-probe envelope": ~nprobe/cells × layout bytes
+    * ÷ disk throughput on first touch — the r13 decomposition's physics;
+    * the serve_*_full_100m min-of-2 rows show 80.8 s cold vs 5.4 s warm
+    * on identical bytes_read). Partition-pruned exactly like the probes:
+    * warming 8 of 256 cells reads 1/32 of the layout. A bare `count()`
+    * would satisfy itself from parquet footers without touching data
+    * pages, so the job sums the serving columns' array/byte lengths.
+    * Returns the number of rows touched. */
+  def warmCells(name: String, cells: Seq[Long] = Nil): Long = {
+    val meta = getMeta(name)
+    require(meta.currentVersion > 0, s"collection $name has never been flushed")
+    val snap = indexedState(name, meta)
+    val sel =
+      if (cells.isEmpty || !snap.columns.contains(GraftCatalog.CellCol)) snap
+      else snap.where(col(GraftCatalog.CellCol).isin(cells: _*))
+    val touch = sel.schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        sum(size(col(f.name)))
+      case f if f.dataType == org.apache.spark.sql.types.BinaryType =>
+        sum(length(col(f.name)))
+    }
+    val aggs = org.apache.spark.sql.functions.count(lit(1)) +: touch
+    sel.agg(aggs.head, aggs.tail: _*).collect().head.getLong(0)
+  }
+
   /** Weighted multi-vector search over a CFLAT-style collection
     * (experimental/multi_vector_vertex.go:85-137): each queried field names a
     * declared vector column; included ratios must sum to 100 (validated in

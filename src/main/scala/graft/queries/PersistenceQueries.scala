@@ -558,6 +558,26 @@ object PersistenceQueries {
         .map { case (id, h) => (id.toString, h.toLong) }
         .toDF("id", "hamming").orderBy("hamming", "id")
     }),
+    // The warming operator (r13 verdict #7): warmCells' touched-row
+    // answers are exact — all cells = the full corpus, one cell = exactly
+    // the rows the persisted assignment put there. The oracle replays the
+    // seed-centroid argmin assignment and counts cell 0.
+    "warm_cells" -> ((s, dir) => {
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val cat = new GraftCatalog(s, graft.TempRoots.create("graft-warm").toString)
+      cat.createCollection(CollectionMeta("wrm", dim = dim, distance = "euclidean",
+        fields = Seq(IndexField("id", "string", primaryKey = true)),
+        ivfCells = Some(8), ivfTrainIterations = Some(0)))
+      cat.loadCollection("wrm")
+      cat.insert("wrm", e.select(
+        lpad(col("vec_id").cast("string"), 3, "0").as("id"),
+        col("embedding").as("vector")))
+      cat.flush("wrm")
+      Seq((cat.warmCells("wrm"), cat.warmCells("wrm", Seq(0L))))
+        .toDF("warmed_all", "warmed_cell0")
+    }),
     // The fold contract on the ADC rung — the third stored form: put
     // winners fold with the codes the segment encoded against the BASE
     // codebook (the sidecar the resident index already holds), and the
@@ -1370,6 +1390,17 @@ object PersistenceQueries {
         |FROM fin f JOIN asg a ON a.id = f.id, q
         |WHERE a.cid IN (SELECT cid FROM probe)
         |ORDER BY dist, f.id LIMIT 10""".stripMargin,
+    // warmCells' touched-row counts: the full corpus, and cell 0 of the
+    // seed-centroid argmin assignment
+    "warm_cells" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6), c.cid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1)
+        |SELECT (SELECT COUNT(*) FROM embeddings) AS warmed_all,
+        |       (SELECT COUNT(*) FROM asg WHERE cid = 0) AS warmed_cell0""".stripMargin,
     // the ADC rung's fold: delta_flush_pq's replay (codebook from the 16
     // id-smallest ORIGINAL rows, the FOLDED state re-encoded, ADC rank)
     // answered by the folded LocalPqIndex

@@ -271,6 +271,15 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
         localIndexes.remove(name); localPqIndexes.remove(name); localBinIndexes.remove(name)
         localMultiIndexes.remove(name)
         ok(JObject("version" -> JInt(v)))
+      // pre-touch the serving layout's pages (README "Cold-probe
+      // envelope"): optional {"cells":[...]} warms only those cells —
+      // partition-pruned like the probes it is warming for
+      case ("POST", "collections" :: name :: "warm" :: Nil) =>
+        val cells = (if (body.isEmpty) JObject() else JsonMethods.parse(body)) \ "cells" match {
+          case JArray(cs) => cs.map(c => num(c).toLong)
+          case _ => Nil
+        }
+        ok(JObject("warmedRows" -> JInt(catalog.warmCells(name, cells))))
       case ("POST", "collections" :: name :: "flushDelta" :: Nil) =>
         val v = catalog.flushDelta(name)
         // r13: a delta segment is O(changes), so resident local rungs FOLD

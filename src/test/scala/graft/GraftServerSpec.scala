@@ -373,6 +373,11 @@ class GraftServerSpec extends SparkSpec {
     assert(http("POST", "/collections/ivfh/flush")._2 === """{"version":2}""")
     val (_, after) = http("POST", "/collections/ivfh/searchLocal", q)
     assert(after.contains("\"fresh\""), s"stale local index after flush: $after")
+    // warm route: all cells = full row count; one cell = a strict subset
+    assert(http("POST", "/collections/ivfh/warm")._2 === """{"warmedRows":31}""")
+    val one = http("POST", "/collections/ivfh/warm", """{"cells":[0]}""")._2
+    val n = "\\d+".r.findFirstIn(one).get.toInt
+    assert(n > 0 && n < 31, s"one-cell warm should touch a strict subset: $one")
   }
 
   test("filtered search on the index rungs over HTTP: searchIvf/searchPq/searchBinary " +

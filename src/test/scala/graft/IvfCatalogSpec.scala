@@ -54,6 +54,28 @@ class IvfCatalogSpec extends SparkSpec {
     assert(one.forall(_.getAs[Long]("hits") <= 5))
   }
 
+  test("warmCells pre-touches the layout: all cells = full row count, a cell " +
+    "subset touches only its rows, byte columns really read (r13 verdict #7)") {
+    val cat = mkCat(4)
+    assert(cat.warmCells("ivf") === 200L)
+    // one cell ⇒ exactly that cluster's 50 rows (partition-pruned read)
+    val perCell = (0L until 4L).map(c => cat.warmCells("ivf", Seq(c)))
+    assert(perCell.sum === 200L)
+    assert(perCell.forall(_ === 50L))
+    // warming composes with a delta chain (the folded state is what probes
+    // read): 10 new rows land in their cells
+    cat.insert("ivf", (0 until 10).map(i =>
+      (s"C$i", Seq(100f, 0f, 0f, i.toFloat))).toDF("id", "vector"))
+    cat.flushDelta("ivf")
+    assert(cat.warmCells("ivf") === 210L)
+    // never-flushed refuses
+    cat.createCollection(CollectionMeta("w0", dim = 2, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true)),
+      ivfCells = Some(2)))
+    val e = intercept[IllegalArgumentException](cat.warmCells("w0"))
+    assert(e.getMessage.contains("never been flushed"))
+  }
+
   test("flush writes a cell-partitioned snapshot; load drops the layout column") {
     val cat = mkCat(4)
     assert(cat.count("ivf") === 200)
