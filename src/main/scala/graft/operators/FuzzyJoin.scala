@@ -30,11 +30,17 @@ object FuzzyJoin {
     * deduplicated (repeated chars produce equal variants). Empty strings
     * have only themselves. */
   def deletionVariants(c: Column): Column =
+    array_distinct(deletionVariantsRaw(c))
+
+  /** [[deletionVariants]] WITHOUT the per-row dedup — callers that dedup
+    * downstream (e.g. on the variant hash, where element compares are 8-byte
+    * longs instead of strings) skip the O(v²) string-compare pass here. */
+  def deletionVariantsRaw(c: Column): Column =
     when(length(c) === 0, array(c)).otherwise(
-      array_distinct(concat(
+      concat(
         array(c),
         transform(sequence(lit(1), length(c)), i =>
-          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))))
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
 
   /** The order-2 deletion neighborhood: `c`, every single deletion, every
     * DOUBLE deletion (positions i < j) — 1 + L + L(L−1)/2 variants,
@@ -45,7 +51,13 @@ object FuzzyJoin {
     * positions from each side yields a COMMON member of D2(s) ∩ D2(t)
     * (substitutions delete on both sides, inserts/deletes on the longer
     * side only) — FuzzyJoinSpec pins this against brute force. */
-  def deletionVariants2(c: Column): Column = {
+  def deletionVariants2(c: Column): Column =
+    array_distinct(deletionVariants2Raw(c))
+
+  /** [[deletionVariants2]] without the per-row dedup (see
+    * [[deletionVariantsRaw]] — at t=2 the dedup is ~466² element compares
+    * per 30-char key, by far the hottest part of the candidate build). */
+  def deletionVariants2Raw(c: Column): Column = {
     val len = length(c)
     // sequence(a, b) counts DOWN when a > b — guard L < 2 explicitly, and
     // the inner range starts at i+1 ≤ L by the outer bound
@@ -56,25 +68,50 @@ object FuzzyJoin {
             c.substr(i + 1, j - i - 1),
             c.substr(j + 1, len))))))
       .otherwise(array().cast("array<string>"))
-    array_distinct(concat(deletionVariants(c), doubles))
+    concat(deletionVariantsRaw(c), doubles)
   }
 
   /** Distinct pairs (id_a < id_b) of rows whose `strCol` values are within
     * edit distance `threshold` (1 or 2), with the distance. Candidates from
     * the order-`threshold` deletion neighborhood (lossless — see above),
     * then one exact levenshtein verify per deduplicated pair.
-    * Output: id_a, id_b, d. */
+    * Output: id_a, id_b, d.
+    *
+    * r14 shape (guide §2.3/§2.4): the join key is xxhash64(variant), not
+    * the variant string — an 8-byte shuffle key instead of a ~30-char
+    * string, and the per-row dedup (`array_distinct`, O(v²) element
+    * compares at v≈466 for t=2) compares longs instead of strings. Hash
+    * collisions only ADD candidate pairs; the exact levenshtein verify
+    * keeps the output identical to the brute-force truth. Both join sides
+    * are built from the SAME exploded subtree so the variant Exchange is
+    * planned once and the second side is a ReusedExchange — one explode
+    * pass over the corpus instead of two. */
   def editPairs(df: DataFrame, idCol: String, strCol: String, threshold: Int): DataFrame = {
     require(threshold == 1 || threshold == 2,
       s"deletion-neighborhood blocking supports thresholds 1 and 2, got $threshold " +
         "(t >= 3 explodes the variant count cubically — use n-gram blocking instead)")
     val variants: Column => Column =
-      if (threshold == 1) deletionVariants else deletionVariants2
-    val va = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"))
-      .withColumn("vv", explode(variants(col("s_a"))))
-    val vb = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"))
-      .withColumn("vv", explode(variants(col("s_b"))))
-    va.join(vb, "vv")
+      if (threshold == 1) deletionVariantsRaw else deletionVariants2Raw
+    val src = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // The explode multiplies rows ~|s|²/2× (t=2), so a narrow input that
+    // arrives in fewer partitions than the cluster has cores runs the
+    // ENTIRE variant build single-threaded (measured: 7.1 task-seconds in
+    // one task at sf0.1 — the whole row's wall time). Spreading the
+    // PRE-explode rows is a trivial shuffle (rows × ~40 B) that buys full
+    // parallelism for the 466×-bigger generate; at scale the input already
+    // has ≥ cores partitions and this is a no-op (guide §2.5 input skew).
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions < para) src.repartition(para) else src
+    val exploded = spread.withColumn("vh",
+      explode(array_distinct(transform(variants(col("s")), v => xxhash64(v)))))
+    val va = exploded.select(col("id").as("id_a"), col("s").as("s_a"), col("vh"))
+    val vb = exploded.select(col("id").as("id_b"), col("s").as("s_b"), col("vh"))
+    // merge hint: the pre-explode size ESTIMATE is what the planner sees,
+    // so it broadcast the whole EXPLODED side (collected on the driver —
+    // ~|s|²/2 × rows; at sf0.1 a 932k-row driver build, at scale an OOM).
+    // Sort-merge keeps both exploded sides distributed, reuses one
+    // Exchange for the self-join, and AQE splits hot-variant skew.
+    va.hint("merge").join(vb, Seq("vh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
       // compute the O(|a|·|b|) edit distance ONCE per candidate — Catalyst

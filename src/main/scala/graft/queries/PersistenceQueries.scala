@@ -14,12 +14,13 @@ import graft.collection._
   * Distance is euclidean so stored vectors are byte-identical to the input
   * (no cosine pre-normalization) and the oracle can recompute distances. */
 object PersistenceQueries {
-  import Tables.tbl
+  import Tables.{tbl, embUpTo}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-snap").toString)
       val meta = CollectionMeta("snap", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -34,7 +35,7 @@ object PersistenceQueries {
       cat.flush("snap")
       cat.releaseCollection("snap")
       cat.loadCollection("snap")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.search("snap", qv, topK = 10)
     }),
     // Prepared (plan-once/execute-many) serving path under the hash gate:
@@ -47,7 +48,8 @@ object PersistenceQueries {
     // driver-side row conversion breaks the hash.
     "prepared_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-prep-q").toString)
       cat.createCollection(CollectionMeta("prep", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -58,8 +60,7 @@ object PersistenceQueries {
         col("vec_id").cast("string").as("id"),
         col("label"),
         col("embedding").as("vector")))
-      def vec(id: Long) =
-        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def vec(id: Long) = emQ(id)
       cat.searchPrepared("prep", vec(1), topK = 10) // compile the shape
       val (schema, rows) = cat.searchPrepared("prep", vec(0), topK = 10)
       s.createDataFrame(new java.util.ArrayList(
@@ -75,7 +76,8 @@ object PersistenceQueries {
     // hash.
     "coltt_import_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val vs = e.select(col("vec_id"), col("label").cast("long"), col("embedding"))
         .collect().toIndexedSeq.map { r =>
           graft.interop.ColttImport.ColttVertex(
@@ -94,7 +96,7 @@ object PersistenceQueries {
         graft.interop.ColttImport.encodeVertexBlob(vs))
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-coltt").toString)
       graft.interop.ColttImport.importSnapshot(s, cat, "imported", bucket.toString)
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.search("imported", qv, topK = 10)
     }),
     // Migration path #3 — the CORE engine's commit log: round-trip the
@@ -139,7 +141,8 @@ object PersistenceQueries {
       finally out.close()
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-core").toString)
       graft.interop.ColttCoreImport.importCoreCollection(s, cat, "coreimp", walDir.toString)
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      // the query vector rides the already-collected fixture rows (r14)
+      val qv = rows.find(_.getLong(0) == 0L).get.getSeq[Float](2).toArray
       cat.search("coreimp", qv, topK = 10)
     }),
     // PQ code layout through the full Collection API: create with
@@ -150,7 +153,8 @@ object PersistenceQueries {
     // Lloyd-trained path is CatalogPqSpec/PqSpec territory.
     "catalog_pq_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pq").toString)
       cat.createCollection(CollectionMeta("pqc", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -163,7 +167,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("pqc")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchPq("pqc", qv, topK = 10, rerank = false)
     }),
     // Binary (sign-bit) layout through the full Collection API: create with
@@ -175,7 +179,8 @@ object PersistenceQueries {
     // AND final ranking must agree bit-for-bit.
     "catalog_bin_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-bin").toString)
       cat.createCollection(CollectionMeta("binc", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -188,7 +193,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("binc")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchBinary("binc", qv, topK = 10, overFetch = 3)
     }),
     // Write half of the edge migration: the collection exports as a NATIVE
@@ -199,7 +204,8 @@ object PersistenceQueries {
     // synthesis, enum mapping, and vector encoding all have to be right.
     "coltt_export_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-cexp-src").toString)
       cat.createCollection(CollectionMeta("exp", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -215,7 +221,7 @@ object PersistenceQueries {
       graft.interop.ColttExport.exportEdgeCollection(s, cat, "exp", bucket.toString)
       val cat2 = new GraftCatalog(s, graft.TempRoots.create("graft-cexp-dst").toString)
       graft.interop.ColttImport.importSnapshotDistributed(s, cat2, "exp", bucket.toString)
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat2.search("exp", qv, topK = 10)
     }),
     // The third engine's write half: a CFLAT multi-vector collection
@@ -225,7 +231,8 @@ object PersistenceQueries {
     // collection must rank identically to a direct replay.
     "coltt_export_mv_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-cexpmv-src").toString)
       cat.createCollection(CollectionMeta("mvex", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -241,8 +248,7 @@ object PersistenceQueries {
       graft.interop.ColttExport.exportExperimentalCollection(s, cat, "mvex", bucket.toString)
       val cat2 = new GraftCatalog(s, graft.TempRoots.create("graft-cexpmv-dst").toString)
       graft.interop.ColttImport.importExperimentalSnapshot(s, cat2, "mvex", bucket.toString)
-      def qv(id: Long) = e.where(col("vec_id") === id)
-        .select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       cat2.searchMulti("mvex", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
@@ -256,7 +262,8 @@ object PersistenceQueries {
     // oracle replays seed training, assignment, probe, FILTER, ranking.
     "ivf_search_filtered" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-ivff").toString)
       cat.createCollection(CollectionMeta("ivff", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -269,7 +276,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("ivff")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchIvf("ivff", qv, topK = 10, nprobe = 3,
         filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
     }),
@@ -283,7 +290,8 @@ object PersistenceQueries {
     // replay as ivf_search_filtered.
     "prepared_ivf_search" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pivf").toString)
       cat.createCollection(CollectionMeta("pivf", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -296,8 +304,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("pivf")
-      def qv(id: Long) =
-        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       val f = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5): graft.FilterExpr)
       cat.searchIvfPrepared("pivf", qv(1), topK = 10, nprobe = 3, f) // compile the shape
       val (schema, rows) = cat.searchIvfPrepared("pivf", qv(0), topK = 10, nprobe = 3, f)
@@ -310,7 +317,8 @@ object PersistenceQueries {
     // bin_search_filtered's territory).
     "pq_search_filtered" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pqf").toString)
       cat.createCollection(CollectionMeta("pqf", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -323,7 +331,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("pqf")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchPq("pqf", qv, topK = 10, rerank = false,
         filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
     }),
@@ -334,7 +342,8 @@ object PersistenceQueries {
     // so prefilter membership AND ranking must agree bit-for-bit.
     "bin_search_filtered" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-binf").toString)
       cat.createCollection(CollectionMeta("binf", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -347,7 +356,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("binf")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchBinary("binf", qv, topK = 10, overFetch = 3,
         filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Lt, 5)))
     }),
@@ -362,7 +371,8 @@ object PersistenceQueries {
     // preserved the exact collection state.
     "delta_flush_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-delta").toString)
       cat.createCollection(CollectionMeta("dlt", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -385,7 +395,7 @@ object PersistenceQueries {
       cat.flush("dlt") // v3: compaction — full snapshot of the folded state
       cat.releaseCollection("dlt")
       cat.loadCollection("dlt")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.search("dlt", qv, topK = 10)
     }),
     // Delta flush on an INDEXED collection (r9 verdict #1 — the 100 TB
@@ -400,7 +410,8 @@ object PersistenceQueries {
     // so a hash match proves the delta encode AND the indexed fold.
     "delta_flush_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-divf").toString)
       cat.createCollection(CollectionMeta("dvi", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -419,7 +430,7 @@ object PersistenceQueries {
         reverse(col("embedding")).as("vector")))
       cat.delete("dvi", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
       cat.flushDelta("dvi") // v2: O(changes) segment, cells from v1's sidecar
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchIvf("dvi", qv, topK = 10, nprobe = 3)
     }),
     // Same lifecycle over the PQ code layout: the delta segment's put rows
@@ -431,7 +442,8 @@ object PersistenceQueries {
     // the ADC ranking.
     "delta_flush_pq" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-dpqd").toString)
       cat.createCollection(CollectionMeta("dpqd", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -450,7 +462,7 @@ object PersistenceQueries {
         reverse(col("embedding")).as("vector")))
       cat.delete("dpqd", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
       cat.flushDelta("dpqd") // v2: delta codes from v1's codebook
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchPq("dpqd", qv, topK = 10, rerank = false)
     }),
     // And over the binary sign-code layout: delta codes packed with the
@@ -460,7 +472,8 @@ object PersistenceQueries {
     // replays Hamming top-30 + exact rerank.
     "delta_flush_bin" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-dbnd").toString)
       cat.createCollection(CollectionMeta("dbnd", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -479,7 +492,7 @@ object PersistenceQueries {
         reverse(col("embedding")).as("vector")))
       cat.delete("dbnd", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
       cat.flushDelta("dbnd") // v2: delta codes from v1's thresholds
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.searchBinary("dbnd", qv, topK = 10, overFetch = 3)
     }),
     // The driver-local rung's O(changes) FOLD under the oracle gate (r13
@@ -496,7 +509,8 @@ object PersistenceQueries {
     "local_refresh_fold" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfold").toString)
       cat.createCollection(CollectionMeta("lrf", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -518,7 +532,7 @@ object PersistenceQueries {
       cat.flushDelta("lrf") // v2: the window the rung folds
       val (idx, v) = cat.refreshLocalIvfIndex("lrf", prev, 1, oversizeRebuilds = false)
       require(v == 2, s"fold should land on v2, got v$v")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       idx.search(qv, topK = 10, nprobe = 3)
         .map { case (id, d) => (id.toString, graft.ann.LocalIvfIndex.round6(d)) }
         .toDF("id", "dist").orderBy("dist", "id")
@@ -531,7 +545,8 @@ object PersistenceQueries {
     "local_refresh_fold_bin" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfbin").toString)
       cat.createCollection(CollectionMeta("lrb", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -553,7 +568,7 @@ object PersistenceQueries {
       cat.flushDelta("lrb") // v2: delta codes from v1's thresholds
       val (idx, v) = cat.refreshLocalBinIndex("lrb", prev, 1, oversizeRebuilds = false)
       require(v == 2, s"fold should land on v2, got v$v")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       idx.search(qv, topK = 10)
         .map { case (id, h) => (id.toString, h.toLong) }
         .toDF("id", "hamming").orderBy("hamming", "id")
@@ -565,7 +580,8 @@ object PersistenceQueries {
     "warm_cells" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-warm").toString)
       cat.createCollection(CollectionMeta("wrm", dim = dim, distance = "euclidean",
         fields = Seq(IndexField("id", "string", primaryKey = true)),
@@ -586,7 +602,8 @@ object PersistenceQueries {
     "local_refresh_fold_pq" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfpq").toString)
       cat.createCollection(CollectionMeta("lrp", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -608,7 +625,7 @@ object PersistenceQueries {
       cat.flushDelta("lrp") // v2: delta codes from v1's codebook
       val (idx, v) = cat.refreshLocalPqIndex("lrp", prev, 1, oversizeRebuilds = false)
       require(v == 2, s"fold should land on v2, got v$v")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       idx.search(qv, topK = 10, nprobe = 1)
         .map { case (id, d) => (id.toString, graft.ann.LocalIvfIndex.round6(d)) }
         .toDF("id", "dist").orderBy("dist", "id")
@@ -622,7 +639,8 @@ object PersistenceQueries {
     "local_refresh_fold_multi" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-lrfmv").toString)
       cat.createCollection(CollectionMeta("lrm", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -647,8 +665,7 @@ object PersistenceQueries {
       cat.flushDelta("lrm") // v2: routing cells from v1's sidecar
       val (idx, v) = cat.refreshLocalMultiIndex("lrm", prev, 1, oversizeRebuilds = false)
       require(v == 2, s"fold should land on v2, got v$v")
-      def qv(id: Long) =
-        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       idx.search(Seq(
           graft.ann.LocalMultiIndex.FieldQ("v0", qv(0), 60),
           graft.ann.LocalMultiIndex.FieldQ("v1", qv(1), 40)),
@@ -668,7 +685,8 @@ object PersistenceQueries {
     "local_head_fresh" -> ((s, dir) => {
       import s.implicits._
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val root = graft.TempRoots.create("graft-lhf").toString
       val cat = new GraftCatalog(s, root) // "the other driver"
       cat.createCollection(CollectionMeta("lhf", dim = dim, distance = "euclidean",
@@ -682,7 +700,7 @@ object PersistenceQueries {
         col("label"),
         col("embedding").as("vector")))
       cat.flush("lhf") // v1
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      val qv = em0(0L).toSeq
       val server = new graft.serve.GraftServer(s, root)
       server.start()
       try {
@@ -730,7 +748,8 @@ object PersistenceQueries {
     // multi-field scoring in one row.
     "multi_vector_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mvivf").toString)
       cat.createCollection(CollectionMeta("mvv", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -752,8 +771,7 @@ object PersistenceQueries {
         reverse(col("v0")).as("v0"), reverse(col("v1")).as("v1")))
       cat.delete("mvv", graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 107))
       cat.flushDelta("mvv") // v2: O(changes) segment, cells from v1's sidecar
-      def qv(id: Long) =
-        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       cat.searchMultiIvf("mvv", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)),
@@ -767,7 +785,8 @@ object PersistenceQueries {
     // v0-assignment / 3-cell probe / 60/40 weighted-rank replay.
     "prepared_multi_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-pmvi").toString)
       cat.createCollection(CollectionMeta("pmvi", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -781,8 +800,7 @@ object PersistenceQueries {
       cat.insert("pmvi", pairs.select(
         lpad(col("vec_id").cast("string"), 3, "0").as("id"), col("v0"), col("v1")))
       cat.flush("pmvi")
-      def qv(id: Long) =
-        e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       def fq(a: Long, b: Long) = Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(a), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(b), ratio = 40))
@@ -799,7 +817,8 @@ object PersistenceQueries {
     // top_cells kernel's order) and the weighted ranking.
     "multi_batch_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mbi").toString)
       cat.createCollection(CollectionMeta("mbi", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -834,7 +853,8 @@ object PersistenceQueries {
     "streaming_ingest_replay" -> ((s, dir) => {
       import org.apache.spark.sql.SaveMode
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sir").toString)
       cat.createCollection(CollectionMeta("sir", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -862,13 +882,15 @@ object PersistenceQueries {
         .unionByName(del(e.where(col("vec_id") % 10 === 6), ver = 4L))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
       val schema = s.read.parquet(tmp + "/b1").schema
-      val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", s,
-        tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,
-        deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
-      q.awaitTermination(180000)
+      Tables.withReplayPartitions(s, e.count()) {
+        val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", s,
+          tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,
+          deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+        q.awaitTermination(180000)
+      }
       cat.releaseCollection("sir")
       cat.loadCollection("sir") // folds v1 + the two streamed segments
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.search("sir", qv, topK = 10)
     }),
     // Version CDC: exact state-to-state diff across a delta chain AND a
@@ -881,7 +903,8 @@ object PersistenceQueries {
     // to stateDiff on the delta window by CatalogDeltaSpec.)
     "version_diff" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-vdiff").toString)
       cat.createCollection(CollectionMeta("vd", dim = dim, distance = "euclidean",
         versioning = true,
@@ -916,7 +939,8 @@ object PersistenceQueries {
     // through parse-compare semantics (SURVEY.md §1.2).
     "core_collection_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-core").toString)
       cat.createCollection(CollectionMeta("core", dim = dim, distance = "euclidean",
         schemaless = Some(true)))
@@ -926,7 +950,7 @@ object PersistenceQueries {
         col("embedding").as("vector"),
         col("label")))
       cat.flush("core"); cat.releaseCollection("core"); cat.loadCollection("core")
-      val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qv = em0(0L)
       cat.search("core", qv, topK = 10,
           filter = Some(graft.FilterExpr.Single("label", graft.FilterExpr.Gte, 5)))
         .select(col("_id"), element_at(col("meta"), "label").as("label"),
@@ -937,7 +961,8 @@ object PersistenceQueries {
     // (SURVEY.md §2.4 A1; experimental/multi_vector_vertex.go:85-137).
     "snapshot_roundtrip_mv" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-snap-mv").toString)
       cat.createCollection(CollectionMeta("mv", dim = dim, distance = "euclidean",
         fields = Seq(
@@ -952,7 +977,7 @@ object PersistenceQueries {
       cat.flush("mv")
       cat.releaseCollection("mv")
       cat.loadCollection("mv")
-      def qv(id: Long) = e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       cat.searchMulti("mv", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
@@ -965,7 +990,8 @@ object PersistenceQueries {
     // match the direct pairing of the embeddings table.
     "coltt_import_mv_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val pairs = e.select(col("vec_id"), col("embedding").as("v0"))
         .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("v1")), "vec_id")
         .collect().toIndexedSeq
@@ -985,7 +1011,7 @@ object PersistenceQueries {
         graft.interop.ColttImport.encodeMultiVectorBlob(vs))
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-coltt-mv").toString)
       graft.interop.ColttImport.importExperimentalSnapshot(s, cat, "mvimp", bucket.toString)
-      def qv(id: Long) = e.where(col("vec_id") === id).select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       cat.searchMulti("mvimp", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
@@ -1001,7 +1027,8 @@ object PersistenceQueries {
     // weighted fold agree bit-for-bit.
     "multi_vector_search_f16" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 3); val emQ = em0 // ids 0-3: query vectors ride the dim fetch
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-mvq").toString)
       cat.createCollection(CollectionMeta("mvq", dim = dim, distance = "euclidean",
         quantization = "f16",
@@ -1015,8 +1042,7 @@ object PersistenceQueries {
             col("embedding").as("v0"))
           .join(e.select(lpad((col("vec_id") - 1).cast("string"), 3, "0").as("id"),
             col("embedding").as("v1")), "id"))
-      def qv(id: Long) = e.where(col("vec_id") === id)
-        .select("embedding").head().getSeq[Float](0).toArray
+      def qv(id: Long) = emQ(id)
       cat.searchMulti("mvq", Seq(
         graft.operators.MultiVectorSearch.FieldQuery("v0", qv(0), ratio = 60),
         graft.operators.MultiVectorSearch.FieldQuery("v1", qv(1), ratio = 40)), topK = 10)
@@ -1031,7 +1057,8 @@ object PersistenceQueries {
     // in the flush's cell layout or the batch join breaks the hash.
     "catalog_batch_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sbi").toString)
       cat.createCollection(CollectionMeta("sbi", dim = dim, distance = "euclidean",
         fields = Seq(IndexField("id", "string", primaryKey = true)),
@@ -1052,7 +1079,8 @@ object PersistenceQueries {
     // top-5 independently.
     "search_batch_flat" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val dim = e.select("embedding").head().getSeq[Float](0).length
+      val em0 = embUpTo(e, 0)
+      val dim = em0(0L).length
       val cat = new GraftCatalog(s, graft.TempRoots.create("graft-sbf").toString)
       cat.createCollection(CollectionMeta("sbf", dim = dim, distance = "euclidean",
         fields = Seq(IndexField("id", "string", primaryKey = true))))

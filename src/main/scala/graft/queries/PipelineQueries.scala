@@ -26,10 +26,13 @@ import graft.text.{LangId, TextAnalysis, Winnowing}
   * even the hash-driven pipelines get full rows+schema+hash checks.
   */
 object PipelineQueries {
-  import Tables.tbl
+  import Tables.{tbl, embUpTo}
 
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
+
+  private def withReplayPartitions[T](s: SparkSession, inputRows: Long)(body: => T): T =
+    Tables.withReplayPartitions(s, inputRows)(body)
 
   /** events.parquet carries a MICROSECOND `isAdjustedToUTC=false` timestamp
     * (TIMESTAMP_NTZ to Spark, naive `timestamp` to DuckDB) — the round-6
@@ -206,16 +209,18 @@ object PipelineQueries {
         .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
       base.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
       recrawl.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
-      val stream = s.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
-      val qn = "sdr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingDedup
-        .dropSignatureDuplicates(stream, "text", family = "md5")
-        .writeStream.format("memory").queryName(qn)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
-      val kept = s.table(qn)
+      val kept = withReplayPartitions(s, base.count()) {
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+        val qn = "sdr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingDedup
+          .dropSignatureDuplicates(stream, "text", family = "md5")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+        s.table(qn)
+      }
       kept.where(col("doc_id") >= 10000)
         .select(lit("recrawl_kept").as("src"), col("doc_id").as("val"))
         .unionByName(kept.where(col("doc_id") < 10000)
@@ -408,8 +413,8 @@ object PipelineQueries {
     // exact verify (the corpus-scale alternative to all-pairs).
     "ann_lsh_pairs" -> ((s, dir) => {
       val e = emb(s, dir)
-      val planes = (0 to 1).map(i =>
-        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val em = embUpTo(e, 1) // both hyperplanes in one job (r14, guide §1.2)
+      val planes = (0 to 1).map(i => em(i.toLong))
       Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
     }),
     // Embedding-cosine near-dup as a full dedup family: sign-LSH bucketed
@@ -418,8 +423,8 @@ object PipelineQueries {
     // analog of dedup_clusters.
     "dedup_embedding" -> ((s, dir) => {
       val e = emb(s, dir)
-      val planes = (0 to 1).map(i =>
-        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val em = embUpTo(e, 1)
+      val planes = (0 to 1).map(i => em(i.toLong))
       val pairs = Ann.signLshPairs(e, "vec_id", "embedding", planes, threshold = 0.4)
         .select("id_a", "id_b")
       Dedup.duplicateClusters(pairs).orderBy("id")
@@ -433,8 +438,8 @@ object PipelineQueries {
     // replicates the bucketing, join, and verify bit-for-bit.
     "dedup_semantic_incremental" -> ((s, dir) => {
       val e = emb(s, dir)
-      val planes = (0 to 1).map(i =>
-        e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray)
+      val em = embUpTo(e, 1)
+      val planes = (0 to 1).map(i => em(i.toLong))
       val batch = e.where(col("vec_id") % 9 === 0)
         .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
         .unionByName(e.where(col("vec_id") % 9 === 1)
@@ -448,10 +453,10 @@ object PipelineQueries {
     // inside — the partition-prunable scale path for S4.
     "ivf_search" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = (0 until 8).map(i =>
-        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val em = embUpTo(e, 7) // 8 seed centroids + the query vector, ONE job
+      val cents = (0 until 8).map(i => (i.toLong, em(i.toLong)))
       val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
-      val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val q = em(0L)
       Ann.ivfSearch(assigned, "vec_id", "embedding", cents, q, nprobe = 3, k = 10, "euclidean")
     }),
     // Batch k-NN join: every query ROW (not one fixed vector) gets its
@@ -461,8 +466,8 @@ object PipelineQueries {
     // The retrieval-augmentation / cross-corpus-dedup primitive.
     "knn_join" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = (0 until 8).map(i =>
-        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val em = embUpTo(e, 7)
+      val cents = (0 until 8).map(i => (i.toLong, em(i.toLong)))
       val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
       val q = e.where(col("vec_id") % 101 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -478,8 +483,8 @@ object PipelineQueries {
     // cell-joins plus one (qid, id) equi-join — never corpus×corpus.
     "ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = (0 until 8).map(i =>
-        (i.toLong, e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray))
+      val em = embUpTo(e, 7)
+      val cents = (0 until 8).map(i => (i.toLong, em(i.toLong)))
       val assigned = Ann.ivfAssign(e, "vec_id", "embedding", cents, "euclidean")
       val q = e.where(col("vec_id") % 101 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -642,16 +647,18 @@ object PipelineQueries {
         .write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
       ev.where(col("ts") >= cut2).unionByName(late).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp + "/b3")
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
-      val qn = "swr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventStream.windowedAgg(stream, "1 hour",
-          watermarkDelay = "1 hour")
-        .writeStream.format("memory").queryName(qn)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
-      s.table(qn).orderBy("window_start", "event_type")
+      withReplayPartitions(s, ev.count()) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
+        val qn = "swr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.EventStream.windowedAgg(stream, "1 hour",
+            watermarkDelay = "1 hour")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(180000)
+        s.table(qn).orderBy("window_start", "event_type")
+      }
     }),
     // Gap-based sessionization (session_window): per-user session/event
     // counts; DuckDB replicates via the lag-island formulation.

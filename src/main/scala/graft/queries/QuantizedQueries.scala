@@ -108,31 +108,39 @@ object QuantizedQueries {
   /** Recall audit of the Hamming prefilter (the `ann_recall` discipline
     * applied to the binary rung): per query, |exact-euclidean top-10 ∩
     * Hamming top-30| / 10 — the number that justifies (or forbids) an
-    * over-fetch setting before rollout. Queries are driver-enumerated
-    * (≤ corpus/101 rows), so each arm is an independent BOUNDED top-K scan
-    * (TakeOrderedAndProject, zero shuffles) — at 100 TB the audit cost is
-    * |queries| × 2 cheap scans, never a per-query window over the corpus. */
+    * over-fetch setting before rollout.
+    *
+    * r14 shape (guide §1.2): formerly a driver loop building 2 TakeOrdered
+    * subtrees PER QUERY unioned into one ~2·|queries|-branch plan —
+    * Catalyst planning alone dominated the row. Now one batched pass per
+    * arm: broadcast the (bounded, ≤ corpus/101) query set, score
+    * corpus×queries row-locally, bound per-qid via a rank window that
+    * Spark 4 executes as WindowGroupLimit (partial per-partition top-K
+    * BEFORE the shuffle, the repo's plan-pinned T2 pattern) — so the
+    * shuffle carries ≤ K rows per (qid, partition), never corpus×queries.
+    * Order and tiebreak (h/d asc, vec_id asc) are identical to the former
+    * per-query TakeOrdered loops, so the rows are bit-identical. */
   private def binaryRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = tbl(s, dir, "embeddings")
     val th = graft.ann.Bin.trainThresholds(e, "embedding")
-    val coded = e.select(col("vec_id"), col("embedding"),
-      graft.ann.Bin.encode(col("embedding"), th).as("c"))
-    val qRows = e.where(col("vec_id") % 101 === 0)
-      .select("vec_id", "embedding").orderBy("vec_id").collect()
-    val parts = qRows.map { r =>
-      val qid = r.getLong(0); val qv = r.getSeq[Float](1).toArray
-      val qc = graft.ann.Bin.encodeOne(qv, th)
-      val cand = coded
-        .select(col("vec_id"), graft.ann.Bin.hamming(col("c"), qc).as("h"))
-        .orderBy(col("h").asc, col("vec_id").asc).limit(30)
-        .select(lit(qid).as("qid"), col("vec_id"), lit(1).as("__hit"))
-      e.select(col("vec_id"),
-          round(euclidean_distance(col("embedding"), lit(qv)), 6).as("d"))
-        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
-        .select(lit(qid).as("qid"), col("vec_id"))
-        .join(cand, Seq("qid", "vec_id"), "left")
-    }
-    parts.reduce(_ union _)
+    val q = e.where(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        graft.ann.Bin.encode(col("embedding"), th).as("qc"))
+    val wH = Window.partitionBy("qid").orderBy(col("h").asc, col("vec_id").asc)
+    val cand = e.select(col("vec_id"), graft.ann.Bin.encode(col("embedding"), th).as("c"))
+      .crossJoin(broadcast(q.select("qid", "qc")))
+      .select(col("qid"), col("vec_id"),
+        graft.ann.Bin.hammingCols(col("c"), col("qc")).as("h"))
+      .withColumn("rn", row_number().over(wH)).where(col("rn") <= 30)
+      .select(col("qid"), col("vec_id"), lit(1).as("__hit"))
+    val wD = Window.partitionBy("qid").orderBy(col("d").asc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(q.select("qid", "qemb")))
+      .select(col("qid"), col("vec_id"),
+        round(euclidean_distance(col("embedding"), col("qemb")), 6).as("d"))
+      .withColumn("rn", row_number().over(wD)).where(col("rn") <= 10)
+      .select("qid", "vec_id")
+    exact.join(cand, Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(count(col("__hit")).as("hits"),
         (count(col("__hit")) / lit(10.0)).as("recall"))

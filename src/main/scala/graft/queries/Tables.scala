@@ -1,9 +1,51 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 object Tables {
   /** Load one driver-provided TESTDATA table (TESTDATA.md). */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The embedding vectors of every `vec_id <= maxId`, fetched in ONE
+    * bounded job (r14, guide §1.2/§5: the query preambles used to issue a
+    * separate point-lookup job per needed vector — dim probe, query vector,
+    * 8 seed centroids — and each tiny job pays the full dispatch floor;
+    * at maxId ≤ a few hundred this is a KB-scale sidecar, never data). */
+  def embUpTo(e: DataFrame, maxId: Long): Map[Long, Array[Float]] =
+    e.where(col("vec_id") <= maxId).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** Run `body` with shuffle partitions sized from the bounded replay
+    * input (r14, guide §2.2/§2.5: scale-adaptive partitioning — AQE cannot
+    * re-plan STATEFUL streaming shuffles, and the state-partition count is
+    * frozen into the checkpoint at query start, so it must be derived from
+    * input size rather than left at the session default; at the session
+    * default every micro-batch pays one state-store checkpoint file and
+    * one task per partition regardless of data). ~50k input rows per state
+    * partition, floor 2, capped at the session default so a deployment
+    * whose input warrants it keeps its configured parallelism.
+    *
+    * Also scopes OFF checkpoint-file checksums: the 4.1 checksum manager
+    * writes a sidecar per checkpoint file and its per-query thread pool
+    * stalls up to 500 ms at close ("Thread pool did not shutdown after
+    * 500 ms" in the r14 baseline log). Corruption detection adds nothing
+    * to a single-run replay over a throwaway local checkpoint; durable
+    * production checkpoints keep the default. */
+  def withReplayPartitions[T](s: SparkSession, inputRows: Long)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = s.conf.getOption(ckKey)
+    val n = math.max(2L, math.min(prev.toLong, inputRows / 50000L + 1L))
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set(ckKey, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None    => s.conf.unset(ckKey)
+      }
+    }
+  }
 }

@@ -56,8 +56,9 @@ object VectorSearchQueries {
     // (/root/reference/core/core.go:841-867); no table in the plan.
     "compare_dist" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val va = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
-      val vb = e.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+      val em = Tables.embUpTo(e, 1) // both vectors in one job (r14)
+      val va = em(0L)
+      val vb = em(1L)
       graft.operators.CompareDist(s, va, vb, "cosine")
     }),
     // F5: display-score transform on top of the cosine scan
