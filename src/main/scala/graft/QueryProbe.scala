@@ -41,9 +41,19 @@ object QueryProbe {
     // jobs vs actual task work (guide §1.1/§7.1 without the UI)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val logJobs = sys.env.contains("SPARK_PROBE_JOBS")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (logJobs) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("callSite.short")).getOrElse("?") + " | " +
+            j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(";").take(120)))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (logJobs) Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          println(f"  JOB ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f  $site")
+        }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
     })

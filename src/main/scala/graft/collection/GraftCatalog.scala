@@ -35,6 +35,14 @@ class GraftCatalog(spark: SparkSession, root: String,
 
   private val loaded = mutable.Map.empty[String, DataFrame]
   private val mutationCount = mutable.Map.empty[String, Int]
+  // r14: names whose RESIDENT state is structurally the v0 empty relation
+  // (set only by loadCollection at currentVersion == 0, cleared by the
+  // first row-adding mutation). Lets [[insert]] skip the upsert's
+  // anti-join+union against a provably-empty base — the initial bulk load
+  // of every create→load→insert lifecycle otherwise drags that dead plan
+  // through every downstream flush/search evaluation (guide §1.2: remove
+  // work the job provably doesn't need).
+  private val knownEmptyResident = mutable.Set.empty[String]
 
   /** The published version each resident copy is anchored on — set by
     * [[loadCollection]], advanced by every successful flush/flushDelta.
@@ -491,6 +499,8 @@ class GraftCatalog(spark: SparkSession, root: String,
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     loaded(name) = cached
     anchorVersion(name) = meta.currentVersion
+    if (meta.currentVersion == 0) knownEmptyResident += name
+    else knownEmptyResident -= name
     cached
   }
 
@@ -501,6 +511,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     loaded.remove(name).foreach(_.unpersist())
     mutationCount.remove(name)
     anchorVersion.remove(name)
+    knownEmptyResident -= name
     invalidatePrepared(name)
     clearPending(name)
   }
@@ -627,7 +638,15 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     val validated = GraftCatalog.validateAndEncode(rows, meta, UserVectorCol)
     val pk = meta.idColumn
-    val next = Mutations.upsert(loadedOrThrow(name), validated, pk)
+    // the v0-empty base contributes nothing to the upsert (anti-join of an
+    // empty base = empty, union = the batch) — and validateAndEncode emits
+    // columns in meta-field order, the same order the empty relation has,
+    // so the resident schema is unchanged by the skip
+    val base = loadedOrThrow(name)
+    val next =
+      if (knownEmptyResident(name)) validated
+      else Mutations.upsert(base, validated, pk)
+    knownEmptyResident -= name
     appendPending(name, meta, validated, "put")
     rebind(name, next)
   }
@@ -684,6 +703,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val validated = GraftCatalog.validateAndEncode(puts, meta, UserVectorCol)
     val next = Mutations.deleteByKeys(
       Mutations.upsert(loadedOrThrow(name), validated, pk), delKeys, pk)
+    knownEmptyResident -= name // put winners may add rows
     appendPending(name, meta, validated, "put")
     appendPending(name, meta, delMarkers(name, delKeys, pk), "del")
     rebind(name, next)
