@@ -83,9 +83,9 @@ object FuzzyJoin {
     * compares at v≈466 for t=2) compares longs instead of strings. Hash
     * collisions only ADD candidate pairs; the exact levenshtein verify
     * keeps the output identical to the brute-force truth. Both join sides
-    * are built from the SAME exploded subtree so the variant Exchange is
-    * planned once and the second side is a ReusedExchange — one explode
-    * pass over the corpus instead of two. */
+    * are built from the same exploded subtree (identical canonical plans —
+    * AQE's runtime exchange reuse can then serve the second side from the
+    * first's shuffle; the formatted initial plan still prints both). */
   def editPairs(df: DataFrame, idCol: String, strCol: String, threshold: Int): DataFrame = {
     require(threshold == 1 || threshold == 2,
       s"deletion-neighborhood blocking supports thresholds 1 and 2, got $threshold " +

@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(pairs).count() === 0L)
   }
 
+  test("duplicateClusters: long chain converges exactly (r14 accumulator " +
+    "convergence check + edge-count-derived loop partitions), string ids too") {
+    import spark.implicits._
+    // diameter-12 chain: forces many propagation rounds through the
+    // accumulator-counted convergence path (a wrong 'changed' count either
+    // stops early — wrong labels — or never stops — maxIter labels wrong)
+    val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 12L).map(_ -> 0L).toMap)
+    // the generic row-equality compare must hold for non-primitive id types
+    val sPairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val sGot = Dedup.duplicateClusters(sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("simhash banded pairs EQUAL brute-force hamming pairs (lossless for h ≤ bands−1)") {
     // 15 groups × {base, exact copy, one-token variant}: copies give
     // hamming 0 (guaranteed pairs), variants give small-but-varied hamming
