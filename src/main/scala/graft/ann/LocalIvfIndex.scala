@@ -361,19 +361,19 @@ object LocalIvfIndex {
           if (v == null || v.length != dim)
             badDim(if (v == null) "null" else s"${v.length}-dim")
           val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofByte]
-          v.foreach(b += _)
+          b.addAll(v, 0, v.length)
         case 1 | 2 =>
           val v = r.getSeq[Short](1)
           if (v == null || v.length != dim)
             badDim(if (v == null) "null" else s"${v.length}-dim")
           val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofShort]
-          v.foreach(b += _)
+          RowArrays.appendShorts(v, b)
         case _ =>
           val v = r.getSeq[Float](1)
           if (v == null || v.length != dim)
             badDim(if (v == null) "null" else s"${v.length}-dim")
           val b = vecsB.get(cell).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofFloat]
-          v.foreach(b += _)
+          RowArrays.appendFloats(v, b)
       }
       ib += r.get(0).asInstanceOf[AnyRef]
       if (metaCols.nonEmpty)

@@ -352,19 +352,19 @@ object LocalMultiIndex {
             if (v == null || v.length != dims(fi))
               badDim(if (v == null) "null" else s"${v.length}-dim")
             val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofByte]
-            v.foreach(b += _)
+            b.addAll(v, 0, v.length)
           case 1 | 2 =>
             val v = r.getSeq[Short](2 + fi)
             if (v == null || v.length != dims(fi))
               badDim(if (v == null) "null" else s"${v.length}-dim")
             val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofShort]
-            v.foreach(b += _)
+            RowArrays.appendShorts(v, b)
           case _ =>
             val v = r.getSeq[Float](2 + fi)
             if (v == null || v.length != dims(fi))
               badDim(if (v == null) "null" else s"${v.length}-dim")
             val b = vb(fi).asInstanceOf[scala.collection.mutable.ArrayBuilder.ofFloat]
-            v.foreach(b += _)
+            RowArrays.appendFloats(v, b)
         }
         fi += 1
       }

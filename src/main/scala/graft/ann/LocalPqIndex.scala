@@ -265,7 +265,7 @@ object LocalPqIndex {
       }
       ib += r.get(0).asInstanceOf[AnyRef]
       val vb = codesB.get(cell)
-      code.foreach(vb += _)
+      vb.addAll(code, 0, code.length)
       if (metaCols.nonEmpty)
         metaB.get(cell).add(metaCols.indices.map(j => r.get(3 + j)))
     }
