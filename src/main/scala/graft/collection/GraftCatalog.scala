@@ -701,8 +701,17 @@ class GraftCatalog(spark: SparkSession, root: String,
     val puts = latest.where(col(opCol) === "put").drop(opCol, versionCol)
     val delKeys = latest.where(col(opCol) === "del").select(col(pk))
     val validated = GraftCatalog.validateAndEncode(puts, meta, UserVectorCol)
-    val next = Mutations.deleteByKeys(
-      Mutations.upsert(loadedOrThrow(name), validated, pk), delKeys, pk)
+    // LWW winners are one row per key, so put keys and del keys are
+    // DISJOINT: upsert-then-delete collapses to ONE anti-join of the base
+    // against ALL winner keys + the put union (the foldChain shape). On a
+    // known-empty base (fresh v0 load — the WAL-replay-into-empty path)
+    // both joins vanish: anti-join of empty = empty, dels hit nothing,
+    // next = the validated puts.
+    val base = loadedOrThrow(name)
+    val next =
+      if (knownEmptyResident(name)) validated
+      else Mutations.deleteByKeys(base, latest.select(col(pk)), pk)
+        .unionByName(validated)
     knownEmptyResident -= name // put winners may add rows
     appendPending(name, meta, validated, "put")
     appendPending(name, meta, delMarkers(name, delKeys, pk), "del")

@@ -117,6 +117,40 @@ class RobustnessSpec extends SparkSpec {
     cat.dropCollection("wal")
   }
 
+  test("applyChanges into a fresh v0 collection (empty-base fast path) matches the general fold") {
+    import spark.implicits._
+    // r14: on a known-empty base applyChanges binds the validated put
+    // winners directly (no anti-joins). Same log as the S9 test plus a del
+    // for a key that was NEVER inserted — the winners must be exactly the
+    // put winners, the phantom del a no-op, stale versions still lose.
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-wal0").toString)
+    cat.createCollection(CollectionMeta("wal0", dim = 2, distance = "euclidean",
+      fields = Seq(IndexField("id", "string", primaryKey = true))))
+    cat.loadCollection("wal0") // v0: never inserted into
+    val log = Seq(
+      ("put", "a", Seq(9f, 0f), 2L),  // update a
+      ("put", "a", Seq(5f, 0f), 1L),  // stale, must lose
+      ("del", "b", Seq(0f, 0f), 3L),  // del of a key with no base row
+      ("put", "c", Seq(3f, 0f), 1L)   // insert c
+    ).toDF("op", "id", "vector", "version")
+    cat.applyChanges("wal0", log, versionCol = "version")
+    val state = cat.search("wal0", Array(0f, 0f), topK = 10)
+      .collect().map(r => r.getAs[String]("id")).toSet
+    assert(state === Set("a", "c"))
+    val top = cat.search("wal0", Array(9f, 0f), topK = 1).head()
+    assert(top.getAs[String]("id") === "a")
+    assert(top.getAs[Double]("dist") === 0.0)
+    // a second applyChanges takes the general (fused anti-join) path —
+    // the fast path must not have poisoned the resident state
+    cat.applyChanges("wal0",
+      Seq(("del", "a", Seq(0f, 0f), 5L)).toDF("op", "id", "vector", "version"),
+      versionCol = "version")
+    val after = cat.search("wal0", Array(0f, 0f), topK = 10)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(after === Set("c"))
+    cat.dropCollection("wal0")
+  }
+
   test("vacuum removes old versions, keeps the newest keepLast (S10 cleanup job)") {
     import spark.implicits._
     val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-vac").toString)
