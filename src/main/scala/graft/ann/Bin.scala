@@ -28,7 +28,18 @@ object Bin {
     * deterministic xxhash64(id) % mod == 0 sample (requires `idCol`);
     * an empty sample falls back to the full corpus. */
   def trainThresholds(df: DataFrame, vecCol: String,
-                      sampleMod: Long = 1L, idCol: String = ""): Array[Double] = {
+                      sampleMod: Long = 1L, idCol: String = ""): Array[Double] =
+    trainThresholdsOpt(df, vecCol, sampleMod, idCol).getOrElse(
+      throw new IllegalArgumentException(
+        "requirement failed: cannot train binary thresholds on an empty corpus"))
+
+  /** [[trainThresholds]], with "empty corpus" reported as None instead of a
+    * throw — the min/max aggregation returning zero rows IS the emptiness
+    * probe, so callers that skip the layout on an empty corpus (flush)
+    * need no separate `df.isEmpty` job (r14, guide §1.2: every extra tiny
+    * job is a full dispatch floor on the lifecycle path). */
+  def trainThresholdsOpt(df: DataFrame, vecCol: String,
+                         sampleMod: Long = 1L, idCol: String = ""): Option[Array[Double]] = {
     val base =
       if (sampleMod <= 1L) df
       else {
@@ -39,8 +50,8 @@ object Bin {
     val rows = base.select(posexplode(col(vecCol)).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("d")).collect()
-    require(rows.nonEmpty, "cannot train binary thresholds on an empty corpus")
-    rows.map(r => (r.getAs[Float]("mn").toDouble + r.getAs[Float]("mx").toDouble) / 2.0)
+    if (rows.isEmpty) None
+    else Some(rows.map(r => (r.getAs[Float]("mn").toDouble + r.getAs[Float]("mx").toDouble) / 2.0))
   }
 
   /** Encode a float32 vector column to packed sign-bit codes (binary,

@@ -96,9 +96,21 @@ object Pq {
     * keep their previous sub-codeword. Codebook VALUES inherit the usual
     * float-summation-order caveat: persist the artifact, don't re-derive. */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
-            iterations: Int = 2, sampleMod: Option[Long] = None): PqCodebook = {
+            iterations: Int = 2, sampleMod: Option[Long] = None): PqCodebook =
+    trainOpt(df, idCol, vecCol, m, ksub, iterations, sampleMod).getOrElse(
+      throw new IllegalArgumentException(
+        "requirement failed: cannot train a PQ codebook on an empty corpus"))
+
+  /** [[train]], with "empty corpus" reported as None instead of a throw —
+    * the dim probe returning zero rows IS the emptiness check, so callers
+    * that skip the PQ layout on an empty corpus (flush) need no separate
+    * `df.isEmpty` job (r14, guide §1.2). */
+  def trainOpt(df: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
+               iterations: Int = 2, sampleMod: Option[Long] = None): Option[PqCodebook] = {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in 1..256, got $ksub")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dimRows = df.select(size(col(vecCol))).limit(1).collect()
+    if (dimRows.isEmpty) return None
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible into m=$m subspaces")
     val dsub = dim / m
     val sampled = sampleMod.collect { case md if md > 1 =>
@@ -117,7 +129,7 @@ object Pq {
       val sampleEmpty = seed0.isEmpty && sampled.isDefined
       val rows = if (sampleEmpty) seedFrom(df) else seed0
       val train = if (sampleEmpty) df else base
-      require(rows.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+      if (rows.isEmpty) return None // raced to empty between dim probe and seed
       var cents: Array[Array[Array[Float]]] =
         Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
       for (_ <- 0 until iterations) {
@@ -156,7 +168,7 @@ object Pq {
           }
         }
       }
-      PqCodebook(cents)
+      Some(PqCodebook(cents))
     } finally sampled.foreach(_.unpersist(false))
   }
 

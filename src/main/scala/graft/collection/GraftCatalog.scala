@@ -769,10 +769,12 @@ class GraftCatalog(spark: SparkSession, root: String,
       // packed ceil(dim/8)-byte code column riding the snapshot, so
       // [[searchBinary]]'s first pass scans 1/32 of the float bytes via
       // parquet column pruning. Thresholds go to a dim-row sidecar.
+      // trainThresholdsOpt's aggregate doubles as the emptiness probe — an
+      // empty corpus returns None with no separate `df.isEmpty` job (r14)
       val binTh: Option[Array[Double]] =
-        if (meta.hasBinaryIndex && !df.isEmpty)
-          Some(graft.ann.Bin.trainThresholds(
-            df.select(decoded.as(GraftCatalog.SearchVecCol)), GraftCatalog.SearchVecCol))
+        if (meta.hasBinaryIndex)
+          graft.ann.Bin.trainThresholdsOpt(
+            df.select(decoded.as(GraftCatalog.SearchVecCol)), GraftCatalog.SearchVecCol)
         else None
       def withBin(d: DataFrame): DataFrame = binTh match {
         case Some(th) => d.withColumn(GraftCatalog.BinCol, graft.ann.Bin.encode(decoded, th))
@@ -877,12 +879,18 @@ class GraftCatalog(spark: SparkSession, root: String,
           }
         case _ =>
           val withCode = meta.pqConfig match {
-            case Some((mm, ks)) if !df.isEmpty =>
-              val cb = graft.ann.Pq.train(df.withColumn(GraftCatalog.SearchVecCol, decoded),
+            case Some((mm, ks)) =>
+              // trainOpt's dim probe doubles as the emptiness check — no
+              // separate `df.isEmpty` job; None = empty corpus, no layout
+              graft.ann.Pq.trainOpt(df.withColumn(GraftCatalog.SearchVecCol, decoded),
                 pk, GraftCatalog.SearchVecCol, mm, ks, iterations = pqIters,
-                sampleMod = meta.pqTrainSampleMod)
-              pqCb = Some(cb)
-              df.withColumn(GraftCatalog.PqCodeCol, graft.functions.pq_encode(decoded, cb.cents))
+                sampleMod = meta.pqTrainSampleMod) match {
+                case Some(cb) =>
+                  pqCb = Some(cb)
+                  df.withColumn(GraftCatalog.PqCodeCol,
+                    graft.functions.pq_encode(decoded, cb.cents))
+                case None => df
+              }
             case _ => df
           }
           withBin(withCode).write.mode("overwrite").parquet(stagingData.toString)
@@ -1017,7 +1025,12 @@ class GraftCatalog(spark: SparkSession, root: String,
     fenceOrAbort(name, v, token, staging)
     renameOrAbort(name, v, token, staging, stagingData, versionDir(name, v))
     fs.delete(staging, true)
-    try spark.read.parquet(versionDir(name, v).toString).schema
+    // readability check WITHOUT a Spark job (r14, guide §1.2): the segment
+    // is O(changes) small, so the footer reads — the same thing
+    // spark.read.parquet's schema inference does — run driver-side; the
+    // inference path dispatched one full job per flushDelta just to
+    // validate a directory this call wrote moments ago.
+    try validateParquetDir(versionDir(name, v))
     catch { case e: Throwable =>
       abortPublish(name, v, token, staging)
       throw e
@@ -1202,6 +1215,26 @@ class GraftCatalog(spark: SparkSession, root: String,
     * If the claim was reclaimed mid-flush (writer paused past staleClaimMs),
     * those dirs may be ANOTHER writer's freshly published data; a fenced-out
     * writer deletes nothing but its own staging. */
+  /** Driver-side readability validation of a just-written parquet segment
+    * dir: read every data file's footer directly — the check
+    * `spark.read.parquet(...).schema` performs, minus the Spark job it
+    * dispatches to do it. Only for O(changes)-sized delta segments (a
+    * handful of files written moments ago by this same call); a corrupt or
+    * truncated file fails here exactly as inference would. */
+  private[graft] def validateParquetDir(dir: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(files.nonEmpty, s"no data files under $dir — the segment write produced nothing readable")
+    files.foreach { st =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try in.getFooter finally in.close()
+    }
+  }
+
   private def abortPublish(name: String, v: Int, token: String, staging: Path): Unit = {
     if (ownsClaim(name, v, token)) {
       fs.delete(versionDir(name, v), true)

@@ -875,13 +875,16 @@ object PersistenceQueries {
         rows.select(lit("del").as("op"), col("vec_id").cast("string").as("id"),
           lit(null).cast("long").as("label"),
           lit(null).cast("array<float>").as("vector"), lit(ver).as("ver"))
-      put(e.where(col("vec_id") % 5 === 0), col("label") + 50, ver = 1L)
+      val b1 = put(e.where(col("vec_id") % 5 === 0), col("label") + 50, ver = 1L)
         .unionByName(del(e.where(col("vec_id") % 5 === 1), ver = 2L))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
+      b1.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
       put(e.where(col("vec_id") % 10 === 1), lit(300L), ver = 3L)
         .unionByName(del(e.where(col("vec_id") % 10 === 6), ver = 4L))
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
-      val schema = s.read.parquet(tmp + "/b1").schema
+      // the written frame's own schema — no re-read job; file sources force
+      // nullability on both the inferred and the user-provided schema, so
+      // the stream sees the identical effective schema either way (r14)
+      val schema = b1.schema
       Tables.withReplayPartitions(s, e.count()) {
         val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", s,
           tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,

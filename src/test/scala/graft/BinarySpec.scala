@@ -90,6 +90,15 @@ class BinarySpec extends SparkSpec {
     assert(sampled.toSeq === full.toSeq)
   }
 
+  test("trainThresholdsOpt: empty corpus is None, train still throws; non-empty matches (r14)") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(Bin.trainThresholdsOpt(empty, "vec").isEmpty)
+    intercept[IllegalArgumentException](Bin.trainThresholds(empty, "vec"))
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f))).toDF("id", "vec")
+    assert(Bin.trainThresholdsOpt(df, "vec").map(_.toSeq) ===
+      Some(Bin.trainThresholds(df, "vec").toSeq))
+  }
+
   test("dimension mismatch is a loud contract error") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "vec")
     val th = Array(0.0, 0.0)

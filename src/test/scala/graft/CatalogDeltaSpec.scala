@@ -687,4 +687,33 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(!got.exists(_.startsWith("id-99:")), s"dead writer's data published: $got")
     assert(!fs.exists(new Path(s"$root/d13/v2/data")), "rename nested into the orphan dir")
   }
+
+  test("validateParquetDir: driver-side footer check matches inference semantics (r14)") {
+    // flushDelta's post-rename readability gate runs footer reads on the
+    // driver instead of a spark.read.parquet schema-inference JOB — same
+    // accept/reject behavior, one less dispatch floor per delta flush
+    val root = newRoot()
+    val cat = newCatalog(root)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a real segment dir passes (and the whole delta lifecycle still works)
+    cat.createCollection(meta("vp"))
+    cat.loadCollection("vp")
+    cat.insert("vp", rows(1 to 8))
+    cat.flush("vp")
+    cat.insert("vp", rows(Seq(9)))
+    assert(cat.flushDelta("vp") === 2)
+    cat.validateParquetDir(new Path(s"$root/vp/v2"))
+    // marker / _-prefixed sidecars are ignored, like parquet readers do
+    assert(fs.exists(new Path(s"$root/vp/v2/${GraftCatalog.DeltaMarkerFile}")))
+    // a dir whose data file is garbage refuses — exactly what inference did
+    val bad = new Path(s"$root/garbage-seg")
+    fs.mkdirs(bad)
+    val out = fs.create(new Path(bad, "part-00000.parquet"), true)
+    out.write("this is not a parquet file".getBytes("UTF-8")); out.close()
+    intercept[Exception](cat.validateParquetDir(bad))
+    // an empty dir (no data files at all) refuses too
+    val none = new Path(s"$root/empty-seg")
+    fs.mkdirs(none)
+    intercept[IllegalArgumentException](cat.validateParquetDir(none))
+  }
 }

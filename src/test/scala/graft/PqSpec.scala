@@ -216,6 +216,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("trainOpt: empty corpus is None, train still throws; non-empty matches train (r14)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Pq.trainOpt(empty, "vec_id", "embedding", m = 4, ksub = 8).isEmpty)
+    intercept[IllegalArgumentException](
+      Pq.train(empty, "vec_id", "embedding", m = 4, ksub = 8))
+    val df = emb.where(col("vec_id") < 40)
+    val viaOpt = Pq.trainOpt(df, "vec_id", "embedding", m = 4, ksub = 8, iterations = 1)
+    val direct = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8, iterations = 1)
+    assert(viaOpt.isDefined)
+    viaOpt.get.cents.zip(direct.cents).foreach { case (cbA, cbB) =>
+      cbA.zip(cbB).foreach { case (cwA, cwB) =>
+        cwA.zip(cwB).foreach { case (a, b) => assert(a === b) }
+      }
+    }
+  }
+
   test("ADC top-k with rerank recovers the exact top-k on the sf corpus") {
     val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 32, iterations = 2)
     val q = headVec(emb, 11L)
