@@ -172,8 +172,9 @@ object LocalBinIndex {
   }
 
   /** Build from a flushed binary snapshot's (id, packedCode) columns + the
-    * threshold sidecar — streamed via toLocalIterator so the transient
-    * footprint is one partition. `stripes` bounds the scan fan-out
+    * threshold sidecar — via [[LocalLoad.boundedIterator]] (small inputs
+    * collect in one parallel job; large ones stream so the transient
+    * footprint is one partition). `stripes` bounds the scan fan-out
     * (default: the common-pool parallelism). `metaCols` = (columnName,
     * declared fieldType) pairs loaded as typed arrays ([[LocalMeta]]) for
     * [[LocalBinIndex.search]]'s conjunctive-EQ filter. */
@@ -189,8 +190,8 @@ object LocalBinIndex {
     val idsB = scala.collection.mutable.ArrayBuilder.make[AnyRef]
     val wordsB = scala.collection.mutable.ArrayBuilder.make[Long]
     val metaB = new LocalMeta.Builder(metaCols)
-    val it = snapshot.select(col(idCol) +: col(codeCol) +:
-      metaCols.map { case (n, _) => col(n) }: _*).toLocalIterator()
+    val it = LocalLoad.boundedIterator(snapshot.select(col(idCol) +: col(codeCol) +:
+      metaCols.map { case (n, _) => col(n) }: _*))
     while (it.hasNext) {
       val r = it.next()
       val code = r.getAs[Array[Byte]](1)

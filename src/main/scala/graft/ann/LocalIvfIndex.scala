@@ -303,8 +303,10 @@ object LocalIvfIndex {
 
   /** Build from an assigned DataFrame (columns: id, vector in its STORED
     * form — array<float>, f16/bf16 shorts, or f8 bytes per `quant` —, cell)
-    * + the trained centroids — streamed to the driver via toLocalIterator,
-    * so the transient footprint is one partition, not the whole collection.
+    * + the trained centroids — brought to the driver via
+    * [[LocalLoad.boundedIterator]] (one parallel collect job for provably
+    * small inputs; partition-streamed above the threshold so the transient
+    * footprint stays one partition, not the whole collection).
     *
     * `metaCols` = (columnName, declared fieldType) pairs to load as typed
     * per-cell arrays ([[LocalMeta]]) so [[LocalIvfIndex.search]]'s
@@ -342,7 +344,7 @@ object LocalIvfIndex {
       case _     => new scala.collection.mutable.ArrayBuilder.ofByte
     }
     val metaB = new java.util.HashMap[Long, LocalMeta.Builder]()
-    val it = rows.toLocalIterator()
+    val it = LocalLoad.boundedIterator(rows)
     while (it.hasNext) {
       val r = it.next()
       val cell = r.getLong(2)

@@ -286,8 +286,9 @@ object LocalMultiIndex {
   /** Build from the assigned snapshot (columns: id, cell, one vector
     * column per declared field in its STORED form — array<float>,
     * f16/bf16 shorts, or f8 bytes per `quant`) + the routing-field
-    * centroids — streamed to the driver via toLocalIterator like every
-    * local-rung loader (transient footprint = one partition). `fields`
+    * centroids — via [[LocalLoad.boundedIterator]] like every local-rung
+    * loader (small inputs collect in one parallel job; large ones stream
+    * at a one-partition transient footprint). `fields`
     * gives (name, dim) in DECLARED order; `routingName` must be one of
     * them. */
   def fromAssigned(assigned: DataFrame, idCol: String,
@@ -328,7 +329,7 @@ object LocalMultiIndex {
         case "f16" | "bf16" => new scala.collection.mutable.ArrayBuilder.ofShort
         case "f8"           => new scala.collection.mutable.ArrayBuilder.ofByte
       })
-    val it = rows.toLocalIterator()
+    val it = LocalLoad.boundedIterator(rows)
     while (it.hasNext) {
       val r = it.next()
       val cell = r.getLong(1)

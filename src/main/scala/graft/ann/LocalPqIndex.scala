@@ -223,8 +223,9 @@ object LocalPqIndex {
   // LocalIvfIndex so the two serving rungs cannot drift apart
 
   /** Build from a flushed PQ snapshot's (id, code[, cell]) columns + the
-    * codebook sidecar — streamed via toLocalIterator so the transient
-    * footprint is one partition. `centroids` empty ⇒ cells-less layout.
+    * codebook sidecar — via [[LocalLoad.boundedIterator]] (small inputs
+    * collect in one parallel job; large ones stream so the transient
+    * footprint is one partition). `centroids` empty ⇒ cells-less layout.
     * `residual` is the SNAPSHOT'S recorded code layout (the pq sidecar's
     * flag — see GraftCatalog.flush): true ⇒ codes quantize
     * vec − cellCentroid and probes use per-cell tables; false ⇒ raw codes,
@@ -250,7 +251,7 @@ object LocalPqIndex {
     val idsB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder[AnyRef]]()
     val codesB = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofByte]()
     val metaB = new java.util.HashMap[Long, LocalMeta.Builder]()
-    val it = rows.toLocalIterator()
+    val it = LocalLoad.boundedIterator(rows)
     while (it.hasNext) {
       val r = it.next()
       val code = r.getAs[Array[Byte]](1)

@@ -261,10 +261,28 @@ class GraftCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** The resolved read schema of version `v`'s directory, memoized like
+    * every per-version immutable artifact: a bare `spark.read.parquet(dir)`
+    * pays a schema-inference JOB on every call (~20-90 ms of pure dispatch,
+    * measured r14 — the single largest removable job class across the
+    * catalog lifecycles), so only the FIRST read of a version infers;
+    * every later read passes the memoized schema explicitly. The memo is
+    * only ever seeded from an ACTUAL inference of the same immutable
+    * directory (never from an in-memory frame's schema), so explicit-schema
+    * reads are bit-identical to inferred ones by construction. [[flush]]'s
+    * validating re-read seeds it for the version it just published. */
+  private def versionSchema(name: String, v: Int): org.apache.spark.sql.types.StructType =
+    versionArtifact(name, v, "dirschema")(
+      spark.read.parquet(versionDir(name, v).toString).schema)
+
+  /** Read version `v`'s directory with the memoized schema — inference
+    * runs once per (name, v), not once per read. */
+  private def readVersionDir(name: String, v: Int): DataFrame =
+    spark.read.schema(versionSchema(name, v)).parquet(versionDir(name, v).toString)
+
   /** The snapshot DataFrame of version `v`, file listing resolved once. */
   private def versionSnapshot(name: String, v: Int): DataFrame =
-    versionArtifact(name, v, "snap")(
-      spark.read.parquet(versionDir(name, v).toString))
+    versionArtifact(name, v, "snap")(readVersionDir(name, v))
 
   /** Every k-th mutation truncates lineage with an eager localCheckpoint:
     * without it, N inserts stack N anti-join/union plans and any cache
@@ -928,8 +946,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     // version. The IVF cell partition column is layout, not data — dropped
     // from the resident view.
     val reread =
-      try dropCellCol(spark.read.parquet(versionDir(name, v).toString))
-      catch { case e: Throwable =>
+      try {
+        val raw = spark.read.parquet(versionDir(name, v).toString)
+        // the inference that just validated the footers doubles as the
+        // version's schema memo — downstream reads of v skip their own
+        // inference job ([[versionSchema]])
+        versionArtifact(name, v, "dirschema")(raw.schema)
+        dropCellCol(raw)
+      } catch { case e: Throwable =>
         abortPublish(name, v, token, staging)
         throw e
       }
@@ -1314,7 +1338,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * the CDC read cannot drift apart. Keeps `__op`/`__seq`/`__delta_v`. */
   private def ledgerWinners(name: String, pk: String, window: Range): DataFrame = {
     val log = window.map { w =>
-      spark.read.parquet(versionDir(name, w).toString)
+      readVersionDir(name, w)
         .withColumn(GraftCatalog.DeltaVerCol, lit(w))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     Mutations.latestByKey(log, pk, GraftCatalog.DeltaVerCol,
@@ -1328,7 +1352,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     * shuffled. */
   private def foldChain(name: String, meta: CollectionMeta, upTo: Int): DataFrame = {
     val base = chainBase(name, upTo)
-    val df = dropCellCol(spark.read.parquet(versionDir(name, base).toString))
+    val df = dropCellCol(readVersionDir(name, base))
     if (base == upTo) return df
     val pk = meta.idColumn
     val winners = ledgerWinners(name, pk, base + 1 to upTo)
@@ -1502,7 +1526,7 @@ class GraftCatalog(spark: SparkSession, root: String,
       s"collection $name: v$version is not a published version " +
         s"(head is v${meta.currentVersion})")
     if (isDeltaVersion(name, version)) foldChain(name, meta, version)
-    else spark.read.parquet(versionDir(name, version).toString)
+    else readVersionDir(name, version)
   }
 
   /** Copy a collection's persisted state — meta sidecar, every retained
@@ -1675,7 +1699,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val meta = getMeta(name)
     require(meta.currentVersion > 0, s"collection $name has never been flushed")
     if (isDeltaVersion(name, meta.currentVersion)) foldChain(name, meta, meta.currentVersion)
-    else spark.read.parquet(versionDir(name, meta.currentVersion).toString)
+    else readVersionDir(name, meta.currentVersion)
   }
 
   // ---- query ----
@@ -3245,7 +3269,7 @@ class GraftCatalog(spark: SparkSession, root: String,
     val centroids = readCentroids(name, sv)
     val qv = GraftCatalog.prepareQueryVector(queryVector, meta)
     val probed = graft.ann.Ann.probeCells(centroids, qv, nprobe, meta.distance)
-    val df = spark.read.parquet(versionDir(name, sv).toString)
+    val df = readVersionDir(name, sv)
       .where(col(GraftCatalog.CellCol).isin(probed: _*))
     df.queryExecution.sparkPlan
       .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }

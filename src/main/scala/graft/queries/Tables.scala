@@ -4,9 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 object Tables {
+  /** Per-path memo of the INFERRED input-table schema (r14 s3, guide
+    * §1.2): a bare `spark.read.parquet` launches one schema-inference job
+    * per call (~20-25 ms pure dispatch, measured), and every declared
+    * query pays it for each table it opens. The testdata tables are
+    * immutable per TESTDATA.md, so the first open of a path infers (one
+    * job) and every later open passes that same inferred schema
+    * explicitly — the metastore role every SQL engine fills. Data is
+    * still scanned from parquet on every query; only the schema METADATA
+    * is memoized, and only ever from an actual inference of the same
+    * path. */
+  private val tblSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Load one driver-provided TESTDATA table (TESTDATA.md). */
-  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = tblSchemas.computeIfAbsent(p, _ => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(p)
+  }
 
   /** The embedding vectors of every `vec_id <= maxId`, fetched in ONE
     * bounded job (r14, guide §1.2/§5: the query preambles used to issue a
