@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's BENCH contract parses a one-line JSON from the tail of
+// `sbt "runMain graft.Bench"` stdout. sbt's default LoggedOutput strategy
+// prefixes every forked-JVM stdout line with "[info] " — which made the
+// line unparseable in EVERY round to date (BENCH_r01..r14 all record
+// parsed: null). StdoutOutput passes the child's stdout through verbatim;
+// showSuccess drops the trailing "[success] Total time ..." line so the
+// JSON line is the last thing sbt prints. Measurement-plumbing fix only —
+// no timed code changes (documented in OPTIMIZATION_r15.md).
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -131,6 +131,241 @@ object Bench {
       }
     }
 
+    // ---- Output-contract survival machinery (r15, r14 VERDICT #1: both
+    // driver BENCH runs died rc=124 inside the one-time 100M layout
+    // rebuilds and the single end-of-run stdout JSON line was lost — two
+    // rounds of optimization evidence invisible to the driver). Three
+    // layers, all driver-contract-preserving (same line format; suites on
+    // a warm dir at default budgets run EXACTLY as before):
+    //   1. the one-line JSON is re-emitted after EVERY completed suite
+    //      (last line wins in the driver's tail window), plus a JVM
+    //      shutdown hook emits the latest snapshot if the process is
+    //      killed mid-suite;
+    //   2. the one-time 100M layout builds run under a cumulative budget
+    //      (SPARK_GRAFT_MAX_BUILD_SEC): once exhausted, a missing-layout
+    //      suite records a `skipped` entry instead of building — the
+    //      driver's cold bench dir can no longer sink unbounded minutes;
+    //   3. a whole-run deadline (SPARK_GRAFT_MAX_BENCH_SEC) after which
+    //      remaining suites record `skipped` entries and the bench exits
+    //      rc 0 with everything measured so far.
+    // `skipped` is a NEW top-level JSON map (errors keeps meaning "a query
+    // or suite FAILED" and still exits rc 1; a budget/deadline skip is a
+    // deliberate bound, not a failure).
+    val benchStartNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStartNanos) / 1e9
+    def envSec(key: String, default: Double): Double =
+      sys.env.get(key).map(_.toDouble).getOrElse(default)
+    // defaults sized from the r14 driver artifact: multi_f8_build_100m
+    // 708 s on the driver host; 1800 s lets all three f8/pq builds land on
+    // a quiet host while a degraded one sheds the tail instead of dying
+    val maxBuildSec = envSec("SPARK_GRAFT_MAX_BUILD_SEC", 1800)
+    // whole-run deadline: the r14 driver runs demonstrably had budget for
+    // the full warm suite + ~20 min of builds; 3300 s keeps a margin under
+    // a 1 h external timeout
+    val maxBenchSec = envSec("SPARK_GRAFT_MAX_BENCH_SEC", 3300)
+    var buildSecSpent = 0.0
+    val skipped = mutable.LinkedHashMap.empty[String, String]
+    def deadlineLeft(tag: String): Boolean =
+      if (elapsedSec < maxBenchSec) true
+      else {
+        skipped(tag) = f"deadline: ${elapsedSec}%.0f s elapsed >= " +
+          f"SPARK_GRAFT_MAX_BENCH_SEC=${maxBenchSec}%.0f"
+        false
+      }
+    def buildBudgetLeft(tag: String): Boolean =
+      if (buildSecSpent < maxBuildSec) true
+      else {
+        skipped(tag) = f"one-time 100M layout build budget exhausted " +
+          f"(${buildSecSpent}%.0f s spent >= SPARK_GRAFT_MAX_BUILD_SEC=${maxBuildSec}%.0f)"
+        false
+      }
+    def trackBuild[T](body: => T): T = {
+      val t0 = System.nanoTime()
+      try body finally buildSecSpent += (System.nanoTime() - t0) / 1e9
+    }
+    def markerExists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    // Per-suite result registry: each suite publishes its rows under a
+    // stable key as soon as it completes, and [[emitSnapshot]] rebuilds the
+    // complete output (BENCH_full.json + the one stdout line) from the
+    // CURRENT registry state — so the contract survives a kill at any
+    // suite boundary, and the shutdown hook salvages a kill mid-suite.
+    val suiteRows =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+    def rows(key: String): Seq[(String, Double)] =
+      Option(suiteRows.get(key)).getOrElse(Seq.empty)
+    // the per-round record filename is derived ONCE from the round markers
+    // present at start (the tail previously listed at exit; same result,
+    // but the hook must not do directory walks mid-kill)
+    val roundRecordName: Option[String] =
+      try {
+        val rx = "^(?:BENCH|CORRECTNESS)_r(\\d+)\\.json$".r
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val priorClosed =
+          try listing.iterator().asScala
+            .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
+            .map(_.group(1).toInt).foldLeft(0)(math.max)
+          finally listing.close()
+        Some(f"BENCH_full_r${priorClosed + 1}%02d.json")
+      } catch { case _: Exception => None }
+    // defensive snapshot for the shutdown-hook path: the main thread may be
+    // mutating these maps when the hook fires; a best-effort retry copy is
+    // enough (normal emissions run on the main thread and copy cleanly)
+    def snapshotOf[K, V](m: mutable.LinkedHashMap[K, V]): Seq[(K, V)] = {
+      var i = 0
+      while (i < 5) {
+        try return m.toSeq
+        catch { case _: Throwable => i += 1 }
+      }
+      Seq.empty
+    }
+    @volatile var benchDone = false
+
+    // full JSON string escaping (backslash, quote, control chars): error
+    // messages carry paths and multiline job-abort text — quote-only
+    // replacement left the single-line output unparseable
+    def jstr(s: String): String = JsonStr.quote(s)
+    def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
+      case (k, v: String) => jstr(k) + ":" + jstr(v)
+      case (k, v)         => jstr(k) + ":" + v
+    }.mkString("{", ",", "}")
+    def jnum(t: Double, dp: Int): String = {
+      val p = math.pow(10, dp)
+      (math.round(t * p) / p).toString
+    }
+
+    def emitSnapshotImpl(): Unit = {
+      val results = rows("results")
+      val big1m = rows("big1m"); val big10m = rows("big10m")
+      val bin100m = rows("bin100m")
+      // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
+      // 10M is the linear extrapolation of the same number.
+      val vsBaseline =
+        big1m.collect { case (n, t)
+            if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
+          n -> math.round(t / Baseline1mFlatScanSec * 100.0) / 100.0 } ++
+        big10m.collect { case (n, t)
+            if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
+          n -> math.round(t / (Baseline1mFlatScanSec * 10) * 100.0) / 100.0 } ++
+        bin100m.collect { case (n, t)
+            if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
+          n -> math.round(t / (Baseline1mFlatScanSec * 100) * 100.0) / 100.0 }
+      // Supplementary decomposition: each measured time = per-job dispatch
+      // floor (point_lookup on the same cached data — pure scheduling, no
+      // scan) + scan work. The reference's 0.025 s is an IN-PROCESS search
+      // with no dispatch cost, so the floor-subtracted ratio isolates the
+      // engine's scan throughput from Spark's constant per-job overhead
+      // (which amortizes to zero at the multi-second jobs 100 TB implies).
+      // The raw vs_baseline above stays the headline number.
+      val vsBaselineScanOnly = {
+        def adj(suite: Seq[(String, Double)], base: Double) = {
+          val floor = suite.collectFirst {
+            case (n, t) if n.startsWith("point_lookup") && !n.endsWith("_med") && t > 0 => t
+          }
+          suite.collect { case (n, t)
+              if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") && floor.isDefined =>
+            n -> math.round(math.max(0.0, t - floor.get) / base * 100.0) / 100.0 }
+        }
+        adj(big1m, Baseline1mFlatScanSec) ++ adj(big10m, Baseline1mFlatScanSec * 10) ++
+          adj(bin100m, Baseline1mFlatScanSec * 100)
+      }
+
+      val total = results.map(_._2).filter(_ > 0).sum
+      val suiteOrder = Seq("results", "big1m", "big10m", "ivf1m", "pq1m",
+        "bin1m", "pq10m", "bin100m", "docs100k", "nearDup1m", "deltaFlush1m",
+        "semantic1m", "serveDist1m", "multiIvf1m", "multiIvf10m",
+        "multiIvf100m", "singleIvf100m")
+      val allQueries = suiteOrder.flatMap(rows)
+
+      val errorsSnap = snapshotOf(errors)
+      val skippedSnap = snapshotOf(skipped)
+      val rowStatsSnap = snapshotOf(rowStats)
+      // r13 (VERDICT #3): per-row dispersion + IO. Seconds at 4 dp (the
+      // row values' own precision); bytes exact.
+      // r14 (r13 VERDICT #5): rows that genuinely cannot re-run (one-time
+      // builds, state-mutating flushes) carry an EXPLICIT one_shot marker, so
+      // an artifact reader knows in-run dispersion is absent by construction
+      // (bytes_read stays the cross-run attribution anchor for them).
+      val jrowStats = rowStatsSnap.map { case (k, s) =>
+        def sec(v: Double) = (math.round(v * 10000) / 10000.0).toString
+        jstr(k) + ":{\"reps\":" + s.reps + ",\"min\":" + sec(s.minSec) +
+          ",\"med\":" + sec(s.medSec) + ",\"max\":" + sec(s.maxSec) +
+          ",\"bytes_read\":" + s.bytesRead +
+          ",\"shuffle_write\":" + s.shuffleWrite +
+          (if (s.reps == 1) ",\"one_shot\":true" else "") + "}"
+      }.mkString("{", ",", "}")
+
+      val fullJson = "{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
+        ",\"queries\":" + jmap(allQueries) +
+        ",\"row_stats\":" + jrowStats +
+        ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000,\"bench_bin_rows\":100000000" +
+        ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
+        ",\"vs_baseline\":" + jmap(vsBaseline) +
+        ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
+        ",\"errors\":" + jmap(errorsSnap) +
+        ",\"skipped\":" + jmap(skippedSnap) +
+        ",\"sf\":\"" + sfDir + "\"}"
+      // The COMPLETE results object (every row, full precision) goes to
+      // BENCH_full.json (the driver's scratch contract) and to the tracked
+      // per-round record file (r12 VERDICT #5); best-effort — an IO failure
+      // must never kill the bench or the snapshot cadence.
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Exception => () }
+      roundRecordName.foreach { fn =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(fn),
+          (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
+        catch { case _: Exception => () }
+      }
+
+      // ---- stdout line (r11 contract). The driver captures only the LAST
+      // ~2000 characters of stdout, so the line is compact: headline rows
+      // at 4 dp plus both ratio maps, errors and skips. If the line would
+      // overflow, rows drop from the END of the priority list and a
+      // "queries_dropped" count records it (never a silent cut).
+      // serving/catalog/audit rows lead (vs_baseline already carries the
+      // scan gates as ratios); the sf-scale suite comes last — it is fully
+      // covered by the correctness harness and lives in BENCH_full.json.
+      val priority = (rows("deltaFlush1m") ++ rows("serveDist1m") ++
+        rows("multiIvf1m") ++ rows("multiIvf10m") ++
+        rows("multiIvf100m") ++ rows("singleIvf100m") ++ rows("nearDup1m") ++
+        rows("semantic1m") ++ rows("ivf1m") ++ rows("pq1m") ++ rows("bin1m") ++
+        big1m ++ big10m ++
+        rows("pq10m") ++ bin100m ++ rows("docs100k") ++ results)
+        .filter { case (n, _) => !n.endsWith("_med") }
+      val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
+      val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
+        ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
+        ",\"errors\":" + jmap(errorsSnap) +
+        ",\"skipped\":" + jmap(skippedSnap) +
+        ",\"full\":\"BENCH_full.json\",\"sf\":\"" + sfDir + "\"}"
+      val budget = 1850 - head.length - tail.length - 40
+      val kept = mutable.ArrayBuffer.empty[String]
+      var used = 0
+      val entryIt = priority.iterator.map { case (n, t) => jstr(n) + ":" + jnum(t, 4) }
+      var full = false
+      while (entryIt.hasNext && !full) {
+        val e = entryIt.next()
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+        else full = true
+      }
+      val dropped = priority.length - kept.length
+      println(head + ",\"queries\":{" + kept.mkString(",") + "}" +
+        (if (dropped > 0) ",\"queries_dropped\":" + dropped else "") + tail)
+      Console.out.flush()
+    }
+    def emitSnapshot(): Unit = emitSnapshotImpl()
+    def registered(key: String)(rs: Seq[(String, Double)]): Seq[(String, Double)] = {
+      suiteRows.put(key, rs)
+      emitSnapshot()
+      rs
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try { if (!benchDone) emitSnapshot() } catch { case _: Throwable => () }))
+
     // ---- warm-up: codegen + JIT + parquet footer reads, untimed ----
     try {
       spark.range(1000000).agg(sum("id")).collect()
@@ -148,11 +383,11 @@ object Bench {
 
     // ---- SF-scale suite (every registered query; skipped in 1m mode —
     // the cluster compare targets the 1M gate rows) ----
-    val results =
+    val results = registered("results")(
       if (only1m) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> timed(name)(fn(spark, sfDir).count())
-      }
+      })
 
     // ---- 1M and 10M ×128-d suites at (and above) the baseline's scale.
     // At 1M the per-job dispatch floor (~0.09 s at local[32], measured by
@@ -163,12 +398,17 @@ object Bench {
     // ran bare — one transient FS/OOM failure there aborted the process
     // before the final JSON line and lost every already-measured suite.
     def guardSuite(tag: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
-      try body catch {
+      if (!deadlineLeft(tag)) Seq.empty
+      else try body catch {
         case e: Throwable =>
           errors(tag) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
           Seq.empty
       }
+    // the bare-try suites keep their own error handling; this wraps only
+    // the deadline check around them
+    def ifTime(tag: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
+      if (deadlineLeft(tag)) body else Seq.empty
 
     def bigSuite(rows: Long, dir: String, tag: String, reps: Int): Seq[(String, Double)] = {
       ensureBenchData(spark, dir, rows)
@@ -328,16 +568,17 @@ object Bench {
         // the ivf/pq suites.
         big.unpersist(false)
     }
-    val big1mA = guardSuite("suite_1m")(bigSuite(1000000L, benchDir, "1m", reps = 48))
+    val big1mA = registered("big1m")(
+      guardSuite("suite_1m")(bigSuite(1000000L, benchDir, "1m", reps = 48)))
     // 32 reps for 10M (was 16): the r6 driver run hit a globally slow
     // machine window (floor control point_lookup_10m doubled on an
     // untouched path) that the 1M suite's 48-rep ~45 s window rode out but
     // the 10M suite's 16 reps did not — widen the interleave so a transient
     // window can no longer own the per-query min.
-    val big10m =
+    val big10m = registered("big10m")(
       if (only1m) Seq.empty[(String, Double)]
       else guardSuite("suite_10m")(
-        bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32))
+        bigSuite(10000000L, benchDir + "-10m", "10m", reps = 32)))
 
     // ---- IVF at scale: k-means training + full-corpus assignment on the
     // clustered 1M collection (k=256 — the cell count where the single-loop
@@ -435,14 +676,14 @@ object Bench {
       // suites (guardSuite survives the throw; the cache would not)
       } finally bigc.unpersist()
     }
-    val ivf1m = guardSuite("suite_ivf_1m")(ivf1mRun())
+    val ivf1m = registered("ivf1m")(guardSuite("suite_ivf_1m")(ivf1mRun()))
 
     // ---- PQ at scale: sampled per-subspace training, full-corpus encode
     // (1M×16 subspaces×256 codewords×8 dims — same flop class as
     // ivf_assign), then the steady-state ADC scan over the 16-byte codes:
     // the cached input is 16 MB instead of the 512 MB float collection —
     // the memory-scale rung of the ANN ladder (recall asserted in PqSpec).
-    val pq1m = guardSuite("suite_pq_1m") {
+    val pq1m = registered("pq1m")(guardSuite("suite_pq_1m") {
       val dir = benchDir + "-clustered"
       ensureClusteredBenchData(spark, dir, 1000000L)
       val bigc = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -512,14 +753,14 @@ object Bench {
           .linesIterator.take(1).mkString
         Seq.empty[(String, Double)]
       } finally bigc.unpersist()
-    }
+    })
 
     // ---- Binary at 1M: the density-scale serving rung — 16 bytes/vector
     // (128 d → 8 MB per 1M resident, 2× denser than the m=16 PQ codes) and
     // the probe is pure integer XOR+POPCNT, no lookup tables. Mean
     // per-query latency over 200 probes, whole-index scans (no cells: the
     // full 1M-word sweep is cheaper than an ADC cell probe).
-    val bin1m = try {
+    val bin1m = registered("bin1m")(ifTime("bin_1m")(try {
       val big = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
@@ -543,14 +784,15 @@ object Bench {
       errors("bin_local_search_1m") = Option(e.getMessage)
         .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- PQ at 10M: the memory-scale claim an order of magnitude past the
     // reference's 1M in-memory comfort zone — 10M×128 floats are 5 GB, the
     // m=16 codes are 160 MB, and the ADC scan reads ONLY codes. Train is
     // sampled (1/64, untimed — the 1M suite times training); encode is one
     // timed full pass (throughput op); the scan is steady-state.
-    val pq10m = if (only1m) Seq.empty[(String, Double)] else guardSuite("pq_10m") {
+    val pq10m = registered("pq10m")(
+      if (only1m) Seq.empty[(String, Double)] else guardSuite("pq_10m") {
       val dir = benchDir + "-10m"
       ensureBenchData(spark, dir, 10000000L)
       val big = spark.read.parquet(dir).select(col("vec_id"), col("embedding"))
@@ -597,7 +839,7 @@ object Bench {
           .linesIterator.take(1).mkString
         Seq.empty[(String, Double)]
       } finally big.unpersist(false)
-    }
+    })
 
     // Shared steady-state measurement for the 100M code-table rows: warm
     // until two consecutive runs land within ±15% of the best seen (cap
@@ -643,7 +885,8 @@ object Bench {
     // isolates partition pruning, not caching. This is the measured 100 TB
     // claim for the multi-vector layout: probe cost follows nprobe/cells,
     // not the corpus.
-    val multiIvf10m = if (only1m) Seq.empty[(String, Double)] else guardSuite("multi_ivf_10m") {
+    val multiIvf10m = registered("multiIvf10m")(
+      if (only1m) Seq.empty[(String, Double)] else guardSuite("multi_ivf_10m") {
       val dir = benchDir + "-10m"
       ensureBenchData(spark, dir, 10000000L)
       val e = spark.read.parquet(dir)
@@ -698,14 +941,21 @@ object Bench {
           "serve_multi_ivf_prep_10m" -> tPrep,
           "serve_multi_full_10m" -> tFull)
       } finally cat.dropCollection("mvt")
-    }
+    })
 
-    val bin100m = if (only1m) Seq.empty[(String, Double)] else try {
+    val bin100m = registered("bin100m")(
+      if (only1m) Seq.empty[(String, Double)] else ifTime("bin_100m")(try {
       val rows100m = 100000000L
+      val dir = benchDir + "-bin-100m"
+      // one-time 100M layout build under the cumulative build budget (r14
+      // VERDICT #1b): a warm dir costs nothing, a cold one builds only
+      // while budget remains — otherwise the suite records a skip and the
+      // run keeps its stdout contract
+      if (!markerExists(dir) && !buildBudgetLeft("bin_100m")) Seq.empty[(String, Double)]
+      else {
       val th = graft.ann.Bin.trainThresholds(spark.read.parquet(benchDir),
         "embedding", sampleMod = 16L, idCol = "vec_id")
-      val dir = benchDir + "-bin-100m"
-      ensureBinCodeBenchData(spark, dir, rows100m, th)
+      trackBuild(ensureBinCodeBenchData(spark, dir, rows100m, th))
       val codes = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         codes.count()
@@ -791,6 +1041,7 @@ object Bench {
         }
         scanRows ++ localBinRows
       } finally codes.unpersist(false)
+      }
     } catch { case e: Throwable =>
       // setup failure (generator / threshold train / cache): both rows died
       val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -798,7 +1049,7 @@ object Bench {
       errors("flat_scan_bin_100m") = msg
       errors("point_lookup_100m") = msg
       Seq.empty[(String, Double)]
-    }
+    }))
 
 
     // ---- second 1M pass, ~10 minutes of suite time after the first: the
@@ -810,7 +1061,7 @@ object Bench {
     // a machine slow for the WHOLE bench shows up in the floor control
     // either way.
     val big1mB = guardSuite("suite_1m_b")(bigSuite(1000000L, benchDir, "1m", reps = 24))
-    val big1m = {
+    val big1m = registered("big1m") {
       val a = big1mA.toMap; val b = big1mB.toMap
       val keys = big1mA.map(_._1) ++ big1mB.map(_._1).filterNot(a.contains)
       keys.map { k =>
@@ -829,7 +1080,8 @@ object Bench {
     // corpus-shaped doc count (10% deterministic near-duplicates). These
     // are single-pass throughput measurements (runs=1, compute-dominated),
     // not floor-bound latencies.
-    val docs100k = if (only1m) Seq.empty[(String, Double)] else guardSuite("suite_docs_100k") {
+    val docs100k = registered("docs100k")(
+      if (only1m) Seq.empty[(String, Double)] else guardSuite("suite_docs_100k") {
       val dir = benchDir + "-docs"
       ensureDocBenchData(spark, dir, 100000L)
       val d = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -935,7 +1187,7 @@ object Bench {
       }
       r
       } finally d.unpersist()
-    }
+    })
 
     // ---- incremental near-dup screen at the 1M corpus (the scale twin of
     // semantic_screen_1m, so the bloom/MinHash/sign-LSH screen triple has
@@ -945,7 +1197,7 @@ object Bench {
     // scratch (O(corpus) signature pass) — while a real ingest loop builds
     // it once and amortizes it across every batch; the per-batch marginal
     // cost is one band equi-join + probe-capped exact-Jaccard verify.
-    val nearDup1m = try {
+    val nearDup1m = registered("nearDup1m")(ifTime("near_dup_1m")(try {
       val dir = benchDir + "-docs-1m"
       ensureDocBenchData(spark, dir, 1000000L)
       val d1 = spark.read.parquet(dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -980,7 +1232,7 @@ object Bench {
       errors("dedup_incremental_near_1m") = msg
       errors("dedup_minhash_1m") = msg
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- catalog persistence at 1M: the O(corpus)-vs-O(changes) evidence
     // for the delta-flush path. Full flush rewrites 1M rows (the only
@@ -989,7 +1241,7 @@ object Bench {
     // top of the base read. The RATIO is the 100 TB story: at fixed batch
     // size, delta cost stays constant while full-flush cost scales with
     // the corpus.
-    val deltaFlush1m = try {
+    val deltaFlush1m = registered("deltaFlush1m")(ifTime("delta_flush_1m")(try {
       val e = spark.read.parquet(benchDir)
       val root = graft.TempRoots.create("graft-bench-delta").toString
       val cat = new graft.collection.GraftCatalog(spark, root)
@@ -1064,13 +1316,13 @@ object Bench {
       errors("delta_flush_1m") = Option(e.getMessage)
         .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- semantic screen at 1M: a 10k exact-re-embed batch vs the 1M
     // corpus through 8-plane sign-LSH buckets (≈256 buckets, corpus side
     // capped per bucket) + exact cosine verify — the batch-retrieval shape
     // of incremental embedding dedup at the baseline's own scale.
-    val semantic1m = try {
+    val semantic1m = registered("semantic1m")(ifTime("semantic_1m")(try {
       val e = spark.read.parquet(benchDir).select(col("vec_id"), col("embedding"))
       // one scan for all 8 planes (a filtered head() per plane is 8 jobs)
       val planes = e.where(col("vec_id") < 8).orderBy("vec_id")
@@ -1087,7 +1339,7 @@ object Bench {
       errors("semantic_screen_1m") = Option(ex.getMessage)
         .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- distributed serving rungs at 1M, per-REQUEST (r9): searchIvf /
     // searchPq / searchBinary through the catalog with a FRESH vector per
@@ -1098,7 +1350,7 @@ object Bench {
     // this row is the measured evidence. One 1M collection with all three
     // layouts, flushed once (train sampled, untimed setup); min + p50 over
     // 12 requests each, same convention as serve_search_1m.
-    val serveDist1m = try {
+    val serveDist1m = registered("serveDist1m")(ifTime("serve_dist_1m")(try {
       val e = spark.read.parquet(benchDir)
       val svRoot = TempRoots.create("bench-servedist").toString
       val cat = new graft.collection.GraftCatalog(spark, svRoot)
@@ -1321,7 +1573,7 @@ object Bench {
       errors("serve_dist_1m") = Option(ex.getMessage)
         .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- multi-vector (CFLAT) serving at 1M (r11): the pruned layout the
     // reference's experimental engine lacks (multi_vector_vertex.go scans
@@ -1332,7 +1584,7 @@ object Bench {
     // reference's only shape); serve_multi_ivf_1m probes 8/256 cells — the
     // flat/probed ratio is the 100 TB claim for multi-vector search,
     // measured.
-    val multiIvf1m = try {
+    val multiIvf1m = registered("multiIvf1m")(ifTime("multi_ivf_1m")(try {
       val e = spark.read.parquet(benchDir)
       val cat = new graft.collection.GraftCatalog(
         spark, TempRoots.create("bench-multiivf").toString)
@@ -1442,7 +1694,7 @@ object Bench {
       errors("multi_ivf_1m") = Option(ex.getMessage)
         .getOrElse(ex.getClass.getName).linesIterator.take(1).mkString
       Seq.empty[(String, Double)]
-    }
+    }))
 
     // ---- multi-vector IVF at 100M (r12): the single-vector ladder has a
     // 100M decade (flat_scan_bin_100m); this extends the MULTI layout's
@@ -1460,16 +1712,19 @@ object Bench {
     // Declared (= evaluated) LAST of all suites, so the one-time 26 GB
     // snapshot build cannot evict the 1M suites' page cache mid-run
     // (run 55: the audit rows inflated 3× when this ran before them).
-    val multiIvf100m = if (only1m) Seq.empty[(String, Double)] else guardSuite("multi_ivf_100m") {
+    val multiIvf100m = registered("multiIvf100m")(
+      if (only1m) Seq.empty[(String, Double)] else guardSuite("multi_ivf_100m") {
+      val dir = benchDir + "-multi-f8-100m"
+      // cold layout + exhausted build budget → record a skip, keep rc 0
+      // and the stdout contract (r14 VERDICT #1b)
+      if (!markerExists(dir) && !buildBudgetLeft("multi_ivf_100m")) Seq.empty[(String, Double)]
+      else {
       val cents = graft.ann.Ann.trainCentroids(spark.read.parquet(benchDir),
         "vec_id", "embedding", 256, "cosine", iterations = 1, sampleMod = Some(16L))
-      val dir = benchDir + "-multi-f8-100m"
-      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-      val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val buildRow =
-        if (mfs.exists(marker)) Seq.empty[(String, Double)]
+        if (markerExists(dir)) Seq.empty[(String, Double)]
         else Seq("multi_f8_build_100m" -> timed("multi_f8_build_100m", runs = 1)(
-          ensureMultiF8BenchData(spark, dir, 100000000L, cents)))
+          trackBuild(ensureMultiF8BenchData(spark, dir, 100000000L, cents))))
       val snap = spark.read.parquet(dir)
       val rnd = new scala.util.Random(23)
       import graft.functions.QuantKernels
@@ -1500,7 +1755,8 @@ object Bench {
       val tFull = timed("serve_multi_full_100m", runs = 2)(probe(256))
       buildRow ++ Seq("serve_multi_ivf_100m" -> tProbe,
         "serve_multi_full_100m" -> tFull)
-    }
+      }
+    })
 
     // ---- SINGLE-vector serving rungs at 100M (r13, r12 VERDICT #5):
     // the decade the ladder still lacked — 100M evidence existed for the
@@ -1513,8 +1769,18 @@ object Bench {
     // constant. Centroids + codebook train on the 1M collection's 1/16
     // sample (identical deterministic distribution — the bin-100m
     // discipline). Declared after the multi suite: 100M stays LAST.
-    val singleIvf100m = if (only1m) Seq.empty[(String, Double)] else guardSuite("single_ivf_100m") {
+    val singleIvf100m = registered("singleIvf100m")(
+      if (only1m) Seq.empty[(String, Double)] else guardSuite("single_ivf_100m") {
       val rows100m = 100000000L
+      val dirIvf = benchDir + "-ivf-f8-100m"
+      val dirPq = benchDir + "-pq-100m"
+      // this is the suite where BOTH r14 driver runs died (rc=124 inside
+      // ensurePqCodeBenchData): each one-time layout build now runs only
+      // while the cumulative build budget lasts, and each arm degrades
+      // independently — a missing layout with no budget records a skip and
+      // the other arm still measures (r14 VERDICT #1b)
+      if (markerExists(dirIvf) || markerExists(dirPq) ||
+          buildBudgetLeft("single_ivf_100m")) {
       val e1m = spark.read.parquet(benchDir)
       val cents = graft.ann.Ann.trainCentroids(e1m,
         "vec_id", "embedding", 256, "cosine", iterations = 1, sampleMod = Some(16L))
@@ -1526,21 +1792,19 @@ object Bench {
           graft.ann.Pq.residual(embN, col("cell"), cents).as("resid"))
       val cb = graft.ann.Pq.train(resid1m, "vec_id", "resid", m = 16,
         ksub = 256, iterations = 0, sampleMod = Some(16L))
-      val dirIvf = benchDir + "-ivf-f8-100m"
-      val dirPq = benchDir + "-pq-100m"
-      val mfs = new org.apache.hadoop.fs.Path(dirIvf, "_SUCCESS")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val buildRows =
-        (if (mfs.exists(new org.apache.hadoop.fs.Path(dirIvf, "_SUCCESS")))
+        (if (markerExists(dirIvf) || !buildBudgetLeft("ivf_f8_build_100m"))
            Seq.empty[(String, Double)]
          else Seq("ivf_f8_build_100m" -> timed("ivf_f8_build_100m", runs = 1)(
-           ensureIvfF8BenchData(spark, dirIvf, rows100m, cents)))) ++
-        (if (mfs.exists(new org.apache.hadoop.fs.Path(dirPq, "_SUCCESS")))
+           trackBuild(ensureIvfF8BenchData(spark, dirIvf, rows100m, cents))))) ++
+        (if (markerExists(dirPq) || !buildBudgetLeft("pq_code_build_100m"))
            Seq.empty[(String, Double)]
          else Seq("pq_code_build_100m" -> timed("pq_code_build_100m", runs = 1)(
-           ensurePqCodeBenchData(spark, dirPq, rows100m, cents, cb))))
-      val snapIvf = spark.read.parquet(dirIvf)
-      val snapPq = spark.read.parquet(dirPq)
+           trackBuild(ensurePqCodeBenchData(spark, dirPq, rows100m, cents, cb)))))
+      val haveIvf = markerExists(dirIvf)
+      val havePq = markerExists(dirPq)
+      val snapIvf = if (haveIvf) spark.read.parquet(dirIvf) else null
+      val snapPq = if (havePq) spark.read.parquet(dirPq) else null
       val centByCid = cents.toMap
       val rnd = new scala.util.Random(29)
       import graft.functions.QuantKernels
@@ -1595,164 +1859,39 @@ object Bench {
           .collect(): Unit
       }
       try {
-        probeIvf(8) // warm (codegen + FS metadata)
-        val tIvf = timed("serve_ivf_100m", runs = 3)(probeIvf(8))
-        // r14: min-of-2 on the full arms — these were exactly the rows that
-        // swung 3-10× in the r13b slow-IO window with no in-run dispersion
-        // to attribute it from (r13 verdict #5)
-        val tIvfFull = timed("serve_ivf_full_100m", runs = 2)(probeIvf(256))
-        probePq(8) // warm
-        val tPq = timed("serve_pq_100m", runs = 3)(probePq(8))
-        probePqFull() // warm (broadcast fetch + codegen)
-        val tPqFull = timed("serve_pq_full_100m", runs = 2)(probePqFull())
-        buildRows ++ Seq(
-          "serve_ivf_100m" -> tIvf, "serve_ivf_full_100m" -> tIvfFull,
-          "serve_pq_100m" -> tPq, "serve_pq_full_100m" -> tPqFull)
-      } finally pqBc.destroy()
-    }
-
-
-    // Baseline rows: 1M parallel flat scan 0.02-0.03 s (UPDATE-LOG.md:107);
-    // 10M is the linear extrapolation of the same number.
-    val vsBaseline =
-      big1m.collect { case (n, t)
-          if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
-        n -> math.round(t / Baseline1mFlatScanSec * 100.0) / 100.0 } ++
-      big10m.collect { case (n, t)
-          if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
-        n -> math.round(t / (Baseline1mFlatScanSec * 10) * 100.0) / 100.0 } ++
-      bin100m.collect { case (n, t)
-          if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") =>
-        n -> math.round(t / (Baseline1mFlatScanSec * 100) * 100.0) / 100.0 }
-    // Supplementary decomposition: each measured time = per-job dispatch
-    // floor (point_lookup on the same cached data — pure scheduling, no
-    // scan) + scan work. The reference's 0.025 s is an IN-PROCESS search
-    // with no dispatch cost, so the floor-subtracted ratio isolates the
-    // engine's scan throughput from Spark's constant per-job overhead
-    // (which amortizes to zero at the multi-second jobs 100 TB implies).
-    // The raw vs_baseline above stays the headline number.
-    val vsBaselineScanOnly = {
-      def adj(suite: Seq[(String, Double)], base: Double) = {
-        val floor = suite.collectFirst {
-          case (n, t) if n.startsWith("point_lookup") && !n.endsWith("_med") && t > 0 => t
+        val ivfRows = if (!haveIvf) Seq.empty[(String, Double)] else {
+          probeIvf(8) // warm (codegen + FS metadata)
+          val tIvf = timed("serve_ivf_100m", runs = 3)(probeIvf(8))
+          // r14: min-of-2 on the full arms — these were exactly the rows that
+          // swung 3-10× in the r13b slow-IO window with no in-run dispersion
+          // to attribute it from (r13 verdict #5)
+          val tIvfFull = timed("serve_ivf_full_100m", runs = 2)(probeIvf(256))
+          Seq("serve_ivf_100m" -> tIvf, "serve_ivf_full_100m" -> tIvfFull)
         }
-        suite.collect { case (n, t)
-            if t > 0 && !n.startsWith("point_lookup") && !n.endsWith("_med") && floor.isDefined =>
-          n -> math.round(math.max(0.0, t - floor.get) / base * 100.0) / 100.0 }
-      }
-      adj(big1m, Baseline1mFlatScanSec) ++ adj(big10m, Baseline1mFlatScanSec * 10) ++
-        adj(bin100m, Baseline1mFlatScanSec * 100)
-    }
+        val pqRows = if (!havePq) Seq.empty[(String, Double)] else {
+          probePq(8) // warm
+          val tPq = timed("serve_pq_100m", runs = 3)(probePq(8))
+          probePqFull() // warm (broadcast fetch + codegen)
+          val tPqFull = timed("serve_pq_full_100m", runs = 2)(probePqFull())
+          Seq("serve_pq_100m" -> tPq, "serve_pq_full_100m" -> tPqFull)
+        }
+        buildRows ++ ivfRows ++ pqRows
+      } finally pqBc.destroy()
+      } else Seq.empty[(String, Double)]
+    })
 
-    // full JSON string escaping (backslash, quote, control chars): error
-    // messages carry paths and multiline job-abort text — quote-only
-    // replacement left the single-line output unparseable
-    def jstr(s: String): String = JsonStr.quote(s)
-    def jmap(kvs: Seq[(String, Any)]): String = kvs.map {
-      case (k, v: String) => jstr(k) + ":" + jstr(v)
-      case (k, v)         => jstr(k) + ":" + v
-    }.mkString("{", ",", "}")
 
-    val total = results.map(_._2).filter(_ > 0).sum
-    val allQueries = results ++ big1m ++ big10m ++ ivf1m ++ pq1m ++ bin1m ++
-      pq10m ++ bin100m ++ docs100k ++ nearDup1m ++ deltaFlush1m ++ semantic1m ++
-      serveDist1m ++ multiIvf1m ++ multiIvf10m ++ multiIvf100m ++ singleIvf100m
-
-    // ---- Output contract (r11). The driver captures only the LAST 2000
-    // characters of stdout: the pre-r11 single ~5 KB JSON line lost its head
-    // to that window and BENCH_r10.json recorded `parsed: null`. So: the
-    // COMPLETE results object (every row, full precision) is written to
-    // BENCH_full.json in the working directory, and stdout carries a compact
-    // line sized to the window — headline rows at 4 dp plus both ratio maps
-    // and the errors. If the line would still overflow, rows drop from the
-    // END of the priority list and a "queries_dropped" count records it
-    // (never a silent cut).
-    // r13 (VERDICT #3): per-row dispersion + IO. Seconds at 4 dp (the
-    // row values' own precision); bytes exact.
-    // r14 (r13 VERDICT #5): rows that genuinely cannot re-run (one-time
-    // builds, state-mutating flushes) carry an EXPLICIT one_shot marker, so
-    // an artifact reader knows in-run dispersion is absent by construction
-    // (bytes_read stays the cross-run attribution anchor for them).
-    val jrowStats = rowStats.map { case (k, s) =>
-      def sec(v: Double) = (math.round(v * 10000) / 10000.0).toString
-      jstr(k) + ":{\"reps\":" + s.reps + ",\"min\":" + sec(s.minSec) +
-        ",\"med\":" + sec(s.medSec) + ",\"max\":" + sec(s.maxSec) +
-        ",\"bytes_read\":" + s.bytesRead +
-        ",\"shuffle_write\":" + s.shuffleWrite +
-        (if (s.reps == 1) ",\"one_shot\":true" else "") + "}"
-    }.mkString("{", ",", "}")
-
-    val fullJson = "{\"metric\":\"total\",\"value\":" + total + ",\"unit\":\"sec\"" +
-      ",\"queries\":" + jmap(allQueries) +
-      ",\"row_stats\":" + jrowStats +
-      ",\"bench_1m_rows\":1000000,\"bench_10m_rows\":10000000,\"bench_bin_rows\":100000000" +
-      ",\"baseline_1m_flat_scan_sec\":" + Baseline1mFlatScanSec +
-      ",\"vs_baseline\":" + jmap(vsBaseline) +
-      ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
-      ",\"errors\":" + jmap(errors.toSeq) +
-      ",\"sf\":\"" + sfDir + "\"}"
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
-    // r12 (VERDICT #5): the full object ALSO lands in a per-round tracked
-    // file — BENCH_full.json is gitignored (the driver's scratch contract),
-    // so without this the complete row set of each round is lost to
-    // history. Round = 1 + the highest driver-committed BENCH_r<N>.json
-    // (the driver writes one per round close); runs WITHIN a round
-    // intentionally overwrite each other's file — the last pre-close run
-    // is the round's record. r13 (ADVICE): the regexes anchor to the WHOLE
-    // filename (a stray "old_BENCH_r99.json" must not skew the round), and
-    // CORRECTNESS_r<N>.json counts as a second closed-round marker — the
-    // driver writes BOTH at round close and neither mid-round, so a round
-    // that closed with only its correctness artifact no longer gets its
-    // bench record clobbered by the next round's first run. (A round
-    // closing with NEITHER remains indistinguishable — accepted residual
-    // for a best-effort archive. Git-tracking of BENCH_full_r<N>.json is
-    // deliberately NOT a marker: the builder commits the current round's
-    // record mid-round, which would bump later same-round runs off it.)
-    try {
-      val rx = "^(?:BENCH|CORRECTNESS)_r(\\d+)\\.json$".r
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      val priorClosed =
-        try listing.iterator().asScala
-          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString))
-          .map(_.group(1).toInt).foldLeft(0)(math.max)
-        finally listing.close()
-      val round = priorClosed + 1
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
-        (fullJson + "\n").getBytes(StandardCharsets.UTF_8))
-    } catch { case _: Exception => () } // best-effort; never fail the bench
-
-    def jnum(t: Double, dp: Int): String = {
-      val p = math.pow(10, dp)
-      (math.round(t * p) / p).toString
-    }
-    // serving/catalog/audit rows lead (vs_baseline already carries the scan
-    // gates as ratios); the sf-scale suite comes last — it is fully covered
-    // by the correctness harness and lives in BENCH_full.json regardless
-    val priority = (deltaFlush1m ++ serveDist1m ++ multiIvf1m ++ multiIvf10m ++
-      multiIvf100m ++ singleIvf100m ++ nearDup1m ++ semantic1m ++ ivf1m ++ pq1m ++ bin1m ++
-      big1m ++ big10m ++
-      pq10m ++ bin100m ++ docs100k ++ results).filter { case (n, _) => !n.endsWith("_med") }
-    val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
-    val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
-      ",\"vs_baseline_scan_only\":" + jmap(vsBaselineScanOnly) +
-      ",\"errors\":" + jmap(errors.toSeq) +
-      ",\"full\":\"BENCH_full.json\",\"sf\":\"" + sfDir + "\"}"
-    val budget = 1850 - head.length - tail.length - 40
-    val kept = mutable.ArrayBuffer.empty[String]
-    var used = 0
-    val entryIt = priority.iterator.map { case (n, t) => jstr(n) + ":" + jnum(t, 4) }
-    var full = false
-    while (entryIt.hasNext && !full) {
-      val e = entryIt.next()
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-      else full = true
-    }
-    val dropped = priority.length - kept.length
-    println(head + ",\"queries\":{" + kept.mkString(",") + "}" +
-      (if (dropped > 0) ",\"queries_dropped\":" + dropped else "") + tail)
+    // ---- Final emission: every suite already re-emitted the complete
+    // output (BENCH_full.json + the per-round record + the compact stdout
+    // line) via registered()/emitSnapshot(); the last registered() call IS
+    // the final, complete emission, so nothing is rebuilt here. benchDone
+    // stops the shutdown hook from emitting a redundant duplicate line.
+    benchDone = true
     spark.stop()
+    // rc semantics: a FAILED query/suite still exits 1; a budget/deadline
+    // skip is a deliberate bound recorded in `skipped` and keeps rc 0 (the
+    // r14 driver runs died rc=124 with nothing on stdout — a bounded skip
+    // with a parseable line is strictly more information)
     if (errors.nonEmpty) sys.exit(1)
   }
 
