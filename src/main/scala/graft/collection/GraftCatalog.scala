@@ -947,12 +947,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     // from the resident view.
     val reread =
       try {
-        val raw = spark.read.parquet(versionDir(name, v).toString)
-        // the inference that just validated the footers doubles as the
-        // version's schema memo — downstream reads of v skip their own
-        // inference job ([[versionSchema]])
-        versionArtifact(name, v, "dirschema")(raw.schema)
-        dropCellCol(raw)
+        // no "dirschema" seeding here (r15, ADVICE): invalidatePrepared a
+        // few lines below wipes every (name, *) artifact on a SUCCESSFUL
+        // flush — the seed only ever survived abort/fence-loss paths,
+        // where a concurrent writer could republish v with a DIFFERENT
+        // schema and this instance would then silently read it with the
+        // stale one. versionSchema seeds lazily from published versions
+        // only, which covers every downstream read.
+        dropCellCol(spark.read.parquet(versionDir(name, v).toString))
       } catch { case e: Throwable =>
         abortPublish(name, v, token, staging)
         throw e
@@ -1043,6 +1045,22 @@ class GraftCatalog(spark: SparkSession, root: String,
     } catch { case e: Throwable =>
       fs.delete(staging, true)
       throw e
+    }
+    // r15 (r14 VERDICT #7): an all-empty ledger — every tracked mutation
+    // carried zero rows, e.g. an empty streaming micro-batch applied
+    // without a pre-probe — must NOT publish an empty segment (a version
+    // bump with no changes). The staged footers this call just wrote carry
+    // exact row counts, so the emptiness check is driver-side metadata:
+    // zero Spark jobs, and the per-batch `batch.isEmpty` probe job the
+    // streaming path used to pay for this guarantee is gone
+    // (ChangeFeed.runIntoCollection).
+    val stagedRows =
+      try parquetDirRowCount(stagingData)
+      catch { case e: Throwable => fs.delete(staging, true); throw e }
+    if (stagedRows == 0L) {
+      fs.delete(staging, true)
+      clearPending(name) // the ledger held nothing; drop its empty frames
+      return meta.currentVersion
     }
     val token = claimVersionOrAbort(name, v, staging)
     interleaveAfterClaim(name, v)
@@ -1245,6 +1263,25 @@ class GraftCatalog(spark: SparkSession, root: String,
     * dispatches to do it. Only for O(changes)-sized delta segments (a
     * handful of files written moments ago by this same call); a corrupt or
     * truncated file fails here exactly as inference would. */
+  /** Exact row count of the parquet files under `dir`, summed from the
+    * footers DRIVER-SIDE — zero Spark jobs, same discipline as
+    * [[validateParquetDir]] (r15: lets [[flushDelta]] detect an all-empty
+    * staged ledger from the write it just performed, replacing the
+    * streaming path's per-batch `isEmpty` probe job). */
+  private def parquetDirRowCount(dir: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map { st =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try in.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally in.close()
+    }.sum
+  }
+
   private[graft] def validateParquetDir(dir: Path): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = fs.listStatus(dir).filter { st =>

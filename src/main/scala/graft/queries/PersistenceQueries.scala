@@ -885,8 +885,8 @@ object PersistenceQueries {
       // nullability on both the inferred and the user-provided schema, so
       // the stream sees the identical effective schema either way (r14)
       val schema = b1.schema
-      Tables.withReplayPartitions(s, e.count()) {
-        val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", s,
+      Tables.withReplayPartitions(s, e.count()) { scoped =>
+        val q = graft.streaming.ChangeFeed.runIntoCollection(cat, "sir", scoped,
           tmp + "/*", schema, versionCol = "ver", checkpointDir = ckpt,
           deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
         q.awaitTermination(180000)

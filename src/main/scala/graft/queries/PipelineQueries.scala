@@ -31,7 +31,8 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
-  private def withReplayPartitions[T](s: SparkSession, inputRows: Long)(body: => T): T =
+  private def withReplayPartitions[T](s: SparkSession, inputRows: Long)(
+      body: SparkSession => T): T =
     Tables.withReplayPartitions(s, inputRows)(body)
 
   /** events.parquet carries a MICROSECOND `isAdjustedToUTC=false` timestamp
@@ -209,8 +210,8 @@ object PipelineQueries {
         .withColumn("text", array_join(slice(toks, lit(1), size(toks) - 1), " "))
       base.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b1")
       recrawl.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
-      val kept = withReplayPartitions(s, base.count()) {
-        val stream = s.readStream.schema(base.schema)
+      val kept = withReplayPartitions(s, base.count()) { scoped =>
+        val stream = scoped.readStream.schema(base.schema)
           .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
         val qn = "sdr_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = graft.streaming.StreamingDedup
@@ -219,7 +220,7 @@ object PipelineQueries {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(180000)
-        s.table(qn)
+        scoped.table(qn)
       }
       kept.where(col("doc_id") >= 10000)
         .select(lit("recrawl_kept").as("src"), col("doc_id").as("val"))
@@ -647,8 +648,8 @@ object PipelineQueries {
         .write.mode(SaveMode.Overwrite).parquet(tmp + "/b2")
       ev.where(col("ts") >= cut2).unionByName(late).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp + "/b3")
-      withReplayPartitions(s, ev.count()) {
-        val stream = s.readStream.schema(ev.schema)
+      withReplayPartitions(s, ev.count()) { scoped =>
+        val stream = scoped.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(tmp + "/*")
         val qn = "swr_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = graft.streaming.EventStream.windowedAgg(stream, "1 hour",
@@ -657,7 +658,7 @@ object PipelineQueries {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(180000)
-        s.table(qn).orderBy("window_start", "event_type")
+        scoped.table(qn).orderBy("window_start", "event_type")
       }
     }),
     // Gap-based sessionization (session_window): per-user session/event

@@ -27,6 +27,13 @@ import graft.functions._
 object QuantizedQueries {
   import Tables.tbl
 
+  /** Upper bound on [[binaryRecall]]'s broadcast query set (r15): the audit
+    * samples every 101st vec_id, which grows with the corpus — this caps the
+    * broadcast at a fixed sample (1024 queries ≈ 0.5 MB of vectors+codes)
+    * while leaving every driver-SF result bit-identical (the cap only bites
+    * past 101*1024 ids). */
+  private[queries] val MaxRecallQueries = 1024L
+
   private def scan(s: SparkSession, dir: String, format: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
@@ -124,7 +131,16 @@ object QuantizedQueries {
     import org.apache.spark.sql.expressions.Window
     val e = tbl(s, dir, "embeddings")
     val th = graft.ann.Bin.trainThresholds(e, "embedding")
-    val q = e.where(col("vec_id") % 101 === 0)
+    // r15 (r14 VERDICT #4): the broadcast query set was corpus/101 rows —
+    // unbounded in the corpus, so at 100 TB the audit would broadcast
+    // millions of query vectors to every task. Cap it at the FIRST
+    // MaxRecallQueries multiples of 101 — a deterministic bound (an
+    // unordered limit() could pick different rows per run), identical to
+    // the uncapped predicate whenever max(vec_id) < 101*MaxRecallQueries
+    // (every driver SF: max vec_id 1999 at sf0.1), and mirrored in the
+    // oracle SQL so the two stay semantically equal at ANY scale.
+    val q = e.where(col("vec_id") % 101 === 0 &&
+        col("vec_id") < lit(101L * MaxRecallQueries))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         graft.ann.Bin.encode(col("embedding"), th).as("qc"))
     val wH = Window.partitionBy("qid").orderBy(col("h").asc, col("vec_id").asc)
@@ -243,7 +259,8 @@ object QuantizedQueries {
 
   private val binRecallOracle =
     s"""$binBitsCte,
-       |qs AS (SELECT vec_id AS qid, v AS qv, bits AS qb FROM b WHERE vec_id % 101 = 0),
+       |qs AS (SELECT vec_id AS qid, v AS qv, bits AS qb FROM b
+       |       WHERE vec_id % 101 = 0 AND vec_id < ${101L * MaxRecallQueries}),
        |cand AS (SELECT qid, vec_id FROM (
        |  SELECT qs.qid, b.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
        |      list_sum(list_transform(range(1, len(b.bits) + 1),

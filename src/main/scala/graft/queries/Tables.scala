@@ -17,6 +17,13 @@ object Tables {
   private val tblSchemas =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Drop every memoized schema (r15, ADVICE): the memo is sound only under
+    * the TESTDATA immutability contract — a same-JVM rewrite of a table
+    * path (e.g. a test fixture regenerating data with a changed schema)
+    * would otherwise silently read with the stale schema. Fixtures that
+    * rewrite table paths must call this after the rewrite. */
+  def invalidateSchemas(): Unit = tblSchemas.clear()
+
   /** Load one driver-provided TESTDATA table (TESTDATA.md). */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val p = s"$dir/$name.parquet"
@@ -49,19 +56,20 @@ object Tables {
     * 500 ms" in the r14 baseline log). Corruption detection adds nothing
     * to a single-run replay over a throwaway local checkpoint; durable
     * production checkpoints keep the default. */
-  def withReplayPartitions[T](s: SparkSession, inputRows: Long)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prevCk = s.conf.getOption(ckKey)
-    val n = math.max(2L, math.min(prev.toLong, inputRows / 50000L + 1L))
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    s.conf.set(ckKey, "false")
-    try body finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      prevCk match {
-        case Some(v) => s.conf.set(ckKey, v)
-        case None    => s.conf.unset(ckKey)
-      }
-    }
+  def withReplayPartitions[T](s: SparkSession, inputRows: Long)(body: SparkSession => T): T = {
+    // The scope runs on a CLONED session (r15, r14 VERDICT #8): the r14
+    // version mutated the SHARED session conf and restored it in a finally
+    // — correct single-threaded, but a concurrent query on the same session
+    // could observe the replay-sized values. The clone shares the
+    // SparkContext and cache but owns its conf; the body must build its
+    // stream from the session it receives (streaming snapshots the conf at
+    // query start from the stream's own session). The clone — and its
+    // scoped conf — is discarded with the scope; nothing to restore.
+    val scoped = org.apache.spark.sql.graft.Sessions.cloneSession(s)
+    val n = math.max(2L,
+      math.min(s.conf.get("spark.sql.shuffle.partitions").toLong, inputRows / 50000L + 1L))
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    scoped.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    body(scoped)
   }
 }

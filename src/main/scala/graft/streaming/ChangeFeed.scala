@@ -175,16 +175,22 @@ object ChangeFeed {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          catalog.applyChanges(name, batch, versionCol)
-          if (deltaFlushEachBatch) {
-            catalog.flushDelta(name)
-            // bound the fold width: one full flush every N segments — the
-            // LSM compaction cadence (amortized O(corpus/N) per batch).
-            // Unset = the catalog's default policy, never unbounded.
-            catalog.compactIfNeeded(name,
-              compactEverySegments.getOrElse(DefaultCompactEverySegments)): Unit
-          }
+        // No `batch.isEmpty` pre-probe (r15, guide §1.2): the probe was one
+        // full job over the batch's source files PER MICRO-BATCH, paid even
+        // when every batch is non-empty (the common case). applyChanges on
+        // an empty batch is a semantic no-op (LWW winners of nothing), and
+        // the no-version-bump-on-empty contract now lives where the rows
+        // are counted anyway: flushDelta reads its staged segment's parquet
+        // footers driver-side and quietly skips publishing when the ledger
+        // held zero rows (pinned by StreamingReplaySpec's empty-batch case).
+        catalog.applyChanges(name, batch, versionCol)
+        if (deltaFlushEachBatch) {
+          catalog.flushDelta(name)
+          // bound the fold width: one full flush every N segments — the
+          // LSM compaction cadence (amortized O(corpus/N) per batch).
+          // Unset = the catalog's default policy, never unbounded.
+          catalog.compactIfNeeded(name,
+            compactEverySegments.getOrElse(DefaultCompactEverySegments)): Unit
         }
       }
       .start()

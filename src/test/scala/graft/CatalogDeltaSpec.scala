@@ -524,6 +524,36 @@ class CatalogDeltaSpec extends SparkSpec {
     assert(!got.exists(_.startsWith("id-2:")))
   }
 
+  test("flushDelta skips an ALL-EMPTY ledger without publishing a version (r15: " +
+      "the footer-count guard that replaced the streaming per-batch isEmpty probe)") {
+    val root = newRoot()
+    val cat = newCatalog(root)
+    cat.createCollection(meta("de"))
+    cat.loadCollection("de")
+    cat.insert("de", rows(1 to 10))
+    assert(cat.flush("de") === 1)
+    // an empty applyChanges batch (what an empty streaming micro-batch now
+    // forwards unconditionally) tracks an empty ledger entry
+    val empty = Seq.empty[(String, Long, Array[Float], String, Long)]
+      .toDF("id", "label", "vector", "op", "ver")
+    cat.applyChanges("de", empty, versionCol = "ver")
+    val before = state(cat.resident("de"))
+    assert(cat.flushDelta("de") === 1, "no version bump for an all-empty ledger")
+    assert(cat.getMeta("de").currentVersion === 1)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/de/v2")), "no v2 dir published")
+    assert(stagingOrphans(root, "de").isEmpty, "staging cleaned up on the skip")
+    // the skip cleared the (empty) ledger: flushDelta now reports no pending
+    intercept[IllegalStateException](cat.flushDelta("de"))
+    // and a REAL batch afterwards flushes normally
+    cat.applyChanges("de", Seq(("id-1", 70L, Array(0.1f, 0.2f, 0.3f, 0.4f), "put", 1L))
+      .toDF("id", "label", "vector", "op", "ver"), versionCol = "ver")
+    assert(cat.flushDelta("de") === 2)
+    cat.releaseCollection("de")
+    cat.loadCollection("de")
+    assert(state(cat.resident("de")) === before - "id-1:1" + "id-1:70")
+  }
+
   /** No staging leftovers under the collection dir (claims may remain for
     * the published versions — they are the slot's tombstone). */
   private def stagingOrphans(root: String, name: String): Seq[String] = {

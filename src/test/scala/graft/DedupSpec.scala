@@ -163,6 +163,43 @@ class DedupSpec extends SparkSpec {
     assert(sGot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("duplicateClusters: hot-label star graph (near-clique shape, r14 VERDICT #6) " +
+      "converges exactly; conf scope restores; a cap-sized graph keeps AQE available") {
+    import spark.implicits._
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevParts = spark.conf.get(partsKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    // star: node 0 pairs with every other node — ONE maximally hot label,
+    // the skew shape the loop's AQE-scope comment documents
+    val pairs = (1L to 3000L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 3001 && got.forall(_._2 == 0L))
+    assert(spark.conf.get(partsKey) === prevParts)
+    assert(spark.conf.get(aqeKey) === prevAqe)
+    // r15 skew gate: a graph whose derived partition count hits the session
+    // default must KEEP AQE inside the loop (skew-join splitting stays
+    // armed for exactly the graphs big enough to have a hot partition).
+    // Pin it by shrinking the session default so the cap bites.
+    spark.conf.set(partsKey, "2")
+    try {
+      val observedAqe = scala.collection.mutable.Set.empty[String]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          observedAqe += spark.conf.get(aqeKey); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val big = (1L to 250000L).map(i => (i % 500, 500L + i % 499)).toDF("id_a", "id_b")
+        Dedup.duplicateClusters(big).count() // 250k edges / 100k per part + 1 => cap (2)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(!observedAqe.contains("false"),
+        s"AQE must stay ON when the loop runs at the session-default cap: $observedAqe")
+    } finally spark.conf.set(partsKey, prevParts)
+  }
+
   test("simhash banded pairs EQUAL brute-force hamming pairs (lossless for h ≤ bands−1)") {
     // 15 groups × {base, exact copy, one-token variant}: copies give
     // hamming 0 (guaranteed pairs), variants give small-but-varied hamming

@@ -152,6 +152,56 @@ class StreamingReplaySpec extends SparkSpec {
     assert(once === Map("z" -> "seed", "a" -> "a-v1"))
   }
 
+  test("withReplayPartitions scopes its conf to a CLONED session (r15, r14 VERDICT " +
+      "#8): the shared session never observes the replay-sized values") {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevParts = spark.conf.get(partsKey)
+    val prevCk = spark.conf.getOption(ckKey)
+    val got = graft.queries.Tables.withReplayPartitions(spark, 10L) { scoped =>
+      assert(scoped ne spark, "the scope must run on a clone")
+      assert(scoped.conf.get(partsKey) === "2", "replay-derived partitions on the clone")
+      assert(scoped.conf.get(ckKey) === "false")
+      // the SHARED session is untouched WHILE the scope is open — the exact
+      // concurrency hazard the r14 mutate-and-restore version had
+      assert(spark.conf.get(partsKey) === prevParts)
+      assert(spark.conf.getOption(ckKey) === prevCk)
+      42
+    }
+    assert(got === 42)
+    assert(spark.conf.get(partsKey) === prevParts)
+    assert(spark.conf.getOption(ckKey) === prevCk)
+  }
+
+  test("an EMPTY micro-batch never bumps a version (r15: runIntoCollection no " +
+      "longer pre-probes isEmpty — flushDelta's staged-footer count skips the publish)") {
+    val logDir = Files.createTempDirectory("graft-emb-log").toString
+    val ckpt = Files.createTempDirectory("graft-emb-ckpt").toString
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-emb").toString)
+    cat.createCollection(feedMeta("emb"))
+    cat.loadCollection("emb")
+    cat.insert("emb", log(Seq(("put", "z", 0L, "seed"))).drop("op", "version"))
+    assert(cat.flush("emb") === 1)
+    val wal1 = Seq(("put", "a", 1L, "a-v1"))
+    val wal3 = Seq(("put", "b", 2L, "b-v1"))
+    // batch 2 is a ZERO-ROW change file — the file source still cuts a
+    // micro-batch for it (maxFilesPerTrigger=1), which used to be guarded
+    // by a per-batch isEmpty probe job
+    Seq(log(wal1), log(wal1).limit(0), log(wal3)).foreach { b =>
+      b.write.mode(SaveMode.Append).parquet(logDir); Thread.sleep(150)
+    }
+    val q = ChangeFeed.runIntoCollection(cat, "emb", spark, logDir, log(wal1).schema,
+      "version", ckpt, deltaFlushEachBatch = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    assert(cat.getMeta("emb").currentVersion === 3,
+      "base + 2 real segments; the empty batch must not have published one")
+    assert(ids(cat, "emb") === Map("z" -> "seed", "a" -> "a-v1", "b" -> "b-v1"))
+    // cold fold across the chain agrees
+    assert(cat.loadCollection("emb").select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap ===
+      Map("z" -> "seed", "a" -> "a-v1", "b" -> "b-v1"))
+  }
+
   test("auto-compaction cadence: 40 micro-batches with compactEverySegments=4 " +
       "keep the chain bounded (10 compactions, arithmetic-provable)") {
     // r11 (VERDICT #5): a long-running runIntoCollection(deltaFlushEachBatch)
