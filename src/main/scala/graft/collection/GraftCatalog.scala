@@ -265,15 +265,33 @@ class GraftCatalog(spark: SparkSession, root: String,
     * every per-version immutable artifact: a bare `spark.read.parquet(dir)`
     * pays a schema-inference JOB on every call (~20-90 ms of pure dispatch,
     * measured r14 — the single largest removable job class across the
-    * catalog lifecycles), so only the FIRST read of a version infers;
-    * every later read passes the memoized schema explicitly. The memo is
-    * only ever seeded from an ACTUAL inference of the same immutable
-    * directory (never from an in-memory frame's schema), so explicit-schema
-    * reads are bit-identical to inferred ones by construction. [[flush]]'s
-    * validating re-read seeds it for the version it just published. */
+    * catalog lifecycles), so only the FIRST read of a version resolves the
+    * schema; every later read passes the memoized schema explicitly. The
+    * memo is only ever seeded from the version's ACTUAL on-disk footers
+    * (never from an in-memory frame's schema), so explicit-schema reads are
+    * bit-identical to inferred ones by construction — and since r15 even
+    * the first resolution is a DRIVER-SIDE footer read through Spark's own
+    * inference machinery ([[dirSchema]]), so no version ever pays the
+    * dispatch job. */
   private def versionSchema(name: String, v: Int): org.apache.spark.sql.types.StructType =
-    versionArtifact(name, v, "dirschema")(
-      spark.read.parquet(versionDir(name, v).toString).schema)
+    versionArtifact(name, v, "dirschema")(dirSchema(versionDir(name, v)))
+
+  /** The directory's schema exactly as `spark.read.parquet(dir).schema`
+    * would resolve it, but read from the first data file's footer on the
+    * driver — no Spark job (r15, guide §1.2; parity pinned by
+    * ParquetSchemaParitySpec). Any failure falls back to the inference job
+    * itself, so this can only remove the dispatch, never change the
+    * schema. */
+  private def dirSchema(dir: Path): org.apache.spark.sql.types.StructType =
+    try org.apache.spark.sql.execution.datasources.parquet.GraftParquetSchemas
+      .fromFooter(spark, dir.toString)
+    catch { case scala.util.control.NonFatal(_) =>
+      spark.read.parquet(dir.toString).schema }
+
+  /** `spark.read.parquet(dir)` minus its schema-inference job: resolve the
+    * schema via [[dirSchema]] and read with it explicitly. */
+  private def readDirNoInfer(dir: Path): DataFrame =
+    spark.read.schema(dirSchema(dir)).parquet(dir.toString)
 
   /** Read version `v`'s directory with the memoized schema — inference
     * runs once per (name, v), not once per read. */
@@ -953,8 +971,10 @@ class GraftCatalog(spark: SparkSession, root: String,
         // where a concurrent writer could republish v with a DIFFERENT
         // schema and this instance would then silently read it with the
         // stale one. versionSchema seeds lazily from published versions
-        // only, which covers every downstream read.
-        dropCellCol(spark.read.parquet(versionDir(name, v).toString))
+        // only, which covers every downstream read. readDirNoInfer keeps
+        // the validation (one footer read, driver-side — the same footer
+        // the inference job it replaces inspected) without the job (r15).
+        dropCellCol(readDirNoInfer(versionDir(name, v)))
       } catch { case e: Throwable =>
         abortPublish(name, v, token, staging)
         throw e
@@ -2816,14 +2836,14 @@ class GraftCatalog(spark: SparkSession, root: String,
     * Spark job a served request should pay once, not every time. */
   private def readCentroids(name: String, v: Int): Seq[(Long, Array[Float])] =
     versionArtifact(name, v, "centroids")(
-      spark.read.parquet(centroidDir(name, v).toString)
+      readDirNoInfer(centroidDir(name, v))
         .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Float]]("cvec").toArray)).toSeq)
 
   /** The binary-threshold sidecar of version `v` — dim doubles, cached per
     * version like [[readCentroids]]. */
   private def readBinThresholds(name: String, v: Int): Array[Double] =
     versionArtifact(name, v, "binth")(
-      spark.read.parquet(binDir(name, v).toString)
+      readDirNoInfer(binDir(name, v))
         .orderBy("d").collect().map(_.getAs[Double]("t")))
 
   /** Resolve whether a PQ sidecar holds RAW or RESIDUAL codes — ONE
@@ -2856,7 +2876,7 @@ class GraftCatalog(spark: SparkSession, root: String,
   private def readPqCodebook(name: String, v: Int,
                              m: Int): (graft.ann.PqCodebook, Option[Boolean]) =
     versionArtifact(name, v, "pqcb") {
-      val sidecar = spark.read.parquet(pqDir(name, v).toString)
+      val sidecar = readDirNoInfer(pqDir(name, v))
       val rows = sidecar.collect()
       val residual =
         if (sidecar.columns.contains("residual") && rows.nonEmpty)
