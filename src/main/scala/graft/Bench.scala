@@ -322,19 +322,28 @@ object Bench {
       }
 
       // ---- stdout line (r11 contract). The driver captures only the LAST
-      // ~2000 characters of stdout, so the line is compact: headline rows
-      // at 4 dp plus both ratio maps, errors and skips. If the line would
-      // overflow, rows drop from the END of the priority list and a
-      // "queries_dropped" count records it (never a silent cut).
-      // serving/catalog/audit rows lead (vs_baseline already carries the
-      // scan gates as ratios); the sf-scale suite comes last — it is fully
-      // covered by the correctness harness and lives in BENCH_full.json.
-      val priority = (rows("deltaFlush1m") ++ rows("serveDist1m") ++
+      // 2000 characters of stdout (BENCH_rNN.json "tail" is exactly 2000
+      // chars), so the line is compact: headline rows at 4 dp plus both
+      // ratio maps, errors and skips. If the line would overflow, rows drop
+      // from the END of the priority list and a "queries_dropped" count
+      // records it (never a silent cut).
+      // r15 (session 3): the DECLARED sf-suite rows lead, most-expensive
+      // first — they are the only names the driver's per_query /
+      // round-over-round / 8-vs-32-core scaling checks know, and the r15
+      // run-3 line held ZERO of them under the old big-suites-first order
+      // (199 dropped). Descending time keeps the rows that carry the wall
+      // clock (the floor rows all read ≈0.1 s and say nothing the total
+      // doesn't); the expensive set is stable across core counts, so the
+      // c8/c32 scaling intersection stays large. The big suites follow
+      // (vs_baseline already carries the scan gates as ratios); everything
+      // always lands in BENCH_full.json regardless.
+      val priority = (results.sortBy(-_._2) ++
+        rows("deltaFlush1m") ++ rows("serveDist1m") ++
         rows("multiIvf1m") ++ rows("multiIvf10m") ++
         rows("multiIvf100m") ++ rows("singleIvf100m") ++ rows("nearDup1m") ++
         rows("semantic1m") ++ rows("ivf1m") ++ rows("pq1m") ++ rows("bin1m") ++
         big1m ++ big10m ++
-        rows("pq10m") ++ bin100m ++ rows("docs100k") ++ results)
+        rows("pq10m") ++ bin100m ++ rows("docs100k"))
         .filter { case (n, _) => !n.endsWith("_med") }
       val head = "{\"metric\":\"total\",\"value\":" + jnum(total, 3) + ",\"unit\":\"sec\""
       val tail = ",\"vs_baseline\":" + jmap(vsBaseline) +
